@@ -1,0 +1,577 @@
+package graft
+
+/** DuckDB oracle SQL for every entry in SparkEntry.queries.
+  *
+  * Dialect discipline (SURVEY.md §7.4):
+  *  - regexes restricted to the Java∩RE2 subset; case-insensitivity via (?i);
+  *  - DuckDB regexp_replace needs the 'g' flag wherever Spark's
+  *    replace-all semantics matter;
+  *  - integer results cast to Spark's output width (row_number/size/length
+  *    → INT, integer sums → BIGINT: DuckDB widens to HUGEINT otherwise);
+  *  - double aggregates rounded identically on both sides;
+  *  - every query is totally ordered by a unique key.
+  */
+object Oracles {
+
+  /** Synthetic link corpus — must mirror graft.etl.Urls.linkCorpus exactly. */
+  val LinksCte: String =
+    """links AS (
+      |  SELECT o_orderkey AS link_id,
+      |         'https://' || lower(c_mktsegment) || '.example.com/page/' ||
+      |           CAST(o_orderkey AS VARCHAR) ||
+      |           (CASE WHEN o_orderkey % 11 = 0 THEN '.pdf'
+      |                 WHEN o_orderkey % 13 = 0 THEN '/login'
+      |                 WHEN o_orderkey % 5 = 0 THEN '#sec'
+      |                 WHEN o_orderkey % 7 = 0 THEN '/' ELSE '' END) AS url,
+      |         lower(o_orderstatus || ' ' || o_orderpriority) AS anchor_text,
+      |         lower(c_name) AS context,
+      |         CAST(o_orderkey % 4 AS INT) AS depth,
+      |         CAST(o_custkey % 11 AS INT) AS parent_relevance
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)""".stripMargin
+
+  /** norm_url on top of links — mirrors Urls.normalizeUrl. */
+  val NormCte: String =
+    """n AS (
+      |  SELECT *, regexp_replace(regexp_replace(url, '#.*', ''), '/$', '') AS norm_url
+      |  FROM links)""".stripMargin
+
+  val SkipExt  = """\.(pdf|zip|exe|png|jpe?g|gif|css|js|woff2?|mp[34])$"""
+  val SkipPath = """/(login|logout|signup|signin|static|assets)(/|$)"""
+  val LinkTopic = """(?i)urgent|high|building"""
+
+  /** relevance expression on documents — mirrors Scoring.scorePage. */
+  val RelExpr: String =
+    """CAST(least(10,
+      |  (CASE WHEN regexp_matches(substr(coalesce(text,''),1,40), 'spark|window|stream') THEN 3 ELSE 0 END) +
+      |  (CASE WHEN len(regexp_extract_all(coalesce(text,''), 'spark|window|stream')) >= 10 THEN 3
+      |        WHEN len(regexp_extract_all(coalesce(text,''), 'spark|window|stream')) >= 5 THEN 2
+      |        WHEN len(regexp_extract_all(coalesce(text,''), 'spark|window|stream')) >= 2 THEN 1
+      |        ELSE 0 END)) AS INT)""".stripMargin
+
+  /** word rows / 3-shingle rows on documents — mirrors graft.etl.Shingles. */
+  val WordsCte: String =
+    """w0 AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(coalesce(text,''), ' ')) AS word,
+      |         generate_subscripts(string_split(coalesce(text,''), ' '), 1) AS pos
+      |  FROM documents),
+      |words AS (SELECT * FROM w0 WHERE length(word) > 0)""".stripMargin
+
+  val Shingle3Cte: String = WordsCte + """,
+      |sh0 AS (
+      |  SELECT doc_id, pos, word,
+      |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+      |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM words),
+      |shingles AS (
+      |  SELECT doc_id, word || ' ' || w1 || ' ' || w2 AS shingle
+      |  FROM sh0 WHERE w2 IS NOT NULL)""".stripMargin
+
+  /** knn pair scoring skeleton: expects CTEs p(qid, cid, qe, ce, ...). */
+  private def cosineFrom(pairCte: String, extraCols: String): String =
+    s"""$pairCte,
+       |z AS (SELECT qid, cid$extraCols,
+       |             CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+       |      FROM p),
+       |d AS (SELECT qid, cid$extraCols,
+       |             sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+       |      FROM z GROUP BY ALL),
+       |s AS (SELECT qid, cid$extraCols,
+       |             round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM d)""".stripMargin
+
+  val all: Map[String, String] = Map(
+
+    // ---- core relational ----
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0 AS sum_disc_price,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "dim_join_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_bal,
+        |  CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        CAST(row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "running_sum" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "semi_anti_customers" ->
+      """SELECT c_custkey, TRUE AS has_open_order FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT c_custkey, FALSE FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    // ---- URL pipeline ----
+    "url_normalize" ->
+      s"""WITH $LinksCte, $NormCte
+         |SELECT link_id, url, norm_url FROM n ORDER BY link_id""".stripMargin,
+
+    "url_skip_filter" ->
+      s"""WITH $LinksCte, $NormCte
+         |SELECT link_id, norm_url FROM n
+         |WHERE NOT regexp_matches(norm_url, '$SkipExt')
+         |  AND NOT regexp_matches(norm_url, '$SkipPath')
+         |ORDER BY link_id""".stripMargin,
+
+    "same_domain" ->
+      s"""WITH $LinksCte
+         |SELECT link_id, url, regexp_extract(url, '^https?://([^/]+)', 1) AS domain
+         |FROM links
+         |WHERE regexp_extract(url, '^https?://([^/]+)', 1) = 'building.example.com'
+         |ORDER BY link_id""".stripMargin,
+
+    "url_slug" ->
+      s"""WITH $LinksCte
+         |SELECT link_id, url,
+         |  substr(regexp_replace(regexp_replace(url, '^https?://', ''),
+         |    '[^a-zA-Z0-9]', '_', 'g'), 1, 50) AS slug
+         |FROM links ORDER BY link_id""".stripMargin,
+
+    "engine_route" ->
+      s"""WITH $LinksCte,
+         |d AS (SELECT link_id, url,
+         |        regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM links)
+         |SELECT link_id, url,
+         |  CASE WHEN regexp_matches(domain, '(machinery|household)\\.example\\.com') THEN 'playwright'
+         |       WHEN regexp_matches(url, '/(login|admin|logout|signin)(/|$$)') THEN 'playwright'
+         |       WHEN domain = 'building.example.com' THEN 'jina'
+         |       ELSE 'trafilatura' END AS engine
+         |FROM d ORDER BY link_id""".stripMargin,
+
+    "visited_antijoin" ->
+      s"""WITH $LinksCte, $NormCte
+         |SELECT link_id, norm_url FROM n
+         |WHERE norm_url NOT IN (SELECT norm_url FROM n WHERE link_id % 3 = 0)
+         |ORDER BY link_id""".stripMargin,
+
+    "frontier_union" ->
+      s"""WITH $LinksCte, $NormCte,
+         |pr AS (SELECT norm_url, CAST(parent_relevance + depth AS INT) AS priority,
+         |              depth, link_id FROM n),
+         |u AS (SELECT norm_url, priority, depth FROM pr WHERE link_id % 2 = 0
+         |      UNION ALL
+         |      SELECT norm_url, CAST(priority + 1 AS INT), depth FROM pr WHERE link_id % 3 = 0)
+         |SELECT norm_url, CAST(max(priority) AS INT) AS priority,
+         |  CAST(min(depth) AS INT) AS depth, count(*) AS n_sources
+         |FROM u GROUP BY norm_url ORDER BY norm_url""".stripMargin,
+
+    "frontier_pop" ->
+      s"""WITH $LinksCte, $NormCte,
+         |d AS (SELECT norm_url, CAST(parent_relevance + depth AS INT) AS priority,
+         |             regexp_extract(norm_url, '^https?://([^/]+)', 1) AS domain FROM n),
+         |r AS (SELECT domain, norm_url, priority,
+         |        CAST(row_number() OVER (PARTITION BY domain
+         |          ORDER BY priority DESC, norm_url) AS INT) AS rn FROM d)
+         |SELECT domain, rn, norm_url, priority FROM r WHERE rn <= 3
+         |ORDER BY domain, rn""".stripMargin,
+
+    "score_link" ->
+      s"""WITH $LinksCte
+         |SELECT link_id, url, anchor_text,
+         |  CAST(least(10,
+         |    (CASE WHEN regexp_matches(url, '$LinkTopic') THEN 3 ELSE 0 END) +
+         |    (CASE WHEN regexp_matches(anchor_text, '$LinkTopic') THEN 5 ELSE 0 END) +
+         |    (CASE WHEN regexp_matches(context, '$LinkTopic') THEN 2 ELSE 0 END)) AS INT) AS link_score
+         |FROM links ORDER BY link_id""".stripMargin,
+
+    "priority_calc" ->
+      s"""WITH $LinksCte,
+         |sc AS (SELECT link_id, parent_relevance,
+         |  CAST(least(10,
+         |    (CASE WHEN regexp_matches(url, '$LinkTopic') THEN 3 ELSE 0 END) +
+         |    (CASE WHEN regexp_matches(anchor_text, '$LinkTopic') THEN 5 ELSE 0 END) +
+         |    (CASE WHEN regexp_matches(context, '$LinkTopic') THEN 2 ELSE 0 END)) AS INT) AS link_score
+         |  FROM links)
+         |SELECT link_id, link_score, parent_relevance,
+         |  CAST(link_score + (CASE WHEN parent_relevance >= 8 THEN 3
+         |                          WHEN parent_relevance >= 5 THEN 1
+         |                          ELSE 0 END) AS INT) AS priority
+         |FROM sc ORDER BY link_id""".stripMargin,
+
+    "page_id_gen" ->
+      s"""WITH $LinksCte, $NormCte,
+         |k AS (SELECT norm_url FROM n
+         |      WHERE NOT regexp_matches(norm_url, '$SkipExt')
+         |        AND NOT regexp_matches(norm_url, '$SkipPath'))
+         |SELECT norm_url,
+         |  printf('%03d', row_number() OVER (ORDER BY norm_url)) AS page_id
+         |FROM k ORDER BY norm_url""".stripMargin,
+
+    // ---- document scoring / classification ----
+    "score_page" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all(coalesce(text,''), 'spark|window|stream')) AS INT) AS mentions,
+         |  $RelExpr AS relevance
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "stars_bucket" ->
+      s"""WITH s AS (SELECT $RelExpr AS relevance FROM documents)
+         |SELECT CASE WHEN relevance >= 9 THEN '*****'
+         |            WHEN relevance >= 7 THEN '****'
+         |            WHEN relevance >= 5 THEN '***'
+         |            WHEN relevance >= 3 THEN '**'
+         |            ELSE '*' END AS stars,
+         |  count(*) AS n_docs
+         |FROM s GROUP BY stars ORDER BY stars""".stripMargin,
+
+    "obstacle_detect" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(coalesce(text,'')) < 100 THEN 'ANTI_SCRAPE'
+        |         WHEN regexp_matches(coalesce(text,''), 'login|sign.?in|unauthorized|customer') THEN 'LOGIN_REQUIRED'
+        |         WHEN regexp_matches(coalesce(text,''), 'captcha|verify|vector') THEN 'CAPTCHA'
+        |         WHEN regexp_matches(coalesce(text,''), 'cloudflare|checking.+browser|slow.+slow') THEN 'ANTI_SCRAPE'
+        |         ELSE 'NONE' END AS obstacle
+        |  FROM documents)
+        |SELECT doc_id, obstacle,
+        |  (obstacle IN ('CAPTCHA', 'ANTI_SCRAPE')) AS recoverable
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "content_flags" ->
+      """SELECT doc_id,
+        |  regexp_matches(coalesce(text,''), '\bjoin\b') AS has_join,
+        |  regexp_matches(coalesce(text,''), '\bwindow\b.*\bwindow\b') AS has_tables,
+        |  (length(coalesce(text,'')) > 200) AS is_long
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "truncate_notice" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(coalesce(text,'')) > 200
+        |         THEN substr(coalesce(text,''), 1, 200) || ' [truncated ' ||
+        |              CAST(length(coalesce(text,'')) AS VARCHAR) || ' chars]'
+        |         ELSE coalesce(text,'') END AS bounded_text
+        |  FROM documents)
+        |SELECT doc_id, bounded_text, CAST(length(bounded_text) AS INT) AS bounded_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // ---- aggregations ----
+    "crawl_stats" ->
+      s"""WITH s AS (SELECT lang, n_chars, $RelExpr AS relevance FROM documents)
+         |SELECT lang, count(*) AS n_pages,
+         |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  count(CASE WHEN relevance >= 8 THEN 1 END) AS hi_band,
+         |  count(CASE WHEN relevance >= 5 AND relevance < 8 THEN 1 END) AS mid_band,
+         |  count(CASE WHEN relevance < 5 THEN 1 END) AS lo_band
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "hierarchical_stats" ->
+      s"""WITH s AS (SELECT lang, source, n_chars, $RelExpr AS relevance FROM documents),
+         |partial AS (
+         |  SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+         |         CAST(max(relevance) AS INT) AS best_relevance
+         |  FROM s GROUP BY lang, source)
+         |SELECT lang, count(*) AS n_sources, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(chars) AS BIGINT) AS total_chars,
+         |  CAST(max(best_relevance) AS INT) AS best_relevance
+         |FROM partial GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "topk_pages" ->
+      s"""WITH s AS (SELECT doc_id, lang, n_chars, $RelExpr AS relevance FROM documents)
+         |SELECT doc_id, lang, relevance, n_chars FROM s
+         |ORDER BY relevance DESC, doc_id LIMIT 10""".stripMargin,
+
+    "topk_per_lang" ->
+      s"""WITH s AS (SELECT doc_id, lang, $RelExpr AS relevance FROM documents),
+         |r AS (SELECT lang, doc_id, relevance,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY relevance DESC, doc_id) AS INT) AS rn FROM s)
+         |SELECT lang, rn, doc_id, relevance FROM r WHERE rn <= 3
+         |ORDER BY lang, rn""".stripMargin,
+
+    "heading_extract" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all('# doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |      '## lang ' || lang || chr(10) || coalesce(text,''),
+        |      '(?m)^(#{1,6}) +(.*)$', 2) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(generate_subscripts(hs, 1) - 1 AS INT) AS heading_idx,
+        |  unnest(hs) AS heading
+        |FROM m ORDER BY doc_id, heading_idx""".stripMargin,
+
+    "tree_closure" ->
+      """WITH nodes AS (
+        |  SELECT o_orderkey AS node, CAST(floor(o_orderkey / 10) AS BIGINT) AS parent
+        |  FROM orders WHERE o_orderkey > 0),
+        |l2 AS (SELECT a.node AS node, b.parent AS grandparent
+        |       FROM nodes a JOIN nodes b ON a.parent = b.node)
+        |SELECT n.node, n.parent, l2.grandparent
+        |FROM nodes n LEFT JOIN l2 ON n.node = l2.node
+        |ORDER BY n.node""".stripMargin,
+
+    "batch_pack" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY n_chars, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_chars
+        |  FROM documents)
+        |SELECT doc_id, n_chars, running_chars,
+        |  CAST(floor((running_chars - 1) / 4000.0) AS INT) AS batch_id
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "rag_chunk" ->
+      """WITH d AS (SELECT doc_id, coalesce(text,'') AS t,
+        |             length(coalesce(text,'')) AS len FROM documents),
+        |n AS (SELECT doc_id, t,
+        |        least(greatest(CAST(ceil((CAST(greatest(len, 1) AS DOUBLE) - 20) / 100) AS INT), 1), 50) AS nch
+        |      FROM d),
+        |e AS (SELECT doc_id, t, CAST(unnest(range(0, nch)) AS INT) AS chunk_idx FROM n)
+        |SELECT doc_id, chunk_idx,
+        |  substr(t, chunk_idx * 100 + 1, 120) AS chunk,
+        |  CAST(length(substr(t, chunk_idx * 100 + 1, 120)) AS INT) AS chunk_len
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // ---- events ----
+    "json_extract" ->
+      """WITH k AS (SELECT event_id,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT CAST(k % 10 AS BIGINT) AS k_mod, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM k GROUP BY k_mod ORDER BY k_mod""".stripMargin,
+
+    "lag_lead" ->
+      """SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |  (value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS delta_value,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, value, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |             lag(CAST(epoch_us(ts) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |           FROM events),
+        |b AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk FROM x),
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM b)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS session_value,
+        |  CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us,
+        |  (max(ts_us) - min(ts_us)) / 60000000.0 AS duration_min
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "tumbling_window" ->
+      """SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+        |FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
+
+    "sliding_window" ->
+      """WITH e AS (SELECT event_type, value, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |w AS (SELECT event_type, value,
+        |        unnest([CAST(floor(us / 3600000000.0) AS BIGINT) * 3600000000,
+        |                CAST(floor((us - 1800000000) / 3600000000.0) AS BIGINT) * 3600000000 + 1800000000]) AS win_start
+        |      FROM e)
+        |SELECT win_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+        |FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    "hourly_profile" ->
+      """SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type, count(*) AS n
+        |FROM events GROUP BY hour_of_day, event_type
+        |ORDER BY hour_of_day, event_type""".stripMargin,
+
+    // ---- text analysis ----
+    "token_count" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |            ELSE len(string_split(coalesce(text,''), ' ')) END AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(coalesce(text,''), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS re_tokens
+        |  FROM documents)
+        |SELECT lang, CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(re_tokens) AS BIGINT) AS total_re_tokens,
+        |  CAST(sum(ws_tokens) AS DOUBLE) / count(*) AS avg_ws_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "quality_score" ->
+      """WITH q AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
+        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
+        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
+        |  FROM documents),
+        |r AS (SELECT doc_id, len_bp,
+        |        CASE WHEN tokens = 0 THEN 0
+        |             ELSE (10000 * stop_hits) // tokens END AS stop_bp
+        |      FROM q)
+        |SELECT doc_id, CAST(len_bp AS BIGINT) AS len_factor_bp,
+        |  CAST(stop_bp AS BIGINT) AS stop_ratio_bp,
+        |  CAST(least(10000, (7 * len_bp + 9 * stop_bp) // 10) AS BIGINT) AS quality_bp
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    len(regexp_extract_all(coalesce(text,''), '\b(the|a|and)\b')) AS hits_en,
+        |    len(regexp_extract_all(coalesce(text,''), '\b(der|die|das|und)\b')) AS hits_de,
+        |    len(regexp_extract_all(coalesce(text,''), '\b(el|la|los|y)\b')) AS hits_es,
+        |    len(regexp_extract_all(coalesce(text,''), '\b(le|la|les|et)\b')) AS hits_fr
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN hits_en > 0 AND hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+        |       WHEN hits_de > 0 AND hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+        |       WHEN hits_es > 0 AND hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+        |       WHEN hits_fr > 0 AND hits_fr = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'fr'
+        |       ELSE 'unknown' END AS predicted
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH $Shingle3Cte
+         |SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles
+         |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // ---- dedup ----
+    "dedup_exact" ->
+      """SELECT md5(coalesce(text,'')) AS text_hash,
+        |  CAST(min(doc_id) AS BIGINT) AS canonical_doc, count(*) AS n_dups
+        |FROM documents GROUP BY text_hash HAVING count(*) >= 2
+        |ORDER BY text_hash""".stripMargin,
+
+    "minhash_signature" ->
+      s"""WITH $Shingle3Cte
+         |SELECT doc_id,
+         |  min(md5('seed0:' || shingle)) AS mh_0,
+         |  min(md5('seed1:' || shingle)) AS mh_1,
+         |  min(md5('seed7:' || shingle)) AS mh_7
+         |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "minhash_lsh" ->
+      s"""WITH $Shingle3Cte,
+         |sig AS (SELECT doc_id,
+         |  min(md5('seed0:' || shingle)) AS mh_0, min(md5('seed1:' || shingle)) AS mh_1,
+         |  min(md5('seed2:' || shingle)) AS mh_2, min(md5('seed3:' || shingle)) AS mh_3,
+         |  min(md5('seed4:' || shingle)) AS mh_4, min(md5('seed5:' || shingle)) AS mh_5,
+         |  min(md5('seed6:' || shingle)) AS mh_6, min(md5('seed7:' || shingle)) AS mh_7
+         |  FROM shingles GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 64),
+         |w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word,
+         |         generate_subscripts(string_split(coalesce(text,''), ' '), 1) AS pos FROM docs),
+         |words AS (SELECT * FROM w0 WHERE length(word) > 0),
+         |sh0 AS (SELECT doc_id, pos, word,
+         |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM words),
+         |shingles AS (SELECT DISTINCT doc_id, word || ' ' || w1 || ' ' || w2 AS shingle
+         |             FROM sh0 WHERE w2 IS NOT NULL),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |          FROM shingles a JOIN shingles b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, n_common,
+         |  CAST((10000 * n_common) // (sa.n_sh + sb.n_sh - n_common) AS BIGINT) AS jaccard_bp
+         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE (10000 * n_common) // (sa.n_sh + sb.n_sh - n_common) >= 1000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "simhash" -> {
+      val bitSums = (0 until 16).map(b =>
+        s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s_$b").mkString(",\n  ")
+      val sig = (0 until 16).map(b =>
+        s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH $WordsCte,
+         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 4)) AS INT) AS h FROM words),
+         |s AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash16
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // ---- similarity search ----
+    "knn_brute" -> {
+      val p =
+        """p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+          |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          |      WHERE q.vec_id < 16)""".stripMargin
+      s"""WITH ${cosineFrom(p, "")},
+         |r AS (SELECT qid, cid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+         |      FROM s)
+         |SELECT qid, rank, cid, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    "knn_bucketed" -> {
+      val p =
+        """b AS (SELECT vec_id, embedding,
+          |        CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+          |             (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+          |             (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+          |      FROM embeddings),
+          |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce,
+          |             q.bucket AS qb
+          |      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          |      WHERE q.vec_id < 16)""".stripMargin
+      s"""WITH ${cosineFrom(p, ", qb")},
+         |r AS (SELECT qid, qb, cid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+         |      FROM s)
+         |SELECT qid, qb AS bucket, rank, cid, cos FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
+
+    "embedding_neardup" -> {
+      val p =
+        """p AS (SELECT a.vec_id AS qid, b.vec_id AS cid, a.embedding AS qe, b.embedding AS ce,
+          |             a.label AS label
+          |      FROM embeddings a JOIN embeddings b
+          |        ON a.label = b.label AND a.vec_id < b.vec_id)""".stripMargin
+      s"""WITH ${cosineFrom(p, ", label")}
+         |SELECT label, qid AS vec_a, cid AS vec_b, cos FROM s
+         |WHERE cos >= 0.8 ORDER BY label, vec_a, vec_b""".stripMargin
+    },
+
+    "label_stats" ->
+      """WITH z AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |d AS (SELECT vec_id, label, sqrt(sum(x * x)) AS vnorm
+        |      FROM z GROUP BY vec_id, label)
+        |SELECT label, count(*) AS n_vecs, round(avg(vnorm), 4) AS avg_norm,
+        |  round(min(vnorm), 4) AS min_norm, round(max(vnorm), 4) AS max_norm
+        |FROM d GROUP BY label ORDER BY label""".stripMargin
+  )
+}

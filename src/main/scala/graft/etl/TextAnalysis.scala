@@ -1,0 +1,109 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** North-star text-analysis operators for a training-data pipeline
+  * (builder brief): token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting. All declarative column
+  * expressions — a 100 TB corpus maps through these with zero shuffles
+  * except the final reporting aggregations.
+  */
+object TextAnalysis {
+
+  private def txt(c: Column): Column = coalesce(c, lit(""))
+
+  /** Whitespace tokens, empty-safe ('' → 0 tokens; both engines split
+    * '' into ['']).
+    */
+  def tokenCount(text: Column): Column =
+    when(length(txt(text)) === 0, 0)
+      .otherwise(size(split(txt(text), " "))).cast("int")
+
+  /** BPE-ish subword proxy: count of letter-run + digit-run + punct
+    * tokens (regex token counting without an external vocab).
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(txt(text), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+      .cast("int")
+
+  def tokenCountQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("ws_tokens"),
+        regexTokenCount(col("text")).as("re_tokens"))
+      .groupBy(col("lang"))
+      .agg(sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("re_tokens")).as("total_re_tokens"),
+        // exact-int division: bit-identical across engines, no rounding
+        (sum(col("ws_tokens")).cast("double") / count(lit(1))).as("avg_ws_tokens"))
+      .orderBy("lang")
+
+  /** Quality score in basis points [0,10000]: length factor (0.7 weight)
+    * + stopword-density factor (0.9 weight) — the shape of the
+    * reference-adjacent quality heuristics, computed entirely in INTEGER
+    * arithmetic (`div`). Rational scores like these terminate on decimal
+    * rounding boundaries, where Spark's and DuckDB's double round() tie-
+    * break differently; basis points sidestep the whole class.
+    */
+  val Stopwords = "\\b(the|a|and|of|to)\\b"
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("tokens", tokenCount(col("text")).cast("bigint"))
+      .withColumn("stop_hits",
+        size(regexp_extract_all(txt(col("text")), lit(Stopwords), lit(0))).cast("bigint"))
+      .withColumn("len_bp",
+        least(lit(10000L), lit(25L) * length(txt(col("text")))))
+      .withColumn("stop_bp",
+        when(col("tokens") === 0, 0L)
+          .otherwise(expr("(10000 * stop_hits) div tokens")))
+      .select(col("doc_id"),
+        col("len_bp").as("len_factor_bp"),
+        col("stop_bp").as("stop_ratio_bp"),
+        least(lit(10000L), expr("(7 * len_bp + 9 * stop_bp) div 10")).as("quality_bp"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: per-language marker-hit counts → argmax with
+    * a deterministic tie-break on marker order. The `lang` column is the
+    * (synthetic) label; `predicted` is the heuristic output — agreement
+    * is measured, not assumed.
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|and)\\b",
+    "de" -> "\\b(der|die|das|und)\\b",
+    "es" -> "\\b(el|la|los|y)\\b",
+    "fr" -> "\\b(le|la|les|et)\\b")
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hits = LangMarkers.map { case (l, pat) =>
+      size(regexp_extract_all(txt(col("text")), lit(pat), lit(0))).as(s"hits_$l")
+    }
+    val maxHits = greatest(LangMarkers.map(m => col(s"hits_${m._1}")): _*)
+    // first-marker-wins tie-break: deterministic in both engines
+    val best = LangMarkers.foldLeft(when(lit(false), lit("x"))) {
+      case (acc, (l, _)) =>
+        acc.when(col(s"hits_$l") > 0 && col(s"hits_$l") === maxHits, l)
+    }.otherwise("unknown")
+    docs.select(col("doc_id") +: col("lang") +: hits: _*)
+      .withColumn("predicted", best)
+      .select(col("doc_id"), col("lang"), col("predicted"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: min-of-hashes over word 3-shingles (rolling-
+    * hash analog, md5-based so the DuckDB oracle can reproduce it
+    * bit-for-bit). Documents with <3 words fingerprint the whole text.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = Shingles.wordShingles(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), 3)
+    shingled
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("shingle"))).as("fingerprint"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+  }
+}

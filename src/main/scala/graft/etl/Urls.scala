@@ -1,0 +1,222 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Synthetic URL/link corpus + the reference's URL-pipeline operators.
+  *
+  * The reference's crawl loop operates on URLs (queue.json items —
+  * /root/reference/scripts/crawler-queue.sh:45-51). The test tables have
+  * no URL column, so `linkCorpus` derives a deterministic link table from
+  * `orders ⋈ customer`; the DuckDB oracle re-derives it with the exact
+  * same expressions (see [[graft.Oracles.LinksCte]]).
+  *
+  * Operators (SURVEY.md §2.2/§2.5/§2.6/§2.7):
+  *  - F3 URL normalizer      (crawler-queue.sh:220-228)
+  *  - F1 URL skip filter     (crawler-queue.sh:199-218, config/limits.yaml:187-202)
+  *  - F2/X6 same-domain      (crawler-queue.sh:180-197)
+  *  - X5 URL → slug          (scripts/extract-jina.sh:54)
+  *  - S6 engine router       (commands/extract.md:92-155, config/security.yaml:10-141)
+  *  - J1/F4 visited anti-join (crawler-coordinator.md:202)
+  *  - U1 frontier union       (crawler-queue.sh:36-51)
+  *  - T1/T5 priority pop      (crawler-queue.sh:57-77)
+  *  - X1 score_link + X3 priority (relevance-scorer SKILL.md:93-119,195-208)
+  *  - X13 page-id generator   (crawler-queue.sh:172-176)
+  *
+  * All operators are pure Column/DataFrame functions: predicates stay
+  * inside Catalyst (codegen + pushdown), no UDFs.
+  */
+object Urls {
+
+  /** Deterministic link table: one row per order. ~1.5k rows/SF-0.001,
+    * scales linearly; the join is a broadcast (customer is the smaller
+    * side at every SF we run, and Spark's AQE handles it beyond).
+    */
+  def linkCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(
+        o("o_orderkey").as("link_id"),
+        concat(
+          lit("https://"), lower(col("c_mktsegment")), lit(".example.com/page/"),
+          col("o_orderkey").cast("string"),
+          when(col("o_orderkey") % 11 === 0, ".pdf")
+            .when(col("o_orderkey") % 13 === 0, "/login")
+            .when(col("o_orderkey") % 5 === 0, "#sec")
+            .when(col("o_orderkey") % 7 === 0, "/")
+            .otherwise("")).as("url"),
+        lower(concat(col("o_orderstatus"), lit(" "), col("o_orderpriority")))
+          .as("anchor_text"),
+        lower(col("c_name")).as("context"),
+        (col("o_orderkey") % 4).cast("int").as("depth"),
+        (col("o_custkey") % 11).cast("int").as("parent_relevance"))
+  }
+
+  // ---- F3: URL normalizer: strip #anchor, strip trailing '/' ----
+  def normalizeUrl(url: Column): Column =
+    regexp_replace(regexp_replace(url, "#.*", ""), "/$", "")
+
+  def urlNormalize(spark: SparkSession, dir: String): DataFrame =
+    linkCorpus(spark, dir)
+      .select(col("link_id"), col("url"), normalizeUrl(col("url")).as("norm_url"))
+      .orderBy("link_id")
+
+  // ---- F1: URL skip filter (extension + path patterns) ----
+  // Kept to the Java∩RE2 regex subset so the DuckDB oracle matches.
+  val SkipExtPattern  = "\\.(pdf|zip|exe|png|jpe?g|gif|css|js|woff2?|mp[34])$"
+  val SkipPathPattern = "/(login|logout|signup|signin|static|assets)(/|$)"
+
+  def keepUrl(url: Column): Column =
+    !url.rlike(SkipExtPattern) && !url.rlike(SkipPathPattern)
+
+  def urlSkipFilter(spark: SparkSession, dir: String): DataFrame =
+    linkCorpus(spark, dir)
+      .withColumn("norm_url", normalizeUrl(col("url")))
+      .filter(keepUrl(col("norm_url")))
+      .select("link_id", "norm_url")
+      .orderBy("link_id")
+
+  // ---- F2/X6: domain extraction + same-domain filter ----
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "^https?://([^/]+)", 1)
+
+  def sameDomain(spark: SparkSession, dir: String): DataFrame =
+    linkCorpus(spark, dir)
+      .withColumn("domain", urlDomain(col("url")))
+      .filter(col("domain") === "building.example.com")
+      .select("link_id", "url", "domain")
+      .orderBy("link_id")
+
+  // ---- X5: URL → filesystem-safe slug (≤50 chars) ----
+  def urlSlug(url: Column): Column =
+    substring(
+      regexp_replace(regexp_replace(url, "^https?://", ""), "[^a-zA-Z0-9]", "_"),
+      1, 50)
+
+  def urlSlugQuery(spark: SparkSession, dir: String): DataFrame =
+    linkCorpus(spark, dir)
+      .select(col("link_id"), col("url"), urlSlug(col("url")).as("slug"))
+      .orderBy("link_id")
+
+  // ---- S6: engine router (security-driven source selection) ----
+  // Reference semantics: internal/private targets are forced to the local
+  // browser engine; a whitelist goes to the hosted reader; the rest to the
+  // local extractor (config/security.yaml:10-141). Domains here are the
+  // synthetic corpus ones, patterns keep the reference's shape.
+  val InternalPattern  = "(machinery|household)\\.example\\.com"
+  val SensitivePattern = "/(login|admin|logout|signin)(/|$)"
+
+  def engineFor(url: Column): Column =
+    when(urlDomain(url).rlike(InternalPattern), "playwright")
+      .when(url.rlike(SensitivePattern), "playwright")
+      .when(urlDomain(url) === "building.example.com", "jina")
+      .otherwise("trafilatura")
+
+  def engineRoute(spark: SparkSession, dir: String): DataFrame =
+    linkCorpus(spark, dir)
+      .select(col("link_id"), col("url"), engineFor(col("url")).as("engine"))
+      .orderBy("link_id")
+
+  // ---- J1/F4: frontier ∖ visited (left-anti join on normalized URL) ----
+  // The scale-defining op of the crawl loop: at 100 TB this is a shuffled
+  // anti-join on the URL key; no driver-side membership set ever exists.
+  def frontierMinusVisited(frontier: DataFrame, visited: DataFrame): DataFrame =
+    frontier.join(visited, Seq("norm_url"), "left_anti")
+
+  def visitedAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val links = linkCorpus(spark, dir)
+      .withColumn("norm_url", normalizeUrl(col("url")))
+    val visited = links.filter(col("link_id") % 3 === 0).select("norm_url")
+    frontierMinusVisited(links, visited)
+      .select("link_id", "norm_url")
+      .orderBy("link_id")
+  }
+
+  // ---- U1: queue insert-if-absent (union + keyed dedup) ----
+  // Deterministic dedup: keep max priority / min depth per URL (the
+  // reference keeps the first insert; max/min is order-independent and
+  // therefore reproducible under any partitioning).
+  def frontierUnion(spark: SparkSession, dir: String): DataFrame = {
+    val links = linkCorpus(spark, dir)
+      .withColumn("norm_url", normalizeUrl(col("url")))
+      .withColumn("priority", (col("parent_relevance") + col("depth")).cast("int"))
+    val a = links.filter(col("link_id") % 2 === 0)
+    val b = links.filter(col("link_id") % 3 === 0)
+      .withColumn("priority", (col("priority") + 1).cast("int"))
+    a.unionByName(b)
+      .groupBy("norm_url")
+      .agg(max("priority").as("priority"), min("depth").as("depth"),
+        count(lit(1)).as("n_sources"))
+      .orderBy("norm_url")
+  }
+
+  // ---- T1/T5: priority-queue pop (top-1 per domain, batch analog) ----
+  def frontierPop(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val links = linkCorpus(spark, dir)
+      .withColumn("norm_url", normalizeUrl(col("url")))
+      .withColumn("domain", urlDomain(col("norm_url")))
+      .withColumn("priority", (col("parent_relevance") + col("depth")).cast("int"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("priority").desc, col("norm_url").asc)
+    links.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("domain", "rn", "norm_url", "priority")
+      .orderBy("domain", "rn")
+  }
+
+  // ---- X1: score_link (topic-regex relevance 0-10) ----
+  // +3 url match, +5 anchor match, +2 context match, cap at 10
+  // (relevance-scorer SKILL.md:93-119). Pure when/otherwise chain —
+  // whole-stage-codegen friendly, no UDF.
+  def scoreLink(url: Column, anchor: Column, context: Column, topic: String): Column =
+    least(lit(10),
+      when(url.rlike(topic), 3).otherwise(0)
+        + when(anchor.rlike(topic), 5).otherwise(0)
+        + when(context.rlike(topic), 2).otherwise(0)).cast("int")
+
+  val LinkTopic = "(?i)urgent|high|building"
+
+  def scoreLinkQuery(spark: SparkSession, dir: String): DataFrame =
+    linkCorpus(spark, dir)
+      .select(col("link_id"), col("url"), col("anchor_text"),
+        scoreLink(col("url"), col("anchor_text"), col("context"), LinkTopic)
+          .as("link_score"))
+      .orderBy("link_id")
+
+  // ---- X3: queue priority = link score + parent-relevance bonus ----
+  // Canonical formula (relevance-scorer SKILL.md:195-208); the other two
+  // in-repo variants are doc drift (SURVEY.md §2.3 X3 note).
+  def priority(linkScore: Column, parentRelevance: Column): Column =
+    (linkScore
+      + when(parentRelevance >= 8, 3)
+        .when(parentRelevance >= 5, 1)
+        .otherwise(0)).cast("int")
+
+  def priorityCalc(spark: SparkSession, dir: String): DataFrame =
+    linkCorpus(spark, dir)
+      .withColumn("link_score",
+        scoreLink(col("url"), col("anchor_text"), col("context"), LinkTopic))
+      .select(col("link_id"), col("link_score"), col("parent_relevance"),
+        priority(col("link_score"), col("parent_relevance")).as("priority"))
+      .orderBy("link_id")
+
+  // ---- X13: sequential zero-padded page-id assignment ----
+  // row_number over a total order (never monotonically_increasing_id —
+  // not dense, partition-dependent). Global window = single-partition
+  // exchange; acceptable because id assignment is inherently sequential —
+  // at scale you shard the sequence per crawl-batch instead.
+  def pageIdGen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val links = linkCorpus(spark, dir)
+      .withColumn("norm_url", normalizeUrl(col("url")))
+      .filter(keepUrl(col("norm_url")))
+    links
+      .withColumn("rn", row_number().over(Window.orderBy(col("norm_url"))))
+      .select(col("norm_url"),
+        format_string("%03d", col("rn")).as("page_id"))
+      .orderBy("norm_url")
+  }
+}
