@@ -572,6 +572,77 @@ object Oracles {
         |      FROM z GROUP BY vec_id, label)
         |SELECT label, count(*) AS n_vecs, round(avg(vnorm), 4) AS avg_norm,
         |  round(min(vnorm), 4) AS min_norm, round(max(vnorm), 4) AS max_norm
-        |FROM d GROUP BY label ORDER BY label""".stripMargin
+        |FROM d GROUP BY label ORDER BY label""".stripMargin,
+
+    // ---- fixpoint / windows / custom-agg / multimodal ----
+    "crawl_bfs" ->
+      """WITH cnt AS (SELECT count(*) AS c FROM customer),
+        |edges AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,
+        |                          CAST(o_orderkey % c AS BIGINT) AS dst
+        |          FROM orders, cnt),
+        |v0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS depth),
+        |f1 AS (SELECT DISTINCT dst AS node FROM edges JOIN v0 ON src = v0.node
+        |       WHERE dst % 11 >= 5 AND dst NOT IN (SELECT node FROM v0)),
+        |v1 AS (SELECT * FROM v0 UNION ALL SELECT node, 1 FROM f1),
+        |f2 AS (SELECT DISTINCT dst AS node FROM edges JOIN f1 ON src = f1.node
+        |       WHERE dst % 11 >= 5 AND dst NOT IN (SELECT node FROM v1)),
+        |v2 AS (SELECT * FROM v1 UNION ALL SELECT node, 2 FROM f2),
+        |f3 AS (SELECT DISTINCT dst AS node FROM edges JOIN f2 ON src = f2.node
+        |       WHERE dst % 11 >= 5 AND dst NOT IN (SELECT node FROM v2)),
+        |v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3)
+        |SELECT node, CAST(depth AS INT) AS depth FROM v3 ORDER BY node""".stripMargin,
+
+    "range_window" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, event_id, ts_us,
+        |  CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY ts_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+        |    AS rolling_1h_value
+        |FROM e ORDER BY event_type, event_id""".stripMargin,
+
+    "session_window_agg" ->
+      """WITH x AS (SELECT user_id, event_id, value, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |             lag(CAST(epoch_us(ts) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |           FROM events),
+        |b AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk FROM x),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM b)
+        |SELECT user_id,
+        |  CAST(min(ts_us) AS BIGINT) AS start_us,
+        |  CAST(max(ts_us) + 1800000000 AS BIGINT) AS end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS session_value
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, start_us""".stripMargin,
+
+    "bounded_summary" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |             substr(coalesce(text,''), 1, 30) AS piece FROM documents),
+        |w AS (SELECT lang, doc_id, piece,
+        |        sum(length(piece) + 1) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS cum
+        |      FROM t),
+        |k AS (SELECT * FROM w WHERE cum <= 200)
+        |SELECT lang, string_agg(piece, '|' ORDER BY doc_id) AS summary,
+        |  CAST(length(string_agg(piece, '|' ORDER BY doc_id)) AS INT) AS summary_len,
+        |  CAST(count(*) AS INT) AS n_pieces
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "multimodal_features" ->
+      """WITH a AS (SELECT doc_id AS asset_id, lang, text,
+        |             encode(text) AS payload FROM documents),
+        |h AS (SELECT *, CAST(concat('0x', substr(md5(text), 1, 6)) AS BIGINT) AS hh,
+        |        substr(hex(payload), 1, 2) AS b0 FROM a)
+        |SELECT asset_id, lang,
+        |  CAST(octet_length(payload) AS INT) AS byte_len,
+        |  CASE WHEN payload IS NULL OR octet_length(payload) = 0 THEN 'empty'
+        |       WHEN b0 < '70' THEN 'image'
+        |       WHEN b0 < '74' THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(hh % 1920 + 1 AS INT) AS width,
+        |  CAST((hh // 1920) % 1080 + 1 AS INT) AS height,
+        |  md5(text) AS digest
+        |FROM h ORDER BY asset_id""".stripMargin
   )
 }

@@ -89,7 +89,13 @@ object SparkEntry {
     "knn_brute"         -> (Similarity.knnBrute _),
     "knn_bucketed"      -> (Similarity.knnBucketed _),
     "embedding_neardup" -> (Similarity.embeddingNearDup _),
-    "label_stats"       -> (Similarity.labelStats _)
+    "label_stats"       -> (Similarity.labelStats _),
+    // fixpoint / windows / custom-agg / multimodal
+    "crawl_bfs"           -> (Crawl.crawlBfs _),
+    "range_window"        -> (Events.rangeWindow _),
+    "session_window_agg"  -> (Events.sessionWindowAgg _),
+    "bounded_summary"     -> (Summaries.boundedSummary _),
+    "multimodal_features" -> (Multimodal.multimodalFeatures _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

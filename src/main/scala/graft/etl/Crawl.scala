@@ -1,0 +1,60 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The crawl fixpoint (SURVEY.md §3.2 / §7.2 phase 7): frontier(t+1) =
+  * prioritize(filter(expand(frontier(t)))) ∖ visited(t), iterated to a
+  * bounded depth. The reference runs this one URL at a time
+  * (crawler-coordinator.md loop); the Spark-native form expands a WHOLE
+  * frontier level per iteration — each iteration is a distributed
+  * join/filter/anti-join pass, the driver only sequences levels.
+  *
+  * The verified instance runs over a deterministic link graph derived
+  * from `orders` (src = o_custkey mod C, dst = o_orderkey mod C, with C
+  * = |customer|), relevance = dst mod 11, prune threshold 5 (F8), max
+  * depth 3 (F5). The DuckDB oracle unrolls the ≤3 levels as chained
+  * CTEs — no recursion required at the reference's own bound.
+  *
+  * Scale posture: frontier and visited stay distributed (anti-join, not
+  * a driver-side set); per-level results are persisted to cut lineage;
+  * the frontier side of the expand join is broadcast (bounded by the
+  * node universe). 100 TB graphs keep the same plan with the frontier
+  * broadcast replaced by a shuffle join when it outgrows the driver.
+  */
+object Crawl {
+
+  val RelevanceThreshold = 5 // config/limits.yaml:119 skip_threshold
+  val MaxDepth = 3           // config/limits.yaml:102 max_depth
+
+  /** Deterministic edge list from orders (distinct src→dst pairs). */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).count()
+    Tables.orders(spark, dir)
+      .select((col("o_custkey") % c).as("src"), (col("o_orderkey") % c).as("dst"))
+      .distinct()
+  }
+
+  /** BFS from node 0: returns (node, depth of first visit). */
+  def crawlBfs(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).persist()
+    var visited = spark.range(1)
+      .select(lit(0L).as("node"), lit(0).as("depth"))
+    var frontier = visited.select(col("node"))
+    for (d <- 1 to MaxDepth) {
+      val next = e
+        .join(broadcast(frontier.withColumnRenamed("node", "src")), Seq("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .filter(col("node") % 11 >= RelevanceThreshold) // F8 prune
+        .join(visited, Seq("node"), "left_anti")        // J1 dedup
+        .select(col("node"), lit(d).as("depth"))
+        .persist()
+      next.count() // materialize per level: bounded lineage
+      visited = visited.unionByName(next)
+      frontier = next.select(col("node"))
+    }
+    visited.orderBy("node")
+  }
+}

@@ -103,6 +103,38 @@ object Events {
       .orderBy("win_start", "event_type")
   }
 
+  /** Range-frame rolling sum: per event type, total value over the
+    * trailing hour (RANGE frame on integer epoch-µs — peers included,
+    * deterministic under timestamp ties in both engines).
+    */
+  def rangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+      .rangeBetween(-HourUs, 0)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", tsUs)
+      .withColumn("cents", Relational.cents(col("value")))
+      .select(col("event_type"), col("event_id"), col("ts_us"),
+        (sum(col("cents")).over(w) / lit(100.0)).as("rolling_1h_value"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Native session_window operator (the engine API users call for
+    * sessionization; batch here, streaming twin in graft.streaming).
+    * window.end = last event + gap by Spark's definition; the oracle
+    * reproduces it from the lag/cumsum construction.
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("event_time", timestamp_micros(tsUs))
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(Relational.cents(col("value"))) / lit(100.0)).as("session_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "start_us")
+
   /** Event-type counts by hour-of-day (UTC; ts is epoch-based so the
     * modular form equals calendar hour()).
     */

@@ -1,0 +1,82 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (builder brief): opaque `binary` payloads
+  * with typed metadata, magic-byte classification, feature extraction,
+  * and frame sampling. The synthetic corpus has no real media, so the
+  * DECODE step is a clearly-marked deterministic STUB — everything
+  * around it (schema, batch shape, partition-parallel decode plumbing,
+  * sampling generator) is real Spark and tested.
+  *
+  * At 100 TB the asset table is exactly this shape: binary column +
+  * metadata struct, decoded per-partition (mapPartitions batches ↔
+  * mapInPandas in the Python API), never collected to the driver.
+  */
+object Multimodal {
+
+  /** Asset table: payload bytes + typed metadata struct. */
+  def assetTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("asset_id"),
+        col("text").cast("binary").as("payload"),
+        struct(col("source"), col("lang"), col("n_chars")).as("meta"))
+
+  /** "Magic-byte" classification on the payload's first byte — a real
+    * media table switches on 0xFFD8 (jpeg), 0x8950 (png), etc.; the
+    * classifier expression shape is identical.
+    */
+  def kindOf(payload: Column): Column = {
+    val b0 = substring(hex(payload), 1, 2)
+    when(payload.isNull || length(payload) === 0, "empty")
+      .when(b0 < "70", "image") // first byte below 'p'
+      .when(b0 < "74", "audio") // 'p'..'s'
+      .otherwise("video")
+  }
+
+  /** STUB decode: deterministic fake width/height/duration derived from
+    * payload bytes (integer div/mod only — engine-exact). A real
+    * deployment replaces ONLY this stage with a per-partition codec
+    * call (mapPartitions over payload batches); schema and downstream
+    * plumbing are unchanged.
+    */
+  def withDecodedStub(df: DataFrame, payload: Column): DataFrame =
+    df.withColumn("__h", conv(substring(md5(payload), 1, 6), 16, 10).cast("bigint"))
+      .withColumn("width", (expr("__h % 1920") + 1).cast("int"))
+      .withColumn("height", (expr("(__h div 1920) % 1080") + 1).cast("int"))
+      .withColumn("duration_s", (length(payload) % 3600).cast("int"))
+      .drop("__h")
+
+  /** Frame sampling generator: up to n evenly-spaced byte slices per
+    * payload (the video analog samples frames; the plumbing — sequence
+    * + posexplode + per-offset slice — is the real thing).
+    */
+  def frameSample(df: DataFrame, payload: Column, n: Int): DataFrame = {
+    val len = length(payload)
+    val step = greatest(expr(s"length(payload) div $n"), lit(1)).cast("int")
+    df.withColumn("__idx",
+        when(len > 0, sequence(lit(0), lit(n - 1), lit(1)))
+          .otherwise(array().cast("array<int>")))
+      .select(col("*"), posexplode(col("__idx")))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumn("frame_off", col("col") * step)
+      .filter(col("frame_off") < len)
+      .withColumn("frame", payload.substr(col("frame_off") + 1, step))
+      .drop("col", "__idx")
+  }
+
+  /** Verified query: byte length, magic-kind, stub-decoded dimensions,
+    * content digest — all DuckDB-reproducible.
+    */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    withDecodedStub(
+        assetTable(spark, dir).withColumn("kind", kindOf(col("payload"))),
+        col("payload"))
+      .select(col("asset_id"), col("meta.lang").as("lang"),
+        length(col("payload")).as("byte_len"), col("kind"),
+        col("width"), col("height"),
+        md5(col("payload")).as("digest"))
+      .orderBy("asset_id")
+}

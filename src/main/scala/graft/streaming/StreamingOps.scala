@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the engine's stateful surface
+  * (SURVEY.md §2.11). The reference's crawl loop is a rate-limited,
+  * keyed-state incremental computation; its Spark-native scale path is
+  * Structured Streaming with watermarks + windowed/session aggregation.
+  *
+  * These transforms are DataFrame→DataFrame and source-agnostic: bind
+  * them to `spark.readStream` (file/kafka/rate) in production or to a
+  * MemoryStream in tests. Only the batch twins (graft.etl.Events) are
+  * DuckDB-oracle-verified; these are smoke-tested via MemoryStream
+  * (StreamingSpec) since a streaming sink can't be hash-compared.
+  *
+  * Scale posture: state is keyed by (user_id) or (window), watermarks
+  * bound state growth, and every aggregation here is incremental —
+  * the shapes that survive an unbounded 100 TB/day event feed.
+  */
+object StreamingOps {
+
+  /** Event-time column from the nanos-as-long `ts`. */
+  def eventTime(c: Column): Column = timestamp_micros(expr("ts div 1000"))
+
+  /** Tumbling 1-hour counts/sums with a 2-hour watermark (late data
+    * beyond 2h is dropped — the reference has no late-data story at all;
+    * this is the extension surface).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Session windows (30-min gap) per user — the streaming twin of
+    * graft.etl.Events.sessionize, using Spark's native session_window
+    * state merging.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", "2 hours")
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
+  /** Streaming visited-set dedup (U2/F4): keep the first occurrence of
+    * each URL within the watermark horizon — the unbounded-safe form of
+    * the reference's visited map (state expires with the watermark
+    * instead of growing forever).
+    */
+  def dedupWithinWatermark(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("url")
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+
+case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String,
+    value: Double)
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val min = 60L * 1000000L * 1000L // one minute in nanos
+
+  test("streaming session windows merge events within the 30-min gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    // user 1: two sessions (0-10min, then 45min); user 2: one event
+    src.addData(
+      Ev(1, 0 * min, 1, "click", 1.0), Ev(2, 10 * min, 1, "click", 2.0),
+      Ev(3, 45 * min, 1, "click", 4.0), Ev(4, 0 * min, 2, "view", 8.0))
+    val q = StreamingOps.sessionWindows(src.toDF())
+      .writeStream.format("memory").queryName("sessions_t")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sessions_t")
+        .select("user_id", "n_events", "session_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("streaming tumbling window counts per hour bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    src.addData(
+      Ev(1, 1 * min, 1, "click", 1.0), Ev(2, 5 * min, 2, "click", 1.0),
+      Ev(3, 61 * min, 1, "view", 1.0))
+    val q = StreamingOps.tumblingCounts(src.toDF())
+      .writeStream.format("memory").queryName("tumbling_t")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_t")
+        .select("event_type", "n").as[(String, Long)].collect().toSet
+      assert(rows == Set(("click", 2L), ("view", 1L)))
+    } finally q.stop()
+  }
+}
