@@ -30,22 +30,34 @@ object Dedup {
       .orderBy("text_hash")
 
   /** MinHash signatures: NumHashes independent min-hashes per doc, hash_i
-    * = min over shingles of md5(seed_i || shingle). Docs with <3 words
-    * have no shingles and are excluded (can't near-dup match).
+    * = min over shingles of md5(seed_i || shingle). Computed inside the
+    * shingle ARRAY (array_min ∘ transform) — a pure map, no explode, no
+    * shuffle; signature extraction over 100 TB is a single scan. Docs
+    * with <3 words have no shingles and are excluded (can't near-dup
+    * match).
     */
   val NumHashes = 8
   val BandSize = 2 // → 4 bands
 
-  def minhashSignature(shingled: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map { i =>
-      min(md5(concat(lit(s"seed$i:"), col("shingle")))).as(s"mh_$i")
+  /** docs(doc_id, text) → (doc_id, mh_0..mh_{n-1}), shuffle-free.
+    * The shingle array is materialized once behind the size filter
+    * (Project-Filter-Project is not collapsed by Catalyst), so the 8
+    * hash columns read a computed attribute instead of re-deriving the
+    * array 8 times.
+    */
+  def minhashSignature(docs: DataFrame): DataFrame = {
+    val cols = (0 until NumHashes).map { i =>
+      array_min(transform(col("__sh"), s => md5(concat(lit(s"seed$i:"), s))))
+        .as(s"mh_$i")
     }
-    shingled.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    docs.select(col("doc_id"), Shingles.shingleArray(col("text"), 3).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id") +: cols: _*)
   }
 
   def minhashSignatureQuery(spark: SparkSession, dir: String): DataFrame =
-    minhashSignature(Shingles.wordShingles(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")), 3))
+    minhashSignature(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("mh_0"), col("mh_1"), col("mh_7"))
       .orderBy("doc_id")
 
@@ -55,8 +67,8 @@ object Dedup {
     * a bucket, which is the entire point of LSH at scale.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignature(Shingles.wordShingles(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")), 3))
+    val sig = minhashSignature(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       val slots = (0 until BandSize).map(i => col(s"mh_${b * BandSize + i}"))
       struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bkey"))
@@ -79,9 +91,12 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .filter(col("doc_id") < 64).select(col("doc_id"), col("text"))
-    val sh = Shingles.wordShingles(docs, 3)
-      .select(col("doc_id"), col("shingle")).distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .withColumn("sh_set", array_distinct(Shingles.shingleArray(col("text"), 3)))
+    // shingle sets and their sizes both come from the array — the only
+    // shuffle left is the intersect self-join itself
+    val sh = docs.select(col("doc_id"), explode(col("sh_set")).as("shingle"))
+    val sizes = docs.select(col("doc_id"), size(col("sh_set")).cast("bigint").as("n_sh"))
+      .filter(col("n_sh") > 0)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -104,14 +119,20 @@ object Dedup {
     * CAST('0x…')). One explode + one groupBy — linear, shuffle on doc_id.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val words = Shingles.words(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-    val h16 = conv(substring(md5(col("word")), 1, 4), 16, 10).cast("int")
-    val withHash = words.withColumn("h", h16)
-    val bitAggs = (0 until 16).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
+    // hash each word once into an int array (one md5 per word), then run
+    // the 16 bit-sums as in-array aggregates: a pure map, no explode, no
+    // groupBy shuffle — the whole signature pass is one scan.
+    val hs = transform(Shingles.wordArray(col("text")),
+      w => conv(substring(md5(w), 1, 4), 16, 10).cast("int"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+    val bitSums = (0 until 16).map { b =>
+      aggregate(col("hs"), lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s_$b")
     }
-    val sums = withHash.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sums = docs.select(col("doc_id") +: bitSums: _*)
     val sig = (0 until 16).map { b =>
       when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)

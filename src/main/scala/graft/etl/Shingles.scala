@@ -1,44 +1,66 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Word-shingle derivation shared by the dedup/fingerprint operators.
   *
-  * k-shingles are built with lead() windows over exploded words rather
-  * than array slicing so the DuckDB oracle can reproduce them with the
-  * identical unnest + lead construction (list slicing dialects differ;
-  * window semantics don't).
+  * Implemented as pure ARRAY expressions (filter/transform/slice over
+  * the split words) — shingling is embarrassingly parallel and must not
+  * shuffle: at 100 TB the explode+window formulation would exchange the
+  * entire exploded word stream just to run lead(); the array form is a
+  * straight map inside whole-stage codegen. The DuckDB oracle derives
+  * the same shingles with unnest+lead (dialects differ, outputs don't).
   */
 object Shingles {
 
   private def txt(c: Column): Column = coalesce(c, lit(""))
 
-  /** (id, word, pos) rows; empty words dropped (leading/trailing/double
-    * spaces produce '' in both engines' split).
+  /** Non-empty words of a text column as an array (split on single
+    * space; blanks from doubled/leading/trailing spaces dropped —
+    * matching both engines' split semantics).
     */
-  def words(df: DataFrame, k: Int = 1): DataFrame =
+  def wordArray(c: Column): Column =
+    filter(split(txt(c), " "), w => length(w) > 0)
+
+  /** (doc_id, word, word_pos) rows; word_pos is the position in the
+    * ORIGINAL split (gaps where blanks were dropped), matching the
+    * oracle's generate_subscripts construction.
+    */
+  def words(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
         posexplode(split(txt(col("text")), " ")))
       .withColumnRenamed("pos", "word_pos")
       .withColumnRenamed("col", "word")
       .filter(length(col("word")) > 0)
 
-  /** (doc_id, shingle_pos, shingle) with shingle = k space-joined
-    * consecutive words; docs with <k words yield no rows.
+  /** k-shingle array: space-joined runs of k consecutive non-empty
+    * words; empty when the doc has <k words.
+    *
+    * Built with zip_with over k-1 shifted copies, NOT by slicing inside
+    * a transform lambda: Catalyst re-evaluates outer-array references in
+    * a lambda body once per element, which turns the slice formulation
+    * into O(words²) splits per row (measured 7× slowdown at sf0.1).
+    * zip_with lambdas touch only their lambda variables — strictly
+    * linear.
     */
-  def wordShingles(df: DataFrame, k: Int): DataFrame = {
+  def shingleArray(c: Column, k: Int): Column = {
     require(k >= 1 && k <= 5)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("word_pos"))
-    val parts = (0 until k).map {
-      case 0 => col("word")
-      case i => lead(col("word"), i).over(w)
+    val joined = (1 until k).foldLeft(wordArray(c)) { (cur, j) =>
+      val shifted = slice(wordArray(c), lit(j + 1),
+        greatest(size(wordArray(c)) - j, lit(0)))
+      zip_with(cur, shifted,
+        (x, y) => when(y.isNull || x.isNull, lit(null: String))
+          .otherwise(concat(x, lit(" "), y)))
     }
-    words(df)
-      .withColumn("shingle", concat_ws(" ", parts: _*))
-      .withColumn("last_word", if (k == 1) col("word") else lead(col("word"), k - 1).over(w))
-      .filter(col("last_word").isNotNull)
-      .select(col("doc_id"), col("word_pos").as("shingle_pos"), col("shingle"))
+    filter(joined, x => x.isNotNull)
   }
+
+  /** (doc_id, shingle_pos, shingle) rows — shingle_pos is the 0-based
+    * index over the filtered word sequence.
+    */
+  def wordShingles(df: DataFrame, k: Int): DataFrame =
+    df.select(col("doc_id"), posexplode(shingleArray(col("text"), k)))
+      .withColumnRenamed("pos", "shingle_pos")
+      .withColumnRenamed("col", "shingle")
 }

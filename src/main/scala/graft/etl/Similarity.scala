@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorFunctions.{dotF, normF}
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64):
   * brute-force cosine top-k as the exact baseline, a sign-bucketed (LSH/
@@ -11,9 +12,11 @@ import graft.Tables
   * detection (embedding-cosine dedup).
   *
   * The dot product is a declarative zip_with/aggregate in DOUBLE — no
-  * UDF, stays codegen-eligible, and is bit-reproducible in the DuckDB
-  * oracle (float→double widening is exact; only the final rounding to
-  * 4 dp absorbs summation-order differences).
+  * UDF, and bit-reproducible in the DuckDB oracle (float→double widening
+  * is exact; the final 4-dp rounding absorbs summation-order noise).
+  * Higher-order functions evaluate interpreted (no codegen), so norms
+  * are precomputed PER VECTOR before any pair join — per-pair work is
+  * one dot product, not three.
   *
   * Scale posture: the query side is bounded (or LSH-bucketed), so the
   * plan is broadcast(queries) ⋈ corpus — a map-side pass over the corpus
@@ -22,6 +25,10 @@ import graft.Tables
   */
 object Similarity {
 
+  /** Declarative reference form (interpreted; see VectorExpressions for
+    * why the queries use the codegen'd dotF/normF instead — results are
+    * bit-identical).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -30,17 +37,27 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** embeddings with the vector norm materialized once per row (the
+    * size filter is a Project-collapse barrier).
+    */
+  private def withNorm(e: DataFrame): DataFrame =
+    e.withColumn("nrm", normF(col("embedding")))
+      .filter(col("nrm").isNotNull)
+
   /** Exact brute-force top-5 cosine neighbors for query vectors
     * (vec_id < 16). Ranking on the rounded cosine with vec_id tie-break
     * keeps the order total and engine-independent.
     */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = withNorm(Tables.embeddings(spark, dir))
     val q = broadcast(e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
     val scored = q.join(c, col("qid") =!= col("cid"))
-      .withColumn("cos", round(cosine(col("qe"), col("ce")), 4))
+      .withColumn("cos",
+        round(dotF(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -59,15 +76,16 @@ object Similarity {
       + when(element_at(e, 3) > 0, 1).otherwise(0)).cast("int")
 
   def knnBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = withNorm(Tables.embeddings(spark, dir))
       .withColumn("bucket", signBucket(col("embedding")))
     val q = broadcast(e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket").as("qb")))
+        col("nrm").as("qn"), col("bucket").as("qb")))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("bucket").as("cb"))
+      col("nrm").as("cn"), col("bucket").as("cb"))
     val scored = q.join(c, col("qb") === col("cb") && col("qid") =!= col("cid"))
-      .withColumn("cos", round(cosine(col("qe"), col("ce")), 4))
+      .withColumn("cos",
+        round(dotF(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -82,25 +100,25 @@ object Similarity {
     * embedding-dedup shape.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), col("label"))
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"), col("label"), col("nrm"))
     val pairs = e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosine(col("a.embedding"), col("b.embedding")), 4))
+      .withColumn("cos",
+        round(dotF(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cos") >= 0.8)
     pairs.select(col("a.label").as("label"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
       .orderBy("label", "vec_a", "vec_b")
   }
 
-  /** Centroid summary per label: mean vector norm + intra-label cosine
-    * spread — the analytics face of the clustering columns.
+  /** Centroid summary per label: aggregate RAW norms (irrational values
+    * → rounding-tie-free), round only at the output surface.
     */
   def labelStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      // aggregate RAW norms (irrational values → rounding-tie-free),
-      // round only at the output surface
-      .select(col("label"), norm(col("embedding")).as("vnorm"))
+      .select(col("label"), normF(col("embedding")).as("vnorm"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         round(avg(col("vnorm")), 4).as("avg_norm"),

@@ -95,15 +95,17 @@ object TextAnalysis {
 
   /** Document fingerprint: min-of-hashes over word 3-shingles (rolling-
     * hash analog, md5-based so the DuckDB oracle can reproduce it
-    * bit-for-bit). Documents with <3 words fingerprint the whole text.
+    * bit-for-bit). Computed entirely inside the shingle ARRAY
+    * (array_min ∘ transform) — a pure map with zero shuffles; the
+    * exploded groupBy formulation would exchange every shingle row.
+    * Documents with <3 words have no shingles and are excluded.
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val shingled = Shingles.wordShingles(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")), 3)
-    shingled
-      .groupBy(col("doc_id"))
-      .agg(min(md5(col("shingle"))).as("fingerprint"),
-        count(lit(1)).as("n_shingles"))
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Shingles.shingleArray(col("text"), 3).as("__sh"))
+      .filter(size(col("__sh")) > 0) // barrier: materialize the array once
+      .select(col("doc_id"),
+        array_min(transform(col("__sh"), s => md5(s))).as("fingerprint"),
+        size(col("__sh")).cast("bigint").as("n_shingles"))
       .orderBy("doc_id")
-  }
 }
