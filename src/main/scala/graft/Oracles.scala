@@ -643,6 +643,48 @@ object Oracles {
         |  CAST(hh % 1920 + 1 AS INT) AS width,
         |  CAST((hh // 1920) % 1080 + 1 AS INT) AS height,
         |  md5(text) AS digest
-        |FROM h ORDER BY asset_id""".stripMargin
+        |FROM h ORDER BY asset_id""".stripMargin,
+
+    // ---- image pipeline ----
+    "image_filter" ->
+      """WITH imgs AS (
+        |  SELECT p_partkey AS img_id, p_brand AS page,
+        |    concat(replace(lower(p_name), ' ', '_'),
+        |      CASE WHEN p_partkey % 9 = 0 THEN '_icon' ELSE '' END, '.png') AS src,
+        |    CASE WHEN p_partkey % 17 = 0 THEN concat('logo ', p_type) ELSE p_type END AS alt,
+        |    CAST(p_size * 13 % 500 + 40 AS INT) AS width,
+        |    CAST(p_size * 7 % 400 + 60 AS INT) AS height,
+        |    CAST(round(p_retailprice * 100, 0) AS BIGINT) AS comp_bytes,
+        |    CAST(round(p_retailprice * 100, 0) AS BIGINT) * 3 AS orig_bytes
+        |  FROM part),
+        |kept AS (
+        |  SELECT * FROM imgs
+        |  WHERE width >= 100 AND height >= 100
+        |    AND NOT regexp_matches(lower(src), '(?i)icon|logo|avatar|emoji|button|arrow|chevron|loading|spinner|placeholder')
+        |    AND NOT regexp_matches(lower(alt), '(?i)icon|logo|avatar|emoji|button|arrow|chevron|loading|spinner|placeholder')),
+        |r AS (SELECT page, img_id, src, width, height,
+        |        CAST(row_number() OVER (PARTITION BY page ORDER BY img_id) AS INT) AS rn
+        |      FROM kept)
+        |SELECT page, rn, img_id, src, width, height FROM r WHERE rn <= 5
+        |ORDER BY page, rn""".stripMargin,
+
+    "image_resolve" ->
+      """WITH imgs AS (
+        |  SELECT p_partkey AS img_id, p_brand AS page,
+        |    concat(replace(lower(p_name), ' ', '_'),
+        |      CASE WHEN p_partkey % 9 = 0 THEN '_icon' ELSE '' END, '.png') AS src,
+        |    CASE WHEN p_partkey % 17 = 0 THEN concat('logo ', p_type) ELSE p_type END AS alt,
+        |    CAST(p_size * 13 % 500 + 40 AS INT) AS width,
+        |    CAST(p_size * 7 % 400 + 60 AS INT) AS height,
+        |    CAST(round(p_retailprice * 100, 0) AS BIGINT) AS comp_bytes,
+        |    CAST(round(p_retailprice * 100, 0) AS BIGINT) * 3 AS orig_bytes
+        |  FROM part)
+        |SELECT img_id, comp_bytes, orig_bytes,
+        |  coalesce(
+        |    CASE WHEN comp_bytes < 95000 THEN concat('compressed/', src) END,
+        |    CASE WHEN orig_bytes < 95000 THEN concat('original/', src) END,
+        |    CASE WHEN orig_bytes < 310000 THEN concat('original/', src) END,
+        |    'ERROR:unreadable') AS chosen
+        |FROM imgs ORDER BY img_id""".stripMargin
   )
 }

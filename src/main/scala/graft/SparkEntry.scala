@@ -95,7 +95,10 @@ object SparkEntry {
     "range_window"        -> (Events.rangeWindow _),
     "session_window_agg"  -> (Events.sessionWindowAgg _),
     "bounded_summary"     -> (Summaries.boundedSummary _),
-    "multimodal_features" -> (Multimodal.multimodalFeatures _)
+    "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    // image pipeline
+    "image_filter"  -> (Images.imageFilter _),
+    "image_resolve" -> (Images.imageResolve _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

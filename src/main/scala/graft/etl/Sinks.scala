@@ -1,0 +1,58 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink surface (SURVEY.md §2.10, K1-K11): the relational sinks write
+  * distributed (parquet/json, partitioned); the human-readable renders
+  * (INDEX.md/REPORT.md analogs) run DRIVER-SIDE over already-aggregated,
+  * bounded results — never over raw rows. That split is the reference's
+  * own architecture rule (coordinator never reads page bodies) mapped
+  * to Spark: executors own data, the driver formats a bounded summary.
+  */
+object Sinks {
+
+  /** K1: page store — parquet partitioned by language (the analog of
+    * pages/{id}.md with frontmatter columns). Partition column choice =
+    * low-cardinality attribute so files stay chunky at scale.
+    */
+  def writePages(pages: DataFrame, path: String): Unit =
+    pages.write.mode(SaveMode.Overwrite)
+      .partitionBy("lang").parquet(path)
+
+  /** K2: per-page scored links as JSON lines. */
+  def writeLinks(links: DataFrame, path: String): Unit =
+    links.write.mode(SaveMode.Overwrite).json(path)
+
+  /** K8: RAG chunk store (the one purely relational sink in the
+    * reference: chunks/chunk_NNN.json).
+    */
+  def writeChunks(chunks: DataFrame, path: String): Unit =
+    chunks.write.mode(SaveMode.Overwrite).json(path)
+
+  /** K11: state checkpoint between crawl iterations — overwrite-parquet
+    * (the batch analog of the reference's tmp-file-then-mv atomicity;
+    * streaming uses real checkpoints).
+    */
+  def checkpointState(state: DataFrame, path: String): Unit =
+    state.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** K3: INDEX.md render — driver-side, from BOUNDED aggregated inputs
+    * (stats rows ≤ |languages|, page rows ≤ top-k). Returns markdown.
+    */
+  def renderIndex(stats: Seq[Row], topPages: Seq[Row]): String = {
+    val sb = new StringBuilder
+    sb.append("# INDEX\n\n## Stats\n\n")
+    sb.append("| lang | pages | max_chars | total_chars |\n|---|---|---|---|\n")
+    stats.foreach { r =>
+      sb.append(s"| ${r.getAs[Any]("lang")} | ${r.getAs[Any]("n_pages")} " +
+        s"| ${r.getAs[Any]("max_chars")} | ${r.getAs[Any]("total_chars")} |\n")
+    }
+    sb.append("\n## Top pages\n\n| doc | lang | relevance |\n|---|---|---|\n")
+    topPages.foreach { r =>
+      sb.append(s"| ${r.getAs[Any]("doc_id")} | ${r.getAs[Any]("lang")} " +
+        s"| ${r.getAs[Any]("relevance")} |\n")
+    }
+    sb.toString
+  }
+}

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming forms of the engine's stateful surface
   * (SURVEY.md §2.11). The reference's crawl loop is a rate-limited,
@@ -60,4 +61,23 @@ object StreamingOps {
       .withColumn("event_time", eventTime(col("ts")))
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("url")
+
+  /** Explicit keyed-state form of the visited map (U2) via
+    * flatMapGroupsWithState: emit each URL the first time it is seen,
+    * keep a per-key boolean state. This is the custom-state escape
+    * hatch for logic session_window/dropDuplicates can't express
+    * (e.g. per-URL retry budgets, crawl-depth state).
+    */
+  def visitedFirstSeen(visits: Dataset[PageVisit]): Dataset[PageVisit] = {
+    import visits.sparkSession.implicits._
+    visits
+      .groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[PageVisit], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) })
+  }
 }
+
+/** One crawl fetch observation on the stream. */
+case class PageVisit(url: String, ts: Long)

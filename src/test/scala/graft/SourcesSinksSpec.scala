@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.etl.{Sinks, Sources}
+import graft.streaming.{PageVisit, StreamingOps}
+
+class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft_test_")
+
+  test("S11: state-file readers parse the documented shapes with explicit schemas") {
+    val d = tmpDir()
+    Files.writeString(d.resolve("queue.json"),
+      """{"url":"https://a.com/x","depth":1,"priority":7,"parent_id":"001","anchor_text":"x"}
+        |{"url":"https://a.com/y","depth":2,"priority":3,"parent_id":"001","anchor_text":"y"}""".stripMargin)
+    val q = Sources.readQueue(spark, d.resolve("queue.json").toString)
+    assert(q.schema == Sources.QueueSchema)
+    assert(q.count() == 2)
+    assert(q.filter($"priority" === 7).select("url").as[String].head()
+      == "https://a.com/x")
+
+    Files.writeString(d.resolve("links.json"),
+      """{"page_id":"001","page_url":"https://a.com","page_relevance":8,
+        |"links":[{"url":"https://a.com/1","anchor_text":"one","context":"c1","relevance_score":6},
+        |{"url":"https://a.com/2","anchor_text":"two","context":"c2","relevance_score":2}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    val l = Sources.readLinks(spark, d.resolve("links.json").toString)
+    assert(l.count() == 2) // exploded
+    assert(l.columns.toSeq ==
+      Seq("page_id", "page_url", "page_relevance", "url", "anchor_text",
+        "context", "relevance_score"))
+  }
+
+  test("K1/K8: partitioned page sink and chunk sink round-trip") {
+    val d = tmpDir()
+    val pages = Seq((1L, "en", "hello"), (2L, "de", "hallo"), (3L, "en", "hi"))
+      .toDF("doc_id", "lang", "text")
+    Sinks.writePages(pages, d.resolve("pages").toString)
+    // partition dirs by language exist (K1 layout contract)
+    assert(Files.exists(d.resolve("pages/lang=en")))
+    val back = spark.read.parquet(d.resolve("pages").toString)
+    assert(back.count() == 3)
+    assert(back.filter($"lang" === "en").count() == 2)
+
+    val chunks = Seq((1L, 0, "chunk a"), (1L, 1, "chunk b"))
+      .toDF("doc_id", "chunk_idx", "chunk")
+    Sinks.writeChunks(chunks, d.resolve("chunks").toString)
+    assert(spark.read.json(d.resolve("chunks").toString).count() == 2)
+  }
+
+  test("K3: INDEX render is bounded and driver-side") {
+    import org.apache.spark.sql.Row
+    val stats = Seq(Row("en", 10L, 500L, 2000L))
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("lang", "n_pages", "max_chars", "total_chars").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          if (n == "lang") org.apache.spark.sql.types.StringType
+          else org.apache.spark.sql.types.LongType)))
+    val statsRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(stats), schema).collect().toSeq
+    val md = Sinks.renderIndex(statsRows, Seq.empty)
+    assert(md.contains("| en | 10 | 500 | 2000 |"))
+    assert(md.startsWith("# INDEX"))
+  }
+
+  test("U2 streaming: flatMapGroupsWithState emits each url once") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[PageVisit]
+    src.addData(PageVisit("u1", 1), PageVisit("u2", 2), PageVisit("u1", 3))
+    val q = StreamingOps.visitedFirstSeen(src.toDS())
+      .writeStream.format("memory").queryName("visited_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      src.addData(PageVisit("u1", 4), PageVisit("u3", 5))
+      q.processAllAvailable()
+      val urls = spark.table("visited_t").select("url").as[String]
+        .collect().toSeq.sorted
+      assert(urls == Seq("u1", "u2", "u3"))
+    } finally q.stop()
+  }
+}
