@@ -685,6 +685,13 @@ object Oracles {
         |    CASE WHEN orig_bytes < 95000 THEN concat('original/', src) END,
         |    CASE WHEN orig_bytes < 310000 THEN concat('original/', src) END,
         |    'ERROR:unreadable') AS chosen
-        |FROM imgs ORDER BY img_id""".stripMargin
+        |FROM imgs ORDER BY img_id""".stripMargin,
+
+    // ---- skew handling: salted two-phase == plain single-phase ----
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_price,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -98,7 +98,9 @@ object SparkEntry {
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     // image pipeline
     "image_filter"  -> (Images.imageFilter _),
-    "image_resolve" -> (Images.imageResolve _)
+    "image_resolve" -> (Images.imageResolve _),
+    // skew handling
+    "skew_salted_agg" -> (Skew.saltedAgg _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

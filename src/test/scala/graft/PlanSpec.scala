@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression tests: the scale posture (broadcasts, pruning,
+  * shuffle counts) is part of the contract, not an accident. These
+  * assert the physical plans we designed for — if a refactor
+  * reintroduces a shuffle or drops a broadcast, this fails before any
+  * benchmark does.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(FormattedMode)
+
+  private def countOf(p: String, token: String): Int =
+    p.sliding(token.length).count(_ == token)
+
+  test("dim_join_agg: both dims broadcast, no sort-merge join") {
+    val p = plan("dim_join_agg")
+    assert(countOf(p, ") BroadcastHashJoin") == 2, p)
+    assert(!p.contains("SortMergeJoin"), "dims must not shuffle-join")
+  }
+
+  test("q3_topk plans a TakeOrderedAndProject, not a global sort") {
+    val p = plan("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("signature extraction is single-scan: only the output sort exchanges") {
+    for (q <- Seq("doc_fingerprint", "minhash_signature", "simhash")) {
+      val p = plan(q)
+      assert(countOf(p, "+- Exchange") <= 1, s"$q grew a shuffle:\n$p")
+    }
+  }
+
+  test("column pruning reaches the documents scan") {
+    val p = plan("score_page") // needs doc_id, lang, text — not n_chars/source
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("n_chars"), readSchema)
+    assert(!readSchema.contains("source"), readSchema)
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val p = plan("ngram_jaccard") // doc_id < 64 must hit the scan
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,64)]")
+      || p.contains("LessThan(doc_id,64)"), p)
+  }
+
+  test("knn queries broadcast the bounded query side") {
+    for (q <- Seq("knn_brute", "knn_bucketed")) {
+      val p = plan(q)
+      assert(p.contains("Broadcast"), s"$q must broadcast queries:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q must not shuffle the corpus:\n$p")
+    }
+  }
+
+  test("chunker is a pure generator: no aggregation, one output-sort exchange") {
+    val p = plan("rag_chunk")
+    assert(!p.contains("HashAggregate"), p)
+    assert(countOf(p, "+- Exchange") <= 1, p)
+  }
+
+  test("bucketed tables co-locate the join: no exchange under the join") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    spark.sql("DROP TABLE IF EXISTS graft_b1")
+    spark.sql("DROP TABLE IF EXISTS graft_b2")
+    df.write.bucketBy(4, "k").sortBy("k").saveAsTable("graft_b1")
+    df.write.bucketBy(4, "k").sortBy("k").saveAsTable("graft_b2")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_b1").join(spark.table("graft_b2"), "k")
+      val p = j.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(j.count() == 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
