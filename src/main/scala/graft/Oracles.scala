@@ -692,6 +692,55 @@ object Oracles {
       """SELECT l_returnflag,
         |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_price,
         |  count(*) AS n_items
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // ---- strategy router / distinct / priority crawl ----
+    "transform_route" ->
+      """SELECT source, count(*) AS n_pages,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CASE WHEN count(*) <= 5 AND sum(n_chars) <= 30000 THEN 'direct'
+        |       WHEN count(*) <= 10 AND sum(n_chars) <= 60000 THEN 'summarize_first'
+        |       ELSE 'index_only' END AS strategy
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "crawl_priority" ->
+      """WITH cnt AS (SELECT count(*) AS c FROM customer),
+        |edges AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,
+        |                          CAST(o_orderkey % c AS BIGINT) AS dst
+        |          FROM orders, cnt),
+        |v0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS round, CAST(0 AS BIGINT) AS priority),
+        |c1 AS (SELECT dst, max(CAST(least(10, CAST(dst % 11 AS INT)) + (CASE WHEN src % 11 >= 8 THEN 3 WHEN src % 11 >= 5 THEN 1 ELSE 0 END) AS BIGINT)) AS priority
+        |       FROM edges JOIN (SELECT node FROM v0) vv ON src = vv.node
+        |       WHERE dst NOT IN (SELECT node FROM v0) GROUP BY dst),
+        |s1 AS (SELECT node, 1 AS round, priority FROM (
+        |        SELECT dst AS node, priority,
+        |          row_number() OVER (ORDER BY priority DESC, dst) AS rn FROM c1) t
+        |      WHERE rn <= 5),
+        |v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM s1),
+        |c2 AS (SELECT dst, max(CAST(least(10, CAST(dst % 11 AS INT)) + (CASE WHEN src % 11 >= 8 THEN 3 WHEN src % 11 >= 5 THEN 1 ELSE 0 END) AS BIGINT)) AS priority
+        |       FROM edges JOIN (SELECT node FROM v1) vv ON src = vv.node
+        |       WHERE dst NOT IN (SELECT node FROM v1) GROUP BY dst),
+        |s2 AS (SELECT node, 2 AS round, priority FROM (
+        |        SELECT dst AS node, priority,
+        |          row_number() OVER (ORDER BY priority DESC, dst) AS rn FROM c2) t
+        |      WHERE rn <= 5),
+        |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM s2),
+        |c3 AS (SELECT dst, max(CAST(least(10, CAST(dst % 11 AS INT)) + (CASE WHEN src % 11 >= 8 THEN 3 WHEN src % 11 >= 5 THEN 1 ELSE 0 END) AS BIGINT)) AS priority
+        |       FROM edges JOIN (SELECT node FROM v2) vv ON src = vv.node
+        |       WHERE dst NOT IN (SELECT node FROM v2) GROUP BY dst),
+        |s3 AS (SELECT node, 3 AS round, priority FROM (
+        |        SELECT dst AS node, priority,
+        |          row_number() OVER (ORDER BY priority DESC, dst) AS rn FROM c3) t
+        |      WHERE rn <= 5),
+        |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM s3)
+        |SELECT node, CAST(round AS INT) AS round, priority FROM v3
+        |ORDER BY node""".stripMargin
   )
 }

@@ -100,7 +100,11 @@ object SparkEntry {
     "image_filter"  -> (Images.imageFilter _),
     "image_resolve" -> (Images.imageResolve _),
     // skew handling
-    "skew_salted_agg" -> (Skew.saltedAgg _)
+    "skew_salted_agg" -> (Skew.saltedAgg _),
+    // strategy router / distinct / priority crawl
+    "transform_route" -> (Router.transformRoute _),
+    "distinct_agg"    -> (Router.distinctAgg _),
+    "crawl_priority"  -> ((s: SparkSession, d: String) => Crawl.crawlPriority(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -57,4 +57,41 @@ object Crawl {
     }
     visited.orderBy("node")
   }
+
+  /** Priority-frontier crawl (the reference's actual loop, T1+X3+J1+U1:
+    * queue of discovered links, pop best-priority, expand, repeat under
+    * a page cap). Scalable form: batch-pop the top-P per round instead
+    * of one URL at a time — the queue is a DataFrame, the pop is a
+    * total-ordered sort+limit, candidates accumulate from ALL visited
+    * pages exactly like the reference's queue.json.
+    *
+    * priority = link_score(dst) + parent bonus (X3 canonical formula via
+    * Urls.priority); deterministic dedup takes max priority over parents.
+    */
+  def crawlPriority(spark: SparkSession, dir: String,
+      rounds: Int = 3, popPerRound: Int = 5): DataFrame = {
+    val e = edges(spark, dir).persist()
+    var visited = spark.range(1)
+      .select(lit(0L).as("node"), lit(0).as("round"),
+        lit(0L).as("priority"))
+    for (r <- 1 to rounds) {
+      val cand = e
+        .join(broadcast(visited.select(col("node").as("src"))), Seq("src"))
+        .withColumn("prio",
+          Urls.priority((col("dst") % 11).cast("int"),
+            (col("src") % 11).cast("int")).cast("bigint"))
+        .groupBy(col("dst"))
+        .agg(max(col("prio")).as("priority"))
+        .join(visited.select("node"),
+          col("dst") === col("node"), "left_anti")
+      val selected = cand
+        .orderBy(col("priority").desc, col("dst").asc)
+        .limit(popPerRound)
+        .select(col("dst").as("node"), lit(r).as("round"), col("priority"))
+        .persist()
+      selected.count()
+      visited = visited.unionByName(selected)
+    }
+    visited.orderBy("node")
+  }
 }
