@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, If, Least, Literal, RLike}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{ChunkText, DotProduct}
+
+/** SQL surface of the engine's custom pieces, registered through
+  * SparkSessionExtensions (spark.sql.extensions-compatible, so a
+  * cluster deployment gets them via config; local sessions use
+  * `.withExtensions(new GraftExtensions)`):
+  *
+  *   dot_product(a, b)              codegen'd float-vector dot product
+  *   chunk_text(body, size, ovl)    generator: (chunk_idx, chunk) rows
+  *   score_link(url, anchor, ctx, topic)  X1 relevance 0-10
+  *
+  * No custom Rule/SparkStrategy is injected — SURVEY.md §4 concluded
+  * none is required; the extension surface is expression-level only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - float-vector dot product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+
+    e.injectFunction((FunctionIdentifier("chunk_text"),
+      info("chunk_text", "chunk_text(body, size, overlap) - overlapping chunks"),
+      (exprs: Seq[Expression]) => ChunkText(exprs(0), exprs(1), exprs(2))))
+
+    e.injectFunction((FunctionIdentifier("score_link"),
+      info("score_link", "score_link(url, anchor, context, topic) - relevance 0-10"),
+      (exprs: Seq[Expression]) => {
+        // raw catalyst tree (a Column-built tree would arrive unresolved
+        // through the function-registry path); mirrors Urls.scoreLink
+        def hit(e: Expression, pts: Int): Expression =
+          If(RLike(e, exprs(3)), Literal(pts), Literal(0))
+        Cast(Least(Seq(Literal(10),
+          Add(Add(hit(exprs(0), 3), hit(exprs(1), 5)), hit(exprs(2), 2)))),
+          IntegerType)
+      }))
+  }
+}

@@ -741,6 +741,18 @@ object Oracles {
         |      WHERE rn <= 5),
         |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM s3)
         |SELECT node, CAST(round AS INT) AS round, priority FROM v3
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+
+    "sql_chunk" ->
+      """WITH d AS (SELECT doc_id, coalesce(text,'') AS t,
+        |             length(coalesce(text,'')) AS len FROM documents),
+        |n AS (SELECT doc_id, t,
+        |        least(greatest(CAST(ceil((CAST(greatest(len, 1) AS DOUBLE) - 30) / 120) AS INT), 1), 50) AS nch
+        |      FROM d),
+        |e AS (SELECT doc_id, t, CAST(unnest(range(0, nch)) AS INT) AS chunk_idx FROM n)
+        |SELECT doc_id, chunk_idx,
+        |  substr(t, chunk_idx * 120 + 1, 150) AS chunk,
+        |  CAST(length(substr(t, chunk_idx * 120 + 1, 150)) AS INT) AS chunk_len
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

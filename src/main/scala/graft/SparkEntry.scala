@@ -104,7 +104,9 @@ object SparkEntry {
     // strategy router / distinct / priority crawl
     "transform_route" -> (Router.transformRoute _),
     "distinct_agg"    -> (Router.distinctAgg _),
-    "crawl_priority"  -> ((s: SparkSession, d: String) => Crawl.crawlPriority(s, d))
+    "crawl_priority"  -> ((s: SparkSession, d: String) => Crawl.crawlPriority(s, d)),
+    // SQL surface (registered functions via GraftExtensions)
+    "sql_chunk" -> (Chunker.sqlChunk _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -55,6 +55,18 @@ object Chunker {
     chunk(sections, col("section"), size, overlap)
   }
 
+  /** SQL-surface twin: the chunk_text GENERATOR through actual SQL text
+    * (LATERAL VIEW), proving the registered function end to end.
+    */
+  def sqlChunk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_documents")
+    spark.sql(
+      """SELECT doc_id, c.chunk_idx, c.chunk, length(c.chunk) AS chunk_len
+        |FROM graft_documents
+        |LATERAL VIEW chunk_text(text, 150, 30) c AS chunk_idx, chunk
+        |ORDER BY doc_id, chunk_idx""".stripMargin)
+  }
+
   /** Verified query: documents chunked at (size=120, overlap=20) — sized
     * to the synthetic corpus body lengths; the 500/1000/100 production
     * parameters are the same math (config/limits.yaml:166-170).

@@ -1,11 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import graft.GraftExtensions
 
 /** One shared local session for the whole forked test JVM. */
 object SparkTestBase {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master("local[2]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "2")

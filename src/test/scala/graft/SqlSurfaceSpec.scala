@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.Chunker
+
+/** The GraftExtensions-registered SQL functions, driven through actual
+  * SQL text.
+  */
+class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("dot_product is SQL-callable and matches the declarative form") {
+    val got = spark.sql(
+      "SELECT dot_product(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT))," +
+        " array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT)))")
+      .as[Double].head()
+    assert(got == 1.5 * 3.0 + 2.0 * 0.5)
+  }
+
+  test("score_link is SQL-callable with the X1 weights") {
+    val got = spark.sql(
+      "SELECT score_link('http://x/topic', 'plain', 'topic here', 'topic')")
+      .as[Int].head()
+    assert(got == 5) // url +3, context +2
+  }
+
+  test("chunk_text generator matches Chunker.chunk exactly") {
+    val docs = Seq(
+      (1L, "abcdefghij" * 30), // 300 chars
+      (2L, "short"),
+      (3L, "")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sql_surface_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, c.chunk_idx, c.chunk
+        |FROM sql_surface_docs
+        |LATERAL VIEW chunk_text(text, 100, 20) c AS chunk_idx, chunk
+        |""".stripMargin)
+      .as[(Long, Int, String)].collect().toSet
+    val viaApi = Chunker.chunk(docs, col("text"), 100, 20)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(viaSql == viaApi)
+    assert(viaSql.exists(_._1 == 3L)) // empty doc still yields one chunk
+  }
+}
