@@ -37,6 +37,36 @@ object Sinks {
   def checkpointState(state: DataFrame, path: String): Unit =
     state.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** K5: SKILL.md render (frontmatter + bounded overview + concept
+    * table), capped at 30K chars — output-transformer.md:139-211,438.
+    */
+  def renderSkill(topic: String, overview: String,
+      concepts: Seq[(String, String)], maxChars: Int = 30000): String = {
+    val sb = new StringBuilder
+    sb.append(s"---\nname: $topic\ndescription: ${overview.take(500)}\n---\n\n")
+    sb.append(s"# $topic\n\n${overview.take(500)}\n\n## Concepts\n\n")
+    sb.append("| concept | summary |\n|---|---|\n")
+    concepts.iterator.takeWhile(_ => sb.length < maxChars - 200).foreach {
+      case (name, summary) => sb.append(s"| $name | ${summary.take(200)} |\n")
+    }
+    sb.toString.take(maxChars)
+  }
+
+  /** K7: system-prompt render, hard-capped at 20K chars. */
+  def renderPrompt(topic: String, sections: Seq[String], maxChars: Int = 20000): String =
+    (s"You are an expert on $topic.\n\n" +
+      sections.map(s => s.take(2000)).mkString("\n\n")).take(maxChars)
+
+  /** K10: single knowledge.json object (concepts/use_cases/references). */
+  def renderKnowledgeJson(topic: String, source: String,
+      concepts: Seq[String], useCases: Seq[String], references: Seq[String]): String = {
+    def arr(xs: Seq[String]) =
+      xs.map(x => "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+    s"""{"topic":"$topic","source":"$source","concepts":${arr(concepts)},""" +
+      s""""use_cases":${arr(useCases)},"references":${arr(references)}}"""
+  }
+
   /** K3: INDEX.md render — driver-side, from BOUNDED aggregated inputs
     * (stats rows ≤ |languages|, page rows ≤ top-k). Returns markdown.
     */

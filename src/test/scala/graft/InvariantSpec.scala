@@ -1,0 +1,100 @@
+package graft
+
+import scala.util.Random
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.{Chunker, Scoring, Shingles, Sinks, Urls}
+
+/** Property-style invariant tests (SURVEY.md §5): the reference's iron
+  * rules checked over a seeded random corpus in one DataFrame pass per
+  * property (batch form of ScalaCheck forAll — same coverage, no
+  * per-case Spark round trips).
+  */
+class InvariantSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+  private val words = Seq("spark", "window", "stream", "the", "a", "x",
+    "join", "", "login", "verify", "#", "/", "?", "ünïcödé")
+  private val corpus: Seq[String] = (1 to 300).map { _ =>
+    (0 until rnd.nextInt(120)).map(_ => words(rnd.nextInt(words.size)))
+      .mkString(" ")
+  } ++ Seq("", " ", "  ", "spark" * 500)
+
+  private lazy val docs = corpus.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("score ∈ [0,10] for every input (SKILL.md:116-117 iron rule)") {
+    val bad = docs.select(Scoring.scorePage(col("text"), Scoring.PageTopic).as("s"))
+      .filter(col("s") < 0 || col("s") > 10).count()
+    assert(bad == 0)
+  }
+
+  test("truncation never exceeds limit + notice; notice iff truncated") {
+    val lim = 50
+    val out = docs.select(col("text"),
+        Scoring.truncateWithNotice(col("text"), lim).as("t"))
+      .as[(String, String)].collect()
+    out.foreach { case (orig, t) =>
+      val o = Option(orig).getOrElse("")
+      if (o.length > lim) {
+        assert(t.endsWith(s"[truncated ${o.length} chars]"))
+        assert(t.length <= lim + s" [truncated ${o.length} chars]".length)
+      } else assert(t == o)
+    }
+  }
+
+  test("chunks cover the text exactly, lengths ≤ size, count ≤ 50") {
+    val size = 40; val ov = 10
+    val chunks = Chunker.chunk(docs, col("text"), size, ov)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      val cs = chunks(i.toLong)
+      assert(cs.size <= 50)
+      assert(cs.forall(_.length <= size))
+      val covered = cs.head + cs.tail.map(_.drop(ov)).mkString
+      assert(t.startsWith(covered) || covered == t,
+        s"doc $i: chunks must reassemble a prefix (cap) or the whole text")
+    }
+  }
+
+  test("normalizer is idempotent and output never has anchor/trailing slash") {
+    val urls = corpus.take(100).map(t => s"https://a.com/$t#frag/")
+      .toDF("url")
+    val n1 = urls.select(Urls.normalizeUrl(col("url")).as("u"))
+    val twice = n1.select(col("u"), Urls.normalizeUrl(col("u")).as("u2"))
+      .as[(String, String)].collect()
+    twice.foreach { case (u, u2) =>
+      assert(u == u2, "idempotent")
+      assert(!u.contains("#"))
+      assert(!u.endsWith("/"))
+    }
+  }
+
+  test("anti-join output is always disjoint from visited") {
+    val frontier = docs.select(col("text").as("norm_url"))
+    val visited = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("text").as("norm_url"))
+    val overlap = Urls.frontierMinusVisited(frontier, visited)
+      .join(visited, Seq("norm_url"), "inner").count()
+    assert(overlap == 0)
+  }
+
+  test("shingle count = max(0, nonEmptyWords - 2) for k=3") {
+    val got = Shingles.wordShingles(docs, 3)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      val n = t.split(" ", -1).count(_.nonEmpty)
+      val expect = math.max(0, n - 2)
+      assert(got.getOrElse(i.toLong, 0L) == expect, s"doc $i ($n words)")
+    }
+  }
+
+  test("render sinks respect their hard char caps") {
+    val big = Seq.fill(5000)(("concept-name", "s" * 300))
+    assert(Sinks.renderSkill("t", "o" * 9999, big).length <= 30000)
+    assert(Sinks.renderPrompt("t", Seq.fill(100)("p" * 5000)).length <= 20000)
+  }
+}
