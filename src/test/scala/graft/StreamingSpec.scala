@@ -32,6 +32,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-stream session windows agree with the batch sessionizer") {
+    val dir = "/root/testdata/sf0.001"
+    val batchSessions = graft.etl.Events.sessionize(spark, dir).count()
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources take directories; stage the file into one
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // rate-limited incremental read
+      .parquet(staged.toString)
+    val q = StreamingOps.sessionWindows(stream)
+      .writeStream.format("memory").queryName("file_sessions_t")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_sessions_t").count()
+      assert(streamed == batchSessions,
+        s"streaming session_window ($streamed) vs batch gap-sessionize ($batchSessions)")
+    } finally q.stop()
+  }
+
   test("streaming tumbling window counts per hour bucket") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Ev]
