@@ -39,6 +39,19 @@ class ChunkerSpec extends AnyFunSuite with SparkTestBase {
     assert(chunksOf("x" * 100) == Seq((0, "x" * 100))) // == size: one chunk
   }
 
+  test("G1b: markdown-aware split cuts at heading boundaries first") {
+    val md = "# Title\nintro text here\n## Section A\n" + ("a" * 50) +
+      "\n### Sub\n" + ("b" * 30)
+    val out = Chunker.chunkMarkdown(
+        Seq((1L, md)).toDF("doc_id", "text"), col("text"), 60, 10)
+      .select(col("section"), col("chunk"))
+      .as[(String, String)].collect().toSeq
+    val sections = out.map(_._1).distinct
+    assert(sections.size == 3, s"3 heading sections, got: $sections")
+    assert(sections.forall(s => s.startsWith("#")))
+    assert(out.forall(_._2.length <= 60))
+  }
+
   test("G1: chunk count is capped at maxChunks") {
     val cs = chunksOf("z" * 100000, maxChunks = 50)
     assert(cs.size == 50)
