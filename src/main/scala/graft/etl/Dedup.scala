@@ -75,6 +75,9 @@ object Dedup {
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      // materialize once: both sides of the self-join read the cache
+      // instead of re-deriving the md5 signature pipeline
+      .persist()
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
