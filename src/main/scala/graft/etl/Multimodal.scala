@@ -55,7 +55,8 @@ object Multimodal {
     */
   def frameSample(df: DataFrame, payload: Column, n: Int): DataFrame = {
     val len = length(payload)
-    val step = greatest(expr(s"length(payload) div $n"), lit(1)).cast("int")
+    // positive int division: double divide + truncating cast ≡ div
+    val step = greatest((len / lit(n)).cast("int"), lit(1))
     df.withColumn("__idx",
         when(len > 0, sequence(lit(0), lit(n - 1), lit(1)))
           .otherwise(array().cast("array<int>")))

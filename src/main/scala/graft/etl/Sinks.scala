@@ -60,10 +60,10 @@ object Sinks {
   /** K10: single knowledge.json object (concepts/use_cases/references). */
   def renderKnowledgeJson(topic: String, source: String,
       concepts: Seq[String], useCases: Seq[String], references: Seq[String]): String = {
-    def arr(xs: Seq[String]) =
-      xs.map(x => "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString("[", ",", "]")
-    s"""{"topic":"$topic","source":"$source","concepts":${arr(concepts)},""" +
+    def esc(x: String) =
+      "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def arr(xs: Seq[String]) = xs.map(esc).mkString("[", ",", "]")
+    s"""{"topic":${esc(topic)},"source":${esc(source)},"concepts":${arr(concepts)},""" +
       s""""use_cases":${arr(useCases)},"references":${arr(references)}}"""
   }
 
