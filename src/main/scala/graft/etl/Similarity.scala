@@ -95,7 +95,7 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked by label (the
-    * clustering key): pairs within a block with cosine ≥ 0.8. Blocked
+    * clustering key): pairs within a block above the cosine threshold. Blocked
     * self-join = per-group quadratic only, the standard scalable
     * embedding-dedup shape.
     */
@@ -107,7 +107,7 @@ object Similarity {
       .withColumn("cos",
         round(dotF(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm")), 4))
-      .filter(col("cos") >= 0.8)
+      .filter(col("cos") >= 0.3)
     pairs.select(col("a.label").as("label"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
       .orderBy("label", "vec_a", "vec_b")
