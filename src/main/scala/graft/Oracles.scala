@@ -753,6 +753,18 @@ object Oracles {
         |SELECT doc_id, chunk_idx,
         |  substr(t, chunk_idx * 120 + 1, 150) AS chunk,
         |  CAST(length(substr(t, chunk_idx * 120 + 1, 150)) AS INT) AS chunk_len
-        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // ---- as-of join: composition verified against native ASOF ----
+    "asof_join" ->
+      """WITH ord AS (SELECT o_custkey AS k,
+        |               CAST(epoch_us(o_orderdate) AS BIGINT) AS t_us,
+        |               CAST(max(o_orderkey) AS BIGINT) AS last_orderkey
+        |             FROM orders GROUP BY 1, 2),
+        |ev AS (SELECT event_id, user_id AS k,
+        |         CAST(epoch_us(ts) AS BIGINT) AS t_us FROM events)
+        |SELECT ev.event_id, ev.k AS user_id, ev.t_us AS ts_us, ord.last_orderkey
+        |FROM ev ASOF LEFT JOIN ord ON ev.k = ord.k AND ev.t_us >= ord.t_us
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -106,7 +106,9 @@ object SparkEntry {
     "distinct_agg"    -> (Router.distinctAgg _),
     "crawl_priority"  -> ((s: SparkSession, d: String) => Crawl.crawlPriority(s, d)),
     // SQL surface (registered functions via GraftExtensions)
-    "sql_chunk" -> (Chunker.sqlChunk _)
+    "sql_chunk" -> (Chunker.sqlChunk _),
+    // as-of join (composed operator, oracle = DuckDB native ASOF JOIN)
+    "asof_join" -> (AsOf.eventsAsofOrders _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
