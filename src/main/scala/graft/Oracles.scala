@@ -765,6 +765,59 @@ object Oracles {
         |         CAST(epoch_us(ts) AS BIGINT) AS t_us FROM events)
         |SELECT ev.event_id, ev.k AS user_id, ev.t_us AS ts_us, ord.last_orderkey
         |FROM ev ASOF LEFT JOIN ord ON ev.k = ord.k AND ev.t_us >= ord.t_us
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // ---- range join (binned band-join == plain theta join) ----
+    "range_join_band" ->
+      """WITH ord AS (SELECT o_custkey AS k,
+        |               CAST(epoch_us(o_orderdate) AS BIGINT) AS o_us FROM orders),
+        |ev AS (SELECT event_id, user_id AS k,
+        |         CAST(epoch_us(ts) AS BIGINT) AS e_us FROM events)
+        |SELECT event_id, count(*) AS n_orders_in_band
+        |FROM ev JOIN ord ON ev.k = ord.k AND abs(e_us - o_us) <= 259200000000
+        |GROUP BY event_id ORDER BY event_id""".stripMargin,
+
+    // ---- LSH candidates -> exact jaccard (production dedup flow) ----
+    "neardup_pipeline" ->
+      s"""WITH $Shingle3Cte,
+         |sig AS (SELECT doc_id,
+         |  min(md5('seed0:' || shingle)) AS mh_0, min(md5('seed1:' || shingle)) AS mh_1,
+         |  min(md5('seed2:' || shingle)) AS mh_2, min(md5('seed3:' || shingle)) AS mh_3,
+         |  min(md5('seed4:' || shingle)) AS mh_4, min(md5('seed5:' || shingle)) AS mh_5,
+         |  min(md5('seed6:' || shingle)) AS mh_6, min(md5('seed7:' || shingle)) AS mh_7
+         |  FROM shingles GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM banded x JOIN banded y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |sets AS (SELECT doc_id, count(DISTINCT shingle) AS n_sh FROM shingles GROUP BY doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |          FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
+         |            JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |          GROUP BY c.doc_a, c.doc_b)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+         |  CAST((10000 * coalesce(i.n_common, 0)) //
+         |    (sa.n_sh + sb.n_sh - coalesce(i.n_common, 0)) AS BIGINT) AS jaccard_bp
+         |FROM cand c
+         |  LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+         |  JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+
+    // ---- deterministic hash split ----
+    "train_test_split" ->
+      """WITH b AS (SELECT doc_id,
+        |         CAST(CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS INT) AS bucket
+        |       FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin
   )
 }

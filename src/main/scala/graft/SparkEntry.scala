@@ -108,7 +108,11 @@ object SparkEntry {
     // SQL surface (registered functions via GraftExtensions)
     "sql_chunk" -> (Chunker.sqlChunk _),
     // as-of join (composed operator, oracle = DuckDB native ASOF JOIN)
-    "asof_join" -> (AsOf.eventsAsofOrders _)
+    "asof_join" -> (AsOf.eventsAsofOrders _),
+    // range join / dedup pipeline / splits
+    "range_join_band"  -> (RangeJoin.eventsOrdersInBand _),
+    "neardup_pipeline" -> (Splits.neardupPipeline _),
+    "train_test_split" -> (Splits.trainTestSplit _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic train/test splitting — the training-data pipeline's
+  * sampling primitive done right at scale: hash-of-key mod N, never
+  * rand() (reproducible across reruns, partitionings, and engines;
+  * a new document lands in a stable split forever).
+  */
+object Splits {
+
+  /** Stable percentage bucket 0-99 from a salted key hash. */
+  def hashBucket(key: Column, salt: String): Column =
+    (conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 4), 16, 10)
+      .cast("int") % 100)
+
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hashBucket(col("doc_id"), "split:").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
+  /** End-to-end near-duplicate pipeline: LSH candidate pairs → exact
+    * Jaccard verification on candidates only — the production dedup
+    * flow (signatures: single scan; quadratic work bounded to LSH
+    * buckets; exact set math only on the surviving pairs).
+    */
+  def neardupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(Shingles.shingleArray(col("text"), 3)).as("sh_set"))
+      .filter(size(col("sh_set")) > 0)
+    val pairs = Dedup.minhashLsh(spark, dir)
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("sb")), Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("sa"), col("sb"))).cast("bigint"))
+      .withColumn("n_union",
+        size(col("sa")).cast("bigint") + size(col("sb")) - col("n_common"))
+      .withColumn("jaccard_bp", expr("(10000 * n_common) div n_union"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+}
