@@ -818,6 +818,47 @@ object Oracles {
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'valid'
         |       ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // ---- relational breadth ----
+    "above_avg_orders" ->
+      """WITH w AS (SELECT o_custkey, o_orderkey,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |           OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_total,
+        |         count(*) OVER (PARTITION BY o_custkey) AS cust_n
+        |       FROM orders)
+        |SELECT o_custkey, o_orderkey, cents / 100.0 AS o_totalprice
+        |FROM w WHERE cents * cust_n > cust_total
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "rollup_sales" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_price,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    "pivot_flags" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS BIGINT) / 100.0 AS F_total,
+        |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS BIGINT) / 100.0 AS O_total,
+        |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -112,7 +112,12 @@ object SparkEntry {
     // range join / dedup pipeline / splits
     "range_join_band"  -> (RangeJoin.eventsOrdersInBand _),
     "neardup_pipeline" -> (Splits.neardupPipeline _),
-    "train_test_split" -> (Splits.trainTestSplit _)
+    "train_test_split" -> (Splits.trainTestSplit _),
+    // relational breadth: windows-as-correlation, deep join, rollup, pivot
+    "above_avg_orders" -> (Relational2.aboveAvgOrders _),
+    "q5_local_supplier" -> (Relational2.q5LocalSupplier _),
+    "rollup_sales"     -> (Relational2.rollupSales _),
+    "pivot_flags"      -> (Relational2.pivotFlags _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -1,0 +1,84 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.Relational.cents
+
+/** Second relational coverage wave: correlated-style filters via
+  * windows, deep multi-join rollups, grouping sets, and pivot — the
+  * breadth a "complete" engine owes its users beyond SURVEY §2's
+  * literal inventory.
+  */
+object Relational2 {
+
+  /** Orders above their customer's average — the correlated-subquery
+    * shape done the Spark way: one window pass, no rejoin. Exact-cents
+    * average as basis: compare on integer cents to avoid double ties.
+    */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .withColumn("cents", cents(col("o_totalprice")))
+      .withColumn("cust_total", sum(col("cents")).over(w))
+      .withColumn("cust_n", count(lit(1)).over(w))
+      // strict integer comparison: price * n > total (no division)
+      .filter(col("cents") * col("cust_n") > col("cust_total"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("cents") / lit(100.0)).as("o_totalprice"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q5-style local-supplier revenue: 6-table join with both bounded
+    * dims broadcast; revenue only where customer and supplier share a
+    * nation. lineitem shuffles once per join key — Catalyst orders the
+    * joins; dims never induce exchanges.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey")
+        && c("c_nationkey") === s("s_nationkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** ROLLUP over the pricing flags with explicit grouping indicators
+    * (subtotal rows carry NULL keys; grouping() disambiguates real
+    * NULLs from rollup NULLs).
+    */
+  def rollupSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(cents(col("l_extendedprice"))) / lit(100.0)).as("total_price"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag"), col("l_linestatus"))
+
+  /** Pivot: linestatus columns per returnflag (fixed value list keeps
+    * the schema deterministic — never pivot on discovered values in a
+    * verified pipeline). Physically conditional aggregation: one pass.
+    */
+  def pivotFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("cents", cents(col("l_extendedprice")))
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg((sum(col("cents")) / lit(100.0)).as("total"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+}
