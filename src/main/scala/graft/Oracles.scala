@@ -859,6 +859,24 @@ object Oracles {
         |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n,
         |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS BIGINT) / 100.0 AS O_total,
         |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "median_price" ->
+      """WITH x AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents FROM lineitem),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |         ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+        |        count(*) OVER (PARTITION BY l_returnflag) AS n FROM x)
+        |SELECT l_returnflag,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS median_price,
+        |  count(*) AS n_mid
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "json_struct_parse" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 + 1 AS k_derived
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -117,7 +117,9 @@ object SparkEntry {
     "above_avg_orders" -> (Relational2.aboveAvgOrders _),
     "q5_local_supplier" -> (Relational2.q5LocalSupplier _),
     "rollup_sales"     -> (Relational2.rollupSales _),
-    "pivot_flags"      -> (Relational2.pivotFlags _)
+    "pivot_flags"      -> (Relational2.pivotFlags _),
+    "median_price"     -> (Relational2.medianPrice _),
+    "json_struct_parse" -> (Events.jsonStructParse _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

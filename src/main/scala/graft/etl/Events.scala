@@ -135,6 +135,21 @@ object Events {
         col("n_events"), col("session_value"))
       .orderBy("user_id", "start_us")
 
+  /** Typed JSON parsing with an explicit schema (from_json — the
+    * schema-on-read discipline of Sources applied to embedded payloads;
+    * get_json_object covers ad-hoc access, this covers the typed path).
+    */
+  def jsonStructParse(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    Tables.events(spark, dir)
+      .withColumn("p", from_json(col("props"), schema))
+      .select(col("event_id"), col("p.k").as("k"),
+        (col("p.k") * 2 + 1).as("k_derived"))
+      .orderBy("event_id")
+  }
+
   /** Event-type counts by hour-of-day (UTC; ts is epoch-based so the
     * modular form equals calendar hour()).
     */

@@ -69,6 +69,27 @@ object Relational2 {
       .orderBy(col("g_flag"), col("g_status"),
         col("l_returnflag"), col("l_linestatus"))
 
+  /** Exact median (and quartiles would follow the same shape) computed
+    * by rank selection over integer cents — engine-exact, unlike
+    * percentile interpolation whose formulas differ across engines.
+    * Median = mean of the two middle cents values (exact for even n,
+    * degenerate for odd).
+    */
+  def medianPrice(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("cents", cents(col("l_extendedprice")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      // integer division: `/` on Columns is double division
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+      .groupBy(col("l_returnflag"))
+      .agg((sum(col("cents")).cast("double") / count(lit(1)) / lit(100.0))
+        .as("median_price"), count(lit(1)).as("n_mid"))
+      .orderBy("l_returnflag")
+  }
+
   /** Pivot: linestatus columns per returnflag (fixed value list keeps
     * the schema deterministic — never pivot on discovered values in a
     * verified pipeline). Physically conditional aggregation: one pass.
