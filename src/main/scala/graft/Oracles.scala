@@ -877,6 +877,29 @@ object Oracles {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 + 1 AS k_derived
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // ---- corpus QA / preprocessing ----
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(coalesce(text,'')),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |       FROM documents)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS INT) AS norm_len
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "length_histogram" ->
+      """SELECT lang, CAST(floor(n_chars / 100.0) AS INT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bin_chars
+        |FROM documents GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |         CAST(CAST(concat('0x', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS INT) AS bucket
+        |       FROM documents)
+        |SELECT lang, count(*) AS n_sampled,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM b WHERE bucket < 20 GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -119,7 +119,11 @@ object SparkEntry {
     "rollup_sales"     -> (Relational2.rollupSales _),
     "pivot_flags"      -> (Relational2.pivotFlags _),
     "median_price"     -> (Relational2.medianPrice _),
-    "json_struct_parse" -> (Events.jsonStructParse _)
+    "json_struct_parse" -> (Events.jsonStructParse _),
+    // corpus QA / preprocessing
+    "text_normalize"    -> (TextAnalysis.textNormalize _),
+    "length_histogram"  -> (TextAnalysis.lengthHistogram _),
+    "stratified_sample" -> (Splits.stratifiedSample _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

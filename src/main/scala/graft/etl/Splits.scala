@@ -26,6 +26,20 @@ object Splits {
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy("doc_id")
 
+  /** Deterministic stratified sample: fixed rate per language stratum
+    * via the salted hash bucket — reproducible, engine-portable, and
+    * shuffle-free (pure filter; the reporting agg shuffles |strata|).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", hashBucket(col("doc_id"), "sample:"))
+      .filter(col("bucket") < 20) // 20% per stratum
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang")
+
   /** End-to-end near-duplicate pipeline: LSH candidate pairs → exact
     * Jaccard verification on candidates only — the production dedup
     * flow (signatures: single scan; quadratic work bounded to LSH

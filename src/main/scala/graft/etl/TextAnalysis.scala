@@ -93,6 +93,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Text normalization for training corpora: lowercase, collapse
+    * whitespace runs, strip non-alphanumeric-space chars, trim — the
+    * standard preprocessing pass, pure codegen'd expressions.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(txt(c)), "[^a-z0-9 ]", " "), " +", " "))
+
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        normalizeText(col("text")).as("norm_text"),
+        length(normalizeText(col("text"))).as("norm_len"))
+      .orderBy("doc_id")
+
+  /** Corpus length histogram (100-char bins) per language — the
+    * data-quality profile every ingestion run reports.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bin", floor(col("n_chars") / lit(100.0)).cast("int"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("bin_chars"))
+      .orderBy("lang", "bin")
+
   /** Document fingerprint: min-of-hashes over word 3-shingles (rolling-
     * hash analog, md5-based so the DuckDB oracle can reproduce it
     * bit-for-bit). Computed entirely inside the shingle ARRAY
