@@ -66,6 +66,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf(p, "+- Exchange") <= 1, p)
   }
 
+  test("binned range join is a hash/merge equi-join, never a nested loop") {
+    val p = plan("range_join_band")
+    assert(!p.contains("NestedLoop"), s"band join must stay equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("as-of join costs one key shuffle plus the output sort") {
+    val p = plan("asof_join")
+    assert(countOf(p, "+- Exchange") <= 3, s"as-of grew shuffles:\n$p")
+    assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("q5 six-table join keeps both dims broadcast") {
+    val p = plan("q5_local_supplier")
+    assert(countOf(p, ") BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed tables co-locate the join: no exchange under the join") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
