@@ -21,7 +21,12 @@ object Bench {
       Tables.names.foreach(t => Tables(spark, sfDir, t).count())
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
+    // One warm execution per query, then the timed run: the first
+    // execution pays Janino/JIT compilation of the generated code
+    // (measured 5-30s spikes vs 0.5-1.5s steady state) — compile cost,
+    // not query throughput. Timed value = steady-state wall seconds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

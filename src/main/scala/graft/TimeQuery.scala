@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Repeat-timer for a single query: separates plan cost from JVM/JIT
+  * warmup and run-to-run noise. Usage: runMain graft.TimeQuery <sfDir> <query> [reps]
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0); val name = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    for (i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).count()
+      println(f"[timequery] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}
