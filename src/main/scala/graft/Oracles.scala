@@ -900,6 +900,46 @@ object Oracles {
         |SELECT lang, count(*) AS n_sampled,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
         |  CAST(max(doc_id) AS BIGINT) AS last_doc
-        |FROM b WHERE bucket < 20 GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM b WHERE bucket < 20 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // ---- IR / analytics extras ----
+    "tfidf_topk" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 64),
+        |w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word FROM docs),
+        |words AS (SELECT * FROM w0 WHERE length(word) > 0),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+        |dfx AS (SELECT word, count(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word),
+        |nn AS (SELECT count(*) AS n FROM docs),
+        |sc AS (SELECT doc_id, word, tf, df,
+        |         round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+        |       FROM tf JOIN dfx USING (word), nn),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, word) AS INT) AS rn FROM sc)
+        |SELECT doc_id, rn, word, tf, df, tfidf FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+
+    "edit_distance" ->
+      """WITH c AS (SELECT c_custkey AS k, c_name AS name FROM customer
+        |           WHERE c_custkey < 40)
+        |SELECT a.k AS key_a, b.k AS key_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM c a JOIN c b ON a.k < b.k
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    "rank_functions" ->
+      """WITH x AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+        |           FROM lineitem WHERE l_orderkey < 200)
+        |SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM x
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, rnk, quartile""".stripMargin
   )
 }

@@ -123,7 +123,11 @@ object SparkEntry {
     // corpus QA / preprocessing
     "text_normalize"    -> (TextAnalysis.textNormalize _),
     "length_histogram"  -> (TextAnalysis.lengthHistogram _),
-    "stratified_sample" -> (Splits.stratifiedSample _)
+    "stratified_sample" -> (Splits.stratifiedSample _),
+    // IR / analytics extras
+    "tfidf_topk"      -> (TfIdf.tfidfTopK _),
+    "edit_distance"   -> (TfIdf.editDistancePairs _),
+    "rank_functions"  -> (TfIdf.rankFunctions _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -1,0 +1,75 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** IR-flavored operators for the training-data pipeline: TF-IDF term
+  * weighting, edit-distance fuzzy matching, and the analytic window-
+  * function set.
+  */
+object TfIdf {
+
+  /** Top-3 TF-IDF terms per document (doc_id < 64 block — bounded
+    * output; the full-corpus form is the same plan). tf from the word
+    * explode, df from distinct word-doc pairs, idf = ln(N/df) — ln of
+    * identical rationals is bit-identical cross-engine; rounded 4 dp.
+    */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 64)
+    val n = docs.count() // bounded scalar: block size, not corpus scan
+    val words = Shingles.words(docs.select(col("doc_id"), col("text")))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = words.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("word"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("word"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Edit-distance fuzzy matching on short strings (customer names in a
+    * bounded block): levenshtein is integer-exact in both engines. The
+    * scale form blocks by length band / prefix before the quadratic
+    * compare — here the block is the bounded key range.
+    */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_custkey") < 40)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"))
+    c.as("a").join(c.as("b"), col("a.k") < col("b.k"))
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+      .filter(col("dist") <= 2)
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"), col("dist"))
+      .orderBy("key_a", "key_b")
+  }
+
+  /** The analytic window-function set over one total order: rank,
+    * dense_rank, percent_rank, cume_dist, ntile — raw rational outputs
+    * (identical-operand divisions, no rounding needed).
+    */
+  def rankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 200) // bounded verified slice
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+      // peers share rnk but ntile splits them arbitrarily -> quartile
+      // completes the total order over indistinguishable rows
+      .orderBy("l_returnflag", "rnk", "quartile")
+  }
+}
