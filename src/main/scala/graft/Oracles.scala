@@ -940,6 +940,27 @@ object Oracles {
         |FROM x
         |WINDOW w AS (PARTITION BY l_returnflag
         |  ORDER BY l_quantity, l_orderkey, l_linenumber)
-        |ORDER BY l_returnflag, rnk, quartile""".stripMargin
+        |ORDER BY l_returnflag, rnk, quartile""".stripMargin,
+
+    "set_ops" ->
+      """WITH open_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |closed_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_custkey, 'both' AS membership
+        |FROM (SELECT o_custkey FROM open_c INTERSECT SELECT o_custkey FROM closed_c)
+        |UNION ALL
+        |SELECT o_custkey, 'open_only'
+        |FROM (SELECT o_custkey FROM open_c EXCEPT SELECT o_custkey FROM closed_c)
+        |UNION ALL
+        |SELECT o_custkey, 'closed_only'
+        |FROM (SELECT o_custkey FROM closed_c EXCEPT SELECT o_custkey FROM open_c)
+        |ORDER BY o_custkey, membership""".stripMargin,
+
+    "cube_sales" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_price,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
   )
 }

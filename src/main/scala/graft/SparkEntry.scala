@@ -127,7 +127,9 @@ object SparkEntry {
     // IR / analytics extras
     "tfidf_topk"      -> (TfIdf.tfidfTopK _),
     "edit_distance"   -> (TfIdf.editDistancePairs _),
-    "rank_functions"  -> (TfIdf.rankFunctions _)
+    "rank_functions"  -> (TfIdf.rankFunctions _),
+    "set_ops"         -> (Relational2.setOps _),
+    "cube_sales"      -> (Relational2.cubeSales _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -69,6 +69,32 @@ object Relational2 {
       .orderBy(col("g_flag"), col("g_status"),
         col("l_returnflag"), col("l_linestatus"))
 
+  /** Set operations (SURVEY §2.7): customers appearing in both/only-one
+    * of two order-status universes — INTERSECT/EXCEPT as first-class
+    * ops (semi/anti-join equivalents shown in semiAntiCustomers).
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+    val closed = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+    val both = open.intersect(closed).withColumn("membership", lit("both"))
+    val onlyOpen = open.except(closed).withColumn("membership", lit("open_only"))
+    val onlyClosed = closed.except(open).withColumn("membership", lit("closed_only"))
+    both.unionByName(onlyOpen).unionByName(onlyClosed)
+      .orderBy("o_custkey", "membership")
+  }
+
+  /** CUBE over the flags: all four grouping-set strata with indicators. */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(cents(col("l_extendedprice"))) / lit(100.0)).as("total_price"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag"), col("l_linestatus"))
+
   /** Exact median (and quartiles would follow the same shape) computed
     * by rank selection over integer cents — engine-exact, unlike
     * percentile interpolation whose formulas differ across engines.
