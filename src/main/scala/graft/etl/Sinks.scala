@@ -67,6 +67,40 @@ object Sinks {
       s""""use_cases":${arr(useCases)},"references":${arr(references)}}"""
   }
 
+  /** K4: REPORT.md render — top-k pages with bounded key points,
+    * ≤30K chars with the reference's degradation rule (fewer chars per
+    * page once over budget).
+    */
+  def renderReport(topic: String, pages: Seq[(String, Int, String)],
+      maxChars: Int = 30000): String = {
+    val sb = new StringBuilder(s"# REPORT: $topic\n\n")
+    val perPage = if (pages.size > 8) 300 else 500
+    pages.iterator.takeWhile(_ => sb.length < maxChars - perPage - 50).foreach {
+      case (title, relevance, summary) =>
+        sb.append(s"## $title (relevance $relevance)\n\n${summary.take(perPage)}\n\n")
+    }
+    val shown = sb.toString
+    if (pages.size > 8) shown + s"\n_(degraded: ${pages.size} pages)_\n" else shown
+  }
+
+  /** K6/K9: plugin/docs multi-file renders — a name → content map the
+    * caller writes out (driver-side, all inputs bounded).
+    */
+  def renderPluginFiles(name: String, skillMd: String): Map[String, String] =
+    Map(
+      "plugin.json" ->
+        ("{\"name\":\"" + name + "\",\"skills\":[\"skills/" + name + "/SKILL.md\"]}"),
+      s"skills/$name/SKILL.md" -> skillMd,
+      "README.md" -> s"# $name\n\nGenerated knowledge plugin.\n")
+
+  def renderDocsFiles(topic: String, overview: String,
+      sections: Seq[(String, String)]): Map[String, String] =
+    Map("README.md" -> s"# $topic\n\n${overview.take(2000)}\n",
+      "getting-started.md" -> s"# Getting started with $topic\n") ++
+      sections.map { case (n, body) =>
+        s"reference/$n.md" -> body.take(5000)
+      }.toMap
+
   /** K3: INDEX.md render — driver-side, from BOUNDED aggregated inputs
     * (stats rows ≤ |languages|, page rows ≤ top-k). Returns markdown.
     */

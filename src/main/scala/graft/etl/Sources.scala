@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -86,6 +86,33 @@ object Sources {
     spark.read.option("wholetext", "true").text(glob)
       .withColumn("path", input_file_name())
       .withColumnRenamed("value", "body")
+
+  /** S2: recursive directory scan with extension whitelist and exclude
+    * patterns — Spark-native: pathGlobFilter + recursiveFileLookup do
+    * the enumeration on the executors; excludes are a filter on the
+    * file path column (never a driver-side listing).
+    */
+  def scanDirectory(spark: SparkSession, root: String,
+      includeExts: Seq[String] = Seq("md", "txt"),
+      excludePattern: String = "/(node_modules|\\.git)/|~$|\\.lock$"): DataFrame = {
+    val globs = includeExts.mkString("*.{", ",", "}")
+    spark.read
+      .option("pathGlobFilter", globs)
+      .option("recursiveFileLookup", "true")
+      .option("wholetext", "true")
+      .text(root)
+      .withColumn("path", input_file_name())
+      .filter(!col("path").rlike(excludePattern))
+      .withColumnRenamed("value", "body")
+      .withColumn("size_chars", length(col("body")))
+  }
+
+  /** X8: bytes → human display (B/KB/MB) as a case expression. */
+  def formatBytes(bytes: Column): Column =
+    when(bytes < 1024, concat(bytes.cast("string"), lit(" B")))
+      .when(bytes < 1024 * 1024,
+        concat(round(bytes / 1024.0, 1).cast("string"), lit(" KB")))
+      .otherwise(concat(round(bytes / (1024.0 * 1024.0), 1).cast("string"), lit(" MB")))
 
   /** Engine limits (config/limits.yaml mirror — constants become plan
     * literals, Catalyst constant-folds them).

@@ -67,6 +67,40 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
     assert(md.startsWith("# INDEX"))
   }
 
+  test("S2: directory scan honors extension whitelist and excludes") {
+    val d = tmpDir()
+    Files.createDirectories(d.resolve("sub/node_modules"))
+    Files.writeString(d.resolve("a.md"), "# doc a")
+    Files.writeString(d.resolve("sub/b.txt"), "doc b")
+    Files.writeString(d.resolve("sub/c.py"), "not included")
+    Files.writeString(d.resolve("sub/node_modules/d.md"), "excluded")
+    val got = Sources.scanDirectory(spark, d.toString)
+      .select("body").as[String].collect().toSet
+    assert(got == Set("# doc a", "doc b"))
+  }
+
+  test("X8: byte formatting tiers") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq(512L, 2048L, 3145728L).toDF("b")
+      .select(Sources.formatBytes(col("b"))).as[String].collect().toSeq
+    assert(got == Seq("512 B", "2.0 KB", "3.0 MB"))
+  }
+
+  test("K4/K6/K9: report degradation and multi-file renders") {
+    val many = (1 to 12).map(i => (s"page$i", 5, "s" * 1000))
+    val report = Sinks.renderReport("topic", many)
+    assert(report.length <= 30000)
+    assert(report.contains("degraded: 12 pages"))
+    assert(report.contains("s" * 300) && !report.contains("s" * 301))
+
+    val plugin = Sinks.renderPluginFiles("kb", "# SKILL")
+    assert(plugin.keySet == Set("plugin.json", "skills/kb/SKILL.md", "README.md"))
+    assert(plugin("plugin.json").contains("\"skills/kb/SKILL.md\""))
+
+    val docs = Sinks.renderDocsFiles("t", "over", Seq("api" -> "body"))
+    assert(docs.keySet == Set("README.md", "getting-started.md", "reference/api.md"))
+  }
+
   test("U2 streaming: flatMapGroupsWithState emits each url once") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[PageVisit]
