@@ -961,6 +961,22 @@ object Oracles {
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    "safe_parse" ->
+      """WITH d AS (SELECT event_id,
+        |         CASE WHEN event_id % 3 = 0 THEN substr(props, 1, 8)
+        |              ELSE props END AS dirty FROM events),
+        |p AS (SELECT event_id, dirty,
+        |        CASE WHEN json_valid(dirty)
+        |             THEN CAST(json_extract_string(dirty, '$.k') AS BIGINT) END AS parsed,
+        |        CAST(nullif(regexp_extract(dirty, '([0-9]+)', 1), '') AS BIGINT) AS rescued0
+        |      FROM d)
+        |SELECT event_id,
+        |  coalesce(parsed, CASE WHEN parsed IS NULL THEN rescued0 END, -1) AS k_final,
+        |  CASE WHEN parsed IS NOT NULL THEN 'parsed'
+        |       WHEN rescued0 IS NOT NULL THEN 'regex_rescue'
+        |       ELSE 'failed' END AS tier
+        |FROM p ORDER BY event_id""".stripMargin
   )
 }

@@ -129,7 +129,8 @@ object SparkEntry {
     "edit_distance"   -> (TfIdf.editDistancePairs _),
     "rank_functions"  -> (TfIdf.rankFunctions _),
     "set_ops"         -> (Relational2.setOps _),
-    "cube_sales"      -> (Relational2.cubeSales _)
+    "cube_sales"      -> (Relational2.cubeSales _),
+    "safe_parse"      -> (Events.safeParse _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

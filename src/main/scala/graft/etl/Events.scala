@@ -150,6 +150,32 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Expression-level degradation chain (the reference's retry/fallback
+    * semantics at column granularity, §2.11 / SURVEY §4 "coalesce of
+    * try-alternatives"): parse a deliberately-corrupted JSON payload,
+    * fall back to a regex extraction, then to a sentinel — every row
+    * lands in exactly one tier, and the tier is reported.
+    */
+  def safeParse(spark: SparkSession, dir: String): DataFrame = {
+    // corrupt ~1/3 of payloads deterministically: truncate to 6 chars
+    val dirty = when(col("event_id") % 3 === 0, substring(col("props"), 1, 8))
+      .otherwise(col("props"))
+    val parsed = expr("try_cast(get_json_object(dirty, '$.k') AS bigint)")
+    val rescued = expr("try_cast(regexp_extract(dirty, '([0-9]+)', 1) AS bigint)")
+    Tables.events(spark, dir)
+      .withColumn("dirty", dirty)
+      .withColumn("parsed", parsed)
+      .withColumn("rescued", when(col("parsed").isNull, rescued))
+      .withColumn("k_final",
+        coalesce(col("parsed"), col("rescued"), lit(-1L)))
+      .withColumn("tier",
+        when(col("parsed").isNotNull, "parsed")
+          .when(col("rescued").isNotNull, "regex_rescue")
+          .otherwise("failed"))
+      .select(col("event_id"), col("k_final"), col("tier"))
+      .orderBy("event_id")
+  }
+
   /** Event-type counts by hour-of-day (UTC; ts is epoch-based so the
     * modular form equals calendar hour()).
     */
