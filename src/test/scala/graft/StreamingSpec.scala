@@ -55,6 +55,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("self-feeding streaming crawl reaches the same nodes as the batch fixpoint") {
+    val dir = "/root/testdata/sf0.001"
+    val work = java.nio.file.Files.createTempDirectory("graft_crawl_").toString
+    val batchNodes = graft.etl.Crawl.crawlBfs(spark, dir)
+      .select("node").as[Long].collect().toSet
+    val streamed = graft.streaming.StreamingCrawl.run(
+        spark, graft.etl.Crawl.edges(spark, dir), work)
+      .select("node").as[Long].collect().toSet
+    assert(streamed == batchNodes,
+      s"streamed ${streamed.size} vs batch ${batchNodes.size} nodes")
+  }
+
   test("streaming tumbling window counts per hour bucket") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Ev]
