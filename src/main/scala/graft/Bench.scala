@@ -3,6 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Materialize every output column of `df`, defeating the two ways
+    * `count()` lies about map-only queries: Catalyst prunes unreferenced
+    * project columns and eliminates sorts under a bare count, so a
+    * pure-projection query (url_slug, text_normalize, ...) degenerates
+    * to a parquet-footer row count. The noop sink consumes each row
+    * fully (all columns evaluated, codegen exercised) without write I/O
+    * skewing the timing.
+    */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,9 +37,9 @@ object Bench {
     // (measured 5-30s spikes vs 0.5-1.5s steady state) — compile cost,
     // not query throughput. Timed value = steady-state wall seconds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // queries may persist() internally
       name -> dt
@@ -36,7 +47,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also land the line in a file: the driver's stdout capture truncates
+    // long logs, which left its `parsed` field null in round 1.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

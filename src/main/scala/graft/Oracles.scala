@@ -67,6 +67,20 @@ object Oracles {
       |  SELECT doc_id, word || ' ' || w1 || ' ' || w2 AS shingle
       |  FROM sh0 WHERE w2 IS NOT NULL)""".stripMargin
 
+  /** Serial-window packing spec — shared by batch_pack (the semantic
+    * reference plan) and batch_pack_sharded (the two-phase 100 TB plan,
+    * which must reproduce it bit-for-bit).
+    */
+  private val BatchPackSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(sum(n_chars) OVER (ORDER BY n_chars, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_chars
+      |  FROM documents)
+      |SELECT doc_id, n_chars, running_chars,
+      |  CAST(floor((running_chars - 1) / 4000.0) AS INT) AS batch_id
+      |FROM w ORDER BY doc_id""".stripMargin
+
   /** knn pair scoring skeleton: expects CTEs p(qid, cid, qe, ce, ...). */
   private def cosineFrom(pairCte: String, extraCols: String): String =
     s"""$pairCte,
@@ -262,6 +276,23 @@ object Oracles {
         |  (obstacle IN ('CAPTCHA', 'ANTI_SCRAPE')) AS recoverable
         |FROM o ORDER BY doc_id""".stripMargin,
 
+    "obstacle_route" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(coalesce(text,'')) < 100 THEN 'ANTI_SCRAPE'
+        |         WHEN regexp_matches(coalesce(text,''), 'login|sign.?in|unauthorized|customer') THEN 'LOGIN_REQUIRED'
+        |         WHEN regexp_matches(coalesce(text,''), 'captcha|verify|vector') THEN 'CAPTCHA'
+        |         WHEN regexp_matches(coalesce(text,''), 'cloudflare|checking.+browser|slow.+slow') THEN 'ANTI_SCRAPE'
+        |         ELSE 'NONE' END AS obstacle
+        |  FROM documents)
+        |SELECT doc_id, obstacle,
+        |  CASE WHEN obstacle = 'NONE' THEN 'clean' ELSE 'quarantine' END AS route,
+        |  CASE WHEN obstacle = 'LOGIN_REQUIRED' THEN 'provide_credentials'
+        |       WHEN obstacle = 'CAPTCHA' THEN 'solve_manually'
+        |       WHEN obstacle = 'ANTI_SCRAPE' THEN 'retry_with_backoff'
+        |       ELSE 'none' END AS suggested_action
+        |FROM o ORDER BY doc_id""".stripMargin,
+
     "content_flags" ->
       """SELECT doc_id,
         |  regexp_matches(coalesce(text,''), '\bjoin\b') AS has_join,
@@ -337,15 +368,10 @@ object Oracles {
         |FROM nodes n LEFT JOIN l2 ON n.node = l2.node
         |ORDER BY n.node""".stripMargin,
 
-    "batch_pack" ->
-      """WITH w AS (
-        |  SELECT doc_id, n_chars,
-        |    CAST(sum(n_chars) OVER (ORDER BY n_chars, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_chars
-        |  FROM documents)
-        |SELECT doc_id, n_chars, running_chars,
-        |  CAST(floor((running_chars - 1) / 4000.0) AS INT) AS batch_id
-        |FROM w ORDER BY doc_id""".stripMargin,
+    "batch_pack" -> BatchPackSql,
+    // Two-phase sharded packing is bit-identical to the serial spec —
+    // same oracle proves the decomposition exact.
+    "batch_pack_sharded" -> BatchPackSql,
 
     "rag_chunk" ->
       """WITH d AS (SELECT doc_id, coalesce(text,'') AS t,
@@ -358,6 +384,34 @@ object Oracles {
         |  substr(t, chunk_idx * 100 + 1, 120) AS chunk,
         |  CAST(length(substr(t, chunk_idx * 100 + 1, 120)) AS INT) AS chunk_len
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Code-aware chunking: same fence-segmentation + per-segment chunk
+    // math as Chunker.chunkCodeAware (size=100, overlap=20 → step 80).
+    "code_chunk" ->
+      """WITH d AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |        substr(t,1,150) || chr(10) || '```' || chr(10) ||
+        |        substr(t,151,80) || chr(10) || '```' || chr(10) ||
+        |        substr(t,231) AS md
+        |      FROM d),
+        |g AS (SELECT doc_id, string_split(md, '```') AS segs FROM m),
+        |s AS (SELECT doc_id, CAST(unnest(range(1, len(segs)+1)) AS INT) AS i, segs FROM g),
+        |seg AS (SELECT doc_id, CAST(i - 1 AS INT) AS seg_idx, segs[i] AS seg,
+        |               ((i - 1) % 2 = 1) AS is_code,
+        |               length(segs[i]) AS slen
+        |        FROM s),
+        |pn AS (SELECT *, CASE WHEN is_code THEN 1
+        |         ELSE least(greatest(CAST(ceil((CAST(greatest(slen,1) AS DOUBLE) - 20) / 80) AS INT), 1), 50) END AS nch
+        |       FROM seg),
+        |e AS (SELECT doc_id, seg_idx, is_code, seg,
+        |             CAST(unnest(range(0, nch)) AS INT) AS ci
+        |      FROM pn)
+        |SELECT doc_id, seg_idx, ci AS chunk_idx, is_code,
+        |  CASE WHEN is_code THEN '```' || seg || '```'
+        |       ELSE substr(seg, ci * 80 + 1, 100) END AS chunk,
+        |  CAST(length(CASE WHEN is_code THEN '```' || seg || '```'
+        |       ELSE substr(seg, ci * 80 + 1, 100) END) AS INT) AS chunk_len
+        |FROM e ORDER BY doc_id, seg_idx, chunk_idx""".stripMargin,
 
     // ---- events ----
     "json_extract" ->
@@ -555,12 +609,19 @@ object Oracles {
          |ORDER BY qid, rank""".stripMargin
     },
 
+    // Blocking = label × sign-bucket (same cell expression as knn_bucketed);
+    // mirrors Similarity.embeddingNearDup's bounded-block self-join.
     "embedding_neardup" -> {
       val p =
-        """p AS (SELECT a.vec_id AS qid, b.vec_id AS cid, a.embedding AS qe, b.embedding AS ce,
-          |             a.label AS label
-          |      FROM embeddings a JOIN embeddings b
-          |        ON a.label = b.label AND a.vec_id < b.vec_id)""".stripMargin
+        """b AS (SELECT vec_id, embedding, label,
+          |        CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+          |             (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+          |             (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+          |      FROM embeddings),
+          |p AS (SELECT x.vec_id AS qid, y.vec_id AS cid, x.embedding AS qe, y.embedding AS ce,
+          |             x.label AS label
+          |      FROM b x JOIN b y
+          |        ON x.label = y.label AND x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
       s"""WITH ${cosineFrom(p, ", label")}
          |SELECT label, qid AS vec_a, cid AS vec_b, cos FROM s
          |WHERE cos >= 0.3 ORDER BY label, vec_a, vec_b""".stripMargin

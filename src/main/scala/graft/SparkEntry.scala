@@ -17,8 +17,10 @@ object SparkEntry {
     * top-10 by relevance (T2). scan → filter → scalar → anti-join →
     * sort → limit, end to end.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+  def entry(spark: SparkSession): DataFrame =
+    entry(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+
+  def entry(spark: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(spark, dir)
       .withColumn("relevance", Scoring.scorePage(col("text"), Scoring.PageTopic))
     val visited = scored.filter(col("doc_id") % 2 === 0).select("doc_id")
@@ -56,6 +58,7 @@ object SparkEntry {
     "score_page"      -> (Scoring.scorePageQuery _),
     "stars_bucket"    -> (Scoring.starsBucket _),
     "obstacle_detect" -> (Scoring.obstacleDetect _),
+    "obstacle_route"  -> (Scoring.obstacleRoute _),
     "content_flags"   -> (Scoring.contentFlags _),
     "truncate_notice" -> (Scoring.truncateNotice _),
     // aggregations
@@ -66,7 +69,9 @@ object SparkEntry {
     "heading_extract"    -> (Aggregates.headingExtract _),
     "tree_closure"       -> (Aggregates.treeClosure _),
     "batch_pack"         -> ((s: SparkSession, d: String) => Aggregates.batchPack(s, d)),
+    "batch_pack_sharded" -> ((s: SparkSession, d: String) => Aggregates.batchPackSharded(s, d)),
     "rag_chunk"          -> (Chunker.ragChunk _),
+    "code_chunk"         -> (Chunker.codeChunk _),
     // events
     "json_extract"    -> (Events.jsonExtract _),
     "lag_lead"        -> (Events.lagLead _),

@@ -22,8 +22,10 @@ object TimeQuery {
     val fn = SparkEntry.queries(name)
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
-      println(f"[timequery] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // noop sink, not count(): count lets Catalyst prune all columns and
+      // drop sorts, under-measuring map-only queries (see Bench.materialize).
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"[timequery] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -129,4 +129,38 @@ object Aggregates {
         floor((col("running_chars") - lit(1)) / lit(capChars)).cast("int"))
       .orderBy("doc_id")
   }
+
+  /** A8 at scale: the same greedy packing, two-phase. The global running
+    * sum decomposes as (exclusive prefix total of earlier shards) +
+    * (running sum within the shard) whenever shards are contiguous runs
+    * of the packing order — here shard = floor(n_chars / width), monotone
+    * in the (n_chars, doc_id) ordering. Phase 1 computes per-shard
+    * running sums under a hash-partitioned window; phase 2 derives the
+    * |shards|-row exclusive prefix totals via a broadcast inequality
+    * join (no single-partition Exchange in the whole plan). Output is
+    * bit-identical to [[batchPack]] — same oracle SQL — so the serial
+    * form stays as the semantic spec and this is the 100 TB plan.
+    */
+  def batchPackSharded(spark: SparkSession, dir: String,
+      capChars: Long = 4000, shardWidth: Long = 250): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("shard", floor(col("n_chars") / lit(shardWidth)))
+    val wLocal = Window.partitionBy(col("shard"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = docs.groupBy(col("shard")).agg(sum(col("n_chars")).as("t"))
+    val offsets = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.t")), lit(0L)).as("offset"))
+    docs
+      .withColumn("local_running", sum(col("n_chars")).over(wLocal))
+      .join(broadcast(offsets), Seq("shard"))
+      .withColumn("running_chars", col("offset") + col("local_running"))
+      .withColumn("batch_id",
+        floor((col("running_chars") - lit(1)) / lit(capChars)).cast("int"))
+      .select(col("doc_id"), col("n_chars"), col("running_chars"), col("batch_id"))
+      .orderBy("doc_id")
+  }
 }

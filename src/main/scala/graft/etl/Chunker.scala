@@ -55,6 +55,54 @@ object Chunker {
     chunk(sections, col("section"), size, overlap)
   }
 
+  /** G1 code-blocks-kept-whole rule (output-transformer.md:316-318):
+    * fenced code blocks are NEVER split across chunks. The document is
+    * cut at ``` fences into alternating prose/code segments (odd segment
+    * index = inside a fence, assuming balanced fences); prose segments
+    * get the normal size/overlap chunking, code segments are emitted as
+    * exactly one chunk with the fences restored, whatever their length.
+    * Single pass — the conditional chunk-start array keeps one explode,
+    * no union/rescan — so it remains a pure shuffle-free map like
+    * [[chunk]].
+    */
+  def chunkCodeAware(df: DataFrame, text: Column, size: Int, overlap: Int,
+      maxChunks: Int = 50): DataFrame = {
+    val t = coalesce(text, lit(""))
+    df.select(col("*"), posexplode(split(t, "```")))
+      .withColumnRenamed("pos", "seg_idx")
+      .withColumnRenamed("col", "seg")
+      .withColumn("is_code", col("seg_idx") % 2 === 1)
+      .withColumn("starts",
+        when(col("is_code"), array(lit(0)))
+          .otherwise(chunkStarts(length(col("seg")), size, overlap, maxChunks)))
+      .select(col("*"), posexplode(col("starts")))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumn("chunk",
+        when(col("is_code"), concat(lit("```"), col("seg"), lit("```")))
+          .otherwise(col("seg").substr(col("col") + 1, lit(size))))
+      .drop("col", "starts", "seg")
+  }
+
+  /** Verified query for the code-aware chunker. `documents.text` has no
+    * fences, so a deterministic markdown shell embeds one fenced block of
+    * real corpus text per document (same construction in the DuckDB
+    * oracle); prose spans longer than `size` prove the split math, the
+    * fenced span proves atomicity.
+    */
+  def codeChunk(spark: SparkSession, dir: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val md = concat(
+      substring(t, 1, 150), lit("\n```\n"),
+      substring(t, 151, 80), lit("\n```\n"),
+      substring(t, 231, 1000000))
+    chunkCodeAware(
+      Tables.documents(spark, dir).select(col("doc_id"), md.as("md")),
+      col("md"), size = 100, overlap = 20)
+      .select(col("doc_id"), col("seg_idx"), col("chunk_idx"), col("is_code"),
+        col("chunk"), length(col("chunk")).as("chunk_len"))
+      .orderBy("doc_id", "seg_idx", "chunk_idx")
+  }
+
   /** SQL-surface twin: the chunk_text GENERATOR through actual SQL text
     * (LATERAL VIEW), proving the registered function end to end.
     */

@@ -102,17 +102,46 @@ object Relational2 {
     * degenerate for odd).
     */
   def medianPrice(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(spark, dir)
-      .withColumn("cents", cents(col("l_extendedprice")))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-      // integer division: `/` on Columns is double division
-      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+    // Two-pass exact median over a VALUE HISTOGRAM, not a row window.
+    // The naive form (row_number over Window.partitionBy(l_returnflag))
+    // funnels all of lineitem through 3 tasks — three giant stragglers at
+    // 100×. Instead:
+    //   pass 1: groupBy(flag, cents) → counts. One hash-partitioned
+    //           shuffle with map-side partial aggregation; the histogram
+    //           is bounded by the price DOMAIN (distinct cents values),
+    //           not the row count, so it stays small as data grows.
+    //   pass 2: cumulative counts over the histogram locate which value
+    //           holds each middle rank (rows with value v occupy ranks
+    //           (cum_before, cum]). The low-cardinality window now only
+    //           carries histogram rows.
+    // Rank selection on cents stays engine-exact (no percentile
+    // interpolation); output matches the row-window oracle bit-for-bit
+    // because equal-rank rows share the same cents value by construction.
+    val hist = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("cents"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    // Both windows share the partitioning → ONE tiny exchange of the
+    // histogram; the group totals come from an unbounded frame over the
+    // same data, so lineitem is scanned exactly once (a separate
+    // `targets` aggregate would re-run the scan+agg).
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .withColumn("r1", expr("(n + 1) div 2"))
+      .withColumn("r2", expr("n div 2 + 1"))
+      .withColumn("hits",
+        when(col("r1") > col("cum_before") && col("r1") <= col("cum"), 1).otherwise(0)
+          + when(col("r2") =!= col("r1")
+            && col("r2") > col("cum_before") && col("r2") <= col("cum"), 1).otherwise(0))
+      .filter(col("hits") > 0)
       .groupBy(col("l_returnflag"))
-      .agg((sum(col("cents")).cast("double") / count(lit(1)) / lit(100.0))
-        .as("median_price"), count(lit(1)).as("n_mid"))
+      .agg((sum(col("cents") * col("hits")).cast("double")
+        / sum(col("hits")) / lit(100.0)).as("median_price"),
+        sum(col("hits")).cast("bigint").as("n_mid"))
       .orderBy("l_returnflag")
   }
 

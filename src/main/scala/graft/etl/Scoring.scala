@@ -100,6 +100,28 @@ object Scoring {
           .as("recoverable"))
       .orderBy("doc_id")
 
+  // ---- F6 routing: obstacle → quarantine (DESIGN.md:855-916) ----
+  // The reference BLOCKS on AskUser when an obstacle is hit; the batch
+  // analog routes the row to a needs-attention sink with the action the
+  // user would have been asked to take (SURVEY §2.11 mapping). Pure
+  // expressions here; Sinks.writeRouted does the single-pass split write.
+  def suggestedAction(obstacle: Column): Column =
+    when(obstacle === "LOGIN_REQUIRED", "provide_credentials")
+      .when(obstacle === "CAPTCHA", "solve_manually")
+      .when(obstacle === "ANTI_SCRAPE", "retry_with_backoff")
+      .otherwise("none")
+
+  def routeFor(obstacle: Column): Column =
+    when(obstacle === "NONE", "clean").otherwise("quarantine")
+
+  def obstacleRoute(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("obstacle", obstacleType(col("text")))
+      .select(col("doc_id"), col("obstacle"),
+        routeFor(col("obstacle")).as("route"),
+        suggestedAction(col("obstacle")).as("suggested_action"))
+      .orderBy("doc_id")
+
   // ---- F10: content feature flags ----
   // Reference: hasCode = /```/, hasTables = /\|.*\|/ — instantiated to
   // corpus-visible features, same rlike shape.

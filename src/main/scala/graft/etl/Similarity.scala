@@ -94,16 +94,25 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs, blocked by label (the
-    * clustering key): pairs within a block above the cosine threshold. Blocked
-    * self-join = per-group quadratic only, the standard scalable
-    * embedding-dedup shape.
+  /** Embedding-cosine near-duplicate pairs, blocked by label × sign-
+    * bucket. Label alone leaves block size unbounded (one hot label at
+    * 100× = one quadratic straggler); composing the [[signBucket]] key
+    * splits every label into sign cells so the per-block quadratic is
+    * bounded by cell occupancy, and the shuffle key (label, bucket) has
+    * enough cardinality to spread. Recall trade-off: a near-dup pair is
+    * only found if both vectors share all bucketed sign bits — true
+    * near-duplicates almost always do (cos≥0.3 pairs rarely straddle a
+    * sign flip on an informative dim), and the standard recall dial is
+    * multiple bucket projections OR'd together, exactly as in LSH
+    * banding. The oracle applies the identical blocking.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(spark, dir))
-      .select(col("vec_id"), col("embedding"), col("label"), col("nrm"))
+      .withColumn("bucket", signBucket(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("label"), col("nrm"), col("bucket"))
     val pairs = e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         round(dotF(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm")), 4))

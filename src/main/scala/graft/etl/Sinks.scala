@@ -30,6 +30,21 @@ object Sinks {
   def writeChunks(chunks: DataFrame, path: String): Unit =
     chunks.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Obstacle → quarantine split writer (DESIGN.md:855-916): rows with a
+    * detected obstacle land in a needs-attention store carrying the
+    * `suggested_action` a human reviewer applies; clean rows go to the
+    * page store. ONE pass over the input — `partitionBy(route)` makes the
+    * writer do the split (route=clean/ route=quarantine/ directories),
+    * never two filtered scans of a 100 TB source.
+    */
+  def writeRouted(pages: DataFrame, textCol: String, path: String): Unit =
+    pages
+      .withColumn("obstacle", Scoring.obstacleType(col(textCol)))
+      .withColumn("route", Scoring.routeFor(col("obstacle")))
+      .withColumn("suggested_action", Scoring.suggestedAction(col("obstacle")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("route").parquet(path)
+
   /** K11: state checkpoint between crawl iterations — overwrite-parquet
     * (the batch analog of the reference's tmp-file-then-mv atomicity;
     * streaming uses real checkpoints).

@@ -4,6 +4,32 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Transport abstraction for the fetch operator (S3/S4/S5 made concrete):
+  * the effectful page-retrieval edge behind an injectable, serializable
+  * interface. Production binds an HTTP/browser client; tests bind a
+  * deterministic local stub — the Spark-side plumbing (per-partition
+  * lifecycle, rate cap, router dispatch, frontmatter) is identical and
+  * fully testable without network (SURVEY §7.4 contract).
+  */
+trait Transport extends Serializable {
+  /** Called once per partition before the first fetch — connection /
+    * browser-context setup happens per executor task, never per row.
+    */
+  def open(): Unit = ()
+  /** Fetch one url with the routed engine → (status, markdown body).
+    * Implementations throw on failure; the operator converts to an
+    * error-status row (the pipeline never dies on one bad page —
+    * extract-jina.sh:54-93 retry/fallback semantics).
+    */
+  def fetch(url: String, engine: String): (String, String)
+  /** Called once per partition after the last fetch. */
+  def close(): Unit = ()
+}
+
+/** One fetched page row (the operator's output schema). */
+case class FetchedPage(url: String, engine: String, status: String,
+  body: String, fetched_chars: Int)
+
 /** State-file and landing-zone sources (SURVEY.md §2.1).
   *
   * The reference's coordinator may read exactly four state files —
@@ -105,6 +131,78 @@ object Sources {
       .filter(!col("path").rlike(excludePattern))
       .withColumnRenamed("value", "body")
       .withColumn("size_chars", length(col("body")))
+  }
+
+  /** S4/S5 fetch operator: url rows (already engine-routed by S6 /
+    * [[Urls.engineFor]]) → fetched pages, via mapPartitions so each task
+    * amortizes one transport setup over its whole batch of urls.
+    *
+    * Rate limiting: `minIntervalMs` enforces a per-partition floor
+    * between consecutive fetches (config/limits.yaml:105 crawl-delay);
+    * cluster-wide rate = #concurrent tasks × 1000/minIntervalMs, so the
+    * partition count is the parallelism dial. Failures become
+    * status="error:..." rows, never task failures (one bad page must not
+    * kill a 100 TB stage; retries are a re-run over the error rows).
+    */
+  def fetch(requests: DataFrame, transport: Transport,
+      minIntervalMs: Long = 0L): DataFrame = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    requests.select(col("url").cast("string"), col("engine").cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        transport.open()
+        var closed = false
+        var nextAllowed = 0L
+        val fetched = it.map { case (url, engine) =>
+          val wait = nextAllowed - System.currentTimeMillis()
+          if (wait > 0) Thread.sleep(wait)
+          nextAllowed = System.currentTimeMillis() + minIntervalMs
+          val (status, body) =
+            try transport.fetch(url, engine)
+            catch { case e: Exception => (s"error:${e.getClass.getSimpleName}", "") }
+          FetchedPage(url, engine, status, body, body.length)
+        }
+        new Iterator[FetchedPage] {
+          def hasNext: Boolean = {
+            val h = fetched.hasNext
+            if (!h && !closed) { closed = true; transport.close() }
+            h
+          }
+          def next(): FetchedPage = fetched.next()
+        }
+      }.toDF()
+  }
+
+  /** Frontmatter header the reference stamps on every extracted page
+    * (extract-jina.sh:60-68): provenance travels WITH the content into
+    * the landing zone, so downstream stages never need a side lookup.
+    */
+  def withFrontmatter(fetched: DataFrame): DataFrame =
+    fetched.withColumn("page_md",
+      concat(lit("---\nurl: "), col("url"),
+        lit("\nengine: "), col("engine"),
+        lit("\nfetched_chars: "), col("fetched_chars").cast("string"),
+        lit("\n---\n\n"), col("body")))
+
+  /** Landing-zone writer: one markdown file per fetched page (the
+    * reference's pages/{slug}.md layout), written from the executors.
+    * Local-FS here; on a cluster `dir` is shared/object storage.
+    */
+  def writeLandingZone(fetched: DataFrame, dir: String): Unit = {
+    val spark = fetched.sparkSession
+    import spark.implicits._
+    withFrontmatter(fetched.filter(!col("status").startsWith("error")))
+      .select(col("url"), col("page_md")).as[(String, String)]
+      .foreachPartition { it: Iterator[(String, String)] =>
+        val root = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(root)
+        it.foreach { case (url, md) =>
+          val slug = url.replaceAll("^https?://", "")
+            .replaceAll("[^a-zA-Z0-9]", "_").take(50)
+          java.nio.file.Files.writeString(root.resolve(slug + ".md"), md)
+        }
+      }
   }
 
   /** X8: bytes → human display (B/KB/MB) as a case expression. */

@@ -204,19 +204,43 @@ object Urls {
       .orderBy("link_id")
 
   // ---- X13: sequential zero-padded page-id assignment ----
-  // row_number over a total order (never monotonically_increasing_id —
-  // not dense, partition-dependent). Global window = single-partition
-  // exchange; acceptable because id assignment is inherently sequential —
-  // at scale you shard the sequence per crawl-batch instead.
+  // Dense global sequence (crawler-queue.sh:172-176) WITHOUT a global
+  // window (never monotonically_increasing_id — not dense, partition-
+  // dependent; never Window.orderBy() unpartitioned — single-partition
+  // exchange, every row through one task). Two-phase instead:
+  //   1. shard = lexicographic prefix of the ordering key (a prefix is
+  //      monotone under the sort, so shards are contiguous runs of the
+  //      global order) → per-shard row_number, distributed window;
+  //   2. exclusive prefix counts per shard, computed on the tiny
+  //      per-shard aggregate (|shards| rows) via a broadcast inequality
+  //      join — no single-partition Exchange anywhere in the plan;
+  //   global id = shard offset + local row_number. Bit-identical to the
+  //   serial form (same oracle SQL), but the full table only ever moves
+  //   through hash-partitioned exchanges.
   def pageIdGen(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val links = linkCorpus(spark, dir)
       .withColumn("norm_url", normalizeUrl(col("url")))
       .filter(keepUrl(col("norm_url")))
+      // prefix length 37 reaches past the longest domain into the first
+      // path digit — enough spread for this corpus; any prefix is correct.
+      .withColumn("shard", substring(col("norm_url"), 1, 37))
+      .select(col("norm_url"), col("shard"))
+      // two consumers (window branch + counts branch) — persist so the
+      // normalize+skip regexes run once, not once per branch; at scale
+      // this is the frontier checkpoint the crawl loop keeps anyway
+      .persist()
+    val wLocal = Window.partitionBy(col("shard")).orderBy(col("norm_url"))
+    val counts = links.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.n")), lit(0L)).as("offset"))
     links
-      .withColumn("rn", row_number().over(Window.orderBy(col("norm_url"))))
+      .withColumn("rn", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("shard"))
       .select(col("norm_url"),
-        format_string("%03d", col("rn")).as("page_id"))
+        format_string("%03d", col("offset") + col("rn")).as("page_id"))
       .orderBy("norm_url")
   }
 }

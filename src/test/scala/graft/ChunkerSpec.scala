@@ -52,6 +52,30 @@ class ChunkerSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(_._2.length <= 60))
   }
 
+  test("G1c: fenced code blocks are never split, prose still chunks") {
+    val code = "val x = 1\n" * 30                  // 300 chars of "code"
+    val md = ("p" * 250) + "\n```\n" + code + "```\n" + ("q" * 180)
+    val out = Chunker.chunkCodeAware(
+        Seq((1L, md)).toDF("doc_id", "text"), col("text"), 100, 20)
+      .select(col("seg_idx"), col("chunk_idx"), col("is_code"), col("chunk"))
+      .as[(Int, Int, Boolean, String)].collect().toSeq
+      .sortBy(t => (t._1, t._2))
+    // no chunk ever contains an unbalanced fence
+    assert(out.forall { case (_, _, isCode, c) =>
+      val fences = c.sliding(3).count(_ == "```")
+      if (isCode) fences == 2 else fences == 0
+    })
+    // the whole code block, longer than `size`, is exactly one chunk
+    val codeChunks = out.filter(_._3)
+    assert(codeChunks.size == 1)
+    assert(codeChunks.head._4 == "```\n" + code + "```")
+    assert(codeChunks.head._4.length > 100)
+    // prose on both sides still size-chunks (251 and 181 chars -> 3 each at step 80)
+    assert(out.count(t => t._1 == 0 && !t._3) == 3)
+    assert(out.count(t => t._1 == 2 && !t._3) == 3)
+    assert(out.filter(!_._3).forall(_._4.length <= 100))
+  }
+
   test("G1: chunk count is capped at maxChunks") {
     val cs = chunksOf("z" * 100000, maxChunks = 50)
     assert(cs.size == 50)

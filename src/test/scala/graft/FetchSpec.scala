@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.{Sources, Transport, Urls}
+
+/** Deterministic local transport: proves the fetch operator's Spark-side
+  * plumbing (lifecycle, dispatch, rate cap, landing zone) with zero
+  * network. Counters are static — local-mode executors share the JVM.
+  */
+object StubTransport {
+  val opens = new AtomicInteger(0)
+  val closes = new AtomicInteger(0)
+  def reset(): Unit = { opens.set(0); closes.set(0) }
+}
+
+class StubTransport extends Transport {
+  override def open(): Unit = StubTransport.opens.incrementAndGet()
+  override def fetch(url: String, engine: String): (String, String) =
+    if (url.contains("/fail/")) throw new IllegalStateException("boom")
+    else ("ok", s"# page at $url\nextracted by $engine\n")
+  override def close(): Unit = StubTransport.closes.incrementAndGet()
+}
+
+class FetchSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def requests(urls: String*) =
+    urls.toDF("url").withColumn("engine", Urls.engineFor($"url"))
+
+  test("fetch: one transport open/close per partition, S6 dispatch, error rows") {
+    StubTransport.reset()
+    val reqs = requests(
+      "https://machinery.example.com/page/1", // internal  → playwright
+      "https://building.example.com/page/2",  // whitelist → jina
+      "https://furniture.example.com/page/3", // default   → trafilatura
+      "https://furniture.example.com/fail/4") // transport throws
+      .repartition(2)
+    val got = Sources.fetch(reqs, new StubTransport()).collect()
+      .map(r => r.getAs[String]("url") ->
+        (r.getAs[String]("engine"), r.getAs[String]("status"))).toMap
+    assert(StubTransport.opens.get() == 2, "open() must run once per partition")
+    assert(StubTransport.closes.get() == 2, "close() must run once per partition")
+    assert(got("https://machinery.example.com/page/1")._1 == "playwright")
+    assert(got("https://building.example.com/page/2")._1 == "jina")
+    assert(got("https://furniture.example.com/page/3")._1 == "trafilatura")
+    // a throwing fetch degrades to an error row, never a task failure
+    assert(got("https://furniture.example.com/fail/4")._2
+      == "error:IllegalStateException")
+    assert(got.values.count(_._2 == "ok") == 3)
+  }
+
+  test("fetch: per-partition rate cap floors the inter-request interval") {
+    val reqs = requests((1 to 4).map(i =>
+      s"https://furniture.example.com/page/$i"): _*).repartition(1)
+    val t0 = System.nanoTime()
+    Sources.fetch(reqs, new StubTransport(), minIntervalMs = 40).count()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    // 4 fetches in one partition with a 40ms floor => >= 3 waits
+    assert(elapsedMs >= 120, s"rate cap not enforced: ${elapsedMs}ms")
+  }
+
+  test("fetch → frontmatter → landing zone → readLandingZone round trip") {
+    val d = Files.createTempDirectory("graft_landing_")
+    val reqs = requests(
+      "https://machinery.example.com/page/1",
+      "https://building.example.com/page/2",
+      "https://furniture.example.com/fail/3")
+    val fetched = Sources.fetch(reqs, new StubTransport())
+    Sources.writeLandingZone(fetched, d.toString)
+    val back = Sources.readLandingZone(spark, d.toString + "/*.md")
+    val bodies = back.select("body").as[String].collect()
+    assert(bodies.length == 2, "error row must not land")
+    assert(bodies.forall(_.startsWith("---\nurl: https://")))
+    assert(bodies.exists(b => b.contains("engine: playwright")
+      && b.contains("extracted by playwright")))
+    assert(bodies.exists(_.contains("engine: jina")))
+  }
+}

@@ -84,6 +84,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sharded sequence plans have no single-partition exchange") {
+    // batch_pack / the old page_id_gen were the intentionally-serial
+    // plans; their sharded two-phase forms must never funnel the table
+    // through one task. (The serial batch_pack stays as the semantic
+    // reference and is exempt.)
+    for (q <- Seq("batch_pack_sharded", "page_id_gen")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q reintroduced a serial exchange:\n$p")
+    }
+  }
+
+  test("median_price aggregates to a value histogram before any window") {
+    val p = plan("median_price")
+    // no per-row ranking: the row_number form funnels lineitem into
+    // 3 tasks (one per returnflag)
+    assert(!p.contains("row_number"), p)
+    // the low-cardinality window input is the (flag, cents) histogram,
+    // not the table: a HashAggregate keyed on both must exist upstream
+    assert("Keys \\[2\\]: \\[l_returnflag#\\d+, cents#\\d+L?\\]".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("bucketed tables co-locate the join: no exchange under the join") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")

@@ -52,6 +52,27 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.json(d.resolve("chunks").toString).count() == 2)
   }
 
+  test("F6 routing: obstacle rows split to quarantine with suggested_action in one write") {
+    val d = tmpDir()
+    val pages = Seq(
+      (1L, "x" * 200 + " all fine and relaxed prose here"), // clean
+      (2L, "x" * 150 + " please login to continue"),        // LOGIN_REQUIRED
+      (3L, "short"),                                        // ANTI_SCRAPE (len)
+      (4L, "x" * 150 + " solve this captcha first"))        // CAPTCHA
+      .toDF("doc_id", "text")
+    Sinks.writeRouted(pages, "text", d.resolve("routed").toString)
+    // the writer splits by route directory — no second scan of the input
+    assert(Files.exists(d.resolve("routed/route=clean")))
+    assert(Files.exists(d.resolve("routed/route=quarantine")))
+    val back = spark.read.parquet(d.resolve("routed").toString)
+    assert(back.filter($"route" === "clean").select("doc_id").as[Long]
+      .collect().toSet == Set(1L))
+    val q = back.filter($"route" === "quarantine")
+      .select("doc_id", "suggested_action").as[(Long, String)].collect().toMap
+    assert(q == Map(2L -> "provide_credentials", 3L -> "retry_with_backoff",
+      4L -> "solve_manually"))
+  }
+
   test("K3: INDEX render is bounded and driver-side") {
     import org.apache.spark.sql.Row
     val stats = Seq(Row("en", 10L, 500L, 2000L))
