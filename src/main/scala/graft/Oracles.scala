@@ -35,8 +35,10 @@ object Oracles {
       |  SELECT *, regexp_replace(regexp_replace(url, '#.*', ''), '/$', '') AS norm_url
       |  FROM links)""".stripMargin
 
-  val SkipExt  = """\.(pdf|zip|exe|png|jpe?g|gif|css|js|woff2?|mp[34])$"""
-  val SkipPath = """/(login|logout|signup|signin|static|assets)(/|$)"""
+  // shared with the Spark side — a single source of truth means the two
+  // engines cannot disagree on the skip semantics
+  val SkipExt: String  = graft.etl.Urls.SkipExtPattern
+  val SkipPath: String = graft.etl.Urls.SkipPathPattern
   val LinkTopic = """(?i)urgent|high|building"""
 
   /** relevance expression on documents — mirrors Scoring.scorePage. */

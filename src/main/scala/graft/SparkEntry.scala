@@ -87,7 +87,7 @@ object SparkEntry {
     // dedup
     "dedup_exact"       -> (Dedup.dedupExact _),
     "minhash_signature" -> (Dedup.minhashSignatureQuery _),
-    "minhash_lsh"       -> (Dedup.minhashLsh _),
+    "minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
     "simhash"           -> (Dedup.simhash _),
     // similarity search

@@ -29,24 +29,47 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy("text_hash")
 
-  /** MinHash signatures: NumHashes independent min-hashes per doc, hash_i
+  /** MinHash signatures: numHashes independent min-hashes per doc, hash_i
     * = min over shingles of md5(seed_i || shingle). Computed inside the
     * shingle ARRAY (array_min ∘ transform) — a pure map, no explode, no
     * shuffle; signature extraction over 100 TB is a single scan. Docs
     * with <3 words have no shingles and are excluded (can't near-dup
     * match).
+    *
+    * Parameters trade recall for cost on the standard s-curve
+    * P(candidate | jaccard=s) = 1 − (1 − s^r)^(n/r), r = bandSize (see
+    * [[candidateProbability]]); the ~50% threshold sits near
+    * (r/n)^(1/r). [[TestNumHashes]]/[[TestBandSize]] (8/2 → threshold
+    * ≈ 0.30) keep the oracle corpus productive; [[ProdNumHashes]]/
+    * [[ProdBandSize]] (128/4 → 32 bands, threshold ≈ 0.42, a much
+    * sharper curve) is the documented production preset — same plan
+    * shape, just more signature columns.
     */
-  val NumHashes = 8
-  val BandSize = 2 // → 4 bands
+  val TestNumHashes = 8
+  val TestBandSize = 2 // → 4 bands
+  val ProdNumHashes = 128
+  val ProdBandSize = 4 // → 32 bands
+
+  /** Exact probability that two docs with Jaccard similarity `s` share
+    * at least one LSH band (the banding s-curve). Pure math — the unit
+    * test pins monotonicity and the threshold location so parameter
+    * changes are conscious recall decisions, not accidents.
+    */
+  def candidateProbability(s: Double, numHashes: Int, bandSize: Int): Double = {
+    require(numHashes % bandSize == 0, "bands must tile the signature")
+    val bands = numHashes / bandSize
+    1.0 - math.pow(1.0 - math.pow(s, bandSize.toDouble), bands.toDouble)
+  }
 
   /** docs(doc_id, text) → (doc_id, mh_0..mh_{n-1}), shuffle-free.
     * The shingle array is materialized once behind the size filter
-    * (Project-Filter-Project is not collapsed by Catalyst), so the 8
+    * (Project-Filter-Project is not collapsed by Catalyst), so the n
     * hash columns read a computed attribute instead of re-deriving the
-    * array 8 times.
+    * array n times.
     */
-  def minhashSignature(docs: DataFrame): DataFrame = {
-    val cols = (0 until NumHashes).map { i =>
+  def minhashSignature(docs: DataFrame,
+      numHashes: Int = TestNumHashes): DataFrame = {
+    val cols = (0 until numHashes).map { i =>
       array_min(transform(col("__sh"), s => md5(concat(lit(s"seed$i:"), s))))
         .as(s"mh_$i")
     }
@@ -61,16 +84,18 @@ object Dedup {
       .select(col("doc_id"), col("mh_0"), col("mh_1"), col("mh_7"))
       .orderBy("doc_id")
 
-  /** LSH banding: a band key = md5 of its BandSize signature slots;
+  /** LSH banding: a band key = md5 of its bandSize signature slots;
     * candidate pairs = docs sharing any band key (distinct a<b pairs).
     * The self-join is per-bucket — the O(n²) blowup only happens inside
     * a bucket, which is the entire point of LSH at scale.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String,
+      numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame = {
+    require(numHashes % bandSize == 0, "bands must tile the signature")
     val sig = minhashSignature(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-    val bandCols = (0 until NumHashes / BandSize).map { b =>
-      val slots = (0 until BandSize).map(i => col(s"mh_${b * BandSize + i}"))
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), numHashes)
+    val bandCols = (0 until numHashes / bandSize).map { b =>
+      val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
       struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bkey"))
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))

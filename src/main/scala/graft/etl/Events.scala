@@ -155,9 +155,20 @@ object Events {
     * try-alternatives"): parse a deliberately-corrupted JSON payload,
     * fall back to a regex extraction, then to a sentinel — every row
     * lands in exactly one tier, and the tier is reported.
+    *
+    * Validity-notion coupling (known, deliberate): Spark's tier-1 is
+    * lenient Jackson (`get_json_object` → null on malformed), the
+    * oracle's is DuckDB's strict `json_valid()` guard. These notions
+    * agree on this corpus because the corruption is a hard prefix
+    * truncation — the payload is either intact JSON (both parse it) or
+    * an unclosed brace fragment (both reject it). A corruption that
+    * produced e.g. trailing-garbage JSON would split the notions and
+    * needs a shared validity regex on both sides first.
     */
   def safeParse(spark: SparkSession, dir: String): DataFrame = {
-    // corrupt ~1/3 of payloads deterministically: truncate to 6 chars
+    // corrupt ~1/3 of payloads deterministically: truncate to 8 chars
+    // (inside the '{"k": nn...' prefix, so the digits stay recoverable
+    // for the regex tier)
     val dirty = when(col("event_id") % 3 === 0, substring(col("props"), 1, 8))
       .otherwise(col("props"))
     val parsed = expr("try_cast(get_json_object(dirty, '$.k') AS bigint)")

@@ -64,9 +64,16 @@ object Urls {
       .orderBy("link_id")
 
   // ---- F1: URL skip filter (extension + path patterns) ----
-  // Kept to the Java∩RE2 regex subset so the DuckDB oracle matches.
-  val SkipExtPattern  = "\\.(pdf|zip|exe|png|jpe?g|gif|css|js|woff2?|mp[34])$"
-  val SkipPathPattern = "/(login|logout|signup|signin|static|assets)(/|$)"
+  // The FULL reference lists (crawler-queue.sh:204-216), with the
+  // reference's own matching semantics: extensions are case-sensitive
+  // and end-anchored (grep -qE), path patterns are case-insensitive
+  // SUBSTRING matches (grep -qiE) — no boundary anchoring. Both stay in
+  // the Java∩RE2 subset, and Oracles reuses these exact constants so
+  // the DuckDB side can never drift.
+  val SkipExtPattern =
+    "\\.(pdf|zip|exe|mp4|mp3|wav|avi|mov|png|jpe?g|gif|svg|ico|css|js|woff2?|ttf|eot)$"
+  val SkipPathPattern =
+    "(?i)login|logout|signup|signin|register|cart|checkout|payment|download|/static/|/assets/|/images/|/fonts/"
 
   def keepUrl(url: Column): Column =
     !url.rlike(SkipExtPattern) && !url.rlike(SkipPathPattern)

@@ -14,6 +14,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * the budget, so merge order cannot change the result and no buffer
   * outgrows `maxChars`.
   *
+  * PRECONDITION — unique keys per group: `updated`/`++` keep the
+  * last-seen value on a key collision, and "last seen" depends on
+  * partition merge order, so duplicate keys would make the kept value
+  * nondeterministic (the merge-order-independence claim holds only for
+  * distinct keys). The verified call site keys by doc_id within lang
+  * (unique by construction); a caller with non-unique keys must
+  * pre-aggregate to one value per key first.
+  *
   * Semantics (mirrored by the DuckDB oracle of `bounded_summary`):
   * items sorted by key ascending; keep the longest prefix such that
   * length(join(pieces, "|")) <= maxChars; output the joined string.

@@ -51,9 +51,17 @@ object StreamingCrawl {
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val sp = batch.sparkSession
-        // visited so far = everything already emitted
+        // visited so far = everything already emitted; only the
+        // nothing-written-yet case (no matching files) may degrade to
+        // empty — any other failure must surface, or dedup silently
+        // turns off and every batch re-expands the whole graph
         val visited = try sp.read.parquet(s"$visitedDir/*")
-          catch { case _: Throwable => sp.emptyDataFrame }
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("PATH_NOT_FOUND")
+                  || e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+              sp.emptyDataFrame
+          }
         val newlyVisited =
           if (visited.columns.contains("node"))
             batch.join(visited.select("node"), Seq("node"), "left_anti")
@@ -77,12 +85,16 @@ object StreamingCrawl {
       }
       .start()
     // drain: process until no new frontier files appear
+    def frontierEntries(): Long = {
+      val s = Files.list(Paths.get(frontierDir))
+      try s.count() finally s.close() // Files.list holds an open fd
+    }
     var stable = 0
     while (stable < 3) {
       query.processAllAvailable()
-      val before = Files.list(Paths.get(frontierDir)).count()
+      val before = frontierEntries()
       query.processAllAvailable()
-      val after = Files.list(Paths.get(frontierDir)).count()
+      val after = frontierEntries()
       if (after == before) stable += 1 else stable = 0
     }
     query.stop()

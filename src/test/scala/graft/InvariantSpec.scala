@@ -92,6 +92,30 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("LSH s-curve: monotone, correct thresholds, prod preset sharper") {
+    import graft.etl.Dedup._
+    for ((n, r) <- Seq((TestNumHashes, TestBandSize), (ProdNumHashes, ProdBandSize))) {
+      // monotone non-decreasing in similarity, pinned at the ends
+      val grid = (0 to 100).map(i => candidateProbability(i / 100.0, n, r))
+      grid.sliding(2).foreach { case Seq(a, b) => assert(a <= b + 1e-12) }
+      assert(grid.head == 0.0 && math.abs(grid.last - 1.0) < 1e-12)
+      // the 50% point sits near the analytic threshold (r/n)^(1/r)
+      val thresh = math.pow(r.toDouble / n, 1.0 / r)
+      assert(math.abs(candidateProbability(thresh, n, r) - 0.5) < 0.2,
+        s"threshold estimate off for n=$n r=$r")
+    }
+    // band math: 8/2 catches true near-dups and passes on dissimilar docs
+    assert(candidateProbability(0.9, TestNumHashes, TestBandSize) > 0.99)
+    assert(candidateProbability(0.1, TestNumHashes, TestBandSize) < 0.05)
+    // production curve is sharper: lower false-positive mass at s=0.2,
+    // same high recall at s=0.8
+    assert(candidateProbability(0.2, ProdNumHashes, ProdBandSize)
+      < candidateProbability(0.2, TestNumHashes, TestBandSize))
+    assert(candidateProbability(0.8, ProdNumHashes, ProdBandSize) > 0.99)
+    // a mis-tiled configuration is rejected loudly
+    assertThrows[IllegalArgumentException](candidateProbability(0.5, 8, 3))
+  }
+
   test("render sinks respect their hard char caps") {
     val big = Seq.fill(5000)(("concept-name", "s" * 300))
     assert(Sinks.renderSkill("t", "o" * 9999, big).length <= 30000)

@@ -23,7 +23,11 @@ class UrlsSpec extends AnyFunSuite with SparkTestBase {
       "https://a.com/x.css" -> false,
       "https://a.com/login" -> false,
       "https://a.com/static/app" -> false,
-      "https://a.com/logins" -> true, // path must be a whole segment
+      // reference semantics (crawler-queue.sh:211-216): patterns are
+      // case-insensitive SUBSTRINGS, extensions case-sensitive + terminal
+      "https://a.com/logins" -> false,
+      "https://a.com/LOGIN/x" -> false,
+      "https://a.com/x.PDF" -> true,
       "https://a.com/doc.pdf.html" -> true, // extension must be terminal
       "https://a.com/page/9" -> true)
     val got = urls.map(_._1).toDF("url")
