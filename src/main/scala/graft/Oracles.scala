@@ -991,6 +991,18 @@ object Oracles {
         |WHERE levenshtein(a.name, b.name) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
 
+    // full-table scale form: identical (prefix, length) blocking on both
+    // sides — see TfIdf.editDistanceBanded
+    "edit_distance_banded" ->
+      """WITH c AS (SELECT c_custkey AS k, c_name AS name,
+        |             substr(c_name, 1, 17) || '|' || CAST(length(c_name) AS VARCHAR) AS blk
+        |           FROM customer)
+        |SELECT a.k AS key_a, b.k AS key_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY key_a, key_b""".stripMargin,
+
     "rank_functions" ->
       """WITH x AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
         |           FROM lineitem WHERE l_orderkey < 200)

@@ -132,6 +132,7 @@ object SparkEntry {
     // IR / analytics extras
     "tfidf_topk"      -> (TfIdf.tfidfTopK _),
     "edit_distance"   -> (TfIdf.editDistancePairs _),
+    "edit_distance_banded" -> (TfIdf.editDistanceBanded _),
     "rank_functions"  -> (TfIdf.rankFunctions _),
     "set_ops"         -> (Relational2.setOps _),
     "cube_sales"      -> (Relational2.cubeSales _),

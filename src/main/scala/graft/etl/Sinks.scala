@@ -37,12 +37,13 @@ object Sinks {
     * writer do the split (route=clean/ route=quarantine/ directories),
     * never two filtered scans of a 100 TB source.
     */
-  def writeRouted(pages: DataFrame, textCol: String, path: String): Unit =
+  def writeRouted(pages: DataFrame, textCol: String, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
     pages
       .withColumn("obstacle", Scoring.obstacleType(col(textCol)))
       .withColumn("route", Scoring.routeFor(col("obstacle")))
       .withColumn("suggested_action", Scoring.suggestedAction(col("obstacle")))
-      .write.mode(SaveMode.Overwrite)
+      .write.mode(mode)
       .partitionBy("route").parquet(path)
 
   /** K11: state checkpoint between crawl iterations — overwrite-parquet

@@ -51,6 +51,30 @@ object TfIdf {
       .orderBy("key_a", "key_b")
   }
 
+  /** The SCALE form of edit-distance fuzzy matching: blocking before the
+    * quadratic compare, over the FULL table (no bounded key range). The
+    * block key = (17-char name prefix, name length) — an equi-join key,
+    * so the plan is a hash join whose quadratic work happens only inside
+    * a block, exactly like LSH buckets; levenshtein ≥ |len(a)−len(b)|
+    * makes the length part of the key lossless for dist ≤ threshold at
+    * equal lengths. Recall trade-off: a pair whose edit sits inside the
+    * prefix is missed — the standard dial is multiple blocking passes
+    * (prefix, suffix, q-gram), each this same plan. The oracle applies
+    * identical blocking, so the verified surface is exact.
+    */
+  def editDistanceBanded(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_name").as("name"))
+      .withColumn("blk", concat(substring(col("name"), 1, 17), lit("|"),
+        length(col("name")).cast("string")))
+    c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+      .filter(col("dist") <= 1)
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"), col("dist"))
+      .orderBy("key_a", "key_b")
+  }
+
   /** The analytic window-function set over one total order: rank,
     * dense_rank, percent_rank, cume_dist, ntile — raw rational outputs
     * (identical-operand divisions, no rounding needed).

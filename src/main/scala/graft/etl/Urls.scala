@@ -75,8 +75,15 @@ object Urls {
   val SkipPathPattern =
     "(?i)login|logout|signup|signin|register|cart|checkout|payment|download|/static/|/assets/|/images/|/fonts/"
 
+  // The patterns above are the SPEC (and the oracle's implementation).
+  // The Spark side evaluates them via the codegen'd SkipUrl expression —
+  // a literal suffix/substring scan, NOT a regex NFA, and crucially a
+  // SINGLE expression node: a 33-predicate Column chain would get the
+  // computed url inlined into every predicate once Catalyst hoists the
+  // filter into a join condition (measured 10× regression). Oracle
+  // hash-equality at three SFs proves the regex ↔ literal equivalence.
   def keepUrl(url: Column): Column =
-    !url.rlike(SkipExtPattern) && !url.rlike(SkipPathPattern)
+    !graft.functions.UrlFunctions.skipUrl(url)
 
   def urlSkipFilter(spark: SparkSession, dir: String): DataFrame =
     linkCorpus(spark, dir)

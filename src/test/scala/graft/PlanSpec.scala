@@ -66,6 +66,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf(p, "+- Exchange") <= 1, p)
   }
 
+  test("banded edit-distance joins on the block key, never a nested loop") {
+    val p = plan("edit_distance_banded")
+    assert(!p.contains("NestedLoop"), s"blocking must make an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("binned range join is a hash/merge equi-join, never a nested loop") {
     val p = plan("range_join_band")
     assert(!p.contains("NestedLoop"), s"band join must stay equi-join:\n$p")

@@ -122,6 +122,36 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
     assert(docs.keySet == Set("README.md", "getting-started.md", "reference/api.md"))
   }
 
+  test("§2.11 gate: streaming obstacles route to quarantine across batches") {
+    // the reference BLOCKS on AskUser mid-crawl; the streaming analog is
+    // this non-blocking gate — each micro-batch splits obstacle rows into
+    // the quarantine store and the crawl keeps moving
+    implicit val sqlCtx = spark.sqlContext
+    val d = tmpDir()
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sinks.writeRouted(batch, "text", d.resolve("routed").toString,
+          org.apache.spark.sql.SaveMode.Append)
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData((1L, "y" * 150 + " please login here"), (2L, "z" * 150))
+      q.processAllAvailable()
+      src.addData((3L, "tiny")) // second batch: short text obstacle
+      q.processAllAvailable()
+      val back = spark.read.parquet(d.resolve("routed").toString)
+      val quarantined = back.filter($"route" === "quarantine")
+        .select("doc_id", "suggested_action").as[(Long, String)]
+        .collect().toMap
+      assert(quarantined == Map(1L -> "provide_credentials",
+        3L -> "retry_with_backoff"))
+      assert(back.filter($"route" === "clean").select("doc_id").as[Long]
+        .collect().toSeq == Seq(2L))
+    } finally q.stop()
+  }
+
   test("U2 streaming: flatMapGroupsWithState emits each url once") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[PageVisit]
