@@ -248,6 +248,22 @@ object Oracles {
          |  printf('%03d', row_number() OVER (ORDER BY norm_url)) AS page_id
          |FROM k ORDER BY norm_url""".stripMargin,
 
+    // per-domain fetch-wave scheduling — mirrors Urls.politenessBatches
+    "politeness_batches" ->
+      s"""WITH $LinksCte, $NormCte,
+         |k AS (SELECT norm_url,
+         |        regexp_extract(norm_url, '^https?://([^/]+)', 1) AS domain,
+         |        CAST(parent_relevance + depth AS INT) AS priority
+         |      FROM n
+         |      WHERE NOT regexp_matches(norm_url, '$SkipExt')
+         |        AND NOT regexp_matches(norm_url, '$SkipPath')),
+         |r AS (SELECT domain, norm_url, priority,
+         |        CAST(row_number() OVER (PARTITION BY domain
+         |          ORDER BY priority DESC, norm_url) AS INT) AS rn
+         |      FROM k)
+         |SELECT domain, CAST((rn + 1) // 2 AS INT) AS wave, rn, norm_url, priority
+         |FROM r WHERE (rn + 1) // 2 <= 3 ORDER BY domain, rn""".stripMargin,
+
     // ---- document scoring / classification ----
     "score_page" ->
       s"""SELECT doc_id, lang,
@@ -629,6 +645,22 @@ object Oracles {
          |WHERE cos >= 0.3 ORDER BY label, vec_a, vec_b""".stripMargin
     },
 
+    // IVF assignment: nearest of the broadcast centroid slice; mean over
+    // exact basis points — mirrors Similarity.clusterAssign
+    "cluster_assign" -> {
+      val p =
+        """p AS (SELECT e.vec_id AS qid, c.vec_id AS cid, e.embedding AS qe, c.embedding AS ce
+          |      FROM embeddings e JOIN embeddings c
+          |        ON c.vec_id < 8 AND e.vec_id <> c.vec_id)""".stripMargin
+      s"""WITH ${cosineFrom(p, "")},
+         |r AS (SELECT qid, cid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+         |      FROM s)
+         |SELECT cid, count(*) AS n_assigned,
+         |  CAST(sum(CAST(round(cos * 10000) AS BIGINT)) AS DOUBLE) / count(*) / 10000.0 AS mean_cos
+         |FROM r WHERE rk = 1 GROUP BY cid ORDER BY cid""".stripMargin
+    },
+
     "label_stats" ->
       """WITH z AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
         |d AS (SELECT vec_id, label, sqrt(sum(x * x)) AS vnorm
@@ -936,6 +968,24 @@ object Oracles {
         |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // same histogram + cumulative-count rank selection as median_price,
+    // three targets — mirrors Relational2.quartilePrices
+    "quartile_prices" ->
+      """WITH x AS (SELECT l_returnflag,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents FROM lineitem),
+        |h AS (SELECT l_returnflag, cents, count(*) AS cnt FROM x GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |        CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |      FROM h),
+        |b AS (SELECT *, cum - cnt AS cum_before FROM c)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN (n * 25 + 99) // 100 > cum_before AND (n * 25 + 99) // 100 <= cum THEN cents END) / 100.0 AS p25,
+        |  max(CASE WHEN (n * 50 + 99) // 100 > cum_before AND (n * 50 + 99) // 100 <= cum THEN cents END) / 100.0 AS p50,
+        |  max(CASE WHEN (n * 75 + 99) // 100 > cum_before AND (n * 75 + 99) // 100 <= cum THEN cents END) / 100.0 AS p75
+        |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "json_struct_parse" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
@@ -943,6 +993,21 @@ object Oracles {
         |FROM events ORDER BY event_id""".stripMargin,
 
     // ---- corpus QA / preprocessing ----
+    // PII shell + redaction mirror TextAnalysis.piiRedact exactly.
+    "pii_redact" ->
+      """WITH d AS (SELECT doc_id,
+        |        'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+        |        lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ||
+        |        coalesce(text,'') AS raw
+        |      FROM documents)
+        |SELECT doc_id,
+        |  substr(regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'), 1, 120) AS redacted_head,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
+        |FROM d ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """WITH n AS (SELECT doc_id,
         |         trim(regexp_replace(regexp_replace(lower(coalesce(text,'')),

@@ -54,6 +54,7 @@ object SparkEntry {
     "score_link"       -> (Urls.scoreLinkQuery _),
     "priority_calc"    -> (Urls.priorityCalc _),
     "page_id_gen"      -> (Urls.pageIdGen _),
+    "politeness_batches" -> ((s: SparkSession, d: String) => Urls.politenessBatches(s, d)),
     // document scoring / classification
     "score_page"      -> (Scoring.scorePageQuery _),
     "stars_bucket"    -> (Scoring.starsBucket _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "knn_bucketed"      -> (Similarity.knnBucketed _),
     "embedding_neardup" -> (Similarity.embeddingNearDup _),
     "label_stats"       -> (Similarity.labelStats _),
+    "cluster_assign"    -> (Similarity.clusterAssign _),
     // fixpoint / windows / custom-agg / multimodal
     "crawl_bfs"           -> (Crawl.crawlBfs _),
     "range_window"        -> (Events.rangeWindow _),
@@ -124,9 +126,11 @@ object SparkEntry {
     "rollup_sales"     -> (Relational2.rollupSales _),
     "pivot_flags"      -> (Relational2.pivotFlags _),
     "median_price"     -> (Relational2.medianPrice _),
+    "quartile_prices"  -> (Relational2.quartilePrices _),
     "json_struct_parse" -> (Events.jsonStructParse _),
     // corpus QA / preprocessing
     "text_normalize"    -> (TextAnalysis.textNormalize _),
+    "pii_redact"        -> (TextAnalysis.piiRedact _),
     "length_histogram"  -> (TextAnalysis.lengthHistogram _),
     "stratified_sample" -> (Splits.stratifiedSample _),
     // IR / analytics extras

@@ -145,6 +145,34 @@ object Relational2 {
       .orderBy("l_returnflag")
   }
 
+  /** Exact p25/p50/p75 in ONE pass — the [[medianPrice]] histogram
+    * generalizes to any rank set for free: same (flag, cents) value
+    * histogram, same tiny cumulative window, three target ranks
+    * (rank_p = ceil(p·n) via integer math) selected by conditional
+    * aggregation. This is why the histogram form beats per-row ranking
+    * at scale: adding quantiles costs nothing, while the window form
+    * would re-sort the table per rank set.
+    */
+  def quartilePrices(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("cents"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    def rankFor(pct: Int) = expr(s"(n * $pct + 99) div 100") // ceil(p·n)
+    def valueAt(pct: Int) =
+      (max(when(rankFor(pct) > col("cum_before") && rankFor(pct) <= col("cum"),
+        col("cents"))) / lit(100.0)).as(s"p$pct")
+    cum.groupBy(col("l_returnflag"))
+      .agg(valueAt(25), valueAt(50), valueAt(75))
+      .orderBy("l_returnflag")
+  }
+
   /** Pivot: linestatus columns per returnflag (fixed value list keeps
     * the schema deterministic — never pivot on discovered values in a
     * verified pipeline). Physically conditional aggregation: one pass.

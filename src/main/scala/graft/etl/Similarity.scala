@@ -126,6 +126,37 @@ object Similarity {
       .orderBy("label", "vec_a", "vec_b")
   }
 
+  /** IVF assignment step: every vector → its nearest centroid (here the
+    * bounded vec_id < 8 slice, broadcast — in production the k-means
+    * centroids, always broadcastable since k ≪ n). One map-side pass
+    * over the corpus with the codegen'd dot product, argmax via
+    * rank-1 window keyed by vec_id (high cardinality — distributes).
+    * Output = per-centroid occupancy + mean cosine, the balance report
+    * that tells you whether the partitioning will carry an ANN index.
+    */
+  def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val cents = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn")))
+    val scored = e.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(cents, col("vec_id") =!= col("cid"))
+      .withColumn("cos",
+        round(dotF(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 4))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("cid"))
+      // mean over EXACT basis points, not avg(double): double summation
+      // is order-sensitive across partitions; round(cos·10⁴) is integral
+      // so the bigint sum is order-free and the final division exact
+      .agg(count(lit(1)).as("n_assigned"),
+        (sum(round(col("cos") * 10000).cast("bigint")).cast("double")
+          / count(lit(1)) / 10000.0).as("mean_cos"))
+      .orderBy("cid")
+  }
+
   /** Centroid summary per label: aggregate RAW norms (irrational values
     * → rounding-tie-free), round only at the output surface.
     */

@@ -119,6 +119,39 @@ object TextAnalysis {
         sum(col("n_chars")).as("bin_chars"))
       .orderBy("lang", "bin")
 
+  /** PII redaction — a first-class preprocessing pass in any real
+    * training-data pipeline (strip emails/phones before the corpus
+    * ships). Pure regexp_replace chain in the shared Java∩RE2 dialect:
+    * a single codegen'd map over the corpus, zero shuffles. The corpus
+    * has no organic PII, so a deterministic shell plants one email and
+    * one phone per document (same construction in the oracle) — the
+    * redaction expressions themselves are production-shaped.
+    */
+  val EmailPattern = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(txt(c), EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(
+      lit("contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" "), txt(col("text")))
+    Tables.documents(spark, dir)
+      .withColumn("raw", planted)
+      .select(col("doc_id"),
+        substring(redactPii(col("raw")), 1, 120).as("redacted_head"),
+        size(regexp_extract_all(col("raw"), lit(EmailPattern), lit(0)))
+          .cast("int").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhonePattern), lit(0)))
+          .cast("int").as("n_phones"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: min-of-hashes over word 3-shingles (rolling-
     * hash analog, md5-based so the DuckDB oracle can reproduce it
     * bit-for-bit). Computed entirely inside the shingle ARRAY

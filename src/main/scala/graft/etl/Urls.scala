@@ -181,6 +181,30 @@ object Urls {
       .orderBy("domain", "rn")
   }
 
+  // ---- T1 politeness: per-domain fetch scheduling ----
+  // The reference fetches at most a few urls per host per round
+  // (config/limits.yaml:105 crawl delay). The batch analog assigns each
+  // url a fetch WAVE: rank within its domain (priority-ordered), k urls
+  // per wave. Windowed per domain — the shuffle key is the domain, so
+  // scheduling 100 TB of frontier is one exchange; each wave is then a
+  // ready-to-run Sources.fetch input with per-partition rate caps.
+  def politenessBatches(spark: SparkSession, dir: String,
+      perWave: Int = 2, maxWave: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val links = linkCorpus(spark, dir)
+      .withColumn("norm_url", normalizeUrl(col("url")))
+      .filter(keepUrl(col("norm_url")))
+      .withColumn("domain", urlDomain(col("norm_url")))
+      .withColumn("priority", (col("parent_relevance") + col("depth")).cast("int"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("priority").desc, col("norm_url").asc)
+    links.withColumn("rn", row_number().over(w))
+      .withColumn("wave", expr(s"(rn + ${perWave - 1}) div $perWave").cast("int"))
+      .filter(col("wave") <= maxWave)
+      .select(col("domain"), col("wave"), col("rn"), col("norm_url"), col("priority"))
+      .orderBy("domain", "rn")
+  }
+
   // ---- X1: score_link (topic-regex relevance 0-10) ----
   // +3 url match, +5 anchor match, +2 context match, cap at 10
   // (relevance-scorer SKILL.md:93-119). Pure when/otherwise chain —
