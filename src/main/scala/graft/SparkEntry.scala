@@ -89,6 +89,9 @@ object SparkEntry {
     "dedup_exact"       -> (Dedup.dedupExact _),
     "minhash_signature" -> (Dedup.minhashSignatureQuery _),
     "minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    // production-speed signatures (xxhash64): no DuckDB twin exists, so
+    // this is rows-only at the driver; InvariantSpec cross-checks recall
+    "minhash_fast"      -> (Dedup.minhashFastQuery _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
     "simhash"           -> (Dedup.simhash _),
     // similarity search

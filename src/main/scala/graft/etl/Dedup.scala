@@ -84,16 +84,69 @@ object Dedup {
       .select(col("doc_id"), col("mh_0"), col("mh_1"), col("mh_7"))
       .orderBy("doc_id")
 
+  /** PRODUCTION-SPEED signatures: identical plan to [[minhashSignature]]
+    * with xxhash64 (codegen'd native longs) in place of md5 (MessageDigest
+    * + hex strings). md5 exists only because the DuckDB oracle can
+    * reproduce it bit-for-bit; xxhash64 has no DuckDB twin, so this
+    * variant is driver-checked rows-only and CROSS-checked in-engine:
+    * InvariantSpec proves both LSH variants recover every exact-duplicate
+    * pair (identical shingle sets ⇒ identical signatures under ANY hash,
+    * so exact dups are recall-1 candidates for both).
+    */
+  def minhashSignatureFast(docs: DataFrame,
+      numHashes: Int = TestNumHashes): DataFrame = {
+    val cols = (0 until numHashes).map { i =>
+      array_min(transform(col("__sh"), s => xxhash64(lit(s"seed$i:"), s)))
+        .as(s"mh_$i")
+    }
+    docs.select(col("doc_id"), Shingles.shingleArray(col("text"), 3).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("doc_id") +: cols: _*)
+  }
+
+  def minhashFastQuery(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatureFast(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("mh_0"), col("mh_1"), col("mh_7"))
+      .orderBy("doc_id")
+
+  /** LSH banding over the fast signatures (same banding as [[minhashLsh]];
+    * band key = xxhash64 of the slots instead of md5).
+    */
+  def minhashLshFast(docs: DataFrame, numHashes: Int = TestNumHashes,
+      bandSize: Int = TestBandSize): DataFrame = {
+    require(numHashes % bandSize == 0, "bands must tile the signature")
+    val sig = minhashSignatureFast(docs, numHashes)
+    val bandCols = (0 until numHashes / bandSize).map { b =>
+      val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("bkey"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      .persist()
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** LSH banding: a band key = md5 of its bandSize signature slots;
     * candidate pairs = docs sharing any band key (distinct a<b pairs).
     * The self-join is per-bucket — the O(n²) blowup only happens inside
     * a bucket, which is the entire point of LSH at scale.
     */
   def minhashLsh(spark: SparkSession, dir: String,
+      numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame =
+    minhashLshFrom(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      numHashes, bandSize)
+
+  def minhashLshFrom(docs: DataFrame,
       numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame = {
     require(numHashes % bandSize == 0, "bands must tile the signature")
-    val sig = minhashSignature(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")), numHashes)
+    val sig = minhashSignature(docs, numHashes)
     val bandCols = (0 until numHashes / bandSize).map { b =>
       val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
       struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bkey"))

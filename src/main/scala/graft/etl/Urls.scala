@@ -188,6 +188,10 @@ object Urls {
   // per wave. Windowed per domain — the shuffle key is the domain, so
   // scheduling 100 TB of frontier is one exchange; each wave is then a
   // ready-to-run Sources.fetch input with per-partition rate caps.
+  // Cardinality note: the synthetic corpus has only 5 domains (worst
+  // case — 5 window tasks); a real frontier has millions of hosts, so
+  // the domain key distributes. Per-domain ranking is irreducibly
+  // per-domain; a single hot host is capped by maxWave, not by the plan.
   def politenessBatches(spark: SparkSession, dir: String,
       perWave: Int = 2, maxWave: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

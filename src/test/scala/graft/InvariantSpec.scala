@@ -116,6 +116,29 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](candidateProbability(0.5, 8, 3))
   }
 
+  test("md5 and xxhash64 LSH both recover every exact-duplicate pair") {
+    import graft.etl.Dedup
+    val base = "spark window stream join filter sort the quick brown fox"
+    val ducks = Seq(
+      1L -> base, 2L -> base, 3L -> base,            // triplet of exact dups
+      4L -> (base + " extra trailing words here"),   // near-dup of the triplet
+      5L -> "a completely different document about nothing in particular",
+      6L -> "a completely different document about nothing in particular",
+      7L -> "unrelated singleton text with enough words to shingle")
+      .toDF("doc_id", "text")
+    val wantPairs = Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L))
+    val md5Pairs = Dedup.minhashLshFrom(ducks)
+      .as[(Long, Long)].collect().toSet
+    val xxPairs = Dedup.minhashLshFast(ducks)
+      .as[(Long, Long)].collect().toSet
+    // exact dups have identical shingle sets ⇒ recall 1 under ANY hash
+    assert(wantPairs.subsetOf(md5Pairs), s"md5 missed: ${wantPairs -- md5Pairs}")
+    assert(wantPairs.subsetOf(xxPairs), s"xx missed: ${wantPairs -- xxPairs}")
+    // and neither invents a pair out of the unrelated singleton
+    assert(!md5Pairs.exists(p => p._1 == 7L || p._2 == 7L))
+    assert(!xxPairs.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
   test("render sinks respect their hard char caps") {
     val big = Seq.fill(5000)(("concept-name", "s" * 300))
     assert(Sinks.renderSkill("t", "o" * 9999, big).length <= 30000)
