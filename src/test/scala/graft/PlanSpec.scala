@@ -113,6 +113,43 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("AQE splits a skewed shuffle join at runtime (skew=true)") {
+    // the other half of the skew story: skew_salted_agg is the static
+    // fix (salting); this pins the runtime fix — AQE detects the hot
+    // key's oversized partition and splits it, no code change needed
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    val confs = Seq(
+      // enough partitions that the median is a non-hot partition
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 99.5% of fact rows share key 0 → one partition dwarfs the rest
+      val fact = spark.range(0, 200000)
+        .select(when($"id" % 200 =!= 0, 0L).otherwise($"id").as("k"),
+          concat(lit("payload-"), $"id").as("v"))
+      val dim = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = fact.join(dim, "k")
+      // collect() executes j's OWN QueryExecution — count() would build
+      // a separate plan and leave this one un-finalized (isFinalPlan=false)
+      assert(j.collect().length == 199005)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no exchange under the join") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
