@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** The reference's full crawl→extract→score→transform→sink flow as ONE
   * composed Spark pipeline (commands/extract.md end-to-end; DESIGN.md
@@ -60,5 +61,44 @@ object Pipeline {
       .orderBy(col("relevance").desc, col("doc_id").asc)
       .limit(10).collect().toSeq
     Sinks.renderIndex(stats, top)
+  }
+
+  /** Streaming form of the front half: a WATCHED frontier directory of
+    * url lists (one url per line — the reference's queue.json made
+    * incremental). Each micro-batch routes, fetches through the
+    * injected transport, scores, and APPENDS through the quarantine
+    * split — the §2.11 shape: rate limit = maxFilesPerTrigger ×
+    * per-partition interval, restart = checkpoint, obstacles never
+    * block the stream. Returns the running query; callers own its
+    * lifecycle.
+    */
+  def runStream(spark: SparkSession, frontierDir: String,
+      transport: Transport, outDir: String,
+      topic: String = Scoring.PageTopic, minIntervalMs: Long = 0L,
+      maxFilesPerTrigger: Int = 4): StreamingQuery = {
+    val urls = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .text(frontierDir)
+      .withColumnRenamed("value", "url")
+      .filter(length(trim(col("url"))) > 0)
+    urls.writeStream
+      .trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fetched = Sources.fetch(
+          batch.withColumn("engine", Urls.engineFor(col("url"))),
+          transport, minIntervalMs)
+        val pages = Sources.withFrontmatter(fetched)
+          .filter(!col("status").startsWith("error"))
+          .withColumn("relevance", Scoring.scorePage(col("body"), topic))
+          .withColumn("lang", lit("en"))
+          .withColumn("doc_id", xxhash64(col("url")))
+          .select(col("doc_id"), col("url"), col("lang"), col("relevance"),
+            col("page_md"), col("body"))
+        Sinks.writeRouted(pages, "body", s"$outDir/pages",
+          org.apache.spark.sql.SaveMode.Append)
+        ()
+      }
+      .start()
   }
 }

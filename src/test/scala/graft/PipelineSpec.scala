@@ -21,6 +21,29 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
           s"\n```\nval page = \"$url\"\n```\n" + ("body text " * 20))
   }
 
+  test("streaming pipeline fetches each frontier batch into the routed store") {
+    val base = Files.createTempDirectory("graft_spipe_")
+    val frontier = base.resolve("frontier"); Files.createDirectories(frontier)
+    val out = base.resolve("out").toString
+    Files.writeString(frontier.resolve("wave1.txt"),
+      "https://building.example.com/page/1\nhttps://machinery.example.com/auth/2\n")
+    val q = Pipeline.runStream(spark, frontier.toString, PageTransport, out)
+    try {
+      q.processAllAvailable()
+      // second wave arrives while the stream runs
+      Files.writeString(frontier.resolve("wave2.txt"),
+        "https://furniture.example.com/page/3\n")
+      q.processAllAvailable()
+      val pages = spark.read.parquet(s"$out/pages")
+      assert(pages.count() == 3)
+      assert(pages.filter($"route" === "quarantine")
+        .select("url").as[String].collect().toSeq
+        == Seq("https://machinery.example.com/auth/2"))
+      // both waves' clean pages landed, each scored from its fetched body
+      assert(pages.filter($"route" === "clean" && $"relevance" > 0).count() == 2)
+    } finally q.stop()
+  }
+
   test("pipeline produces pages, quarantine, whole-fence chunks, and INDEX") {
     val d = Files.createTempDirectory("graft_pipe_").toString
     val frontier = Seq(

@@ -113,6 +113,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("sweep: no query plans a single-partition exchange or cartesian product") {
+    // the serial batch_pack is the documented exception (semantic spec
+    // for its sharded twin); everything else must keep table-sized data
+    // on hash/range partitioning only
+    val whitelist = Set("batch_pack")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(whitelist)
+      .flatMap { q =>
+        val p = plan(q)
+        val bad = Seq(
+          "Exchange SinglePartition" -> p.contains("Exchange SinglePartition"),
+          "CartesianProduct" -> p.contains("CartesianProduct"))
+          .collect { case (tag, true) => tag }
+        if (bad.isEmpty) None else Some(s"$q: ${bad.mkString(",")}")
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("AQE splits a skewed shuffle join at runtime (skew=true)") {
     // the other half of the skew story: skew_salted_agg is the static
     // fix (salting); this pins the runtime fix — AQE detects the hot
