@@ -629,6 +629,27 @@ object Oracles {
 
     // Blocking = label × sign-bucket (same cell expression as knn_bucketed);
     // mirrors Similarity.embeddingNearDup's bounded-block self-join.
+    // multi-probe: query's cell plus its three Hamming-1 neighbors —
+    // mirrors Similarity.knnMultiprobe
+    "knn_multiprobe" -> {
+      val p =
+        """b AS (SELECT vec_id, embedding,
+          |        CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+          |             (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+          |             (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+          |      FROM embeddings),
+          |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+          |      FROM b q JOIN b c
+          |        ON c.bucket IN (q.bucket, xor(q.bucket, 1), xor(q.bucket, 2), xor(q.bucket, 4))
+          |       AND q.vec_id <> c.vec_id
+          |      WHERE q.vec_id < 16)""".stripMargin
+      s"""WITH ${cosineFrom(p, "")},
+         |r AS (SELECT qid, cid, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+         |      FROM s)
+         |SELECT qid, rank, cid, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
     "embedding_neardup" -> {
       val p =
         """b AS (SELECT vec_id, embedding, label,

@@ -97,6 +97,7 @@ object SparkEntry {
     // similarity search
     "knn_brute"         -> (Similarity.knnBrute _),
     "knn_bucketed"      -> (Similarity.knnBucketed _),
+    "knn_multiprobe"    -> (Similarity.knnMultiprobe _),
     "embedding_neardup" -> (Similarity.embeddingNearDup _),
     "label_stats"       -> (Similarity.labelStats _),
     "cluster_assign"    -> (Similarity.clusterAssign _),

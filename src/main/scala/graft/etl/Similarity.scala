@@ -126,6 +126,38 @@ object Similarity {
       .orderBy("label", "vec_a", "vec_b")
   }
 
+  /** Multi-probe bucketed kNN — the recall dial of [[knnBucketed]] made
+    * concrete: each query probes its own sign cell PLUS the cells at
+    * Hamming distance 1 (bit flips of the 3 bucket bits), trading 4×
+    * probe volume for recall of neighbors that straddle one sign
+    * boundary. Plan shape unchanged: the probe list explodes on the
+    * BROADCAST query side (bounded × 4), the corpus still partitions by
+    * its single bucket — no extra corpus shuffle, which is the entire
+    * point at 100 TB.
+    */
+  def knnMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("bucket", signBucket(col("embedding")))
+    val probes = array(col("bucket"),
+      col("bucket").bitwiseXOR(1), col("bucket").bitwiseXOR(2),
+      col("bucket").bitwiseXOR(4))
+    val q = broadcast(e.filter(col("vec_id") < 16)
+      .withColumn("probe", explode(probes))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("probe")))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("bucket").as("cb"))
+    val scored = q.join(c, col("probe") === col("cb") && col("qid") =!= col("cid"))
+      .withColumn("cos",
+        round(dotF(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("cid"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** IVF assignment step: every vector → its nearest centroid (here the
     * bounded vec_id < 8 slice, broadcast — in production the k-means
     * centroids, always broadcastable since k ≪ n). One map-side pass
