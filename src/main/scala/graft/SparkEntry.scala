@@ -115,6 +115,9 @@ object SparkEntry {
     // strategy router / distinct / priority crawl
     "transform_route" -> (Router.transformRoute _),
     "distinct_agg"    -> (Router.distinctAgg _),
+    // HLL sketch tier: rows-only (sketch bits differ per engine);
+    // InvariantSpec pins the error bound in-engine
+    "distinct_sketch" -> (Router.distinctSketch _),
     "crawl_priority"  -> ((s: SparkSession, d: String) => Crawl.crawlPriority(s, d)),
     // SQL surface (registered functions via GraftExtensions)
     "sql_chunk" -> (Chunker.sqlChunk _),

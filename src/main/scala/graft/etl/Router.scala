@@ -32,15 +32,30 @@ object Router {
       .orderBy("source")
 
   /** Exact distinct aggregation (the reference's dedup-count analog);
-    * the HLL approx path (approx_count_distinct) is library API +
-    * unit-tested within tolerance — sketches aren't cross-engine
-    * comparable, so only the exact form is oracle-checked.
+    * sketches aren't cross-engine comparable, so only this exact form
+    * is oracle-checked — [[distinctSketch]] is the approx path.
     */
   def distinctAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** The sketch tier: HLL++ approximate distincts next to the exact
+    * answer. At 100 TB this is THE cardinality plan — approx_count_
+    * distinct is a fixed-size mergeable sketch (no per-key state, no
+    * distinct expansion shuffle), while exact countDistinct expands
+    * every (group, value) pair. Driver-checked rows-only (HLL bit
+    * patterns differ per engine); InvariantSpec pins the relative error
+    * to the configured rsd on a known-cardinality corpus.
+    */
+  def distinctSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 }

@@ -86,6 +86,20 @@ object Sources {
   def readQueue(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(QueueSchema).json(path)
 
+  /** Corrupt-tolerant queue reader: a malformed line survives as a row
+    * with null fields and the raw text in `_corrupt_record`, so one bad
+    * byte in a 100 TB landing zone quarantines ONE row instead of
+    * failing the stage (the reference's jq pipeline would abort —
+    * crawler-queue.sh:36-51). Split on `_corrupt_record IS NULL` and
+    * route the rest through the quarantine sink.
+    */
+  def readQueueSafe(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(QueueSchema.add(StructField("_corrupt_record", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   def readVisited(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(VisitedSchema).json(path)
 

@@ -139,6 +139,19 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     assert(!xxPairs.exists(p => p._1 == 7L || p._2 == 7L))
   }
 
+  test("HLL sketch distincts stay inside the configured error band") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+    // known cardinality: 10k distinct keys, skew-heavy repetition
+    val rows = (1 to 50000).map(i => (i % 10000).toLong).toDF("k")
+    val (exact, approx) = rows
+      .agg(countDistinct(col("k")), approx_count_distinct(col("k"), 0.02))
+      .as[(Long, Long)].head()
+    assert(exact == 10000L)
+    val relErr = math.abs(approx - exact).toDouble / exact
+    // rsd 0.02 → 5σ headroom keeps this deterministic-in-practice
+    assert(relErr < 0.10, s"approx=$approx exact=$exact relErr=$relErr")
+  }
+
   test("render sinks respect their hard char caps") {
     val big = Seq.fill(5000)(("concept-name", "s" * 300))
     assert(Sinks.renderSkill("t", "o" * 9999, big).length <= 30000)

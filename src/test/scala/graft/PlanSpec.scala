@@ -168,6 +168,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("partition pruning: a lang filter never scans other partitions") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    Seq((1L, "en", "a"), (2L, "de", "b"), (3L, "en", "c"), (4L, "fr", "d"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").partitionBy("lang").parquet(d)
+    val q = spark.read.parquet(d).filter($"lang" === "en")
+    val p = q.queryExecution.explainString(FormattedMode)
+    // the predicate must land in PartitionFilters (metadata pruning),
+    // not as a post-scan row filter over all partitions
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("lang"), s"lang filter not pruned:\n$p")
+    assert(q.count() == 2)
+  }
+
   test("bucketed tables co-locate the join: no exchange under the join") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")

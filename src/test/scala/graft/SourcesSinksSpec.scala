@@ -52,6 +52,26 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.json(d.resolve("chunks").toString).count() == 2)
   }
 
+  test("S11 safe reader: a corrupt line becomes one quarantinable row, not a stage failure") {
+    val d = tmpDir()
+    Files.writeString(d.resolve("queue.json"),
+      """{"url":"https://a.com/x","depth":1,"priority":7,"parent_id":"001","anchor_text":"x"}
+        |{not json at all%%%
+        |{"url":"https://a.com/y","depth":2,"priority":3,"parent_id":"001","anchor_text":"y"}""".stripMargin)
+    val q = Sources.readQueueSafe(spark, d.resolve("queue.json").toString)
+      .select("url", "priority", "_corrupt_record").cache()
+    assert(q.count() == 3)
+    val good = q.filter($"_corrupt_record".isNull)
+    assert(good.count() == 2)
+    assert(good.select("url").as[String].collect().toSet
+      == Set("https://a.com/x", "https://a.com/y"))
+    val bad = q.filter($"_corrupt_record".isNotNull)
+    assert(bad.select("_corrupt_record").as[String].head()
+      .startsWith("{not json"))
+    assert(bad.select("url").as[String].collect().toSeq == Seq(null))
+    q.unpersist()
+  }
+
   test("F6 routing: obstacle rows split to quarantine with suggested_action in one write") {
     val d = tmpDir()
     val pages = Seq(
