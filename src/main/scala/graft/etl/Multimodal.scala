@@ -36,6 +36,24 @@ object Multimodal {
       .otherwise("video")
   }
 
+  /** REAL magic-byte classifier for downloaded assets (the [[kindOf]]
+    * shape applied to actual media signatures): JPEG FFD8, PNG 8950,
+    * GIF 474946, WEBP RIFF....WEBP, PDF 25504446. Pure hex-prefix
+    * switch — codegen'd, no decode needed to route a 100 TB asset
+    * table into per-format pipelines.
+    */
+  def mediaKind(payload: Column): Column = {
+    val h = hex(payload)
+    when(payload.isNull || length(payload) === 0, "empty")
+      .when(substring(h, 1, 4) === "FFD8", "jpeg")
+      .when(substring(h, 1, 8) === "89504E47", "png")
+      .when(substring(h, 1, 6) === "474946", "gif")
+      .when(substring(h, 1, 8) === "52494646"
+        && substring(h, 17, 8) === "57454250", "webp")
+      .when(substring(h, 1, 8) === "25504446", "pdf")
+      .otherwise("unknown")
+  }
+
   /** STUB decode: deterministic fake width/height/duration derived from
     * payload bytes (integer div/mod only — engine-exact). A real
     * deployment replaces ONLY this stage with a per-partition codec

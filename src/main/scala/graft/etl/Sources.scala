@@ -30,6 +30,19 @@ trait Transport extends Serializable {
 case class FetchedPage(url: String, engine: String, status: String,
   body: String, fetched_chars: Int)
 
+/** Binary twin of [[Transport]] for asset downloads (S8): images/media
+  * come back as bytes, not markdown.
+  */
+trait BinaryTransport extends Serializable {
+  def open(): Unit = ()
+  def fetch(url: String): (String, Array[Byte])
+  def close(): Unit = ()
+}
+
+/** One downloaded asset row: payload column feeds Multimodal. */
+case class FetchedAsset(url: String, status: String,
+  payload: Array[Byte], n_bytes: Int)
+
 /** State-file and landing-zone sources (SURVEY.md §2.1).
   *
   * The reference's coordinator may read exactly four state files —
@@ -184,6 +197,41 @@ object Sources {
             h
           }
           def next(): FetchedPage = fetched.next()
+        }
+      }.toDF()
+  }
+
+  /** S8: image/asset downloader — same per-partition lifecycle and rate
+    * cap as [[fetch]], binary payload out (compress-image.mjs's fetch
+    * step as a dataflow operator). The payload column plugs straight
+    * into [[Multimodal.mediaKind]] / the decode plumbing.
+    */
+  def fetchBinary(requests: DataFrame, transport: BinaryTransport,
+      minIntervalMs: Long = 0L): DataFrame = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    requests.select(col("url").cast("string")).as[String]
+      .mapPartitions { it =>
+        transport.open()
+        var closed = false
+        var nextAllowed = 0L
+        val fetched = it.map { url =>
+          val wait = nextAllowed - System.currentTimeMillis()
+          if (wait > 0) Thread.sleep(wait)
+          nextAllowed = System.currentTimeMillis() + minIntervalMs
+          val (status, bytes) =
+            try transport.fetch(url)
+            catch { case e: Exception =>
+              (s"error:${e.getClass.getSimpleName}", Array.empty[Byte]) }
+          FetchedAsset(url, status, bytes, bytes.length)
+        }
+        new Iterator[FetchedAsset] {
+          def hasNext: Boolean = {
+            val h = fetched.hasNext
+            if (!h && !closed) { closed = true; transport.close() }
+            h
+          }
+          def next(): FetchedAsset = fetched.next()
         }
       }.toDF()
   }

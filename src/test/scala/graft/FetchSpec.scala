@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 import org.scalatest.funsuite.AnyFunSuite
-import graft.etl.{Sources, Transport, Urls}
+import graft.etl.{BinaryTransport, Multimodal, Sources, Transport, Urls}
 
 /** Deterministic local transport: proves the fetch operator's Spark-side
   * plumbing (lifecycle, dispatch, rate cap, landing zone) with zero
@@ -59,6 +59,32 @@ class FetchSpec extends AnyFunSuite with SparkTestBase {
     val elapsedMs = (System.nanoTime() - t0) / 1000000
     // 4 fetches in one partition with a 40ms floor => >= 3 waits
     assert(elapsedMs >= 120, s"rate cap not enforced: ${elapsedMs}ms")
+  }
+
+  test("S8: binary fetch downloads assets that magic-byte classify") {
+    object AssetTransport extends BinaryTransport {
+      override def fetch(url: String): (String, Array[Byte]) =
+        if (url.endsWith(".jpg"))
+          ("ok", Array(0xFF, 0xD8, 0xFF, 0xE0, 1, 2, 3).map(_.toByte))
+        else if (url.endsWith(".png"))
+          ("ok", Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A).map(_.toByte))
+        else if (url.endsWith(".bin"))
+          ("ok", Array(0x00, 0x01).map(_.toByte))
+        else throw new java.io.IOException("404")
+    }
+    val urls = Seq("https://a.com/i.jpg", "https://a.com/i.png",
+      "https://a.com/x.bin", "https://a.com/gone").toDF("url")
+    val got = Sources.fetchBinary(urls, AssetTransport)
+      .withColumn("kind", Multimodal.mediaKind(org.apache.spark.sql.functions.col("payload")))
+      .select("url", "status", "n_bytes", "kind")
+      .as[(String, String, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("https://a.com/i.jpg")._4 == "jpeg")
+    assert(got("https://a.com/i.png")._4 == "png")
+    assert(got("https://a.com/x.bin")._4 == "unknown")
+    val gone = got("https://a.com/gone")
+    assert(gone._2 == "error:IOException" && gone._3 == 0 && gone._4 == "empty")
+    assert(got("https://a.com/i.jpg")._3 == 7)
   }
 
   test("fetch → frontmatter → landing zone → readLandingZone round trip") {
