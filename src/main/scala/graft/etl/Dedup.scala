@@ -38,12 +38,13 @@ object Dedup {
     *
     * Parameters trade recall for cost on the standard s-curve
     * P(candidate | jaccard=s) = 1 − (1 − s^r)^(n/r), r = bandSize (see
-    * [[candidateProbability]]); the ~50% threshold sits near
-    * (r/n)^(1/r). [[TestNumHashes]]/[[TestBandSize]] (8/2 → threshold
-    * ≈ 0.30) keep the oracle corpus productive; [[ProdNumHashes]]/
-    * [[ProdBandSize]] (128/4 → 32 bands, threshold ≈ 0.42, a much
-    * sharper curve) is the documented production preset — same plan
-    * shape, just more signature columns.
+    * [[candidateProbability]]); the (r/n)^(1/r) rule of thumb estimates
+    * the 50% point. [[TestNumHashes]]/[[TestBandSize]] (8/2 → exact 50%
+    * point s ≈ 0.40; the rule of thumb says 0.50) keep the oracle
+    * corpus productive; [[ProdNumHashes]]/[[ProdBandSize]] (128/4 →
+    * 32 bands, exact 50% point s ≈ 0.38 with a much sharper curve) is
+    * the documented production preset — same plan shape, just more
+    * signature columns.
     */
   val TestNumHashes = 8
   val TestBandSize = 2 // → 4 bands

@@ -42,9 +42,20 @@ object Pipeline {
       pages.select(col("doc_id"), col("url"), col("lang"), col("relevance"),
         col("page_md"), col("body")),
       "body", s"$outDir/pages")
-    // G1: code-aware chunks from the clean partition only
-    val clean = spark.read.parquet(s"$outDir/pages")
-      .filter(col("route") === "clean")
+    // G1: code-aware chunks from the clean partition only. The read-back
+    // (rather than reusing `pages`) avoids re-running the effectful
+    // fetch; an all-error/empty frontier leaves no parquet footers, and
+    // a pipeline whose fetch deliberately degrades failures to rows must
+    // not die one stage later on UNABLE_TO_INFER_SCHEMA — it returns the
+    // empty INDEX instead.
+    val clean =
+      try spark.read.parquet(s"$outDir/pages")
+        .filter(col("route") === "clean")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          return Sinks.renderIndex(Seq.empty, Seq.empty)
+      }
     Sinks.writeChunks(
       Chunker.chunkCodeAware(clean.select(col("doc_id"), col("body")),
           col("body"), size = 500, overlap = 100)

@@ -160,6 +160,44 @@ object Sources {
       .withColumn("size_chars", length(col("body")))
   }
 
+  /** Shared per-partition lifecycle for the fetch operators: skips
+    * transport setup entirely on empty partitions (a frontier with more
+    * partitions than urls must not launch idle browser contexts), floors
+    * the interval between consecutive calls, and registers `close` as a
+    * task-completion listener — the ONLY hook guaranteed to run on
+    * success, failure, AND early termination (a downstream limit() stops
+    * consuming the iterator, so exhaustion-based cleanup would leak the
+    * connection). Falls back to close-on-exhaustion when no TaskContext
+    * exists (plain driver-side iteration in tests).
+    */
+  private def rateLimitedPartition[I, O](it: Iterator[I], open: () => Unit,
+      close: () => Unit, minIntervalMs: Long)(one: I => O): Iterator[O] = {
+    if (!it.hasNext) Iterator.empty
+    else {
+      open()
+      val ctx = org.apache.spark.TaskContext.get()
+      var nextAllowed = 0L
+      val out = it.map { i =>
+        val wait = nextAllowed - System.currentTimeMillis()
+        if (wait > 0) Thread.sleep(wait)
+        nextAllowed = System.currentTimeMillis() + minIntervalMs
+        one(i)
+      }
+      if (ctx != null) {
+        ctx.addTaskCompletionListener[Unit](_ => close())
+        out
+      } else new Iterator[O] {
+        var closed = false
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !closed) { closed = true; close() }
+          h
+        }
+        def next(): O = out.next()
+      }
+    }
+  }
+
   /** S4/S5 fetch operator: url rows (already engine-routed by S6 /
     * [[Urls.engineFor]]) → fetched pages, via mapPartitions so each task
     * amortizes one transport setup over its whole batch of urls.
@@ -178,25 +216,12 @@ object Sources {
     requests.select(col("url").cast("string"), col("engine").cast("string"))
       .as[(String, String)]
       .mapPartitions { it =>
-        transport.open()
-        var closed = false
-        var nextAllowed = 0L
-        val fetched = it.map { case (url, engine) =>
-          val wait = nextAllowed - System.currentTimeMillis()
-          if (wait > 0) Thread.sleep(wait)
-          nextAllowed = System.currentTimeMillis() + minIntervalMs
+        rateLimitedPartition(it, () => transport.open(), () => transport.close(),
+            minIntervalMs) { case (url, engine) =>
           val (status, body) =
             try transport.fetch(url, engine)
             catch { case e: Exception => (s"error:${e.getClass.getSimpleName}", "") }
           FetchedPage(url, engine, status, body, body.length)
-        }
-        new Iterator[FetchedPage] {
-          def hasNext: Boolean = {
-            val h = fetched.hasNext
-            if (!h && !closed) { closed = true; transport.close() }
-            h
-          }
-          def next(): FetchedPage = fetched.next()
         }
       }.toDF()
   }
@@ -212,26 +237,13 @@ object Sources {
     import spark.implicits._
     requests.select(col("url").cast("string")).as[String]
       .mapPartitions { it =>
-        transport.open()
-        var closed = false
-        var nextAllowed = 0L
-        val fetched = it.map { url =>
-          val wait = nextAllowed - System.currentTimeMillis()
-          if (wait > 0) Thread.sleep(wait)
-          nextAllowed = System.currentTimeMillis() + minIntervalMs
+        rateLimitedPartition(it, () => transport.open(), () => transport.close(),
+            minIntervalMs) { url =>
           val (status, bytes) =
             try transport.fetch(url)
             catch { case e: Exception =>
               (s"error:${e.getClass.getSimpleName}", Array.empty[Byte]) }
           FetchedAsset(url, status, bytes, bytes.length)
-        }
-        new Iterator[FetchedAsset] {
-          def hasNext: Boolean = {
-            val h = fetched.hasNext
-            if (!h && !closed) { closed = true; transport.close() }
-            h
-          }
-          def next(): FetchedAsset = fetched.next()
         }
       }.toDF()
   }
@@ -260,9 +272,15 @@ object Sources {
         val root = java.nio.file.Paths.get(dir)
         java.nio.file.Files.createDirectories(root)
         it.foreach { case (url, md) =>
+          // readable prefix + url digest: the sanitized prefix alone is
+          // not injective (query strings squash to '_', long paths
+          // truncate), and a collision would silently overwrite a page
           val slug = url.replaceAll("^https?://", "")
-            .replaceAll("[^a-zA-Z0-9]", "_").take(50)
-          java.nio.file.Files.writeString(root.resolve(slug + ".md"), md)
+            .replaceAll("[^a-zA-Z0-9]", "_").take(40)
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(url.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .take(4).map("%02x".format(_)).mkString
+          java.nio.file.Files.writeString(root.resolve(s"$slug-$digest.md"), md)
         }
       }
   }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.{Dedup, Events, Shingles, Similarity}
+
+class OpUnitSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("Shingles: k=3 yields max(0, words-2) shingles; blanks dropped") {
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a  b   c"), // double spaces => empty words filtered
+      (3L, "a b"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = Shingles.wordShingles(df, 3)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L)) // docs 3 and 4: no rows
+    val s2 = Shingles.wordShingles(df.filter(col("doc_id") === 2), 3)
+      .select("shingle").as[String].head()
+    assert(s2 == "a b c")
+  }
+
+  test("Sessionize: 30-min gap starts a new session per user") {
+    val us = 1000000L
+    val min = 60L * us
+    // user 1: events at 0, 10min, 45min (gap 35 => break), 50min
+    // user 2: single event
+    val df = Seq(
+      (1L, 1L, 0L * min), (1L, 2L, 10L * min), (1L, 3L, 45L * min),
+      (1L, 4L, 50L * min), (2L, 5L, 0L * min))
+      .toDF("user_id", "event_id", "ts") // ts in nanos-as-long domain: use ns
+      .withColumn("ts", col("ts") * 1000) // min->us above, *1000 => ns
+    val got = Events.sessionAssign(df)
+      .select(col("user_id"), col("event_id"), col("session_seq"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 5L, 1L)))
+  }
+
+  test("SimHash: identical texts hash identically; disjoint vocab differs") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "zork quux fnord blarg")).toDF("doc_id", "text")
+    // reuse the internal construction through a tiny local pipeline
+    val words = Shingles.words(df)
+    val h16 = conv(substring(md5(col("word")), 1, 4), 16, 10).cast("int")
+    val bitAggs = (0 until 16).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s_$b"))
+    val sums = words.withColumn("h", h16).groupBy("doc_id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 16).map(b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val out = sums.select(col("doc_id"), sig.as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("Cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(0.0f, 3.0f, 0.0f))).toDF("id", "v")
+    val self = df.filter(col("id") === 1)
+      .select(Similarity.cosine(col("v"), col("v"))).as[Double].head()
+    assert(math.abs(self - 1.0) < 1e-12)
+    val cross = df.as("a").join(df.as("b"),
+        col("a.id") === 1 && col("b.id") === 2)
+      .select(Similarity.cosine(col("a.v"), col("b.v"))).as[Double].head()
+    assert(math.abs(cross) < 1e-12)
+  }
+
+  test("Exact-dup grouping keys on content hash") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val dups = df.withColumn("h", md5(col("text")))
+      .groupBy("h").agg(min("doc_id").as("canon"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(dups.map(d => (d._2, d._3)) == Seq((1L, 2L)))
+  }
+}
