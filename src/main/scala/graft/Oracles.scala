@@ -264,6 +264,34 @@ object Oracles {
          |SELECT domain, CAST((rn + 1) // 2 AS INT) AS wave, rn, norm_url, priority
          |FROM r WHERE (rn + 1) // 2 <= 3 ORDER BY domain, rn""".stripMargin,
 
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_priority_shipping" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(quarter(l_shipdate) AS INT) AS ship_quarter,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH j AS (
+        |  SELECT CAST(year(l_shipdate) AS INT) AS ship_year, p_type,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS disc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT ship_year,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc ELSE 0 END) AS DOUBLE)
+        |    * 100.0 / sum(disc) AS promo_share_pct,
+        |  sum(disc) / 10000.0 AS total_revenue
+        |FROM j GROUP BY ship_year ORDER BY ship_year""".stripMargin,
+
     // ---- document scoring / classification ----
     "score_page" ->
       s"""SELECT doc_id, lang,

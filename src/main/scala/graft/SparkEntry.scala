@@ -42,6 +42,9 @@ object SparkEntry {
     "window_rank"         -> (Relational.windowRank _),
     "running_sum"         -> (Relational.runningSum _),
     "semi_anti_customers" -> (Relational.semiAntiCustomers _),
+    "q4_late_orders"      -> (Relational.q4LateOrders _),
+    "q12_priority_shipping" -> (Relational.q12PriorityShipping _),
+    "q14_promo_share"     -> (Relational.q14PromoShare _),
     // URL pipeline (crawler analogs)
     "url_normalize"    -> (Urls.urlNormalize _),
     "url_skip_filter"  -> (Urls.urlSkipFilter _),

@@ -54,6 +54,20 @@ object Multimodal {
       .otherwise("unknown")
   }
 
+  /** S9 PDF source, extraction stage: payloads routed here by
+    * [[mediaKind]] == "pdf" get a text column + page count. The
+    * extractor body is the per-partition swap point (a real deployment
+    * binds a PDF library there — none exists in this sandbox), so like
+    * [[withDecodedStub]] it emits DETERMINISTIC pseudo-text derived
+    * from the payload bytes; everything downstream (chunking, scoring,
+    * landing) is the real pipeline and is what the test exercises.
+    */
+  def withPdfTextStub(df: DataFrame, payload: Column): DataFrame =
+    df.withColumn("pdf_pages",
+        (length(payload) % 16 + 1).cast("int")) // STUB: real = page count
+      .withColumn("pdf_text", // STUB: real = extracted text per page
+        concat(lit("pdf text "), substring(hex(payload), 1, 48)))
+
   /** STUB decode: deterministic fake width/height/duration derived from
     * payload bytes (integer div/mod only — engine-exact). A real
     * deployment replaces ONLY this stage with a per-partition codec

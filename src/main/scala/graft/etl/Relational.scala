@@ -108,6 +108,59 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Q4-pattern: EXISTS as a left-semi join with a non-equi residual —
+    * orders with at least one line shipped after the order date, counted
+    * per priority. The semi-join hashes on the equi key (orderkey) and
+    * applies the date residual post-probe; rows never widen, the shuffle
+    * carries keys + the two compared columns only.
+    */
+  def q4LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey")
+        && l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q12-pattern: conditional classification aggregate over the
+    * fact⋈fact join — per ship quarter, how many lines belong to
+    * urgent/high- vs lower-priority orders. One join shuffle on the
+    * order key, then map-side-combined counts on a tiny group key.
+    */
+  def q12PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"),
+        quarter(col("l_shipdate")).as("ship_quarter"))
+      .agg(count(when(isHigh, 1)).as("high_line_count"),
+        count(when(!isHigh, 1)).as("low_line_count"))
+      .orderBy("ship_year", "ship_quarter")
+  }
+
+  /** Q14-pattern: promo revenue share per ship year — ratio of two
+    * exact cents sums (conditional numerator), divided once at the
+    * output. The part dim broadcasts; lineitem never re-shuffles for it.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_type")))
+    val l = Tables.lineitem(spark, dir)
+    val disc = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0L))).cast("double")
+          * 100.0 / sum(disc)).as("promo_share_pct"),
+        (sum(disc) / lit(10000.0)).as("total_revenue"))
+      .orderBy("ship_year")
+  }
+
   /** Semi/anti-join pair: customers with vs without an open order.
     * left_semi/left_anti never widen rows — the shuffle carries keys only.
     */

@@ -87,6 +87,28 @@ class FetchSpec extends AnyFunSuite with SparkTestBase {
     assert(got("https://a.com/i.jpg")._3 == 7)
   }
 
+  test("S9: pdf payloads route by magic bytes into the extraction stage") {
+    import org.apache.spark.sql.functions.col
+    object PdfTransport extends BinaryTransport {
+      override def fetch(url: String): (String, Array[Byte]) =
+        if (url.endsWith(".pdf"))
+          ("ok", ("%PDF-1.7 " + url).getBytes("UTF-8")) // 25 50 44 46 magic
+        else ("ok", Array(0x00.toByte))
+    }
+    val assets = Sources.fetchBinary(
+      Seq("https://a.com/spec.pdf", "https://a.com/other.x").toDF("url"),
+      PdfTransport)
+      .withColumn("kind", Multimodal.mediaKind(col("payload")))
+    val pdfs = Multimodal.withPdfTextStub(
+        assets.filter(col("kind") === "pdf"), col("payload"))
+      .select("url", "pdf_pages", "pdf_text")
+      .as[(String, Int, String)].collect()
+    assert(pdfs.length == 1)
+    assert(pdfs.head._1 == "https://a.com/spec.pdf")
+    assert(pdfs.head._2 >= 1 && pdfs.head._2 <= 16)
+    assert(pdfs.head._3.startsWith("pdf text 255044462D")) // hex(%PDF-)
+  }
+
   test("fetch → frontmatter → landing zone → readLandingZone round trip") {
     val d = Files.createTempDirectory("graft_landing_")
     val reqs = requests(
