@@ -459,6 +459,17 @@ object Oracles {
         |       ELSE substr(seg, ci * 80 + 1, 100) END) AS INT) AS chunk_len
         |FROM e ORDER BY doc_id, seg_idx, chunk_idx""".stripMargin,
 
+    // n-gram collision against the held-out slice — mirrors
+    // Dedup.decontaminate (distinct shingles per doc on both sides)
+    "decontaminate" ->
+      s"""WITH $Shingle3Cte,
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |bench AS (SELECT DISTINCT shingle FROM ds WHERE doc_id % 97 = 0),
+         |train AS (SELECT * FROM ds WHERE doc_id % 97 <> 0)
+         |SELECT t.doc_id, count(*) AS n_shared
+         |FROM train t JOIN bench b ON t.shingle = b.shingle
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
     // ---- events ----
     "json_extract" ->
       """WITH k AS (SELECT event_id,

@@ -97,6 +97,7 @@ object SparkEntry {
     "minhash_fast"      -> (Dedup.minhashFastQuery _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
     "simhash"           -> (Dedup.simhash _),
+    "decontaminate"     -> (Dedup.decontaminate _),
     // similarity search
     "knn_brute"         -> (Similarity.knnBrute _),
     "knn_bucketed"      -> (Similarity.knnBucketed _),

@@ -165,6 +165,31 @@ object Dedup {
     pairs.orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark decontamination — the n-gram collision test every
+    * web-scale training corpus runs before shipping (the 13-gram rule of
+    * the GPT-3 lineage; k=3 here to suit the synthetic corpus, same
+    * plan): a training document is contaminated if it shares any word
+    * k-shingle with the held-out benchmark set. The benchmark side is
+    * tiny by definition, so its distinct shingles BROADCAST and the
+    * training corpus is a single scan + broadcast-join + per-doc count —
+    * no corpus self-join, no corpus shuffle except the final per-doc
+    * aggregation. Benchmark here = doc_id % 97 == 0 (a pseudo held-out
+    * slice; production passes a real benchmark table).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def shingleRows(df: DataFrame) = df
+      .select(col("doc_id"),
+        explode(array_distinct(Shingles.shingleArray(col("text"), 3))).as("shingle"))
+    val bench = shingleRows(docs.filter(col("doc_id") % 97 === 0))
+      .select("shingle").distinct()
+    shingleRows(docs.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // shingles pre-deduped per doc
+      .orderBy("doc_id")
+  }
+
   /** n-gram Jaccard similarity on a bounded candidate block (doc_id < 64
     * on both sides — fixed-size regardless of SF; production pairing
     * comes from minhashLsh candidates instead).

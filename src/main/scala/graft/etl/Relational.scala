@@ -145,11 +145,15 @@ object Relational {
 
   /** Q14-pattern: promo revenue share per ship year — ratio of two
     * exact cents sums (conditional numerator), divided once at the
-    * output. The part dim broadcasts; lineitem never re-shuffles for it.
+    * output. NO broadcast hint on part: unlike region/nation (fixed 5/25
+    * rows), part grows with the scale factor, so the hint that helps at
+    * sf0.1 becomes an OOM at 100 TB — the adaptive planner broadcasts
+    * while it fits and falls back to a shuffle join beyond, which is
+    * exactly the behavior we want to keep.
     */
   def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
-    val p = broadcast(Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_type")))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_type"))
     val l = Tables.lineitem(spark, dir)
     val disc = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
     l.join(p, l("l_partkey") === p("p_partkey"))
