@@ -22,7 +22,10 @@ object Dedup {
     * 100 TB exact-dedup plan (filter n_copies >= 2 for just the dups).
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    dedupExactFrom(Tables.documents(spark, dir))
+
+  def dedupExactFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("text_hash", md5(coalesce(col("text"), lit(""))))
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("canonical_doc"),
@@ -227,13 +230,16 @@ object Dedup {
     * the sum. Hex→int via conv() is oracle-reproducible (DuckDB
     * CAST('0x…')). One explode + one groupBy — linear, shuffle on doc_id.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFrom(Tables.documents(spark, dir))
+
+  def simhashFrom(input: DataFrame): DataFrame = {
     // hash each word once into an int array (one md5 per word), then run
     // the 16 bit-sums as in-array aggregates: a pure map, no explode, no
     // groupBy shuffle — the whole signature pass is one scan.
     val hs = transform(Shingles.wordArray(col("text")),
       w => conv(substring(md5(w), 1, 4), 16, 10).cast("int"))
-    val docs = Tables.documents(spark, dir)
+    val docs = input
       .select(col("doc_id"), hs.as("hs"))
       .filter(size(col("hs")) > 0)
     val bitSums = (0 until 16).map { b =>

@@ -52,8 +52,9 @@ object Pipeline {
       try spark.read.parquet(s"$outDir/pages")
         .filter(col("route") === "clean")
       catch {
+        // structured error class, not message text — survives rewording
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
           return Sinks.renderIndex(Seq.empty, Seq.empty)
       }
     Sinks.writeChunks(

@@ -271,15 +271,19 @@ object Sources {
       .foreachPartition { it: Iterator[(String, String)] =>
         val root = java.nio.file.Paths.get(dir)
         java.nio.file.Files.createDirectories(root)
+        // one digest instance per partition (digest() auto-resets);
+        // full 128-bit digest — a truncated one re-opens the silent-
+        // overwrite window at crawl scale (32 bits collide at ~77k urls)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
         it.foreach { case (url, md) =>
           // readable prefix + url digest: the sanitized prefix alone is
           // not injective (query strings squash to '_', long paths
           // truncate), and a collision would silently overwrite a page
           val slug = url.replaceAll("^https?://", "")
             .replaceAll("[^a-zA-Z0-9]", "_").take(40)
-          val digest = java.security.MessageDigest.getInstance("MD5")
+          val digest = md5
             .digest(url.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .take(4).map("%02x".format(_)).mkString
+            .map("%02x".format(_)).mkString
           java.nio.file.Files.writeString(root.resolve(s"$slug-$digest.md"), md)
         }
       }

@@ -57,9 +57,10 @@ object StreamingCrawl {
         // turns off and every batch re-expands the whole graph
         val visited = try sp.read.parquet(s"$visitedDir/*")
           catch {
+            // structured error classes, not message text
             case e: org.apache.spark.sql.AnalysisException
-                if e.getMessage.contains("PATH_NOT_FOUND")
-                  || e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+                if Option(e.getCondition).exists(c =>
+                  c == "PATH_NOT_FOUND" || c == "UNABLE_TO_INFER_SCHEMA") =>
               sp.emptyDataFrame
           }
         val newlyVisited =

@@ -39,21 +39,13 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("SimHash: identical texts hash identically; disjoint vocab differs") {
+    // exercises the PRODUCTION operator (not a re-implementation — a
+    // copy would stay green when Dedup.simhash regresses)
     val df = Seq(
       (1L, "alpha beta gamma delta"),
       (2L, "alpha beta gamma delta"),
       (3L, "zork quux fnord blarg")).toDF("doc_id", "text")
-    // reuse the internal construction through a tiny local pipeline
-    val words = Shingles.words(df)
-    val h16 = conv(substring(md5(col("word")), 1, 4), 16, 10).cast("int")
-    val bitAggs = (0 until 16).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s_$b"))
-    val sums = words.withColumn("h", h16).groupBy("doc_id")
-      .agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until 16).map(b =>
-      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val out = sums.select(col("doc_id"), sig.as("sh"))
+    val out = Dedup.simhashFrom(df)
       .as[(Long, Long)].collect().toMap
     assert(out(1L) == out(2L))
     assert(out(1L) != out(3L))
@@ -72,13 +64,15 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(cross) < 1e-12)
   }
 
-  test("Exact-dup grouping keys on content hash") {
-    val df = Seq((1L, "same"), (2L, "same"), (3L, "other"))
+  test("Exact-dup grouping keys on content hash; null text groups with empty") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other"),
+      (4L, null.asInstanceOf[String]), (5L, ""))
       .toDF("doc_id", "text")
-    val dups = df.withColumn("h", md5(col("text")))
-      .groupBy("h").agg(min("doc_id").as("canon"), count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .as[(String, Long, Long)].collect().toSeq
-    assert(dups.map(d => (d._2, d._3)) == Seq((1L, 2L)))
+    val groups = Dedup.dedupExactFrom(df)
+      .filter(col("n_copies") >= 2)
+      .select("canonical_doc", "n_copies")
+      .as[(Long, Long)].collect().toSet
+    // "same" pair + the null/empty pair (coalesce(text,'') normalizes)
+    assert(groups == Set((1L, 2L), (4L, 2L)))
   }
 }

@@ -113,6 +113,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("q4/q12/q14/decontaminate keep their claimed plan shapes") {
+    // q4: EXISTS must plan as a semi-join (rows never widen)
+    assert(plan("q4_late_orders").contains("LeftSemi"))
+    // q12: classification agg must partial-aggregate before the shuffle
+    assert(countOf(plan("q12_priority_shipping"), "HashAggregate") >= 2)
+    // q14: un-hinted part dim — the planner must still pick broadcast
+    // while it fits (the adaptive behavior the scaladoc promises)
+    assert(plan("q14_promo_share").contains("BroadcastHashJoin"))
+    // decontaminate: the bench shingle side must broadcast — losing it
+    // turns the corpus scan into a shuffle join
+    val dc = plan("decontaminate")
+    assert(dc.contains("BroadcastHashJoin"), s"bench side lost broadcast:\n$dc")
+    assert(!dc.contains("SortMergeJoin"), dc)
+  }
+
   test("sweep: no query plans a single-partition exchange or cartesian product") {
     // the serial batch_pack is the documented exception (semantic spec
     // for its sharded twin); everything else must keep table-sized data
