@@ -1076,6 +1076,19 @@ object Oracles {
         |SELECT doc_id, norm_text, CAST(length(norm_text) AS INT) AS norm_len
         |FROM n ORDER BY doc_id""".stripMargin,
 
+    // Gopher-style repetition signals — mirrors TextAnalysis.repetitionProfile
+    "repetition_profile" ->
+      s"""WITH $WordsCte,
+         |wc AS (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY 1, 2),
+         |p AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         |        CAST(count(*) AS BIGINT) AS n_distinct,
+         |        CAST(max(cnt) AS BIGINT) AS top_freq
+         |      FROM wc GROUP BY doc_id)
+         |SELECT doc_id, n_words, n_distinct, top_freq,
+         |  (10000 * (n_words - n_distinct)) // n_words AS dup_word_bp,
+         |  (10000 * top_freq) // n_words AS top_word_bp
+         |FROM p ORDER BY doc_id""".stripMargin,
+
     "length_histogram" ->
       """SELECT lang, CAST(floor(n_chars / 100.0) AS INT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bin_chars

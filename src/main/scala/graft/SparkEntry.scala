@@ -142,6 +142,7 @@ object SparkEntry {
     // corpus QA / preprocessing
     "text_normalize"    -> (TextAnalysis.textNormalize _),
     "pii_redact"        -> (TextAnalysis.piiRedact _),
+    "repetition_profile" -> (TextAnalysis.repetitionProfile _),
     "length_histogram"  -> (TextAnalysis.lengthHistogram _),
     "stratified_sample" -> (Splits.stratifiedSample _),
     // IR / analytics extras

@@ -96,7 +96,7 @@ object Pipeline {
     urls.writeStream
       .trigger(Trigger.ProcessingTime(0))
       .option("checkpointLocation", s"$outDir/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val fetched = Sources.fetch(
           batch.withColumn("engine", Urls.engineFor(col("url"))),
           transport, minIntervalMs)
@@ -107,8 +107,12 @@ object Pipeline {
           .withColumn("doc_id", xxhash64(col("url")))
           .select(col("doc_id"), col("url"), col("lang"), col("relevance"),
             col("page_md"), col("body"))
-        Sinks.writeRouted(pages, "body", s"$outDir/pages",
-          org.apache.spark.sql.SaveMode.Append)
+        // exactly-once under replay: foreachBatch is at-least-once, so a
+        // batch re-run after a crash/restart must land in the SAME place
+        // — overwrite of a batch-id directory is idempotent, a flat
+        // append would duplicate every replayed page
+        Sinks.writeRouted(pages, "body", s"$outDir/pages/batch=$id",
+          org.apache.spark.sql.SaveMode.Overwrite)
         ()
       }
       .start()

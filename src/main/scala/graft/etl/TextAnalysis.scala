@@ -65,6 +65,30 @@ object TextAnalysis {
         least(lit(10000L), expr("(7 * len_bp + 9 * stop_bp) div 10")).as("quality_bp"))
       .orderBy("doc_id")
 
+  /** Repetition profile — the Gopher-rule quality signals the
+    * length/stopword score misses: duplicate-word fraction and top-word
+    * dominance, the standard filters for machine-generated/spammy text.
+    * One explode + a two-level aggregation (per-(doc,word) counts, then
+    * per-doc rollup) derives all three stats with no join-back; basis
+    * points via integer div keep it oracle-exact. NOTE the in-array
+    * temptation (transform over the distinct array counting matches in
+    * the full array) is the documented O(n²) HOF trap — the exploded
+    * two-level agg is both safe and the shape token-level statistics
+    * take at scale anyway. Docs with no words yield no row.
+    */
+  def repetitionProfile(spark: SparkSession, dir: String): DataFrame =
+    Shingles.words(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_freq"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"), col("top_freq"),
+        expr("(10000 * (n_words - n_distinct)) div n_words").as("dup_word_bp"),
+        expr("(10000 * top_freq) div n_words").as("top_word_bp"))
+      .orderBy("doc_id")
+
   /** Language-ID heuristic: per-language marker-hit counts → argmax with
     * a deterministic tie-break on marker order. The `lang` column is the
     * (synthetic) label; `predicted` is the heuristic output — agreement

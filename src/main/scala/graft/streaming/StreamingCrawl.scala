@@ -69,7 +69,9 @@ object StreamingCrawl {
           else batch
         val level = newlyVisited.persist()
         if (!level.isEmpty) {
-          level.write.mode("append").parquet(s"$visitedDir/b$id")
+          // overwrite, not append: replay of a batch after restart must
+          // be idempotent (append into the same b$id dir would duplicate)
+          level.write.mode("overwrite").parquet(s"$visitedDir/b$id")
           // next slice: expand, prune, depth = parent depth + 1
           val nextLevel = e
             .join(broadcast(level.filter(col("depth") < maxDepth)

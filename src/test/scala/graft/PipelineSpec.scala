@@ -44,6 +44,28 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming pipeline restart resumes from checkpoint without re-fetching") {
+    val base = Files.createTempDirectory("graft_spipe_rs_")
+    val frontier = base.resolve("frontier"); Files.createDirectories(frontier)
+    val out = base.resolve("out").toString
+    Files.writeString(frontier.resolve("wave1.txt"),
+      "https://building.example.com/page/1\n")
+    val q1 = Pipeline.runStream(spark, frontier.toString, PageTransport, out)
+    try q1.processAllAvailable() finally q1.stop()
+    // new query, same checkpoint: wave1 must not be re-processed
+    Files.writeString(frontier.resolve("wave2.txt"),
+      "https://building.example.com/page/2\n")
+    val q2 = Pipeline.runStream(spark, frontier.toString, PageTransport, out)
+    try {
+      q2.processAllAvailable()
+      val pages = spark.read.parquet(s"$out/pages")
+      assert(pages.count() == 2, "restart must neither drop nor duplicate pages")
+      assert(pages.select("url").as[String].collect().toSet
+        == Set("https://building.example.com/page/1",
+          "https://building.example.com/page/2"))
+    } finally q2.stop()
+  }
+
   test("pipeline produces pages, quarantine, whole-fence chunks, and INDEX") {
     val d = Files.createTempDirectory("graft_pipe_").toString
     val frontier = Seq(
