@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, If, Least, Literal, RLike}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{ChunkText, DotProduct}
+import graft.functions.{ChunkText, DotProduct, SkipUrl}
 
 /** SQL surface of the engine's custom pieces, registered through
   * SparkSessionExtensions (spark.sql.extensions-compatible, so a
@@ -14,6 +14,7 @@ import graft.functions.{ChunkText, DotProduct}
   *   dot_product(a, b)              codegen'd float-vector dot product
   *   chunk_text(body, size, ovl)    generator: (chunk_idx, chunk) rows
   *   score_link(url, anchor, ctx, topic)  X1 relevance 0-10
+  *   skip_url(url)                  F1 reference skip-list predicate
   *
   * No custom Rule/SparkStrategy is injected — SURVEY.md §4 concluded
   * none is required; the extension surface is expression-level only.
@@ -31,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("chunk_text"),
       info("chunk_text", "chunk_text(body, size, overlap) - overlapping chunks"),
       (exprs: Seq[Expression]) => ChunkText(exprs(0), exprs(1), exprs(2))))
+
+    e.injectFunction((FunctionIdentifier("skip_url"),
+      info("skip_url", "skip_url(url) - true iff the reference skip lists match"),
+      (exprs: Seq[Expression]) => SkipUrl(exprs.head)))
 
     e.injectFunction((FunctionIdentifier("score_link"),
       info("score_link", "score_link(url, anchor, context, topic) - relevance 0-10"),

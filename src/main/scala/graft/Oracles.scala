@@ -599,6 +599,26 @@ object Oracles {
          |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // asymmetric batch × corpus banding — mirrors Dedup.dedupIncremental
+    "dedup_incremental" ->
+      s"""WITH $Shingle3Cte,
+         |sig AS (SELECT doc_id,
+         |  min(md5('seed0:' || shingle)) AS mh_0, min(md5('seed1:' || shingle)) AS mh_1,
+         |  min(md5('seed2:' || shingle)) AS mh_2, min(md5('seed3:' || shingle)) AS mh_3,
+         |  min(md5('seed4:' || shingle)) AS mh_4, min(md5('seed5:' || shingle)) AS mh_5,
+         |  min(md5('seed6:' || shingle)) AS mh_6, min(md5('seed7:' || shingle)) AS mh_7
+         |  FROM shingles GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig)
+         |SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS corpus_doc
+         |FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bkey = y.bkey
+         |WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+         |ORDER BY new_doc, corpus_doc""".stripMargin,
+
     "ngram_jaccard" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 64),
          |w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word,

@@ -98,6 +98,7 @@ object SparkEntry {
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
     "simhash"           -> (Dedup.simhash _),
     "decontaminate"     -> (Dedup.decontaminate _),
+    "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     // similarity search
     "knn_brute"         -> (Similarity.knnBrute _),
     "knn_bucketed"      -> (Similarity.knnBucketed _),

@@ -168,6 +168,39 @@ object Dedup {
     pairs.orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL near-dup: a new batch against the existing corpus —
+    * the shape production dedup actually runs (nobody re-pairs 100 TB
+    * nightly; each ingest batch probes the standing signature store).
+    * Same banding as [[minhashLsh]], but the join is ASYMMETRIC: batch
+    * band keys × corpus band keys, so the quadratic term is
+    * |batch| × bucket-occupancy, never corpus × corpus, and the corpus
+    * side is exactly the persisted signature table an ingest pipeline
+    * maintains. Batch here = doc_id % 10 == 0 (a pseudo new-arrivals
+    * slice; production passes the real batch and reads the signature
+    * store instead of recomputing it).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String,
+      numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame = {
+    require(numHashes % bandSize == 0, "bands must tile the signature")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def banded(df: DataFrame) = {
+      val sig = minhashSignature(df, numHashes)
+      val bandCols = (0 until numHashes / bandSize).map { b =>
+        val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
+        struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bkey"))
+      }
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    }
+    val batch = banded(docs.filter(col("doc_id") % 10 === 0))
+    val corpus = banded(docs.filter(col("doc_id") % 10 =!= 0))
+    batch.as("n").join(corpus.as("c"),
+        col("n.band") === col("c.band") && col("n.bkey") === col("c.bkey"))
+      .select(col("n.doc_id").as("new_doc"), col("c.doc_id").as("corpus_doc"))
+      .distinct()
+      .orderBy("new_doc", "corpus_doc")
+  }
+
   /** Benchmark decontamination — the n-gram collision test every
     * web-scale training corpus runs before shipping (the 13-gram rule of
     * the GPT-3 lineage; k=3 here to suit the synthetic corpus, same

@@ -25,6 +25,16 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(got == 5) // url +3, context +2
   }
 
+  test("skip_url is SQL-callable with the reference semantics") {
+    val got = spark.sql(
+      """SELECT skip_url('https://a.com/doc.pdf'),
+        |       skip_url('https://a.com/LOGIN/x'),
+        |       skip_url('https://a.com/x.PDF'),
+        |       skip_url('https://a.com/page/9')""".stripMargin)
+      .as[(Boolean, Boolean, Boolean, Boolean)].head()
+    assert(got == ((true, true, false, false)))
+  }
+
   test("chunk_text generator matches Chunker.chunk exactly") {
     val docs = Seq(
       (1L, "abcdefghij" * 30), // 300 chars
