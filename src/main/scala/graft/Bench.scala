@@ -50,10 +50,15 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (millisecond) precision: full-precision doubles made the
+    // 97-query line ~5 KB, which overflowed the driver's stdout tail
+    // capture and left BENCH_r02's `parsed` null. ~2.5 KB fits.
+    def fmt(v: Double): String =
+      java.math.BigDecimal.valueOf(v).setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also land the line in a file: the driver's stdout capture truncates
     // long logs, which left its `parsed` field null in round 1.

@@ -599,6 +599,39 @@ object Oracles {
          |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // transitive closure of the LSH candidate graph — mirrors
+    // Dedup.dedupComponents (DuckDB recursive CTE = the serial truth the
+    // distributed label-propagation fixpoint must reproduce exactly)
+    "dedup_components" ->
+      s"""WITH RECURSIVE $Shingle3Cte,
+         |sig AS (SELECT doc_id,
+         |  min(md5('seed0:' || shingle)) AS mh_0, min(md5('seed1:' || shingle)) AS mh_1,
+         |  min(md5('seed2:' || shingle)) AS mh_2, min(md5('seed3:' || shingle)) AS mh_3,
+         |  min(md5('seed4:' || shingle)) AS mh_4, min(md5('seed5:' || shingle)) AS mh_5,
+         |  min(md5('seed6:' || shingle)) AS mh_6, min(md5('seed7:' || shingle)) AS mh_7
+         |  FROM shingles GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         |         FROM reach GROUP BY u),
+         |sizes AS (SELECT component, count(*) AS cluster_size
+         |          FROM comp GROUP BY component)
+         |SELECT c.doc_id, c.component, s.cluster_size
+         |FROM comp c JOIN sizes s USING (component)
+         |ORDER BY doc_id""".stripMargin,
+
     // asymmetric batch × corpus banding — mirrors Dedup.dedupIncremental
     "dedup_incremental" ->
       s"""WITH $Shingle3Cte,

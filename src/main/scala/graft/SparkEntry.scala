@@ -99,6 +99,7 @@ object SparkEntry {
     "simhash"           -> (Dedup.simhash _),
     "decontaminate"     -> (Dedup.decontaminate _),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
+    "dedup_components"  -> ((s: SparkSession, d: String) => Dedup.dedupComponents(s, d)),
     // similarity search
     "knn_brute"         -> (Similarity.knnBrute _),
     "knn_bucketed"      -> (Similarity.knnBucketed _),

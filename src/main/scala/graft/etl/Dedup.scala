@@ -258,6 +258,76 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected-component CLUSTERING over the LSH candidate graph — the
+    * step production dedup runs after pairing: near-dup pairs are not a
+    * dedup decision until transitively closed (A~B, B~C ⇒ {A,B,C} is ONE
+    * cluster with ONE keeper), cf. commands/extract.md dedup contract +
+    * the MinHash lineage (Broder; MapReduce CC per Kiveris et al.).
+    *
+    * Distributed fixpoint, never a driver-side union-find: each node
+    * starts labeled with itself; every round takes (1) the min label
+    * over graph neighbors, then (2) a POINTER-JUMP lbl ← lbl(lbl) —
+    * labels are always node ids, so the jump is a self-join — giving
+    * O(log diameter) rounds instead of O(diameter). Labels only ever
+    * decrease, so sum(lbl) is a monotone convergence witness; each round
+    * is two hash-partitioned joins on bounded, persisted inputs (the
+    * edge list, |pairs| rows — NOT the corpus). At 100 TB the corpus
+    * never enters the loop: only candidate-pair nodes do, and real
+    * near-dup graphs are sparse with tiny diameters (2-4 rounds).
+    *
+    * Output: every clustered doc with its component id (= min doc_id in
+    * the component — the canonical keeper) and the cluster size.
+    */
+  def dedupComponents(spark: SparkSession, dir: String,
+      numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame = {
+    val pairs = minhashLshFrom(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      numHashes, bandSize)
+    dedupComponentsFrom(pairs)
+  }
+
+  /** pairs(doc_a < doc_b) → (doc_id, component, cluster_size). */
+  def dedupComponentsFrom(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .persist()
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+    var prevSum = lblSum(labels)
+    var converged = false
+    while (!converged) {
+      // (1) min over neighbors (left join: isolated labels keep their own)
+      val nbr = edges.as("e")
+        .join(labels.as("l"), col("e.v") === col("l.node"))
+        .groupBy(col("e.u").as("node")).agg(min(col("l.lbl")).as("nbl"))
+      val stepped = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+      // (2) pointer-jump: follow the label one hop (lbl is a node id)
+      val jumped = stepped.as("a")
+        .join(stepped.as("b"), col("a.lbl") === col("b.node"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("b.lbl"), col("a.lbl")).as("lbl"))
+        .persist()
+      val curSum = lblSum(jumped)
+      labels.unpersist()
+      labels = jumped
+      converged = curSum == prevSum
+      prevSum = curSum
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    val out = labels.join(sizes, Seq("lbl"))
+      .select(col("node").as("doc_id"), col("lbl").as("component"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
   /** SimHash (16-bit): per word, a 16-bit hash from the md5 hex prefix;
     * bit b contributes +1/-1 by parity; the signature bit is the sign of
     * the sum. Hex→int via conv() is oracle-reproducible (DuckDB

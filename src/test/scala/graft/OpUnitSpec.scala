@@ -51,6 +51,22 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L) != out(3L))
   }
 
+  test("DedupComponents: transitive closure over pairs, min-id keeper") {
+    // chain 1-2, 2-3 (one component, keeper 1), isolated pair 10-11,
+    // and a 4-cycle 20-21, 21-22, 22-23, 23-20 (pointer-jump must not
+    // oscillate on cycles)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (20L, 23L)
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupComponentsFrom(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 4L), (21L, 20L, 4L), (22L, 20L, 4L), (23L, 20L, 4L)))
+  }
+
   test("Cosine: self-similarity is 1, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 2.0f)),
