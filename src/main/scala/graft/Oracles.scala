@@ -561,6 +561,18 @@ object Oracles {
         |       ELSE 'unknown' END AS predicted
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // df==1 novelty over distinct 3-shingles — mirrors TextAnalysis.ngramNovelty
+    "ngram_novelty" ->
+      s"""WITH $Shingle3Cte,
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST((10000 * sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         |    AS novelty_bp
+         |FROM dsh JOIN dfreq USING (shingle)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "doc_fingerprint" ->
       s"""WITH $Shingle3Cte
          |SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles
@@ -799,6 +811,37 @@ object Oracles {
         |       WHERE dst % 11 >= 5 AND dst NOT IN (SELECT node FROM v2)),
         |v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3)
         |SELECT node, CAST(depth AS INT) AS depth FROM v3 ORDER BY node""".stripMargin,
+
+    // 3 unrolled damped power iterations, integer ppm mass — mirrors
+    // Crawl.pagerankIter (div/% semantics agree across engines on
+    // non-negative operands)
+    "pagerank_iter" ->
+      """WITH cnt AS (SELECT count(*) AS c FROM customer),
+        |e AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,
+        |                      CAST(o_orderkey % c AS BIGINT) AS dst
+        |      FROM orders, cnt),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |m0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(sum(m.pr // d.outdeg) AS BIGINT) AS inbound
+        |       FROM e JOIN m0 m ON e.src = m.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |m1 AS (SELECT n.node,
+        |         CAST(150000 + (85 * coalesce(c.inbound, 0)) // 100 AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+        |c2 AS (SELECT e.dst AS node, CAST(sum(m.pr // d.outdeg) AS BIGINT) AS inbound
+        |       FROM e JOIN m1 m ON e.src = m.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |m2 AS (SELECT n.node,
+        |         CAST(150000 + (85 * coalesce(c.inbound, 0)) // 100 AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+        |c3 AS (SELECT e.dst AS node, CAST(sum(m.pr // d.outdeg) AS BIGINT) AS inbound
+        |       FROM e JOIN m2 m ON e.src = m.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |m3 AS (SELECT n.node,
+        |         CAST(150000 + (85 * coalesce(c.inbound, 0)) // 100 AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+        |SELECT node, pr AS pr_ppm FROM m3 ORDER BY node""".stripMargin,
 
     "range_window" ->
       """WITH e AS (SELECT event_type, event_id,

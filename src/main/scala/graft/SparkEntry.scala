@@ -88,6 +88,7 @@ object SparkEntry {
     "quality_score"   -> (TextAnalysis.qualityScore _),
     "lang_id"         -> (TextAnalysis.langId _),
     "doc_fingerprint" -> (TextAnalysis.fingerprint _),
+    "ngram_novelty"   -> (TextAnalysis.ngramNovelty _),
     // dedup
     "dedup_exact"       -> (Dedup.dedupExact _),
     "minhash_signature" -> (Dedup.minhashSignatureQuery _),
@@ -109,6 +110,7 @@ object SparkEntry {
     "cluster_assign"    -> (Similarity.clusterAssign _),
     // fixpoint / windows / custom-agg / multimodal
     "crawl_bfs"           -> (Crawl.crawlBfs _),
+    "pagerank_iter"       -> ((s: SparkSession, d: String) => Crawl.pagerankIter(s, d)),
     "range_window"        -> (Events.rangeWindow _),
     "session_window_agg"  -> (Events.sessionWindowAgg _),
     "bounded_summary"     -> (Summaries.boundedSummary _),

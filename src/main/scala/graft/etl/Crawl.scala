@@ -94,4 +94,39 @@ object Crawl {
     }
     visited.orderBy("node")
   }
+
+  /** Link-graph PageRank, 3 damped power iterations — the classic
+    * crawl-frontier / corpus-curation quality signal (what CommonCrawl-
+    * style pipelines rank hosts by; complements the per-link lexical
+    * score in Urls.scoreLink). All-INTEGER mass in parts-per-million:
+    * every contribution is `pr div outdeg` and damping is
+    * `150000 + (85·inbound) div 100`, so both engines compute identical
+    * bigints — no float summation order to flake on. Dangling-node mass
+    * is dropped (standard simplification; renormalizing it is a
+    * parameter choice, not a plan change).
+    *
+    * Each iteration = one join edges⋈mass (hash on src) + one groupBy
+    * dst — the distributed power-iteration plan. Iterations are unrolled
+    * declaratively (3 levels deep, edges/nodes persisted); at 100 TB
+    * you'd checkpoint mass per iteration to cut lineage, exactly like
+    * the crawl fixpoint does per level.
+    */
+  def pagerankIter(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e = edges(spark, dir).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var mass = nodes.withColumn("pr_ppm", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(mass.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("pr_ppm div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inbound"))
+      mass = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(inbound, 0)) div 100")).as("pr_ppm"))
+    }
+    mass.orderBy("node")
+  }
 }

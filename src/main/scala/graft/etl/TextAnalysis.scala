@@ -176,6 +176,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-level n-gram NOVELTY — the inverse of decontamination: for
+    * each document, what fraction of its distinct 3-shingles appears in
+    * NO other document (document frequency == 1). Low novelty = mostly
+    * boilerplate / near-dup content; a standard keep-drop quality
+    * signal next to [[qualityScore]] (cf. commands/extract.md quality
+    * gates). Two hash-partitioned shuffles — distinct shingle rows by
+    * shingle (df count, map-side combined), then back by doc_id — no
+    * broadcast, no self-join; linear at 100 TB.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(Shingles.shingleArray(col("text"), 3))).as("shingle"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("(10000 * n_novel) div n_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: min-of-hashes over word 3-shingles (rolling-
     * hash analog, md5-based so the DuckDB oracle can reproduce it
     * bit-for-bit). Computed entirely inside the shingle ARRAY
