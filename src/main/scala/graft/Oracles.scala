@@ -786,6 +786,28 @@ object Oracles {
          |FROM r WHERE rk = 1 GROUP BY cid ORDER BY cid""".stripMargin
     },
 
+    // assignment (as cluster_assign) + per-dimension exact-bp means —
+    // mirrors Similarity.kmeansUpdate
+    "kmeans_update" -> {
+      val p =
+        """p AS (SELECT e.vec_id AS qid, c.vec_id AS cid, e.embedding AS qe, c.embedding AS ce
+          |      FROM embeddings e JOIN embeddings c
+          |        ON c.vec_id < 8 AND e.vec_id <> c.vec_id)""".stripMargin
+      s"""WITH ${cosineFrom(p, "")},
+         |r AS (SELECT qid, cid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+         |      FROM s),
+         |b AS (SELECT cid, qid FROM r WHERE rk = 1),
+         |x AS (SELECT b.cid,
+         |        CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
+         |        CAST(unnest(e.embedding) AS DOUBLE) AS x
+         |      FROM b JOIN embeddings e ON e.vec_id = b.qid)
+         |SELECT cid, dim, count(*) AS n_assigned,
+         |  CAST(sum(CAST(round(x * 10000) AS BIGINT)) AS DOUBLE) / count(*) / 10000.0 AS mean_x
+         |FROM x WHERE dim < 4
+         |GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
+    },
+
     "label_stats" ->
       """WITH z AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
         |d AS (SELECT vec_id, label, sqrt(sum(x * x)) AS vnorm
@@ -1095,6 +1117,35 @@ object Oracles {
         |  JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0 AS volume,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
 
     "rollup_sales" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,

@@ -108,6 +108,7 @@ object SparkEntry {
     "embedding_neardup" -> (Similarity.embeddingNearDup _),
     "label_stats"       -> (Similarity.labelStats _),
     "cluster_assign"    -> (Similarity.clusterAssign _),
+    "kmeans_update"     -> (Similarity.kmeansUpdate _),
     // fixpoint / windows / custom-agg / multimodal
     "crawl_bfs"           -> (Crawl.crawlBfs _),
     "pagerank_iter"       -> ((s: SparkSession, d: String) => Crawl.pagerankIter(s, d)),
@@ -138,6 +139,8 @@ object SparkEntry {
     // relational breadth: windows-as-correlation, deep join, rollup, pivot
     "above_avg_orders" -> (Relational2.aboveAvgOrders _),
     "q5_local_supplier" -> (Relational2.q5LocalSupplier _),
+    "q7_nation_volume"  -> (Relational2.q7NationVolume _),
+    "q10_returned_items" -> (Relational2.q10ReturnedItems _),
     "rollup_sales"     -> (Relational2.rollupSales _),
     "pivot_flags"      -> (Relational2.pivotFlags _),
     "median_price"     -> (Relational2.medianPrice _),

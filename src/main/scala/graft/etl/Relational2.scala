@@ -55,6 +55,53 @@ object Relational2 {
       .orderBy("r_name", "n_name")
   }
 
+  /** Q7-style cross-nation trade volume: supplier nation × customer
+    * nation × ship year. Both nation dims and supplier broadcast (dim-
+    * class at any SF); lineitem/orders/customer hash-join on their keys.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = broadcast(Tables.supplier(spark, dir))
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(n1, s("s_nationkey") === col("s_nk"))
+      .join(n2, c("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("ship_year"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        / lit(10000.0)).as("volume"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** Q10-style returned-item revenue ranking: top-20 customers by
+    * revenue lost to returns. Selective flag filter lands on the scan;
+    * the final top-k is TakeOrdered (never a global sort at scale).
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** ROLLUP over the pricing flags with explicit grouping indicators
     * (subtotal rows carry NULL keys; grouping() disambiguates real
     * NULLs from rollup NULLs).

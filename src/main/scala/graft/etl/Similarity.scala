@@ -189,6 +189,42 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** Lloyd centroid-UPDATE step — the half of k-means [[clusterAssign]]
+    * doesn't cover: per assigned cluster, the new centroid = per-
+    * dimension mean. Together they form one full IVF-training
+    * iteration (assign → update → re-broadcast the 8 new centroids).
+    * Dimension means are EXACT: each float component rounds to an
+    * integral basis-point bigint before summation (bigint sums are
+    * order-free across partitions; avg(double) is not — same rule as
+    * clusterAssign's mean_cos), divided once at the output surface.
+    * Plan: broadcast centroids → map-side cosine + rank-1 window on
+    * vec_id (high cardinality, distributes) → posexplode → groupBy
+    * (cid, dim) with map-side combine. The verified surface slices
+    * dims < 4 (bounded output; Catalyst pushes the slice below the
+    * shuffle) — production drops the slice and aggregates all dims,
+    * same plan per dimension.
+    */
+  def kmeansUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val cents0 = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn")))
+    val scored = e.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(cents0, col("vec_id") =!= col("cid"))
+      .withColumn("cos",
+        round(dotF(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 4))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .filter(col("dim") < 4)
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n_assigned"),
+        (sum(round(col("x").cast("double") * 10000).cast("bigint")).cast("double")
+          / count(lit(1)) / 10000.0).as("mean_x"))
+      .orderBy("cid", "dim")
+  }
+
   /** Centroid summary per label: aggregate RAW norms (irrational values
     * → rounding-tie-free), round only at the output surface.
     */
