@@ -128,6 +128,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!dc.contains("SortMergeJoin"), dc)
   }
 
+  test("q7/q10: dims broadcast; q10 tops out via TakeOrdered with scan-level filter") {
+    val p7 = plan("q7_nation_volume")
+    assert(countOf(p7, ") BroadcastHashJoin") >= 3, s"q7 lost a dim broadcast:\n$p7")
+    val p10 = plan("q10_returned_items")
+    assert(p10.contains("TakeOrderedAndProject"), p10)
+    assert(p10.contains("BroadcastHashJoin"), p10)
+    assert(p10.contains("EqualTo(l_returnflag,R)"), s"return filter not pushed:\n$p10")
+  }
+
+  test("ngram_novelty: two hash shuffles plus the output sort, nothing else") {
+    val p = plan("ngram_novelty")
+    assert(countOf(p, "+- Exchange") <= 3, s"novelty grew a shuffle:\n$p")
+  }
+
+  test("kmeans_update: centroids broadcast, corpus never shuffle-joined") {
+    val p = plan("kmeans_update")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus side must stay map-side:\n$p")
+  }
+
   test("sweep: no query plans a single-partition exchange or cartesian product") {
     // the serial batch_pack is the documented exception (semantic spec
     // for its sharded twin); everything else must keep table-sized data
