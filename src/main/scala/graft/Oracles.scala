@@ -84,6 +84,22 @@ object Oracles {
       |FROM w ORDER BY doc_id""".stripMargin
 
   /** knn pair scoring skeleton: expects CTEs p(qid, cid, qe, ce, ...). */
+  /** simhash signature CTE chain ending in sigt(doc_id, simhash16) —
+    * shared by the signature query and the near-dup pairing.
+    */
+  private val SimhashSigCte: String = {
+    val bitSums = (0 until 16).map(b =>
+      s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s_$b").mkString(",\n  ")
+    val sig = (0 until 16).map(b =>
+      s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""$WordsCte,
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 4)) AS INT) AS h FROM words),
+       |s AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sigt AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash16 FROM s)""".stripMargin
+  }
+
   private def cosineFrom(pairCte: String, extraCols: String): String =
     s"""$pairCte,
        |z AS (SELECT qid, cid$extraCols,
@@ -685,19 +701,22 @@ object Oracles {
          |WHERE (10000 * n_common) // (sa.n_sh + sb.n_sh - n_common) >= 150
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "simhash" -> {
-      val bitSums = (0 until 16).map(b =>
-        s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s_$b").mkString(",\n  ")
-      val sig = (0 until 16).map(b =>
-        s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-      s"""WITH $WordsCte,
-         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 4)) AS INT) AS h FROM words),
-         |s AS (SELECT doc_id,
-         |  $bitSums
-         |  FROM h GROUP BY doc_id)
-         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash16
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+    "simhash" ->
+      s"""WITH $SimhashSigCte
+         |SELECT doc_id, simhash16 FROM sigt ORDER BY doc_id""".stripMargin,
+
+    // bit-block LSH over the simhash signature — mirrors Dedup.simhashNearDup
+    "simhash_neardup" ->
+      s"""WITH $SimhashSigCte,
+         |blocks AS (SELECT doc_id, simhash16, b.blk,
+         |    (simhash16 >> (b.blk * 4)) & 15 AS bval
+         |  FROM sigt, (SELECT unnest([0, 1, 2, 3]) AS blk) b)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.simhash16, y.simhash16)) AS INT) AS hamming
+         |FROM blocks x JOIN blocks y
+         |  ON x.blk = y.blk AND x.bval = y.bval AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash16, y.simhash16)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // ---- similarity search ----
     "knn_brute" -> {

@@ -98,6 +98,7 @@ object SparkEntry {
     "minhash_fast"      -> (Dedup.minhashFastQuery _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
     "simhash"           -> (Dedup.simhash _),
+    "simhash_neardup"   -> (Dedup.simhashNearDup _),
     "decontaminate"     -> (Dedup.decontaminate _),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     "dedup_components"  -> ((s: SparkSession, d: String) => Dedup.dedupComponents(s, d)),

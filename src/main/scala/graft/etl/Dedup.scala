@@ -357,4 +357,39 @@ object Dedup {
     sums.select(col("doc_id"), sig.cast("bigint").as("simhash16"))
       .orderBy("doc_id")
   }
+
+  /** SimHash NEAR-DUP pairing — completes the SimHash family the way
+    * LSH banding completes MinHash: candidates = docs sharing any of 4
+    * contiguous 4-bit blocks of the signature (pigeonhole: hamming ≤ 3
+    * ⇒ at least one block identical, so the ≤2 threshold has recall 1);
+    * verification = popcount of the XOR on candidates only. The block
+    * join is bucketed (equi-join on (block, value)) — per-bucket
+    * quadratic, never all-pairs.
+    *
+    * Honest scale note: 4-bit blocks give only 16 buckets per position —
+    * fine for the oracle corpus, quadratic-in-n/16 at 100 TB. Production
+    * runs the same plan on a 64-bit simhash with 4×16-bit blocks (65 536
+    * buckets per position, the Manku/Jain/Sarma web-dedup layout); only
+    * the constants change, the plan is identical.
+    */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashFrom(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("simhash16"))
+    val blocks = (0 until 4).map(b => struct(lit(b).as("blk"),
+      shiftright(col("simhash16"), b * 4).bitwiseAND(15).as("bval")))
+    val banded = sig
+      .select(col("doc_id"), col("simhash16"), explode(array(blocks: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash16"),
+        col("bs.blk").as("blk"), col("bs.bval").as("bval"))
+      .persist()
+    banded.as("x").join(banded.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash16").bitwiseXOR(col("y.simhash16")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
 }
