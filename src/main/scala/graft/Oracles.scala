@@ -1286,6 +1286,29 @@ object Oracles {
         |SELECT doc_id, rn, word, tf, df, tfidf FROM r WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
 
+    // Okapi BM25 (k1=1.2, b=0.75) — mirrors TfIdf.bm25TopK; the scoring
+    // expression is textually order-identical so both engines produce
+    // the same IEEE doubles before the 4 dp round
+    "bm25_topk" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 64),
+        |w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word FROM docs),
+        |words AS (SELECT * FROM w0 WHERE length(word) > 0),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        |dfx AS (SELECT word, count(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word),
+        |nn AS (SELECT count(*) AS n FROM docs),
+        |sd AS (SELECT sum(dl) AS sumdl FROM dl),
+        |sc AS (SELECT t.doc_id, t.word, t.tf, f.df,
+        |         round(ln(1.0 + (CAST(n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5))
+        |           * (t.tf * 2.2)
+        |           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * CAST(n AS DOUBLE) / CAST(sumdl AS DOUBLE))), 4) AS bm25
+        |       FROM tf t JOIN dfx f USING (word) JOIN dl d ON t.doc_id = d.doc_id, nn, sd),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY bm25 DESC, word) AS INT) AS rn FROM sc)
+        |SELECT doc_id, rn, word, tf, df, bm25 FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+
     "edit_distance" ->
       """WITH c AS (SELECT c_custkey AS k, c_name AS name FROM customer
         |           WHERE c_custkey < 40)

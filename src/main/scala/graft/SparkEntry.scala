@@ -155,6 +155,7 @@ object SparkEntry {
     "stratified_sample" -> (Splits.stratifiedSample _),
     // IR / analytics extras
     "tfidf_topk"      -> (TfIdf.tfidfTopK _),
+    "bm25_topk"       -> (TfIdf.bm25TopK _),
     "edit_distance"   -> (TfIdf.editDistancePairs _),
     "edit_distance_banded" -> (TfIdf.editDistanceBanded _),
     "rank_functions"  -> (TfIdf.rankFunctions _),

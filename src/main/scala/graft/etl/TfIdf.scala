@@ -36,6 +36,40 @@ object TfIdf {
       .orderBy("doc_id", "rn")
   }
 
+  /** Top-3 BM25 terms per document (Robertson/Spärck Jones Okapi BM25,
+    * k1=1.2, b=0.75) — the saturating upgrade of [[tfidfTopK]] and the
+    * standard lexical retrieval scorer. Same bounded block, same plan
+    * (tf/df/doc-length aggs + one join); determinism: every factor is a
+    * rational of integer aggregates combined in the SAME textual
+    * operation order as the oracle SQL (IEEE ops are order-determined),
+    * ln of identical doubles is bit-identical, rounded 4 dp at the
+    * surface. Constants appear as literals (never Scala-side arithmetic
+    * like k1+1 — 1.2+1 rounds differently than the literal 2.2).
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 64)
+    val n = docs.count() // bounded scalar: block size, not corpus scan
+    val words = Shingles.words(docs.select(col("doc_id"), col("text")))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val sumDl = dl.agg(sum(col("dl"))).head.getLong(0)
+    val dfq = words.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * col("dl") * lit(n.toDouble) / lit(sumDl.toDouble))
+    val scored = tf.join(dfq, Seq("word")).join(dl, Seq("doc_id"))
+      .withColumn("bm25", round(idf * (col("tf") * lit(2.2)) / denom, 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bm25").desc, col("word").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("word"), col("tf"), col("df"),
+        col("bm25"))
+      .orderBy("doc_id", "rn")
+  }
+
   /** Edit-distance fuzzy matching on short strings (customer names in a
     * bounded block): levenshtein is integer-exact in both engines. The
     * scale form blocks by length band / prefix before the quadratic
