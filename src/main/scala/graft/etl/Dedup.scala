@@ -286,15 +286,26 @@ object Dedup {
     dedupComponentsFrom(pairs)
   }
 
-  /** pairs(doc_a < doc_b) → (doc_id, component, cluster_size). */
+  /** pairs(doc_a < doc_b) → (doc_id, component, cluster_size).
+    *
+    * Lineage discipline: every round ends in `localCheckpoint()`, not
+    * `persist()`. A persist only truncates RECOMPUTATION — the analyzed
+    * plan still nests the previous round's plan (twice, via the
+    * pointer-jump self-join), so with persist alone Catalyst re-optimizes
+    * an exponentially growing tree and the fixpoint spends its time in
+    * the optimizer (measured 43 s at sf0.1), not in the joins. The
+    * checkpoint materializes the round AND resets the plan to a leaf.
+    * On a cluster you'd use reliable `checkpoint()` (localCheckpoint
+    * is not executor-loss-tolerant); same plan shape.
+    */
   def dedupComponentsFrom(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .persist()
+      .localCheckpoint()
     def lblSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
     var prevSum = lblSum(labels)
@@ -312,20 +323,17 @@ object Dedup {
         .join(stepped.as("b"), col("a.lbl") === col("b.node"), "left")
         .select(col("a.node").as("node"),
           coalesce(col("b.lbl"), col("a.lbl")).as("lbl"))
-        .persist()
+        .localCheckpoint() // eager: materializes and truncates lineage
       val curSum = lblSum(jumped)
-      labels.unpersist()
       labels = jumped
       converged = curSum == prevSum
       prevSum = curSum
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    val out = labels.join(sizes, Seq("lbl"))
+    labels.join(sizes, Seq("lbl"))
       .select(col("node").as("doc_id"), col("lbl").as("component"),
         col("cluster_size"))
       .orderBy("doc_id")
-    edges.unpersist()
-    out
   }
 
   /** SimHash (16-bit): per word, a 16-bit hash from the md5 hex prefix;
