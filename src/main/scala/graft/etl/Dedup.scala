@@ -192,8 +192,13 @@ object Dedup {
       sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     }
-    val batch = banded(docs.filter(col("doc_id") % 10 === 0))
-    val corpus = banded(docs.filter(col("doc_id") % 10 =!= 0))
+    // one signature pass for BOTH sides: banding is per-doc, so band
+    // everything once, cache the (tiny) band rows, and split by filter —
+    // two banded(filter(...)) branches would each re-run the full md5
+    // signature pipeline (measured 2× the query cost at sf0.1)
+    val all = banded(docs).persist()
+    val batch = all.filter(col("doc_id") % 10 === 0)
+    val corpus = all.filter(col("doc_id") % 10 =!= 0)
     batch.as("n").join(corpus.as("c"),
         col("n.band") === col("c.band") && col("n.bkey") === col("c.bkey"))
       .select(col("n.doc_id").as("new_doc"), col("c.doc_id").as("corpus_doc"))
