@@ -1137,6 +1137,34 @@ object Oracles {
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
+    // one-pass profiling report — mirrors Observability.tableProfile
+    "table_profile" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_rf,
+        |  count(DISTINCT l_returnflag) AS nd_rf,
+        |  CAST(min(l_returnflag) AS VARCHAR) AS mn_rf,
+        |  CAST(max(l_returnflag) AS VARCHAR) AS mx_rf,
+        |  CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_ls,
+        |  count(DISTINCT l_linestatus) AS nd_ls,
+        |  CAST(min(l_linestatus) AS VARCHAR) AS mn_ls,
+        |  CAST(max(l_linestatus) AS VARCHAR) AS mx_ls,
+        |  CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_sk,
+        |  count(DISTINCT l_suppkey) AS nd_sk,
+        |  CAST(min(l_suppkey) AS VARCHAR) AS mn_sk,
+        |  CAST(max(l_suppkey) AS VARCHAR) AS mx_sk,
+        |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_pk,
+        |  count(DISTINCT l_partkey) AS nd_pk,
+        |  CAST(min(l_partkey) AS VARCHAR) AS mn_pk,
+        |  CAST(max(l_partkey) AS VARCHAR) AS mx_pk
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_returnflag' AS column_name, n_rows, nu_rf AS n_nulls,
+        |         nd_rf AS n_distinct, mn_rf AS min_value, mx_rf AS max_value FROM a
+        |  UNION ALL SELECT 'l_linestatus', n_rows, nu_ls, nd_ls, mn_ls, mx_ls FROM a
+        |  UNION ALL SELECT 'l_suppkey', n_rows, nu_sk, nd_sk, mn_sk, mx_sk FROM a
+        |  UNION ALL SELECT 'l_partkey', n_rows, nu_pk, nd_pk, mn_pk, mx_pk FROM a)
+        |ORDER BY column_name""".stripMargin,
+
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS ship_year,

@@ -122,6 +122,8 @@ object SparkEntry {
     "image_resolve" -> (Images.imageResolve _),
     // skew handling
     "skew_salted_agg" -> (Skew.saltedAgg _),
+    // data profiling
+    "table_profile"   -> (Observability.tableProfile _),
     // strategy router / distinct / priority crawl
     "transform_route" -> (Router.transformRoute _),
     "distinct_agg"    -> (Router.distinctAgg _),
