@@ -92,6 +92,40 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("components: keeper is a member, is minimal, labels are closed under edges") {
+    // random sparse pair set over 60 nodes — checks the fixpoint against
+    // the defining properties rather than one hand-built example
+    val pairEdges = (1 to 80).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val comp = graft.etl.Dedup.dedupComponentsFrom(
+        pairEdges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long, Long)].collect()
+    val label = comp.map(c => c._1 -> c._2).toMap
+    // component id is the min member (keeper minimality + membership)
+    comp.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"component $cid keeper wrong")
+      assert(members.forall(_._3 == members.size), s"component $cid size wrong")
+    }
+    // closure: both endpoints of every edge share a label
+    pairEdges.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"edge ($a,$b) spans components")
+    }
+  }
+
+  test("pagerank: every node labeled, mass within damping bounds") {
+    val pr = graft.etl.Crawl.pagerankIter(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect()
+    val n = pr.length
+    assert(n > 0)
+    // every per-node mass is >= the damping floor and no node exceeds
+    // total initial mass (integer div only ever loses mass)
+    assert(pr.forall(_._2 >= 150000L), "node below damping floor")
+    assert(pr.forall(_._2 <= 1000000L * n), "node above total mass")
+    assert(pr.map(_._1).distinct.length == n, "duplicate node rows")
+  }
+
   test("LSH s-curve: monotone, correct thresholds, prod preset sharper") {
     import graft.etl.Dedup._
     for ((n, r) <- Seq((TestNumHashes, TestBandSize), (ProdNumHashes, ProdBandSize))) {
