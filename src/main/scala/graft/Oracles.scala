@@ -577,6 +577,24 @@ object Oracles {
         |       ELSE 'unknown' END AS predicted
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // top-20 PMI collocations — mirrors TextAnalysis.collocations
+    "collocations" ->
+      s"""WITH $WordsCte,
+         |uni AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+         |nn AS (SELECT count(*) AS n FROM words),
+         |sh0 AS (SELECT doc_id, pos, word,
+         |          lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS wnext
+         |        FROM words),
+         |cbi AS (SELECT word AS w1, wnext AS w2, count(*) AS c12
+         |        FROM sh0 WHERE wnext IS NOT NULL GROUP BY word, wnext),
+         |sc AS (SELECT w1, w2, c12,
+         |         round(ln(CAST(n AS DOUBLE) * c12 / (u1.c * u2.c)), 4) AS pmi
+         |       FROM cbi JOIN uni u1 ON w1 = u1.word
+         |                JOIN uni u2 ON w2 = u2.word, nn
+         |       WHERE c12 >= 5)
+         |SELECT w1, w2, c12, pmi FROM sc
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
     // df==1 novelty over distinct 3-shingles — mirrors TextAnalysis.ngramNovelty
     "ngram_novelty" ->
       s"""WITH $Shingle3Cte,

@@ -89,6 +89,7 @@ object SparkEntry {
     "lang_id"         -> (TextAnalysis.langId _),
     "doc_fingerprint" -> (TextAnalysis.fingerprint _),
     "ngram_novelty"   -> (TextAnalysis.ngramNovelty _),
+    "collocations"    -> (TextAnalysis.collocations _),
     // dedup
     "dedup_exact"       -> (Dedup.dedupExact _),
     "minhash_signature" -> (Dedup.minhashSignatureQuery _),

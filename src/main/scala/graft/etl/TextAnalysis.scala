@@ -176,6 +176,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PMI collocation extraction — the top word-pair associations of the
+    * corpus: pmi(w1,w2) = ln(N·c12 / (c1·c2)) over adjacent-word bigram
+    * and unigram counts (N = corpus word count), min support c12 ≥ 5,
+    * top-20 by PMI. The vocabulary-keyed joins and counts are the same
+    * two-shuffle shape as [[ngramNovelty]]; the final top-k is
+    * TakeOrdered. ln of identical rationals is bit-identical
+    * cross-engine (the tfidf/bm25 rule); round 4 dp at the surface.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // corpus word count without a second explode: sum of array sizes
+    val n = docs.select(sum(size(Shingles.wordArray(col("text"))))
+      .as("n")).head.getLong(0)
+    val uni = docs.select(explode(Shingles.wordArray(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val cbi = docs.select(explode(Shingles.shingleArray(col("text"), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    cbi
+      .join(uni.select(col("word").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("c").as("c2")), Seq("w2"))
+      .withColumn("pmi",
+        round(log(lit(n.toDouble) * col("c12") / (col("c1") * col("c2"))), 4))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+  }
+
   /** Corpus-level n-gram NOVELTY — the inverse of decontamination: for
     * each document, what fraction of its distinct 3-shingles appears in
     * NO other document (document frequency == 1). Low novelty = mostly
