@@ -513,6 +513,48 @@ object Oracles {
         |  (max(ts_us) - min(ts_us)) / 60000000.0 AS duration_min
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
 
+    // session funnel (same sessionization CTE as `sessionize`) —
+    // mirrors Events.funnelStages
+    "funnel_stages" ->
+      """WITH x AS (SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |             lag(CAST(epoch_us(ts) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |           FROM events),
+        |b AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk FROM x),
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM b),
+        |per AS (SELECT user_id, session_seq,
+        |         min(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view,
+        |         min(CASE WHEN event_type = 'click' THEN ts_us END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts_us END) AS t_purchase
+        |        FROM s GROUP BY user_id, session_seq),
+        |f AS (SELECT
+        |       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+        |                      AND t_click >= t_view THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+        |                      AND t_click >= t_view AND t_purchase IS NOT NULL
+        |                      AND t_purchase >= t_click THEN 1 ELSE 0 END) AS BIGINT) AS s3
+        |      FROM per)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'view' AS stage_name, s1 AS n_sessions,
+        |         CASE WHEN s1 > 0 THEN CAST(10000 AS BIGINT) END AS pct_of_first_bp FROM f
+        |  UNION ALL SELECT 2, 'view>click', s2,
+        |         CASE WHEN s1 > 0 THEN (10000 * s2) // s1 END FROM f
+        |  UNION ALL SELECT 3, 'view>click>purchase', s3,
+        |         CASE WHEN s1 > 0 THEN (10000 * s3) // s1 END FROM f)
+        |ORDER BY stage""".stripMargin,
+
+    // hour-bucket cohorts, offsets 0-5 — mirrors Events.cohortRetention
+    "cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket
+        |             FROM events),
+        |fb AS (SELECT user_id, min(bucket) AS cohort FROM act GROUP BY user_id)
+        |SELECT cohort, CAST(bucket - cohort AS INT) AS hour_offset, count(*) AS n_users
+        |FROM act JOIN fb USING (user_id)
+        |WHERE bucket - cohort <= 5
+        |GROUP BY cohort, hour_offset ORDER BY cohort, hour_offset""".stripMargin,
+
     "tumbling_window" ->
       """SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket, event_type,
         |  count(*) AS n,
@@ -1154,6 +1196,22 @@ object Oracles {
         |  JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    // CDC snapshot diff — mirrors Splits.snapshotDiff
+    "snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey,
+        |                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |              FROM orders),
+        |o AS (SELECT o_orderkey, cents AS c_old FROM base WHERE o_orderkey % 19 <> 0),
+        |n AS (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 7 = 0 THEN cents + 1 ELSE cents END AS c_new
+        |      FROM base WHERE o_orderkey % 23 <> 0)
+        |SELECT CASE WHEN c_old IS NULL THEN 'added'
+        |            WHEN c_new IS NULL THEN 'removed'
+        |            WHEN c_old <> c_new THEN 'changed'
+        |            ELSE 'unchanged' END AS status, count(*) AS n_rows
+        |FROM o FULL OUTER JOIN n USING (o_orderkey)
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     // one-pass profiling report — mirrors Observability.tableProfile
     "table_profile" ->

@@ -83,6 +83,8 @@ object SparkEntry {
     "tumbling_window" -> (Events.tumblingWindow _),
     "sliding_window"  -> (Events.slidingWindow _),
     "hourly_profile"  -> (Events.hourlyProfile _),
+    "funnel_stages"   -> (Events.funnelStages _),
+    "cohort_retention" -> (Events.cohortRetention _),
     // text analysis
     "token_count"     -> (TextAnalysis.tokenCountQuery _),
     "quality_score"   -> (TextAnalysis.qualityScore _),
@@ -140,6 +142,7 @@ object SparkEntry {
     "range_join_band"  -> (RangeJoin.eventsOrdersInBand _),
     "neardup_pipeline" -> (Splits.neardupPipeline _),
     "train_test_split" -> (Splits.trainTestSplit _),
+    "snapshot_diff"    -> (Splits.snapshotDiff _),
     // relational breadth: windows-as-correlation, deep join, rollup, pivot
     "above_avg_orders" -> (Relational2.aboveAvgOrders _),
     "q5_local_supplier" -> (Relational2.q5LocalSupplier _),

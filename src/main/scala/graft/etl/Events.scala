@@ -196,4 +196,57 @@ object Events {
       .groupBy(col("hour_of_day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy("hour_of_day", "event_type")
+
+  /** Session funnel: view → click → purchase, ordered by FIRST
+    * occurrence inside each session (stage k counts sessions whose
+    * min-timestamps are present and non-decreasing through stage k).
+    * One pass over the sessionized events + a 1-row conditional agg —
+    * the standard funnel plan at any scale. pct_of_first in basis
+    * points via integer div (guarded: ANSI mode makes x div 0 an error,
+    * not a NULL).
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val per = sessionAssign(Tables.events(spark, dir))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts_us"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("t_purchase"))
+    val s2c = col("t_view").isNotNull && col("t_click").isNotNull &&
+      (col("t_click") >= col("t_view"))
+    val s3c = s2c && col("t_purchase").isNotNull &&
+      (col("t_purchase") >= col("t_click"))
+    per.agg(
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("s1"),
+        sum(when(s2c, 1L).otherwise(0L)).as("s2"),
+        sum(when(s3c, 1L).otherwise(0L)).as("s3"))
+      .select(expr(
+        """stack(3,
+          |  1, 'view', s1,
+          |    CASE WHEN s1 > 0 THEN CAST(10000 AS BIGINT) ELSE NULL END,
+          |  2, 'view>click', s2,
+          |    CASE WHEN s1 > 0 THEN (10000 * s2) div s1 ELSE NULL END,
+          |  3, 'view>click>purchase', s3,
+          |    CASE WHEN s1 > 0 THEN (10000 * s3) div s1 ELSE NULL END)
+          |AS (stage, stage_name, n_sessions, pct_of_first_bp)""".stripMargin))
+      .orderBy("stage")
+  }
+
+  /** Cohort retention: users grouped by their first-active hour bucket;
+    * retention(offset k) = distinct users of that cohort active k hours
+    * later (offsets 0-5). Two shuffles — per-user first bucket, then
+    * the (cohort, offset) count over pre-deduped (user, bucket) pairs.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), floor(tsUs / lit(HourUs)).as("bucket"))
+      .distinct()
+    val firstB = act.groupBy(col("user_id")).agg(min(col("bucket")).as("cohort"))
+    act.join(firstB, Seq("user_id"))
+      .withColumn("hour_offset", (col("bucket") - col("cohort")).cast("int"))
+      .filter(col("hour_offset") <= 5)
+      .groupBy(col("cohort"), col("hour_offset"))
+      .agg(count(lit(1)).as("n_users")) // (user,bucket) pre-deduped
+      .orderBy("cohort", "hour_offset")
+  }
 }

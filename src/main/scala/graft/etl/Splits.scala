@@ -45,6 +45,33 @@ object Splits {
     * flow (signatures: single scan; quadratic work bounded to LSH
     * buckets; exact set math only on the surviving pairs).
     */
+  /** CDC snapshot diff — the MERGE/upsert precheck: old vs new snapshot
+    * full-outer-joined on the key, each row classified
+    * added/removed/changed/unchanged by exact cents compare. One
+    * hash-partitioned full join + a 4-row count — the standard
+    * change-data-capture report at any scale (snapshots here are
+    * deterministic slices of `orders`; production passes two real
+    * table versions).
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), Relational.cents(col("o_totalprice")).as("cents"))
+    val old = base.filter(col("o_orderkey") % 19 =!= 0)
+      .select(col("o_orderkey"), col("cents").as("c_old"))
+    val neu = base.filter(col("o_orderkey") % 23 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, col("cents") + 1)
+          .otherwise(col("cents")).as("c_new"))
+    old.join(neu, Seq("o_orderkey"), "full_outer")
+      .select(
+        when(col("c_old").isNull, "added")
+          .when(col("c_new").isNull, "removed")
+          .when(col("c_old") =!= col("c_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+      .orderBy("status")
+  }
+
   def neardupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val sets = Tables.documents(spark, dir)
       .select(col("doc_id"),
