@@ -16,8 +16,10 @@ import graft.functions.{ChunkText, DotProduct, SkipUrl}
   *   score_link(url, anchor, ctx, topic)  X1 relevance 0-10
   *   skip_url(url)                  F1 reference skip-list predicate
   *
-  * No custom Rule/SparkStrategy is injected — SURVEY.md §4 concluded
-  * none is required; the extension surface is expression-level only.
+  * Planner surface: [[graft.plans.GroupTopKStrategy]] (round 3) plans
+  * the native [[graft.plans.GroupTopK]] top-k-per-group operator —
+  * bounded per-group heaps, O(n log k), instead of the full window
+  * sort. Expression-level registrations below are unchanged.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -25,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+
     e.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - float-vector dot product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))

@@ -408,6 +408,16 @@ object Oracles {
          |SELECT lang, rn, doc_id, relevance FROM r WHERE rn <= 3
          |ORDER BY lang, rn""".stripMargin,
 
+    // same truth as topk_per_lang — the Spark side runs the native
+    // GroupTopK physical operator instead of a window
+    "topk_native" ->
+      s"""WITH s AS (SELECT doc_id, lang, $RelExpr AS relevance FROM documents),
+         |r AS (SELECT lang, doc_id, relevance,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY relevance DESC, doc_id) AS INT) AS rn FROM s)
+         |SELECT lang, rn, doc_id, relevance FROM r WHERE rn <= 3
+         |ORDER BY lang, rn""".stripMargin,
+
     "heading_extract" ->
       """WITH m AS (
         |  SELECT doc_id,

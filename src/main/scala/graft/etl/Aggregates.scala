@@ -77,6 +77,18 @@ object Aggregates {
       .orderBy("lang", "rn")
   }
 
+  /** [[topkPerLang]] through the NATIVE [[graft.plans.GroupTopK]]
+    * operator (custom LogicalPlan + Strategy + SparkPlan): bounded
+    * per-group heaps, no window sort — same rows, same oracle, O(n log k)
+    * instead of O(n log n). The total order (relevance desc, doc_id asc)
+    * makes the ranks engine-deterministic.
+    */
+  def topkPerLangNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.GroupTopK.topK(scoredDocs(spark, dir), Seq("lang"),
+        Seq(("relevance", false), ("doc_id", true)), 3)
+      .select(col("lang"), col("rn"), col("doc_id"), col("relevance"))
+      .orderBy("lang", "rn")
+
   /** A6/G3: markdown heading extraction → exploded (level, title) rows.
     * `documents.text` has no headings, so a deterministic markdown shell
     * is derived first (title + lang subheading), then parsed with the

@@ -1,0 +1,147 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.PlanBridge
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator extension tier (builder brief ladder (c)): a native
+  * top-k-per-group operator — custom `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan`, registered through `SparkSessionExtensions`
+  * (GraftExtensions.injectPlannerStrategy).
+  *
+  * WHY a physical operator: Spark expresses "top k per group" as
+  * row_number() over a window + filter, which SORTS every row of every
+  * group (the WindowExec requires a full per-partition sort). At 100 TB
+  * the sort dominates: you pay O(n log n) over the whole table to keep
+  * k rows per group. This operator keeps a bounded k-row heap per group
+  * and never sorts beyond it — O(n log k), the same reason
+  * TakeOrderedAndProject exists for the global-limit case. Reference
+  * semantics: T2/A5 top-N reporting (commands/crawl.md report caps).
+  *
+  * Distribution contract instead of hand-planned shuffles: the exec
+  * declares `ClusteredDistribution(groupCols)` and lets Spark insert
+  * the hash exchange — so AQE, exchange reuse, and partition coalescing
+  * all still apply. A map-side partial top-k (same heap before the
+  * exchange, like partial aggregation) is the next refinement; the
+  * correctness contract is identical.
+  */
+case class GroupTopK(
+    groupCols: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rankAttr is CREATED here, not read from the child — without this the
+  // analyzer's missing-input check rejects the plan
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopK =
+    copy(child = newChild)
+}
+
+object GroupTopK {
+  /** df grouped by `groupCols`, ordered inside each group by `order`
+    * (must be a total order for determinism — add a tie-break), keeping
+    * the best `k` rows per group plus a dense 1-based rank column.
+    */
+  def topK(df: DataFrame, groupCols: Seq[String], order: Seq[(String, Boolean)],
+      k: Int, rankName: String = "rn"): DataFrame = {
+    val child = df.queryExecution.analyzed
+    def attr(n: String) = child.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n in ${child.output.map(_.name)}"))
+    val sortOrders = order.map { case (n, asc) =>
+      if (asc) SortOrder(attr(n), org.apache.spark.sql.catalyst.expressions.Ascending)
+      else SortOrder(attr(n), org.apache.spark.sql.catalyst.expressions.Descending)
+    }
+    val rank = AttributeReference(rankName, IntegerType, nullable = false)()
+    PlanBridge.ofRows(df.sparkSession,
+      GroupTopK(groupCols.map(attr), sortOrders, k, rank, child))
+  }
+}
+
+/** Planner rule: GroupTopK → GroupTopKExec. */
+object GroupTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupTopK(g, o, k, rank, child) =>
+      GroupTopKExec(g, o, k, rank, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GroupTopKExec(
+    groupCols: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+
+  /** Groups must be co-located; Spark plans the exchange (or reuses an
+    * existing compatible partitioning — e.g. after a groupBy on the
+    * same keys there is NO extra shuffle).
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (groupCols.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(groupCols) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKExec =
+    copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val childOutput = child.output
+    val groupExprs = groupCols
+    val sortOrders = order
+    val outAttrs = output
+    child.execute().mapPartitions({ iter =>
+      val groupProj = UnsafeProjection.create(groupExprs, childOutput)
+      // total order over the SortOrder spec; compare(a,b) < 0 ⇔ a ranks
+      // before b. The heap keeps its WORST element on top (max-heap
+      // under this ordering), so admission is an O(log k) peek-compare.
+      val ordering = GenerateOrdering.generate(sortOrders, childOutput)
+      val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = groupProj(row)
+        val heap = heaps.getOrElse(key, null) match {
+          case null =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+            heaps.put(key.copy(), h)
+            h
+          case h => h
+        }
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      heaps.iterator.flatMap { case (_, heap) =>
+        // dequeueAll yields worst-first; reverse to best-first for ranks
+        val bestFirst: Seq[InternalRow] = heap.dequeueAll.reverse
+        bestFirst.iterator.zipWithIndex.map { case (r, i) =>
+          outProj(joined(r, new GenericInternalRow(Array[Any](i + 1))))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+}

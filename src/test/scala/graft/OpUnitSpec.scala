@@ -67,6 +67,29 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
       (20L, 20L, 4L), (21L, 20L, 4L), (22L, 20L, 4L), (23L, 20L, 4L)))
   }
 
+  test("GroupTopK native operator: ranks, short groups, determinism on ties") {
+    val df = Seq(
+      ("a", 1L, 30), ("a", 2L, 50), ("a", 3L, 50), ("a", 4L, 10), // tie at 50
+      ("b", 5L, 7),                                               // short group
+      ("c", 6L, 1), ("c", 7L, 2), ("c", 8L, 3), ("c", 9L, 4)
+    ).toDF("g", "id", "score")
+    val got = graft.plans.GroupTopK.topK(df, Seq("g"),
+        Seq(("score", false), ("id", true)), 2)
+      .select("g", "rn", "id", "score")
+      .as[(String, Int, Long, Int)].collect().toSet
+    assert(got == Set(
+      ("a", 1, 2L, 50), ("a", 2, 3L, 50), // tie broken by id asc
+      ("b", 1, 5L, 7),
+      ("c", 1, 9L, 4), ("c", 2, 8L, 3)))
+    // agrees with the window formulation on every group
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).select("g", "rn", "id", "score")
+      .as[(String, Int, Long, Int)].collect().toSet
+    assert(got == viaWindow)
+  }
+
   test("Cosine: self-similarity is 1, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 2.0f)),

@@ -148,6 +148,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"corpus side must stay map-side:\n$p")
   }
 
+  test("topk_native runs the GroupTopK physical operator, not a window sort") {
+    val p = plan("topk_native")
+    assert(p.contains("GroupTopK"), s"native operator not planned:\n$p")
+    assert(!p.contains("Window"), s"fell back to WindowExec:\n$p")
+  }
+
   test("sweep: no query plans a single-partition exchange or cartesian product") {
     // the serial batch_pack is the documented exception (semantic spec
     // for its sharded twin); everything else must keep table-sized data
