@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
@@ -71,12 +71,53 @@ object GroupTopK {
   }
 }
 
-/** Planner rule: GroupTopK → GroupTopKExec. */
+/** Planner rule: GroupTopK → final GroupTopKExec over a map-side
+  * PartialGroupTopKExec — the partial-aggregation trick applied to
+  * top-k: each input partition pre-prunes to its local k best per
+  * group BEFORE the exchange, so the shuffle carries at most
+  * k × |groups| rows per map partition instead of every row. The final
+  * exec then merges co-located survivors and assigns ranks. Correct
+  * because per-group top-k is a semilattice: topk(A ∪ B) =
+  * topk(topk(A) ∪ topk(B)).
+  */
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupTopK(g, o, k, rank, child) =>
-      GroupTopKExec(g, o, k, rank, planLater(child)) :: Nil
+      GroupTopKExec(g, o, k, rank,
+        PartialGroupTopKExec(g, o, k, planLater(child))) :: Nil
     case _ => Nil
+  }
+}
+
+/** Map-side pre-prune: local k best per group per partition, no rank,
+  * no distribution requirement (runs before the exchange the final
+  * exec's ClusteredDistribution induces).
+  */
+case class PartialGroupTopKExec(
+    groupCols: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialGroupTopKExec =
+    copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val childOutput = child.output
+    val groupExprs = groupCols
+    val sortOrders = order
+    child.execute().mapPartitions({ iter =>
+      val heaps = GroupTopKExec.topKHeaps(iter, groupExprs, sortOrders,
+        childOutput, kk)
+      // the exchange above this node consumes UnsafeRows — heap rows are
+      // copies of whatever the child emitted, so re-project defensively
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      heaps.iterator.flatMap { case (_, heap) => heap.iterator.map(toUnsafe) }
+    }, preservesPartitioning = true)
   }
 }
 
@@ -112,27 +153,8 @@ case class GroupTopKExec(
     val sortOrders = order
     val outAttrs = output
     child.execute().mapPartitions({ iter =>
-      val groupProj = UnsafeProjection.create(groupExprs, childOutput)
-      // total order over the SortOrder spec; compare(a,b) < 0 ⇔ a ranks
-      // before b. The heap keeps its WORST element on top (max-heap
-      // under this ordering), so admission is an O(log k) peek-compare.
-      val ordering = GenerateOrdering.generate(sortOrders, childOutput)
-      val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        val heap = heaps.getOrElse(key, null) match {
-          case null =>
-            val h = mutable.PriorityQueue.empty[InternalRow](ordering)
-            heaps.put(key.copy(), h)
-            h
-          case h => h
-        }
-        if (heap.size < kk) heap.enqueue(row.copy())
-        else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
-        }
-      }
+      val heaps = GroupTopKExec.topKHeaps(iter, groupExprs, sortOrders,
+        childOutput, kk)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       heaps.iterator.flatMap { case (_, heap) =>
@@ -143,5 +165,39 @@ case class GroupTopKExec(
         }
       }
     }, preservesPartitioning = true)
+  }
+}
+
+object GroupTopKExec {
+  /** Shared heap builder for the partial and final phases: one pass over
+    * `iter`, a bounded k-row max-heap per group. The heap keeps its
+    * WORST element on top (max-heap under `order`: compare(a,b) < 0 ⇔
+    * a ranks before b), so admission is an O(log k) peek-compare.
+    */
+  private[plans] def topKHeaps(
+      iter: Iterator[InternalRow],
+      groupExprs: Seq[Expression],
+      order: Seq[SortOrder],
+      childOutput: Seq[Attribute],
+      k: Int): mutable.LinkedHashMap[InternalRow, mutable.PriorityQueue[InternalRow]] = {
+    val groupProj = UnsafeProjection.create(groupExprs, childOutput)
+    val ordering = GenerateOrdering.generate(order, childOutput)
+    val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = groupProj(row)
+      val heap = heaps.getOrElse(key, null) match {
+        case null =>
+          val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+          heaps.put(key.copy(), h)
+          h
+        case h => h
+      }
+      if (heap.size < k) heap.enqueue(row.copy())
+      else if (ordering.compare(row, heap.head) < 0) {
+        heap.dequeue(); heap.enqueue(row.copy())
+      }
+    }
+    heaps
   }
 }
