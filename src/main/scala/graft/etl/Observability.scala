@@ -26,33 +26,31 @@ object Observability {
 
   /** Data-profiling report (the precheck every ingest pipeline runs
     * before trusting a new drop): per column — null count, exact
-    * distinct count, min/max — in ONE table pass. The multi-column
-    * exact countDistinct plans as a single Expand-based aggregate (one
-    * scan, one shuffle of partial aggs; data duplicated |cols|× inside
-    * the Expand, never re-scanned); the 1-row wide result then unpivots
-    * via stack(). min/max aggregate in the column's NATIVE type and cast
-    * to string only at the surface (display form, not lexicographic
-    * numerics). At 100 TB you'd swap countDistinct for
-    * approx_count_distinct (same plan minus the Expand — see
-    * Router.distinctSketch for the sketch tier).
+    * distinct count, min/max. One branch PER COLUMN, unioned: each
+    * branch is a single-column parquet scan (columnar pruning makes it
+    * read only that column's pages) + a two-phase distinct aggregate.
+    * The alternative one-pass form (all countDistincts in one agg)
+    * plans an Expand that pushes |cols|× the FULL row width through
+    * one aggregate — measured 5.4s vs ~1s for the per-column branches
+    * at sf0.1; per-column scans are the standard profiler shape on
+    * columnar storage (branches also parallelize independently).
+    * min/max aggregate in the column's NATIVE type and cast to string
+    * only at the surface. At 100 TB swap countDistinct for
+    * approx_count_distinct (see Router.distinctSketch for the tier).
     */
   def tableProfile(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
     val cols = Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_partkey")
-    val aggs = cols.flatMap { c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      min(col(c)).cast("string").as(s"min_$c"),
-      max(col(c)).cast("string").as(s"max_$c")) }
-    val allAggs = count(lit(1)).as("n_rows") +: aggs
-    val wide = l.agg(allAggs.head, allAggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', nulls_$c, nd_$c, min_$c, max_$c").mkString(", ")
-    wide.select(col("n_rows"), expr(
-        s"stack(${cols.length}, $stackArgs) AS " +
-          "(column_name, n_nulls, n_distinct, min_value, max_value)"))
-      .select(col("column_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_value"), col("max_value"))
+    cols.map { c =>
+      Tables.lineitem(spark, dir).select(col(c))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _)
       .orderBy("column_name")
   }
 }
