@@ -614,6 +614,26 @@ object Oracles {
         |  CAST(least(10000, (7 * len_bp + 9 * stop_bp) // 10) AS BIGINT) AS quality_bp
         |FROM r ORDER BY doc_id""".stripMargin,
 
+    // quality-weighted salted-hash sampling — mirrors TextAnalysis.weightedSample
+    "weighted_sample" ->
+      """WITH q AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
+        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
+        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
+        |  FROM documents),
+        |r AS (SELECT doc_id, len_bp,
+        |        CASE WHEN tokens = 0 THEN 0
+        |             ELSE (10000 * stop_hits) // tokens END AS stop_bp
+        |      FROM q),
+        |s AS (SELECT doc_id,
+        |        CAST(least(10000, (7 * len_bp + 9 * stop_bp) // 10) AS BIGINT) AS quality_bp,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        |      FROM r)
+        |SELECT doc_id, quality_bp, u FROM s
+        |WHERE u * 10000 < quality_bp * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+
     "lang_id" ->
       """WITH h AS (SELECT doc_id, lang,
         |    len(regexp_extract_all(coalesce(text,''), '\b(the|a|and)\b')) AS hits_en,

@@ -89,6 +89,7 @@ object SparkEntry {
     // text analysis
     "token_count"     -> (TextAnalysis.tokenCountQuery _),
     "quality_score"   -> (TextAnalysis.qualityScore _),
+    "weighted_sample" -> (TextAnalysis.weightedSample _),
     "lang_id"         -> (TextAnalysis.langId _),
     "doc_fingerprint" -> (TextAnalysis.fingerprint _),
     "ngram_novelty"   -> (TextAnalysis.ngramNovelty _),

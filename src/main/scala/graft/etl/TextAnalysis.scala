@@ -65,6 +65,24 @@ object TextAnalysis {
         least(lit(10000L), expr("(7 * len_bp + 9 * stop_bp) div 10")).as("quality_bp"))
       .orderBy("doc_id")
 
+  /** Quality-WEIGHTED deterministic downsampling — keep each document
+    * with probability quality_bp/10000, decided by a salted-hash
+    * uniform draw, never rand(): u = first 8 md5 hex chars of the doc
+    * id (uniform on [0, 2³²)), keep iff u·10⁴ < quality_bp·2³². The
+    * training-corpus "sample good documents more" primitive, fully
+    * reproducible across reruns, partitionings, and engines (same rule
+    * as [[Splits.hashBucket]]). Pure map over the scored scan — no
+    * shuffle but the output sort.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_bp"))
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("bigint"))
+      .filter(col("u") * lit(10000L) < col("quality_bp") * lit(4294967296L))
+      .orderBy("doc_id")
+
   /** Repetition profile — the Gopher-rule quality signals the
     * length/stopword score misses: duplicate-word fraction and top-word
     * dominance, the standard filters for machine-generated/spammy text.
