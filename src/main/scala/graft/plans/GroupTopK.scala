@@ -19,13 +19,17 @@ import org.apache.spark.sql.types.IntegerType
   * (GraftExtensions.injectPlannerStrategy).
   *
   * WHY a physical operator: Spark expresses "top k per group" as
-  * row_number() over a window + filter, which SORTS every row of every
-  * group (the WindowExec requires a full per-partition sort). At 100 TB
-  * the sort dominates: you pay O(n log n) over the whole table to keep
-  * k rows per group. This operator keeps a bounded k-row heap per group
-  * and never sorts beyond it — O(n log k), the same reason
-  * TakeOrderedAndProject exists for the global-limit case. Reference
-  * semantics: T2/A5 top-N reporting (commands/crawl.md report caps).
+  * row_number() over a window + filter. Spark 4's InferWindowGroupLimit
+  * improves that plan (WindowGroupLimitExec drops rows beyond k per
+  * group), but WindowGroupLimitExec REQUIRES SORTED INPUT — the
+  * physical plan is Sort → WindowGroupLimit(partial) → exchange →
+  * Sort → WindowGroupLimit(final) → Window: every input partition is
+  * still fully sorted, O(n log n), before a single row is dropped
+  * (verify with Explain on topk_per_lang). This operator keeps a
+  * bounded k-row heap per group and never sorts beyond it — O(n log k)
+  * with no Sort node at all, the same reason TakeOrderedAndProject
+  * exists for the global-limit case. Reference semantics: T2/A5 top-N
+  * reporting (commands/crawl.md report caps).
   *
   * Distribution contract instead of hand-planned shuffles: the exec
   * declares `ClusteredDistribution(groupCols)` and lets Spark insert

@@ -151,7 +151,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   test("topk_native runs the GroupTopK physical operator, not a window sort") {
     val p = plan("topk_native")
     assert(p.contains("GroupTopK"), s"native operator not planned:\n$p")
+    assert(p.contains("PartialGroupTopK"), s"map-side phase missing:\n$p")
     assert(!p.contains("Window"), s"fell back to WindowExec:\n$p")
+    // the entire point vs WindowGroupLimit: no Sort below the operator
+    // (only the final output orderBy sorts, above it)
+    val belowTopK = p.substring(p.indexOf("PartialGroupTopK"))
+    assert(!belowTopK.contains("+- Sort"), s"input sorted below the heaps:\n$p")
   }
 
   test("sweep: no query plans a single-partition exchange or cartesian product") {
