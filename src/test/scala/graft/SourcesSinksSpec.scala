@@ -108,6 +108,37 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
     assert(md.startsWith("# INDEX"))
   }
 
+  test("graftpages DSv2: typed page-store table with IO-pruning projection") {
+    val d = tmpDir()
+    Files.createDirectories(d.resolve("sub"))
+    Files.writeString(d.resolve("alpha.md"),
+      "---\ntitle: Alpha Page\nurl: https://example.com/a\n---\n# ignored\nbody text")
+    Files.writeString(d.resolve("sub/beta.md"), "# Beta Heading\nmore body")
+    Files.writeString(d.resolve("gamma.md"), "no title anywhere")
+    Files.writeString(d.resolve("notes.txt"), "not markdown; excluded")
+
+    val df = spark.read.format("graftpages").load(d.toString)
+    val rows = df.select("slug", "title", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(
+      ("alpha", "Alpha Page"),     // frontmatter wins
+      ("beta", "Beta Heading"),    // first heading fallback
+      ("gamma", "gamma")))         // slug fallback
+    assert(df.count() == 3)        // .txt never listed
+
+    // metadata-only projection: planner-visible IO pruning
+    val slim = df.select("slug")
+    val desc = slim.queryExecution.executedPlan.toString
+    assert(desc.contains("metadata-only"),
+      s"slug-only scan should skip file IO:\n$desc")
+    assert(slim.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("alpha", "beta", "gamma"))
+
+    // full read through SQL surface too
+    df.createOrReplaceTempView("pages_v2")
+    assert(spark.sql("SELECT sum(n_chars) FROM pages_v2").head.getLong(0) > 0)
+  }
+
   test("S2: directory scan honors extension whitelist and excludes") {
     val d = tmpDir()
     Files.createDirectories(d.resolve("sub/node_modules"))
