@@ -10,8 +10,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -97,24 +97,54 @@ class PagesTable(root: String, nParts: Int) extends Table with SupportsRead {
     new PagesScanBuilder(root, nParts)
 }
 
+/** Filter pushdown prunes the FILE LIST at planning time: a slug
+  * equality/prefix predicate never plans (let alone reads) a
+  * non-matching file — partition pruning for a directory-shaped store.
+  * Unsupported predicates stay residual (Spark re-applies them).
+  */
 class PagesScanBuilder(root: String, nParts: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = PagesSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PagesScan(root, nParts, required)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("slug", _: String) => true
+      case StringStartsWith("slug", _) => true
+      case IsNotNull("slug") | IsNotNull("path") => true // never null here
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new PagesScan(root, nParts, required, pushed)
 }
 
 case class PagesPartition(files: Array[String]) extends InputPartition
 
-class PagesScan(root: String, nParts: Int, required: StructType)
+class PagesScan(root: String, nParts: Int, required: StructType,
+    pushed: Array[Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val ioFree = required.fieldNames.forall(PagesSource.MetadataOnly)
     s"graftpages root=$root cols=${required.fieldNames.mkString(",")}" +
+      s" pushed=[${pushed.mkString(",")}]" +
       (if (ioFree) " [metadata-only: no file IO]" else "")
+  }
+
+  private def keepSlug(slug: String): Boolean = pushed.forall {
+    case EqualTo("slug", v: String) => slug == v
+    case StringStartsWith("slug", pre) => slug.startsWith(pre)
+    case _ => true
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -125,7 +155,9 @@ class PagesScan(root: String, nParts: Int, required: StructType)
         val s = Files.walk(rootPath)
         try s.iterator().asScala
           .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".md"))
-          .map(_.toString).toVector.sorted
+          .map(_.toString)
+          .filter(f => keepSlug(PagesSource.slugOf(f)))
+          .toVector.sorted
         finally s.close()
       }
     val n = math.max(1, math.min(nParts, files.size))

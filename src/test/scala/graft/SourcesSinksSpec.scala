@@ -137,6 +137,13 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
     // full read through SQL surface too
     df.createOrReplaceTempView("pages_v2")
     assert(spark.sql("SELECT sum(n_chars) FROM pages_v2").head.getLong(0) > 0)
+
+    // slug filter pushdown prunes the FILE LIST at planning time
+    val one = df.filter($"slug" === "alpha").select("slug", "title")
+    val pdesc = one.queryExecution.executedPlan.toString
+    assert(pdesc.contains("EqualTo(slug,alpha)"),
+      s"slug filter not pushed to the source:\n$pdesc")
+    assert(one.collect().map(_.getString(1)).toSeq == Seq("Alpha Page"))
   }
 
   test("S2: directory scan honors extension whitelist and excludes") {
