@@ -77,7 +77,39 @@ object StreamingOps {
           if (state.exists) Iterator.empty
           else { state.update(true); rows.take(1) })
   }
+
+  /** INCREMENTAL top-k per group — the streaming twin of the native
+    * batch [[graft.plans.GroupTopK]] operator (T2/A5 as a live
+    * leaderboard): per-key state is the current bounded top-k list
+    * (never the history), each micro-batch merges its rows into the
+    * state and re-emits the key's refreshed ranking (Update mode —
+    * downstream sinks upsert by (key, rn)). Total order (score desc,
+    * id asc) keeps emissions deterministic for a given batch sequence.
+    * State size is O(groups × k) regardless of stream length — the
+    * unbounded-safe property every stateful operator here maintains.
+    */
+  def streamingTopK(rows: Dataset[ScoredItem], k: Int): Dataset[RankedItem] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (key: String, batch: Iterator[ScoredItem], state: GroupState[List[ScoredItem]]) => {
+          val merged = (state.getOption.getOrElse(Nil) ++ batch)
+            .sortBy(s => (-s.score, s.id))
+            .take(k)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case (s, i) =>
+            RankedItem(key, i + 1, s.id, s.score)
+          }
+        })
+  }
 }
 
 /** One crawl fetch observation on the stream. */
 case class PageVisit(url: String, ts: Long)
+
+/** A scored item on the stream (key = group, e.g. lang or domain). */
+case class ScoredItem(key: String, id: Long, score: Long)
+
+/** A current leaderboard row emitted by [[StreamingOps.streamingTopK]]. */
+case class RankedItem(key: String, rn: Int, id: Long, score: Long)

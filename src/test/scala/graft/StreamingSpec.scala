@@ -32,6 +32,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming top-k leaderboard: bounded state, batch-by-batch refresh") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{RankedItem, ScoredItem}
+    val src = MemoryStream[ScoredItem]
+    val q = StreamingOps.streamingTopK(src.toDS(), 2)
+      .writeStream.format("memory").queryName("topk_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(ScoredItem("en", 1, 10), ScoredItem("en", 2, 30),
+        ScoredItem("en", 3, 20), ScoredItem("de", 4, 5))
+      q.processAllAvailable()
+      val after1 = spark.table("topk_t").as[RankedItem].collect().toSet
+      assert(after1 == Set(
+        RankedItem("en", 1, 2, 30), RankedItem("en", 2, 3, 20),
+        RankedItem("de", 1, 4, 5)))
+      // batch 2: a new leader for en; de unchanged (not re-emitted in
+      // Update mode unless its group saw data)
+      src.addData(ScoredItem("en", 5, 99))
+      q.processAllAvailable()
+      val all = spark.table("topk_t").as[RankedItem].collect()
+      // latest emission per (key, rn) is the refreshed leaderboard
+      val latest = all.zipWithIndex.groupBy(r => (r._1.key, r._1.rn))
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }.toSet
+      assert(latest == Set(
+        RankedItem("en", 1, 5, 99), RankedItem("en", 2, 2, 30),
+        RankedItem("de", 1, 4, 5)))
+    } finally q.stop()
+  }
+
   test("file-stream session windows agree with the batch sessionizer") {
     val dir = "/root/testdata/sf0.001"
     val batchSessions = graft.etl.Events.sessionize(spark, dir).count()
