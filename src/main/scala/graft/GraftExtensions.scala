@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughGroupTopK)
 
     e.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - float-vector dot product"),

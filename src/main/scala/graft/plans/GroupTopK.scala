@@ -75,6 +75,35 @@ object GroupTopK {
   }
 }
 
+/** Optimizer rule (injectOptimizerRule): restore filter pushdown
+  * through the custom node. Catalyst's PushDownPredicates only knows
+  * built-in operators — without this rule any Filter above a GroupTopK
+  * is stuck there and the predicate never reaches the parquet scan.
+  * Pushing is safe exactly for conjuncts that reference ONLY group
+  * columns: top-k within a group is independent of every other group,
+  * so dropping whole groups before or after ranking is equivalent.
+  * Conjuncts touching ranked/other columns stay above (they could
+  * change which rows rank).
+  */
+object PushFilterThroughGroupTopK
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, g: GroupTopK) =>
+      val groupAttrs = AttributeSet(g.groupCols.flatMap(_.references))
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.references.nonEmpty && p.references.subsetOf(groupAttrs))
+      if (push.isEmpty) f
+      else {
+        val pushed = g.copy(child = Filter(push.reduce(And), g.child))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Planner rule: GroupTopK → final GroupTopKExec over a map-side
   * PartialGroupTopKExec — the partial-aggregation trick applied to
   * top-k: each input partition pre-prunes to its local k best per

@@ -159,6 +159,28 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!belowTopK.contains("+- Sort"), s"input sorted below the heaps:\n$p")
   }
 
+  test("group-column filters push through GroupTopK to the scan") {
+    import org.apache.spark.sql.functions.col
+    val base = graft.plans.GroupTopK.topK(
+      SparkEntry.queries("score_page")(spark, dir), Seq("lang"),
+      Seq(("relevance", false), ("doc_id", true)), 3)
+    val filtered = base.filter(col("lang") === "en")
+    val p = filtered.queryExecution.explainString(FormattedMode)
+    // without PushFilterThroughGroupTopK the predicate is stuck above
+    // the custom node and never reaches the parquet scan
+    assert(p.contains("EqualTo(lang,en)"),
+      s"lang filter did not reach PushedFilters:\n$p")
+    // pushing whole groups is semantics-preserving
+    val viaPost = base.collect().filter(_.getAs[String]("lang") == "en").toSet
+    assert(filtered.collect().toSet == viaPost)
+    // mixed conjuncts: only the group part pushes, the rank part stays
+    val mixed = base.filter(col("lang") === "en" && col("rn") === 1)
+    assert(mixed.queryExecution.explainString(FormattedMode)
+      .contains("EqualTo(lang,en)"))
+    assert(mixed.collect().forall(r =>
+      r.getAs[String]("lang") == "en" && r.getAs[Int]("rn") == 1))
+  }
+
   test("sweep: no query plans a single-partition exchange or cartesian product") {
     // the serial batch_pack is the documented exception (semantic spec
     // for its sharded twin); everything else must keep table-sized data
