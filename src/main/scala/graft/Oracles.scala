@@ -1513,6 +1513,205 @@ object Oracles {
         |  CASE WHEN parsed IS NOT NULL THEN 'parsed'
         |       WHEN rescued0 IS NOT NULL THEN 'regex_rescue'
         |       ELSE 'failed' END AS tier
-        |FROM p ORDER BY event_id""".stripMargin
+        |FROM p ORDER BY event_id""".stripMargin,
+
+    // ---- round-4 relational breadth (Relational3) ----
+
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |           CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev,
+        |    ns.n_name AS supp_nation
+        |  FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |    JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ns ON s_nationkey = ns.n_nationkey)
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END) AS BIGINT)
+        |    * 10000 // CAST(sum(rev) AS BIGINT) AS mkt_share_bp,
+        |  CAST(sum(rev) AS BIGINT) / 10000.0 AS total_revenue
+        |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) -
+        |           CAST(round(p_retailprice * 100, 0) AS BIGINT) *
+        |             CAST(l_quantity AS BIGINT) * 100) AS BIGINT) / 10000.0 AS profit,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH counts AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM counts GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revs AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS rev_units
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, rev_units / 10000.0 AS total_revenue
+        |FROM revs JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_units = (SELECT max(rev_units) FROM revs)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH lines AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#5' AND p_size <= 25),
+        |stats AS (
+        |  SELECT l_partkey AS sk, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |         count(*) AS n_lines
+        |  FROM lines GROUP BY l_partkey)
+        |SELECT CAST(sum(price_cents) AS BIGINT) / 100.0 AS small_qty_revenue,
+        |       count(*) AS n_small
+        |FROM lines JOIN stats ON l_partkey = sk
+        |WHERE qty * 5 * n_lines < sum_qty""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) / 100.0 AS o_totalprice,
+        |  sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q19_disjunctive_bands" ->
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+        |        AND l_quantity BETWEEN 20 AND 45)""".stripMargin,
+
+    "q21_only_late_supplier" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 1000
+        |         THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |per_supp AS (
+        |  SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+        |  FROM lines GROUP BY l_orderkey, l_suppkey),
+        |per_order AS (
+        |  SELECT l_orderkey, count(*) AS n_supp,
+        |    CAST(sum(supp_late) AS BIGINT) AS n_late,
+        |    max(CASE WHEN supp_late = 1 THEN l_suppkey END) AS late_supp
+        |  FROM per_supp GROUP BY l_orderkey
+        |  HAVING n_supp >= 2 AND n_late = 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM per_order JOIN supplier ON late_supp = s_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q22_idle_rich" ->
+      """WITH t AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS tot_pos,
+        |         count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_bal
+        |FROM customer, t
+        |WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * n_pos > tot_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH lines AS (
+        |  SELECT p_partkey, p_brand, l_suppkey,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY p_partkey
+        |      ORDER BY CAST(round(l_extendedprice * 100, 0) AS BIGINT), l_suppkey) AS rn
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 5)
+        |SELECT p_partkey, p_brand, c / 100.0 AS min_price, s_suppkey, s_name
+        |FROM lines JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+
+    // end-to-end IVF: assignment lists + 2-probe search, mirrored CTE by
+    // CTE from Similarity.knnIvf (assignment ties = cos DESC, cid ASC)
+    "knn_ivf" ->
+      """WITH za AS (
+        |  SELECT e.vec_id AS vid, c.vec_id AS cid,
+        |         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+        |         CAST(unnest(c.embedding) AS DOUBLE) AS y
+        |  FROM embeddings e JOIN embeddings c
+        |    ON c.vec_id < 8 AND e.vec_id <> c.vec_id),
+        |da AS (SELECT vid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |       FROM za GROUP BY ALL),
+        |sa AS (SELECT vid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM da),
+        |assign AS (SELECT vid, cid AS acid FROM (
+        |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rk
+        |  FROM sa) WHERE rk = 1),
+        |probes AS (SELECT vid AS qid, cid AS pcid FROM (
+        |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rk
+        |  FROM sa WHERE vid < 16) WHERE rk <= 2),
+        |cand AS (SELECT p.qid, a.vid AS cid
+        |         FROM probes p JOIN assign a ON a.acid = p.pcid AND a.vid <> p.qid),
+        |zq AS (SELECT cand.qid, cand.cid,
+        |         CAST(unnest(q.embedding) AS DOUBLE) AS x,
+        |         CAST(unnest(c.embedding) AS DOUBLE) AS y
+        |       FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+        |                 JOIN embeddings c ON c.vec_id = cand.cid),
+        |dq AS (SELECT qid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |       FROM zq GROUP BY ALL),
+        |sq AS (SELECT qid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM dq),
+        |r AS (SELECT qid, cid, cos,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+        |      FROM sq)
+        |SELECT qid, rank, cid, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH revs AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS rev_units
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT CAST(sum(rev_units) AS BIGINT) AS total,
+        |             count(*) AS n_parts FROM revs)
+        |SELECT l_partkey, rev_units / 10000.0 AS part_value
+        |FROM revs, t
+        |WHERE rev_units * n_parts * 2 > total * 3
+        |ORDER BY part_value DESC, l_partkey""".stripMargin
   )
 }

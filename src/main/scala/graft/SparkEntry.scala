@@ -115,6 +115,7 @@ object SparkEntry {
     "label_stats"       -> (Similarity.labelStats _),
     "cluster_assign"    -> (Similarity.clusterAssign _),
     "kmeans_update"     -> (Similarity.kmeansUpdate _),
+    "knn_ivf"           -> (Similarity.knnIvf _),
     // fixpoint / windows / custom-agg / multimodal
     "crawl_bfs"           -> (Crawl.crawlBfs _),
     "pagerank_iter"       -> ((s: SparkSession, d: String) => Crawl.pagerankIter(s, d)),
@@ -169,7 +170,23 @@ object SparkEntry {
     "rank_functions"  -> (TfIdf.rankFunctions _),
     "set_ops"         -> (Relational2.setOps _),
     "cube_sales"      -> (Relational2.cubeSales _),
-    "safe_parse"      -> (Events.safeParse _)
+    "safe_parse"      -> (Events.safeParse _),
+    // round-4 relational breadth: pushdown-only agg, market share,
+    // profit, outer-join distribution, scalar-subquery thresholds,
+    // correlated-avg join-back, group-having semi-join, disjunctive
+    // bands, only-late double-agg, min-cost struct-min
+    "q6_forecast"            -> (Relational3.q6Forecast _),
+    "q8_market_share"        -> (Relational3.q8MarketShare _),
+    "q9_product_profit"      -> (Relational3.q9ProductProfit _),
+    "q13_order_distribution" -> (Relational3.q13OrderDistribution _),
+    "q15_top_supplier"       -> (Relational3.q15TopSupplier _),
+    "q17_small_qty_revenue"  -> (Relational3.q17SmallQtyRevenue _),
+    "q18_large_orders"       -> (Relational3.q18LargeOrders _),
+    "q19_disjunctive_bands"  -> (Relational3.q19DisjunctiveBands _),
+    "q21_only_late_supplier" -> (Relational3.q21OnlyLateSupplier _),
+    "q22_idle_rich"          -> (Relational3.q22IdleRich _),
+    "q2_min_cost_supplier"   -> (Relational3.q2MinCostSupplier _),
+    "q11_important_parts"    -> (Relational3.q11ImportantParts _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -225,6 +225,57 @@ object Similarity {
       .orderBy("cid", "dim")
   }
 
+  /** End-to-end IVF search — the composition [[clusterAssign]] /
+    * [[kmeansUpdate]] train for: (1) every corpus vector is assigned to
+    * its nearest centroid (the inverted lists), (2) each query probes
+    * its `nprobe`=2 nearest centroids, (3) exact cosine top-5 runs only
+    * inside the probed lists. Centroids are the bounded vec_id < 8
+    * slice (broadcast; production uses the k-means output, equally
+    * broadcastable since k ≪ n).
+    *
+    * Scale posture: the assignment argmax is a two-phase AGGREGATION
+    * (max of (cos, -cid) structs with map-side combine), not a corpus-
+    * wide rank window — the corpus shuffles once on vec_id and never
+    * sorts. Probes live on the broadcast query side, so inverted-list
+    * lookup is a map-side join; only the surviving candidates (lists
+    * of 2 cells per query) reach the final per-query top-k window.
+    * Recall vs [[knnBrute]] is pinned by InvariantSpec.
+    */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val cents = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn")))
+    val centCos = e.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(cents, col("vec_id") =!= col("cid"))
+      .withColumn("cos",
+        round(dotF(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 4))
+    // inverted lists: argmax-by-struct keeps this a pure two-phase agg
+    // (ties: max cos, then min cid via the negated key)
+    val assigned = centCos.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"),
+        first(col("embedding")).as("a_emb"), first(col("nrm")).as("a_nrm"))
+      .select(col("vec_id").as("a_vid"), (-col("m.ncid")).as("acid"),
+        col("a_emb"), col("a_nrm"))
+    // probe set: 2 nearest cells per query — bounded, stays broadcast
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    val probes = broadcast(centCos.filter(col("vec_id") < 16)
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cid").as("pcid")))
+    val scored = probes.join(assigned,
+        col("pcid") === col("acid") && col("qid") =!= col("a_vid"))
+      .withColumn("cos",
+        round(dotF(col("qe"), col("a_emb")) / (col("qn") * col("a_nrm")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("a_vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("a_vid").as("cid"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** Centroid summary per label: aggregate RAW norms (irrational values
     * → rounding-tie-free), round only at the output surface.
     */

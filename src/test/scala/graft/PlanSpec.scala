@@ -181,6 +181,56 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       r.getAs[String]("lang") == "en" && r.getAs[Int]("rn") == 1))
   }
 
+  test("q6: all three predicates and the projection reach the parquet scan") {
+    val p = plan("q6_forecast")
+    val scanLines = p.linesIterator.filter(l =>
+      l.contains("PushedFilters") || l.contains("ReadSchema")).mkString("\n")
+    assert(scanLines.contains("l_shipdate"), s"shipdate range not pushed:\n$p")
+    assert(scanLines.contains("l_discount"), s"discount band not pushed:\n$p")
+    assert(scanLines.contains("l_quantity"), s"quantity cap not pushed:\n$p")
+    // 4-column projection: the scan must not read the other 7 columns
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    for (c <- Seq("l_orderkey", "l_partkey", "l_returnflag", "l_tax"))
+      assert(!readSchema.contains(c), s"$c read but unused:\n$readSchema")
+  }
+
+  test("q8/q9: every dim broadcast; no sort-merge against a dim") {
+    val p8 = plan("q8_market_share")
+    assert(countOf(p8, ") BroadcastHashJoin") >= 4, s"q8 dims must broadcast:\n$p8")
+    val p9 = plan("q9_product_profit")
+    assert(countOf(p9, ") BroadcastHashJoin") == 3, s"q9 dims must broadcast:\n$p9")
+    assert(!p9.contains("SortMergeJoin"), s"q9 must only shuffle for the agg:\n$p9")
+  }
+
+  test("scalar-subquery thresholds are 1-row broadcasts, not windows") {
+    // q15 (global max), q22 (global avg), q11 (global total): the
+    // distributed form of `x > (SELECT agg .. )` — none may plan a
+    // Window over an unpartitioned frame or a CartesianProduct
+    for (q <- Seq("q15_top_supplier", "q22_idle_rich", "q11_important_parts")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q must not sort-window globally:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q scalar must broadcast:\n$p")
+      assert(p.contains("Broadcast"), s"$q scalar must broadcast:\n$p")
+    }
+  }
+
+  test("q2 min-cost carries the winner through one agg: no window, no re-join on the min") {
+    val p = plan("q2_min_cost_supplier")
+    assert(!p.contains("Window"), s"struct-min replaces the rank window:\n$p")
+    // exactly one aggregation pair (partial+final) over the join
+    assert(countOf(p, "HashAggregate") <= 2
+      || countOf(p, "ObjectHashAggregate") <= 2, p)
+  }
+
+  test("q18 having-filter runs before the join-back to orders") {
+    val p = plan("q18_large_orders")
+    // the sum_qty > 250 filter must sit on the aggregate side, making
+    // the join input tiny; TakeOrderedAndProject caps the output
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val filterIdx = p.indexOf("sum_qty")
+    assert(filterIdx >= 0, p)
+  }
+
   test("sweep: no query plans a single-partition exchange or cartesian product") {
     // the serial batch_pack is the documented exception (semantic spec
     // for its sharded twin); everything else must keep table-sized data

@@ -28,4 +28,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // on this corpus (sanity floor, not a tight bound)
     assert(rMulti * 2 >= brute.size, s"recall floor: $rMulti/${brute.size}")
   }
+
+  test("IVF 2-probe search beats the scanned-fraction baseline") {
+    val brute = topPairs("knn_brute")
+    val ivf = topPairs("knn_ivf")
+    val r = (ivf & brute).size
+    // the seed centroids are UNTRAINED (vec_id < 8 slice — the verified
+    // contract; production swaps in the kmeans_update output), so on
+    // this near-isotropic corpus the honest bound is the scanned
+    // fraction: 2 probes of 8 lists ≈ 25% of the corpus. The search
+    // must at least match that baseline — falling below it would mean
+    // the list routing is broken, not just the centroids weak.
+    assert(r * 4 >= brute.size, s"IVF recall fell below scanned share: $r/${brute.size}")
+    // every IVF result is a real corpus vector and never the query itself
+    assert(ivf.forall { case (q, c) => q != c })
+  }
 }
