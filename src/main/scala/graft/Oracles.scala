@@ -1701,6 +1701,86 @@ object Oracles {
         |      FROM sq)
         |SELECT qid, rank, cid, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // ---- round-4 CDC / corpus-statistics wave ----
+
+    // MERGE-style upsert apply — mirrors Changelog.cdcApply (sequence =
+    // linenumber⊗cents composite: see the Scala scaladoc on determinism)
+    "cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey,
+        |                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c_base
+        |              FROM orders WHERE o_orderkey % 4 <> 3),
+        |chg AS (SELECT l_orderkey, l_linenumber,
+        |          CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |          CAST(l_linenumber AS BIGINT) * 1000000000 +
+        |            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS seq
+        |        FROM lineitem),
+        |latest AS (SELECT l_orderkey AS o_orderkey,
+        |             max_by(CASE WHEN (l_orderkey + l_linenumber) % 11 = 0
+        |                         THEN 'delete' ELSE 'upsert' END, seq) AS op,
+        |             max_by(cents, seq) AS chg
+        |           FROM chg GROUP BY l_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN op = 'upsert' THEN chg ELSE c_base END AS final_cents,
+        |  CASE WHEN op IS NULL THEN 'base'
+        |       WHEN c_base IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS src
+        |FROM base FULL OUTER JOIN latest USING (o_orderkey)
+        |WHERE op IS NULL OR op <> 'delete'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // SCD type-2 interval build — mirrors Changelog.scd2Build
+    "scd2_build" ->
+      """WITH e AS (SELECT user_id, event_type AS status,
+        |             CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id FROM events),
+        |f AS (SELECT *, CASE WHEN lag(status) OVER
+        |        (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |        IS NOT DISTINCT FROM status THEN 0 ELSE 1 END AS chg FROM e),
+        |g AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp FROM f),
+        |i AS (SELECT user_id, grp, min(status) AS status, min(ts_us) AS valid_from_us
+        |      FROM g GROUP BY user_id, grp)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from_us) AS INT) AS version,
+        |  status, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us
+        |FROM i ORDER BY user_id, version""".stripMargin,
+
+    // duplicate 3-gram rate — mirrors CorpusStats.dupNgramRate
+    "dup_ngram_rate" ->
+      s"""WITH $Shingle3Cte,
+         |pairs AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |bys AS (SELECT shingle, count(*) AS n_docs FROM pairs GROUP BY shingle),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |          CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |        FROM pairs JOIN bys USING (shingle) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+         |  CAST(coalesce((10000 * n_dup) // n_shingles, 0) AS BIGINT) AS dup_bp
+         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // Heaps-law decile growth — mirrors CorpusStats.vocabGrowth
+    "vocab_growth" ->
+      s"""WITH $WordsCte,
+         |m AS (SELECT max(doc_id) AS max_doc FROM documents),
+         |tok AS (SELECT (doc_id * 10) // (max_doc + 1) AS bucket,
+         |          CAST(count(*) AS BIGINT) AS n_tokens
+         |        FROM words, m GROUP BY 1),
+         |fs AS (SELECT word, min(doc_id) AS first_doc FROM words GROUP BY word),
+         |nw AS (SELECT (first_doc * 10) // (max_doc + 1) AS bucket,
+         |          CAST(count(*) AS BIGINT) AS n_new_words
+         |        FROM fs, m GROUP BY 1),
+         |pb AS (SELECT bucket, n_tokens,
+         |         CAST(coalesce(n_new_words, 0) AS BIGINT) AS n_new_words
+         |       FROM tok LEFT JOIN nw USING (bucket))
+         |SELECT p.bucket, p.n_tokens,
+         |  CAST(sum(c.n_tokens) AS BIGINT) AS cum_tokens,
+         |  p.n_new_words,
+         |  CAST(sum(c.n_new_words) AS BIGINT) AS cum_vocab
+         |FROM pb p JOIN pb c ON c.bucket <= p.bucket
+         |GROUP BY p.bucket, p.n_tokens, p.n_new_words
+         |ORDER BY p.bucket""".stripMargin,
+
     "q11_important_parts" ->
       """WITH revs AS (
         |  SELECT l_partkey,

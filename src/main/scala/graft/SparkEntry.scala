@@ -186,7 +186,14 @@ object SparkEntry {
     "q21_only_late_supplier" -> (Relational3.q21OnlyLateSupplier _),
     "q22_idle_rich"          -> (Relational3.q22IdleRich _),
     "q2_min_cost_supplier"   -> (Relational3.q2MinCostSupplier _),
-    "q11_important_parts"    -> (Relational3.q11ImportantParts _)
+    "q11_important_parts"    -> (Relational3.q11ImportantParts _),
+    // round-4 CDC / corpus-statistics wave: MERGE-style upsert apply,
+    // SCD2 interval build, cross-doc duplicate-ngram rate, Heaps-law
+    // vocabulary growth
+    "cdc_apply"      -> (Changelog.cdcApply _),
+    "scd2_build"     -> (Changelog.scd2Build _),
+    "dup_ngram_rate" -> (CorpusStats.dupNgramRate _),
+    "vocab_growth"   -> (CorpusStats.vocabGrowth _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -1,0 +1,89 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.Relational.cents
+
+/** Keyed-changelog application and slowly-changing-dimension history —
+  * the ingestion-side mutation semantics of the reference's state
+  * pipeline (scripts/crawler-queue.sh:131-176 upserts visited/frontier
+  * state keyed by URL; DESIGN.md:855-916's resume flow re-applies the
+  * latest state per key), generalized to the standard CDC shapes a
+  * 100 TB training-data pipeline needs: MERGE-style upsert-apply and
+  * SCD type-2 interval builds.
+  *
+  * Scale notes: every window and aggregate here is partitioned by the
+  * entity key (order key / user id) — per-key sequential, corpus
+  * parallel; the changelog reduction is one hash shuffle with map-side
+  * max_by partials. No global windows anywhere.
+  */
+object Changelog {
+
+  /** MERGE INTO semantics: apply a keyed changelog to a base snapshot.
+    * Latest change per key wins (max_by over a per-key sequence),
+    * upserts override or insert, deletes drop the row even when
+    * present in base. One keyed shuffle for the reduction + one
+    * key-partitioned full-outer join — the distributed upsert-apply
+    * plan at any scale. The changelog is derived deterministically from
+    * lineitem; the synthetic l_linenumber is NOT unique within an
+    * order, so the sequence is the composite (linenumber, cents) packed
+    * into one BIGINT — ties then carry identical (op, chg) payloads and
+    * max_by stays engine-deterministic. Production feeds a real CDC
+    * stream (whose sequence IS unique) through the same reduction.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 4 =!= 3)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("c_base"))
+    val latest = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"),
+        (col("l_linenumber").cast("long") * 1000000000L +
+          cents(col("l_extendedprice"))).as("seq"),
+        when((col("l_orderkey") + col("l_linenumber")) % 11 === 0, "delete")
+          .otherwise("upsert").as("op"),
+        cents(col("l_extendedprice")).as("chg"))
+      .groupBy(col("o_orderkey"))
+      .agg(max_by(col("op"), col("seq")).as("op"),
+        max_by(col("chg"), col("seq")).as("chg"))
+    base.join(latest, Seq("o_orderkey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("o_orderkey"),
+        when(col("op") === "upsert", col("chg"))
+          .otherwise(col("c_base")).as("final_cents"),
+        when(col("op").isNull, "base")
+          .when(col("c_base").isNull, "inserted")
+          .otherwise("updated").as("src"))
+      .orderBy("o_orderkey")
+  }
+
+  /** SCD type-2 history build: collapse each user's event-type
+    * run-length islands (gaps-and-islands via the lag-flag running-sum
+    * trick) into validity intervals [valid_from, valid_to) with a
+    * per-user version number; the current row keeps valid_to NULL.
+    * All three windows are partitioned by user_id. Time is exact
+    * integer epoch-µs (Events.tsUs ↔ DuckDB epoch_us) so interval
+    * bounds hash-match across engines.
+    */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("status"),
+        Events.tsUs.as("ts_us"), col("event_id"))
+    val flagged = e.withColumn("chg",
+      when(lag(col("status"), 1).over(w) <=> col("status"), 0L).otherwise(1L))
+    val grouped = flagged.withColumn("grp",
+      sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islands = grouped.groupBy(col("user_id"), col("grp"))
+      .agg(min(col("status")).as("status"), // constant within the island
+        min(col("ts_us")).as("valid_from_us"))
+    val byStart = Window.partitionBy("user_id").orderBy("valid_from_us")
+    islands.select(col("user_id"),
+        row_number().over(byStart).as("version"),
+        col("status"), col("valid_from_us"),
+        lead(col("valid_from_us"), 1).over(byStart).as("valid_to_us"))
+      .orderBy("user_id", "version")
+  }
+}

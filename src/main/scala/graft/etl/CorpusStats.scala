@@ -1,0 +1,79 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-level duplication and vocabulary reports — the curation
+  * dashboards a training-data pipeline runs before a training mix is
+  * frozen (the reference's crawl-statistics report,
+  * commands/extract.md:92-155 / DESIGN.md:729-764, generalized from
+  * per-crawl counts to corpus-wide text statistics).
+  */
+object CorpusStats {
+
+  /** Duplicate 3-gram rate per document: the share (integer basis
+    * points) of a doc's DISTINCT 3-shingles that occur in at least one
+    * other document — the cross-document boilerplate signal used to
+    * down-weight template-heavy pages.
+    *
+    * Plan: distinct (doc, shingle) pairs → per-shingle doc counts
+    * (two-phase hash agg) → join back on shingle (both sides already
+    * hash-partitioned on shingle: exchange reuse) → per-doc fraction.
+    * Two keyed shuffles, no window, no quadratic step — the corpus-wide
+    * shingle tally is the one genuinely global piece and it is a plain
+    * map-side-combined count.
+    */
+  def dupNgramRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Shingles.wordShingles(docs, 3)
+      .select(col("doc_id"), col("shingle")).distinct()
+    val byShingle = pairs.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perDoc = pairs.join(byShingle, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(expr("(10000 * n_dup) div n_shingles"), lit(0L)).as("dup_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Heaps-law vocabulary growth: the corpus split into 10 doc-id
+    * deciles — tokens contributed and NEW distinct words first seen in
+    * each decile, with running totals. "First seen" is min(doc_id) per
+    * word (one hash shuffle on word, map-side combined). The running
+    * totals run over the FIXED 10-bucket axis via a broadcast
+    * triangular join, not a global window — the axis never grows with
+    * the corpus, so there is no single-partition funnel anywhere. The
+    * scalar max(doc_id) is a 1-row broadcast.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val maxDoc = docs.agg(max(col("doc_id")).as("max_doc"))
+    def bucketed(df: DataFrame, idCol: String): DataFrame =
+      df.crossJoin(broadcast(maxDoc))
+        .withColumn("bucket", expr(s"($idCol * 10) div (max_doc + 1)"))
+    val words = Shingles.words(docs).select(col("doc_id"), col("word"))
+    val tokens = bucketed(words, "doc_id")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = words.groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
+    val newWords = bucketed(firstSeen, "first_doc")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_words"))
+    val perBucket = tokens.join(newWords, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_words"), lit(0L)).as("n_new_words"))
+    val cum = perBucket.select(col("bucket").as("b2"),
+      col("n_tokens").as("t2"), col("n_new_words").as("w2"))
+    perBucket.join(broadcast(cum), col("b2") <= col("bucket"))
+      .groupBy(col("bucket"))
+      .agg(min(col("n_tokens")).as("n_tokens"),
+        sum(col("t2")).as("cum_tokens"),
+        min(col("n_new_words")).as("n_new_words"),
+        sum(col("w2")).as("cum_vocab"))
+      .orderBy("bucket")
+  }
+}
