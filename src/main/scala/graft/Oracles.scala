@@ -1759,6 +1759,22 @@ object Oracles {
          |  CAST(coalesce((10000 * n_dup) // n_shingles, 0) AS BIGINT) AS dup_bp
          |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
+    // uniform-budget mix rebalancing — mirrors CorpusStats.mixWeights
+    "mix_weights" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |            ELSE len(string_split(coalesce(text,''), ' ')) END AS INT) AS tc
+        |  FROM documents),
+        |toks AS (SELECT lang, CAST(sum(tc) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |               count(*) AS n_langs FROM toks)
+        |SELECT lang, n_tokens,
+        |  CAST((10000 * n_tokens) // total AS BIGINT) AS share_bp,
+        |  CAST(least(10000, (10000 * (total // n_langs)) // n_tokens) AS BIGINT) AS rate_bp,
+        |  CAST((n_tokens * least(10000, (10000 * (total // n_langs)) // n_tokens)) // 10000
+        |       AS BIGINT) AS expected_tokens
+        |FROM toks, tot ORDER BY lang""".stripMargin,
+
     // Heaps-law decile growth — mirrors CorpusStats.vocabGrowth
     "vocab_growth" ->
       s"""WITH $WordsCte,

@@ -193,7 +193,8 @@ object SparkEntry {
     "cdc_apply"      -> (Changelog.cdcApply _),
     "scd2_build"     -> (Changelog.scd2Build _),
     "dup_ngram_rate" -> (CorpusStats.dupNgramRate _),
-    "vocab_growth"   -> (CorpusStats.vocabGrowth _)
+    "vocab_growth"   -> (CorpusStats.vocabGrowth _),
+    "mix_weights"    -> (CorpusStats.mixWeights _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -42,6 +42,31 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** Training-mix planner: per-language sampling rates that flatten
+    * the corpus toward a uniform per-language token budget — the
+    * mix-rebalancing step run before a training set is frozen (cap
+    * over-represented languages at their fair share, keep the rest at
+    * 100%). Entirely integer basis-point math so both engines agree
+    * bit-for-bit; the two corpus scalars (total tokens, language
+    * count) are a 1-row broadcast. At 100 TB this is a map +
+    * one |langs|-row agg — the rates then drive a shuffle-free
+    * hash-sample filter (Splits.hashBucket).
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("t"))
+      .groupBy(col("lang")).agg(sum(col("t")).as("n_tokens"))
+    val tot = toks.agg(sum(col("n_tokens")).as("total"),
+      count(lit(1)).as("n_langs"))
+    toks.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"),
+        expr("(10000 * n_tokens) div total").as("share_bp"),
+        least(lit(10000L),
+          expr("(10000 * (total div n_langs)) div n_tokens")).as("rate_bp"))
+      .withColumn("expected_tokens", expr("(n_tokens * rate_bp) div 10000"))
+      .orderBy("lang")
+  }
+
   /** Heaps-law vocabulary growth: the corpus split into 10 doc-id
     * deciles — tokens contributed and NEW distinct words first seen in
     * each decile, with running totals. "First seen" is min(doc_id) per
