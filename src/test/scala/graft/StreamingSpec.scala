@@ -96,6 +96,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"streamed ${streamed.size} vs batch ${batchNodes.size} nodes")
   }
 
+  test("watermarked dedup: duplicates dropped in-horizon, state expires after it") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.PageVisit
+    val src = MemoryStream[PageVisit]
+    val q = StreamingOps.dedupWithinWatermark(src.toDF())
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: A twice inside the horizon (one survives) + B.
+      // (base offset: rows AT the initial epoch-0 watermark count as
+      // late and are dropped before dedup ever sees them)
+      val base = 24 * 60
+      src.addData(PageVisit("a", base * min), PageVisit("a", (base + 5) * min),
+        PageVisit("b", base * min))
+      q.processAllAvailable()
+      // batch 2: C at t=200min advances the watermark to 140min —
+      // beyond A's t+1h, so A's dedup state is evicted
+      src.addData(PageVisit("c", (base + 200) * min))
+      q.processAllAvailable()
+      // batch 3: A reappears AFTER its state expired → re-emitted.
+      // This is the bounded-state contract: the visited set forgets
+      // with the watermark instead of growing forever.
+      src.addData(PageVisit("a", (base + 190) * min))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_t").select("url", "ts")
+        .as[(String, Long)].collect()
+      assert(rows.length == 4, rows.mkString(","))
+      assert(rows.count(_._1 == "a") == 2)
+      val aTs = rows.filter(_._1 == "a").map(_._2).sorted
+      assert(aTs.head < (base + 60) * min && aTs.last == (base + 190) * min,
+        aTs.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming tumbling window counts per hour bucket") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Ev]
