@@ -60,11 +60,20 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // Also land the line in a file: the driver's stdout capture truncates
-    // long logs, which left its `parsed` field null in round 1.
+    // Land the full line in a file: the driver's stdout capture keeps
+    // only the LAST ~2000 chars (measured from its round-3 artifact),
+    // which beheads a 130-query JSON line — its `parsed` stayed null in
+    // rounds 1-3 for exactly this reason.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ...and print a compact summary LAST so the tail window always
+    // holds one complete parseable JSON object (slowest 8 stand in for
+    // the full per-query map, which lives in the file above).
+    val slowest = results.sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1759,6 +1759,28 @@ object Oracles {
          |  CAST(coalesce((10000 * n_dup) // n_shingles, 0) AS BIGINT) AS dup_bp
          |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
+    // retention base table — mirrors Relational3.repeatCustomers
+    "repeat_customers" ->
+      """WITH o AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month
+        |           FROM orders)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  count(DISTINCT month) AS n_months,
+        |  min(month) AS first_month, max(month) AS last_month
+        |FROM o GROUP BY o_custkey HAVING count(DISTINCT month) >= 2
+        |ORDER BY o_custkey""".stripMargin,
+
+    // month-over-month bridge — mirrors Relational3.monthlyRevenueDelta
+    "monthly_revenue_delta" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month_d,
+        |             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |               AS rev_cents
+        |           FROM orders GROUP BY 1)
+        |SELECT strftime(a.month_d, '%Y-%m') AS month, a.rev_cents,
+        |  b.rev_cents AS prev_cents,
+        |  a.rev_cents - b.rev_cents AS delta_cents
+        |FROM m a LEFT JOIN m b ON b.month_d = a.month_d - INTERVAL 1 MONTH
+        |ORDER BY month""".stripMargin,
+
     // uniform-budget mix rebalancing — mirrors CorpusStats.mixWeights
     "mix_weights" ->
       """WITH t AS (SELECT lang,

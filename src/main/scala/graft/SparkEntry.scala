@@ -194,7 +194,9 @@ object SparkEntry {
     "scd2_build"     -> (Changelog.scd2Build _),
     "dup_ngram_rate" -> (CorpusStats.dupNgramRate _),
     "vocab_growth"   -> (CorpusStats.vocabGrowth _),
-    "mix_weights"    -> (CorpusStats.mixWeights _)
+    "mix_weights"    -> (CorpusStats.mixWeights _),
+    "repeat_customers"      -> (Relational3.repeatCustomers _),
+    "monthly_revenue_delta" -> (Relational3.monthlyRevenueDelta _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -296,4 +296,43 @@ object Relational3 {
       .select(col("l_partkey"), (col("rev_units") / lit(10000.0)).as("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey"))
   }
+
+  /** Repeat-customer profile: per customer, order count, distinct
+    * active months, and first/last active month — kept only for
+    * customers active in ≥2 months (the retention base table). One
+    * shuffle on the customer key; the distinct-month count is a
+    * two-phase distinct aggregate, never a window.
+    */
+  def repeatCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("month")).as("n_months"),
+        min(col("month")).as("first_month"),
+        max(col("month")).as("last_month"))
+      .filter(col("n_months") >= 2)
+      .orderBy("o_custkey")
+
+  /** Month-over-month revenue bridge: per-month revenue (integer
+    * cents) with the previous month's revenue and the delta. The
+    * month axis is tiny and FIXED-size relative to the data (80 rows
+    * here, a few hundred at any horizon), so "lag" is a broadcast
+    * self-join on month-1 — not a global-ORDER-BY window, which would
+    * funnel through one task and trip the PlanSpec sweep.
+    */
+  def monthlyRevenueDelta(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .select(to_date(date_trunc("month", col("o_orderdate"))).as("month_d"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("month_d")).agg(sum(col("c")).as("rev_cents"))
+    val prev = m.select(col("month_d").as("prev_d"),
+      col("rev_cents").as("prev_cents"))
+    m.join(broadcast(prev), add_months(col("month_d"), -1) === col("prev_d"), "left")
+      .select(date_format(col("month_d"), "yyyy-MM").as("month"),
+        col("rev_cents"), col("prev_cents"),
+        (col("rev_cents") - col("prev_cents")).as("delta_cents"))
+      .orderBy("month")
+  }
 }
