@@ -821,6 +821,22 @@ object Oracles {
          |SELECT qid, rank, cid, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
 
+    // contrastive hard negatives — mirrors Similarity.hardNegatives
+    "hard_negatives" -> {
+      val p =
+        """p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS clabel,
+          |        q.embedding AS qe, c.embedding AS ce
+          |      FROM embeddings q JOIN embeddings c
+          |        ON q.vec_id <> c.vec_id AND q.label <> c.label
+          |      WHERE q.vec_id < 16)""".stripMargin
+      s"""WITH ${cosineFrom(p, ", clabel")},
+         |r AS (SELECT qid, cid, clabel, cos,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+         |      FROM s)
+         |SELECT qid, rank, cid, clabel, cos FROM r WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin
+    },
+
     "knn_bucketed" -> {
       val p =
         """b AS (SELECT vec_id, embedding,

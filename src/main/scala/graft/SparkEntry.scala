@@ -196,7 +196,8 @@ object SparkEntry {
     "vocab_growth"   -> (CorpusStats.vocabGrowth _),
     "mix_weights"    -> (CorpusStats.mixWeights _),
     "repeat_customers"      -> (Relational3.repeatCustomers _),
-    "monthly_revenue_delta" -> (Relational3.monthlyRevenueDelta _)
+    "monthly_revenue_delta" -> (Relational3.monthlyRevenueDelta _),
+    "hard_negatives"        -> (Similarity.hardNegatives _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

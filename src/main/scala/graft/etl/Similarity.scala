@@ -66,6 +66,35 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-3 most-similar corpus vectors with a DIFFERENT
+    * label — the negatives that actually move the loss. Identical plan
+    * shape to [[knnBrute]] (broadcast bounded query side, codegen'd
+    * dot product, per-query ranking) with the label-mismatch predicate
+    * folded into the join condition, so same-label rows never reach
+    * the ranking. At 100 TB the same composition runs over the ANN
+    * candidate set ([[knnIvf]] / [[knnBucketed]]) instead of the
+    * brute pairing.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val q = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("nrm").as("qn")))
+    val c = e.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val scored = q.join(c,
+        col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
+      .withColumn("cos",
+        round(dotF(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("cid"), col("clabel"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** Sign-bucket ANN: bucket = sign bits of the first `bits` dims (2^bits
     * coarse cells, the IVF idea with analytic centroids). Queries only
     * scan their own bucket. The default 3 bits / 8 cells is the verified
