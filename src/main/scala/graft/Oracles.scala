@@ -100,6 +100,37 @@ object Oracles {
        |sigt AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash16 FROM s)""".stripMargin
   }
 
+  /** WITH-body (requires WITH RECURSIVE) ending in comp/sizes: the LSH
+    * candidate graph's transitive closure — shared by dedup_components
+    * and dedup_canonical so the two queries cannot drift.
+    */
+  private val ComponentsCtes: String =
+    s"""$Shingle3Cte,
+       |sig AS (SELECT doc_id,
+       |  min(md5('seed0:' || shingle)) AS mh_0, min(md5('seed1:' || shingle)) AS mh_1,
+       |  min(md5('seed2:' || shingle)) AS mh_2, min(md5('seed3:' || shingle)) AS mh_3,
+       |  min(md5('seed4:' || shingle)) AS mh_4, min(md5('seed5:' || shingle)) AS mh_5,
+       |  min(md5('seed6:' || shingle)) AS mh_6, min(md5('seed7:' || shingle)) AS mh_7
+       |  FROM shingles GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bkey FROM sig
+       |  UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+       |  UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+       |  UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+       |         FROM reach GROUP BY u),
+       |sizes AS (SELECT component, count(*) AS cluster_size
+       |          FROM comp GROUP BY component)""".stripMargin
+
   private def cosineFrom(pairCte: String, extraCols: String): String =
     s"""$pairCte,
        |z AS (SELECT qid, cid$extraCols,
@@ -721,33 +752,31 @@ object Oracles {
     // Dedup.dedupComponents (DuckDB recursive CTE = the serial truth the
     // distributed label-propagation fixpoint must reproduce exactly)
     "dedup_components" ->
-      s"""WITH RECURSIVE $Shingle3Cte,
-         |sig AS (SELECT doc_id,
-         |  min(md5('seed0:' || shingle)) AS mh_0, min(md5('seed1:' || shingle)) AS mh_1,
-         |  min(md5('seed2:' || shingle)) AS mh_2, min(md5('seed3:' || shingle)) AS mh_3,
-         |  min(md5('seed4:' || shingle)) AS mh_4, min(md5('seed5:' || shingle)) AS mh_5,
-         |  min(md5('seed6:' || shingle)) AS mh_6, min(md5('seed7:' || shingle)) AS mh_7
-         |  FROM shingles GROUP BY doc_id),
-         |banded AS (
-         |  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bkey FROM sig
-         |  UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
-         |  UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
-         |  UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
-         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
-         |         FROM reach GROUP BY u),
-         |sizes AS (SELECT component, count(*) AS cluster_size
-         |          FROM comp GROUP BY component)
+      s"""WITH RECURSIVE $ComponentsCtes
          |SELECT c.doc_id, c.component, s.cluster_size
          |FROM comp c JOIN sizes s USING (component)
+         |ORDER BY doc_id""".stripMargin,
+
+    // canonical-survivor selection on top of the same closure —
+    // mirrors Dedup.dedupCanonical
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $ComponentsCtes,
+         |cf AS (SELECT c.doc_id, c.component, s.cluster_size
+         |       FROM comp c JOIN sizes s USING (component)),
+         |j AS (SELECT cf.doc_id, cf.component, cf.cluster_size, d.n_chars
+         |      FROM cf JOIN documents d USING (doc_id)),
+         |k AS (SELECT doc_id, cluster_size FROM (
+         |        SELECT doc_id, cluster_size,
+         |          row_number() OVER (PARTITION BY component
+         |            ORDER BY n_chars DESC, doc_id) AS rn
+         |        FROM j) WHERE rn = 1)
+         |SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+         |       true AS was_clustered
+         |FROM k
+         |UNION ALL
+         |SELECT d.doc_id, CAST(1 AS BIGINT), false
+         |FROM documents d LEFT JOIN cf ON d.doc_id = cf.doc_id
+         |WHERE cf.doc_id IS NULL
          |ORDER BY doc_id""".stripMargin,
 
     // asymmetric batch × corpus banding — mirrors Dedup.dedupIncremental

@@ -197,7 +197,8 @@ object SparkEntry {
     "mix_weights"    -> (CorpusStats.mixWeights _),
     "repeat_customers"      -> (Relational3.repeatCustomers _),
     "monthly_revenue_delta" -> (Relational3.monthlyRevenueDelta _),
-    "hard_negatives"        -> (Similarity.hardNegatives _)
+    "hard_negatives"        -> (Similarity.hardNegatives _),
+    "dedup_canonical"       -> ((s: SparkSession, d: String) => Dedup.dedupCanonical(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -341,6 +341,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonical-survivor selection — the END of the dedup pipeline:
+    * cluster the LSH candidate graph ([[dedupComponents]]), keep ONE
+    * representative per cluster (longest doc, doc_id tie-break — the
+    * "best copy wins" policy), pass singletons through untouched. The
+    * keeper pick is a struct-max aggregate keyed on the component (one
+    * shuffle on a key that is by construction small), never a corpus
+    * window; singletons are a left-anti join against the clustered set.
+    * Output: the surviving corpus with provenance (cluster size, was it
+    * deduped).
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val comp = dedupComponents(spark, dir)
+    val keepers = comp.join(docs, Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"),
+        min(col("cluster_size")).as("cluster_size")) // constant per component
+      .select((-col("m.nid")).as("doc_id"), col("cluster_size"),
+        lit(true).as("was_clustered"))
+    val singles = docs.join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("cluster_size"),
+        lit(false).as("was_clustered"))
+    keepers.unionByName(singles).orderBy("doc_id")
+  }
+
   /** SimHash (16-bit): per word, a 16-bit hash from the md5 hex prefix;
     * bit b contributes +1/-1 by parity; the signature bit is the sign of
     * the sum. Hex→int via conv() is oracle-reproducible (DuckDB
