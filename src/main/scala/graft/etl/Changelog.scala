@@ -33,28 +33,42 @@ object Changelog {
     * max_by stays engine-deterministic. Production feeds a real CDC
     * stream (whose sequence IS unique) through the same reduction.
     */
+  /** The reusable operator: `base(key, value)` + `changes(key, seq, op,
+    * value)` → applied state `(key, value, src)`. `op` ∈ upsert|delete;
+    * highest `seq` per key wins (caller guarantees a total per-key
+    * order — real CDC streams carry one). Idempotent: applying the
+    * same changelog to its own output is a no-op (OpUnitSpec).
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame): DataFrame = {
+    val latest = changes
+      .groupBy(col("key"))
+      .agg(max_by(col("op"), col("seq")).as("op"),
+        max_by(col("value"), col("seq")).as("chg"))
+    base.join(latest, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("key"),
+        when(col("op") === "upsert", col("chg"))
+          .otherwise(col("value")).as("new_value"),
+        when(col("op").isNull, "base")
+          .when(col("value").isNull, "inserted")
+          .otherwise("updated").as("src"))
+      .withColumnRenamed("new_value", "value")
+  }
+
   def cdcApply(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
       .filter(col("o_orderkey") % 4 =!= 3)
-      .select(col("o_orderkey"), cents(col("o_totalprice")).as("c_base"))
-    val latest = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o_orderkey"),
+      .select(col("o_orderkey").as("key"), cents(col("o_totalprice")).as("value"))
+    val changes = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("key"),
         (col("l_linenumber").cast("long") * 1000000000L +
           cents(col("l_extendedprice"))).as("seq"),
         when((col("l_orderkey") + col("l_linenumber")) % 11 === 0, "delete")
           .otherwise("upsert").as("op"),
-        cents(col("l_extendedprice")).as("chg"))
-      .groupBy(col("o_orderkey"))
-      .agg(max_by(col("op"), col("seq")).as("op"),
-        max_by(col("chg"), col("seq")).as("chg"))
-    base.join(latest, Seq("o_orderkey"), "full_outer")
-      .filter(col("op").isNull || col("op") =!= "delete")
-      .select(col("o_orderkey"),
-        when(col("op") === "upsert", col("chg"))
-          .otherwise(col("c_base")).as("final_cents"),
-        when(col("op").isNull, "base")
-          .when(col("c_base").isNull, "inserted")
-          .otherwise("updated").as("src"))
+        cents(col("l_extendedprice")).as("value"))
+    applyChangelog(base, changes)
+      .select(col("key").as("o_orderkey"), col("value").as("final_cents"),
+        col("src"))
       .orderBy("o_orderkey")
   }
 

@@ -21,6 +21,27 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(s2 == "a b c")
   }
 
+  test("applyChangelog: latest-per-key wins, deletes drop, reapply is a no-op") {
+    import graft.etl.Changelog
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("key", "value")
+    val changes = Seq(
+      (1L, 1L, "upsert", 11L), (1L, 2L, "upsert", 12L), // latest seq wins
+      (2L, 1L, "upsert", 99L), (2L, 2L, "delete", 0L),  // delete wins over base
+      (4L, 1L, "upsert", 40L),                          // insert
+      (5L, 1L, "delete", 0L))                           // delete of absent key
+      .toDF("key", "seq", "op", "value")
+    val applied = Changelog.applyChangelog(base, changes)
+    val state = applied.select("key", "value").as[(Long, Long)].collect().toMap
+    assert(state == Map(1L -> 12L, 3L -> 30L, 4L -> 40L))
+    val srcs = applied.select("key", "src").as[(Long, String)].collect().toMap
+    assert(srcs == Map(1L -> "updated", 3L -> "base", 4L -> "inserted"))
+    // idempotence on the state: re-applying the same changelog to its
+    // own output changes nothing (provenance aside)
+    val again = Changelog.applyChangelog(applied.select("key", "value"), changes)
+      .select("key", "value").as[(Long, Long)].collect().toMap
+    assert(again == state)
+  }
+
   test("Sessionize: 30-min gap starts a new session per user") {
     val us = 1000000L
     val min = 60L * us
