@@ -1790,6 +1790,28 @@ object Oracles {
         |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us
         |FROM i ORDER BY user_id, version""".stripMargin,
 
+    // event-time dimension lookup — mirrors Changelog.scd2Lookup
+    "scd2_lookup" ->
+      """WITH e AS (SELECT user_id, event_type AS status,
+        |             CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id FROM events),
+        |f AS (SELECT *, CASE WHEN lag(status) OVER
+        |        (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |        IS NOT DISTINCT FROM status THEN 0 ELSE 1 END AS chg FROM e),
+        |g AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp FROM f),
+        |i AS (SELECT user_id, grp, min(status) AS status, min(ts_us) AS valid_from_us
+        |      FROM g GROUP BY user_id, grp),
+        |dim AS (SELECT user_id, status, valid_from_us,
+        |          lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us)
+        |            AS valid_to_us
+        |        FROM i),
+        |ev AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events)
+        |SELECT ev.event_id, ev.user_id, ev.ts_us, dim.status
+        |FROM ev JOIN dim ON ev.user_id = dim.user_id
+        |  AND dim.valid_from_us <= ev.ts_us
+        |  AND (dim.valid_to_us IS NULL OR ev.ts_us < dim.valid_to_us)
+        |ORDER BY event_id""".stripMargin,
+
     // duplicate 3-gram rate — mirrors CorpusStats.dupNgramRate
     "dup_ngram_rate" ->
       s"""WITH $Shingle3Cte,

@@ -198,7 +198,8 @@ object SparkEntry {
     "repeat_customers"      -> (Relational3.repeatCustomers _),
     "monthly_revenue_delta" -> (Relational3.monthlyRevenueDelta _),
     "hard_negatives"        -> (Similarity.hardNegatives _),
-    "dedup_canonical"       -> ((s: SparkSession, d: String) => Dedup.dedupCanonical(s, d))
+    "dedup_canonical"       -> ((s: SparkSession, d: String) => Dedup.dedupCanonical(s, d)),
+    "scd2_lookup"           -> (Changelog.scd2Lookup _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

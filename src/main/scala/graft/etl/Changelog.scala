@@ -80,6 +80,29 @@ object Changelog {
     * integer epoch-µs (Events.tsUs ↔ DuckDB epoch_us) so interval
     * bounds hash-match across engines.
     */
+  /** Point-in-time lookup against the SCD2 dimension: each event joins
+    * the ONE validity interval covering its timestamp — the standard
+    * event-time dimension lookup. The join is an equi-join on the
+    * entity key with the interval bounds as residual predicates, so it
+    * hash-partitions on user_id like everything else here; per-key
+    * interval counts are bounded by that key's change history, never by
+    * the corpus. (Contrast etl/AsOf.scala, which solves the UNKEYED
+    * nearest-predecessor problem by time-binning.)
+    */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Build(spark, dir)
+      .select(col("user_id"), col("status"),
+        col("valid_from_us"), col("valid_to_us"))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), Events.tsUs.as("ts_us"))
+    ev.join(dim,
+        ev("user_id") === dim("user_id") &&
+        col("valid_from_us") <= col("ts_us") &&
+        (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+      .select(col("event_id"), ev("user_id"), col("ts_us"), col("status"))
+      .orderBy("event_id")
+  }
+
   def scd2Build(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val e = Tables.events(spark, dir)
