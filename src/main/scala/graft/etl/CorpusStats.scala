@@ -18,11 +18,16 @@ object CorpusStats {
     * down-weight template-heavy pages.
     *
     * Plan: distinct (doc, shingle) pairs → per-shingle doc counts
-    * (two-phase hash agg) → join back on shingle (both sides already
-    * hash-partitioned on shingle: exchange reuse) → per-doc fraction.
-    * Two keyed shuffles, no window, no quadratic step — the corpus-wide
-    * shingle tally is the one genuinely global piece and it is a plain
-    * map-side-combined count.
+    * (two-phase hash agg) → join back on shingle → per-doc fraction.
+    * Keyed shuffles only, no window, no quadratic step. The pair
+    * stream is derived twice (the two consumers aggregate on different
+    * keys, so Spark cannot reuse one exchange); at 100 TB materialize
+    * the distinct pair table once (checkpoint or staging table) and
+    * run both aggregations from it — same shapes, one shingling pass.
+    * The tempting single-shuffle groupBy(shingle).collect_set(doc)
+    * variant is rejected deliberately: a boilerplate shingle shared by
+    * millions of docs turns its set into a task-killing array, while
+    * counts stay O(1) per key under map-side combine.
     */
   def dupNgramRate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

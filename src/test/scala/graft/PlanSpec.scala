@@ -251,6 +251,30 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(filterIdx >= 0, p)
   }
 
+  test("round-4 wave keeps its claimed plan shapes") {
+    // hard_negatives: knn discipline — bounded query side broadcast,
+    // corpus never shuffle-joined
+    val hn = plan("hard_negatives")
+    assert(hn.contains("Broadcast"), s"query side must broadcast:\n$hn")
+    assert(!hn.contains("SortMergeJoin"), s"corpus must stay map-side:\n$hn")
+    // scd2_lookup: keyed equi-join with interval residuals — never a
+    // nested loop over events × intervals
+    val sl = plan("scd2_lookup")
+    assert(!sl.contains("NestedLoop"), s"interval join degenerated:\n$sl")
+    assert(!sl.contains("CartesianProduct"), sl)
+    // monthly_revenue_delta: the month axis self-join must broadcast
+    val mr = plan("monthly_revenue_delta")
+    assert(mr.contains("BroadcastHashJoin"), s"month axis must broadcast:\n$mr")
+    assert(!mr.contains("Window"), s"bridge must not window globally:\n$mr")
+    // vocab_growth / mix_weights: scalars and the fixed axis broadcast;
+    // no window anywhere (the cum-sums are triangular broadcast joins)
+    for (q <- Seq("vocab_growth", "mix_weights")) {
+      val p = plan(q)
+      assert(p.contains("Broadcast"), s"$q scalar must broadcast:\n$p")
+      assert(!p.contains("Window"), s"$q must not window:\n$p")
+    }
+  }
+
   test("sweep: no query plans a single-partition funnel or cartesian product") {
     // the serial batch_pack is the documented exception (semantic spec
     // for its sharded twin); everything else must keep table-sized data
