@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughGroupTopK)
+    // transparent rewrite: Filter(rn<=k, Window(row_number)) → GroupTopK,
+    // so the standard DataFrame top-k idiom gets the heap plan for free
+    e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToGroupTopK)
 
     e.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - float-vector dot product"),

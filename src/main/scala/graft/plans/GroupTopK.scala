@@ -234,3 +234,80 @@ object GroupTopKExec {
     heaps
   }
 }
+
+/** Optimizer rule (injectOptimizerRule): transparently rewrite the
+  * universal top-k-per-group idiom —
+  *
+  *   Filter(rn <= k, Window(row_number() over (partition by g order by o)))
+  *
+  * — into the native [[GroupTopK]] operator, so EVERY query written
+  * with the standard DataFrame pattern gets the bounded-heap physical
+  * plan (no Sort, map-side partial pruning) without opting in. This is
+  * the extension-tier counterpart of Spark's own InferWindowGroupLimit:
+  * that rule still fully sorts each partition below
+  * WindowGroupLimitExec; this one removes the Window node entirely.
+  *
+  * Fires only when the rewrite is exactly semantics-preserving:
+  *  - the Window computes a SINGLE row_number expression (anything
+  *    else still needs WindowExec),
+  *  - the partition spec is non-empty (a global row_number is the
+  *    serial case GroupTopK refuses by design) and an order exists,
+  *  - the filter contains a conjunct bounding rn from above by a
+  *    positive int literal (rn <= k, rn < k, k >= rn, k > rn, rn = 1).
+  * Bound conjuncts are absorbed by k (the smallest bound wins, so
+  * rn <= 5 AND rn <= 3 → k = 3); all other conjuncts — including
+  * further rn predicates like rn >= 2 — stay in a Filter above, which
+  * is correct because GroupTopK emits exactly the rows with final
+  * rank 1..k with their rank values. The row_number output attribute
+  * is REUSED as the GroupTopK rank attribute, so downstream references
+  * resolve unchanged. If Spark's InferWindowGroupLimit ran first, its
+  * WindowGroupLimit child is stripped (the heap subsumes the
+  * pre-prune).
+  */
+object RewriteRankFilterToGroupTopK
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo,
+    GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal,
+    RowNumber, WindowExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window, WindowGroupLimit}
+  import org.apache.spark.sql.types.IntegerType
+
+  private def boundOf(e: Expression, rn: Attribute): Option[Int] = e match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rn) => Some(k - 1)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rn) => Some(k)
+    case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
+      if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, Literal(1, IntegerType))
+      if a.semanticEquals(rn) => Some(1)
+    case EqualTo(Literal(1, IntegerType), a: Attribute)
+      if a.semanticEquals(rn) => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window)
+        if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+      w.windowExpressions match {
+        case Seq(a @ Alias(WindowExpression(RowNumber(), _), _)) =>
+          val rn = a.toAttribute
+          val conjuncts = splitConjunctivePredicates(cond)
+          val bounds = conjuncts.flatMap(c => boundOf(c, rn))
+          if (bounds.isEmpty || bounds.min <= 0) f
+          else {
+            val child = w.child match {
+              case wgl: WindowGroupLimit => wgl.child
+              case c => c
+            }
+            val topk = GroupTopK(w.partitionSpec, w.orderSpec, bounds.min, rn, child)
+            val keep = conjuncts.filter(c => boundOf(c, rn).isEmpty)
+            keep.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)
+          }
+        case _ => f
+      }
+  }
+}

@@ -251,6 +251,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(filterIdx >= 0, p)
   }
 
+  test("rank-filter windows rewrite to GroupTopK exactly when safe") {
+    // the standard DataFrame idiom now plans the heap operator...
+    for (q <- Seq("topk_per_lang", "knn_brute", "frontier_pop")) {
+      val p = plan(q)
+      assert(p.contains("GroupTopK"), s"$q missed the rewrite:\n$p")
+      assert(!p.contains("Window"), s"$q kept its window:\n$p")
+    }
+    // ...and patterns the rewrite cannot absorb keep WindowExec:
+    // politeness_batches filters on (rn+1)/2 (not a literal bound),
+    // rank_functions computes multiple window expressions
+    for (q <- Seq("politeness_batches", "rank_functions")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q should not rewrite:\n$p")
+    }
+  }
+
   test("round-4 wave keeps its claimed plan shapes") {
     // hard_negatives: knn discipline — bounded query side broadcast,
     // corpus never shuffle-joined
