@@ -10,6 +10,32 @@ import graft.etl.Chunker
 class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("SQL row_number top-k subqueries plan the native GroupTopK too") {
+    // the rewrite is expression-level, so plain SQL — not just the
+    // DataFrame API — gets the heap operator
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("docs_v")
+    val df = spark.sql(
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM docs_v) WHERE rn <= 3""".stripMargin)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GroupTopK"), s"SQL pattern missed the rewrite:\n$p")
+    assert(!p.contains("Window"), p)
+    // and it computes the same rows as the un-rewritten window form
+    // (rank() pattern is NOT rewritten — use it as the control)
+    val control = spark.sql(
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id,
+        |    rank() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM docs_v) WHERE rn <= 3""".stripMargin)
+    assert(control.queryExecution.executedPlan.toString.contains("Window"))
+    assert(df.collect().toSet == control.collect().toSet)
+  }
+
   test("dot_product is SQL-callable and matches the declarative form") {
     val got = spark.sql(
       "SELECT dot_product(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT))," +
