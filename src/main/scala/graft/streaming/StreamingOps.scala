@@ -51,6 +51,33 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("session_value"))
 
+  /** Stream-stream join (J3 as a live flow): pages and their images
+    * arrive on independent streams; each page joins images for the
+    * same url that arrive within 30 minutes AFTER the page. Both sides
+    * carry watermarks, so the join state is BOUNDED — Spark retires a
+    * page's state once the image-side watermark passes its join window
+    * (the unbounded-safe form of the reference's page↔image resolution,
+    * which buffers everything in memory). Inner join: a page with no
+    * image inside the horizon simply never emits (the outer-join
+    * variant would emit page-with-null after the horizon closes).
+    */
+  def pageImageJoin(pages: DataFrame, images: DataFrame): DataFrame = {
+    val p = pages
+      .withColumn("page_time", eventTime(col("ts")))
+      .withWatermark("page_time", "1 hour")
+      .select(col("url"), col("page_time"), col("body"))
+    val i = images
+      .withColumn("img_time", eventTime(col("ts")))
+      .withWatermark("img_time", "1 hour")
+      .select(col("url").as("img_url"), col("img_time"), col("img"))
+    p.join(i,
+      col("url") === col("img_url") &&
+      col("img_time") >= col("page_time") &&
+      col("img_time") <= col("page_time") + expr("INTERVAL 30 MINUTES"))
+      .select(col("url"), col("body"), col("img"),
+        col("page_time"), col("img_time"))
+  }
+
   /** Streaming visited-set dedup (U2/F4): keep the first occurrence of
     * each URL within the watermark horizon — the unbounded-safe form of
     * the reference's visited map (state expires with the watermark
@@ -107,6 +134,12 @@ object StreamingOps {
 
 /** One crawl fetch observation on the stream. */
 case class PageVisit(url: String, ts: Long)
+
+/** A page body arriving on the extract stream (J3's left side). */
+case class PageEvent(url: String, ts: Long, body: String)
+
+/** An image resolution arriving on the media stream (J3's right side). */
+case class ImageEvent(url: String, ts: Long, img: String)
 
 /** A scored item on the stream (key = group, e.g. lang or domain). */
 case class ScoredItem(key: String, id: Long, score: Long)

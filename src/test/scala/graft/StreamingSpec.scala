@@ -130,6 +130,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream page↔image join matches within the 30-min window only") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{ImageEvent, PageEvent}
+    val pages = MemoryStream[PageEvent]
+    val images = MemoryStream[ImageEvent]
+    val q = StreamingOps.pageImageJoin(pages.toDF(), images.toDF())
+      .writeStream.format("memory").queryName("ssj_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = 24 * 60 // epoch-0 lateness offset, as elsewhere
+      pages.addData(
+        PageEvent("a", base * min, "body-a"),
+        PageEvent("b", base * min, "body-b"))
+      images.addData(
+        ImageEvent("a", (base + 10) * min, "img-a1"),   // in window
+        ImageEvent("a", (base + 29) * min, "img-a2"),   // in window
+        ImageEvent("b", (base + 45) * min, "img-b-late"), // beyond 30min
+        ImageEvent("c", (base + 5) * min, "img-c"))     // no page
+      q.processAllAvailable()
+      // advance both watermarks so results are final
+      pages.addData(PageEvent("zp", (base + 300) * min, "flush"))
+      images.addData(ImageEvent("zi", (base + 300) * min, "flush"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_t").select("url", "img")
+        .as[(String, String)].collect().toSet
+      assert(rows == Set(("a", "img-a1"), ("a", "img-a2")), rows)
+    } finally q.stop()
+  }
+
   test("streaming tumbling window counts per hour bucket") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Ev]
