@@ -1746,6 +1746,60 @@ object Oracles {
         |      FROM sq)
         |SELECT qid, rank, cid, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // trained-codebook IVF — mirrors Similarity.knnIvfTrained (one
+    // Lloyd round over all dims, dim-ordered centroid reassembly)
+    "knn_ivf_trained" ->
+      """WITH za AS (
+        |  SELECT e.vec_id AS vid, c.vec_id AS cid,
+        |         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+        |         CAST(unnest(c.embedding) AS DOUBLE) AS y
+        |  FROM embeddings e JOIN embeddings c
+        |    ON c.vec_id < 8 AND e.vec_id <> c.vec_id),
+        |da AS (SELECT vid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |       FROM za GROUP BY ALL),
+        |sa AS (SELECT vid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM da),
+        |assign AS (SELECT vid, acid FROM (
+        |  SELECT vid, cid AS acid,
+        |         row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rk
+        |  FROM sa) WHERE rk = 1),
+        |tx AS (SELECT a.acid AS cid,
+        |         CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
+        |         CAST(unnest(e.embedding) AS DOUBLE) AS x
+        |       FROM assign a JOIN embeddings e ON e.vec_id = a.vid),
+        |tm AS (SELECT cid, dim,
+        |         CAST(sum(CAST(round(x * 10000) AS BIGINT)) AS DOUBLE)
+        |           / count(*) / 10000.0 AS mx
+        |       FROM tx GROUP BY cid, dim),
+        |tc AS (SELECT cid, list(mx ORDER BY dim) AS ce FROM tm GROUP BY cid),
+        |zb AS (SELECT e.vec_id AS vid, t.cid,
+        |         CAST(unnest(e.embedding) AS DOUBLE) AS x, unnest(t.ce) AS y
+        |       FROM embeddings e CROSS JOIN tc t),
+        |db AS (SELECT vid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |       FROM zb GROUP BY ALL),
+        |sb AS (SELECT vid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM db),
+        |assign2 AS (SELECT vid, acid FROM (
+        |  SELECT vid, cid AS acid,
+        |         row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rk
+        |  FROM sb) WHERE rk = 1),
+        |probes AS (SELECT vid AS qid, cid AS pcid FROM (
+        |  SELECT vid, cid,
+        |         row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rk
+        |  FROM sb WHERE vid < 16) WHERE rk <= 2),
+        |cand AS (SELECT p.qid, a.vid AS cid
+        |         FROM probes p JOIN assign2 a ON a.acid = p.pcid AND a.vid <> p.qid),
+        |zq AS (SELECT cand.qid, cand.cid,
+        |         CAST(unnest(q.embedding) AS DOUBLE) AS x,
+        |         CAST(unnest(c.embedding) AS DOUBLE) AS y
+        |       FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+        |                 JOIN embeddings c ON c.vec_id = cand.cid),
+        |dq AS (SELECT qid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |       FROM zq GROUP BY ALL),
+        |sq AS (SELECT qid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM dq),
+        |r AS (SELECT qid, cid, cos,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INT) AS rank
+        |      FROM sq)
+        |SELECT qid, rank, cid, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
     // ---- round-4 CDC / corpus-statistics wave ----
 
     // MERGE-style upsert apply — mirrors Changelog.cdcApply (sequence =

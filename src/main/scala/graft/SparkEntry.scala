@@ -199,7 +199,8 @@ object SparkEntry {
     "monthly_revenue_delta" -> (Relational3.monthlyRevenueDelta _),
     "hard_negatives"        -> (Similarity.hardNegatives _),
     "dedup_canonical"       -> ((s: SparkSession, d: String) => Dedup.dedupCanonical(s, d)),
-    "scd2_lookup"           -> (Changelog.scd2Lookup _)
+    "scd2_lookup"           -> (Changelog.scd2Lookup _),
+    "knn_ivf_trained"       -> (Similarity.knnIvfTrained _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

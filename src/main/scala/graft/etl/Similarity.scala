@@ -305,6 +305,73 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** IVF with a TRAINED codebook — the full train→index→search path:
+    * one Lloyd round ([[kmeansUpdate]] semantics over ALL dims) refines
+    * the seed centroids, the corpus is re-assigned to the trained
+    * centroids, and the probed-list search runs as in [[knnIvf]].
+    *
+    * Determinism across engines: per-dim means are exact rationals
+    * (Σ round(x·10⁴) BIGINT / n / 10⁴), the centroid array is
+    * reassembled in dim order (array_sort on (dim, mean) structs ↔
+    * DuckDB list(m ORDER BY dim)), and its norm is a left-to-right
+    * fold over that array — the same ordered-sum discipline the knn
+    * oracles already rely on. Assignment/probe distances against the
+    * 8-row trained codebook use the interpreted double-dot (tiny,
+    * broadcast); the hot corpus-side exact scoring keeps the codegen'd
+    * [[graft.functions.DotProduct]].
+    */
+  def knnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val seeds = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn")))
+    val seedCos = e.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(seeds, col("vec_id") =!= col("cid"))
+      .withColumn("cos",
+        round(dotF(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 4))
+    // Lloyd round: argmax assignment under seeds, then per-dim means
+    val assigned0 = seedCos.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"),
+        first(col("embedding")).as("emb")) // embedding constant per vec_id
+      .select((-col("m.ncid")).as("cid"), col("emb"))
+    val means = assigned0
+      .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg((sum(round(col("x").cast("double") * 10000).cast("bigint")).cast("double")
+        / count(lit(1)) / 10000.0).as("mx"))
+    val trained = broadcast(means.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+        s => s.getField("mx")).as("ce"))
+      .withColumn("cn", sqrt(aggregate(col("ce"), lit(0.0), (a, x) => a + x * x))))
+    // index + probe under the trained codebook (no self-exclusion:
+    // trained centroids are synthetic points, not corpus vectors)
+    val cos2 = e.select(col("vec_id"), col("embedding"), col("nrm"))
+      .crossJoin(trained)
+      .withColumn("cos",
+        round(dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 4))
+    val assigned2 = cos2.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"),
+        first(col("embedding")).as("a_emb"), first(col("nrm")).as("a_nrm"))
+      .select(col("vec_id").as("a_vid"), (-col("m.ncid")).as("acid"),
+        col("a_emb"), col("a_nrm"))
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    val probes = broadcast(cos2.filter(col("vec_id") < 16)
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cid").as("pcid")))
+    val scored = probes.join(assigned2,
+        col("pcid") === col("acid") && col("qid") =!= col("a_vid"))
+      .withColumn("cos",
+        round(dotF(col("qe"), col("a_emb")) / (col("qn") * col("a_nrm")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("a_vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("a_vid").as("cid"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** Centroid summary per label: aggregate RAW norms (irrational values
     * → rounding-tie-free), round only at the output surface.
     */
