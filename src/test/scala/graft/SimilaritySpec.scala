@@ -43,4 +43,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // every IVF result is a real corpus vector and never the query itself
     assert(ivf.forall { case (q, c) => q != c })
   }
+
+  test("one Lloyd round strictly improves IVF recall at the same probe budget") {
+    val brute = topPairs("knn_brute")
+    val untrained = (topPairs("knn_ivf") & brute).size
+    val trained = (topPairs("knn_ivf_trained") & brute).size
+    // measured: 27.5% → 75% at sf0.001 (17.5% → 65% at sf0.01) with
+    // nprobe=2 of 8 lists — training the coarse quantizer is what makes
+    // IVF viable; this pins that the trained codebook never regresses
+    // to the untrained one, plus a generous absolute floor
+    assert(trained > untrained,
+      s"training lost recall: $trained <= $untrained of ${brute.size}")
+    assert(trained * 2 >= brute.size,
+      s"trained recall floor: $trained/${brute.size}")
+  }
 }
