@@ -1880,6 +1880,27 @@ object Oracles {
          |  CAST(coalesce((10000 * n_dup) // n_shingles, 0) AS BIGINT) AS dup_bp
          |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
+    // per-type exact latency percentiles — mirrors Events.latencyPercentiles
+    "latency_percentiles" ->
+      """WITH h AS (SELECT event_type,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |             count(*) AS cnt
+        |           FROM events GROUP BY event_type, cents),
+        |c AS (SELECT *,
+        |        CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM h),
+        |b AS (SELECT *, cum - cnt AS cum_before FROM c)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |  max(CASE WHEN (n * 50 + 99) // 100 > cum_before
+        |            AND (n * 50 + 99) // 100 <= cum THEN cents END) / 100.0 AS p50,
+        |  max(CASE WHEN (n * 90 + 99) // 100 > cum_before
+        |            AND (n * 90 + 99) // 100 <= cum THEN cents END) / 100.0 AS p90,
+        |  max(CASE WHEN (n * 99 + 99) // 100 > cum_before
+        |            AND (n * 99 + 99) // 100 <= cum THEN cents END) / 100.0 AS p99
+        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // retention base table — mirrors Relational3.repeatCustomers
     "repeat_customers" ->
       """WITH o AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month

@@ -200,7 +200,8 @@ object SparkEntry {
     "hard_negatives"        -> (Similarity.hardNegatives _),
     "dedup_canonical"       -> ((s: SparkSession, d: String) => Dedup.dedupCanonical(s, d)),
     "scd2_lookup"           -> (Changelog.scd2Lookup _),
-    "knn_ivf_trained"       -> (Similarity.knnIvfTrained _)
+    "knn_ivf_trained"       -> (Similarity.knnIvfTrained _),
+    "latency_percentiles"   -> (Events.latencyPercentiles _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -237,6 +237,35 @@ object Events {
     * later (offsets 0-5). Two shuffles — per-user first bucket, then
     * the (cohort, offset) count over pre-deduped (user, bucket) pairs.
     */
+  /** Exact p50/p90/p99 of event value per event type — the ops-latency
+    * report via the histogram-rank method (Relational2.quartilePrices
+    * generalized to the events feed): value histogram per (type, cents)
+    * → tiny cumulative window over distinct values → ceil(p·n) ranks
+    * selected by conditional aggregation. One table scan regardless of
+    * how many percentiles are reported; no per-row ranking anywhere.
+    */
+  def latencyPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    def rankFor(pct: Int) = expr(s"(n * $pct + 99) div 100")
+    def valueAt(pct: Int) =
+      (max(when(rankFor(pct) > col("cum_before") && rankFor(pct) <= col("cum"),
+        col("cents"))) / lit(100.0)).as(s"p$pct")
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"), valueAt(50), valueAt(90), valueAt(99))
+      .orderBy("event_type")
+  }
+
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val act = Tables.events(spark, dir)
       .select(col("user_id"), floor(tsUs / lit(HourUs)).as("bucket"))
