@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright}
 
 /** Bucketed-table layout and size-governed output — the storage-side
   * half of the shuffle story (reference analog: the page store and
@@ -51,4 +51,31 @@ object Bucketing {
   def compact(df: DataFrame, keyNames: Seq[String], files: Int,
       maxRecordsPerFile: Long, out: String)(implicit d: DummyImplicit): Unit =
     compact(df, keyNames.map(col), files, maxRecordsPerFile, out)
+
+  /** Z-order curve value for two non-negative integer keys: the low
+    * `bits` of each are bit-interleaved (a on odd positions, b on
+    * even), so range-partitioning on the result clusters BOTH
+    * dimensions at once — per-file min/max stays narrow on a AND b,
+    * and a scan filtered on either column skips most files. This is
+    * the multi-column answer where single-key range clustering leaves
+    * the second column's zone-maps spanning the full domain.
+    *
+    * BOTH inputs must be normalized to the same `bits`-wide domain
+    * first (min-max or quantile scaled, e.g. `(a * 2^bits) div
+    * (max_a + 1)`): interleaving raw keys of different magnitudes
+    * degenerates to single-key clustering, because the wider key's
+    * high bits own the top of every z-value (measured: un-normalized
+    * orderkey⊗partkey left partkey zone-maps at the full domain).
+    * 21 bits per key keeps the interleave inside a signed BIGINT.
+    * A z-value only PLACES rows — a bad scaling is slower to skip,
+    * never wrong.
+    */
+  def zvalue(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31)
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      val bbit = shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+      abit.bitwiseOR(bbit)
+    }.reduce(_.bitwiseOR(_))
+  }
 }

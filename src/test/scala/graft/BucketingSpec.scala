@@ -62,6 +62,41 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("z-order compaction narrows BOTH key dimensions' file zone-maps") {
+    val src = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    def avgWidth(out: String, key: String): Double = {
+      val r = spark.read.parquet(out)
+        .groupBy(input_file_name()).agg(
+          (max(col(key)) - min(col(key))).as("w"))
+        .agg(avg(col("w"))).head.getDouble(0)
+      r
+    }
+    val single = java.nio.file.Files.createTempDirectory("graft_single_").toString
+    val zed = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    Bucketing.compact(src, Seq(col("l_orderkey")), 8, 1000000L, single)
+    // normalize both keys to the shared 8-bit domain before
+    // interleaving (see the zvalue scaladoc — raw magnitudes would let
+    // orderkey's high bits own every z-value)
+    val Array(maxO, maxP) = src.agg(max("l_orderkey"), max("l_partkey"))
+      .head.toSeq.map(_.asInstanceOf[Long].toDouble).toArray
+    Bucketing.compact(src.withColumn("z",
+        Bucketing.zvalue(
+          expr(s"(l_orderkey * 256) div ${maxO.toLong + 1}"),
+          expr(s"(l_partkey * 256) div ${maxP.toLong + 1}"), bits = 8)),
+      Seq(col("z")), 8, 1000000L, zed)
+    // single-key clustering leaves l_partkey unclustered: every file
+    // spans ~the full partkey domain. Z-order must narrow it while
+    // keeping l_orderkey's zone-maps far below the full domain too.
+    val partSingle = avgWidth(single, "l_partkey")
+    val partZ = avgWidth(zed, "l_partkey")
+    assert(partZ < partSingle * 0.6,
+      s"z-order did not narrow partkey zone-maps: $partZ vs $partSingle")
+    val okeyFull = src.agg(max("l_orderkey")).head.getLong(0).toDouble
+    assert(avgWidth(zed, "l_orderkey") < okeyFull * 0.6,
+      "z-order lost orderkey clustering entirely")
+  }
+
   test("compact writes bounded, range-clustered files") {
     val out = java.nio.file.Files.createTempDirectory("graft_compact_").toString
     val src = Tables.lineitem(spark, dir) // 6005 rows at sf0.001
