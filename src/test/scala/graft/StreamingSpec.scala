@@ -130,6 +130,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful dedup runs on the RocksDB state store (disk-backed state)") {
+    // the 100 TB/day posture: keyed state on disk (RocksDB), not the
+    // executor heap — same operator, one config switch, and the query
+    // must report rocksdb metrics to prove the provider actually ran
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.PageVisit
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[PageVisit]
+      val q = StreamingOps.dedupWithinWatermark(src.toDF())
+        .writeStream.format("memory").queryName("rocks_t")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val base = 24 * 60
+        src.addData(PageVisit("a", base * min), PageVisit("a", (base + 5) * min),
+          PageVisit("b", base * min))
+        q.processAllAvailable()
+        assert(spark.table("rocks_t").count() == 2)
+        val progress = q.lastProgress.toString
+        assert(progress.contains("rocksdb"),
+          s"state store metrics show no rocksdb:\n$progress")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream page↔image join matches within the 30-min window only") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{ImageEvent, PageEvent}
