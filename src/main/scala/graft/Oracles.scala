@@ -1972,6 +1972,92 @@ object Oracles {
         |SELECT l_partkey, rev_units / 10000.0 AS part_value
         |FROM revs, t
         |WHERE rev_units * n_parts * 2 > total * 3
-        |ORDER BY part_value DESC, l_partkey""".stripMargin
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_excess_shippers" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT *, CAST(sum(pair_qty) OVER (PARTITION BY l_partkey) AS BIGINT)
+        |    AS part_qty FROM pairs),
+        |excess AS (
+        |  SELECT DISTINCT l_suppkey FROM tot WHERE pair_qty * 2 > part_qty)
+        |SELECT s_suppkey, s_name, n_name AS nation
+        |FROM excess JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "gap_fill" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_lines,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#5' GROUP BY 1),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |axis AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds)
+        |SELECT strftime(axis.day, '%Y-%m-%d') AS day,
+        |       coalesce(n_lines, 0) AS n_lines, coalesce(qty, 0) AS qty
+        |FROM axis LEFT JOIN daily ON axis.day = daily.day
+        |ORDER BY 1""".stripMargin,
+
+    "event_transitions" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT event_type AS from_type, to_type, count(*) AS n
+        |FROM r WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""".stripMargin,
+
+    "top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p
+        |GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
+
+    // PostingCap = 32 (TfIdf.PostingCap): literal on both sides
+    "inverted_index" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |d AS (SELECT DISTINCT word, doc_id FROM w0 WHERE length(word) > 0),
+        |dfs AS (SELECT word, count(*) AS df FROM d GROUP BY word),
+        |topd AS (
+        |  SELECT word, doc_id FROM (
+        |    SELECT word, doc_id,
+        |      row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+        |    FROM d) WHERE rn <= 32),
+        |posts AS (
+        |  SELECT word,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |  FROM topd GROUP BY word)
+        |SELECT word, df, postings FROM dfs JOIN posts USING (word)
+        |ORDER BY df DESC, word""".stripMargin
   )
 }

@@ -201,7 +201,17 @@ object SparkEntry {
     "dedup_canonical"       -> ((s: SparkSession, d: String) => Dedup.dedupCanonical(s, d)),
     "scd2_lookup"           -> (Changelog.scd2Lookup _),
     "knn_ivf_trained"       -> (Similarity.knnIvfTrained _),
-    "latency_percentiles"   -> (Events.latencyPercentiles _)
+    "latency_percentiles"   -> (Events.latencyPercentiles _),
+    // round-4 completion wave: the last classic shapes (distinct-count
+    // buckets with an exclusion anti-join, nested excess-share
+    // semi-join), calendar gap-fill, Markov transitions, entry-path
+    // mining, and the inverted-index build
+    "q16_supplier_counts" -> (Relational3.q16SupplierCounts _),
+    "q20_excess_shippers" -> (Relational3.q20ExcessShippers _),
+    "gap_fill"            -> (Relational3.gapFillDays _),
+    "event_transitions"   -> (Events.eventTransitions _),
+    "top_paths"           -> (Events.topPaths _),
+    "inverted_index"      -> (TfIdf.invertedIndex _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -278,4 +278,44 @@ object Events {
       .agg(count(lit(1)).as("n_users")) // (user,bucket) pre-deduped
       .orderBy("cohort", "hour_offset")
   }
+
+  /** Markov transition counts: how often each event type is followed by
+    * each other type within a user's stream (the first-order behavior
+    * model behind next-action prediction and bot detection). One
+    * window exchange on user_id for the lead(), then a 25-cell
+    * aggregate — the per-user partition is the only shuffle that grows
+    * with the data.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+  }
+
+  /** Session-path mining: the distribution of each user's first three
+    * event types ("entry journey"). The rn<=3 filter is the exact
+    * pattern RewriteRankFilterToGroupTopK targets, so the heavy first
+    * phase runs on the native bounded-heap GroupTopK operator — per-user
+    * state is O(3), never a full per-user sort. Path assembly sorts a
+    * ≤3-element struct array (interpreted HOF is fine at that size).
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val firstK = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    firstK.groupBy(col("user_id"))
+      .agg(concat_ws(">",
+        transform(sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
 }

@@ -297,6 +297,91 @@ object Relational3 {
       .orderBy(col("part_value").desc, col("l_partkey"))
   }
 
+  /** Q16-style supplier counts: distinct suppliers per (brand, type,
+    * size) bucket of the part catalog, excluding one brand/type slice
+    * and suppliers with negative balance (the "complaints" NOT IN
+    * subquery). The exclusion list is tiny → broadcast LEFT ANTI (never
+    * a NOT IN re-scan); part is dim-class → broadcast; the distinct
+    * count is Spark's two-phase distinct aggregate (partial distinct on
+    * (bucket, suppkey), then count) — no per-group set state.
+    */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size"))
+    val complained = broadcast(Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey"))
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(complained, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Q20-style excess shippers: suppliers who, for some 'red' part,
+    * shipped more than half of that part's total 1997 quantity (the
+    * classic nested-IN "excess availability" shape re-keyed to the
+    * lineitem supply relation). Per-(part, supplier) totals are one
+    * shuffle; the per-part denominator is a WINDOW over the already-
+    * aggregated pairs (medianPrice pattern: one exchange, one scan —
+    * never a join-back that re-reads lineitem); the winner set is a
+    * distinct semi-join into broadcast supplier/nation dims.
+    */
+  def q20ExcessShippers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = broadcast(Tables.part(spark, dir)
+      .filter(col("p_name").contains("red")).select("p_partkey"))
+    val pairs = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= tsLit("1997-01-01") &&
+        col("l_shipdate") < tsLit("1998-01-01"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("pair_qty"))
+    val excess = pairs
+      .withColumn("part_qty",
+        sum(col("pair_qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("pair_qty") * lit(2L) > col("part_qty"))
+      .select("l_suppkey").distinct()
+    excess
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Calendar gap-fill: Brand#5 daily shipment series with explicit
+    * zero rows for the 1000+ days with no shipments (time-series
+    * completeness — the shape every downstream forecaster/anomaly job
+    * needs). The date axis is generated from the 1-row min/max bounds
+    * (sequence + explode) and LEFT-joined against the daily aggregate;
+    * both sides are tiny post-aggregation, so the join broadcasts. The
+    * pruned lineitem⋈part scan is read twice (bounds + daily) — two
+    * cheap 4-column scans beat funneling the axis through a global
+    * window.
+    */
+  def gapFillDays(spark: SparkSession, dir: String): DataFrame = {
+    def daily = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_brand") === "Brand#5").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("bigint")).as("qty"))
+    val axis = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    axis.join(broadcast(daily), Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("qty"), lit(0L)).as("qty"))
+      .orderBy("day")
+  }
+
   /** Repeat-customer profile: per customer, order count, distinct
     * active months, and first/last active month — kept only for
     * customers active in ≥2 months (the retention base table). One

@@ -130,4 +130,35 @@ object TfIdf {
       // completes the total order over indistinguishable rows
       .orderBy("l_returnflag", "rnk", "quartile")
   }
+
+  /** Postings the search index keeps per word. */
+  val PostingCap = 32
+
+  /** Inverted-index build: per word, document frequency plus the first
+    * [[PostingCap]] doc ids of its sorted posting list (the structure a
+    * term-lookup search service serves from). df is the two-phase
+    * distinct aggregate; the posting rows are capped BEFORE collection
+    * by the rn<=cap filter, which RewriteRankFilterToGroupTopK turns
+    * into the native bounded-heap GroupTopK — per-word state is O(cap)
+    * even for stopwords whose full posting list would be corpus-sized.
+    * The distinct (word, doc) frame feeds both branches; its upstream
+    * is a map-only split+explode, so the double scan is two cheap
+    * passes rather than a cached corpus-wide frame.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    def pairs = Shingles.words(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("word"), col("doc_id")).distinct()
+    val dfs = pairs.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("word")).orderBy(col("doc_id").asc)
+    val posts = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PostingCap)
+      .groupBy(col("word"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("postings"))
+    dfs.join(posts, Seq("word"))
+      .select(col("word"), col("df"), col("postings"))
+      .orderBy(col("df").desc, col("word"))
+  }
 }

@@ -291,6 +291,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("round-4 completion wave keeps its claimed plan shapes") {
+    // top_paths / inverted_index: the rn<=k caps must plan the native
+    // bounded-heap operator (per-group state O(k), no per-group sort of
+    // stopword-sized posting lists / user streams)
+    for (q <- Seq("top_paths", "inverted_index")) {
+      val p = plan(q)
+      assert(p.contains("PartialGroupTopK"), s"$q lost the heap pre-prune:\n$p")
+      assert(p.contains("GroupTopK"), s"$q missed the rewrite:\n$p")
+    }
+    // q16: the complaints exclusion is a broadcast anti-join, never a
+    // NOT IN re-scan; part is a broadcast dim
+    val q16 = plan("q16_supplier_counts")
+    assert(q16.contains("BroadcastHashJoin LeftAnti"), s"exclusion must broadcast-anti:\n$q16")
+    // q20: the per-part denominator is a window over the aggregated
+    // pairs (partitioned on l_partkey — never a lineitem join-back or a
+    // global window); dims broadcast
+    val q20 = plan("q20_excess_shippers")
+    assert(q20.contains("Window"), s"denominator must be a window:\n$q20")
+    assert(!q20.contains("SortMergeJoin"), s"dims must broadcast:\n$q20")
+    // gap_fill: axis ⋈ daily stays a broadcast join (both tiny)
+    val gf = plan("gap_fill")
+    assert(gf.contains("BroadcastHashJoin"), s"axis join must broadcast:\n$gf")
+    assert(!gf.contains("SortMergeJoin"), gf)
+  }
+
   test("sweep: no query plans a single-partition funnel or cartesian product") {
     // the serial batch_pack is the documented exception (semantic spec
     // for its sharded twin); everything else must keep table-sized data
