@@ -2058,6 +2058,20 @@ object Oracles {
         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |  FROM topd GROUP BY word)
         |SELECT word, df, postings FROM dfs JOIN posts USING (word)
-        |ORDER BY df DESC, word""".stripMargin
+        |ORDER BY df DESC, word""".stripMargin,
+
+    // range(1, n) is [1, n): pairs at 1..len-1, matching the Spark
+    // sequence(1, length-1) under its length>=2 guard
+    "bpe_pairs" ->
+      """WITH w0 AS (
+        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |wf AS (SELECT word, count(*) AS freq FROM w0
+        |       WHERE length(word) > 0 GROUP BY word),
+        |pairs AS (
+        |  SELECT substring(word, i, 2) AS pair, CAST(sum(freq) AS BIGINT) AS n
+        |  FROM wf, unnest(range(1, length(word))) AS t(i)
+        |  GROUP BY 1)
+        |SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT 20""".stripMargin
   )
 }

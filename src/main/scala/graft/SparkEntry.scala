@@ -211,7 +211,8 @@ object SparkEntry {
     "gap_fill"            -> (Relational3.gapFillDays _),
     "event_transitions"   -> (Events.eventTransitions _),
     "top_paths"           -> (Events.topPaths _),
-    "inverted_index"      -> (TfIdf.invertedIndex _)
+    "inverted_index"      -> (TfIdf.invertedIndex _),
+    "bpe_pairs"           -> (CorpusStats.bpePairs _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

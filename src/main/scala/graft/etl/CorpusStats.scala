@@ -106,4 +106,28 @@ object CorpusStats {
         sum(col("w2")).as("cum_vocab"))
       .orderBy("bucket")
   }
+
+  /** BPE tokenizer-training kernel (one merge iteration): the 20 most
+    * frequent adjacent character pairs, weighted by word frequency —
+    * exactly the statistic byte-pair encoding maximizes when it picks
+    * its next merge. The corpus collapses to the word-frequency table
+    * first (vocabulary-sized, tiny next to the corpus), so the
+    * quadratic-ish pair explosion runs over distinct words only; pair
+    * counts are one hash aggregate; top-20 is TakeOrdered. Repeating
+    * this query with a merged vocab is the full BPE training loop.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Shingles.words(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // word is an attribute here (post-agg), so the substr lambda
+    // references a materialized value, not a re-evaluated expression
+    val pairCol = transform(sequence(lit(1), length(col("word")) - 1),
+      i => col("word").substr(i, lit(2)))
+    wf.filter(length(col("word")) >= 2)
+      .select(explode(pairCol).as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
 }

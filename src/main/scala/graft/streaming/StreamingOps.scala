@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import java.time.Duration
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming forms of the engine's stateful surface
   * (SURVEY.md §2.11). The reference's crawl loop is a rate-limited,
@@ -130,6 +133,45 @@ object StreamingOps {
           }
         })
   }
+
+  /** Spark 4 arbitrary-state form of the visited map (U2/F4):
+    * `transformWithState` — the StatefulProcessor API that supersedes
+    * flatMapGroupsWithState — with per-key state TTL. A URL emits the
+    * first time it is seen; repeats inside `ttl` are swallowed; the
+    * state store then expires the flag on its own, giving the crawler
+    * the production revisit-after-TTL semantics WITHOUT hand-rolled
+    * timeout bookkeeping (the fMGWS version needs explicit timeout
+    * state; here expiry is a state-store property). Requires the
+    * RocksDB state store provider — the only provider implementing the
+    * TWS state format — which StreamingSpec already runs.
+    */
+  def visitedFirstSeenTtl(visits: Dataset[PageVisit],
+      ttl: Duration): Dataset[PageVisit] = {
+    import visits.sparkSession.implicits._
+    visits
+      .groupByKey(_.url)
+      .transformWithState(new VisitedTtlProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+}
+
+/** StatefulProcessor behind [[StreamingOps.visitedFirstSeenTtl]]: one
+  * TTL'd ValueState flag per URL. State lives in the store (RocksDB at
+  * scale), is keyed implicitly by the grouping key, and self-expires
+  * `ttl` after its last update.
+  */
+class VisitedTtlProcessor(ttl: Duration)
+    extends StatefulProcessor[String, PageVisit, PageVisit] {
+  @transient private var seen: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Boolean]("seen",
+      Encoders.scalaBoolean, TTLConfig(ttl))
+
+  override def handleInputRows(url: String, rows: Iterator[PageVisit],
+      timers: TimerValues): Iterator[PageVisit] =
+    if (seen.exists()) Iterator.empty
+    else { seen.update(true); rows.take(1) }
 }
 
 /** One crawl fetch observation on the stream. */

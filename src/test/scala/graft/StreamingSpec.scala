@@ -161,6 +161,64 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("transformWithState visited map dedups across restarts and expires by TTL") {
+    // the Spark-4 StatefulProcessor path: TTL is a state-store property
+    // (no hand-rolled timeout state); TWS requires the RocksDB provider.
+    // ProcessingTime mode keeps firing empty micro-batches to service
+    // TTL/timers, so processAllAvailable never settles — each phase runs
+    // an AvailableNow query to completion instead, which ALSO proves the
+    // state survives a query restart from the checkpoint.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.PageVisit
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // a TWS query in ProcessingTime mode micro-batches CONTINUOUSLY
+      // (TTL/timer service), so processAllAvailable/awaitTermination
+      // never settle — poll the sink for the expected row count instead
+      val src = MemoryStream[PageVisit]
+      val q = StreamingOps.visitedFirstSeenTtl(src.toDS(),
+          java.time.Duration.ofSeconds(4))
+        .writeStream.format("memory").queryName("tws_t")
+        .outputMode(OutputMode.Append()).start()
+      def emitted: Seq[(String, Long)] =
+        spark.table("tws_t").select("url", "ts")
+          .as[(String, Long)].collect().toSeq
+      def awaitRows(n: Int): Seq[(String, Long)] = {
+        val deadline = System.currentTimeMillis() + 60000
+        var cur = emitted
+        while (cur.length < n && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200); cur = emitted
+        }
+        cur
+      }
+      try {
+        src.addData(PageVisit("a", 1), PageVisit("a", 2), PageVisit("b", 3))
+        // first sighting of each URL emits; the in-batch repeat doesn't
+        assert(awaitRows(2).length == 2, emitted.mkString(","))
+        src.addData(PageVisit("a", 4))
+        Thread.sleep(1500) // let its micro-batch run (sub-second cadence)
+        // cross-batch repeat inside the TTL is swallowed
+        assert(emitted.length == 2, emitted.mkString(","))
+        Thread.sleep(4000) // outlive the 4s TTL (state flag expires)
+        src.addData(PageVisit("a", 5))
+        // state expired → the URL is eligible again (revisit-after-TTL)
+        val rows = awaitRows(3)
+        assert(rows.length == 3, rows.mkString(","))
+        assert(rows.count(_._1 == "a") == 2, rows.mkString(","))
+        assert(rows.filter(_._1 == "a").map(_._2).max == 5L, rows.mkString(","))
+        val progress = q.lastProgress.toString
+        assert(progress.contains("rocksdb"),
+          s"state store metrics show no rocksdb:\n$progress")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream page↔image join matches within the 30-min window only") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{ImageEvent, PageEvent}
