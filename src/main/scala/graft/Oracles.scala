@@ -242,6 +242,16 @@ object Oracles {
          |WHERE norm_url NOT IN (SELECT norm_url FROM n WHERE link_id % 3 = 0)
          |ORDER BY link_id""".stripMargin,
 
+    // Bloom pre-filtering is pure routing: false positives re-check in
+    // the exact anti-join, true negatives bypass it — the RESULT is the
+    // plain anti-join, so the oracle is visited_antijoin's, verbatim.
+    // The Bloom bits themselves (xxhash64) never surface in the output.
+    "bloom_prefilter" ->
+      s"""WITH $LinksCte, $NormCte
+         |SELECT link_id, norm_url FROM n
+         |WHERE norm_url NOT IN (SELECT norm_url FROM n WHERE link_id % 3 = 0)
+         |ORDER BY link_id""".stripMargin,
+
     "frontier_union" ->
       s"""WITH $LinksCte, $NormCte,
          |pr AS (SELECT norm_url, CAST(parent_relevance + depth AS INT) AS priority,
@@ -2072,6 +2082,85 @@ object Oracles {
         |  SELECT substring(word, i, 2) AS pair, CAST(sum(freq) AS BIGINT) AS n
         |  FROM wf, unnest(range(1, length(word))) AS t(i)
         |  GROUP BY 1)
-        |SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT 20""".stripMargin
+        |SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // Product-quantization ADC search — mirrors Similarity.knnPq:
+    // M=4 subspaces × 16 dims, K=16 codewords (the vec_id < 16 seed
+    // slice), sub-L2² folded like the cosine oracles then fixed to
+    // integral 1e-4 units, so encode argmin + the ADC sum are exact
+    // integer ops on both engines. List slices are 1-based inclusive.
+    "knn_pq" ->
+      """WITH mk AS (
+        |  SELECT m.m, s.vec_id AS k, s.embedding AS se
+        |  FROM embeddings s, (SELECT unnest([0, 1, 2, 3]) AS m) m
+        |  WHERE s.vec_id < 16),
+        |z AS (SELECT e.vec_id, mk.m, mk.k,
+        |        CAST(unnest(e.embedding[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) AS x,
+        |        CAST(unnest(mk.se[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) AS y
+        |      FROM embeddings e CROSS JOIN mk),
+        |d AS (SELECT vec_id, m, k,
+        |        CAST(round(sum((x-y)*(x-y)) * 10000) AS BIGINT) AS du
+        |      FROM z GROUP BY ALL),
+        |codes AS (SELECT vec_id, m, k AS code FROM (
+        |  SELECT vec_id, m, k,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY du, k) AS rk
+        |  FROM d) WHERE rk = 1),
+        |adc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |          sum(q.du) AS adist_units
+        |        FROM codes c JOIN d q
+        |          ON q.m = c.m AND q.k = c.code
+        |         AND q.vec_id < 16 AND q.vec_id <> c.vec_id
+        |        GROUP BY ALL),
+        |r AS (SELECT qid, cid, adist_units,
+        |        CAST(row_number() OVER (PARTITION BY qid
+        |          ORDER BY adist_units, cid) AS INT) AS rank
+        |      FROM adc)
+        |SELECT qid, rank, cid, adist_units FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    // PQ shortlist (ADC top-25) + exact re-rank — mirrors
+    // Similarity.knnPqRerank; same ADC CTEs as knn_pq, then the exact
+    // Σ(x−y)² fold in 1e-4 units over the shortlist only
+    "knn_pq_rerank" ->
+      """WITH mk AS (
+        |  SELECT m.m, s.vec_id AS k, s.embedding AS se
+        |  FROM embeddings s, (SELECT unnest([0, 1, 2, 3]) AS m) m
+        |  WHERE s.vec_id < 16),
+        |z AS (SELECT e.vec_id, mk.m, mk.k,
+        |        CAST(unnest(e.embedding[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) AS x,
+        |        CAST(unnest(mk.se[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) AS y
+        |      FROM embeddings e CROSS JOIN mk),
+        |d AS (SELECT vec_id, m, k,
+        |        CAST(round(sum((x-y)*(x-y)) * 10000) AS BIGINT) AS du
+        |      FROM z GROUP BY ALL),
+        |codes AS (SELECT vec_id, m, k AS code FROM (
+        |  SELECT vec_id, m, k,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY du, k) AS rk
+        |  FROM d) WHERE rk = 1),
+        |adc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |          sum(q.du) AS adist_units
+        |        FROM codes c JOIN d q
+        |          ON q.m = c.m AND q.k = c.code
+        |         AND q.vec_id < 16 AND q.vec_id <> c.vec_id
+        |        GROUP BY ALL),
+        |short AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY adist_units, cid) AS rk
+        |  FROM adc) WHERE rk <= 25),
+        |ze AS (SELECT s.qid, s.cid,
+        |         CAST(unnest(q.embedding) AS DOUBLE) AS x,
+        |         CAST(unnest(c.embedding) AS DOUBLE) AS y
+        |       FROM short s JOIN embeddings q ON q.vec_id = s.qid
+        |                    JOIN embeddings c ON c.vec_id = s.cid),
+        |de AS (SELECT qid, cid,
+        |         CAST(round(sum((x-y)*(x-y)) * 10000) AS BIGINT) AS dist_units
+        |       FROM ze GROUP BY ALL),
+        |r AS (SELECT qid, cid, dist_units,
+        |        CAST(row_number() OVER (PARTITION BY qid
+        |          ORDER BY dist_units, cid) AS INT) AS rank
+        |      FROM de)
+        |SELECT qid, rank, cid, dist_units FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin
   )
 }

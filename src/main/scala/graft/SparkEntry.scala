@@ -52,6 +52,7 @@ object SparkEntry {
     "url_slug"         -> (Urls.urlSlugQuery _),
     "engine_route"     -> (Urls.engineRoute _),
     "visited_antijoin" -> (Urls.visitedAntijoin _),
+    "bloom_prefilter"  -> (Urls.bloomPrefilter _),
     "frontier_union"   -> (Urls.frontierUnion _),
     "frontier_pop"     -> (Urls.frontierPop _),
     "score_link"       -> (Urls.scoreLinkQuery _),
@@ -116,6 +117,8 @@ object SparkEntry {
     "cluster_assign"    -> (Similarity.clusterAssign _),
     "kmeans_update"     -> (Similarity.kmeansUpdate _),
     "knn_ivf"           -> (Similarity.knnIvf _),
+    "knn_pq"            -> (Similarity.knnPq _),
+    "knn_pq_rerank"     -> (Similarity.knnPqRerank _),
     // fixpoint / windows / custom-agg / multimodal
     "crawl_bfs"           -> (Crawl.crawlBfs _),
     "pagerank_iter"       -> ((s: SparkSession, d: String) => Crawl.pagerankIter(s, d)),

@@ -372,6 +372,122 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Product-quantization ANN (IVF-PQ's compression half) — the last
+    * rung of the similarity ladder (brute → sign-bucket → multi-probe →
+    * IVF → trained IVF → PQ). The 64-dim space splits into M=4
+    * subspaces of 16 dims; each subspace gets a K=16 codeword codebook
+    * (the bounded vec_id < 16 seed slice, as knnIvf seeds its
+    * centroids; production trains codebooks per subspace and scales K
+    * to 256). Every corpus vector is ENCODED as 4 small codes
+    * (argmin sub-L2² per subspace) — 64 floats become 4 bytes, the
+    * 64× compression that lets a 100 TB corpus's index live in
+    * memory. Search is asymmetric distance computation (ADC): each
+    * query precomputes a 4×4 lookup table of sub-distances, and a
+    * corpus vector's approximate distance is the SUM OF 4 TABLE
+    * LOOKUPS — the compressed-domain scan never touches the original
+    * vectors.
+    *
+    * Determinism across engines: each sub-distance folds
+    * Σ(x−y)² over the 16-dim slice exactly as the cosine oracles fold
+    * their dot products, then rounds to integral 1e-4 units (BIGINT),
+    * so the argmin encode and the cross-subspace ADC sum are exact
+    * integer operations — order-free, engine-exact. Ranking ties break
+    * on cid.
+    *
+    * Scale posture: the codebook (M·K = 16 rows) and the query LUT
+    * (queries·M·K = 256 rows) broadcast; sub-distances are one
+    * map-side pass over the corpus; the encode argmin is a two-phase
+    * agg on (vec_id, m) — high-cardinality, distributes; the ADC scan
+    * joins codes against the broadcast LUT map-side and reduces on
+    * (qid, vec_id). No corpus-side sort, no SortMergeJoin anywhere.
+    * Production composes this with [[knnIvf]]'s list pruning (scan
+    * only the probed cells' codes) and scales K to 256 (byte codes);
+    * the plan shape is unchanged. Reference analog: the ANN tier the
+    * reference's RAG retrieval assumes (commands/transform.md:351-420's
+    * chunk-embedding search contract).
+    */
+  def knnPq(spark: SparkSession, dir: String): DataFrame =
+    pqAdc(spark, dir)
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("cid"), col("adist_units"))
+      .orderBy("qid", "rank")
+
+  /** ADC-ranked candidates shared by [[knnPq]] (top-5 surface) and
+    * [[knnPqRerank]] (shortlist-25 → exact re-rank). Returns every
+    * (qid, vec_id) pair with its integer ADC distance and rank.
+    */
+  private def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val M = 4; val Sub = 16; val K = 16
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // codebook: M×K rows (m, k, cvec) — the seed slice's subvectors
+    val ms = array((0 until M).map(lit): _*)
+    val cb = broadcast(
+      e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("k"), col("embedding").as("se"))
+        .withColumn("m", explode(ms))
+        .select(col("m"), col("k"),
+          slice(col("se"), col("m") * Sub + 1, lit(Sub)).as("cvec")))
+    // sub-distances: per (vec, m, k), Σ(x−y)² over the slice, rounded to
+    // integral 1e-4 units — the one fold that must mirror the oracle
+    val sub = e.crossJoin(cb)
+      .withColumn("xvec", slice(col("embedding"), col("m") * Sub + 1, lit(Sub)))
+      .withColumn("du",
+        round(aggregate(zip_with(col("xvec"), col("cvec"),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v) * 10000).cast("bigint"))
+      .select(col("vec_id"), col("m"), col("k"), col("du"))
+    // encode: argmin_k per (vec, m) — two-phase agg, ties to low k
+    val codes = sub.groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("du"), col("k"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.k").as("code"))
+    // query LUT: the same sub-distances for the bounded query slice
+    val qlut = broadcast(sub.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("m").as("qm"),
+        col("k").as("qk"), col("du").as("qdu")))
+    // ADC scan: 4 integer table lookups per (query, corpus vector)
+    val adc = codes.join(qlut,
+        col("qm") === col("m") && col("qk") === col("code") &&
+          col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qdu")).as("adist_units"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist_units").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(w))
+  }
+
+  /** PQ shortlist + exact re-rank — how PQ is actually deployed: the
+    * compressed-domain ADC scan is a CANDIDATE GENERATOR (here the
+    * top-25 per query, 5% of this corpus), and only the shortlist's
+    * original vectors are fetched for exact scoring. This two-tier
+    * read pattern is the 100 TB design: the code index (M bytes/vector)
+    * serves the scan; the full vectors live in cold storage and are
+    * touched 25 rows per query. Exact distances fold Σ(x−y)² in
+    * integral 1e-4 units like the ADC tier, so ranking is engine-exact.
+    * SimilaritySpec pins the recall gain over the raw ADC ranking.
+    */
+  def knnPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val short = pqAdc(spark, dir).filter(col("rank") <= 25)
+      .select(col("qid"), col("vec_id").as("scid"))
+    val q = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("eqid"), col("embedding").as("qe")))
+    val exact = short
+      .join(q, col("qid") === col("eqid"))
+      .join(e, col("scid") === col("vec_id"))
+      .withColumn("dist_units",
+        round(aggregate(zip_with(col("qe"), col("embedding"),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v) * 10000).cast("bigint"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist_units").asc, col("scid").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("scid").as("cid"), col("dist_units"))
+      .orderBy("qid", "rank")
+  }
+
   /** Centroid summary per label: aggregate RAW norms (irrational values
     * → rounding-tie-free), round only at the output surface.
     */

@@ -148,6 +148,71 @@ object Urls {
       .orderBy("link_id")
   }
 
+  // ---- J1 at 100 TB: Bloom-filter runtime pre-filter ----
+
+  /** Bits per Bloom filter (2^20 = 128 KiB broadcast as a word map) and
+    * hash count. At k=3, a 50k-key visited set in 2^20 bits gives
+    * ~0.2% false positives; production sizes m from the visited-set
+    * count (m ≈ 10·n keeps FP < 1% at k=3) — the plan is unchanged.
+    */
+  val BloomBits = 1 << 20
+  val BloomHashes = 3
+
+  /** links with a `maybe_visited` flag: the Bloom filter over `visited`
+    * is built as ONE aggregation (explode k probe positions → bit_or
+    * per 64-bit word → word map), broadcast, and probed map-side with
+    * k unrolled xxhash64 lookups — no HOF over the bitset (per-element
+    * re-eval trap), no driver-side set. Bloom guarantee: a truly
+    * visited row is NEVER flagged false; false positives only route
+    * extra rows into the exact path. Reference analog:
+    * crawler-coordinator.md:202's visited check, scaled to the regime
+    * where the visited set dwarfs executor memory but its Bloom image
+    * does not.
+    */
+  def bloomRoute(links: DataFrame, visited: DataFrame): DataFrame = {
+    def posCol(c: Column, seed: Int): Column =
+      pmod(xxhash64(lit(seed), c), lit(BloomBits.toLong))
+    val positions = (1 to BloomHashes).map(s => posCol(col("norm_url"), s))
+    val words = visited.select(explode(array(positions: _*)).as("p"))
+      .select(expr("int(p div 64)").as("w"), expr("shiftleft(1L, int(p % 64))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+    val bitmap = broadcast(words.agg(
+      map_from_entries(collect_list(struct(col("w"), col("bits")))).as("bm")))
+    // unrolled k-probe: every position's bit must be set (missing word
+    // ⇒ word is all zeros ⇒ definitely new)
+    val withPos = (1 to BloomHashes).foldLeft(links.crossJoin(bitmap)) { (df, s) =>
+      df.withColumn(s"p$s", posCol(col("norm_url"), s))
+    }
+    val maybe = (1 to BloomHashes)
+      .map(s => expr(
+        s"(coalesce(try_element_at(bm, int(p$s div 64)), 0L) & shiftleft(1L, int(p$s % 64))) != 0"))
+      .reduce(_ && _)
+    withPos.withColumn("maybe_visited", maybe)
+      .drop(((1 to BloomHashes).map(s => s"p$s") :+ "bm"): _*)
+  }
+
+  /** frontier ∖ visited with Bloom pre-filtering — same result set as
+    * [[visitedAntijoin]] (the oracle is the plain anti-join; Bloom
+    * false positives are re-checked, never emitted), but only the
+    * `maybe_visited` sliver shuffles into the exact anti-join; the
+    * definitely-new majority bypasses the shuffle entirely map-side.
+    * At 100 TB that turns the crawl loop's dominant shuffle into a
+    * shuffle over ~|visited| + FP·|frontier| rows. UrlsSpec pins the
+    * no-false-negative guarantee and the routing selectivity.
+    */
+  def bloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val links = linkCorpus(spark, dir)
+      .withColumn("norm_url", normalizeUrl(col("url")))
+    val visited = links.filter(col("link_id") % 3 === 0).select("norm_url")
+    val routed = bloomRoute(links, visited)
+    val definiteNew = routed.filter(!col("maybe_visited"))
+      .select("link_id", "norm_url")
+    val checked = routed.filter(col("maybe_visited"))
+      .select("link_id", "norm_url")
+      .join(visited, Seq("norm_url"), "left_anti")
+    definiteNew.unionByName(checked).orderBy("link_id")
+  }
+
   // ---- U1: queue insert-if-absent (union + keyed dedup) ----
   // Deterministic dedup: keep max priority / min depth per URL (the
   // reference keeps the first insert; max/min is order-independent and

@@ -78,4 +78,22 @@ class UrlsSpec extends AnyFunSuite with SparkTestBase {
       .as[String].collect().toSet
     assert(out == Set("u1", "u3"))
   }
+
+  test("Bloom route: no false negatives, and most new rows bypass the join") {
+    val dir = "/root/testdata/sf0.001"
+    val links = Urls.linkCorpus(spark, dir)
+      .withColumn("norm_url", Urls.normalizeUrl(col("url")))
+    val visited = links.filter(col("link_id") % 3 === 0).select("norm_url")
+    val visitedSet = visited.as[String].collect().toSet
+    val routed = Urls.bloomRoute(links, visited)
+      .select("norm_url", "maybe_visited").as[(String, Boolean)].collect()
+    // Bloom guarantee: a visited URL is never flagged definitely-new
+    assert(routed.forall { case (u, maybe) => !visitedSet.contains(u) || maybe })
+    // routing selectivity: ≥90% of truly-new rows skip the anti-join
+    // (2^20 bits vs ~500 keys ⇒ FP ≈ 0 at this SF)
+    val fresh = routed.filter { case (u, _) => !visitedSet.contains(u) }
+    val bypassed = fresh.count(!_._2)
+    assert(bypassed * 10 >= fresh.length * 9,
+      s"bloom bypassed only $bypassed of ${fresh.length} new rows")
+  }
 }
