@@ -1911,6 +1911,44 @@ object Oracles {
         |            AND (n * 99 + 99) // 100 <= cum THEN cents END) / 100.0 AS p99
         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // robust median/MAD outlier gate — mirrors Events.outlierMad (the
+    // latency_percentiles histogram-rank machinery applied twice:
+    // values, then absolute deviations)
+    "outlier_mad" ->
+      """WITH v AS (SELECT event_type,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM events),
+        |h AS (SELECT event_type, cents, count(*) AS cnt FROM v GROUP BY ALL),
+        |c AS (SELECT *,
+        |        CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM h),
+        |med AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |          max(CASE WHEN (n * 50 + 99) // 100 > cum - cnt
+        |                    AND (n * 50 + 99) // 100 <= cum THEN cents END) AS med_cents
+        |        FROM c GROUP BY event_type),
+        |d AS (SELECT v.event_type, v.cents,
+        |        abs(v.cents - m.med_cents) AS dev, m.n_events, m.med_cents
+        |      FROM v JOIN med m USING (event_type)),
+        |hd AS (SELECT event_type, dev, count(*) AS cnt FROM d GROUP BY ALL),
+        |cd AS (SELECT *,
+        |        CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY dev
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM hd),
+        |mad AS (SELECT event_type,
+        |          max(CASE WHEN (n * 50 + 99) // 100 > cum - cnt
+        |                    AND (n * 50 + 99) // 100 <= cum THEN dev END) AS mad_cents
+        |        FROM cd GROUP BY event_type)
+        |SELECT d.event_type, max(d.n_events) AS n_events,
+        |  max(d.med_cents) AS med_cents, max(mad.mad_cents) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.dev > mad.mad_cents * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  max(CASE WHEN d.dev > mad.mad_cents * 3 THEN d.dev END) AS max_dev_cents
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
     // retention base table — mirrors Relational3.repeatCustomers
     "repeat_customers" ->
       """WITH o AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month

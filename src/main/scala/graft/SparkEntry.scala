@@ -205,6 +205,7 @@ object SparkEntry {
     "scd2_lookup"           -> (Changelog.scd2Lookup _),
     "knn_ivf_trained"       -> (Similarity.knnIvfTrained _),
     "latency_percentiles"   -> (Events.latencyPercentiles _),
+    "outlier_mad"           -> (Events.outlierMad _),
     // round-4 completion wave: the last classic shapes (distinct-count
     // buckets with an exclusion anti-join, nested excess-share
     // semi-join), calendar gap-fill, Markov transitions, entry-path

@@ -266,6 +266,52 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Robust per-type outlier report: median / MAD (median absolute
+    * deviation) of event value via the exact histogram-rank method,
+    * then the classic robust cut |x − med| > 3·MAD. Mean/stddev break
+    * under the very outliers being hunted; median/MAD do not — this is
+    * the data-quality gate a training pipeline runs on every numeric
+    * feed. Two scans (values, then deviations — MAD is inherently
+    * two-pass), each aggregating to a tiny per-type histogram before
+    * any window; the medians join back as broadcasts. All comparisons
+    * in integer cents: the selected median/MAD are actual data values,
+    * so the 3·MAD cut is exact integer arithmetic on both engines.
+    */
+  def outlierMad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rank50 = expr("(n * 50 + 99) div 100")
+    def histMedian(rows: DataFrame, valueCol: String): DataFrame = {
+      val h = rows.groupBy(col("event_type"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      h.withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("cum_before", col("cum") - col("cnt"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(rank50 > col("cum_before") && rank50 <= col("cum"),
+            col(valueCol))).as("med"))
+    }
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("bigint").as("cents"))
+    val med = histMedian(vals, "cents")
+      .select(col("event_type"), col("n").as("n_events"), col("med").as("med_cents"))
+    val devs = vals.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val mad = histMedian(devs.select(col("event_type"), col("dev")), "dev")
+      .select(col("event_type"), col("med").as("mad_cents"))
+    devs.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("med_cents")).as("med_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(col("dev") > col("mad_cents") * 3, 1L).otherwise(0L)).as("n_outliers"),
+        max(when(col("dev") > col("mad_cents") * 3, col("dev"))).as("max_dev_cents"))
+      .orderBy("event_type")
+  }
+
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val act = Tables.events(spark, dir)
       .select(col("user_id"), floor(tsUs / lit(HourUs)).as("bucket"))
