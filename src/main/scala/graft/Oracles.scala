@@ -1837,6 +1837,21 @@ object Oracles {
         |WHERE op IS NULL OR op <> 'delete'
         |ORDER BY o_orderkey""".stripMargin,
 
+    // IVM merge — the oracle is the FULL RECOMPUTE over
+    // (base ∖ retracted) ∪ inserted, proving Changelog.ivmUpdate's
+    // incremental path equals the rescan it avoids
+    "ivm_update" ->
+      """WITH o AS (SELECT o_orderkey,
+        |             strftime(o_orderdate, '%Y-%m') AS month,
+        |             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+        |           FROM orders),
+        |kept AS (SELECT * FROM o
+        |         WHERE (o_orderkey % 4 <> 3 AND o_orderkey % 7 <> 0)
+        |            OR o_orderkey % 4 = 3)
+        |SELECT month, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(c) AS BIGINT) AS rev_cents
+        |FROM kept GROUP BY month ORDER BY month""".stripMargin,
+
     // SCD type-2 interval build — mirrors Changelog.scd2Build
     "scd2_build" ->
       """WITH e AS (SELECT user_id, event_type AS status,

@@ -194,6 +194,7 @@ object SparkEntry {
     // SCD2 interval build, cross-doc duplicate-ngram rate, Heaps-law
     // vocabulary growth
     "cdc_apply"      -> (Changelog.cdcApply _),
+    "ivm_update"     -> (Changelog.ivmUpdate _),
     "scd2_build"     -> (Changelog.scd2Build _),
     "dup_ngram_rate" -> (CorpusStats.dupNgramRate _),
     "vocab_growth"   -> (CorpusStats.vocabGrowth _),

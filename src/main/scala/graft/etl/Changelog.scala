@@ -72,6 +72,43 @@ object Changelog {
       .orderBy("o_orderkey")
   }
 
+  /** Incremental view maintenance: merge a signed-delta aggregate into
+    * a materialized base aggregate WITHOUT rescanning base facts — the
+    * nightly-refresh pattern for every rollup a 100 TB warehouse keeps
+    * (reference analog: the resume flow re-derives crawl report state
+    * from deltas, DESIGN.md:855-916). Inserts carry (+1, +cents),
+    * retractions (−1, −cents); an update is retract+insert. SUM/COUNT
+    * are self-maintainable under retraction, so the refresh is
+    * O(|delta| + |groups|): one aggregation over the delta, one
+    * group-key full-outer merge against the stored rollup. (MIN/MAX
+    * are not retraction-safe — they need the histogram-rank structures
+    * of latency_percentiles.) The base aggregate is derived here for
+    * determinism; production reads the stored MV. The oracle is the
+    * full recompute over (base ∖ retracted) ∪ inserted — proving the
+    * incremental path equals the rescan it avoids.
+    */
+  def ivmUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        cents(col("o_totalprice")).as("c"))
+    val base = o.filter(col("o_orderkey") % 4 =!= 3)
+    val baseAgg = base.groupBy(col("month"))
+      .agg(count(lit(1)).as("bn"), sum(col("c")).as("bc"))
+    val delta = o.filter(col("o_orderkey") % 4 === 3)
+        .select(col("month"), lit(1L).as("dn"), col("c").as("dc"))
+      .unionByName(base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("month"), lit(-1L).as("dn"), (-col("c")).as("dc")))
+    val deltaAgg = delta.groupBy(col("month"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    baseAgg.join(deltaAgg, Seq("month"), "full_outer")
+      .select(col("month"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("rev_cents"))
+      .filter(col("n_orders") > 0)
+      .orderBy("month")
+  }
+
   /** SCD type-2 history build: collapse each user's event-type
     * run-length islands (gaps-and-islands via the lag-flag running-sum
     * trick) into validity intervals [valid_from, valid_to) with a
