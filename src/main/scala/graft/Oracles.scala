@@ -1001,6 +1001,24 @@ object Oracles {
     // 3 unrolled damped power iterations, integer ppm mass — mirrors
     // Crawl.pagerankIter (div/% semantics agree across engines on
     // non-negative operands)
+    // naive canonical a<b<c enumeration (the oracle need not scale);
+    // per-node participation is orientation-independent — mirrors
+    // Crawl.triangleCounts
+    "triangle_count" ->
+      """WITH cnt AS (SELECT count(*) AS c FROM customer),
+        |e AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,
+        |                      CAST(o_orderkey % c AS BIGINT) AS dst
+        |      FROM orders, cnt),
+        |und AS (SELECT DISTINCT least(src, dst) AS l, greatest(src, dst) AS h
+        |        FROM e WHERE src <> dst),
+        |tri AS (SELECT e1.l AS a, e1.h AS b, e2.h AS c
+        |        FROM und e1
+        |        JOIN und e2 ON e2.l = e1.h
+        |        JOIN und e3 ON e3.l = e1.l AND e3.h = e2.h),
+        |n AS (SELECT unnest([a, b, c]) AS node FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM n GROUP BY node ORDER BY n_triangles DESC, node""".stripMargin,
+
     "pagerank_iter" ->
       """WITH cnt AS (SELECT count(*) AS c FROM customer),
         |e AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,

@@ -111,6 +111,48 @@ object Crawl {
     * you'd checkpoint mass per iteration to cut lineage, exactly like
     * the crawl fixpoint does per level.
     */
+  /** Per-node triangle participation via DEGREE-ORDERED orientation —
+    * the standard distributed triangle count (the clustering/cohesion
+    * signal behind community detection and spam-graph pruning). Each
+    * undirected edge is oriented from the lower-(degree, id) endpoint
+    * to the higher, turning the graph into a DAG where every triangle
+    * survives as exactly one path x→y→z plus its closing edge x→z —
+    * three equi-joins total, each hash-partitioned on a node key. The
+    * orientation is the scale trick: out-degree is bounded by O(√E)
+    * (a hub's edges all point INTO it), so the wedge join never
+    * explodes on hot nodes the way a naive src-src self-join would.
+    * The per-node counts are orientation-independent, so the oracle
+    * enumerates triangles naively in canonical a<b<c order instead.
+    */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val und = edges(spark, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("l"),
+        greatest(col("src"), col("dst")).as("h"))
+      .distinct()
+    val deg = und.select(col("l").as("node"))
+      .union(und.select(col("h").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("l"), col("deg").as("dl")), Seq("l"))
+      .join(deg.select(col("node").as("h"), col("deg").as("dh")), Seq("h"))
+    val oriented = withDeg.select(
+        when(col("dl") < col("dh") ||
+            (col("dl") === col("dh") && col("l") < col("h")),
+          struct(col("l").as("s"), col("h").as("d")))
+          .otherwise(struct(col("h").as("s"), col("l").as("d"))).as("o"))
+      .select(col("o.s").as("src"), col("o.d").as("dst"))
+      .persist()
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("node"))
+  }
+
   def pagerankIter(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val e = edges(spark, dir).persist()
     val nodes = e.select(col("src").as("node"))
