@@ -1476,6 +1476,19 @@ object Oracles {
         |  CAST(max(doc_id) AS BIGINT) AS last_doc
         |FROM b WHERE bucket < 20 GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // exact k-per-group reservoir — mirrors Splits.reservoirSample
+    // (8-hex-digit hash fits INT64 via the 0x cast; same salt idiom as
+    // stratified_sample)
+    "reservoir_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |         CAST(CAST(concat('0x', substr(md5('reservoir:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS BIGINT) AS u
+        |       FROM documents),
+        |r AS (SELECT lang, doc_id, u,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS INT) AS rk
+        |      FROM b)
+        |SELECT lang, rk, doc_id, u FROM r WHERE rk <= 8
+        |ORDER BY lang, rk""".stripMargin,
+
     // ---- IR / analytics extras ----
     "tfidf_topk" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 64),

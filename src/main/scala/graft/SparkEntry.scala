@@ -166,6 +166,7 @@ object SparkEntry {
     "repetition_profile" -> (TextAnalysis.repetitionProfile _),
     "length_histogram"  -> (TextAnalysis.lengthHistogram _),
     "stratified_sample" -> (Splits.stratifiedSample _),
+    "reservoir_sample"  -> (Splits.reservoirSample _),
     // IR / analytics extras
     "tfidf_topk"      -> (TfIdf.tfidfTopK _),
     "bm25_topk"       -> (TfIdf.bm25TopK _),

@@ -40,6 +40,29 @@ object Splits {
         max(col("doc_id")).as("last_doc"))
       .orderBy("lang")
 
+  /** Exact k-per-group reservoir: EXACTLY 8 docs per language, chosen
+    * by salted-hash rank — the deterministic distributed reservoir
+    * sample (never rand(): re-runs and engines agree row-for-row).
+    * Complements [[stratifiedSample]]'s rate-based cut: training-mix
+    * assembly needs exact per-stratum counts, not expected counts.
+    * The rank<=k filter is the RewriteRankFilterToGroupTopK pattern,
+    * so this runs on the native bounded-heap GroupTopK operator —
+    * per-group state is O(k) regardless of stratum size, which is the
+    * whole reservoir idea executed distributively.
+    */
+  def reservoirSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(concat(lit("reservoir:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("bigint").as("u"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("u").asc, col("doc_id").asc)
+    ranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .select(col("lang"), col("rk"), col("doc_id"), col("u"))
+      .orderBy("lang", "rk")
+  }
+
   /** End-to-end near-duplicate pipeline: LSH candidate pairs → exact
     * Jaccard verification on candidates only — the production dedup
     * flow (signatures: single scan; quadratic work bounded to LSH

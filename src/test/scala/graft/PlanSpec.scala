@@ -179,6 +179,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!belowTopK.contains("+- Sort"), s"input sorted below the heaps:\n$p")
   }
 
+  test("reservoir_sample auto-rewrites to GroupTopK (no window sort)") {
+    val p = plan("reservoir_sample")
+    assert(p.contains("GroupTopK"),
+      s"rank-filter idiom did not rewrite to the native operator:\n$p")
+    assert(!p.contains("Window"), s"fell back to WindowExec:\n$p")
+  }
+
   test("group-column filters push through GroupTopK to the scan") {
     import org.apache.spark.sql.functions.col
     val base = graft.plans.GroupTopK.topK(
