@@ -2154,6 +2154,42 @@ object Oracles {
         |SELECT word, df, postings FROM dfs JOIN posts USING (word)
         |ORDER BY df DESC, word""".stripMargin,
 
+    // full BPE loop: 3 rounds of top-pair pick + sentinel replace —
+    // mirrors CorpusStats.bpeTrain (greedy left-to-right merge ==
+    // non-overlapping replace on both engines; chr(1)/chr(2) are the
+    // sentinels, decoded back through earlier merges in the output)
+    "bpe_train" ->
+      """WITH w0 AS (
+        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |wf1 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w0
+        |        WHERE length(word) > 0 GROUP BY word),
+        |p1 AS (SELECT substring(word, i, 2) AS pair, CAST(sum(freq) AS BIGINT) AS n
+        |       FROM wf1, unnest(range(1, length(word))) AS t(i)
+        |       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+        |wf2 AS (SELECT replace(word, (SELECT pair FROM p1), chr(1)) AS word, freq
+        |        FROM wf1),
+        |p2 AS (SELECT substring(word, i, 2) AS pair, CAST(sum(freq) AS BIGINT) AS n
+        |       FROM wf2, unnest(range(1, length(word))) AS t(i)
+        |       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+        |wf3 AS (SELECT replace(word, (SELECT pair FROM p2), chr(2)) AS word, freq
+        |        FROM wf2),
+        |p3 AS (SELECT substring(word, i, 2) AS pair, CAST(sum(freq) AS BIGINT) AS n
+        |       FROM wf3, unnest(range(1, length(word))) AS t(i)
+        |       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS INT) AS round, (SELECT pair FROM p1) AS merge_pair,
+        |       (SELECT n FROM p1) AS n
+        |UNION ALL
+        |SELECT CAST(2 AS INT),
+        |       replace((SELECT pair FROM p2), chr(1), (SELECT pair FROM p1)),
+        |       (SELECT n FROM p2)
+        |UNION ALL
+        |SELECT CAST(3 AS INT),
+        |       replace(replace((SELECT pair FROM p3), chr(2), (SELECT pair FROM p2)),
+        |               chr(1), (SELECT pair FROM p1)),
+        |       (SELECT n FROM p3)
+        |ORDER BY round""".stripMargin,
+
     // range(1, n) is [1, n): pairs at 1..len-1, matching the Spark
     // sequence(1, length-1) under its length>=2 guard
     "bpe_pairs" ->

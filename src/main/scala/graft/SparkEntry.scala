@@ -219,7 +219,8 @@ object SparkEntry {
     "event_transitions"   -> (Events.eventTransitions _),
     "top_paths"           -> (Events.topPaths _),
     "inverted_index"      -> (TfIdf.invertedIndex _),
-    "bpe_pairs"           -> (CorpusStats.bpePairs _)
+    "bpe_pairs"           -> (CorpusStats.bpePairs _),
+    "bpe_train"           -> (CorpusStats.bpeTrain _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

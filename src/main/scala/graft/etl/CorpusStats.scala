@@ -116,6 +116,63 @@ object CorpusStats {
     * counts are one hash aggregate; top-20 is TakeOrdered. Repeating
     * this query with a merged vocab is the full BPE training loop.
     */
+  /** The FULL BPE training loop [[bpePairs]] is one iteration of: 3
+    * merge rounds, each picking the globally most frequent adjacent
+    * pair and rewriting the vocabulary with it. The key encoding
+    * trick: tokens stay packed as STRINGS with each learned merge
+    * represented by a sentinel char (u0001..u0003), because merging
+    * a token pair in BPE's greedy left-to-right order is EXACTLY
+    * non-overlapping `replace` — which both engines implement
+    * identically, so the whole training loop is oracle-exact. The
+    * corpus collapses to the word-frequency table first (vocab-sized);
+    * each round is one pair aggregate + a 1-row broadcast rewrite, and
+    * the vocab is localCheckpoint'ed per round (fixpoint rule: persist
+    * alone would nest the prior round's plan — CLAUDE.md). Output: the
+    * learned merge table (round, decoded pair, weighted count) —
+    * sentinels expanded back through the earlier merges, exactly what
+    * a tokenizer ships as merges.txt. Production scales rounds to 30k
+    * with the identical per-round plan.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val sentinels = Seq("\u0001", "\u0002", "\u0003")
+    def topPair(wf: DataFrame, round: Int): DataFrame = {
+      val pairCol = transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))
+      wf.filter(length(col("word")) >= 2)
+        .select(explode(pairCol).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .select(lit(round).as("round"), col("pair"), col("n"))
+    }
+    var wf = Shingles.words(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    var picks = Vector.empty[DataFrame]
+    for (r <- 1 to 3) {
+      val top = topPair(wf, r).localCheckpoint()
+      picks :+= top
+      // sentinel-free words are injective under replace: no re-group
+      wf = wf.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+        .select(replace(col("word"), col("mp"), lit(sentinels(r - 1))).as("word"),
+          col("freq"))
+        .localCheckpoint()
+    }
+    val all = picks.reduce(_ unionByName _)
+    val p1 = broadcast(picks(0).select(col("pair").as("p1")))
+    val p2 = broadcast(picks(1).select(col("pair").as("p2")))
+    all.crossJoin(p1).crossJoin(p2)
+      .select(col("round"),
+        when(col("round") === 1, col("pair"))
+          .when(col("round") === 2,
+            replace(col("pair"), lit(sentinels(0)), col("p1")))
+          .otherwise(
+            replace(replace(col("pair"), lit(sentinels(1)), col("p2")),
+              lit(sentinels(0)), col("p1"))).as("merge_pair"),
+        col("n"))
+      .orderBy("round")
+  }
+
   def bpePairs(spark: SparkSession, dir: String): DataFrame = {
     val wf = Shingles.words(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))
