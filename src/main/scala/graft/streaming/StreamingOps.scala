@@ -134,6 +134,20 @@ object StreamingOps {
         })
   }
 
+  /** Streaming IVM: the stateful twin of `Changelog.ivmUpdate`. A
+    * keyed stream of signed deltas (+1/+cents insert, −1/−cents
+    * retraction; update = retract+insert) maintained by an update-mode
+    * aggregation — the state store holds the running per-group sums
+    * and each micro-batch touches only its delta's groups, which is
+    * exactly the O(|delta| + |touched groups|) refresh the batch
+    * operator does per run, kept continuously. SUM/COUNT are
+    * retraction-safe; StreamingSpec pins that the maintained rollup
+    * equals the batch recompute over every delta ever streamed.
+    */
+  def deltaRollup(deltas: DataFrame): DataFrame =
+    deltas.groupBy(col("month"))
+      .agg(sum(col("dn")).as("n_orders"), sum(col("dc")).as("rev_cents"))
+
   /** Spark 4 arbitrary-state form of the visited map (U2/F4):
     * `transformWithState` — the StatefulProcessor API that supersedes
     * flatMapGroupsWithState — with per-key state TTL. A URL emits the
@@ -176,6 +190,9 @@ class VisitedTtlProcessor(ttl: Duration)
 
 /** One crawl fetch observation on the stream. */
 case class PageVisit(url: String, ts: Long)
+
+/** Signed IVM delta: dn = ±row count, dc = ±cents. */
+case class RollupDelta(month: String, dn: Long, dc: Long)
 
 /** A page body arriving on the extract stream (J3's left side). */
 case class PageEvent(url: String, ts: Long, body: String)

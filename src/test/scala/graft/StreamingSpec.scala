@@ -130,6 +130,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming IVM rollup equals the batch recompute of all deltas") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.RollupDelta
+    val src = MemoryStream[RollupDelta]
+    val q = StreamingOps.deltaRollup(src.toDF())
+      .writeStream.format("memory").queryName("ivm_t")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val b1 = Seq(RollupDelta("2024-01", 1, 100), RollupDelta("2024-01", 1, 250),
+        RollupDelta("2024-02", 1, 80))
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      // retraction batch: remove one 2024-01 row, insert a new month
+      val b2 = Seq(RollupDelta("2024-01", -1, -100), RollupDelta("2024-03", 1, 40))
+      src.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("ivm_t")
+        .as[(String, Long, Long)].collect().toSet
+      // batch recompute over every delta ever streamed
+      val want = (b1 ++ b2).groupBy(_.month).map { case (m, ds) =>
+        (m, ds.map(_.dn).sum, ds.map(_.dc).sum)
+      }.toSet
+      assert(got == want, s"got $got, want $want")
+      assert(got == Set(("2024-01", 1L, 250L), ("2024-02", 1L, 80L),
+        ("2024-03", 1L, 40L)))
+    } finally q.stop()
+  }
+
   test("stateful dedup runs on the RocksDB state store (disk-backed state)") {
     // the 100 TB/day posture: keyed state on disk (RocksDB), not the
     // executor heap — same operator, one config switch, and the query
