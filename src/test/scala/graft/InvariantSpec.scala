@@ -191,4 +191,23 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     assert(Sinks.renderSkill("t", "o" * 9999, big).length <= 30000)
     assert(Sinks.renderPrompt("t", Seq.fill(100)("p" * 5000)).length <= 20000)
   }
+
+  test("bloom prefilter == exact anti-join on a random url corpus") {
+    // seeded-random frontier/visited with overlaps, unicode, near-misses
+    val urls = (1 to 400).map(i => s"https://d${i % 7}.example.com/p/$i") ++
+      Seq("", "ünïcödé", "a", "https://d0.example.com/p/1?q=2")
+    val frontier = urls.zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("link_id", "norm_url")
+    val visited = urls.filter(_.hashCode % 3 == 0).distinct
+      .toDF("norm_url")
+    val exact = Urls.frontierMinusVisited(frontier, visited)
+      .select("link_id").as[Long].collect().toSet
+    val routed = Urls.bloomRoute(frontier, visited)
+    // no false negatives: every definitely-new row IS new
+    val viaBloom = routed.filter(!col("maybe_visited"))
+      .unionByName(routed.filter(col("maybe_visited"))
+        .join(visited, Seq("norm_url"), "left_anti"))
+      .select("link_id").as[Long].collect().toSet
+    assert(viaBloom == exact)
+  }
 }
