@@ -74,7 +74,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("knn queries broadcast the bounded query side") {
-    for (q <- Seq("knn_brute", "knn_bucketed", "knn_multiprobe", "cluster_assign")) {
+    for (q <- Seq("knn_brute", "knn_bucketed", "knn_multiprobe", "cluster_assign",
+        "knn_pq", "knn_pq_rerank")) {
       val p = plan(q)
       assert(p.contains("Broadcast"), s"$q must broadcast queries:\n$p")
       assert(!p.contains("SortMergeJoin"), s"$q must not shuffle the corpus:\n$p")
