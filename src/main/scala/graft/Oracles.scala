@@ -1957,6 +1957,28 @@ object Oracles {
         |            AND (n * 99 + 99) // 100 <= cum THEN cents END) / 100.0 AS p99
         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // time-bounded conversion funnel — mirrors Events.funnelWindowed
+    // (existence pairing per hop, distinct-reduced; 1h = 3600000000 µs)
+    "funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |v AS (SELECT user_id, us AS v_us FROM ev WHERE event_type = 'view'),
+        |c AS (SELECT user_id AS cu, us AS c_us FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS pu, us AS p_us FROM ev WHERE event_type = 'purchase'),
+        |vc AS (SELECT DISTINCT v.user_id, c_us FROM v JOIN c ON v.user_id = cu
+        |        AND c_us > v_us AND c_us <= v_us + 3600000000),
+        |vcp AS (SELECT DISTINCT vc.user_id FROM vc JOIN p ON vc.user_id = pu
+        |        AND p_us > c_us AND p_us <= c_us + 3600000000)
+        |SELECT CAST(1 AS INT) AS stage, 'view' AS stage_name,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM v
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'view>click<=1h',
+        |       CAST(count(DISTINCT user_id) AS BIGINT) FROM vc
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'view>click>purchase<=1h',
+        |       CAST(count(*) AS BIGINT) FROM vcp
+        |ORDER BY stage""".stripMargin,
+
     // robust median/MAD outlier gate — mirrors Events.outlierMad (the
     // latency_percentiles histogram-rank machinery applied twice:
     // values, then absolute deviations)

@@ -86,6 +86,7 @@ object SparkEntry {
     "sliding_window"  -> (Events.slidingWindow _),
     "hourly_profile"  -> (Events.hourlyProfile _),
     "funnel_stages"   -> (Events.funnelStages _),
+    "funnel_windowed" -> (Events.funnelWindowed _),
     "cohort_retention" -> (Events.cohortRetention _),
     // text analysis
     "token_count"     -> (TextAnalysis.tokenCountQuery _),

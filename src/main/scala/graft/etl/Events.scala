@@ -232,6 +232,48 @@ object Events {
       .orderBy("stage")
   }
 
+  /** TIME-BOUNDED conversion funnel — [[funnelStages]] with a
+    * conversion window instead of session scope: a user converts at
+    * stage 2 if SOME click lands within 1h AFTER some view, stage 3 if
+    * a purchase lands within 1h after such a click (the product-
+    * analytics "conversion within X" question sessions can't answer —
+    * a session can span hours, a window cannot). Existence pairing is
+    * two keyed equi-joins on user_id with the band as residual
+    * predicate, distinct-reduced after each hop so the pair blowup
+    * never leaves the join stage; per-user pair counts are bounded by
+    * per-user event counts, and a skewed hot user is exactly what
+    * AQE's skew-join split handles (PlanSpec pins that mechanism).
+    * At 100 TB the same composition runs on time-binned keys
+    * (AsOf.scala's binning) if user keys alone spread too thin.
+    */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), tsUs.as("us"))
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val views = stage("view").select(col("user_id"), col("us").as("v_us"))
+    val clicks = stage("click").select(col("user_id").as("cu"), col("us").as("c_us"))
+    val buys = stage("purchase").select(col("user_id").as("pu"), col("us").as("p_us"))
+    val vc = views.join(clicks,
+        col("user_id") === col("cu") && col("c_us") > col("v_us") &&
+          col("c_us") <= col("v_us") + HourUs)
+      .select(col("user_id"), col("c_us")).distinct()
+    val vcp = vc.join(buys,
+        col("user_id") === col("pu") && col("p_us") > col("c_us") &&
+          col("p_us") <= col("c_us") + HourUs)
+      .select(col("user_id")).distinct()
+    val s1 = views.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n")).select(lit(1).as("stage"),
+        lit("view").as("stage_name"), col("n"))
+    val s2 = vc.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n")).select(lit(2).as("stage"),
+        lit("view>click<=1h").as("stage_name"), col("n"))
+    val s3 = vcp.agg(count(lit(1)).as("n")).select(lit(3).as("stage"),
+      lit("view>click>purchase<=1h").as("stage_name"), col("n"))
+    s1.unionByName(s2).unionByName(s3)
+      .select(col("stage"), col("stage_name"), col("n").as("n_users"))
+      .orderBy("stage")
+  }
+
   /** Cohort retention: users grouped by their first-active hour bucket;
     * retention(offset k) = distinct users of that cohort active k hours
     * later (offsets 0-5). Two shuffles — per-user first bucket, then
