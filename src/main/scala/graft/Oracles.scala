@@ -1489,6 +1489,34 @@ object Oracles {
         |SELECT lang, rk, doc_id, u FROM r WHERE rk <= 8
         |ORDER BY lang, rk""".stripMargin,
 
+    // sparse TF-IDF cosine pairs — mirrors TfIdf.tfidfPairs (integer
+    // basis-point weights; df ∈ [2, 32] is both relevance prune and
+    // posting-length scale bound)
+    "tfidf_pairs" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w0
+        |       WHERE length(word) > 0 GROUP BY ALL),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf
+        |        GROUP BY word HAVING count(*) BETWEEN 2 AND 32),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |posts AS (SELECT word, doc_id,
+        |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT) AS w
+        |  FROM tf JOIN dfq USING (word) CROSS JOIN nn),
+        |norms AS (SELECT doc_id, sum(w*w) AS nsq FROM posts GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |            sum(a.w * b.w) AS num
+        |          FROM posts a JOIN posts b
+        |            ON a.word = b.word AND a.doc_id < b.doc_id
+        |          GROUP BY ALL),
+        |c AS (SELECT doc_a, doc_b,
+        |        round(num / (sqrt(na.nsq) * sqrt(nb.nsq)), 4) AS cos
+        |      FROM pairs JOIN norms na ON na.doc_id = doc_a
+        |                 JOIN norms nb ON nb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, cos FROM c WHERE cos >= 0.15
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // ---- IR / analytics extras ----
     "tfidf_topk" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 64),

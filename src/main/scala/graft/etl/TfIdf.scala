@@ -36,6 +36,49 @@ object TfIdf {
       .orderBy("doc_id", "rn")
   }
 
+  /** Sparse TF-IDF cosine pairs — the SPARSE-vector document
+    * similarity family (dense embeddings get knn_*; token sets get
+    * minhash; weighted term vectors get this). Postings are pruned to
+    * discriminative terms (2 ≤ df ≤ 32): the df cap is simultaneously
+    * the relevance filter (stop-words carry no signal) and THE scale
+    * bound — a term's posting list is ≤ DfCap docs, so the word-keyed
+    * self-join fans out ≤ DfCap² pairs per term, never the quadratic
+    * blowup an unpruned hot word ("the") would cause. This is the
+    * standard prefix-filtering shape of all-pairs similarity search.
+    * Determinism: weights are INTEGER basis points (tf ·
+    * round(ln(N/df)·10⁴) — ln of identical rationals is bit-identical
+    * cross-engine, the established bm25/tfidf discipline), so pair
+    * numerators and norm sums are exact integer aggregates in any
+    * partitioning/order; the one rounding sits at the output cosine.
+    * Norms live in the pruned-term subspace (documented contract).
+    */
+  def tfidfPairs(spark: SparkSession, dir: String): DataFrame = {
+    val DfCap = 32
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val tf = Shingles.words(docs)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= DfCap)
+    val posts = tf.join(dfq, Seq("word")).crossJoin(n)
+      .select(col("word"), col("doc_id"),
+        (col("tf") *
+          expr("cast(round(ln(cast(n_docs as double) / df) * 10000) as bigint)"))
+          .as("w"))
+    val norms = posts.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nsq"))
+    val pairs = posts.as("a").join(posts.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("num"))
+    pairs
+      .join(norms.select(col("doc_id").as("doc_a"), col("nsq").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nsq").as("nb")), Seq("doc_b"))
+      .withColumn("cos", round(col("num") / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+      .filter(col("cos") >= 0.15)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Top-3 BM25 terms per document (Robertson/Spärck Jones Okapi BM25,
     * k1=1.2, b=0.75) — the saturating upgrade of [[tfidfTopK]] and the
     * standard lexical retrieval scorer. Same bounded block, same plan
