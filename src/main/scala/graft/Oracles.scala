@@ -1489,33 +1489,35 @@ object Oracles {
         |SELECT lang, rk, doc_id, u FROM r WHERE rk <= 8
         |ORDER BY lang, rk""".stripMargin,
 
-    // sparse TF-IDF cosine pairs — mirrors TfIdf.tfidfPairs (integer
-    // basis-point weights; df ∈ [2, 32] is both relevance prune and
-    // posting-length scale bound)
-    "tfidf_pairs" ->
+    // sparse TF-IDF cosine retrieval — mirrors TfIdf.tfidfSearch
+    // (integer basis-point weights; bounded query block vs corpus)
+    "tfidf_search" ->
       """WITH w0 AS (
         |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
         |  FROM documents),
         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w0
         |       WHERE length(word) > 0 GROUP BY ALL),
-        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf
-        |        GROUP BY word HAVING count(*) BETWEEN 2 AND 32),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
         |posts AS (SELECT word, doc_id,
         |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT) AS w
         |  FROM tf JOIN dfq USING (word) CROSS JOIN nn),
         |norms AS (SELECT doc_id, sum(w*w) AS nsq FROM posts GROUP BY doc_id),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |            sum(a.w * b.w) AS num
-        |          FROM posts a JOIN posts b
-        |            ON a.word = b.word AND a.doc_id < b.doc_id
+        |pairs AS (SELECT q.doc_id AS qid, c.doc_id AS did,
+        |            sum(q.w * c.w) AS num
+        |          FROM posts q JOIN posts c
+        |            ON q.word = c.word AND q.doc_id < 16 AND q.doc_id <> c.doc_id
         |          GROUP BY ALL),
-        |c AS (SELECT doc_a, doc_b,
-        |        round(num / (sqrt(na.nsq) * sqrt(nb.nsq)), 4) AS cos
-        |      FROM pairs JOIN norms na ON na.doc_id = doc_a
-        |                 JOIN norms nb ON nb.doc_id = doc_b)
-        |SELECT doc_a, doc_b, cos FROM c WHERE cos >= 0.15
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |s AS (SELECT qid, did,
+        |        round(num / (sqrt(nq.nsq) * sqrt(nd.nsq)), 4) AS cos
+        |      FROM pairs JOIN norms nq ON nq.doc_id = qid
+        |                 JOIN norms nd ON nd.doc_id = did),
+        |r AS (SELECT qid, did, cos,
+        |        CAST(row_number() OVER (PARTITION BY qid
+        |          ORDER BY cos DESC, did) AS INT) AS rank
+        |      FROM s)
+        |SELECT qid, rank, did, cos FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
 
     // ---- IR / analytics extras ----
     "tfidf_topk" ->

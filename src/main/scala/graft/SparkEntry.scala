@@ -170,7 +170,7 @@ object SparkEntry {
     "reservoir_sample"  -> (Splits.reservoirSample _),
     // IR / analytics extras
     "tfidf_topk"      -> (TfIdf.tfidfTopK _),
-    "tfidf_pairs"     -> (TfIdf.tfidfPairs _),
+    "tfidf_search"    -> (TfIdf.tfidfSearch _),
     "bm25_topk"       -> (TfIdf.bm25TopK _),
     "edit_distance"   -> (TfIdf.editDistancePairs _),
     "edit_distance_banded" -> (TfIdf.editDistanceBanded _),

@@ -36,47 +36,55 @@ object TfIdf {
       .orderBy("doc_id", "rn")
   }
 
-  /** Sparse TF-IDF cosine pairs — the SPARSE-vector document
-    * similarity family (dense embeddings get knn_*; token sets get
-    * minhash; weighted term vectors get this). Postings are pruned to
-    * discriminative terms (2 ≤ df ≤ 32): the df cap is simultaneously
-    * the relevance filter (stop-words carry no signal) and THE scale
-    * bound — a term's posting list is ≤ DfCap docs, so the word-keyed
-    * self-join fans out ≤ DfCap² pairs per term, never the quadratic
-    * blowup an unpruned hot word ("the") would cause. This is the
-    * standard prefix-filtering shape of all-pairs similarity search.
-    * Determinism: weights are INTEGER basis points (tf ·
-    * round(ln(N/df)·10⁴) — ln of identical rationals is bit-identical
-    * cross-engine, the established bm25/tfidf discipline), so pair
-    * numerators and norm sums are exact integer aggregates in any
-    * partitioning/order; the one rounding sits at the output cosine.
-    * Norms live in the pruned-term subspace (documented contract).
+  /** Sparse TF-IDF cosine retrieval — the SPARSE-vector similarity
+    * family (dense embeddings get knn_*; token sets get minhash;
+    * weighted term vectors get this): each query doc (bounded
+    * doc_id < 16 block) scored against the whole corpus through the
+    * word-keyed posting join, exact cosine top-5 per query. The query
+    * postings broadcast (bounded block × vocabulary), so the corpus
+    * side is one map-side pass + a (qid, did) partial-agg shuffle —
+    * the sparse mirror of knn_brute's plan. Determinism: weights are
+    * INTEGER basis points (tf · round(ln(N/df)·10⁴) — ln of identical
+    * rationals is bit-identical cross-engine, the established
+    * bm25/tfidf discipline), so pair numerators and norm sums are
+    * exact integer aggregates under any partitioning; the one rounding
+    * sits at the output cosine. The ALL-PAIRS variant of this query
+    * needs df-capped postings (prefix filtering) to bound the per-word
+    * fan-out — on this corpus's 31-word synthetic vocabulary that
+    * subspace is degenerate (df concentrates near |docs|), so the
+    * retrieval form is the verified surface.
     */
-  def tfidfPairs(spark: SparkSession, dir: String): DataFrame = {
-    val DfCap = 32
+  def tfidfSearch(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val tf = Shingles.words(docs)
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= DfCap)
     val posts = tf.join(dfq, Seq("word")).crossJoin(n)
       .select(col("word"), col("doc_id"),
         (col("tf") *
           expr("cast(round(ln(cast(n_docs as double) / df) * 10000) as bigint)"))
           .as("w"))
     val norms = posts.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nsq"))
-    val pairs = posts.as("a").join(posts.as("b"),
-        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(sum(col("a.w") * col("b.w")).as("num"))
-    pairs
-      .join(norms.select(col("doc_id").as("doc_a"), col("nsq").as("na")), Seq("doc_a"))
-      .join(norms.select(col("doc_id").as("doc_b"), col("nsq").as("nb")), Seq("doc_b"))
-      .withColumn("cos", round(col("num") / (sqrt(col("na")) * sqrt(col("nb"))), 4))
-      .filter(col("cos") >= 0.15)
-      .select(col("doc_a"), col("doc_b"), col("cos"))
-      .orderBy("doc_a", "doc_b")
+    val qposts = broadcast(posts.filter(col("doc_id") < 16)
+      .select(col("word").as("qword"), col("doc_id").as("qid"), col("w").as("qw")))
+    val cposts = posts.select(col("word").as("cword"), col("doc_id").as("did"),
+      col("w").as("cw"))
+    val pairs = qposts.join(cposts,
+        col("qword") === col("cword") && col("qid") =!= col("did"))
+      .groupBy(col("qid"), col("did"))
+      .agg(sum(col("qw") * col("cw")).as("num"))
+    val scored = pairs
+      .join(broadcast(norms.filter(col("doc_id") < 16)
+        .select(col("doc_id").as("qid"), col("nsq").as("qn"))), Seq("qid"))
+      .join(norms.select(col("doc_id").as("did"), col("nsq").as("dn")), Seq("did"))
+      .withColumn("cos", round(col("num") / (sqrt(col("qn")) * sqrt(col("dn"))), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("did").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("did"), col("cos"))
+      .orderBy("qid", "rank")
   }
 
   /** Top-3 BM25 terms per document (Robertson/Spärck Jones Okapi BM25,
