@@ -50,7 +50,10 @@ object TextAnalysis {
   val Stopwords = "\\b(the|a|and|of|to)\\b"
 
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    qualityFrom(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  def qualityFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tokens", tokenCount(col("text")).cast("bigint"))
       .withColumn("stop_hits",
         size(regexp_extract_all(txt(col("text")), lit(Stopwords), lit(0))).cast("bigint"))
@@ -63,7 +66,6 @@ object TextAnalysis {
         col("len_bp").as("len_factor_bp"),
         col("stop_bp").as("stop_ratio_bp"),
         least(lit(10000L), expr("(7 * len_bp + 9 * stop_bp) div 10")).as("quality_bp"))
-      .orderBy("doc_id")
 
   /** Quality-WEIGHTED deterministic downsampling — keep each document
     * with probability quality_bp/10000, decided by a salted-hash
