@@ -211,6 +211,9 @@ object SparkEntry {
     "knn_ivf_trained"       -> (Similarity.knnIvfTrained _),
     "latency_percentiles"   -> (Events.latencyPercentiles _),
     "outlier_mad"           -> (Events.outlierMad _),
+    // KLL-sketch tier: rows-only (sketch internals differ per engine);
+    // InvariantSpec pins the error band vs the exact histogram-rank
+    "latency_percentiles_approx" -> (Events.latencyPercentilesApprox _),
     // round-4 completion wave: the last classic shapes (distinct-count
     // buckets with an exclusion anti-join, nested excess-share
     // semi-join), calendar gap-fill, Markov transitions, entry-path

@@ -308,6 +308,27 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Approximate-percentile tier of [[latencyPercentiles]] — Spark's
+    * built-in KLL-style sketch (`percentile_approx`), the one-pass
+    * mergeable form a 100 TB monitoring job actually runs when exact
+    * ranks aren't required: O(accuracy) state per group, partials
+    * merge associatively, no second histogram pass. Sketch internals
+    * are engine-specific, so (like distinct_sketch / minhash_fast)
+    * this is rows-only at the driver; InvariantSpec pins the error
+    * band against the exact histogram-rank query.
+    */
+  def latencyPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
+      .select(col("event_type"), col("n_events"),
+        round(element_at(col("ps"), 1), 2).as("p50"),
+        round(element_at(col("ps"), 2), 2).as("p90"),
+        round(element_at(col("ps"), 3), 2).as("p99"))
+      .orderBy("event_type")
+
   /** Robust per-type outlier report: median / MAD (median absolute
     * deviation) of event value via the exact histogram-rank method,
     * then the classic robust cut |x − med| > 3·MAD. Mean/stddev break

@@ -192,6 +192,26 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     assert(Sinks.renderPrompt("t", Seq.fill(100)("p" * 5000)).length <= 20000)
   }
 
+  test("approx percentiles stay within 2% of the exact histogram-rank") {
+    val dir = "/root/testdata/sf0.001"
+    def byType(name: String): Map[String, (Double, Double, Double)] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("event_type", "p50", "p90", "p99")
+        .as[(String, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val exact = byType("latency_percentiles")
+    val approx = byType("latency_percentiles_approx")
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (t, (e50, e90, e99)) =>
+      val (a50, a90, a99) = approx(t)
+      Seq((e50, a50, "p50"), (e90, a90, "p90"), (e99, a99, "p99")).foreach {
+        case (e, a, p) =>
+          assert(math.abs(a - e) <= math.max(0.02 * math.abs(e), 0.02),
+            s"$t $p: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("bloom prefilter == exact anti-join on a random url corpus") {
     // seeded-random frontier/visited with overlaps, unicode, near-misses
     val urls = (1 to 400).map(i => s"https://d${i % 7}.example.com/p/$i") ++
