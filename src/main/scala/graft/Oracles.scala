@@ -2242,6 +2242,45 @@ object Oracles {
         |       (SELECT n FROM p3)
         |ORDER BY round""".stripMargin,
 
+    // corpus tokenization under the learned merges — mirrors
+    // CorpusStats.bpeEncode (same training CTEs as bpe_train, then the
+    // ordered replace chain applied per word of every document)
+    "bpe_encode" ->
+      """WITH w0 AS (
+        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |wf1 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w0
+        |        WHERE length(word) > 0 GROUP BY word),
+        |p1 AS (SELECT substring(word, i, 2) AS pair, CAST(sum(freq) AS BIGINT) AS n
+        |       FROM wf1, unnest(range(1, length(word))) AS t(i)
+        |       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+        |wf2 AS (SELECT replace(word, (SELECT pair FROM p1), chr(1)) AS word, freq
+        |        FROM wf1),
+        |p2 AS (SELECT substring(word, i, 2) AS pair, CAST(sum(freq) AS BIGINT) AS n
+        |       FROM wf2, unnest(range(1, length(word))) AS t(i)
+        |       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+        |wf3 AS (SELECT replace(word, (SELECT pair FROM p2), chr(2)) AS word, freq
+        |        FROM wf2),
+        |p3 AS (SELECT substring(word, i, 2) AS pair, CAST(sum(freq) AS BIGINT) AS n
+        |       FROM wf3, unnest(range(1, length(word))) AS t(i)
+        |       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+        |dw AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |       FROM documents),
+        |enc AS (SELECT doc_id, length(word) AS lc,
+        |          length(replace(replace(replace(word,
+        |            (SELECT pair FROM p1), chr(1)),
+        |            (SELECT pair FROM p2), chr(2)),
+        |            (SELECT pair FROM p3), chr(3))) AS le
+        |        FROM dw WHERE length(word) > 0)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sum(lc), 0) AS BIGINT) AS n_chars,
+        |  CAST(coalesce(sum(le), 0) AS BIGINT) AS n_tokens,
+        |  CASE WHEN coalesce(sum(lc), 0) > 0
+        |       THEN (10000 * CAST(sum(le) AS BIGINT)) // CAST(sum(lc) AS BIGINT)
+        |       ELSE NULL END AS ratio_bp
+        |FROM documents d LEFT JOIN enc ON enc.doc_id = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
     // range(1, n) is [1, n): pairs at 1..len-1, matching the Spark
     // sequence(1, length-1) under its length>=2 guard
     "bpe_pairs" ->

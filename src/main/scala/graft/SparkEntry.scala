@@ -225,7 +225,8 @@ object SparkEntry {
     "top_paths"           -> (Events.topPaths _),
     "inverted_index"      -> (TfIdf.invertedIndex _),
     "bpe_pairs"           -> (CorpusStats.bpePairs _),
-    "bpe_train"           -> (CorpusStats.bpeTrain _)
+    "bpe_train"           -> (CorpusStats.bpeTrain _),
+    "bpe_encode"          -> (CorpusStats.bpeEncode _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -133,8 +133,13 @@ object CorpusStats {
     * a tokenizer ships as merges.txt. Production scales rounds to 30k
     * with the identical per-round plan.
     */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val sentinels = Seq("\u0001", "\u0002", "\u0003")
+  private val Sentinels = Seq("\u0001", "\u0002", "\u0003")
+
+  /** The 3 learned merges as 1-row (round, pair, n) frames — shared by
+    * [[bpeTrain]] (the merge table) and [[bpeEncode]] (corpus
+    * tokenization). Pairs may contain earlier rounds' sentinels.
+    */
+  private def bpeLearnedPicks(spark: SparkSession, dir: String): Vector[DataFrame] = {
     def topPair(wf: DataFrame, round: Int): DataFrame = {
       val pairCol = transform(sequence(lit(1), length(col("word")) - 1),
         i => col("word").substr(i, lit(2)))
@@ -154,10 +159,16 @@ object CorpusStats {
       picks :+= top
       // sentinel-free words are injective under replace: no re-group
       wf = wf.crossJoin(broadcast(top.select(col("pair").as("mp"))))
-        .select(replace(col("word"), col("mp"), lit(sentinels(r - 1))).as("word"),
+        .select(replace(col("word"), col("mp"), lit(Sentinels(r - 1))).as("word"),
           col("freq"))
         .localCheckpoint()
     }
+    picks
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val sentinels = Sentinels
+    val picks = bpeLearnedPicks(spark, dir)
     val all = picks.reduce(_ unionByName _)
     val p1 = broadcast(picks(0).select(col("pair").as("p1")))
     val p2 = broadcast(picks(1).select(col("pair").as("p2")))
@@ -171,6 +182,39 @@ object CorpusStats {
               lit(sentinels(0)), col("p1"))).as("merge_pair"),
         col("n"))
       .orderBy("round")
+  }
+
+  /** Corpus TOKENIZATION under the learned merges — the other half of
+    * the tokenizer story [[bpeTrain]] trains for: apply the 3 merges
+    * IN TRAINING ORDER to every word of every document (the same
+    * sentinel-replace encoding, so per-word token count = encoded
+    * string length) and report per-document token counts and the
+    * compression the merges bought. Two in-array folds per doc (char
+    * count, encoded count) — a pure map over the corpus joined to the
+    * 1-row learned pairs; no shuffle beyond the output sort. At 30k
+    * merges production compiles the merge table into a trie/regex pass
+    * per word; the per-word replace chain here IS that semantics at
+    * rank 3.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val picks = bpeLearnedPicks(spark, dir)
+    val p1 = broadcast(picks(0).select(col("pair").as("p1")))
+    val p2 = broadcast(picks(1).select(col("pair").as("p2")))
+    val p3 = broadcast(picks(2).select(col("pair").as("p3")))
+    def encoded(w: Column): Column =
+      replace(replace(replace(w, col("p1"), lit(Sentinels(0))),
+        col("p2"), lit(Sentinels(1))), col("p3"), lit(Sentinels(2)))
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .crossJoin(p1).crossJoin(p2).crossJoin(p3)
+      .select(col("doc_id"),
+        aggregate(Shingles.wordArray(col("text")), lit(0L),
+          (a, w) => a + length(w)).as("n_chars"),
+        aggregate(Shingles.wordArray(col("text")), lit(0L),
+          (a, w) => a + length(encoded(w))).as("n_tokens"))
+      .withColumn("ratio_bp",
+        when(col("n_chars") > 0,
+          expr("(10000 * n_tokens) div n_chars")).otherwise(lit(null)))
+      .orderBy("doc_id")
   }
 
   def bpePairs(spark: SparkSession, dir: String): DataFrame = {
