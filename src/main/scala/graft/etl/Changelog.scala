@@ -101,13 +101,20 @@ object Changelog {
         .select(col("month"), lit(-1L).as("dn"), (-col("c")).as("dc")))
     val deltaAgg = delta.groupBy(col("month"))
       .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    mergeRollup(baseAgg, deltaAgg).orderBy("month")
+  }
+
+  /** The IVM merge step alone: `base(month, bn, bc)` ⟗ `delta(month,
+    * dn, dc)` summed per group, groups whose count cancels to zero
+    * dropped, delta-only groups born. OpUnitSpec pins the
+    * cancellation/birth edges and empty-delta identity.
+    */
+  def mergeRollup(baseAgg: DataFrame, deltaAgg: DataFrame): DataFrame =
     baseAgg.join(deltaAgg, Seq("month"), "full_outer")
       .select(col("month"),
         (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
         (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("rev_cents"))
       .filter(col("n_orders") > 0)
-      .orderBy("month")
-  }
 
   /** SCD type-2 history build: collapse each user's event-type
     * run-length islands (gaps-and-islands via the lag-flag running-sum

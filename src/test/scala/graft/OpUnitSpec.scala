@@ -111,6 +111,19 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(got == viaWindow)
   }
 
+  test("mergeRollup: cancellation kills a group, delta births one, empty delta is identity") {
+    val base = Seq(("a", 2L, 300L), ("b", 1L, 50L)).toDF("month", "bn", "bc")
+    val delta = Seq(("a", -2L, -300L), ("c", 3L, 75L)).toDF("month", "dn", "dc")
+    val got = Changelog.mergeRollup(base, delta)
+      .as[(String, Long, Long)].collect().toSet
+    // "a" cancels to zero and is dropped; "b" untouched; "c" born
+    assert(got == Set(("b", 1L, 50L), ("c", 3L, 75L)))
+    val empty = Seq.empty[(String, Long, Long)].toDF("month", "dn", "dc")
+    val id = Changelog.mergeRollup(base, empty)
+      .as[(String, Long, Long)].collect().toSet
+    assert(id == Set(("a", 2L, 300L), ("b", 1L, 50L)))
+  }
+
   test("Cosine: self-similarity is 1, orthogonal is 0") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 2.0f)),
