@@ -112,6 +112,7 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("mergeRollup: cancellation kills a group, delta births one, empty delta is identity") {
+    import graft.etl.Changelog
     val base = Seq(("a", 2L, 300L), ("b", 1L, 50L)).toDF("month", "bn", "bc")
     val delta = Seq(("a", -2L, -300L), ("c", 3L, 75L)).toDF("month", "dn", "dc")
     val got = Changelog.mergeRollup(base, delta)
