@@ -8,9 +8,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -88,13 +89,121 @@ object PagesSource {
   }
 }
 
-class PagesTable(root: String, nParts: Int) extends Table with SupportsRead {
-  override def name(): String = s"graftpages(`$root`)"
+class PagesTable(root: String, nParts: Int)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graftpages($root)"
   override def schema(): StructType = PagesSource.Schema
+  // ACCEPT_ANY_SCHEMA: writes carry only (slug, body[, title]) — the
+  // derived read columns (path, title, n_chars) are not write inputs,
+  // so by-name resolution against the read schema must be bypassed;
+  // PagesWriteBuilder validates the required columns itself.
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagesScanBuilder(root, nParts)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new PagesWriteBuilder(root, info)
+}
+
+/** DSv2 WRITE path — the page store as a sink:
+  *
+  *   df.write.format("graftpages").mode("append"|"overwrite").save(root)
+  *
+  * Input needs (slug, body); an optional `title` column becomes
+  * frontmatter. Two-phase commit: each task writes
+  * `<slug>.md.<task>.tmp` and reports the pairs in its commit message;
+  * only the DRIVER's job-level commit renames them into place (and,
+  * under overwrite, clears the previous store first), so a failed or
+  * speculated task never leaves a half-written page visible — the same
+  * rename-on-commit protocol Spark's file sources use. Local-fs rename
+  * here; a 100 TB deployment points root at a store where rename is
+  * atomic (HDFS) or swaps in a manifest committer, with the same
+  * task/driver split.
+  */
+class PagesWriteBuilder(root: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    val names = info.schema().fieldNames.toSet
+    require(names.contains("slug") && names.contains("body"),
+      s"graftpages write needs slug+body columns, got ${names.mkString(",")}")
+    new PagesWrite(root, info.schema(), doTruncate)
+  }
+}
+
+case class PagesCommit(pairs: Array[(String, String)]) extends WriterCommitMessage
+
+class PagesWrite(root: String, schema: StructType, truncate: Boolean)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PagesWriterFactory(root, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rootPath = Paths.get(root)
+    if (truncate && Files.exists(rootPath)) {
+      val s = Files.walk(rootPath)
+      try s.iterator().asScala.toVector
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".md"))
+        .foreach(Files.delete)
+      finally s.close()
+    }
+    Files.createDirectories(rootPath)
+    messages.foreach { case PagesCommit(pairs) =>
+      pairs.foreach { case (tmp, fin) =>
+        Files.move(Paths.get(tmp), Paths.get(fin),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case PagesCommit(pairs) =>
+        pairs.foreach { case (tmp, _) => Files.deleteIfExists(Paths.get(tmp)) }
+      case _ => ()
+    }
+}
+
+class PagesWriterFactory(root: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PagesWriter(root, schema, taskId)
+}
+
+class PagesWriter(root: String, schema: StructType, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val slugIdx = schema.fieldIndex("slug")
+  private val bodyIdx = schema.fieldIndex("body")
+  private val titleIdx =
+    if (schema.fieldNames.contains("title")) schema.fieldIndex("title") else -1
+  private val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+  override def write(r: InternalRow): Unit = {
+    require(!r.isNullAt(slugIdx), "graftpages: slug must not be null")
+    val slug = r.getUTF8String(slugIdx).toString
+    val body = if (r.isNullAt(bodyIdx)) "" else r.getUTF8String(bodyIdx).toString
+    val title =
+      if (titleIdx >= 0 && !r.isNullAt(titleIdx))
+        Some(r.getUTF8String(titleIdx).toString)
+      else None
+    val content = title match {
+      case Some(t) if !body.startsWith("---") => s"---\ntitle: $t\n---\n$body"
+      case _ => body
+    }
+    Files.createDirectories(Paths.get(root))
+    val fin = Paths.get(root, s"$slug.md").toString
+    val tmp = s"$fin.$taskId.tmp"
+    Files.write(Paths.get(tmp), content.getBytes(StandardCharsets.UTF_8))
+    pairs += ((tmp, fin))
+  }
+
+  override def commit(): WriterCommitMessage = PagesCommit(pairs.toArray)
+  override def abort(): Unit =
+    pairs.foreach { case (tmp, _) => Files.deleteIfExists(Paths.get(tmp)) }
+  override def close(): Unit = ()
 }
 
 /** Filter pushdown prunes the FILE LIST at planning time: a slug

@@ -146,6 +146,34 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
     assert(one.collect().map(_.getString(1)).toSeq == Seq("Alpha Page"))
   }
 
+  test("graftpages DSv2 write: append + overwrite round-trip the store") {
+    val d = tmpDir()
+    Seq(("p1", "First Page", "hello body"), ("p2", "Second", "more text"))
+      .toDF("slug", "title", "body")
+      .write.format("graftpages").mode("append").save(d.toString)
+    val r1 = spark.read.format("graftpages").load(d.toString)
+    assert(r1.count() == 2)
+    // titles round-trip through the written frontmatter
+    assert(r1.select("slug", "title").as[(String, String)].collect().toSet ==
+      Set("p1" -> "First Page", "p2" -> "Second"))
+    assert(r1.filter($"slug" === "p1").select("body").as[String].head()
+      .contains("hello body"))
+    // no stray temp files after the rename commit
+    val ls = Files.list(d)
+    val stray =
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.count(_.toString.endsWith(".tmp"))
+      } finally ls.close()
+    assert(stray == 0)
+    // overwrite truncates the previous store, then writes the new rows
+    Seq(("p3", "Third", "fresh"))
+      .toDF("slug", "title", "body")
+      .write.format("graftpages").mode("overwrite").save(d.toString)
+    val r2 = spark.read.format("graftpages").load(d.toString)
+    assert(r2.select("slug").as[String].collect().toSeq == Seq("p3"))
+  }
+
   test("S2: directory scan honors extension whitelist and excludes") {
     val d = tmpDir()
     Files.createDirectories(d.resolve("sub/node_modules"))
