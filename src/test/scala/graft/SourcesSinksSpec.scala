@@ -174,6 +174,28 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
     assert(r2.select("slug").as[String].collect().toSeq == Seq("p3"))
   }
 
+  test("graftpages DSv2 write: a failed task aborts without dirtying the store") {
+    val d = tmpDir()
+    Seq(("keep", "T", "original")).toDF("slug", "title", "body")
+      .write.format("graftpages").mode("append").save(d.toString)
+    // one partition containing a good row THEN a poisoned row: the task
+    // writes the good tmp file, fails on the null slug, and must clean
+    // up after itself — the job never commits
+    val poisoned = Seq(("newpage", "N", "half"), (null, "X", "boom"))
+      .toDF("slug", "title", "body").repartition(1)
+    intercept[Exception] {
+      poisoned.write.format("graftpages").mode("append").save(d.toString)
+    }
+    val ls = Files.list(d)
+    val names =
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally ls.close()
+    // no tmp litter, no half-committed page; the prior store survives
+    assert(names == Set("keep.md"), s"store dirtied: $names")
+  }
+
   test("S2: directory scan honors extension whitelist and excludes") {
     val d = tmpDir()
     Files.createDirectories(d.resolve("sub/node_modules"))
