@@ -180,6 +180,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!belowTopK.contains("+- Sort"), s"input sorted below the heaps:\n$p")
   }
 
+  test("bloom probes plan as broadcast hash joins on the word index") {
+    val p = plan("bloom_prefilter")
+    assert(p.contains("BroadcastHashJoin"),
+      s"word-index probes must be hash lookups:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"a nested-loop probe scans the word table per row:\n$p")
+  }
+
   test("reservoir_sample auto-rewrites to GroupTopK (no window sort)") {
     val p = plan("reservoir_sample")
     assert(p.contains("GroupTopK"),
