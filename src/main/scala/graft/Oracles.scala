@@ -1476,6 +1476,19 @@ object Oracles {
         |  CAST(max(doc_id) AS BIGINT) AS last_doc
         |FROM b WHERE bucket < 20 GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // per-group feature scaling — mirrors TextAnalysis.featureScale
+    // (percent_rank: identical integer rank operands → bit-equal IEEE)
+    "feature_scale" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x
+        |           FROM documents),
+        |s AS (SELECT lang, min(x) AS mn, max(x) AS mx FROM d GROUP BY lang)
+        |SELECT doc_id, lang, x AS n_chars,
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE (10000 * (x - mn)) // (mx - mn) END AS minmax_bp,
+        |  percent_rank() OVER (PARTITION BY d.lang ORDER BY x, doc_id) AS qrank
+        |FROM d JOIN s USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+
     // exact k-per-group reservoir — mirrors Splits.reservoirSample
     // (8-hex-digit hash fits INT64 via the 0x cast; same salt idiom as
     // stratified_sample)

@@ -166,6 +166,7 @@ object SparkEntry {
     "pii_redact"        -> (TextAnalysis.piiRedact _),
     "repetition_profile" -> (TextAnalysis.repetitionProfile _),
     "length_histogram"  -> (TextAnalysis.lengthHistogram _),
+    "feature_scale"     -> (TextAnalysis.featureScale _),
     "stratified_sample" -> (Splits.stratifiedSample _),
     "reservoir_sample"  -> (Splits.reservoirSample _),
     // IR / analytics extras

@@ -85,6 +85,33 @@ object TextAnalysis {
       .filter(col("u") * lit(10000L) < col("quality_bp") * lit(4294967296L))
       .orderBy("doc_id")
 
+  /** Per-group feature scaling — the two standard training-feature
+    * transforms over a numeric column (n_chars, per language):
+    * min-max to integer basis points (exact: 10⁴·(x−min) div range)
+    * and quantile-uniform via percent_rank (rational of integer ranks;
+    * both engines evaluate (rk−1)/(n−1) on identical operands →
+    * bit-equal IEEE). One stats aggregate broadcast back + one
+    * rank window per group key — feature scaling of a 100 TB column
+    * is exactly this shape, keyed by whatever stratifies the mix.
+    * Degenerate groups (min == max) scale to 0.
+    */
+  def featureScale(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("bigint").as("x"))
+    val stats = docs.groupBy(col("lang"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("x"), col("doc_id"))
+    docs.join(broadcast(stats), Seq("lang"))
+      .withColumn("minmax_bp",
+        when(col("mx") === col("mn"), 0L)
+          .otherwise(expr("(10000 * (x - mn)) div (mx - mn)")))
+      .withColumn("qrank", percent_rank().over(w))
+      .select(col("doc_id"), col("lang"), col("x").as("n_chars"),
+        col("minmax_bp"), col("qrank"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition profile — the Gopher-rule quality signals the
     * length/stopword score misses: duplicate-word fraction and top-word
     * dominance, the standard filters for machine-generated/spammy text.
