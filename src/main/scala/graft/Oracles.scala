@@ -100,6 +100,28 @@ object Oracles {
        |sigt AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash16 FROM s)""".stripMargin
   }
 
+  /** WITH-body ending in lshpairs(doc_a, doc_b) — the LSH candidate
+    * pairs, shared by minhash_lsh and split_leakage so the pairing
+    * cannot drift between the dedup and leakage-audit surfaces.
+    */
+  private val LshPairCtes: String =
+    s"""$Shingle3Cte,
+       |sig AS (SELECT doc_id,
+       |  min(md5('seed0:' || shingle)) AS mh_0, min(md5('seed1:' || shingle)) AS mh_1,
+       |  min(md5('seed2:' || shingle)) AS mh_2, min(md5('seed3:' || shingle)) AS mh_3,
+       |  min(md5('seed4:' || shingle)) AS mh_4, min(md5('seed5:' || shingle)) AS mh_5,
+       |  min(md5('seed6:' || shingle)) AS mh_6, min(md5('seed7:' || shingle)) AS mh_7
+       |  FROM shingles GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bkey FROM sig
+       |  UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+       |  UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+       |  UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
+       |lshpairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+
   /** WITH-body (requires WITH RECURSIVE) ending in comp/sizes: the LSH
     * candidate graph's transitive closure — shared by dedup_components
     * and dedup_canonical so the two queries cannot drift.
@@ -741,21 +763,8 @@ object Oracles {
          |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "minhash_lsh" ->
-      s"""WITH $Shingle3Cte,
-         |sig AS (SELECT doc_id,
-         |  min(md5('seed0:' || shingle)) AS mh_0, min(md5('seed1:' || shingle)) AS mh_1,
-         |  min(md5('seed2:' || shingle)) AS mh_2, min(md5('seed3:' || shingle)) AS mh_3,
-         |  min(md5('seed4:' || shingle)) AS mh_4, min(md5('seed5:' || shingle)) AS mh_5,
-         |  min(md5('seed6:' || shingle)) AS mh_6, min(md5('seed7:' || shingle)) AS mh_7
-         |  FROM shingles GROUP BY doc_id),
-         |banded AS (
-         |  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bkey FROM sig
-         |  UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
-         |  UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
-         |  UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig)
-         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |FROM banded x JOIN banded y
-         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      s"""WITH $LshPairCtes
+         |SELECT DISTINCT doc_a, doc_b FROM lshpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // transitive closure of the LSH candidate graph — mirrors
@@ -1488,6 +1497,39 @@ object Oracles {
         |  percent_rank() OVER (PARTITION BY d.lang ORDER BY x, doc_id) AS qrank
         |FROM d JOIN s USING (lang)
         |ORDER BY doc_id""".stripMargin,
+
+    // group-level split — mirrors Splits.groupSplit (hash on SOURCE)
+    "group_split" ->
+      s"""WITH b AS (SELECT source, text,
+         |    CAST(CAST(concat('0x', substr(md5('gsplit:' || source), 1, 4)) AS INT) % 100 AS INT) AS bucket
+         |  FROM documents),
+         |s AS (SELECT source, text,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM b)
+         |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+         |    ELSE len(string_split(coalesce(text, ''), ' ')) END) AS BIGINT) AS n_tokens
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    // cross-split leakage audit — mirrors Splits.splitLeakage (shares
+    // the LSH pair CTEs with minhash_lsh)
+    "split_leakage" ->
+      s"""WITH $LshPairCtes,
+         |assign AS (SELECT doc_id,
+         |    CASE WHEN CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 < 80
+         |         THEN 'train' ELSE 'test' END AS doc_split,
+         |    CASE WHEN CAST(concat('0x', substr(md5('gsplit:' || source), 1, 4)) AS INT) % 100 < 80
+         |         THEN 'train' ELSE 'test' END AS src_split
+         |  FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN a.doc_split <> b.doc_split THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS doc_cross_pairs,
+         |  CAST(sum(CASE WHEN a.src_split <> b.src_split THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS group_cross_pairs
+         |FROM lshpairs p JOIN assign a ON a.doc_id = p.doc_a
+         |               JOIN assign b ON b.doc_id = p.doc_b""".stripMargin,
 
     // exact k-per-group reservoir — mirrors Splits.reservoirSample
     // (8-hex-digit hash fits INT64 via the 0x cast; same salt idiom as

@@ -150,6 +150,8 @@ object SparkEntry {
     "range_join_band"  -> (RangeJoin.eventsOrdersInBand _),
     "neardup_pipeline" -> (Splits.neardupPipeline _),
     "train_test_split" -> (Splits.trainTestSplit _),
+    "group_split"      -> (Splits.groupSplit _),
+    "split_leakage"    -> (Splits.splitLeakage _),
     "snapshot_diff"    -> (Splits.snapshotDiff _),
     // relational breadth: windows-as-correlation, deep join, rollup, pivot
     "above_avg_orders" -> (Relational2.aboveAvgOrders _),

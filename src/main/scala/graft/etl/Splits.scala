@@ -40,6 +40,53 @@ object Splits {
         max(col("doc_id")).as("last_doc"))
       .orderBy("lang")
 
+  /** GROUP-level train/val/test split: assignment is hashed on the
+    * SOURCE, not the document, so every doc of a source lands in the
+    * same split — the GroupShuffleSplit discipline that stops template
+    * near-duplicates from straddling the train/test boundary (the
+    * leakage [[splitLeakage]] measures). Same salted-hash determinism
+    * as [[trainTestSplit]]; report = per-split source/doc/token counts.
+    */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", hashBucket(col("source"), "gsplit:"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("n_tokens"))
+      .orderBy("split")
+
+  /** Cross-split LEAKAGE AUDIT: how many LSH near-dup candidate pairs
+    * straddle the split boundary, under (a) doc-hash assignment and
+    * (b) source-hash GROUP assignment — the number that tells you the
+    * benchmark is contaminated. One row: total candidate pairs +
+    * cross-split counts per scheme. The pairing is [[Dedup.minhashLshFrom]]
+    * verbatim (the oracle shares its CTEs), joined twice against the
+    * assignment map on the pair endpoints — keyed joins, no new
+    * quadratic work beyond the LSH buckets.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val assign = docs.select(col("doc_id"),
+      when(hashBucket(col("doc_id"), "split:") < 80, "train")
+        .otherwise("test").as("doc_split"),
+      when(hashBucket(col("source"), "gsplit:") < 80, "train")
+        .otherwise("test").as("src_split"))
+    val pairs = Dedup.minhashLshFrom(docs.select(col("doc_id"), col("text")))
+    pairs
+      .join(assign.select(col("doc_id").as("doc_a"),
+        col("doc_split").as("da"), col("src_split").as("sa")), Seq("doc_a"))
+      .join(assign.select(col("doc_id").as("doc_b"),
+        col("doc_split").as("db"), col("src_split").as("sb")), Seq("doc_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("da") =!= col("db"), 1L).otherwise(0L)).as("doc_cross_pairs"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("group_cross_pairs"))
+  }
+
   /** Exact k-per-group reservoir: EXACTLY 8 docs per language, chosen
     * by salted-hash rank — the deterministic distributed reservoir
     * sample (never rand(): re-runs and engines agree row-for-row).
