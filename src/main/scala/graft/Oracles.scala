@@ -2352,20 +2352,22 @@ object Oracles {
 
     // Product-quantization ADC search — mirrors Similarity.knnPq:
     // M=4 subspaces × 16 dims, K=16 codewords (the vec_id < 16 seed
-    // slice), sub-L2² folded like the cosine oracles then fixed to
-    // integral 1e-4 units, so encode argmin + the ADC sum are exact
-    // integer ops on both engines. List slices are 1-based inclusive.
+    // slice). Elements are quantized to integral 1e-3 units FIRST, so
+    // every sub-distance is an exact BIGINT Σ(xq−yq)² — a grouped FP
+    // sum is thread-order nondeterministic in DuckDB and the old
+    // round(sum*1e4) form flaked at .5 boundaries (r4). List slices
+    // are 1-based inclusive.
     "knn_pq" ->
       """WITH mk AS (
         |  SELECT m.m, s.vec_id AS k, s.embedding AS se
         |  FROM embeddings s, (SELECT unnest([0, 1, 2, 3]) AS m) m
         |  WHERE s.vec_id < 16),
         |z AS (SELECT e.vec_id, mk.m, mk.k,
-        |        CAST(unnest(e.embedding[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) AS x,
-        |        CAST(unnest(mk.se[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) AS y
+        |        CAST(round(CAST(unnest(e.embedding[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |        CAST(round(CAST(unnest(mk.se[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) * 1000) AS BIGINT) AS y
         |      FROM embeddings e CROSS JOIN mk),
         |d AS (SELECT vec_id, m, k,
-        |        CAST(round(sum((x-y)*(x-y)) * 10000) AS BIGINT) AS du
+        |        CAST(sum((x-y)*(x-y)) AS BIGINT) AS du
         |      FROM z GROUP BY ALL),
         |codes AS (SELECT vec_id, m, k AS code FROM (
         |  SELECT vec_id, m, k,
@@ -2385,19 +2387,20 @@ object Oracles {
         |ORDER BY qid, rank""".stripMargin,
 
     // PQ shortlist (ADC top-25) + exact re-rank — mirrors
-    // Similarity.knnPqRerank; same ADC CTEs as knn_pq, then the exact
-    // Σ(x−y)² fold in 1e-4 units over the shortlist only
+    // Similarity.knnPqRerank; same quantized-integer ADC CTEs as
+    // knn_pq, then the exact BIGINT Σ(xq−yq)² fold (1e-6 units) over
+    // the shortlist only
     "knn_pq_rerank" ->
       """WITH mk AS (
         |  SELECT m.m, s.vec_id AS k, s.embedding AS se
         |  FROM embeddings s, (SELECT unnest([0, 1, 2, 3]) AS m) m
         |  WHERE s.vec_id < 16),
         |z AS (SELECT e.vec_id, mk.m, mk.k,
-        |        CAST(unnest(e.embedding[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) AS x,
-        |        CAST(unnest(mk.se[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) AS y
+        |        CAST(round(CAST(unnest(e.embedding[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |        CAST(round(CAST(unnest(mk.se[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) * 1000) AS BIGINT) AS y
         |      FROM embeddings e CROSS JOIN mk),
         |d AS (SELECT vec_id, m, k,
-        |        CAST(round(sum((x-y)*(x-y)) * 10000) AS BIGINT) AS du
+        |        CAST(sum((x-y)*(x-y)) AS BIGINT) AS du
         |      FROM z GROUP BY ALL),
         |codes AS (SELECT vec_id, m, k AS code FROM (
         |  SELECT vec_id, m, k,
@@ -2415,12 +2418,12 @@ object Oracles {
         |      ORDER BY adist_units, cid) AS rk
         |  FROM adc) WHERE rk <= 25),
         |ze AS (SELECT s.qid, s.cid,
-        |         CAST(unnest(q.embedding) AS DOUBLE) AS x,
-        |         CAST(unnest(c.embedding) AS DOUBLE) AS y
+        |         CAST(round(CAST(unnest(q.embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |         CAST(round(CAST(unnest(c.embedding) AS DOUBLE) * 1000) AS BIGINT) AS y
         |       FROM short s JOIN embeddings q ON q.vec_id = s.qid
         |                    JOIN embeddings c ON c.vec_id = s.cid),
         |de AS (SELECT qid, cid,
-        |         CAST(round(sum((x-y)*(x-y)) * 10000) AS BIGINT) AS dist_units
+        |         CAST(sum((x-y)*(x-y)) AS BIGINT) AS dist_units
         |       FROM ze GROUP BY ALL),
         |r AS (SELECT qid, cid, dist_units,
         |        CAST(row_number() OVER (PARTITION BY qid

@@ -387,12 +387,16 @@ object Similarity {
     * LOOKUPS — the compressed-domain scan never touches the original
     * vectors.
     *
-    * Determinism across engines: each sub-distance folds
-    * Σ(x−y)² over the 16-dim slice exactly as the cosine oracles fold
-    * their dot products, then rounds to integral 1e-4 units (BIGINT),
-    * so the argmin encode and the cross-subspace ADC sum are exact
-    * integer operations — order-free, engine-exact. Ranking ties break
-    * on cid.
+    * Determinism across engines: embedding elements are quantized to
+    * integral 1e-3 units FIRST (one IEEE multiply + a deterministic
+    * half-away-from-zero round per element — identical in Spark and
+    * DuckDB), so every sub-distance is an exact BIGINT Σ(xq−yq)² with
+    * no floating-point fold anywhere. A grouped FP sum is
+    * thread-order nondeterministic in DuckDB, so the previous
+    * round(Σ(x−y)²·1e4) du could flip ±1 unit at a .5 boundary
+    * between runs and silently swap an argmin encode (the r4 knn_pq
+    * hash flake); integer-domain distances eliminate that class.
+    * Ranking ties break on cid.
     *
     * Scale posture: the codebook (M·K = 16 rows) and the query LUT
     * (queries·M·K = 256 rows) broadcast; sub-distances are one
@@ -418,24 +422,29 @@ object Similarity {
     */
   private def pqAdc(spark: SparkSession, dir: String): DataFrame = {
     val M = 4; val Sub = 16; val K = 16
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // quantize once: element → integral 1e-3 units (BIGINT). All
+    // downstream distances are exact integer ops — no FP fold exists
+    // for engine thread order to perturb (the r4 knn_pq hash flake).
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("bigint")).as("embq"))
     // codebook: M×K rows (m, k, cvec) — the seed slice's subvectors
     val ms = array((0 until M).map(lit): _*)
     val cb = broadcast(
       e.filter(col("vec_id") < K)
-        .select(col("vec_id").as("k"), col("embedding").as("se"))
+        .select(col("vec_id").as("k"), col("embq").as("se"))
         .withColumn("m", explode(ms))
         .select(col("m"), col("k"),
           slice(col("se"), col("m") * Sub + 1, lit(Sub)).as("cvec")))
-    // sub-distances: per (vec, m, k), Σ(x−y)² over the slice, rounded to
-    // integral 1e-4 units — the one fold that must mirror the oracle
+    // sub-distances: per (vec, m, k), exact BIGINT Σ(xq−yq)² over the
+    // quantized slice (1e-6 units)
     val sub = e.crossJoin(cb)
-      .withColumn("xvec", slice(col("embedding"), col("m") * Sub + 1, lit(Sub)))
+      .withColumn("xvec", slice(col("embq"), col("m") * Sub + 1, lit(Sub)))
       .withColumn("du",
-        round(aggregate(zip_with(col("xvec"), col("cvec"),
-            (x, y) => (x.cast("double") - y.cast("double")) *
-              (x.cast("double") - y.cast("double"))),
-          lit(0.0), (acc, v) => acc + v) * 10000).cast("bigint"))
+        aggregate(zip_with(col("xvec"), col("cvec"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
       .select(col("vec_id"), col("m"), col("k"), col("du"))
     // encode: argmin_k per (vec, m) — two-phase agg, ties to low k
     val codes = sub.groupBy(col("vec_id"), col("m"))
@@ -462,24 +471,30 @@ object Similarity {
     * original vectors are fetched for exact scoring. This two-tier
     * read pattern is the 100 TB design: the code index (M bytes/vector)
     * serves the scan; the full vectors live in cold storage and are
-    * touched 25 rows per query. Exact distances fold Σ(x−y)² in
-    * integral 1e-4 units like the ADC tier, so ranking is engine-exact.
+    * touched 25 rows per query. Exact distances fold Σ(xq−yq)² over
+    * 1e-3-quantized elements (1e-6 units) like the ADC tier — pure
+    * BIGINT math, so ranking is engine-exact with no FP-sum-order
+    * hazard.
     * SimilaritySpec pins the recall gain over the raw ADC ranking.
     */
   def knnPqRerank(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // same 1e-3-unit input quantization as pqAdc: the exact tier's
+    // full-width Σ(xq−yq)² is a pure BIGINT fold too (1e-6 units)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("bigint")).as("embq"))
     val short = pqAdc(spark, dir).filter(col("rank") <= 25)
       .select(col("qid"), col("vec_id").as("scid"))
     val q = broadcast(e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("eqid"), col("embedding").as("qe")))
+      .select(col("vec_id").as("eqid"), col("embq").as("qe")))
     val exact = short
       .join(q, col("qid") === col("eqid"))
       .join(e, col("scid") === col("vec_id"))
       .withColumn("dist_units",
-        round(aggregate(zip_with(col("qe"), col("embedding"),
-            (x, y) => (x.cast("double") - y.cast("double")) *
-              (x.cast("double") - y.cast("double"))),
-          lit(0.0), (acc, v) => acc + v) * 10000).cast("bigint"))
+        aggregate(zip_with(col("qe"), col("embq"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("dist_units").asc, col("scid").asc)
     exact.withColumn("rank", row_number().over(w))

@@ -189,7 +189,10 @@ object Urls {
       .map(s => expr(
         s"(coalesce(b$s, 0L) & shiftleft(1L, int(p$s % 64))) != 0"))
       .reduce(_ && _)
-    probed.withColumn("maybe_visited", maybe)
+    // NULL norm_url must route into the exact anti-join (which keeps
+    // null-keyed rows, same as visitedAntijoin), not vanish because a
+    // NULL probe flag fails both branch filters downstream.
+    probed.withColumn("maybe_visited", coalesce(maybe, lit(true)))
       .drop((1 to BloomHashes).flatMap(s => Seq(s"p$s", s"w$s", s"b$s")): _*)
   }
 

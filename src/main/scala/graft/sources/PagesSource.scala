@@ -143,6 +143,15 @@ class PagesWrite(root: String, schema: StructType, truncate: Boolean)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rootPath = Paths.get(root)
+    // Validate BEFORE any destructive step (truncate / first rename):
+    // a cross-task slug collision would otherwise resolve silently
+    // last-write-wins — or, half-committed, leave an emptied store.
+    val dupFins = messages.toSeq
+      .flatMap { case PagesCommit(pairs) => pairs.map(_._2) }
+      .groupBy(identity).collect { case (fin, hits) if hits.size > 1 => fin }
+    require(dupFins.isEmpty,
+      s"graftpages: duplicate slug(s) across tasks, aborting commit before " +
+        s"any rename: ${dupFins.toSeq.sorted.take(5).mkString(", ")}")
     if (truncate && Files.exists(rootPath)) {
       val s = Files.walk(rootPath)
       try s.iterator().asScala.toVector
@@ -180,10 +189,16 @@ class PagesWriter(root: String, schema: StructType, taskId: Long)
   private val titleIdx =
     if (schema.fieldNames.contains("title")) schema.fieldIndex("title") else -1
   private val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  private val seen = scala.collection.mutable.HashSet.empty[String]
 
   override def write(r: InternalRow): Unit = {
     require(!r.isNullAt(slugIdx), "graftpages: slug must not be null")
     val slug = r.getUTF8String(slugIdx).toString
+    // a repeated slug in one task would produce two identical
+    // (tmp, fin) pairs and break the driver's rename-on-commit (the
+    // second move of the same tmp throws mid-commit) — fail fast here
+    require(seen.add(slug),
+      s"graftpages: duplicate slug within task: $slug")
     val body = if (r.isNullAt(bodyIdx)) "" else r.getUTF8String(bodyIdx).toString
     val title =
       if (titleIdx >= 0 && !r.isNullAt(titleIdx))

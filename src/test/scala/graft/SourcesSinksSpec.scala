@@ -196,6 +196,35 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
     assert(names == Set("keep.md"), s"store dirtied: $names")
   }
 
+  test("graftpages DSv2 write: duplicate slugs are rejected, store untouched") {
+    val d = tmpDir()
+    Seq(("keep", "T", "original")).toDF("slug", "title", "body")
+      .write.format("graftpages").mode("append").save(d.toString)
+    // same-task duplicate: write() fails fast (second tmp would shadow
+    // the first and the driver's second rename of it would throw
+    // mid-commit)
+    intercept[Exception] {
+      Seq(("dup", "A", "one"), ("dup", "B", "two"))
+        .toDF("slug", "title", "body").repartition(1)
+        .write.format("graftpages").mode("append").save(d.toString)
+    }
+    // cross-task duplicate under OVERWRITE: the driver must reject
+    // BEFORE truncating — the prior store survives intact
+    intercept[Exception] {
+      Seq(("dup", "A", "one"), ("dup", "B", "two"))
+        .toDF("slug", "title", "body")
+        .repartitionByRange(2, $"title") // forces the dup into two tasks
+        .write.format("graftpages").mode("overwrite").save(d.toString)
+    }
+    val ls = Files.list(d)
+    val names =
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally ls.close()
+    assert(names == Set("keep.md"), s"store dirtied: $names")
+  }
+
   test("S2: directory scan honors extension whitelist and excludes") {
     val d = tmpDir()
     Files.createDirectories(d.resolve("sub/node_modules"))
