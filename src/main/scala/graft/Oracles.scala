@@ -2430,6 +2430,93 @@ object Oracles {
         |          ORDER BY dist_units, cid) AS INT) AS rank
         |      FROM de)
         |SELECT qid, rank, cid, dist_units FROM r WHERE rank <= 5
-        |ORDER BY qid, rank""".stripMargin
+        |ORDER BY qid, rank""".stripMargin,
+
+    // Concat-and-split sequence packing — mirrors Packing.packSequences:
+    // shard = doc_id % 8, per-shard running token sum, bin spans by
+    // integer div. sum() OVER in DuckDB widens to HUGEINT → cast back.
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+        |              ELSE len(string_split(coalesce(text, ''), ' ')) END AS nt
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, nt,
+        |        CAST(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+        |      FROM t WHERE nt > 0)
+        |SELECT doc_id, shard, CAST(nt AS INT) AS n_tokens,
+        |       CAST((cum - nt) // 512 AS BIGINT) AS start_bin,
+        |       CAST((cum - 1) // 512 AS BIGINT) AS end_bin,
+        |       CAST((cum - 1) // 512 - (cum - nt) // 512 + 1 AS BIGINT) AS n_bins
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Token-budget chunking — mirrors Chunker.tokenChunk (budget 64).
+    // List slices are 1-based inclusive and truncate past the end in
+    // both engines.
+    "token_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(coalesce(text, ''), ' '),
+        |                         w -> length(w) > 0) AS toks
+        |           FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+        |        CAST(least(64, n - u.i*64) AS INT) AS n_chunk_tokens,
+        |        array_to_string(toks[u.i*64+1 : u.i*64+64], ' ') AS chunk_text
+        |      FROM n, unnest(range((n-1)//64 + 1)) AS u(i))
+        |SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Hashed-feature linear scorer — mirrors TextAnalysis
+    // .qualityClassifier: weight(w) = md5-hex prefix → BIGINT in
+    // [-1000, 1000]; score = Σ token weights (list_sum widens → cast).
+    "quality_classifier" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(coalesce(text, ''), ' '),
+        |                         w -> length(w) > 0) AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |        CAST(coalesce(list_sum(list_transform(toks, w ->
+        |          CAST(concat('0x', substr(md5(lower(w)), 1, 8)) AS BIGINT)
+        |            % 2001 - 1000)), 0) AS BIGINT) AS score
+        |      FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, n_tokens, score,
+        |       CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Anchor-text aggregation — mirrors Urls.anchorText: (domain,
+    // anchor) counts, top-5 per domain, ties lexicographic.
+    "anchor_text" ->
+      s"""WITH $LinksCte,
+         |d AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+         |             anchor_text
+         |      FROM links),
+         |g AS (SELECT domain, anchor_text, count(*) AS n_links
+         |      FROM d GROUP BY ALL),
+         |r AS (SELECT domain, anchor_text, n_links,
+         |        CAST(row_number() OVER (PARTITION BY domain
+         |          ORDER BY n_links DESC, anchor_text) AS INT) AS rank
+         |      FROM g)
+         |SELECT domain, rank, anchor_text, n_links FROM r
+         |WHERE rank <= 5 ORDER BY domain, rank""".stripMargin,
+
+    // Z-order layout audit — mirrors Layout.zorderLayout: 8-bit
+    // buckets per dim, Morton interleave, 64 file slices, per-file
+    // min/max envelopes. All BIGINT bit math.
+    "zorder_layout" -> {
+      val morton = (0 until 8).map(i =>
+        s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT user_id % 256 AS xb,
+         |                  (epoch_us(ts) // 3600000000) % 256 AS yb
+         |           FROM events),
+         |z AS (SELECT xb, yb, ($morton) AS zkey FROM b),
+         |f AS (SELECT zkey // 1024 AS file_id, xb, yb FROM z)
+         |SELECT file_id, count(*) AS n_rows,
+         |       min(xb) AS x_min, max(xb) AS x_max,
+         |       min(yb) AS y_min, max(yb) AS y_max,
+         |       max(xb) - min(xb) + 1 AS x_span,
+         |       max(yb) - min(yb) + 1 AS y_span
+         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
+    }
   )
 }

@@ -229,7 +229,15 @@ object SparkEntry {
     "inverted_index"      -> (TfIdf.invertedIndex _),
     "bpe_pairs"           -> (CorpusStats.bpePairs _),
     "bpe_train"           -> (CorpusStats.bpeTrain _),
-    "bpe_encode"          -> (CorpusStats.bpeEncode _)
+    "bpe_encode"          -> (CorpusStats.bpeEncode _),
+    // round-5 training-pipeline wave: concat-and-split sequence
+    // packing, token-budget chunking, hashed linear quality scoring,
+    // anchor-text aggregation, Z-order layout audit
+    "pack_sequences"     -> (Packing.packSequences _),
+    "token_chunk"        -> (Chunker.tokenChunk _),
+    "quality_classifier" -> (TextAnalysis.qualityClassifier _),
+    "anchor_text"        -> (Urls.anchorText _),
+    "zorder_layout"      -> (Layout.zorderLayout _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

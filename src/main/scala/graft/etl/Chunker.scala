@@ -125,4 +125,36 @@ object Chunker {
       .select(col("doc_id"), col("chunk_idx"), col("chunk"),
         length(col("chunk")).as("chunk_len"))
       .orderBy("doc_id", "chunk_idx")
+
+  /** Token-budget chunking — the LLM-training flavor of G1: each
+    * document is cut into chunks of at most `TokenBudget` WHITESPACE
+    * TOKENS (not characters), so every chunk fits a model context
+    * regardless of word length. The per-doc chunk list is built
+    * INSIDE the token array (transform ∘ sequence ∘ slice) and only
+    * then exploded — a single scan with zero shuffles (the exploded
+    * groupBy formulation would exchange every token row; PlanSpec
+    * pins the shape). `toks` is materialized as a column before the
+    * lambda so the HOF references a bound attribute, not a
+    * re-evaluated expression (the O(n²) trap in CLAUDE.md).
+    */
+  val TokenBudget = 64
+
+  def tokenChunk(spark: SparkSession, dir: String): DataFrame = {
+    val b = TokenBudget
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(split(coalesce(col("text"), lit("")), " "),
+          w => length(w) > 0).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(n - 1) div $b")),
+          i => array_join(slice(col("toks"), i * b + 1, lit(b)), " "))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        least(lit(b), col("n") - col("pos") * b).cast("int")
+          .as("n_chunk_tokens"),
+        col("col").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
 }

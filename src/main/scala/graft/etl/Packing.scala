@@ -1,0 +1,63 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-sequence packing — the step between a cleaned corpus and a
+  * token-budget training run: documents are concatenated shard-by-shard
+  * and cut into fixed-size sequences ("concat-and-split" packing, the
+  * layout GPT-style pretraining consumes). Each document's span of
+  * packed sequences is a pure function of the running token count
+  * inside its shard, so the whole computation is one shard-partitioned
+  * window — no global ordering, no single-partition exchange, no
+  * driver loop.
+  *
+  * Scale posture: the shard column IS the parallelism unit. At 100 TB
+  * you shard by (source, date-bucket) to thousands of shards; each
+  * shard's prefix sum runs independently after one shuffle on the
+  * shard key. This is the batch_pack_sharded discipline applied to
+  * token budgets (reference analog: the transformer's batch planner,
+  * DESIGN.md:729-764, re-expressed for token-count packing).
+  */
+object Packing {
+
+  /** Tokens per packed training sequence. Toy-scale on purpose (real
+    * runs use 2k-8k); the plan shape is budget-independent.
+    */
+  val SeqTokens = 512
+
+  /** Shard count for the bench corpus. Production: O(thousands),
+    * keyed by natural partitions (source/day), not doc_id arithmetic.
+    */
+  val Shards = 8
+
+  /** Per-document packed-sequence spans: which training sequences
+    * (bins) of its shard each document's tokens land in. A document
+    * crossing a bin boundary is SPLIT across sequences (the
+    * concat-and-split contract — no padding waste, boundary docs are
+    * bisected); `n_bins` > 1 marks those.
+    *
+    * Deterministic: shard = doc_id % Shards, order within shard =
+    * doc_id, so the packing is reproducible under any partitioning.
+    * All math is integer (token counts, prefix sums, `div`) — exact
+    * on both engines.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % Shards).cast("int").as("shard"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("start_bin", expr(s"(cum - n_tokens) div $SeqTokens"))
+      .withColumn("end_bin", expr(s"(cum - 1) div $SeqTokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_bin"), col("end_bin"),
+        (col("end_bin") - col("start_bin") + 1).as("n_bins"))
+      .orderBy("doc_id")
+  }
+}

@@ -290,4 +290,32 @@ object TextAnalysis {
         array_min(transform(col("__sh"), s => md5(s))).as("fingerprint"),
         size(col("__sh")).cast("bigint").as("n_shingles"))
       .orderBy("doc_id")
+
+  /** Hashed-feature linear quality classifier — the fasttext-style
+    * model-scoring step of a corpus pipeline, with the model swapped
+    * for a deterministic hash-derived weight table so the oracle can
+    * reproduce it: weight(token) = md5-hash of the lowercased token
+    * mapped to [-1000, 1000]; a document's score is the sum of its
+    * token weights (a bag-of-words dot product against an implicit
+    * 2^32-bucket weight vector — no vocab, no join). Computed INSIDE
+    * the token array (aggregate ∘ filter ∘ split): a pure map with
+    * zero shuffles. In production the literal weights come from a
+    * trained model broadcast as a hash table (or a codegen'd
+    * Expression like functions/DotProduct for the hot path — HOFs are
+    * interpreted); the plan shape — map-side scoring, no explode —
+    * is identical.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(split(txt(col("text")), " "), w => length(w) > 0).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("int"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, w) =>
+          acc + (conv(substring(md5(lower(w)), 1, 8), 16, 10)
+            .cast("long") % 2001L) - 1000L).as("score"))
+      .withColumn("verdict",
+        when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
+      .orderBy("doc_id")
 }

@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -225,6 +226,34 @@ object Urls {
       .select("link_id", "norm_url")
       .join(visited, Seq("norm_url"), "left_anti")
     definiteNew.unionByName(checked).orderBy("link_id")
+  }
+
+  /** Anchor-text aggregation — the link-graph enrichment a web-scale
+    * training corpus attaches to every crawl target: what the web
+    * CALLS a page (its inbound anchor texts) is a quality/topic
+    * signal independent of the page body. Two-level aggregation:
+    * (domain, anchor) counts, then the top-5 anchors per domain by
+    * count (ties break lexicographically). The rank≤5 filter over a
+    * single-expression row_number window is rewritten to the native
+    * GroupTopK heap plan by RewriteRankFilterToGroupTopK — map-side
+    * pre-prune, no full sort per domain. At 100 TB the first agg is
+    * the only full-data shuffle (keyed by (domain, anchor) —
+    * high cardinality, no hot key); the second operates on the
+    * already-tiny count table. Reference analog: the link-context
+    * scoring inputs (relevance-scorer SKILL.md:93-119).
+    */
+  def anchorText(spark: SparkSession, dir: String): DataFrame = {
+    val counts = linkCorpus(spark, dir)
+      .select(urlDomain(col("url")).as("domain"), col("anchor_text"))
+      .groupBy(col("domain"), col("anchor_text"))
+      .agg(count(lit(1)).as("n_links"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("n_links").desc, col("anchor_text").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("domain"), col("rank").cast("int").as("rank"),
+        col("anchor_text"), col("n_links"))
+      .orderBy("domain", "rank")
   }
 
   // ---- U1: queue insert-if-absent (union + keyed dedup) ----

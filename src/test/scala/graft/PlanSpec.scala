@@ -332,6 +332,35 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!gf.contains("SortMergeJoin"), gf)
   }
 
+  test("round-5 training-pipeline wave keeps its claimed plan shapes") {
+    // pack_sequences: the packing window is SHARD-partitioned — the
+    // sweep below already rejects any single-partition funnel; here we
+    // additionally pin that the only exchanges are the shard hash
+    // shuffle and the output sort
+    val ps = plan("pack_sequences")
+    assert(countOf(ps, "+- Exchange") <= 2, s"pack_sequences grew a shuffle:\n$ps")
+    // token_chunk: chunks are built inside the token array — a pure
+    // generator, no aggregation, only the output sort exchanges
+    val tc = plan("token_chunk")
+    assert(!tc.contains("HashAggregate"), s"token_chunk must not aggregate:\n$tc")
+    assert(countOf(tc, "+- Exchange") <= 1, s"token_chunk grew a shuffle:\n$tc")
+    // quality_classifier: map-side scoring inside the array — single
+    // scan, zero data shuffles beyond the output sort
+    val qc = plan("quality_classifier")
+    assert(countOf(qc, "+- Exchange") <= 1, s"classifier grew a shuffle:\n$qc")
+    assert(!qc.contains("Generate"), s"scoring must not explode tokens:\n$qc")
+    // anchor_text: the rank<=5 filter must ride the native GroupTopK
+    // heap plan, not a per-domain window sort
+    val at = plan("anchor_text")
+    assert(at.contains("GroupTopK"), s"anchor_text missed the rewrite:\n$at")
+    assert(!at.contains("Window"), s"anchor_text kept its window:\n$at")
+    // zorder_layout: one agg pair on file_id after map-side key math —
+    // the Morton key must not force extra exchanges
+    val zl = plan("zorder_layout")
+    assert(countOf(zl, "+- Exchange") <= 2, s"zorder grew a shuffle:\n$zl")
+    assert(zl.contains("partial_count"), s"zorder must partial-agg:\n$zl")
+  }
+
   test("sweep: no query plans a single-partition funnel or cartesian product") {
     // the serial batch_pack is the documented exception (semantic spec
     // for its sharded twin); everything else must keep table-sized data
