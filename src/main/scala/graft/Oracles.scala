@@ -2517,6 +2517,112 @@ object Oracles {
          |       max(xb) - min(xb) + 1 AS x_span,
          |       max(yb) - min(yb) + 1 AS y_span
          |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
-    }
+    },
+
+    // Length-grouped batching — mirrors Packing.paddingBatches:
+    // 16-token bands, 8-doc batches in doc_id order, padding waste in
+    // basis points. sum() widens to HUGEINT in DuckDB → cast back.
+    "padding_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+        |              ELSE len(string_split(coalesce(text, ''), ' ')) END AS nt
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(nt AS INT) AS nt, nt // 16 AS band
+        |      FROM t WHERE nt > 0),
+        |r AS (SELECT band, nt,
+        |        (row_number() OVER (PARTITION BY band ORDER BY doc_id) - 1) // 8
+        |          AS batch_id
+        |      FROM b),
+        |g AS (SELECT band, batch_id, count(*) AS n_docs,
+        |        CAST(max(nt) AS INT) AS max_tokens,
+        |        CAST(sum(nt) AS BIGINT) AS sum_tokens
+        |      FROM r GROUP BY ALL)
+        |SELECT band, batch_id, n_docs, max_tokens, sum_tokens,
+        |       CAST(max_tokens * n_docs AS BIGINT) AS padded_tokens,
+        |       CAST((10000 * (max_tokens * n_docs - sum_tokens))
+        |            // (max_tokens * n_docs) AS BIGINT) AS waste_bp
+        |FROM g ORDER BY band, batch_id""".stripMargin,
+
+    // Reciprocal-rank fusion — mirrors TfIdf.rrfFusion: the
+    // tfidf_search and knn_brute top-5 lists full-outer-joined per
+    // (qid, candidate); contribution = 1000000 // (60 + rank).
+    "rrf_fusion" -> {
+      val vecP =
+        """p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+          |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          |      WHERE q.vec_id < 16)""".stripMargin
+      s"""WITH w0 AS (
+         |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+         |  FROM documents),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w0
+         |       WHERE length(word) > 0 GROUP BY ALL),
+         |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |posts AS (SELECT word, doc_id,
+         |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT) AS w
+         |  FROM tf JOIN dfq USING (word) CROSS JOIN nn),
+         |norms AS (SELECT doc_id, sum(w*w) AS nsq FROM posts GROUP BY doc_id),
+         |lpairs AS (SELECT q.doc_id AS qid, c.doc_id AS did,
+         |             sum(q.w * c.w) AS num
+         |           FROM posts q JOIN posts c
+         |             ON q.word = c.word AND q.doc_id < 16 AND q.doc_id <> c.doc_id
+         |           GROUP BY ALL),
+         |ls AS (SELECT qid, did,
+         |         round(num / (sqrt(nq.nsq) * sqrt(nd.nsq)), 4) AS cos
+         |       FROM lpairs JOIN norms nq ON nq.doc_id = qid
+         |                   JOIN norms nd ON nd.doc_id = did),
+         |lex AS (SELECT qid, did AS cand, lex_rank FROM (
+         |  SELECT qid, did, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, did) AS INT) AS lex_rank
+         |  FROM ls) WHERE lex_rank <= 5),
+         |${cosineFrom(vecP, "")},
+         |vec AS (SELECT qid, cid AS cand, vec_rank FROM (
+         |  SELECT qid, cid, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, cid) AS INT) AS vec_rank
+         |  FROM s) WHERE vec_rank <= 5),
+         |f AS (SELECT coalesce(l.qid, v.qid) AS qid,
+         |             coalesce(l.cand, v.cand) AS cand,
+         |             l.lex_rank, v.vec_rank
+         |      FROM lex l FULL OUTER JOIN vec v
+         |        ON l.qid = v.qid AND l.cand = v.cand),
+         |g AS (SELECT qid, cand, lex_rank, vec_rank,
+         |        CAST(coalesce(1000000 // (60 + lex_rank), 0)
+         |           + coalesce(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf
+         |      FROM f),
+         |rr AS (SELECT qid, cand, rrf, lex_rank, vec_rank,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY rrf DESC, cand) AS INT) AS rank
+         |       FROM g)
+         |SELECT qid, rank, cand, rrf, lex_rank, vec_rank FROM rr
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    // Data-quality expectations — mirrors Observability.expectations:
+    // one conditional-aggregation pass, six rules, violation rate in
+    // basis points.
+    "expectations" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_tax = 0.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v5
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT 'quantity_in_1_50' AS rule, n_rows, v0 AS n_violations FROM a
+        |  UNION ALL SELECT 'discount_in_0_10pct', n_rows, v1 FROM a
+        |  UNION ALL SELECT 'shipdate_not_null', n_rows, v2 FROM a
+        |  UNION ALL SELECT 'returnflag_in_domain', n_rows, v3 FROM a
+        |  UNION ALL SELECT 'price_positive', n_rows, v4 FROM a
+        |  UNION ALL SELECT 'tax_is_zero', n_rows, v5 FROM a)
+        |SELECT rule, n_rows, n_violations,
+        |       CAST((10000 * n_violations) // n_rows AS BIGINT) AS violation_bp,
+        |       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM u ORDER BY rule""".stripMargin
   )
 }

@@ -237,7 +237,10 @@ object SparkEntry {
     "token_chunk"        -> (Chunker.tokenChunk _),
     "quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "anchor_text"        -> (Urls.anchorText _),
-    "zorder_layout"      -> (Layout.zorderLayout _)
+    "zorder_layout"      -> (Layout.zorderLayout _),
+    "padding_batches"    -> (Packing.paddingBatches _),
+    "rrf_fusion"         -> (TfIdf.rrfFusion _),
+    "expectations"       -> (Observability.expectations _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

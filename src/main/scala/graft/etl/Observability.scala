@@ -53,4 +53,42 @@ object Observability {
     }.reduce(_ unionByName _)
       .orderBy("column_name")
   }
+
+  /** Rule-driven data-quality expectations (the Deequ/Great-
+    * Expectations pattern): every rule is a boolean Column compiled
+    * into ONE conditional aggregation pass — a single scan of the
+    * fact table produces every rule's violation count (versus one
+    * scan per rule: the profiler's per-column trick is wrong here
+    * because rules share columns). The 1-row aggregate is then
+    * exploded into the per-rule report — driver-side work on 6
+    * values, not data. At 100 TB this is the ingest gate that runs
+    * INSIDE the first pass over a new drop; adding a rule costs one
+    * more sum(when(..)), never another scan.
+    */
+  def expectations(spark: SparkSession, dir: String): DataFrame = {
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "quantity_in_1_50" -> col("l_quantity").between(1, 50),
+      "discount_in_0_10pct" -> col("l_discount").between(0.0, 0.1),
+      "shipdate_not_null" -> col("l_shipdate").isNotNull,
+      "returnflag_in_domain" -> col("l_returnflag").isin("A", "N", "R"),
+      "price_positive" -> (col("l_extendedprice") > 0),
+      // deliberately failing rule: TPC-H tax is 0-8%, so this reports
+      // a real violation rate (the report must prove it can say no)
+      "tax_is_zero" -> (col("l_tax") === 0.0))
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.zipWithIndex.map { case ((_, ok), i) =>
+        sum(when(!coalesce(ok, lit(false)), 1L).otherwise(0L)).as(s"v$i")
+      }
+    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val report = explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"v$i").as("n_violations"))
+    }: _*)).as("r")
+    one.select(col("n_rows"), report)
+      .select(col("r.rule").as("rule"), col("n_rows"),
+        col("r.n_violations").as("n_violations"))
+      .withColumn("violation_bp", expr("(10000 * n_violations) div n_rows"))
+      .withColumn("status",
+        when(col("n_violations") === 0, lit("pass")).otherwise(lit("fail")))
+      .orderBy("rule")
+  }
 }

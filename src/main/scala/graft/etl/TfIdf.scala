@@ -121,6 +121,40 @@ object TfIdf {
       .orderBy("doc_id", "rn")
   }
 
+  /** Reciprocal-rank fusion of the lexical and vector retrieval tiers —
+    * the standard hybrid-search combiner (RRF, Cormack et al.): each
+    * ranked list contributes 1/(60+rank) for its candidates and the
+    * fused ranking orders by the sum. Here the two tiers are
+    * [[tfidfSearch]] (sparse lexical top-5) and
+    * [[graft.etl.Similarity.knnBrute]] (dense embedding top-5) over
+    * the same qid<16 query block; contributions are scaled to exact
+    * integers (1000000 div (60+rank)) so the fusion is engine-exact.
+    * A candidate present in only one list keeps the other tier's
+    * contribution at 0 (full outer join) — RRF's defining property.
+    *
+    * Scale posture: fusion runs on the RESULTS of the two retrievers
+    * (k rows per query each), never on their inputs — the join is
+    * top-k-sized regardless of corpus size; both upstream plans keep
+    * their own verified shapes.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val lex = tfidfSearch(spark, dir)
+      .select(col("qid"), col("did").as("cand"), col("rank").as("lex_rank"))
+    val vec = Similarity.knnBrute(spark, dir)
+      .select(col("qid"), col("cid").as("cand"), col("rank").as("vec_rank"))
+    val fused = lex.join(vec, Seq("qid", "cand"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("cand").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("cand"), col("rrf"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Edit-distance fuzzy matching on short strings (customer names in a
     * bounded block): levenshtein is integer-exact in both engines. The
     * scale form blocks by length band / prefix before the quadratic

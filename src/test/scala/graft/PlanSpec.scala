@@ -359,6 +359,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val zl = plan("zorder_layout")
     assert(countOf(zl, "+- Exchange") <= 2, s"zorder grew a shuffle:\n$zl")
     assert(zl.contains("partial_count"), s"zorder must partial-agg:\n$zl")
+    // expectations: all six rules must compile into ONE scan of
+    // lineitem — adding a rule may never add a scan
+    val ex = plan("expectations")
+    assert(countOf(ex, "Scan parquet") == 2, // tree + detail section
+      s"expectations must scan lineitem exactly once:\n$ex")
+    assert(ex.contains("partial_count"), s"rules must partial-agg:\n$ex")
+    // padding_batches: band-partitioned window + keyed agg + output
+    // sort — three exchanges, none single-partition (sweep enforces)
+    val pb = plan("padding_batches")
+    assert(countOf(pb, "+- Exchange") <= 3, s"padding_batches grew a shuffle:\n$pb")
+    // rrf_fusion: every rank<=k filter (both retriever tiers and the
+    // fused ranking) rides the GroupTopK heap plan
+    val rf = plan("rrf_fusion")
+    assert(rf.contains("GroupTopK"), s"rrf_fusion missed the rewrite:\n$rf")
+    assert(!rf.contains("CartesianProduct"), rf)
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
