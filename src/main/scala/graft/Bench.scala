@@ -32,33 +32,52 @@ object Bench {
       Tables.names.foreach(t => Tables(spark, sfDir, t).count())
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
+    // Release EVERYTHING a query may have pinned in the block manager:
+    // clearCache() only empties the SQL CacheManager (Dataset.persist/
+    // cache); `localCheckpoint()` blocks — the fixpoint queries' lineage
+    // rule — live at the RDD level and survive it. Without this scrub
+    // the 167-query loop accumulates checkpoint blocks, and queries that
+    // happen to run after the crawl/dedup fixpoints (alphabetically:
+    // cube_sales right after crawl_*) recorded 20×-steady-state spikes
+    // in BENCH_r05 from the resulting memory/GC pressure.
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
     // One warm execution per query, then the timed run: the first
     // execution pays Janino/JIT compilation of the generated code
     // (measured 5-30s spikes vs 0.5-1.5s steady state) — compile cost,
-    // not query throughput. Timed value = steady-state wall seconds.
+    // not query throughput. Timed value = steady-state wall seconds;
+    // the cold (first-rep) seconds are kept as a separate map in the
+    // file output so regressions in compile cost stay visible too.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      scrub()
+      val c0 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
+      val cold = (System.nanoTime() - c0) / 1e9
       // best-of-2 timed runs: single-run numbers swing 2-3× from GC /
       // scheduler noise at sf0.1; the min is the honest steady-state
       // (both runs do full noop-sink materialization)
       val dt = (1 to 2).map { _ =>
-        spark.catalog.clearCache() // queries may persist() internally
+        scrub() // each rep pays its own persists — honest timing
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }.min
-      spark.catalog.clearCache()
-      name -> dt
+      scrub()
+      (name, dt, cold)
     }
     // 3-decimal (millisecond) precision: full-precision doubles made the
     // 97-query line ~5 KB, which overflowed the driver's stdout tail
     // capture and left BENCH_r02's `parsed` null. ~2.5 KB fits.
     def fmt(v: Double): String =
       java.math.BigDecimal.valueOf(v).setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val colds = results.map { case (k, _, c) => s"\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold":$colds,"sf":"$sfDir"}"""
     println(json)
     // Land the full line in a file: the driver's stdout capture keeps
     // only the LAST ~2000 chars (measured from its round-3 artifact),
@@ -71,7 +90,7 @@ object Bench {
     // holds one complete parseable JSON object (slowest 8 stand in for
     // the full per-query map, which lives in the file above).
     val slowest = results.sortBy(-_._2).take(8)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()

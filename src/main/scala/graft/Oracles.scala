@@ -2374,7 +2374,7 @@ object Oracles {
         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY du, k) AS rk
         |  FROM d) WHERE rk = 1),
         |adc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |          sum(q.du) AS adist_units
+        |          CAST(sum(q.du) AS BIGINT) AS adist_units
         |        FROM codes c JOIN d q
         |          ON q.m = c.m AND q.k = c.code
         |         AND q.vec_id < 16 AND q.vec_id <> c.vec_id
@@ -2430,6 +2430,89 @@ object Oracles {
         |          ORDER BY dist_units, cid) AS INT) AS rank
         |      FROM de)
         |SELECT qid, rank, cid, dist_units FROM r WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    // PQ with TRAINED codebooks (2 medoid-Lloyd rounds, codebook seeded
+    // from the query-DISJOINT vec_id∈[16,32) slice) — mirrors
+    // Similarity.knnPqTrained. All distances exact BIGINT over
+    // 1e-3-quantized elements; the Lloyd means use floor-division
+    // integer math whose numerator (s − pmod(s,n)) is exactly
+    // divisible, so DuckDB `//` and Spark `div` agree for any sign;
+    // the medoid (argmin member distance to that mean, ties to low
+    // vec_id) keeps every codeword an exact corpus subvector.
+    "knn_pq_trained" ->
+      """WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+        |dims AS (SELECT unnest(range(16)) AS dim),
+        |x AS (SELECT e.vec_id, ms.m, dims.dim,
+        |        CAST(round(CAST(e.embedding[ms.m*16 + dims.dim + 1] AS DOUBLE) * 1000) AS BIGINT) AS x
+        |      FROM embeddings e CROSS JOIN ms CROSS JOIN dims),
+        |cb0 AS (SELECT m, vec_id - 16 AS k, dim, x AS c
+        |        FROM x WHERE vec_id >= 16 AND vec_id < 32),
+        |d0 AS (SELECT x.vec_id, x.m, cb0.k,
+        |         CAST(sum((x.x - cb0.c)*(x.x - cb0.c)) AS BIGINT) AS du
+        |       FROM x JOIN cb0 ON cb0.m = x.m AND cb0.dim = x.dim
+        |       GROUP BY ALL),
+        |a0 AS (SELECT vec_id, m, k AS code FROM (
+        |  SELECT vec_id, m, k,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY du, k) AS rk
+        |  FROM d0) WHERE rk = 1),
+        |mn0 AS (SELECT a0.m, a0.code, x.dim,
+        |          CAST((sum(x.x) - (((sum(x.x) % count(*)) + count(*)) % count(*)))
+        |            // count(*) AS BIGINT) AS c
+        |        FROM a0 JOIN x ON x.vec_id = a0.vec_id AND x.m = a0.m
+        |        GROUP BY ALL),
+        |md0 AS (SELECT m, code, vec_id AS mvid FROM (
+        |  SELECT x.m, a0.code, x.vec_id,
+        |    row_number() OVER (PARTITION BY x.m, a0.code
+        |      ORDER BY sum((x.x - mn0.c)*(x.x - mn0.c)), x.vec_id) AS rk
+        |  FROM a0
+        |  JOIN x ON x.vec_id = a0.vec_id AND x.m = a0.m
+        |  JOIN mn0 ON mn0.m = x.m AND mn0.code = a0.code AND mn0.dim = x.dim
+        |  GROUP BY x.m, a0.code, x.vec_id) WHERE rk = 1),
+        |cb1 AS (SELECT md0.m, md0.code AS k, x.dim, x.x AS c
+        |        FROM md0 JOIN x ON x.vec_id = md0.mvid AND x.m = md0.m),
+        |d1 AS (SELECT x.vec_id, x.m, cb1.k,
+        |         CAST(sum((x.x - cb1.c)*(x.x - cb1.c)) AS BIGINT) AS du
+        |       FROM x JOIN cb1 ON cb1.m = x.m AND cb1.dim = x.dim
+        |       GROUP BY ALL),
+        |a1 AS (SELECT vec_id, m, k AS code FROM (
+        |  SELECT vec_id, m, k,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY du, k) AS rk
+        |  FROM d1) WHERE rk = 1),
+        |mn1 AS (SELECT a1.m, a1.code, x.dim,
+        |          CAST((sum(x.x) - (((sum(x.x) % count(*)) + count(*)) % count(*)))
+        |            // count(*) AS BIGINT) AS c
+        |        FROM a1 JOIN x ON x.vec_id = a1.vec_id AND x.m = a1.m
+        |        GROUP BY ALL),
+        |md1 AS (SELECT m, code, vec_id AS mvid FROM (
+        |  SELECT x.m, a1.code, x.vec_id,
+        |    row_number() OVER (PARTITION BY x.m, a1.code
+        |      ORDER BY sum((x.x - mn1.c)*(x.x - mn1.c)), x.vec_id) AS rk
+        |  FROM a1
+        |  JOIN x ON x.vec_id = a1.vec_id AND x.m = a1.m
+        |  JOIN mn1 ON mn1.m = x.m AND mn1.code = a1.code AND mn1.dim = x.dim
+        |  GROUP BY x.m, a1.code, x.vec_id) WHERE rk = 1),
+        |cb2 AS (SELECT md1.m, md1.code AS k, x.dim, x.x AS c
+        |        FROM md1 JOIN x ON x.vec_id = md1.mvid AND x.m = md1.m),
+        |d2 AS (SELECT x.vec_id, x.m, cb2.k,
+        |         CAST(sum((x.x - cb2.c)*(x.x - cb2.c)) AS BIGINT) AS du
+        |       FROM x JOIN cb2 ON cb2.m = x.m AND cb2.dim = x.dim
+        |       GROUP BY ALL),
+        |codes AS (SELECT vec_id, m, k AS code FROM (
+        |  SELECT vec_id, m, k,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY du, k) AS rk
+        |  FROM d2) WHERE rk = 1),
+        |adc AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |          CAST(sum(q.du) AS BIGINT) AS adist_units
+        |        FROM codes c JOIN d2 q
+        |          ON q.m = c.m AND q.k = c.code
+        |         AND q.vec_id < 16 AND q.vec_id <> c.vec_id
+        |        GROUP BY ALL),
+        |r AS (SELECT qid, cid, adist_units,
+        |        CAST(row_number() OVER (PARTITION BY qid
+        |          ORDER BY adist_units, cid) AS INT) AS rank
+        |      FROM adc)
+        |SELECT qid, rank, cid, adist_units FROM r WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
 
     // Concat-and-split sequence packing — mirrors Packing.packSequences:

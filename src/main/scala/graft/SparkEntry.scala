@@ -212,6 +212,7 @@ object SparkEntry {
     "dedup_canonical"       -> ((s: SparkSession, d: String) => Dedup.dedupCanonical(s, d)),
     "scd2_lookup"           -> (Changelog.scd2Lookup _),
     "knn_ivf_trained"       -> (Similarity.knnIvfTrained _),
+    "knn_pq_trained"        -> (Similarity.knnPqTrained _),
     "latency_percentiles"   -> (Events.latencyPercentiles _),
     "outlier_mad"           -> (Events.outlierMad _),
     // KLL-sketch tier: rows-only (sketch internals differ per engine);

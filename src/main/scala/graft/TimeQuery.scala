@@ -21,6 +21,9 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     for (i <- 1 to reps) {
+      // same scrub as Bench: SQL cache + RDD-level localCheckpoint blocks
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       // noop sink, not count(): count lets Catalyst prune all columns and
       // drop sorts, under-measuring map-only queries (see Bench.materialize).

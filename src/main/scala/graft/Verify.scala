@@ -31,7 +31,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // queries may persist() internally
+      finally {
+        // clearCache() empties only the SQL CacheManager; localCheckpoint()
+        // blocks (the fixpoint queries' lineage rule) persist at the RDD
+        // level and would accumulate across the 167-query loop otherwise.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -503,6 +503,167 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** PQ with per-subspace TRAINED codebooks — the missing train half of
+    * [[knnPq]], mirroring how [[knnIvfTrained]] upgraded [[knnIvf]]:
+    * two medoid-Lloyd rounds refine each subspace's K=16 codebook
+    * (assign every subvector to its nearest codeword; replace each
+    * codeword with the member subvector closest to the cluster's
+    * integer mean), then the re-encoded codes serve the same ADC scan.
+    *
+    * TRAIN/QUERY SEPARATION — and why this tier does NOT chase
+    * [[knnPq]]'s recall number: the seed tier's codebook is the
+    * vec_id<16 slice, which IS the query slice, so a true neighbor of
+    * q tends to encode to q's own codeword and its ADC distance
+    * collapses to ~0 — a query-coincidence artifact worth 22/80 recall
+    * on this corpus. The measured sweep (sf0.001, exact-L2 truth):
+    * seeds==queries → 22/80 (training it: 19-20); ANY disjoint K=16
+    * seeding → 5-7/80, training +1..+2. Production never trains on
+    * the query set, so this tier seeds from the DISJOINT vec_id∈[16,32)
+    * slice; SimilaritySpec pins the honest invariants — each medoid
+    * round weakly decreases total quantization SSE (theorem: both the
+    * assign and medoid steps minimize SSE given the other), and the
+    * trained codes never lose ADC recall vs the same-seeded untrained
+    * codebook.
+    *
+    * Determinism across engines: all distances stay exact BIGINT as in
+    * [[pqAdc]]; the Lloyd means use FLOOR-DIVISION INTEGER math —
+    * `(s - pmod(s, n)) div n` — whose numerator is exactly divisible
+    * by n, so truncating (Spark `div`, DuckDB `//`) and flooring
+    * division agree even for negative sums. The medoid (argmin member
+    * distance to that mean, ties to low vec_id) keeps every codeword
+    * an exact corpus point. No FP fold exists anywhere in train,
+    * encode, or scan.
+    *
+    * Scale posture: subvector table = 4 rows/vector, all codebook
+    * joins broadcast (M·K = 64 rows); the Lloyd update reduces to
+    * M·K·Sub = 1024 groups with map-side combine; the medoid argmin is
+    * a two-phase agg on (m, code); encode argmin is a two-phase agg on
+    * (vec_id, m). Each round costs two extra map-side passes + tiny
+    * shuffles over the corpus — no corpus-side sort or wide join.
+    */
+  def knnPqTrained(spark: SparkSession, dir: String): DataFrame =
+    pqTrainedAdc(spark, dir, seedLo = 16L, lloydRounds = 2)
+
+  private def pqSqdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Quantized subvector table (vec_id, m, xvec) — 4 rows per corpus
+    * vector, elements in integral 1e-3 units (see [[pqAdc]]).
+    */
+  private def pqSubv(spark: SparkSession, dir: String): DataFrame = {
+    val M = 4; val Sub = 16
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("bigint")).as("embq"))
+    val ms = array((0 until M).map(lit): _*)
+    e.withColumn("m", explode(ms))
+      .select(col("vec_id"), col("m"),
+        slice(col("embq"), col("m") * Sub + 1, lit(Sub)).as("xvec"))
+  }
+
+  /** Medoid-Lloyd-trained PQ codebook (cm, k, cvec), seeded from the K
+    * corpus subvectors at vec_id ∈ [seedLo, seedLo+K). Broadcastable
+    * by construction (M·K rows).
+    */
+  private def pqTrainedCodebook(subv: DataFrame,
+      seedLo: Long, lloydRounds: Int): DataFrame = {
+    val K = 16
+    def sqdist = pqSqdist _
+    var cbT = broadcast(subv
+      .filter(col("vec_id") >= seedLo && col("vec_id") < seedLo + K)
+      .select(col("m").as("cm"), (col("vec_id") - seedLo).as("k"),
+        col("xvec").as("cvec")))
+    for (_ <- 1 to lloydRounds) {
+      // assignment: argmin sub-L2² per (vec_id, m), ties to low k
+      val a = subv.join(cbT, col("cm") === col("m"))
+        .withColumn("du", sqdist(col("xvec"), col("cvec")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("du"), col("k"))).as("mn"))
+        .select(col("vec_id"), col("m"), col("mn.k").as("code"))
+      // Lloyd update, MEDOID flavor: per (m, code) the new codeword is
+      // the member subvector closest to the cluster's floor-div integer
+      // mean (ties to low vec_id). Plain means shrink every codeword
+      // toward the corpus centroid — on this near-isotropic corpus that
+      // collapses the ADC dynamic range and LOSES recall (measured
+      // 22→20/80 after one mean round); medoids re-center the cells
+      // while keeping codewords real corpus points, preserving spread.
+      val mean = subv.join(a, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("xvec")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("code"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", expr("(s - pmod(s, n)) div n"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("mvec"))
+      val medoid = subv.join(a, Seq("vec_id", "m"))
+        .join(broadcast(mean), Seq("m", "code"))
+        .withColumn("dm", sqdist(col("xvec"), col("mvec")))
+        .groupBy(col("m"), col("code"))
+        .agg(min(struct(col("dm"), col("vec_id"))).as("md"))
+        .select(col("m"), col("code"), col("md.vec_id").as("mvid"))
+      cbT = broadcast(medoid
+        .join(subv.select(col("vec_id").as("mvid"), col("m"), col("xvec")),
+          Seq("mvid", "m"))
+        .select(col("m").as("cm"), col("code").as("k"), col("xvec").as("cvec")))
+    }
+    cbT
+  }
+
+  /** Total quantization SSE (1e-6 units) of the corpus under the
+    * trained codebook: Σ over (vec_id, m) of min_k ‖x − c_k‖². Exact
+    * BIGINT. SimilaritySpec pins the medoid-Lloyd invariant — weakly
+    * decreasing in `lloydRounds` (both half-steps minimize SSE given
+    * the other: assignment by argmin, medoid = the SSE-minimizing
+    * member since Σ‖x−z‖² = n‖z−μ‖² + const).
+    */
+  private[graft] def pqQuantSse(spark: SparkSession, dir: String,
+      seedLo: Long, lloydRounds: Int): Long = {
+    val subv = pqSubv(spark, dir)
+    val cbT = pqTrainedCodebook(subv, seedLo, lloydRounds)
+    subv.join(cbT, col("cm") === col("m"))
+      .withColumn("du", pqSqdist(col("xvec"), col("cvec")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(col("du")).as("mn"))
+      .agg(sum(col("mn")).as("sse"))
+      .head.getLong(0)
+  }
+
+  /** Parametrized train→encode→ADC core for [[knnPqTrained]]:
+    * codebook seeded from the K corpus subvectors at
+    * vec_id ∈ [seedLo, seedLo+K), refined by `lloydRounds` medoid
+    * rounds, then the standard ADC scan for the vec_id<16 query slice.
+    * Seeding DISJOINT from the query slice (seedLo=16) is the honest
+    * production shape — training data never contains the queries.
+    */
+  private[graft] def pqTrainedAdc(spark: SparkSession, dir: String,
+      seedLo: Long, lloydRounds: Int): DataFrame = {
+    val subv = pqSubv(spark, dir)
+    val cbT = pqTrainedCodebook(subv, seedLo, lloydRounds)
+    // re-encode + query LUT + ADC under the trained codebook
+    val sub1 = subv.join(cbT, col("cm") === col("m"))
+      .withColumn("du", pqSqdist(col("xvec"), col("cvec")))
+      .select(col("vec_id"), col("m"), col("k"), col("du"))
+    val codes = sub1.groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("du"), col("k"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.k").as("code"))
+    val qlut = broadcast(sub1.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("m").as("qm"),
+        col("k").as("qk"), col("du").as("qdu")))
+    val adc = codes.join(qlut,
+        col("qm") === col("m") && col("qk") === col("code") &&
+          col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qdu")).as("adist_units"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist_units").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("cid"), col("adist_units"))
+      .orderBy("qid", "rank")
+  }
+
   /** Centroid summary per label: aggregate RAW norms (irrational values
     * → rounding-tie-free), round only at the output surface.
     */
