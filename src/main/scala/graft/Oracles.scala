@@ -10,6 +10,25 @@ package graft
   *    → INT, integer sums → BIGINT: DuckDB widens to HUGEINT otherwise);
   *  - double aggregates rounded identically on both sides;
   *  - every query is totally ordered by a unique key.
+  *
+  * IMPOSSIBILITY NOTE — `minhash_fast` (and any fast-hash tier): a
+  * direct value oracle requires a hash BOTH engines compute
+  * bit-identically. The engines' overlap is exactly the MessageDigest
+  * family (md5/sha), which is what the verified `minhash_signature` /
+  * `minhash_lsh` tier uses; every FAST 64-bit family (Spark xxhash64,
+  * murmur3 `hash`) has no DuckDB implementation, and DuckDB's own
+  * `hash()` has no Spark twin. Nor is there a checkable projection:
+  * the min-hash argmin depends on the hash family, so the fast tier's
+  * signatures, band keys, and candidate set all genuinely differ from
+  * the md5 tier's (no containment theorem exists), and the test corpus
+  * contains no identical-shingle-set pairs, so the family-independent
+  * recall-1 subset (exact dups) is empty here. The tier is instead
+  * verified in layers: the signature/banding machinery is ONE shared
+  * parametrized implementation (Dedup.minhashSignatureWith /
+  * lshPairsWith) whose md5 instantiation IS oracle-verified — the fast
+  * tier swaps only the built-in hash primitive — and InvariantSpec
+  * cross-checks in-engine that both tiers recover every
+  * exact-duplicate pair on a corpus constructed to contain them.
   */
 object Oracles {
 

@@ -72,10 +72,21 @@ object Dedup {
     * array n times.
     */
   def minhashSignature(docs: DataFrame,
-      numHashes: Int = TestNumHashes): DataFrame = {
+      numHashes: Int = TestNumHashes): DataFrame =
+    minhashSignatureWith(docs, numHashes,
+      (i, s) => md5(concat(lit(s"seed$i:"), s)))
+
+  /** Shared signature core — ONE implementation for both hash tiers,
+    * parametrized ONLY by the seeded shingle-hash primitive. The md5
+    * instantiation is DuckDB-oracle-verified end to end, and because
+    * the fast tier runs this same machinery with just the primitive
+    * swapped (a Spark built-in), the oracle structurally covers
+    * everything except the primitive itself.
+    */
+  private def minhashSignatureWith(docs: DataFrame, numHashes: Int,
+      hash: (Int, Column) => Column): DataFrame = {
     val cols = (0 until numHashes).map { i =>
-      array_min(transform(col("__sh"), s => md5(concat(lit(s"seed$i:"), s))))
-        .as(s"mh_$i")
+      array_min(transform(col("__sh"), s => hash(i, s))).as(s"mh_$i")
     }
     docs.select(col("doc_id"), Shingles.shingleArray(col("text"), 3).as("__sh"))
       .filter(size(col("__sh")) > 0)
@@ -88,25 +99,25 @@ object Dedup {
       .select(col("doc_id"), col("mh_0"), col("mh_1"), col("mh_7"))
       .orderBy("doc_id")
 
-  /** PRODUCTION-SPEED signatures: identical plan to [[minhashSignature]]
-    * with xxhash64 (codegen'd native longs) in place of md5 (MessageDigest
-    * + hex strings). md5 exists only because the DuckDB oracle can
-    * reproduce it bit-for-bit; xxhash64 has no DuckDB twin, so this
-    * variant is driver-checked rows-only and CROSS-checked in-engine:
-    * InvariantSpec proves both LSH variants recover every exact-duplicate
-    * pair (identical shingle sets ⇒ identical signatures under ANY hash,
-    * so exact dups are recall-1 candidates for both).
+  /** PRODUCTION-SPEED signatures: THE SAME [[minhashSignatureWith]]
+    * machinery as [[minhashSignature]] with xxhash64 (codegen'd native
+    * longs) plugged in for md5 (MessageDigest + hex strings). md5
+    * exists only because the DuckDB oracle can reproduce it
+    * bit-for-bit; xxhash64 (like every fast 64-bit family — murmur3,
+    * crc-combining) has NO DuckDB twin, so a direct value oracle for
+    * this tier is impossible — see the impossibility note in
+    * [[graft.Oracles]]' scaladoc. Verification is therefore layered:
+    * (1) the shared core is oracle-verified through its md5
+    * instantiation (only the hash primitive differs, and that is a
+    * Spark built-in), and (2) InvariantSpec cross-checks the
+    * composition in-engine: both LSH tiers recover every
+    * exact-duplicate pair (identical shingle sets ⇒ identical
+    * signatures under ANY hash ⇒ recall-1 candidates).
     */
   def minhashSignatureFast(docs: DataFrame,
-      numHashes: Int = TestNumHashes): DataFrame = {
-    val cols = (0 until numHashes).map { i =>
-      array_min(transform(col("__sh"), s => xxhash64(lit(s"seed$i:"), s)))
-        .as(s"mh_$i")
-    }
-    docs.select(col("doc_id"), Shingles.shingleArray(col("text"), 3).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col("doc_id") +: cols: _*)
-  }
+      numHashes: Int = TestNumHashes): DataFrame =
+    minhashSignatureWith(docs, numHashes,
+      (i, s) => xxhash64(lit(s"seed$i:"), s))
 
   def minhashFastQuery(spark: SparkSession, dir: String): DataFrame =
     minhashSignatureFast(
@@ -114,16 +125,29 @@ object Dedup {
       .select(col("doc_id"), col("mh_0"), col("mh_1"), col("mh_7"))
       .orderBy("doc_id")
 
-  /** LSH banding over the fast signatures (same banding as [[minhashLsh]];
-    * band key = xxhash64 of the slots instead of md5).
+  /** LSH banding over the fast signatures — the same [[lshPairsWith]]
+    * core as [[minhashLsh]]; band key = xxhash64 of the slots instead
+    * of md5 (same verification layering as [[minhashSignatureFast]]).
     */
   def minhashLshFast(docs: DataFrame, numHashes: Int = TestNumHashes,
-      bandSize: Int = TestBandSize): DataFrame = {
+      bandSize: Int = TestBandSize): DataFrame =
+    lshPairsWith(minhashSignatureFast(docs, numHashes), numHashes, bandSize,
+      slots => xxhash64(slots: _*))
+
+  /** Shared banding core for both hash tiers: band key = `bandKey` of
+    * the band's signature slots; candidate pairs = docs sharing any
+    * band key (distinct a<b pairs). The self-join is per-bucket — the
+    * O(n²) blowup only happens inside a bucket, which is the entire
+    * point of LSH at scale. The banded table is materialized once so
+    * both sides of the self-join read the cache instead of re-deriving
+    * the signature pipeline.
+    */
+  private def lshPairsWith(sig: DataFrame, numHashes: Int, bandSize: Int,
+      bandKey: Seq[Column] => Column): DataFrame = {
     require(numHashes % bandSize == 0, "bands must tile the signature")
-    val sig = minhashSignatureFast(docs, numHashes)
     val bandCols = (0 until numHashes / bandSize).map { b =>
       val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
-      struct(lit(b).as("band"), xxhash64(slots: _*).as("bkey"))
+      struct(lit(b).as("band"), bandKey(slots).as("bkey"))
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
@@ -148,25 +172,9 @@ object Dedup {
       numHashes, bandSize)
 
   def minhashLshFrom(docs: DataFrame,
-      numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame = {
-    require(numHashes % bandSize == 0, "bands must tile the signature")
-    val sig = minhashSignature(docs, numHashes)
-    val bandCols = (0 until numHashes / bandSize).map { b =>
-      val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bkey"))
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      // materialize once: both sides of the self-join read the cache
-      // instead of re-deriving the md5 signature pipeline
-      .persist()
-    val pairs = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    pairs.orderBy("doc_a", "doc_b")
-  }
+      numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame =
+    lshPairsWith(minhashSignature(docs, numHashes), numHashes, bandSize,
+      slots => md5(concat_ws("|", slots: _*)))
 
   /** INCREMENTAL near-dup: a new batch against the existing corpus —
     * the shape production dedup actually runs (nobody re-pairs 100 TB
