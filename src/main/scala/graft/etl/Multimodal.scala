@@ -54,19 +54,43 @@ object Multimodal {
       .otherwise("unknown")
   }
 
-  /** S9 PDF source, extraction stage: payloads routed here by
-    * [[mediaKind]] == "pdf" get a text column + page count. The
-    * extractor body is the per-partition swap point (a real deployment
-    * binds a PDF library there — none exists in this sandbox), so like
-    * [[withDecodedStub]] it emits DETERMINISTIC pseudo-text derived
-    * from the payload bytes; everything downstream (chunking, scoring,
-    * landing) is the real pipeline and is what the test exercises.
+  /** S9 PDF source, extraction stage (ORACLE surface): payloads routed
+    * here by [[mediaKind]] == "pdf" get a text column + page count.
+    * This variant emits DETERMINISTIC pseudo-text derived from the
+    * payload bytes so the DuckDB oracle can reproduce it — the REAL
+    * extractor is [[withPdfText]] below (a DuckDB twin of a PDF parser
+    * does not exist, so the real path is spec-verified on fixture PDFs
+    * instead).
     */
   def withPdfTextStub(df: DataFrame, payload: Column): DataFrame =
     df.withColumn("pdf_pages",
         (length(payload) % 16 + 1).cast("int")) // STUB: real = page count
       .withColumn("pdf_text", // STUB: real = extracted text per page
         concat(lit("pdf text "), substring(hex(payload), 1, 48)))
+
+  /** S9 PDF source, REAL extraction: [[PdfText]] (pure-JVM parser —
+    * FlateDecode, page tree, Tj/TJ text operators) run per row,
+    * honoring the reference's max_pages=15 cap
+    * (config/limits.yaml:91-92). A UDF is the right tool here, not a
+    * deviation from the functions-first rule: a codec is imperative
+    * per-row byte work with no relational decomposition, the same
+    * category as the fetch transport — it runs inside the partition,
+    * never on the driver, and its output columns feed the normal
+    * relational pipeline (chunking, scoring, landing). FetchSpec
+    * drives it end-to-end: fixture bytes → fetchBinary → magic-byte
+    * route → pages+text → page store.
+    */
+  def withPdfText(df: DataFrame, payload: Column,
+      maxPages: Int = 15): DataFrame = {
+    val ex = udf((b: Array[Byte]) => {
+      val r = PdfText.extract(b, maxPages)
+      (r.pages, r.text)
+    })
+    df.withColumn("__pdf", ex(payload))
+      .withColumn("pdf_pages", col("__pdf._1"))
+      .withColumn("pdf_text", col("__pdf._2"))
+      .drop("__pdf")
+  }
 
   /** STUB decode: deterministic fake width/height/duration derived from
     * payload bytes (integer div/mod only — engine-exact). A real

@@ -125,4 +125,119 @@ class FetchSpec extends AnyFunSuite with SparkTestBase {
       && b.contains("extracted by playwright")))
     assert(bodies.exists(_.contains("engine: jina")))
   }
+
+  test("S9 real: fixture PDF bytes → pages → text rows → page store, cap enforced") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.etl.Sinks
+    val twoPage = PdfFixtures.makePdf(
+      Seq("Hello Spark PDF", "Second page text"), compress = true)
+    val plain = PdfFixtures.makePdf(Seq("Plain stream works"), compress = false)
+    val big = PdfFixtures.makePdf(
+      (1 to 20).map(i => s"PageMarker$i content"), compress = true)
+    object T extends BinaryTransport {
+      override def fetch(url: String): (String, Array[Byte]) =
+        if (url.endsWith("two.pdf")) ("ok", twoPage)
+        else if (url.endsWith("plain.pdf")) ("ok", plain)
+        else if (url.endsWith("big.pdf")) ("ok", big)
+        else ("ok", Array[Byte](1, 2, 3))
+    }
+    val assets = Sources.fetchBinary(
+      Seq("https://a.com/two.pdf", "https://a.com/plain.pdf",
+        "https://a.com/big.pdf", "https://a.com/x.bin").toDF("url"), T)
+      .withColumn("kind", Multimodal.mediaKind(col("payload")))
+    val pdfRows = Multimodal.withPdfText(
+      assets.filter(col("kind") === "pdf"), col("payload"))
+    val got = pdfRows.select("url", "pdf_pages", "pdf_text")
+      .as[(String, Int, String)].collect()
+      .map(r => r._1.split('/').last -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set("two.pdf", "plain.pdf", "big.pdf"))
+    assert(got("two.pdf") == ((2, "Hello Spark PDF\n\nSecond page text")))
+    assert(got("plain.pdf") == ((1, "Plain stream works")))
+    // the reference cap (config/limits.yaml:91-92): all 20 physical
+    // pages REPORTED, extraction stops at page 15
+    assert(got("big.pdf")._1 == 20)
+    assert(got("big.pdf")._2.contains("PageMarker15"))
+    assert(!got("big.pdf")._2.contains("PageMarker16"))
+    // land in the page store (K1) and read back
+    val d = Files.createTempDirectory("graft_pdfstore_").toString
+    Sinks.writePages(pdfRows.select(col("url"), lit("en").as("lang"),
+      col("pdf_pages"), col("pdf_text")), d)
+    val back = spark.read.parquet(d)
+    assert(back.count() == 3 && back.columns.contains("pdf_text"))
+  }
+
+  test("S9 real: string grammar (escapes, octal, hex, TJ) and garbage robustness") {
+    import graft.etl.PdfText
+    val content =
+      "BT [(A\\(b\\)) -120 ( c\\\\d)] TJ ET BT <48492121> Tj (oct\\101l) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >> stream\n" + content +
+      "\nendstream endobj\n" +
+      "trailer << /Root 1 0 R >>").getBytes("ISO-8859-1")
+    val r = PdfText.extract(pdf)
+    assert(r.pages == 1)
+    assert(r.text == "A(b) c\\d HI!! octAl")
+    // garbage in, empty out — never a throw (one bad asset must not
+    // kill a stage)
+    assert(PdfText.extract("not a pdf at all".getBytes("UTF-8"))
+      == PdfText.Extraction(0, ""))
+    assert(PdfText.extract(Array.empty[Byte]) == PdfText.Extraction(0, ""))
+    assert(PdfText.extract(null) == PdfText.Extraction(0, ""))
+    val truncated = java.util.Arrays.copyOf(pdf, pdf.length / 3)
+    assert(PdfText.extract(truncated).text == "") // no endobj reached
+  }
+}
+
+/** Builders for real (lexically valid, xref included) fixture PDFs:
+  * one page object + one /Contents stream per page, Flate-compressed
+  * or plain.
+  */
+object PdfFixtures {
+  import java.util.zip.Deflater
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+    d.end(); out.toByteArray
+  }
+
+  def makePdf(pageTexts: Seq[String], compress: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets += out.size(); w(s"$n 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    val nP = pageTexts.size
+    val kids = (0 until nP).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) { w(s"<< /Type /Pages /Kids [$kids] /Count $nP >>\n") }
+    pageTexts.zipWithIndex.foreach { case (t, i) =>
+      val pObj = 3 + 2 * i; val cObj = 4 + 2 * i
+      obj(pObj) { w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+        s" /Contents $cObj 0 R >>\n") }
+      val content = s"BT /F1 12 Tf 72 720 Td ($t) Tj ET"
+      val data =
+        if (compress) deflate(content.getBytes("ISO-8859-1"))
+        else content.getBytes("ISO-8859-1")
+      obj(cObj) {
+        w(s"<< /Length ${data.length}" +
+          s"${if (compress) " /Filter /FlateDecode" else ""} >>\nstream\n")
+        out.write(data); w("\nendstream\n")
+      }
+    }
+    val xrefOff = out.size()
+    w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
 }
