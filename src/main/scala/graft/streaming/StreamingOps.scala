@@ -134,6 +134,46 @@ object StreamingOps {
         })
   }
 
+  /** Streaming RRF fusion — the live twin of
+    * [[graft.etl.TfIdf.rrfFusion]]: ranked hits from the retrieval
+    * tiers (lexical, vector) arrive as a stream, and each query's
+    * fused leaderboard is maintained incrementally. Per-qid state is a
+    * cand → (best lex rank, best vec rank) map — bounded by tiers × k
+    * rows per query since each upstream retriever only ever emits its
+    * top-k, so state is O(queries × 2k) regardless of stream length.
+    * Each micro-batch merges its hits (min rank per tier wins, exactly
+    * the semantics of re-running the retriever) and re-emits the
+    * query's refreshed fused top-`k` in Update mode (downstream sinks
+    * upsert by (qid, rank)). Contributions use the same exact-integer
+    * `1000000 div (60 + rank)` as the batch operator, so a drained
+    * stream converges to the batch result bit-for-bit — StreamingSpec
+    * pins stream == batch on the sf0.001 corpus.
+    */
+  def streamingRrf(hits: Dataset[TierHit], k: Int = 5): Dataset[FusedHit] = {
+    import hits.sparkSession.implicits._
+    hits.groupByKey(_.qid)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (qid: Long, batch: Iterator[TierHit],
+            state: GroupState[Map[Long, (Option[Int], Option[Int])]]) => {
+          var m = state.getOption.getOrElse(Map.empty[Long, (Option[Int], Option[Int])])
+          batch.foreach { h =>
+            val (l, v) = m.getOrElse(h.cand, (None, None))
+            m = m.updated(h.cand,
+              if (h.tier == "lex")
+                (Some(l.fold(h.rank)(math.min(_, h.rank))), v)
+              else (l, Some(v.fold(h.rank)(math.min(_, h.rank)))))
+          }
+          state.update(m)
+          def contrib(r: Option[Int]): Long =
+            r.map(x => 1000000L / (60L + x)).getOrElse(0L)
+          m.toSeq.map { case (cand, (l, v)) => (cand, contrib(l) + contrib(v)) }
+            .sortBy { case (cand, rrf) => (-rrf, cand) }
+            .take(k).zipWithIndex
+            .map { case ((cand, rrf), i) => FusedHit(qid, i + 1, cand, rrf) }
+            .iterator
+        })
+  }
+
   /** Streaming IVM: the stateful twin of `Changelog.ivmUpdate`. A
     * keyed stream of signed deltas (+1/+cents insert, −1/−cents
     * retraction; update = retract+insert) maintained by an update-mode
@@ -202,6 +242,12 @@ case class ImageEvent(url: String, ts: Long, img: String)
 
 /** A scored item on the stream (key = group, e.g. lang or domain). */
 case class ScoredItem(key: String, id: Long, score: Long)
+
+/** A ranked retrieval hit arriving from one tier ("lex" | "vec"). */
+case class TierHit(qid: Long, cand: Long, tier: String, rank: Int)
+
+/** One row of a query's fused RRF leaderboard. */
+case class FusedHit(qid: Long, rank: Int, cand: Long, rrf: Long)
 
 /** A current leaderboard row emitted by [[StreamingOps.streamingTopK]]. */
 case class RankedItem(key: String, rn: Int, id: Long, score: Long)

@@ -292,4 +292,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(rows == Set(("click", 2L), ("view", 1L)))
     } finally q.stop()
   }
+
+  test("streaming RRF fusion converges to the batch rrf_fusion result") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{FusedHit, TierHit}
+    val dir = "/root/testdata/sf0.001"
+    // the two retrieval tiers' batch outputs become the live feed —
+    // lexical hits land in micro-batch 1, vector hits in micro-batch 2
+    val lexHits = graft.etl.TfIdf.tfidfSearch(spark, dir)
+      .select("qid", "did", "rank").as[(Long, Long, Int)].collect()
+      .map { case (q, c, r) => TierHit(q, c, "lex", r) }
+    val vecHits = graft.etl.Similarity.knnBrute(spark, dir)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect()
+      .map { case (q, c, r) => TierHit(q, c, "vec", r) }
+    val src = MemoryStream[TierHit]
+    val q = StreamingOps.streamingRrf(src.toDS())
+      .writeStream.format("memory").queryName("rrf_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(lexHits.toSeq: _*)
+      q.processAllAvailable()
+      src.addData(vecHits.toSeq: _*)
+      q.processAllAvailable()
+      val all = spark.table("rrf_t").as[FusedHit].collect()
+      // latest emission per (qid, rank) = the maintained leaderboard
+      val latest = all.zipWithIndex.groupBy(r => (r._1.qid, r._1.rank))
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }.toSet
+      val batch = graft.etl.TfIdf.rrfFusion(spark, dir)
+        .select("qid", "rank", "cand", "rrf")
+        .as[(Long, Int, Long, Long)].collect()
+        .map { case (qid, r, c, s) => FusedHit(qid, r, c, s) }.toSet
+      assert(latest == batch,
+        s"stream/batch drift: only-stream=${latest -- batch}, only-batch=${batch -- latest}")
+    } finally q.stop()
+  }
 }
