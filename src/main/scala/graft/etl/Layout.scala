@@ -50,6 +50,15 @@ object Layout {
     * row count and min/max envelope in BOTH dimensions. All integer
     * math (`ts` is BIGINT nanoseconds at read time; hours = µs div
     * 3.6e9); deterministic and oracle-exact.
+    *
+    * NONNEGATIVE-INPUT ASSUMPTION (cross-engine): Spark `pmod`/`div`
+    * (positive remainder / truncation) and the oracle's DuckDB `%`/`//`
+    * agree ONLY for nonnegative operands — a negative user_id or
+    * pre-epoch ts would diverge silently (pmod(-1,256)=255 vs
+    * -1%256=-1). Both columns are nonnegative by the corpus schema
+    * (ids and event timestamps); a deployment over signed keys must
+    * normalize first or mirror one engine's remainder convention on
+    * both sides.
     */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val codesPerFile = (1 << (2 * Bits)) / Files
