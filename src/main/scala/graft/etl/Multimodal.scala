@@ -92,6 +92,35 @@ object Multimodal {
       .drop("__pdf")
   }
 
+  /** X12 REAL image compression: [[ImageCodec]] (pure-JDK decode →
+    * aspect-preserving shrink-to-maxWidth → explicit-quality JPEG)
+    * run per row — the reference's compress-image.mjs:49-97 pipeline
+    * as a dataflow operator over payloads routed here by [[mediaKind]]
+    * ∈ {jpeg, png, gif}. Same UDF rationale as [[withPdfText]]: a
+    * codec is imperative per-row byte work with no relational
+    * decomposition; it runs inside the partition, and its output
+    * columns (dims, sizes, recompressed payload) feed the normal
+    * relational pipeline. ImageCodecSpec drives real fixture images
+    * (in-test ImageIO-rendered PNGs) end-to-end.
+    */
+  def withCompressedImage(df: DataFrame, payload: Column,
+      maxWidth: Int = 1280): DataFrame = {
+    val ex = udf((b: Array[Byte]) => {
+      val r = ImageCodec.compress(b, maxWidth)
+      (r.ok, r.origW, r.origH, r.outW, r.outH, r.origBytes, r.outBytes, r.jpeg)
+    })
+    df.withColumn("__img", ex(payload))
+      .withColumn("img_ok", col("__img._1"))
+      .withColumn("orig_w", col("__img._2"))
+      .withColumn("orig_h", col("__img._3"))
+      .withColumn("out_w", col("__img._4"))
+      .withColumn("out_h", col("__img._5"))
+      .withColumn("orig_bytes", col("__img._6"))
+      .withColumn("out_bytes", col("__img._7"))
+      .withColumn("jpeg", col("__img._8"))
+      .drop("__img")
+  }
+
   /** STUB decode: deterministic fake width/height/duration derived from
     * payload bytes (integer div/mod only — engine-exact). A real
     * deployment replaces ONLY this stage with a per-partition codec
