@@ -858,6 +858,36 @@ object Oracles {
          |WHERE (10000 * n_common) // (sa.n_sh + sb.n_sh - n_common) >= 150
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // exact duplicated-8-gram spans — mirrors Dedup.substringDedup:
+    // per doc, total 8-gram positions vs positions whose gram appears
+    // in another document, integer-basis-point fraction
+    "substring_dedup" ->
+      s"""WITH $WordsCte,
+         |g0 AS (SELECT doc_id, pos, word,
+         |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         |         lead(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
+         |         lead(word, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4,
+         |         lead(word, 5) OVER (PARTITION BY doc_id ORDER BY pos) AS w5,
+         |         lead(word, 6) OVER (PARTITION BY doc_id ORDER BY pos) AS w6,
+         |         lead(word, 7) OVER (PARTITION BY doc_id ORDER BY pos) AS w7
+         |       FROM words),
+         |g AS (SELECT doc_id,
+         |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+         |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS gram
+         |      FROM g0 WHERE w7 IS NOT NULL),
+         |d AS (SELECT gram FROM (
+         |        SELECT gram, count(DISTINCT doc_id) AS nd
+         |        FROM g GROUP BY gram) WHERE nd >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+         |dup AS (SELECT g.doc_id, count(*) AS nd
+         |        FROM g JOIN d USING (gram) GROUP BY g.doc_id)
+         |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+         |  CAST(coalesce(u.nd, 0) AS BIGINT) AS n_dup_grams,
+         |  CAST((10000 * coalesce(u.nd, 0)) // t.n_grams AS BIGINT) AS dup_bp
+         |FROM tot t LEFT JOIN dup u USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
     "simhash" ->
       s"""WITH $SimhashSigCte
          |SELECT doc_id, simhash16 FROM sigt ORDER BY doc_id""".stripMargin,

@@ -104,6 +104,7 @@ object SparkEntry {
     // this is rows-only at the driver; InvariantSpec cross-checks recall
     "minhash_fast"      -> (Dedup.minhashFastQuery _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
+    "substring_dedup"   -> (Dedup.substringDedup _),
     "simhash"           -> (Dedup.simhash _),
     "simhash_neardup"   -> (Dedup.simhashNearDup _),
     "decontaminate"     -> (Dedup.decontaminate _),

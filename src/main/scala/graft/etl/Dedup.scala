@@ -239,6 +239,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact duplicated-SPAN detection — the substring-dedup signal for
+    * training corpora (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": exact repeated spans across
+    * documents are the highest-precision dedup/boilerplate indicator;
+    * the paper's 50-token suffix-array spans become word-8-gram spans
+    * here). Per document: total 8-gram positions, positions whose gram
+    * also appears in ANOTHER document, and the duplicated fraction in
+    * integer basis points — the signal a pipeline thresholds to drop
+    * boilerplate-heavy docs or clip repeated spans.
+    *
+    * Scale posture — the sorted-ngram-table plan, no suffix array and
+    * NO pair join anywhere: one in-array shingle pass + explode, a
+    * gram-keyed two-phase agg to find cross-doc grams (distinct-doc
+    * count ≥ 2), one gram-keyed SEMI join back, and a doc-keyed agg.
+    * Every shuffle is keyed by gram or doc_id (high cardinality,
+    * distributes); cost is linear in corpus gram count regardless of
+    * how many documents share a span.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupFrom(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  def substringDedupFrom(docs: DataFrame): DataFrame = {
+    val grams = Shingles.wordShingles(docs, 8).select(col("doc_id"), col("shingle"))
+    val crossDoc = grams.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("shingle"))
+    val tot = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val dup = grams.join(crossDoc, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .withColumn("n_dup_grams", coalesce(col("nd"), lit(0L)))
+      .withColumn("dup_bp", expr("(10000 * n_dup_grams) div n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"), col("dup_bp"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram Jaccard similarity on a bounded candidate block (doc_id < 64
     * on both sides — fixed-size regardless of SF; production pairing
     * comes from minhashLsh candidates instead).

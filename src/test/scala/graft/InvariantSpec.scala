@@ -173,6 +173,22 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     assert(!xxPairs.exists(p => p._1 == 7L || p._2 == 7L))
   }
 
+  test("substring dedup: exact clones 100% duplicated, unique docs 0") {
+    import graft.etl.Dedup
+    val ten = (1 to 10).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      1L -> ten, 2L -> ten, // exact clones: every 8-gram shared
+      3L -> (1 to 10).map(i => s"only$i").mkString(" "), // fully unique
+      4L -> "too short to gram").toDF("doc_id", "text")
+    val got = Dedup.substringDedupFrom(docs)
+      .select("doc_id", "n_grams", "n_dup_grams", "dup_bp")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // <8 words: no gram positions
+    assert(got(1L) == ((1L, 3L, 3L, 10000L))) // 10 words -> 3 8-grams
+    assert(got(2L) == ((2L, 3L, 3L, 10000L)))
+    assert(got(3L) == ((3L, 3L, 0L, 0L)))
+  }
+
   test("HLL sketch distincts stay inside the configured error band") {
     import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
     // known cardinality: 10k distinct keys, skew-heavy repetition

@@ -377,6 +377,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // fused ranking) rides the GroupTopK heap plan
     val rf = plan("rrf_fusion")
     assert(rf.contains("GroupTopK"), s"rrf_fusion missed the rewrite:\n$rf")
+    // --- round-6 wave ---
+    // knn_pq_trained: the codebook/LUT joins must broadcast (M·K and
+    // queries·M·K rows) — a corpus-side shuffle for them would be the
+    // wrong plan at any scale; the sweep below covers funnels/cartesian
+    val pt = plan("knn_pq_trained")
+    assert(pt.contains("BroadcastHashJoin"),
+      s"knn_pq_trained lost its broadcast codebook joins:\n$pt")
+    // substring_dedup: the sorted-ngram-table plan — the cross-doc gram
+    // probe must be a SEMI hash join keyed by gram, never a pair join
+    // or nested loop
+    val sd = plan("substring_dedup")
+    assert(sd.contains("LeftSemi"), s"substring_dedup lost the semi join:\n$sd")
+    assert(!sd.contains("NestedLoop"), s"substring_dedup nested-loops:\n$sd")
     assert(!rf.contains("CartesianProduct"), rf)
   }
 
