@@ -2755,6 +2755,68 @@ object Oracles {
         |SELECT rule, n_rows, n_violations,
         |       CAST((10000 * n_violations) // n_rows AS BIGINT) AS violation_bp,
         |       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
-        |FROM u ORDER BY rule""".stripMargin
+        |FROM u ORDER BY rule""".stripMargin,
+
+    // DSIR importance weighting — mirrors TextAnalysis.dsirWeights:
+    // 1024-bucket hashed unigrams, Laplace-smoothed target/raw ratio in
+    // basis points, per-doc mean bucket weight, top-200. All-BIGINT
+    // integer math; `//` and `div` agree (every operand nonnegative).
+    // sum() output is divided then CAST — the knn_pq HUGEINT lesson.
+    "dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             unnest(list_filter(string_split(coalesce(text, ''), ' '),
+        |                                w -> length(w) > 0)) AS w
+        |           FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |        CAST(concat('0x', substr(md5(lower(w)), 1, 8)) AS BIGINT) % 1024 AS b
+        |      FROM t),
+        |c AS (SELECT b, count(*) AS raw_n,
+        |        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_n
+        |      FROM b GROUP BY b),
+        |wt AS (SELECT b, ((tgt_n + 1) * 10000) // (raw_n + 1) AS w_bp FROM c),
+        |s AS (SELECT doc_id, count(*) AS n_toks, sum(w_bp) AS w_sum
+        |      FROM b JOIN wt USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_toks, CAST(w_sum // n_toks AS BIGINT) AS dsir_bp
+        |FROM s ORDER BY dsir_bp DESC, doc_id LIMIT 200""".stripMargin,
+
+    // SemDeDup — mirrors Similarity.semDedup: nearest-of-8 centroid
+    // assignment (as cluster_assign), within-cluster pair cosines, drop
+    // a member iff a strictly-more-keep-worthy near-dup (cos ≥ 0.25)
+    // exists. Both cosines round to 4dp BEFORE any comparison, so the
+    // threshold and keep-worthiness tests are engine-exact.
+    "semdedup" ->
+      """WITH p AS (SELECT e.vec_id AS qid, c.vec_id AS cid,
+        |             e.embedding AS qe, c.embedding AS ce
+        |           FROM embeddings e JOIN embeddings c
+        |             ON c.vec_id < 8 AND e.vec_id <> c.vec_id),
+        |z AS (SELECT qid, cid,
+        |             CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+        |      FROM p),
+        |d AS (SELECT qid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |      FROM z GROUP BY ALL),
+        |s AS (SELECT qid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM d),
+        |r AS (SELECT qid, cid, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |      FROM s),
+        |m AS (SELECT qid AS vec_id, cid AS cluster, cos AS cc FROM r WHERE rk = 1),
+        |mp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cc AS a_cc, b.cc AS b_cc,
+        |              ea.embedding AS ae, eb.embedding AS be
+        |       FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+        |       JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |       JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        |z2 AS (SELECT a_id, b_id, a_cc, b_cc,
+        |              CAST(unnest(ae) AS DOUBLE) AS x, CAST(unnest(be) AS DOUBLE) AS y
+        |       FROM mp),
+        |d2 AS (SELECT a_id, b_id, a_cc, b_cc,
+        |              sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |       FROM z2 GROUP BY ALL),
+        |s2 AS (SELECT a_id, b_id, a_cc, b_cc,
+        |              round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS pcos FROM d2),
+        |drops AS (SELECT DISTINCT a_id AS vec_id FROM s2
+        |          WHERE pcos >= 0.25
+        |            AND (b_cc < a_cc OR (b_cc = a_cc AND b_id < a_id)))
+        |SELECT m.vec_id, m.cluster, m.cc, (dr.vec_id IS NULL) AS kept
+        |FROM m LEFT JOIN drops dr ON dr.vec_id = m.vec_id
+        |ORDER BY m.vec_id""".stripMargin
   )
 }

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10×-scale exercise for the heavy query families (VERDICT r5 item 7).
+  *
+  * The committed sf dirs top out at sf0.1; this tool manufactures an
+  * R-times-larger corpus from sf0.1 and times the scale-bearing queries
+  * at 1× vs R×, recording the wall-time ratio and whether the physical
+  * plan shape survived the scale-up. The claim under test: the banded /
+  * bucketed / fixpoint designs are ~linear in corpus size (≥10× data →
+  * ≤~15× time, no plan flip to nested-loop / single-partition shapes).
+  *
+  * Replication is content-aware, not a blind copy, so the per-replica
+  * workload matches the original's *shape*:
+  *  - `documents.text` is Caesar-rotated per replica (replica r rotates
+  *    the lowercase alphabet by r). Every shingle/minhash/simhash token
+  *    changes, so replicas share no near-dup pairs — duplicate DENSITY
+  *    stays constant as the corpus grows (a blind copy would instead
+  *    grow LSH candidate cliques quadratically in R, which is a
+  *    different — and unrealistic — workload: real corpus growth adds
+  *    new content, not R verbatim copies of everything).
+  *  - ids (`doc_id`/`vec_id`/`c_custkey`) shift by r·10⁷ so keys stay
+  *    unique and the knn queries' fixed query panel (vec_id < 16) keeps
+  *    its size while the searched corpus grows R×: corpus-growth
+  *    scaling, the production question.
+  *  - all other tables are carried over as-is (the heavy families only
+  *    read documents/embeddings/customer).
+  *
+  * Usage: runMain graft.ScaleCheck [outDir] [replicas]
+  * Prints one line per query: name, 1× secs, R× secs, ratio, planStable
+  * and a final JSON summary line.
+  */
+object ScaleCheck {
+  private val Heavy = Seq(
+    "minhash_lsh", "dedup_components", "dedup_canonical", "substring_dedup",
+    "knn_ivf", "knn_pq_trained", "edit_distance_banded")
+
+  private def caesar(r: Int): (String, String) = {
+    val a = "abcdefghijklmnopqrstuvwxyz"
+    val k = r % 26
+    (a + a.toUpperCase, a.substring(k) + a.substring(0, k) +
+      (a.substring(k) + a.substring(0, k)).toUpperCase)
+  }
+
+  private def replicate(spark: SparkSession, base: String, out: String, reps: Int): Unit = {
+    val shift = 10000000L
+    def union(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val src = Tables(spark, base, name)
+      val all = (0 until reps).map(r => f(src, r)).reduce(_.unionAll(_))
+      all.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    union("documents", (df, r) => {
+      val (from, to) = caesar(r)
+      df.select(
+        (col("doc_id") + lit(r * shift)).as("doc_id"),
+        translate(col("text"), from, to).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    })
+    union("embeddings", (df, r) =>
+      df.select((col("vec_id") + lit(r * shift)).as("vec_id"),
+        col("embedding"), col("label")))
+    union("customer", (df, r) => {
+      val (from, to) = caesar(r)
+      df.select((col("c_custkey") + lit(r * shift)).as("c_custkey"),
+        translate(col("c_name"), from, to).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    })
+    // Remaining tables: carried over untouched (heavy families don't read
+    // them, but the loaders expect the full layout to exist).
+    Tables.names.filterNot(Set("documents", "embeddings", "customer")).foreach { t =>
+      Tables(spark, base, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+
+  /** Physical plan signature: the ordered multiset of operator names from
+    * simple-mode explain, with stats-dependent numbers stripped. Stable
+    * across a data-size change iff Catalyst picked the same strategy
+    * (e.g. broadcast didn't silently flip to sort-merge, or a hash join
+    * to nested loop).
+    */
+  private def planSig(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+      .linesIterator
+      // operator name only: arguments carry input paths / stats / expr
+      // ids that legitimately differ between the 1× and R× dirs
+      .map(_.replaceAll("^[\\s:+*-]+", "").takeWhile(c => c.isLetterOrDigit))
+      .filter(_.nonEmpty)
+      .mkString("\n")
+
+  private def time(spark: SparkSession, name: String, dir: String): (Double, String) = {
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    def once(): Unit =
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    scrub(); once() // warmup rep: codegen/JIT, parquet footers
+    val secs = (1 to 2).map { _ =>
+      scrub()
+      val t0 = System.nanoTime()
+      once()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    scrub()
+    (secs, planSig(SparkEntry.queries(name)(spark, dir)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val out = if (args.length > 0) args(0) else "/tmp/graft_scale10"
+    val reps = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/documents.parquet"))) {
+      println(s"[scale] generating ${reps}x corpus at $out ...")
+      replicate(spark, base, out, reps)
+    }
+
+    def fmt(v: Double): String = f"$v%.2f"
+    val chosen = if (args.length > 2) Heavy.filter(args.drop(2).toSet) else Heavy
+    val rows = chosen.map { q =>
+      val (t1, p1) = time(spark, q, base)
+      val (tR, pR) = time(spark, q, out)
+      val stable = p1 == pR
+      println(f"[scale] $q%-22s 1x=${fmt(t1)}%6ss  ${reps}x=${fmt(tR)}%6ss  ratio=${fmt(tR / t1)}%5s  planStable=$stable")
+      if (!stable) {
+        val (l1, lR) = (p1.linesIterator.toSeq, pR.linesIterator.toSeq)
+        val only1 = l1.diff(lR).distinct
+        val onlyR = lR.diff(l1).distinct
+        println(s"[scale]   plan diff: 1x-only=${only1.mkString(",")} ${reps}x-only=${onlyR.mkString(",")}")
+      }
+      (q, t1, tR, stable)
+    }
+    val js = rows.map { case (q, t1, tR, st) =>
+      s""""$q":{"t1":${fmt(t1)},"tR":${fmt(tR)},"ratio":${fmt(tR / t1)},"plan_stable":$st}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_check","replicas":$reps,"queries":$js}""")
+    spark.stop()
+  }
+}

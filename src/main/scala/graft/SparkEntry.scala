@@ -242,7 +242,12 @@ object SparkEntry {
     "zorder_layout"      -> (Layout.zorderLayout _),
     "padding_batches"    -> (Packing.paddingBatches _),
     "rrf_fusion"         -> (TfIdf.rrfFusion _),
-    "expectations"       -> (Observability.expectations _)
+    "expectations"       -> (Observability.expectations _),
+    // round-6 data-selection wave: DSIR importance weighting (hashed
+    // likelihood-ratio scoring vs a target slice) and SemDeDup
+    // (cluster-blocked embedding dedup with survivor verdicts)
+    "dsir_weights" -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
+    "semdedup"     -> (Similarity.semDedup _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -121,6 +121,36 @@ object Multimodal {
       .drop("__img")
   }
 
+  /** X11 REAL feature extraction + routing classifier: [[ImageFeatures]]
+    * (bounded-grid pixel statistics → decorative/graphic/text/photo
+    * dispatch) run per row over payloads routed here by [[mediaKind]].
+    * This is the tier that decides which assets are worth the
+    * vision-model description call the reference makes for every image
+    * (agents/image-analyzer.md:99-132) — at 100 TB the model runs on
+    * the `photo`/`text` survivors only. Same UDF rationale as
+    * [[withPdfText]]/[[withCompressedImage]]; the model-generated
+    * free-text description itself remains the declared enrichment
+    * contract. ImageFeaturesSpec drives rendered fixture images
+    * (flat logo, noise photo, text screenshot, spacer) end-to-end.
+    */
+  def withImageFeatures(df: DataFrame, payload: Column): DataFrame = {
+    val ex = udf((b: Array[Byte]) => {
+      val f = ImageFeatures.analyze(b)
+      (f.ok, f.w, f.h, f.meanLuma, f.colorfulness, f.edgeDensityBp,
+        f.dominantBp, f.category)
+    })
+    df.withColumn("__if", ex(payload))
+      .withColumn("img_ok", col("__if._1"))
+      .withColumn("img_w", col("__if._2"))
+      .withColumn("img_h", col("__if._3"))
+      .withColumn("mean_luma", col("__if._4"))
+      .withColumn("colorfulness", col("__if._5"))
+      .withColumn("edge_bp", col("__if._6"))
+      .withColumn("dominant_bp", col("__if._7"))
+      .withColumn("img_category", col("__if._8"))
+      .drop("__if")
+  }
+
   /** STUB decode: deterministic fake width/height/duration derived from
     * payload bytes (integer div/mod only — engine-exact). A real
     * deployment replaces ONLY this stage with a per-partition codec

@@ -664,6 +664,62 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** SemDeDup — semantic deduplication via embedding clusters (Abbas et
+    * al. 2023, arXiv:2303.09540): k-means-cluster the corpus embeddings,
+    * compare pairs ONLY within a cluster, and among near-duplicate pairs
+    * (cosine ≥ θ) keep the member FARTHEST from its centroid (the
+    * paper's finding: centroid-close members are the redundant ones;
+    * keeping the far member preserves diversity). Differs from
+    * [[embeddingNearDup]] (which only LISTS sign-bucket-blocked pairs)
+    * by producing the survivor verdict itself — the `kept` column IS
+    * the training-set filter.
+    *
+    * The paper's greedy within-cluster sweep is inherently sequential;
+    * this uses the standard one-pass relational variant: drop x iff
+    * some same-cluster y has cos(x,y) ≥ θ and y is strictly more
+    * keep-worthy (lower centroid-cosine, ties to the lower vec_id).
+    * Every near-dup group keeps exactly its most-diverse member, and
+    * the verdict is a pure EXISTS — no iteration.
+    *
+    * Scale posture: the pair join is keyed on the cluster id — never
+    * all-pairs. SemDeDup's own K ≈ √n choice keeps expected cluster
+    * size √n, so per-cluster quadratic work stays bounded exactly like
+    * the LSH band joins in [[graft.etl.Dedup]]; a hot cluster is a
+    * skew key handled the same way (AQE skew-join / salting). Centroids
+    * broadcast (K ≪ n); the assignment is one map-side pass.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val cents = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn")))
+    val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(cents, col("vec_id") =!= col("cid"))
+      .withColumn("cos",
+        round(dotF(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 4))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    val members = assigned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("cos").as("cc"),
+        col("embedding"), col("nrm"))
+    val a = members.select(col("vec_id").as("a_id"), col("cluster").as("a_cl"),
+      col("cc").as("a_cc"), col("embedding").as("ae"), col("nrm").as("an"))
+    val b = members.select(col("vec_id").as("b_id"), col("cluster").as("b_cl"),
+      col("cc").as("b_cc"), col("embedding").as("be"), col("nrm").as("bn"))
+    val drops = a.join(b, col("a_cl") === col("b_cl") && col("a_id") =!= col("b_id"))
+      .withColumn("pcos",
+        round(dotF(col("ae"), col("be")) / (col("an") * col("bn")), 4))
+      .filter(col("pcos") >= 0.25 &&
+        (col("b_cc") < col("a_cc")
+          || (col("b_cc") === col("a_cc") && col("b_id") < col("a_id"))))
+      .select(col("a_id").as("vec_id")).distinct()
+    members.join(drops.withColumn("drp", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("cc"),
+        col("drp").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Centroid summary per label: aggregate RAW norms (irrational values
     * → rounding-tie-free), round only at the output surface.
     */

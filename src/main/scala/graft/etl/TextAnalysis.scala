@@ -318,4 +318,52 @@ object TextAnalysis {
       .withColumn("verdict",
         when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
       .orderBy("doc_id")
+
+  /** DSIR-style importance weighting (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169): score every raw
+    * document by how much its hashed-token distribution resembles a
+    * TARGET slice (here lang='en' — in production, a curated
+    * high-quality corpus), then select the top-K for training. The
+    * paper's feature is hashed n-grams with weight
+    * log(p_target/p_raw); this implementation keeps the monotone
+    * likelihood-ratio core but in EXACT integer arithmetic so the
+    * DuckDB oracle reproduces it bit-for-bit (the determinism rule —
+    * no log/double): per 1024-bucket hashed unigram,
+    * `w_bp = (target_count+1)·10⁴ div (raw_count+1)` (Laplace-
+    * smoothed ratio in basis points), and a document scores the MEAN
+    * bucket weight over its tokens.
+    *
+    * Plan at 100 TB: one tokenize+explode pass; bucket counts
+    * aggregate onto ≤1024 keys (map-side combine does nearly all the
+    * work — the shuffle moves ≤1024·partitions rows); the weight
+    * table is tiny by construction → BROADCAST back onto the token
+    * stream; per-doc mean is the one real shuffle (keyed by doc_id,
+    * partial-agg); selection is orderBy+limit → TakeOrderedAndProject
+    * (per-partition top-K, no global sort). Both distribution
+    * estimate and scoring stay single-scan-shaped — the reason DSIR
+    * scales where perplexity-filtering (a model forward pass per doc)
+    * does not.
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+      buckets: Int = 1024, topK: Int = 200): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(txt(col("text")), " "),
+          w => length(w) > 0)).as("w"))
+      .withColumn("b",
+        conv(substring(md5(lower(col("w"))), 1, 8), 16, 10)
+          .cast("long") % buckets)
+    val weights = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("raw_n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_n"))
+      .select(col("b"),
+        expr("((tgt_n + 1) * 10000) div (raw_n + 1)").as("w_bp"))
+    tok.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w_bp")).as("w_sum"))
+      .select(col("doc_id"), col("n_toks"),
+        expr("w_sum div n_toks").as("dsir_bp"))
+      .orderBy(col("dsir_bp").desc, col("doc_id"))
+      .limit(topK)
+  }
 }
