@@ -69,7 +69,6 @@ object ImageFeatures extends Serializable {
       var y = 0
       while (y < h) {
         var x = 0
-        var prevLuma = -1
         while (x < w) {
           val rgb = img.getRGB(x, y)
           val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
@@ -79,11 +78,16 @@ object ImageFeatures extends Serializable {
           // 4-bit/channel quantization for the dominant-color histogram
           val q = ((r >> 4) << 8) | ((g >> 4) << 4) | (b >> 4)
           colorCounts.merge(q, 1, (a: Integer, c: Integer) => a + c)
-          if (prevLuma >= 0) {
+          // edge metric = TRUE local gradient (grid pixel vs its actual
+          // x-neighbor), not grid-sample deltas: comparing consecutive
+          // grid samples stride-aliases on periodic content (an even
+          // stride over 1px stripes reads one phase only and reports a
+          // solid block), and under-reports high-frequency detail on
+          // real images whenever the stride exceeds the stroke width.
+          if (x + 1 < w) {
             pairs += 1
-            if (math.abs(l - prevLuma) > 24) edges += 1
+            if (math.abs(luma(img.getRGB(x + 1, y)) - l) > 24) edges += 1
           }
-          prevLuma = l
           x += sx
         }
         y += sy
@@ -101,10 +105,13 @@ object ImageFeatures extends Serializable {
       // the reference's own decorative gate is the 50 px minimum
       // (DESIGN.md:1210-1214); 8:1 aspect catches rules/banners.
       val aspect = math.max(w, h).toDouble / math.max(1, math.min(w, h))
+      // `text` is tested BEFORE the dominant-color rule: rendered text /
+      // screenshots are background-dominated (white usually exceeds half
+      // the samples), so dominant-first would eat them into `graphic`.
       val category =
         if (w < 50 || h < 50 || aspect > 8.0) "decorative"
-        else if (domBp >= 5000) "graphic"          // one color ≥ half the pixels
         else if (colorfulness < 24 && edgeBp >= 1500) "text" // gray + busy
+        else if (domBp >= 5000) "graphic"          // one color ≥ half the pixels
         else if (colorfulness >= 24 && domBp < 2500) "photo"
         else "graphic"
       Features(ok = true, w, h, meanLuma, colorfulness, edgeBp, domBp, category)

@@ -70,11 +70,18 @@ class ImageFeaturesSpec extends AnyFunSuite with SparkTestBase {
 
   test("X11: sampling grid bounds cost — big image ≈ small image features") {
     // identical content at 80px and 800px must land in the same category
-    // with similar statistics (the 64×64 grid normalizes cost AND scale)
-    val small = ImageFeatures.analyze(stripes(80, 80))
-    val big = ImageFeatures.analyze(stripes(800, 800))
-    assert(small.category == "text" && big.category == "text")
-    assert(math.abs(small.meanLuma - big.meanLuma) <= 16)
+    // (the 64×64 grid normalizes cost; the local-gradient edge metric is
+    // what keeps periodic 1px content stride-alias-proof — point-sampled
+    // statistics like mean luma legitimately alias on such patterns)
+    val smallT = ImageFeatures.analyze(stripes(80, 80))
+    val bigT = ImageFeatures.analyze(stripes(800, 800))
+    assert(smallT.category == "text" && bigT.category == "text")
+    // on aperiodic content the sampled statistics ARE scale-stable
+    val smallN = ImageFeatures.analyze(noise(80, 80))
+    val bigN = ImageFeatures.analyze(noise(800, 800))
+    assert(smallN.category == "photo" && bigN.category == "photo")
+    assert(math.abs(smallN.meanLuma - bigN.meanLuma) <= 16)
+    assert(math.abs(smallN.colorfulness - bigN.colorfulness) <= 16)
   }
 
   test("X11: robustness — garbage fails soft, never throws") {
