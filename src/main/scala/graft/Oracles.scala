@@ -2817,6 +2817,34 @@ object Oracles {
         |            AND (b_cc < a_cc OR (b_cc = a_cc AND b_id < a_id)))
         |SELECT m.vec_id, m.cluster, m.cc, (dr.vec_id IS NULL) AS kept
         |FROM m LEFT JOIN drops dr ON dr.vec_id = m.vec_id
-        |ORDER BY m.vec_id""".stripMargin
+        |ORDER BY m.vec_id""".stripMargin,
+
+    // S5 main-content extraction — mirrors HtmlExtract.htmlExtract: the
+    // page build is self-inverting, so the oracle reconstructs the
+    // EXPECTED extraction (h1 + 12-word paragraphs that clear the
+    // 20-char gate) straight from the documents table, and DuckDB never
+    // parses HTML. Corpus precondition (asserted by the word-chunk ==
+    // regex-chunk equivalence): text is single-spaced [a-z0-9 ] — the
+    // same precondition every shingle oracle in this file relies on.
+    "html_extract" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(coalesce(text, ''), ' '),
+        |                     x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         list_filter(
+        |           list_transform(range(CAST(ceil(len(ws) / 12.0) AS BIGINT)),
+        |             i -> array_to_string(ws[(i*12+1):(i*12+12)], ' ')),
+        |           s -> length(s) >= 20) AS paras
+        |  FROM w)
+        |SELECT doc_id,
+        |       'Doc ' || doc_id ||
+        |         CASE WHEN len(paras) > 0
+        |              THEN chr(10) || array_to_string(paras, chr(10))
+        |              ELSE '' END AS main_text,
+        |       CAST(1 + len(paras) AS INT) AS n_blocks
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }

@@ -247,7 +247,10 @@ object SparkEntry {
     // likelihood-ratio scoring vs a target slice) and SemDeDup
     // (cluster-blocked embedding dedup with survivor verdicts)
     "dsir_weights" -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
-    "semdedup"     -> (Similarity.semDedup _)
+    "semdedup"     -> (Similarity.semDedup _),
+    // round-6 extraction wave: REAL trafilatura-class main-content
+    // extraction (S5) value-checked via a self-inverting page build
+    "html_extract" -> (HtmlExtract.htmlExtract _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

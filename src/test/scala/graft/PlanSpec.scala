@@ -391,6 +391,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(sd.contains("LeftSemi"), s"substring_dedup lost the semi join:\n$sd")
     assert(!sd.contains("NestedLoop"), s"substring_dedup nested-loops:\n$sd")
     assert(!rf.contains("CartesianProduct"), rf)
+    // html_extract: page build + extraction are one map-side pass over
+    // the scan — at 100 TB the extractor pipelines inside the scan
+    // stage; only the output sort may exchange
+    val he = plan("html_extract")
+    assert(countOf(he, "+- Exchange") <= 1, s"html_extract grew a shuffle:\n$he")
+    assert(!he.contains("HashAggregate"), s"html_extract must not aggregate:\n$he")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
