@@ -2845,6 +2845,43 @@ object Oracles {
         |              THEN chr(10) || array_to_string(paras, chr(10))
         |              ELSE '' END AS main_text,
         |       CAST(1 + len(paras) AS INT) AS n_blocks
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Duplicated-span clipping — mirrors Dedup.spanClip. Coverage uses
+    // the EXPLICIT positions of the 8 gram words (lead(pos, i)), not
+    // pos+i arithmetic, so the construction stays structural even when
+    // blank-dropped positions leave gaps.
+    "span_clip" ->
+      s"""WITH $WordsCte,
+         |g0 AS (SELECT doc_id, pos, word,
+         |         lead(word, 1) OVER w AS w1, lead(pos, 1) OVER w AS p1,
+         |         lead(word, 2) OVER w AS w2, lead(pos, 2) OVER w AS p2,
+         |         lead(word, 3) OVER w AS w3, lead(pos, 3) OVER w AS p3,
+         |         lead(word, 4) OVER w AS w4, lead(pos, 4) OVER w AS p4,
+         |         lead(word, 5) OVER w AS w5, lead(pos, 5) OVER w AS p5,
+         |         lead(word, 6) OVER w AS w6, lead(pos, 6) OVER w AS p6,
+         |         lead(word, 7) OVER w AS w7, lead(pos, 7) OVER w AS p7
+         |       FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |g AS (SELECT doc_id, pos, p1, p2, p3, p4, p5, p6, p7,
+         |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+         |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS gram
+         |      FROM g0 WHERE w7 IS NOT NULL),
+         |d AS (SELECT gram FROM (
+         |        SELECT gram, count(DISTINCT doc_id) AS nd
+         |        FROM g GROUP BY gram) WHERE nd >= 2),
+         |cov AS (SELECT DISTINCT doc_id,
+         |          unnest([pos, p1, p2, p3, p4, p5, p6, p7]) AS cpos
+         |        FROM g JOIN d USING (gram)),
+         |kept AS (SELECT w.doc_id, w.pos, w.word FROM words w
+         |         ANTI JOIN cov c ON w.doc_id = c.doc_id AND w.pos = c.cpos),
+         |tot AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
+         |re AS (SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(word, ' ' ORDER BY pos) AS clean_text
+         |       FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words,
+         |       CAST(t.n_words - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+         |       coalesce(r.clean_text, '') AS clean_text
+         |FROM tot t LEFT JOIN re r USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
   )
 }

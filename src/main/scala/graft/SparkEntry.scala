@@ -249,8 +249,10 @@ object SparkEntry {
     "dsir_weights" -> ((s: SparkSession, d: String) => TextAnalysis.dsirWeights(s, d)),
     "semdedup"     -> (Similarity.semDedup _),
     // round-6 extraction wave: REAL trafilatura-class main-content
-    // extraction (S5) value-checked via a self-inverting page build
-    "html_extract" -> (HtmlExtract.htmlExtract _)
+    // extraction (S5) value-checked via a self-inverting page build,
+    // plus duplicated-span clipping (the removal step after detection)
+    "html_extract" -> (HtmlExtract.htmlExtract _),
+    "span_clip"    -> (Dedup.spanClip _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -277,6 +277,55 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span CLIPPING — the removal step that pairs with
+    * [[substringDedup]]'s detection (Lee et al. 2022 drop/clip the
+    * repeated spans themselves, not whole documents; C4 does the same
+    * at line granularity). A word position is covered when any 8-gram
+    * through it also appears in another document; covered words are
+    * clipped and the survivors reassembled in order, so boilerplate
+    * repeated across pages disappears while the unique prose stays.
+    *
+    * Scale posture — same sorted-ngram-table plan as substringDedup
+    * plus two keyed joins, still no pair join anywhere: gram-keyed agg
+    * finds cross-doc grams, a gram-keyed SEMI join marks dup gram
+    * positions, coverage explodes to (doc, pos) and dedups on that
+    * key, an anti join keyed by (doc, pos) drops covered words, and a
+    * doc-keyed agg reassembles. Every shuffle key is high-cardinality;
+    * cost stays linear in corpus gram count.
+    */
+  def spanClip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val grams = Shingles.wordShingles(docs, 8)
+      .select(col("doc_id"), col("shingle_pos"), col("shingle"))
+    val crossDoc = grams.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("shingle"))
+    val covered = grams.join(crossDoc, Seq("shingle"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("shingle_pos"), col("shingle_pos") + 7)).as("cpos"))
+      .distinct()
+    val words = docs
+      .select(col("doc_id"), posexplode(Shingles.wordArray(col("text"))))
+      .withColumnRenamed("pos", "wpos").withColumnRenamed("col", "word")
+    val kept = words.join(covered,
+      words("doc_id") === covered("doc_id") && col("wpos") === col("cpos"),
+      "left_anti")
+    val re = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      // struct order sorts by wpos first — a deterministic reassembly
+      array_join(transform(
+        array_sort(collect_list(struct(col("wpos"), col("word")))),
+        s => s.getField("word")), " ").as("clean_text"))
+    val tot = docs.select(col("doc_id"),
+      size(Shingles.wordArray(col("text"))).cast("bigint").as("n_words"))
+    tot.join(re, Seq("doc_id"), "left")
+      .withColumn("n_removed", col("n_words") - coalesce(col("n_kept"), lit(0L)))
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .select(col("doc_id"), col("n_words"), col("n_removed"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram Jaccard similarity on a bounded candidate block (doc_id < 64
     * on both sides — fixed-size regardless of SF; production pairing
     * comes from minhashLsh candidates instead).

@@ -397,6 +397,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val he = plan("html_extract")
     assert(countOf(he, "+- Exchange") <= 1, s"html_extract grew a shuffle:\n$he")
     assert(!he.contains("HashAggregate"), s"html_extract must not aggregate:\n$he")
+    // span_clip: detection stays the sorted-ngram-table plan (gram-keyed
+    // SEMI join), removal is a (doc,pos)-keyed ANTI join — never a pair
+    // join or nested loop anywhere
+    val sc = plan("span_clip")
+    assert(sc.contains("LeftSemi"), s"span_clip lost the semi join:\n$sc")
+    assert(sc.contains("LeftAnti"), s"span_clip lost the anti join:\n$sc")
+    assert(!sc.contains("NestedLoop"), s"span_clip nested-loops:\n$sc")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
