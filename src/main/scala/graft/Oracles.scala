@@ -2882,6 +2882,23 @@ object Oracles {
          |       CAST(t.n_words - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
          |       coalesce(r.clean_text, '') AS clean_text
          |FROM tot t LEFT JOIN re r USING (doc_id)
-         |ORDER BY t.doc_id""".stripMargin
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // Heavy hitters — mirrors Skew.heavyHitters. The Spark side runs
+    // Misra-Gries + exact recount; the MG guarantee (candidates ⊇ all
+    // keys with cnt > N/33, threshold N/16) makes the two-pass result
+    // IDENTICAL to this plain GROUP BY — that equality is the point.
+    "heavy_hitters" ->
+      """WITH s AS (SELECT CASE WHEN l_orderkey % 2 = 0
+        |                       THEN 'hot_' || (l_orderkey % 8)
+        |                       ELSE 'cold_' || l_orderkey || '_' || l_linenumber
+        |                  END AS k
+        |           FROM lineitem),
+        |t AS (SELECT count(*) AS n FROM s),
+        |c AS (SELECT k, count(*) AS cnt FROM s GROUP BY k)
+        |SELECT k, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST((10000 * cnt) // n AS BIGINT) AS share_bp
+        |FROM c, t WHERE cnt * 16 > n
+        |ORDER BY cnt DESC, k""".stripMargin
   )
 }

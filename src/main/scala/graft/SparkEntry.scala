@@ -252,7 +252,10 @@ object SparkEntry {
     // extraction (S5) value-checked via a self-inverting page build,
     // plus duplicated-span clipping (the removal step after detection)
     "html_extract" -> (HtmlExtract.htmlExtract _),
-    "span_clip"    -> (Dedup.spanClip _)
+    "span_clip"    -> (Dedup.spanClip _),
+    // two-pass Misra-Gries sketch + exact recount: provably equals the
+    // plain GROUP BY heavy-hitter answer (see MisraGries scaladoc)
+    "heavy_hitters" -> (Skew.heavyHitters _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -34,4 +34,46 @@ object Skew {
         sum(col("n")).as("n_items"))
       .orderBy("l_returnflag")
   }
+
+  /** Sketch capacity and the heavy-hitter threshold divisor. The
+    * exactness proof needs Hitters <= Capacity + 1: any key with
+    * count > N/Hitters >= N/(Capacity+1) is guaranteed into the
+    * Misra-Gries candidate set, so recount+filter equals the exact
+    * answer STRUCTURALLY — not because of anything in the data.
+    */
+  val Capacity = 32
+  val Hitters = 16
+
+  /** Heavy hitters over a hot-key + long-tail stream via the two-pass
+    * sketch-then-recount pattern ([[graft.functions.MisraGries]]):
+    * pass 1 folds the stream into 32-entry per-partition summaries and
+    * merges them (partial-agg combine — bounded state no matter the key
+    * cardinality); pass 2 recounts ONLY the candidates (broadcast semi
+    * join, then a keyed agg over the few surviving keys) and filters
+    * count*16 > N. The key stream is derived deterministically from
+    * lineitem the way Urls.linkCorpus derives its corpus: even order
+    * keys collapse onto 4 hot keys (~12.5% of the stream each), odd
+    * rows stay unique tail — the URL/n-gram/user-id shape that makes a
+    * raw GROUP BY reducer-state-bound at 100 TB.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val stream = Tables.lineitem(spark, dir).select(
+      when(col("l_orderkey") % 2 === 0,
+        concat(lit("hot_"), (col("l_orderkey") % 8).cast("string")))
+        .otherwise(concat(lit("cold_"), col("l_orderkey").cast("string"),
+          lit("_"), col("l_linenumber").cast("string"))).as("k"))
+    val mg = new graft.functions.MisraGries(Capacity).toColumn
+    val cands = stream.select(col("k")).as[String](Encoders.STRING)
+      .select(mg.name("cands"))
+      .select(explode(col("cands")).as("k"))
+    val total = stream.agg(count(lit(1)).as("n"))
+    stream.join(broadcast(cands), Seq("k"), "left_semi")
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * Hitters > col("n"))
+      .select(col("k"), col("cnt"),
+        expr("(10000 * cnt) div n").as("share_bp"))
+      .orderBy(col("cnt").desc, col("k"))
+  }
 }

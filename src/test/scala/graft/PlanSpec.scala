@@ -404,6 +404,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(sc.contains("LeftSemi"), s"span_clip lost the semi join:\n$sc")
     assert(sc.contains("LeftAnti"), s"span_clip lost the anti join:\n$sc")
     assert(!sc.contains("NestedLoop"), s"span_clip nested-loops:\n$sc")
+    // heavy_hitters: the recount pass must filter through a BROADCAST
+    // semi join on the sketch's candidate set — re-shuffling the full
+    // stream to join candidates would forfeit the sketch's whole win
+    val hh = plan("heavy_hitters")
+    assert(hh.contains("BroadcastHashJoin") && hh.contains("LeftSemi"),
+      s"heavy_hitters recount lost its broadcast semi join:\n$hh")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
