@@ -2899,6 +2899,26 @@ object Oracles {
         |SELECT k, CAST(cnt AS BIGINT) AS cnt,
         |       CAST((10000 * cnt) // n AS BIGINT) AS share_bp
         |FROM c, t WHERE cnt * 16 > n
-        |ORDER BY cnt DESC, k""".stripMargin
+        |ORDER BY cnt DESC, k""".stripMargin,
+
+    // Curriculum interleave — mirrors Packing.curriculumOrder. The
+    // oracle MAY rank the language dim with a window (DuckDB has no
+    // funnel concern); the Spark side derives lang_idx join-side.
+    "curriculum_order" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |             CAST(least(3, n_chars // 150) AS BIGINT) AS tier
+        |           FROM documents),
+        |l AS (SELECT lang,
+        |        CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS lang_idx,
+        |        CAST(count(*) OVER () AS BIGINT) AS nl
+        |      FROM (SELECT DISTINCT lang FROM d)),
+        |r AS (SELECT doc_id, lang, tier,
+        |        CAST(row_number() OVER (PARTITION BY tier, lang
+        |          ORDER BY doc_id) AS INT) AS round
+        |      FROM d)
+        |SELECT r.doc_id, r.tier, r.lang, r.round,
+        |       CAST((r.round - 1) * l.nl + l.lang_idx AS BIGINT) AS ikey
+        |FROM r JOIN l USING (lang)
+        |ORDER BY tier, ikey""".stripMargin
   )
 }

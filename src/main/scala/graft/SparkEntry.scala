@@ -255,7 +255,9 @@ object SparkEntry {
     "span_clip"    -> (Dedup.spanClip _),
     // two-pass Misra-Gries sketch + exact recount: provably equals the
     // plain GROUP BY heavy-hitter answer (see MisraGries scaladoc)
-    "heavy_hitters" -> (Skew.heavyHitters _)
+    "heavy_hitters" -> (Skew.heavyHitters _),
+    // curriculum ordering: easy→hard tiers, languages interleaved
+    "curriculum_order" -> (Packing.curriculumOrder _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -96,4 +96,44 @@ object Packing {
         expr("(10000 * (padded_tokens - sum_tokens)) div padded_tokens"))
       .orderBy("band", "batch_id")
   }
+
+  /** Curriculum ordering with domain interleave — easy-to-hard tiers
+    * (Bengio et al. 2009 "Curriculum Learning") where each tier
+    * round-robins across languages, so no training window sees a
+    * single-domain run (the distribution-shift failure curricula are
+    * known for). The order is a pair of COLUMNS, (tier, ikey) with
+    * ikey = (round-1)·L + lang_idx: round r of the interleave emits one
+    * doc per surviving language in lang order. Unequal language counts
+    * leave key gaps, never order violations — consumers zip a dense
+    * index at materialization.
+    *
+    * Scale posture: the only table-sized operations are one
+    * (tier, lang)-partitioned window and broadcast joins against a
+    * language dim derived WITHOUT a global window — lang_idx comes from
+    * a tiny dim self-join (count of smaller langs), because ranking
+    * even a 5-row dim with row_number() would plan the SinglePartition
+    * exchange the PlanSpec sweep bans. The same trick seeds
+    * page_id_gen's shard offsets.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(least(3, n_chars div 150) AS BIGINT)").as("tier"))
+    val langs = docs.select(col("lang")).distinct()
+    val idx = langs.as("a")
+      .join(langs.as("b"), col("b.lang") < col("a.lang"), "left")
+      .groupBy(col("a.lang").as("lang"))
+      .agg(count(col("b.lang")).as("lang_idx"))
+    val nl = langs.agg(count(lit(1)).as("nl"))
+    val w = Window.partitionBy(col("tier"), col("lang")).orderBy(col("doc_id"))
+    docs
+      .withColumn("round", row_number().over(w))
+      .join(broadcast(idx), Seq("lang"))
+      .crossJoin(broadcast(nl))
+      .withColumn("ikey",
+        ((col("round") - 1).cast("bigint") * col("nl") + col("lang_idx"))
+          .cast("bigint"))
+      .select(col("doc_id"), col("tier"), col("lang"), col("round"), col("ikey"))
+      .orderBy("tier", "ikey")
+  }
 }
