@@ -2919,6 +2919,26 @@ object Oracles {
         |SELECT r.doc_id, r.tier, r.lang, r.round,
         |       CAST((r.round - 1) * l.nl + l.lang_idx AS BIGINT) AS ikey
         |FROM r JOIN l USING (lang)
-        |ORDER BY tier, ikey""".stripMargin
+        |ORDER BY tier, ikey""".stripMargin,
+
+    // k-anonymity — mirrors Observability.kAnonymity. floor(x/1000) on
+    // DOUBLE is IEEE-deterministic in both engines; all counters are
+    // BIGINT integer math.
+    "k_anonymity" ->
+      """WITH qi AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |              CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |            FROM customer),
+        |c AS (SELECT nation, segment, bal_band, count(*) AS class_n
+        |      FROM qi GROUP BY ALL)
+        |SELECT nation,
+        |       CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(CASE WHEN class_n < 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS risky_classes,
+        |       CAST(sum(CASE WHEN class_n < 4 THEN class_n ELSE 0 END) AS BIGINT)
+        |         AS risky_rows,
+        |       CAST(sum(class_n) AS BIGINT) AS n_rows,
+        |       CAST((10000 * sum(CASE WHEN class_n < 4 THEN class_n ELSE 0 END))
+        |         // sum(class_n) AS BIGINT) AS risky_bp
+        |FROM c GROUP BY nation ORDER BY nation""".stripMargin
   )
 }

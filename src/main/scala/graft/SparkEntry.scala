@@ -257,7 +257,9 @@ object SparkEntry {
     // plain GROUP BY heavy-hitter answer (see MisraGries scaladoc)
     "heavy_hitters" -> (Skew.heavyHitters _),
     // curriculum ordering: easy→hard tiers, languages interleaved
-    "curriculum_order" -> (Packing.curriculumOrder _)
+    "curriculum_order" -> (Packing.curriculumOrder _),
+    // k-anonymity release audit over quasi-identifier classes
+    "k_anonymity" -> (Observability.kAnonymity _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -91,4 +91,38 @@ object Observability {
         when(col("n_violations") === 0, lit("pass")).otherwise(lit("fail")))
       .orderBy("rule")
   }
+
+  /** k-anonymity audit (Sweeney 2002) — the re-identification check a
+    * pipeline runs before releasing training data containing people:
+    * rows whose quasi-identifier combination (here nation ×  market
+    * segment × coarse balance band) is shared by fewer than K rows are
+    * re-identifiable. Reported per nation: equivalence classes, risky
+    * classes, risky rows, and the risky-row fraction in basis points —
+    * the signal that gates release or triggers further generalization
+    * (widening the bands until every class reaches K).
+    *
+    * Scale posture: two keyed aggregations (QI-keyed class sizes, then
+    * nation-keyed rollup) — both partial-agg map-side combined; QI
+    * cardinality bounds state, never row count.
+    */
+  val AnonK = 4
+
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val qi = graft.Tables.customer(spark, dir).select(
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"),
+      expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_band"))
+    val classes = qi.groupBy("nation", "segment", "bal_band")
+      .agg(count(lit(1)).as("class_n"))
+    classes.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("class_n") < AnonK, 1L).otherwise(0L)).as("risky_classes"),
+        sum(when(col("class_n") < AnonK, col("class_n")).otherwise(lit(0L)))
+          .as("risky_rows"),
+        sum(col("class_n")).as("n_rows"))
+      .withColumn("risky_bp", expr("(10000 * risky_rows) div n_rows"))
+      .select(col("nation"), col("n_classes"), col("risky_classes"),
+        col("risky_rows"), col("n_rows"), col("risky_bp"))
+      .orderBy("nation")
+  }
 }
