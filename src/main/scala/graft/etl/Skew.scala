@@ -56,13 +56,19 @@ object Skew {
     * rows stay unique tail — the URL/n-gram/user-id shape that makes a
     * raw GROUP BY reducer-state-bound at 100 TB.
     */
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Encoders
-    val stream = Tables.lineitem(spark, dir).select(
+  /** The deterministic hot-key + long-tail key stream (shared with the
+    * streaming twin's stream==batch test).
+    */
+  def keyStream(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
       when(col("l_orderkey") % 2 === 0,
         concat(lit("hot_"), (col("l_orderkey") % 8).cast("string")))
         .otherwise(concat(lit("cold_"), col("l_orderkey").cast("string"),
           lit("_"), col("l_linenumber").cast("string"))).as("k"))
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val stream = keyStream(spark, dir)
     val mg = new graft.functions.MisraGries(Capacity).toColumn
     val cands = stream.select(col("k")).as[String](Encoders.STRING)
       .select(mg.name("cands"))

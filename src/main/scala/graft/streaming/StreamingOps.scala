@@ -174,6 +174,39 @@ object StreamingOps {
         })
   }
 
+  /** Streaming frequent items — the live twin of
+    * [[graft.etl.Skew.heavyHitters]]'s sketch pass. Keys are sharded by
+    * hash and each shard's group state is a running Misra-Gries summary
+    * ([[graft.functions.MisraGries]]) folded forward across
+    * micro-batches, so state is O(shards × capacity) REGARDLESS of
+    * stream length or key cardinality — the property that makes
+    * frequent-items safe on an unbounded stream where an exact
+    * streaming groupBy-count would grow state per distinct key.
+    *
+    * Guarantee composition: a key lives wholly in one shard, and the
+    * shard's stream is a sub-stream of the whole (N_s <= N), so every
+    * key with global count > N/(capacity+1) survives ITS shard's
+    * sketch. The union of shard candidate sets therefore contains every
+    * global heavy hitter, and a recount over the candidates equals the
+    * batch answer exactly — StreamingSpec pins stream == batch through
+    * that recount.
+    *
+    * Each micro-batch re-emits the shard's refreshed candidate list
+    * (Update mode; downstream upserts by shard).
+    */
+  def streamingHeavyHitters(rows: Dataset[String], shards: Int = 8,
+      capacity: Int = 32): Dataset[ShardSketch] = {
+    import rows.sparkSession.implicits._
+    val mg = new graft.functions.MisraGries(capacity)
+    rows.groupByKey(k => math.floorMod(k.hashCode, shards))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (shard: Int, batch: Iterator[String], state: GroupState[Map[String, Long]]) => {
+          val merged = batch.foldLeft(state.getOption.getOrElse(mg.zero))(mg.reduce)
+          state.update(merged)
+          Iterator.single(ShardSketch(shard, merged.keysIterator.toSeq.sorted))
+        })
+  }
+
   /** Streaming IVM: the stateful twin of `Changelog.ivmUpdate`. A
     * keyed stream of signed deltas (+1/+cents insert, −1/−cents
     * retraction; update = retract+insert) maintained by an update-mode
@@ -251,3 +284,8 @@ case class FusedHit(qid: Long, rank: Int, cand: Long, rrf: Long)
 
 /** A current leaderboard row emitted by [[StreamingOps.streamingTopK]]. */
 case class RankedItem(key: String, rn: Int, id: Long, score: Long)
+
+/** One shard's current frequent-item candidates
+  * ([[StreamingOps.streamingHeavyHitters]]).
+  */
+case class ShardSketch(shard: Int, cands: Seq[String])

@@ -326,4 +326,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         s"stream/batch drift: only-stream=${latest -- batch}, only-batch=${batch -- latest}")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: candidate union + recount equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ShardSketch
+    val dir = "/root/testdata/sf0.001"
+    val keys = graft.etl.Skew.keyStream(spark, dir).as[String].collect()
+    val (h1, h2) = keys.splitAt(keys.length / 2)
+    val src = MemoryStream[String]
+    val q = StreamingOps.streamingHeavyHitters(src.toDS())
+      .writeStream.format("memory").queryName("hh_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(h1.toSeq: _*)
+      q.processAllAvailable()
+      src.addData(h2.toSeq: _*)
+      q.processAllAvailable()
+      val all = spark.table("hh_t").as[ShardSketch].collect()
+      // latest emission per shard = that shard's live candidate set
+      val latest = all.zipWithIndex.groupBy(_._1.shard)
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }
+      val cands = latest.flatMap(_.cands).toSet
+      assert(latest.forall(_.cands.length <= 32), "capacity breached")
+      // the exact recount over the union of shard candidates must
+      // reproduce the batch two-pass answer exactly
+      val n = keys.length.toLong
+      val recount = keys.filter(cands).groupBy(identity)
+        .map { case (k, v) => k -> v.length.toLong }
+        .filter { case (_, c) => c * graft.etl.Skew.Hitters > n }
+      val batch = graft.etl.Skew.heavyHitters(spark, dir)
+        .select("k", "cnt").as[(String, Long)].collect().toMap
+      assert(recount == batch,
+        s"stream/batch drift: only-stream=${recount.keySet -- batch.keySet}, " +
+          s"only-batch=${batch.keySet -- recount.keySet}")
+    } finally q.stop()
+  }
 }
