@@ -2939,6 +2939,29 @@ object Oracles {
         |       CAST(sum(class_n) AS BIGINT) AS n_rows,
         |       CAST((10000 * sum(CASE WHEN class_n < 4 THEN class_n ELSE 0 END))
         |         // sum(class_n) AS BIGINT) AS risky_bp
-        |FROM c GROUP BY nation ORDER BY nation""".stripMargin
+        |FROM c GROUP BY nation ORDER BY nation""".stripMargin,
+
+    // Domain-mix drift — mirrors CorpusStats.mixDrift. The ln() terms
+    // use the SAME double formula as the Spark side and round to 4dp
+    // (the repo's irrational-value rule); shares stay integer bp.
+    "mix_drift" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |            ELSE len(string_split(coalesce(text,''), ' ')) END AS INT) AS tc
+        |  FROM documents),
+        |l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(tc) AS BIGINT) AS n_tokens
+        |      FROM t GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+        |               CAST(sum(n_tokens) AS BIGINT) AS tt FROM l)
+        |SELECT lang, n_docs, n_tokens,
+        |  CAST((10000 * n_tokens) // tt AS BIGINT) AS p_bp,
+        |  CAST((10000 * n_docs) // td AS BIGINT) AS q_bp,
+        |  round((CAST(n_tokens AS DOUBLE) / tt) *
+        |        ln((CAST(n_tokens AS DOUBLE) * td) /
+        |           (CAST(n_docs AS DOUBLE) * tt)), 4) AS kl_term,
+        |  round(-(CAST(n_tokens AS DOUBLE) / tt) *
+        |        ln(CAST(n_tokens AS DOUBLE) / tt), 4) AS entropy_term
+        |FROM l, tot ORDER BY lang""".stripMargin
   )
 }

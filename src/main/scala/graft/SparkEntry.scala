@@ -259,7 +259,9 @@ object SparkEntry {
     // curriculum ordering: easy→hard tiers, languages interleaved
     "curriculum_order" -> (Packing.curriculumOrder _),
     // k-anonymity release audit over quasi-identifier classes
-    "k_anonymity" -> (Observability.kAnonymity _)
+    "k_anonymity" -> (Observability.kAnonymity _),
+    // domain-mix drift: token-mass vs doc-mass KL/entropy monitor
+    "mix_drift" -> (CorpusStats.mixDrift _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -72,6 +72,41 @@ object CorpusStats {
       .orderBy("lang")
   }
 
+  /** Domain-mix drift monitor — the observability half of the mixing
+    * story ([[mixWeights]] prescribes rates; this MEASURES divergence):
+    * per language, the token-mass share p vs the document-count share q
+    * and the resulting KL(p‖q) / entropy contributions. KL(p‖q) > 0
+    * flags domains whose documents run longer than the corpus average
+    * (token mass concentrating beyond what doc counts suggest) — the
+    * drift a mixture-weighted sampler must correct for (DoReMi, Xie et
+    * al. 2023, reweights on exactly this token-vs-intended-mass gap).
+    *
+    * Determinism: shares are exact BIGINT basis points; the ln() terms
+    * follow the repo's irrational-value rule (TfIdf precedent) —
+    * IDENTICAL double formulas both engines, rounded to 4dp.
+    *
+    * Scale posture: one lang-keyed partial agg + a 1-row broadcast —
+    * the same shape as mixWeights.
+    */
+  def mixDrift(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Tables.documents(spark, dir)
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val tot = byLang.agg(sum(col("n_docs")).as("td"),
+      sum(col("n_tokens")).as("tt"))
+    byLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("(10000 * n_tokens) div tt").as("p_bp"),
+        expr("(10000 * n_docs) div td").as("q_bp"),
+        expr("""round((CAST(n_tokens AS DOUBLE) / tt) *
+                ln((CAST(n_tokens AS DOUBLE) * td) /
+                   (CAST(n_docs AS DOUBLE) * tt)), 4)""").as("kl_term"),
+        expr("""round(-(CAST(n_tokens AS DOUBLE) / tt) *
+                ln(CAST(n_tokens AS DOUBLE) / tt), 4)""").as("entropy_term"))
+      .orderBy("lang")
+  }
+
   /** Heaps-law vocabulary growth: the corpus split into 10 doc-id
     * deciles — tokens contributed and NEW distinct words first seen in
     * each decile, with running totals. "First seen" is min(doc_id) per
