@@ -2962,6 +2962,25 @@ object Oracles {
         |           (CAST(n_docs AS DOUBLE) * tt)), 4) AS kl_term,
         |  round(-(CAST(n_tokens AS DOUBLE) / tt) *
         |        ln(CAST(n_tokens AS DOUBLE) / tt), 4) AS entropy_term
-        |FROM l, tot ORDER BY lang""".stripMargin
+        |FROM l, tot ORDER BY lang""".stripMargin,
+
+    // Phrase search — mirrors TfIdf.phraseSearch: phrase == 3-shingle,
+    // so the oracle rides the shared Shingle3Cte. The absent fourth
+    // phrase must contribute zero rows.
+    "phrase_search" ->
+      s"""WITH $Shingle3Cte,
+         |p AS (SELECT unnest(['big order scan', 'group slow spark',
+         |                     'small part order', 'spark spark spark'])
+         |        AS phrase),
+         |m AS (SELECT phrase, doc_id, count(*) AS n_hits
+         |      FROM shingles s JOIN p ON s.shingle = p.phrase
+         |      GROUP BY ALL),
+         |r AS (SELECT phrase, doc_id, n_hits,
+         |        CAST(row_number() OVER (PARTITION BY phrase
+         |          ORDER BY n_hits DESC, doc_id) AS INT) AS rank
+         |      FROM m)
+         |SELECT phrase, rank, doc_id, CAST(n_hits AS BIGINT) AS n_hits
+         |FROM r WHERE rank <= 5
+         |ORDER BY phrase, rank""".stripMargin
   )
 }

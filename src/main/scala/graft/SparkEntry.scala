@@ -261,7 +261,9 @@ object SparkEntry {
     // k-anonymity release audit over quasi-identifier classes
     "k_anonymity" -> (Observability.kAnonymity _),
     // domain-mix drift: token-mass vs doc-mass KL/entropy monitor
-    "mix_drift" -> (CorpusStats.mixDrift _)
+    "mix_drift" -> (CorpusStats.mixDrift _),
+    // exact phrase search: phrase == shingle, one keyed lookup
+    "phrase_search" -> (TfIdf.phraseSearch _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -246,4 +246,38 @@ object TfIdf {
       .select(col("word"), col("df"), col("postings"))
       .orderBy(col("df").desc, col("word"))
   }
+
+  /** Exact PHRASE search over the n-gram index: a k-word phrase IS a
+    * k-shingle, so matching docs fall out of an equi-join between the
+    * corpus shingle stream and the (tiny, broadcast) phrase list — no
+    * positional-index intersection pass (the classic positional-join
+    * formulation re-joins the word postings per phrase term; the
+    * shingle form does it in ONE keyed lookup, the same reason the
+    * dedup family blocks on shingles). Hit counts per (phrase, doc)
+    * rank into a per-phrase top-5 that the GroupTopK rewrite turns
+    * into a bounded heap — no per-phrase window sort.
+    *
+    * The fourth query phrase never occurs: the zero-hit path must
+    * yield zero rows, not a rank-padded group.
+    */
+  val Phrases = Seq(
+    "big order scan", "group slow spark", "small part order",
+    "spark spark spark")
+
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val pdf = spark.createDataFrame(Phrases.map(Tuple1.apply))
+      .toDF("phrase")
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Shingles.shingleArray(col("text"), 3)).as("shingle"))
+    val w = Window.partitionBy(col("phrase"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+    sh.join(broadcast(pdf), col("shingle") === col("phrase"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("phrase"), col("rank"), col("doc_id"), col("n_hits"))
+      .orderBy("phrase", "rank")
+  }
 }

@@ -410,6 +410,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val hh = plan("heavy_hitters")
     assert(hh.contains("BroadcastHashJoin") && hh.contains("LeftSemi"),
       s"heavy_hitters recount lost its broadcast semi join:\n$hh")
+    // phrase_search: the phrase list joins BROADCAST against the
+    // shingle stream, and the per-phrase top-5 rides the GroupTopK
+    // heap, not a window sort
+    val ph = plan("phrase_search")
+    assert(ph.contains("BroadcastHashJoin"),
+      s"phrase_search must broadcast the phrase list:\n$ph")
+    assert(ph.contains("GroupTopK"), s"phrase_search missed the rewrite:\n$ph")
+    assert(!ph.contains("Window"), s"phrase_search kept its window:\n$ph")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
