@@ -2981,6 +2981,23 @@ object Oracles {
          |      FROM m)
          |SELECT phrase, rank, doc_id, CAST(n_hits AS BIGINT) AS n_hits
          |FROM r WHERE rank <= 5
-         |ORDER BY phrase, rank""".stripMargin
+         |ORDER BY phrase, rank""".stripMargin,
+
+    // Bag-of-words dedup — mirrors Dedup.bagDedup. md5 is the shared
+    // engine-exact hash family; list_sort/array_sort both order strings
+    // by binary collation.
+    "bag_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |             md5(array_to_string(list_sort(
+        |               list_filter(string_split(coalesce(text, ''), ' '),
+        |                           w -> length(w) > 0)), ' ')) AS bag_fp
+        |           FROM documents),
+        |g AS (SELECT bag_fp, CAST(count(*) AS BIGINT) AS n_docs,
+        |             min(doc_id) AS canonical
+        |      FROM f GROUP BY bag_fp)
+        |SELECT f.doc_id, f.bag_fp, g.n_docs, g.canonical,
+        |       f.doc_id = g.canonical AS is_canonical
+        |FROM f JOIN g USING (bag_fp)
+        |ORDER BY f.doc_id""".stripMargin
   )
 }

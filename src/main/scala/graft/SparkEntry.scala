@@ -263,7 +263,9 @@ object SparkEntry {
     // domain-mix drift: token-mass vs doc-mass KL/entropy monitor
     "mix_drift" -> (CorpusStats.mixDrift _),
     // exact phrase search: phrase == shingle, one keyed lookup
-    "phrase_search" -> (TfIdf.phraseSearch _)
+    "phrase_search" -> (TfIdf.phraseSearch _),
+    // order-invariant exact dedup over the sorted word multiset
+    "bag_dedup" -> (Dedup.bagDedup _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -32,6 +32,32 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy("text_hash")
 
+  /** Order-invariant exact dedup: the fingerprint is the SORTED word
+    * multiset, so documents that differ only by word order — shuffled
+    * boilerplate, re-ordered list pages, template rotations — collapse
+    * onto one group that [[dedupExact]]'s raw-text hash cannot see
+    * (bag-of-words canonicalization; supersets every raw-hash group by
+    * construction). Output is the per-doc verdict: group fingerprint,
+    * multiplicity, keeper (min doc id), and whether this row survives.
+    *
+    * Scale posture: canonicalization happens inside the word ARRAY
+    * (sort + join, a pure map in the scan stage); then one hash-keyed
+    * agg and one hash-keyed join-back — the exact-dedup plan with a
+    * sort-normalized key.
+    */
+  def bagDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(Shingles.wordArray(col("text"))), " "))
+          .as("bag_fp"))
+    val grp = fp.groupBy(col("bag_fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical"))
+    fp.join(grp, Seq("bag_fp"))
+      .select(col("doc_id"), col("bag_fp"), col("n_docs"), col("canonical"),
+        (col("doc_id") === col("canonical")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash signatures: numHashes independent min-hashes per doc, hash_i
     * = min over shingles of md5(seed_i || shingle). Computed inside the
     * shingle ARRAY (array_min ∘ transform) — a pure map, no explode, no
