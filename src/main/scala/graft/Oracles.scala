@@ -2998,6 +2998,22 @@ object Oracles {
         |SELECT f.doc_id, f.bag_fp, g.n_docs, g.canonical,
         |       f.doc_id = g.canonical AS is_canonical
         |FROM f JOIN g USING (bag_fp)
-        |ORDER BY f.doc_id""".stripMargin
+        |ORDER BY f.doc_id""".stripMargin,
+
+    // Frame sampling — mirrors Multimodal.frameSampleQuery. The corpus
+    // payload is ASCII text encoded to bytes, so char slicing == byte
+    // slicing and substr+md5 reproduces each frame digest.
+    "frame_sample" ->
+      """WITH a AS (SELECT doc_id AS asset_id, coalesce(text, '') AS t,
+        |             length(coalesce(text, '')) AS len
+        |           FROM documents),
+        |s AS (SELECT asset_id, t, len, greatest(len // 4, 1) AS step FROM a),
+        |f AS (SELECT asset_id, CAST(i AS INT) AS frame_idx,
+        |             CAST(i * step AS INT) AS frame_off, step, len, t
+        |      FROM s, range(4) r(i) WHERE i * step < len)
+        |SELECT asset_id, frame_idx, frame_off,
+        |       CAST(least(step, len - frame_off) AS INT) AS frame_len,
+        |       md5(substr(t, frame_off + 1, CAST(step AS INT))) AS frame_md5
+        |FROM f ORDER BY asset_id, frame_idx""".stripMargin
   )
 }

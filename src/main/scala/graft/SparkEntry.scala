@@ -265,7 +265,9 @@ object SparkEntry {
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset
-    "bag_dedup" -> (Dedup.bagDedup _)
+    "bag_dedup" -> (Dedup.bagDedup _),
+    // media frame sampling: evenly-spaced payload slices + digests
+    "frame_sample" -> (Multimodal.frameSampleQuery _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

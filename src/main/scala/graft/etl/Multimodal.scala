@@ -183,6 +183,29 @@ object Multimodal {
       .drop("col", "__idx")
   }
 
+  /** Verified frame-sampling query — promotes [[frameSample]]'s
+    * plumbing (sequence + posexplode + per-offset payload slice, the
+    * video frame-sample shape the reference's media pipeline needs)
+    * into the oracle-checked surface: per asset, the 4 evenly-spaced
+    * slices with their offsets, lengths, and content digests. The
+    * payload is the documents corpus encoded to bytes, so DuckDB
+    * reproduces each slice digest with substr+md5; only the codec that
+    * would DECODE a slice stays behind the declared stub.
+    *
+    * Scale posture: a pure generator in the scan stage (explode factor
+    * is the constant 4) — no shuffle but the output sort.
+    */
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val n = 4
+    val assets = assetTable(spark, dir).select(col("asset_id"), col("payload"))
+    frameSample(assets, col("payload"), n)
+      .select(col("asset_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("frame_off").cast("int").as("frame_off"),
+        length(col("frame")).cast("int").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
   /** Verified query: byte length, magic-kind, stub-decoded dimensions,
     * content digest — all DuckDB-reproducible.
     */
