@@ -3014,6 +3014,28 @@ object Oracles {
         |SELECT asset_id, frame_idx, frame_off,
         |       CAST(least(step, len - frame_off) AS INT) AS frame_len,
         |       md5(substr(t, frame_off + 1, CAST(step AS INT))) AS frame_md5
-        |FROM f ORDER BY asset_id, frame_idx""".stripMargin
+        |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
+
+    // Record linkage — mirrors TfIdf.recordLinkage. levenshtein is
+    // engine-shared (edit_distance precedent); the blocking key and
+    // perturbation use identical length-anchored substr formulas.
+    "record_linkage" ->
+      """WITH clean AS (SELECT c_custkey AS ck, c_name AS cname,
+        |                 substr(c_name, length(c_name) - 2, 3) AS blk
+        |               FROM customer),
+        |dirty AS (SELECT c_custkey AS dk,
+        |                 concat(substr(c_name, 1, 3), substr(c_name, 5, 100))
+        |                   AS dname,
+        |                 substr(c_name, length(c_name) - 2, 3) AS blk
+        |          FROM customer WHERE c_custkey % 3 = 0),
+        |m AS (SELECT dk, ck,
+        |        CAST(levenshtein(dname, cname) AS INT) AS dist
+        |      FROM dirty JOIN clean USING (blk)
+        |      WHERE levenshtein(dname, cname) <= 2),
+        |r AS (SELECT dk, ck, dist,
+        |        row_number() OVER (PARTITION BY dk ORDER BY dist, ck) AS rk
+        |      FROM m)
+        |SELECT dk, ck AS matched, dist, dk = ck AS correct
+        |FROM r WHERE rk = 1 ORDER BY dk""".stripMargin
   )
 }

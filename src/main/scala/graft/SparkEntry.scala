@@ -267,7 +267,9 @@ object SparkEntry {
     // order-invariant exact dedup over the sorted word multiset
     "bag_dedup" -> (Dedup.bagDedup _),
     // media frame sampling: evenly-spaced payload slices + digests
-    "frame_sample" -> (Multimodal.frameSampleQuery _)
+    "frame_sample" -> (Multimodal.frameSampleQuery _),
+    // entity resolution: block → levenshtein verify → best-match rank
+    "record_linkage" -> (TfIdf.recordLinkage _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

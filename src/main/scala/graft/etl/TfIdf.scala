@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -245,6 +245,43 @@ object TfIdf {
     dfs.join(posts, Seq("word"))
       .select(col("word"), col("df"), col("postings"))
       .orderBy(col("df").desc, col("word"))
+  }
+
+  /** Record linkage (entity resolution): match a DIRTY feed of
+    * perturbed records back to the clean registry with the standard
+    * block-then-verify-then-rank plan — the Fellegi-Sunter shape every
+    * dedup-across-sources pipeline runs. The dirty side is derived
+    * deterministically (every third customer, 4th name char deleted →
+    * true match at distance 1, impostors at >= 2); the blocking key is
+    * the name's numeric TAIL, chosen because the perturbation provably
+    * cannot touch it — the property a real blocking key needs
+    * (perturbation-invariant), not just "splits the data".
+    *
+    * Scale posture: the block join is a hash equi-join on the blocking
+    * key (never all-pairs — the same discipline as
+    * [[editDistanceBanded]]); Levenshtein runs only inside blocks, and
+    * the best-match rank rides the GroupTopK heap rewrite.
+    */
+  def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    // length-anchored tail (identical formula in the oracle — negative
+    // substr offsets differ across dialects, length arithmetic doesn't)
+    def blk: Column = expr("substring(c_name, length(c_name) - 2, 3)")
+    val clean = cust.select(col("c_custkey").as("ck"),
+      col("c_name").as("cname"), blk.as("blk"))
+    val dirty = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("dk"),
+        concat(substring(col("c_name"), 1, 3), substring(col("c_name"), 5, 100))
+          .as("dname"), blk.as("blk"))
+    val w = Window.partitionBy(col("dk")).orderBy(col("dist"), col("ck"))
+    dirty.join(clean, Seq("blk"))
+      .withColumn("dist", levenshtein(col("dname"), col("cname")))
+      .filter(col("dist") <= 2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("dk"), col("ck").as("matched"), col("dist"),
+        (col("dk") === col("ck")).as("correct"))
+      .orderBy("dk")
   }
 
   /** Exact PHRASE search over the n-gram index: a k-word phrase IS a

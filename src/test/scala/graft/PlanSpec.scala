@@ -418,6 +418,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"phrase_search must broadcast the phrase list:\n$ph")
     assert(ph.contains("GroupTopK"), s"phrase_search missed the rewrite:\n$ph")
     assert(!ph.contains("Window"), s"phrase_search kept its window:\n$ph")
+    // record_linkage: the block join must be an equi-join on the
+    // blocking key — levenshtein may only run inside blocks, never as
+    // a nested-loop pair predicate
+    val rl = plan("record_linkage")
+    assert(!rl.contains("NestedLoop") && !rl.contains("CartesianProduct"),
+      s"record_linkage lost its blocking:\n$rl")
+    assert(rl.contains("GroupTopK"), s"record_linkage missed the rewrite:\n$rl")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
