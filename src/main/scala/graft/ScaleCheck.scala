@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
 object ScaleCheck {
   private val Heavy = Seq(
     "minhash_lsh", "dedup_components", "dedup_canonical", "substring_dedup",
-    "knn_ivf", "knn_pq_trained", "edit_distance_banded")
+    "knn_ivf", "knn_pq_trained", "edit_distance_banded",
+    // round-6 gram-heavy additions
+    "span_clip", "phrase_search", "bag_dedup")
 
   private def caesar(r: Int): (String, String) = {
     val a = "abcdefghijklmnopqrstuvwxyz"
