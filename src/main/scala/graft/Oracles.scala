@@ -3036,6 +3036,55 @@ object Oracles {
         |        row_number() OVER (PARTITION BY dk ORDER BY dist, ck) AS rk
         |      FROM m)
         |SELECT dk, ck AS matched, dist, dk = ck AS correct
-        |FROM r WHERE rk = 1 ORDER BY dk""".stripMargin
+        |FROM r WHERE rk = 1 ORDER BY dk""".stripMargin,
+
+    // LSH s-curve audit — mirrors Dedup.lshQuality. Rides the SHARED
+    // full-corpus banding CTEs, so the audited pairing is
+    // definitionally the verified minhash_lsh pairing. The pair frame
+    // = block intersecting pairs (low-Jaccard mass) ∪ corpus-wide
+    // candidates with verify Jaccard (high mass; neardup_pipeline's
+    // exact construction).
+    "lsh_quality" ->
+      s"""WITH $LshPairCtes,
+         |dshB AS (SELECT DISTINCT doc_id, shingle FROM shingles
+         |         WHERE doc_id < 64),
+         |sizesB AS (SELECT doc_id, count(*) AS n_sh FROM dshB GROUP BY doc_id),
+         |interB AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             count(*) AS n_common
+         |           FROM dshB a JOIN dshB b
+         |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY ALL),
+         |truthB AS (SELECT doc_a, doc_b,
+         |             (10000 * n_common) // (sa.n_sh + sb.n_sh - n_common)
+         |               AS jaccard_bp
+         |           FROM interB JOIN sizesB sa ON doc_a = sa.doc_id
+         |                       JOIN sizesB sb ON doc_b = sb.doc_id),
+         |dshA AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |sizesA AS (SELECT doc_id, count(*) AS n_sh FROM dshA GROUP BY doc_id),
+         |interC AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |           FROM lshpairs c JOIN dshA a ON a.doc_id = c.doc_a
+         |             JOIN dshA b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |           GROUP BY c.doc_a, c.doc_b),
+         |truthC AS (SELECT c.doc_a, c.doc_b,
+         |             (10000 * coalesce(i.n_common, 0)) //
+         |               (sa.n_sh + sb.n_sh - coalesce(i.n_common, 0))
+         |               AS jaccard_bp
+         |           FROM lshpairs c
+         |             LEFT JOIN interC i
+         |               ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+         |             JOIN sizesA sa ON c.doc_a = sa.doc_id
+         |             JOIN sizesA sb ON c.doc_b = sb.doc_id),
+         |truth AS (SELECT DISTINCT doc_a, doc_b, jaccard_bp FROM
+         |          (SELECT * FROM truthB UNION ALL SELECT * FROM truthC)),
+         |cd AS (SELECT doc_a, doc_b, 1 AS is_cand FROM lshpairs),
+         |j AS (SELECT t.doc_a, t.doc_b, t.jaccard_bp // 1000 AS bucket,
+         |             coalesce(cd.is_cand, 0) AS is_cand
+         |      FROM truth t LEFT JOIN cd USING (doc_a, doc_b))
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(is_cand) AS BIGINT) AS n_cands,
+         |       CAST((10000 * sum(is_cand)) // count(*) AS BIGINT)
+         |         AS cand_rate_bp
+         |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

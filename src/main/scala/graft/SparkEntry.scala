@@ -269,7 +269,9 @@ object SparkEntry {
     // media frame sampling: evenly-spaced payload slices + digests
     "frame_sample" -> (Multimodal.frameSampleQuery _),
     // entity resolution: block → levenshtein verify → best-match rank
-    "record_linkage" -> (TfIdf.recordLinkage _)
+    "record_linkage" -> (TfIdf.recordLinkage _),
+    // empirical LSH s-curve: candidate rate per exact-Jaccard decile
+    "lsh_quality" -> (Dedup.lshQuality _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -357,9 +357,12 @@ object Dedup {
     * comes from minhashLsh candidates instead).
     * |A∩B| via join on distinct shingles, |A∪B| = |A|+|B|-|A∩B|.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .filter(col("doc_id") < 64).select(col("doc_id"), col("text"))
+  /** Unthresholded exact pair Jaccard over every INTERSECTING pair of
+    * `docs` (shared by [[ngramJaccard]] and [[lshQuality]] so ground
+    * truth cannot drift between the similarity and audit surfaces).
+    */
+  private def pairJaccardFrom(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("text"))
       .withColumn("sh_set", array_distinct(Shingles.shingleArray(col("text"), 3)))
     // shingle sets and their sizes both come from the array — the only
     // shuffle left is the intersect self-join itself
@@ -378,10 +381,45 @@ object Dedup {
       // similarity values sit exactly on decimal rounding boundaries)
       .withColumn("jaccard_bp", expr("(10000 * n_common) div n_union"))
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard_bp"))
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    pairJaccardFrom(Tables.documents(spark, dir).filter(col("doc_id") < 64))
       // threshold calibrated to the synthetic corpus (max ≈ 224 bp);
       // production near-dup uses ~8000 bp — same plan
       .filter(col("jaccard_bp") >= 150)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** LSH quality audit — the EMPIRICAL s-curve: per exact-Jaccard
+    * decile, what fraction of pairs did the banded MinHash tier
+    * actually surface? InvariantSpec pins the THEORETICAL curve
+    * P(cand | s) = 1-(1-s^r)^b; this measures it in data, which is
+    * what a pipeline owner tunes bands against ("measure, don't
+    * guess"). The pair frame unions two scale-legal sources — the
+    * bounded block's intersecting pairs (the low-Jaccard mass where
+    * the curve must collapse toward 0) and the corpus-wide candidate
+    * pairs with their exact verify Jaccard via [[graft.etl.Splits
+    * .neardupPipeline]] (the high-Jaccard mass where it must rise
+    * toward 10000). Zero-overlap non-candidate pairs stay outside the
+    * frame: materializing them would need the cross join this repo
+    * bans, and their candidate rate is structurally ~0.
+    */
+  def lshQuality(spark: SparkSession, dir: String): DataFrame = {
+    val block = Tables.documents(spark, dir).filter(col("doc_id") < 64)
+    val truth = pairJaccardFrom(block)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+      .unionByName(Splits.neardupPipeline(spark, dir)
+        .select(col("doc_a"), col("doc_b"), col("jaccard_bp")))
+      .distinct() // overlap pairs carry identical jaccard rows
+    val cands = minhashLsh(spark, dir).withColumn("is_cand", lit(1L))
+    truth.join(cands, Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket", expr("jaccard_bp div 1000"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("is_cand"), lit(0L))).as("n_cands"))
+      .withColumn("cand_rate_bp", expr("(10000 * n_cands) div n_pairs"))
+      .orderBy("bucket")
   }
 
   /** Connected-component CLUSTERING over the LSH candidate graph — the
