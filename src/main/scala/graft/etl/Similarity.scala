@@ -603,10 +603,18 @@ object Similarity {
         .groupBy(col("m"), col("code"))
         .agg(min(struct(col("dm"), col("vec_id"))).as("md"))
         .select(col("m"), col("code"), col("md.vec_id").as("mvid"))
+      // end every Lloyd round in an EAGER localCheckpoint: the codebook
+      // is M·K tiny rows, but without the lineage cut each downstream
+      // reference re-nests the whole round's join chain and Catalyst
+      // re-optimizes an exponentially growing tree (the repo's
+      // dedup_components fixpoint lesson; measured 36.8 s cold rep on
+      // knn_pq_trained from exactly this). On a cluster swap for
+      // reliable checkpoint.
       cbT = broadcast(medoid
         .join(subv.select(col("vec_id").as("mvid"), col("m"), col("xvec")),
           Seq("mvid", "m"))
-        .select(col("m").as("cm"), col("code").as("k"), col("xvec").as("cvec")))
+        .select(col("m").as("cm"), col("code").as("k"), col("xvec").as("cvec"))
+        .localCheckpoint())
     }
     cbT
   }
