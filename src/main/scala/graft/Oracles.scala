@@ -3085,6 +3085,28 @@ object Oracles {
          |       CAST(sum(is_cand) AS BIGINT) AS n_cands,
          |       CAST((10000 * sum(is_cand)) // count(*) AS BIGINT)
          |         AS cand_rate_bp
-         |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin
+         |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Attribution — mirrors Events.attribution: conditional aggregates
+    // over the user-keyed running frame (no IGNORE NULLS dialects).
+    "attribution" ->
+      """WITH a AS (SELECT event_id, user_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS us,
+        |             min(CASE WHEN event_type = 'click'
+        |                      THEN CAST(epoch_us(ts) AS BIGINT) END)
+        |               OVER w AS first_touch_us,
+        |             max(CASE WHEN event_type = 'click'
+        |                      THEN CAST(epoch_us(ts) AS BIGINT) END)
+        |               OVER w AS last_touch_us,
+        |             count(CASE WHEN event_type = 'click' THEN 1 END)
+        |               OVER w AS n_touches
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, us AS purchase_us,
+        |       first_touch_us, last_touch_us,
+        |       CAST(n_touches AS BIGINT) AS n_touches
+        |FROM a WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
   )
 }

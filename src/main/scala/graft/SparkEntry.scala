@@ -271,7 +271,9 @@ object SparkEntry {
     // entity resolution: block → levenshtein verify → best-match rank
     "record_linkage" -> (TfIdf.recordLinkage _),
     // empirical LSH s-curve: candidate rate per exact-Jaccard decile
-    "lsh_quality" -> (Dedup.lshQuality _)
+    "lsh_quality" -> (Dedup.lshQuality _),
+    // first/last-touch attribution over the running click frame
+    "attribution" -> (Events.attribution _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -427,4 +427,29 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path"))
   }
+
+  /** First/last-touch attribution: for every `purchase`, the earliest
+    * and latest preceding `click` in the same user's history, plus the
+    * touch count — the two classic attribution models side by side
+    * (and their disagreement is the multi-touch signal). Conditional
+    * aggregates over a user-keyed running frame: min/max/count of
+    * CASE WHEN click THEN ts END between unbounded preceding and the
+    * current row — one user-partitioned window, no self-join per
+    * purchase, no IGNORE NULLS dialect divergence.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickTs = when(col("event_type") === "click", tsUs)
+    Tables.events(spark, dir)
+      .withColumn("first_touch_us", min(clickTs).over(w))
+      .withColumn("last_touch_us", max(clickTs).over(w))
+      .withColumn("n_touches", count(clickTs).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        tsUs.as("purchase_us"),
+        col("first_touch_us"), col("last_touch_us"), col("n_touches"))
+      .orderBy("event_id")
+  }
 }
