@@ -3107,6 +3107,37 @@ object Oracles {
         |       first_touch_us, last_touch_us,
         |       CAST(n_touches AS BIGINT) AS n_touches
         |FROM a WHERE event_type = 'purchase'
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // Event debounce dedup — mirrors Events.eventDedup.
+    "event_dedup" ->
+      """WITH x AS (SELECT event_id, user_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS us,
+        |             lag(CAST(epoch_us(ts) AS BIGINT), 1)
+        |               OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS prev_us
+        |           FROM events)
+        |SELECT event_id, user_id, event_type, us
+        |FROM x WHERE prev_us IS NULL OR us - prev_us > 600000000
+        |ORDER BY event_id""".stripMargin,
+
+    // Character entropy — the count/sum/charset fragments are the SAME
+    // generated strings the Spark side compiles (TextAnalysis
+    // entropyCountSql/entropySumSql/charsetSizeSql): one source of
+    // truth, two dialect-identical evaluations.
+    "char_entropy" -> {
+      val cnts = graft.etl.TextAnalysis.EntropyCharSet.indices
+        .map(i => s"${graft.etl.TextAnalysis.entropyCountSql(i)} AS c_$i")
+        .mkString(", ")
+      s"""WITH b0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+         |b1 AS (SELECT doc_id, t, length(t) AS len FROM b0
+         |       WHERE length(t) > 0),
+         |b AS (SELECT doc_id, len, $cnts FROM b1)
+         |SELECT doc_id, CAST(len AS INT) AS len,
+         |       CAST(${graft.etl.TextAnalysis.charsetSizeSql} AS INT)
+         |         AS n_charset,
+         |       round(${graft.etl.TextAnalysis.entropySumSql}, 4) AS entropy
+         |FROM b ORDER BY doc_id""".stripMargin
+    }
   )
 }

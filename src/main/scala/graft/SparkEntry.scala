@@ -273,7 +273,11 @@ object SparkEntry {
     // empirical LSH s-curve: candidate rate per exact-Jaccard decile
     "lsh_quality" -> (Dedup.lshQuality _),
     // first/last-touch attribution over the running click frame
-    "attribution" -> (Events.attribution _)
+    "attribution" -> (Events.attribution _),
+    // debounce dedup: drop same-(user,type) events within 5s
+    "event_dedup" -> (Events.eventDedup _),
+    // character-entropy repetitiveness gate (sub-token degeneracy)
+    "char_entropy" -> ((s: SparkSession, d: String) => TextAnalysis.charEntropy(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

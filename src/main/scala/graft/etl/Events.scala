@@ -437,6 +437,25 @@ object Events {
     * current row — one user-partitioned window, no self-join per
     * purchase, no IGNORE NULLS dialect divergence.
     */
+  /** Batch twin of the streaming within-watermark dedup
+    * ([[graft.streaming.StreamingOps.dedupWithinWatermark]]): drop an
+    * event when the same (user, type) fired within the previous 10
+    * minutes — keyed lag() over event time, the at-rest form of
+    * debounce/retry-collapse. Survivors keep their original columns;
+    * the first event of each burst survives (lag gap rule ≡ the
+    * stream's first-within-horizon rule for non-chained bursts).
+    */
+  def eventDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("us", tsUs)
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNull || col("us") - col("prev_us") > 600000000L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("us"))
+      .orderBy("event_id")
+  }
+
   def attribution(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)

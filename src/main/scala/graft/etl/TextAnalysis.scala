@@ -366,4 +366,55 @@ object TextAnalysis {
       .orderBy(col("dsir_bp").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** The corpus alphabet for [[charEntropy]] — contains no SQL-quote
+    * characters, so the generated fragments below need no escaping.
+    */
+  val EntropyCharSet: Seq[Char] = ('a' to 'z') ++ ('0' to '9') :+ ' '
+
+  /** SQL fragments shared VERBATIM with the DuckDB oracle (both
+    * dialects have length/replace/ln/CASE with identical semantics, so
+    * one generated string serves both engines and cannot drift):
+    * per-character counts via the length-delta trick — a pure string
+    * map, NO explode, no (doc, char) shuffle — then the entropy sum in
+    * a fixed left-fold order.
+    */
+  def entropyCountSql(i: Int): String = {
+    val c = EntropyCharSet(i)
+    s"length(t) - length(replace(t, '$c', ''))"
+  }
+
+  def entropySumSql: String =
+    EntropyCharSet.indices.map { i =>
+      s"(CASE WHEN c_$i > 0 THEN -(CAST(c_$i AS DOUBLE) / CAST(len AS DOUBLE))" +
+        s" * ln(CAST(c_$i AS DOUBLE) / CAST(len AS DOUBLE)) ELSE 0.0 END)"
+    }.mkString(" + ")
+
+  def charsetSizeSql: String =
+    EntropyCharSet.indices.map(i => s"(CASE WHEN c_$i > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Character-entropy quality signal: Shannon entropy of the per-doc
+    * character distribution in nats (4dp; irrational-value rule). A
+    * spam page of one repeated character scores ~0; natural text sits
+    * near the alphabet's ceiling — the standard cheap repetitiveness
+    * gate next to the token-level Gopher rules ([[repetitionProfile]]),
+    * catching sub-token degeneracy ("aaaa…") that word statistics miss.
+    * Map-only: 37 codegen'd length/replace pairs per row, no explode.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), txt(col("text")).as("t"))
+      .withColumn("len", length(col("t")))
+      .filter(col("len") > 0)
+    val withCnt = EntropyCharSet.indices.foldLeft(base) { (df, i) =>
+      df.withColumn(s"c_$i", expr(entropyCountSql(i)))
+    }
+    withCnt
+      .withColumn("entropy", expr(s"round($entropySumSql, 4)"))
+      .withColumn("n_charset", expr(charsetSizeSql).cast("int"))
+      .select(col("doc_id"), col("len").cast("int").as("len"),
+        col("n_charset"), col("entropy"))
+      .orderBy("doc_id")
+  }
 }
