@@ -3138,6 +3138,30 @@ object Oracles {
          |         AS n_charset,
          |       round(${graft.etl.TextAnalysis.entropySumSql}, 4) AS entropy
          |FROM b ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // BPE round-trip — mirrors CorpusStats.bpeRoundtrip: decode∘encode
+    // is the identity (sentinels are non-corpus chars), so the oracle
+    // is just the filtered words re-joined. ok is structurally true.
+    "bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(string_split(coalesce(text, ''), ' '),
+        |                              w -> length(w) > 0), ' ')
+        |    AS decoded_text,
+        |  true AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Prefix autocomplete — mirrors CorpusStats.prefixTopk.
+    "prefix_topk" ->
+      s"""WITH $WordsCte,
+         |wf AS (SELECT word, count(*) AS freq FROM words
+         |       GROUP BY word HAVING length(word) >= 2),
+         |p AS (SELECT substr(word, 1, 2) AS prefix, word, freq,
+         |        CAST(row_number() OVER (PARTITION BY substr(word, 1, 2)
+         |          ORDER BY freq DESC, word) AS INT) AS rank
+         |      FROM wf)
+         |SELECT prefix, rank, word, CAST(freq AS BIGINT) AS freq
+         |FROM p WHERE rank <= 3
+         |ORDER BY prefix, rank""".stripMargin
   )
 }

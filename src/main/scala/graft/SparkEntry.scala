@@ -277,7 +277,11 @@ object SparkEntry {
     // debounce dedup: drop same-(user,type) events within 5s
     "event_dedup" -> (Events.eventDedup _),
     // character-entropy repetitiveness gate (sub-token degeneracy)
-    "char_entropy" -> ((s: SparkSession, d: String) => TextAnalysis.charEntropy(s, d))
+    "char_entropy" -> ((s: SparkSession, d: String) => TextAnalysis.charEntropy(s, d)),
+    // lossless-tokenization proof: decode(encode(words)) == words
+    "bpe_roundtrip" -> (CorpusStats.bpeRoundtrip _),
+    // autocomplete: top-3 completions per 2-char prefix on GroupTopK
+    "prefix_topk" -> (CorpusStats.prefixTopk _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

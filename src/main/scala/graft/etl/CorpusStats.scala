@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -250,6 +251,54 @@ object CorpusStats {
         when(col("n_chars") > 0,
           expr("(10000 * n_tokens) div n_chars")).otherwise(lit(null)))
       .orderBy("doc_id")
+  }
+
+  /** Tokenization ROUND-TRIP proof: encode the word stream under the
+    * learned merge table, decode it back (sentinel→pair in reverse
+    * rank order), and emit the decoded text — which the oracle
+    * reconstructs as simply the filtered words re-joined. Losslessness
+    * holds structurally (sentinels are non-corpus characters, so each
+    * backward replace exactly inverts its forward replace); a training
+    * pipeline runs this check because a tokenizer that drops or
+    * reorders bytes silently corrupts every downstream sample. Pure
+    * map over the corpus joined to the 1-row merge table.
+    */
+  def bpeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val picks = bpeLearnedPicks(spark, dir)
+    val p1 = broadcast(picks(0).select(col("pair").as("p1")))
+    val p2 = broadcast(picks(1).select(col("pair").as("p2")))
+    val p3 = broadcast(picks(2).select(col("pair").as("p3")))
+    val jw = array_join(Shingles.wordArray(col("text")), " ")
+    def s(i: Int) = lit(Sentinels(i))
+    val enc = replace(replace(replace(jw, col("p1"), s(0)),
+      col("p2"), s(1)), col("p3"), s(2))
+    val dec = replace(replace(replace(enc, s(2), col("p3")),
+      s(1), col("p2")), s(0), col("p1"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .crossJoin(p1).crossJoin(p2).crossJoin(p3)
+      .select(col("doc_id"), dec.as("decoded_text"),
+        (dec === jw).as("ok"))
+      .orderBy("doc_id")
+  }
+
+  /** Autocomplete index: top-3 completions per 2-char prefix by corpus
+    * frequency — word-keyed agg then a prefix-keyed rank that rides the
+    * GroupTopK heap rewrite (per-prefix state O(3), never a full
+    * per-prefix sort; the posting-cap discipline of the inverted
+    * index applied to the completion table).
+    */
+  def prefixTopk(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Shingles.words(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .filter(length(col("word")) >= 2)
+      .withColumn("prefix", substring(col("word"), 1, 2))
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("freq").desc, col("word"))
+    wf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("prefix"), col("rank"), col("word"), col("freq"))
+      .orderBy("prefix", "rank")
   }
 
   def bpePairs(spark: SparkSession, dir: String): DataFrame = {
