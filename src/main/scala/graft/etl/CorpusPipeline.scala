@@ -8,8 +8,9 @@ import graft.Tables
   * operators exist for, composed into one run:
   *
   *   documents → quality gate → exact dedup → near-dup canonicalization
-  *   (LSH → connected components → best-copy survivor) → per-language
-  *   mix rebalance → RAG chunking → chunked corpus + build report
+  *   (LSH → connected components → best-copy survivor) → duplicated-
+  *   span clipping → character-entropy floor → per-language mix
+  *   rebalance → RAG chunking → chunked corpus + build report
   *
   * Every stage is an already-oracle-verified operator applied to the
   * previous stage's survivors; the composition adds wiring, not new
@@ -31,6 +32,8 @@ object CorpusPipeline {
   val QualityFloorBp = 3000   // keep docs scoring ≥ 30%
   val ChunkSize = 1000        // config/limits.yaml:166-170
   val ChunkOverlap = 100
+  val MinCleanWords = 20      // span clip may not hollow a doc out
+  val EntropyFloor = 2.0      // nats; degenerate repetition gate
 
   /** Runs the build; writes `chunks/` (partitioned by lang) and
     * `report/` under `outDir`, returns the 1-row build report.
@@ -67,9 +70,26 @@ object CorpusPipeline {
       .unionByName(kept2.join(keepers, Seq("doc_id")))
     val nNearDup = kept3.count()
 
+    // 3b. span clipping (round 6): remove cross-survivor duplicated
+    //     8-gram spans from the texts themselves (Lee et al. clip, not
+    //     drop), then drop documents the clip hollowed out
+    val clipped = Dedup.spanClipFrom(kept3.select(col("doc_id"), col("text")))
+      .filter(col("n_words") - col("n_removed") >= MinCleanWords)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(kept3.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val nClipped = clipped.count()
+
+    // 3c. character-entropy floor (round 6): a clip can leave
+    //     degenerate repetition that word stats miss
+    val kept4 = clipped.join(
+      TextAnalysis.charEntropyFrom(clipped)
+        .filter(col("entropy") >= EntropyFloor).select("doc_id"),
+      Seq("doc_id"))
+    val nEntropy = kept4.count()
+
     // 4. per-language mix rebalance toward a uniform budget (the
     //    mix_weights rates driving a salted-hash bucket cut)
-    val toks = kept3
+    val toks = kept4
       .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("t"))
       .groupBy(col("lang")).agg(sum(col("t")).as("n_tokens"))
     val tot = toks.agg(sum(col("n_tokens")).as("total"), count(lit(1)).as("n_langs"))
@@ -77,7 +97,7 @@ object CorpusPipeline {
       .select(col("lang"),
         least(lit(10000L),
           expr("(10000 * (total div n_langs)) div n_tokens")).as("rate_bp"))
-    val sampled = kept3.join(broadcast(rates), Seq("lang"))
+    val sampled = kept4.join(broadcast(rates), Seq("lang"))
       .filter(Splits.hashBucket(col("doc_id"), "mix:") * lit(100) < col("rate_bp"))
     val nSampled = sampled.count()
 
@@ -89,8 +109,10 @@ object CorpusPipeline {
     val nChunks = written.count()
 
     import spark.implicits._
-    val report = Seq((nInput, nQuality, nExact, nNearDup, nSampled, nChunks))
-      .toDF("n_input", "n_quality", "n_exact", "n_neardup", "n_sampled", "n_chunks")
+    val report = Seq((nInput, nQuality, nExact, nNearDup, nClipped, nEntropy,
+        nSampled, nChunks))
+      .toDF("n_input", "n_quality", "n_exact", "n_neardup", "n_clipped",
+        "n_entropy", "n_sampled", "n_chunks")
     report.write.mode("overwrite").parquet(s"$outDir/report")
     report
   }

@@ -319,8 +319,11 @@ object Dedup {
     * doc-keyed agg reassembles. Every shuffle key is high-cardinality;
     * cost stays linear in corpus gram count.
     */
-  def spanClip(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+  def spanClip(spark: SparkSession, dir: String): DataFrame =
+    spanClipFrom(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  def spanClipFrom(docs: DataFrame): DataFrame = {
     val grams = Shingles.wordShingles(docs, 8)
       .select(col("doc_id"), col("shingle_pos"), col("shingle"))
     val crossDoc = grams.groupBy(col("shingle"))

@@ -402,8 +402,11 @@ object TextAnalysis {
     * catching sub-token degeneracy ("aaaa…") that word statistics miss.
     * Map-only: 37 codegen'd length/replace pairs per row, no explode.
     */
-  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropyFrom(Tables.documents(spark, dir))
+
+  def charEntropyFrom(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("doc_id"), txt(col("text")).as("t"))
       .withColumn("len", length(col("t")))
       .filter(col("len") > 0)
