@@ -3162,6 +3162,28 @@ object Oracles {
          |      FROM wf)
          |SELECT prefix, rank, word, CAST(freq AS BIGINT) AS freq
          |FROM p WHERE rank <= 3
-         |ORDER BY prefix, rank""".stripMargin
+         |ORDER BY prefix, rank""".stripMargin,
+
+    // Join-key skew audit — mirrors Skew.joinSkewReport.
+    "join_skew_report" ->
+      """WITH a AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        |b AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+        |c AS (SELECT CASE WHEN l_orderkey % 2 = 0
+        |                  THEN 'hot_' || (l_orderkey % 8)
+        |                  ELSE 'cold_' || l_orderkey || '_' || l_linenumber
+        |             END AS k
+        |      FROM lineitem),
+        |s AS (
+        |  SELECT 'lineitem.l_orderkey' AS join_key, k FROM a
+        |  UNION ALL SELECT 'orders.o_custkey', k FROM b
+        |  UNION ALL SELECT 'derived.hot_tail', k FROM c),
+        |g AS (SELECT join_key, k, count(*) AS cnt FROM s GROUP BY ALL)
+        |SELECT join_key,
+        |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(max(cnt) AS BIGINT) AS max_key_rows,
+        |       CAST((10000 * max(cnt) * count(*)) // sum(cnt) AS BIGINT)
+        |         AS skew_bp
+        |FROM g GROUP BY join_key ORDER BY join_key""".stripMargin
   )
 }

@@ -281,7 +281,9 @@ object SparkEntry {
     // lossless-tokenization proof: decode(encode(words)) == words
     "bpe_roundtrip" -> (CorpusStats.bpeRoundtrip _),
     // autocomplete: top-3 completions per 2-char prefix on GroupTopK
-    "prefix_topk" -> (CorpusStats.prefixTopk _)
+    "prefix_topk" -> (CorpusStats.prefixTopk _),
+    // shuffle-key health: hot-key skew factor per real join key
+    "join_skew_report" -> (Skew.joinSkewReport _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

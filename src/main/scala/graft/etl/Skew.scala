@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -35,6 +35,33 @@ object Skew {
       .orderBy("l_returnflag")
   }
 
+  /** Join/shuffle-key health audit — the MEASUREMENT leg of the skew
+    * story ([[saltedAgg]] is the static fix, the AQE PlanSpec test the
+    * runtime fix; this tells you whether you need either): per
+    * candidate shuffle key, the exact key-count distribution summary —
+    * rows, distinct keys, max single-key count, and the hot-key skew
+    * factor max·keys/rows in basis points (10000 = perfectly uniform;
+    * a 64-partition shuffle stalls once one key's share nears a
+    * partition's worth). Two keyed aggs per audited column, partial
+    * combined; the audited columns are the repo's real join keys.
+    */
+  def joinSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, keyName: String, k: Column): DataFrame =
+      df.select(k.cast("string").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_key_rows"))
+        .select(lit(keyName).as("join_key"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"),
+          expr("(10000 * max_key_rows * n_keys) div n_rows").as("skew_bp"))
+    audit(Tables.lineitem(spark, dir), "lineitem.l_orderkey", col("l_orderkey"))
+      .unionByName(audit(Tables.orders(spark, dir), "orders.o_custkey",
+        col("o_custkey")))
+      .unionByName(audit(keyStream(spark, dir), "derived.hot_tail", col("k")))
+      .orderBy("join_key")
+  }
+
   /** Sketch capacity and the heavy-hitter threshold divisor. The
     * exactness proof needs Hitters <= Capacity + 1: any key with
     * count > N/Hitters >= N/(Capacity+1) is guaranteed into the
@@ -44,20 +71,12 @@ object Skew {
   val Capacity = 32
   val Hitters = 16
 
-  /** Heavy hitters over a hot-key + long-tail stream via the two-pass
-    * sketch-then-recount pattern ([[graft.functions.MisraGries]]):
-    * pass 1 folds the stream into 32-entry per-partition summaries and
-    * merges them (partial-agg combine — bounded state no matter the key
-    * cardinality); pass 2 recounts ONLY the candidates (broadcast semi
-    * join, then a keyed agg over the few surviving keys) and filters
-    * count*16 > N. The key stream is derived deterministically from
-    * lineitem the way Urls.linkCorpus derives its corpus: even order
-    * keys collapse onto 4 hot keys (~12.5% of the stream each), odd
-    * rows stay unique tail — the URL/n-gram/user-id shape that makes a
-    * raw GROUP BY reducer-state-bound at 100 TB.
-    */
   /** The deterministic hot-key + long-tail key stream (shared with the
-    * streaming twin's stream==batch test).
+    * streaming twin's stream==batch test): derived from lineitem the
+    * way Urls.linkCorpus derives its corpus — even order keys collapse
+    * onto 4 hot keys (~12.5% of the stream each), odd rows stay unique
+    * tail, the URL/n-gram/user-id shape that makes a raw GROUP BY
+    * reducer-state-bound at 100 TB.
     */
   def keyStream(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).select(
@@ -66,6 +85,14 @@ object Skew {
         .otherwise(concat(lit("cold_"), col("l_orderkey").cast("string"),
           lit("_"), col("l_linenumber").cast("string"))).as("k"))
 
+  /** Heavy hitters over the hot-key + long-tail stream via the two-pass
+    * sketch-then-recount pattern ([[graft.functions.MisraGries]]):
+    * pass 1 folds the stream into 32-entry per-partition summaries and
+    * merges them (partial-agg combine — bounded state no matter the key
+    * cardinality); pass 2 recounts ONLY the candidates (broadcast semi
+    * join, then a keyed agg over the few surviving keys) and filters
+    * count*16 > N.
+    */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     val stream = keyStream(spark, dir)
