@@ -3184,6 +3184,23 @@ object Oracles {
         |       CAST(max(cnt) AS BIGINT) AS max_key_rows,
         |       CAST((10000 * max(cnt) * count(*)) // sum(cnt) AS BIGINT)
         |         AS skew_bp
-        |FROM g GROUP BY join_key ORDER BY join_key""".stripMargin
+        |FROM g GROUP BY join_key ORDER BY join_key""".stripMargin,
+
+    // Skyline / Pareto front — the oracle states dominance directly
+    // (NOT EXISTS over distinct pairs); the Spark side must reach the
+    // same set via its banded prefix-max decomposition.
+    "skyline_parts" ->
+      """WITH p AS (SELECT CAST(round(p_retailprice * 100, 0) AS BIGINT)
+        |             AS price_c, p_size
+        |           FROM part),
+        |g AS (SELECT price_c, p_size, CAST(count(*) AS BIGINT) AS n_parts
+        |      FROM p GROUP BY ALL)
+        |SELECT a.price_c, a.p_size AS size, a.n_parts
+        |FROM g a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM g b
+        |  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+        |    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
+        |ORDER BY a.price_c""".stripMargin
   )
 }

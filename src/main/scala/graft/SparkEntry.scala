@@ -283,7 +283,9 @@ object SparkEntry {
     // autocomplete: top-3 completions per 2-char prefix on GroupTopK
     "prefix_topk" -> (CorpusStats.prefixTopk _),
     // shuffle-key health: hot-key skew factor per real join key
-    "join_skew_report" -> (Skew.joinSkewReport _)
+    "join_skew_report" -> (Skew.joinSkewReport _),
+    // Pareto front (min price, max size) via banded prefix-max, no O(n²)
+    "skyline_parts" -> (Skyline.skylineParts _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

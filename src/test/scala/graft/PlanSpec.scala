@@ -88,6 +88,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf(p, "+- Exchange") <= 1, p)
   }
 
+  test("skyline avoids the O(n²) self-join: banded windows + broadcasts only") {
+    val p = plan("skyline_parts")
+    assert(!p.contains("CartesianProduct"), s"skyline must not go all-pairs:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"carry/bounds joins must broadcast:\n$p")
+    // the prefix-max window must be band-partitioned, never global
+    assert(p.contains("Window"), p)
+    assert(!serialFunnels("skyline_parts").exists(_.contains("Window")),
+      s"skyline window funneled to one partition:\n$p")
+  }
+
   test("banded edit-distance joins on the block key, never a nested loop") {
     val p = plan("edit_distance_banded")
     assert(!p.contains("NestedLoop"), s"blocking must make an equi-join:\n$p")
