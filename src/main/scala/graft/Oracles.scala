@@ -2964,6 +2964,33 @@ object Oracles {
         |        ln(CAST(n_tokens AS DOUBLE) / tt), 4) AS entropy_term
         |FROM l, tot ORDER BY lang""".stripMargin,
 
+    // α=0.5 temperature mix — mirrors CorpusStats.temperatureMix. The
+    // integer square root replays the same floor(sqrt(double)) ± 1
+    // correction on both engines, so every output stays exact BIGINT
+    // (sums are CAST — DuckDB sum(BIGINT) would yield HUGEINT).
+    "temperature_mix" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |            ELSE len(string_split(coalesce(text,''), ' ')) END AS INT) AS tc
+        |  FROM documents),
+        |toks AS (SELECT lang, CAST(sum(tc) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+        |iq AS (SELECT lang, n_tokens,
+        |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+        |       FROM toks),
+        |c1 AS (SELECT lang, n_tokens,
+        |         CASE WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END AS s1
+        |       FROM iq),
+        |wq AS (SELECT lang, n_tokens,
+        |         CASE WHEN (s1 + 1) * (s1 + 1) <= n_tokens THEN s1 + 1 ELSE s1 END AS w
+        |       FROM c1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |               CAST(sum(w) AS BIGINT) AS total_w FROM wq)
+        |SELECT lang, n_tokens, w,
+        |  CAST((10000 * n_tokens) // total AS BIGINT) AS prop_bp,
+        |  CAST((10000 * w) // total_w AS BIGINT) AS temp_bp,
+        |  CAST((10000 * w) // total_w - (10000 * n_tokens) // total AS BIGINT) AS uplift_bp
+        |FROM wq, tot ORDER BY lang""".stripMargin,
+
     // Phrase search — mirrors TfIdf.phraseSearch: phrase == 3-shingle,
     // so the oracle rides the shared Shingle3Cte. The absent fourth
     // phrase must contribute zero rows.

@@ -262,6 +262,8 @@ object SparkEntry {
     "k_anonymity" -> (Observability.kAnonymity _),
     // domain-mix drift: token-mass vs doc-mass KL/entropy monitor
     "mix_drift" -> (CorpusStats.mixDrift _),
+    // α=0.5 temperature mix: shares ∝ isqrt(token mass), exact integer
+    "temperature_mix" -> (CorpusStats.temperatureMix _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

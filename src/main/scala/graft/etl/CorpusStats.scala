@@ -73,6 +73,40 @@ object CorpusStats {
       .orderBy("lang")
   }
 
+  /** Temperature-scaled training mix (α = 0.5): per-language sampling
+    * shares ∝ sqrt(token mass) — the standard multilingual rebalance
+    * (mBERT/XLM-R exponentiated smoothing; DoReMi's fixed-α baseline)
+    * that up-weights tail languages without flattening to uniform the
+    * way [[mixWeights]]'s cap does. sqrt is computed as an EXACT
+    * integer square root (floor(sqrt(double)) plus a ±1 correction
+    * step — n_tokens < 2^52 so the double seed is off by at most one),
+    * keeping the whole query in integer basis-point math that both
+    * engines agree on bit-for-bit.
+    *
+    * Scale posture: identical to [[mixWeights]] — one lang-keyed
+    * partial agg, a 1-row broadcast of the two corpus totals, then a
+    * map-side projection. uplift_bp > 0 marks languages the α=0.5
+    * temperature boosts above their proportional share.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("t"))
+      .groupBy(col("lang")).agg(sum(col("t")).as("n_tokens"))
+    val s0 = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
+    val s1 = when(s0 * s0 > col("n_tokens"), s0 - 1).otherwise(s0)
+    val isqrt = when((s1 + 1) * (s1 + 1) <= col("n_tokens"), s1 + 1)
+      .otherwise(s1)
+    val weighted = toks.withColumn("w", isqrt)
+    val tot = weighted.agg(sum(col("n_tokens")).as("total"),
+      sum(col("w")).as("total_w"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"), col("w"),
+        expr("(10000 * n_tokens) div total").as("prop_bp"),
+        expr("(10000 * w) div total_w").as("temp_bp"))
+      .withColumn("uplift_bp", col("temp_bp") - col("prop_bp"))
+      .orderBy("lang")
+  }
+
   /** Domain-mix drift monitor — the observability half of the mixing
     * story ([[mixWeights]] prescribes rates; this MEASURES divergence):
     * per language, the token-mass share p vs the document-count share q

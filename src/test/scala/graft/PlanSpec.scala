@@ -310,7 +310,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!mr.contains("Window"), s"bridge must not window globally:\n$mr")
     // vocab_growth / mix_weights: scalars and the fixed axis broadcast;
     // no window anywhere (the cum-sums are triangular broadcast joins)
-    for (q <- Seq("vocab_growth", "mix_weights")) {
+    for (q <- Seq("vocab_growth", "mix_weights", "temperature_mix")) {
       val p = plan(q)
       assert(p.contains("Broadcast"), s"$q scalar must broadcast:\n$p")
       assert(!p.contains("Window"), s"$q must not window:\n$p")
