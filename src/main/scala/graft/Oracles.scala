@@ -1008,6 +1008,29 @@ object Oracles {
          |FROM r WHERE rk = 1 GROUP BY cid ORDER BY cid""".stripMargin
     },
 
+    // assignment (as cluster_assign) + majority-label purity —
+    // mirrors Similarity.clusterPurity; ties break to smallest label
+    "cluster_purity" -> {
+      val p =
+        """p AS (SELECT e.vec_id AS qid, e.label AS qlabel, c.vec_id AS cid,
+          |        e.embedding AS qe, c.embedding AS ce
+          |      FROM embeddings e JOIN embeddings c
+          |        ON c.vec_id < 8 AND e.vec_id <> c.vec_id)""".stripMargin
+      s"""WITH ${cosineFrom(p, ", qlabel")},
+         |r AS (SELECT qid, qlabel, cid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+         |      FROM s),
+         |g AS (SELECT cid, qlabel, CAST(count(*) AS BIGINT) AS n
+         |      FROM r WHERE rk = 1 GROUP BY ALL),
+         |t AS (SELECT cid, qlabel, n,
+         |        row_number() OVER (PARTITION BY cid ORDER BY n DESC, qlabel) AS lrk,
+         |        CAST(sum(n) OVER (PARTITION BY cid) AS BIGINT) AS n_assigned
+         |      FROM g)
+         |SELECT cid, n_assigned, qlabel AS top_label, n AS top_n,
+         |  CAST((10000 * n) // n_assigned AS BIGINT) AS purity_bp
+         |FROM t WHERE lrk = 1 ORDER BY cid""".stripMargin
+    },
+
     // assignment (as cluster_assign) + per-dimension exact-bp means —
     // mirrors Similarity.kmeansUpdate
     "kmeans_update" -> {
@@ -2990,6 +3013,58 @@ object Oracles {
         |  CAST((10000 * w) // total_w AS BIGINT) AS temp_bp,
         |  CAST((10000 * w) // total_w - (10000 * n_tokens) // total AS BIGINT) AS uplift_bp
         |FROM wq, tot ORDER BY lang""".stripMargin,
+
+    // ANN recall audit — mirrors Similarity.knnRecall: the brute and
+    // sign-bucket top-5 sets are both replayed in full, then the
+    // per-query intersection rate in exact basis points.
+    "knn_recall" ->
+      """WITH p1 AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+        |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |      WHERE q.vec_id < 16),
+        |z1 AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+        |       FROM p1),
+        |d1 AS (SELECT qid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |       FROM z1 GROUP BY ALL),
+        |s1 AS (SELECT qid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM d1),
+        |r1 AS (SELECT qid, cid,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank FROM s1),
+        |ex AS (SELECT qid, cid FROM r1 WHERE rank <= 5),
+        |b AS (SELECT vec_id, embedding,
+        |        CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+        |             (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |             (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+        |      FROM embeddings),
+        |p2 AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+        |      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |      WHERE q.vec_id < 16),
+        |z2 AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+        |       FROM p2),
+        |d2 AS (SELECT qid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |       FROM z2 GROUP BY ALL),
+        |s2 AS (SELECT qid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM d2),
+        |r2 AS (SELECT qid, cid,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank FROM s2),
+        |ap AS (SELECT qid, cid FROM r2 WHERE rank <= 5)
+        |SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(count(ap.cid) AS BIGINT) AS n_hit,
+        |  CAST((10000 * count(ap.cid)) // count(*) AS BIGINT) AS recall_bp
+        |FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.cid = ap.cid
+        |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin,
+
+    // vocab-coverage audit — mirrors CorpusStats.oovRate: top-256
+    // corpus vocabulary cut on the total order (count DESC, word ASC),
+    // per-language OOV share in exact basis points.
+    "oov_rate" ->
+      """WITH t AS (SELECT lang, unnest(string_split(coalesce(text,''), ' ')) AS word
+        |           FROM documents),
+        |toks AS (SELECT lang, word FROM t WHERE length(word) > 0),
+        |cnt AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+        |vocab AS (SELECT word FROM cnt ORDER BY n DESC, word LIMIT 256)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST((10000 * sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS oov_bp
+        |FROM toks LEFT JOIN vocab v ON toks.word = v.word
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Phrase search — mirrors TfIdf.phraseSearch: phrase == 3-shingle,
     // so the oracle rides the shared Shingle3Cte. The absent fourth

@@ -264,6 +264,12 @@ object SparkEntry {
     "mix_drift" -> (CorpusStats.mixDrift _),
     // α=0.5 temperature mix: shares ∝ isqrt(token mass), exact integer
     "temperature_mix" -> (CorpusStats.temperatureMix _),
+    // ANN eval harness on the verified surface: recall@5 of the
+    // sign-bucket tier vs brute, and k-means label purity
+    "knn_recall"      -> (Similarity.knnRecall _),
+    "cluster_purity"  -> (Similarity.clusterPurity _),
+    // vocab-coverage audit: per-lang OOV rate vs a top-256 vocab
+    "oov_rate" -> (CorpusStats.oovRate _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

@@ -142,6 +142,38 @@ object CorpusStats {
       .orderBy("lang")
   }
 
+  /** Vocabulary-coverage audit: per-language out-of-vocabulary token
+    * rate against a candidate top-256 corpus vocabulary — the
+    * tokenizer-sizing check run before freezing a vocab (reference's
+    * extraction stats generalized; companions: [[bpeTrain]] builds the
+    * subword merges, this measures what a word-level vocab of a given
+    * budget would miss, per language — the signal that decides vocab
+    * size and language-specific budget splits). All integer basis
+    * points.
+    *
+    * Vocab selection orders by (count DESC, word ASC) — a total order,
+    * so the cut at 256 is deterministic in both engines.
+    *
+    * Scale posture: one word-keyed hash agg (map-side combined) for
+    * counts, a bounded global top-256 (TakeOrdered — never a full
+    * sort), vocab broadcast back, then a lang-keyed agg: the coverage
+    * join is map-side against a 256-entry build side.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(Shingles.wordArray(col("text"))).as("word"))
+    val vocab = broadcast(toks.groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc).limit(256)
+      .select(col("word").as("vword")))
+    toks.join(vocab, col("word") === col("vword"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vword").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("(10000 * n_oov) div n_tokens"))
+      .orderBy("lang")
+  }
+
   /** Heaps-law vocabulary growth: the corpus split into 10 doc-id
     * deciles — tokens contributed and NEW distinct words first seen in
     * each decile, with running totals. "First seen" is min(doc_id) per

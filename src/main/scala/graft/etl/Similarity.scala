@@ -127,6 +127,73 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** ANN recall audit: per-query recall@5 of the sign-bucket tier
+    * ([[knnBucketed]]) against the exact baseline ([[knnBrute]]), in
+    * integer basis points — the eval query a production ANN deployment
+    * runs continuously on a sampled query set, promoted to the
+    * verified surface: both tiers, the set intersection, and the rate
+    * are computed in-engine and the DuckDB twin replays the whole
+    * composition end to end.
+    *
+    * Scale posture: both tiers already broadcast the bounded query
+    * side; the audit join touches only the two top-k result sets
+    * (|queries| × k rows), so the recall computation costs nothing
+    * beyond the tiers it audits.
+    */
+  def knnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnBrute(spark, dir).select(col("qid"), col("cid"))
+    val approx = knnBucketed(spark, dir)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("acid").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall_bp", expr("(10000 * n_hit) div n_exact"))
+      .orderBy("qid")
+  }
+
+  /** Clustering-quality eval: per-cluster label purity of the
+    * [[clusterAssign]] partition against the corpus labels — the
+    * standard external cluster-validity check (purity = share of a
+    * cluster's members carrying its majority label) a curation
+    * pipeline runs before trusting k-means cells for SemDeDup or
+    * curriculum blocking. Majority-label ties break to the smallest
+    * label so the answer is total-order deterministic; rates are
+    * integer basis points.
+    *
+    * Scale posture: assignment is the [[clusterAssign]] plan
+    * (broadcast centroids, map-side cosine, rank-1 window over the
+    * high-cardinality vec_id); purity adds one (cid,label)-keyed agg
+    * plus windows over |clusters×labels| rows — size-independent of
+    * the corpus.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val cents = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn")))
+    val scored = e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
+      .join(cents, col("vec_id") =!= col("cid"))
+      .withColumn("cos",
+        round(dotF(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 4))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    val assigned = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select(col("cid"), col("label"))
+    val byLabel = assigned.groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy(col("cid"))
+      .orderBy(col("n").desc, col("label").asc)
+    byLabel.withColumn("lrk", row_number().over(wl))
+      .withColumn("n_assigned", sum(col("n")).over(Window.partitionBy(col("cid"))))
+      .filter(col("lrk") === 1)
+      .select(col("cid"), col("n_assigned"),
+        col("label").as("top_label"), col("n").as("top_n"),
+        expr("(10000 * n) div n_assigned").as("purity_bp"))
+      .orderBy("cid")
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by label × sign-
     * bucket. Label alone leaves block size unbounded (one hot label at
     * 100× = one quadratic straggler); composing the [[signBucket]] key

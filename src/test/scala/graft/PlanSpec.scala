@@ -98,6 +98,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"skyline window funneled to one partition:\n$p")
   }
 
+  test("eval-harness queries keep their broadcast/TakeOrdered shapes") {
+    // oov_rate: the vocab cut must be a bounded TakeOrdered (never a
+    // full global sort) and the coverage join must broadcast the
+    // 256-entry vocab against the token stream
+    val ov = plan("oov_rate")
+    assert(ov.contains("TakeOrderedAndProject"),
+      s"vocab cut must be bounded top-k, not a global sort:\n$ov")
+    assert(ov.contains("BroadcastHashJoin"),
+      s"coverage join must broadcast the vocab:\n$ov")
+    // knn_recall / cluster_purity: the underlying tiers keep their
+    // broadcast query/centroid sides; no all-pairs anywhere
+    for (q <- Seq("knn_recall", "cluster_purity")) {
+      val p = plan(q)
+      assert(p.contains("Broadcast"), s"$q lost its broadcast side:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
+    }
+  }
+
   test("banded edit-distance joins on the block key, never a nested loop") {
     val p = plan("edit_distance_banded")
     assert(!p.contains("NestedLoop"), s"blocking must make an equi-join:\n$p")
