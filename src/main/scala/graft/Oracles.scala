@@ -3051,6 +3051,52 @@ object Oracles {
         |FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.cid = ap.cid
         |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin,
 
+    // MMR diversified retrieval — mirrors Similarity.mmrDiversify:
+    // λ=0.5 greedy selection unrolled to 5 rounds; every pick is an
+    // integer argmax (mmr2 = rel_bp − max sim_bp) with cid tie-break,
+    // so the unrolled CTE chain replays the greedy loop exactly.
+    "mmr_diversify" -> {
+      val p =
+        """p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+          |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          |      WHERE q.vec_id < 16)""".stripMargin
+      val head =
+        s"""WITH ${cosineFrom(p, "")},
+           |r0 AS (SELECT qid, cid, cos,
+           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS srk FROM s),
+           |cand AS (SELECT qid, cid, CAST(round(cos * 10000) AS BIGINT) AS rel_bp
+           |         FROM r0 WHERE srk <= 20),
+           |sp AS (SELECT a.qid, a.cid AS acid, b.cid AS bcid, ea.embedding AS ae, eb.embedding AS be
+           |       FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+           |       JOIN embeddings ea ON ea.vec_id = a.cid
+           |       JOIN embeddings eb ON eb.vec_id = b.cid),
+           |sz AS (SELECT qid, acid, bcid,
+           |         CAST(unnest(ae) AS DOUBLE) AS x, CAST(unnest(be) AS DOUBLE) AS y FROM sp),
+           |sd AS (SELECT qid, acid, bcid,
+           |         sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy FROM sz GROUP BY ALL),
+           |sims AS (SELECT qid, acid, bcid,
+           |         CAST(round(round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) * 10000) AS BIGINT) AS sim_bp
+           |         FROM sd),
+           |k1 AS (SELECT qid, cid, rel_bp,
+           |         row_number() OVER (PARTITION BY qid ORDER BY rel_bp DESC, cid) AS pk FROM cand),
+           |sel1 AS (SELECT qid, cid, rel_bp, rel_bp AS mmr2, 1 AS rank FROM k1 WHERE pk = 1)""".stripMargin
+      val rounds = (2 to 5).map { r =>
+        val prev = s"sel${r - 1}"
+        s"""rem$r AS (SELECT c.* FROM cand c LEFT JOIN $prev v ON v.qid = c.qid AND v.cid = c.cid
+           |        WHERE v.cid IS NULL),
+           |m$r AS (SELECT c.qid, c.cid, c.rel_bp, max(s.sim_bp) AS ms
+           |      FROM rem$r c JOIN $prev v ON v.qid = c.qid
+           |      JOIN sims s ON s.qid = c.qid AND s.acid = c.cid AND s.bcid = v.cid
+           |      GROUP BY ALL),
+           |k$r AS (SELECT qid, cid, rel_bp, rel_bp - ms AS mmr2,
+           |        row_number() OVER (PARTITION BY qid ORDER BY rel_bp - ms DESC, cid) AS pk FROM m$r),
+           |sel$r AS (SELECT qid, cid, rel_bp, mmr2, $r AS rank FROM k$r WHERE pk = 1
+           |        UNION ALL SELECT * FROM $prev)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      head + rounds +
+        "\nSELECT qid, rank, cid, rel_bp, mmr2 FROM sel5 ORDER BY qid, rank"
+    },
+
     // vocab-coverage audit — mirrors CorpusStats.oovRate: top-256
     // corpus vocabulary cut on the total order (count DESC, word ASC),
     // per-language OOV share in exact basis points.

@@ -270,6 +270,8 @@ object SparkEntry {
     "cluster_purity"  -> (Similarity.clusterPurity _),
     // vocab-coverage audit: per-lang OOV rate vs a top-256 vocab
     "oov_rate" -> (CorpusStats.oovRate _),
+    // MMR diversified retrieval: λ=0.5 greedy top-5, integer argmax
+    "mmr_diversify" -> ((s: SparkSession, d: String) => Similarity.mmrDiversify(s, d)),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

@@ -194,6 +194,84 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) top-5
+    * diversified retrieval — the RAG context-selection step that stops
+    * near-duplicate passages from crowding out coverage: greedily pick
+    * argmax of λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s) over a bounded
+    * shortlist. λ = 0.5, so the ×2-scaled score is the all-integer
+    * mmr2 = rel_bp − max(sim_bp); every selection is a total-order
+    * argmax (mmr2 DESC, cid ASC) over exact BIGINTs — deterministic in
+    * both engines, and the DuckDB twin unrolls the same 5 rounds.
+    *
+    * Scale posture: the corpus is touched once (the brute top-20
+    * shortlist per query — broadcast query side, map-side scoring,
+    * GroupTopK-able window). Everything after is k²-bounded per query
+    * (20 candidates → ≤400 pairwise sims), independent of corpus size;
+    * the 5 greedy rounds run on |queries|×k rows with keyed joins
+    * only. Each round ends in localCheckpoint per the fixpoint rule
+    * (plan nesting, CLAUDE.md).
+    */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val q = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("cos",
+        round(dotF(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    val cand = scored.withColumn("srk", row_number().over(w))
+      .filter(col("srk") <= 20)
+      .select(col("qid"), col("cid"),
+        round(col("cos") * 10000).cast("bigint").as("rel_bp"),
+        col("ce"), col("cn"))
+      .localCheckpoint()
+    val sims = cand.select(col("qid"), col("cid").as("acid"),
+        col("ce").as("ae"), col("cn").as("an"))
+      .join(cand.select(col("qid"), col("cid").as("bcid"),
+        col("ce").as("be"), col("cn").as("bn")), Seq("qid"))
+      .filter(col("acid") =!= col("bcid"))
+      .select(col("qid"), col("acid"), col("bcid"),
+        round(round(dotF(col("ae"), col("be")) / (col("an") * col("bn")), 4)
+          * 10000).cast("bigint").as("sim_bp"))
+      .localCheckpoint()
+    val slim = cand.select(col("qid"), col("cid"), col("rel_bp"))
+    val first = slim
+      .withColumn("pk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("rel_bp").desc, col("cid").asc)))
+      .filter(col("pk") === 1)
+      .select(col("qid"), col("cid"), col("rel_bp"),
+        col("rel_bp").as("mmr2"), lit(1).as("rank"))
+    var selected = first.localCheckpoint()
+    for (r <- 2 to 5) {
+      val remaining = slim.join(
+        selected.select(col("qid").as("vq"), col("cid").as("vc")),
+        col("qid") === col("vq") && col("cid") === col("vc"), "left_anti")
+      val simsR = sims.select(col("qid").as("sq"), col("acid"),
+        col("bcid"), col("sim_bp"))
+      val withMs = remaining
+        .join(selected.select(col("qid"), col("cid").as("scid")), Seq("qid"))
+        .join(simsR, col("qid") === col("sq")
+          && col("cid") === col("acid") && col("scid") === col("bcid"))
+        .groupBy(col("qid"), col("cid"), col("rel_bp"))
+        .agg(max(col("sim_bp")).as("ms"))
+      val pick = withMs
+        .withColumn("mmr2", col("rel_bp") - col("ms"))
+        .withColumn("pk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("mmr2").desc, col("cid").asc)))
+        .filter(col("pk") === 1)
+        .select(col("qid"), col("cid"), col("rel_bp"), col("mmr2"),
+          lit(r).as("rank"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("qid"), col("rank"), col("cid"), col("rel_bp"),
+        col("mmr2"))
+      .orderBy("qid", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by label × sign-
     * bucket. Label alone leaves block size unbounded (one hot label at
     * 100× = one quadratic straggler); composing the [[signBucket]] key

@@ -108,7 +108,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(ov.contains("BroadcastHashJoin"),
       s"coverage join must broadcast the vocab:\n$ov")
     // knn_recall / cluster_purity: the underlying tiers keep their
-    // broadcast query/centroid sides; no all-pairs anywhere
+    // broadcast query/centroid sides; no all-pairs anywhere.
+    // (mmr_diversify is excluded: its per-round localCheckpoint — the
+    // fixpoint plan-growth rule — truncates the observable plan to a
+    // Scan ExistingRDD, like dedup_components.)
     for (q <- Seq("knn_recall", "cluster_purity")) {
       val p = plan(q)
       assert(p.contains("Broadcast"), s"$q lost its broadcast side:\n$p")
