@@ -3097,6 +3097,53 @@ object Oracles {
         "\nSELECT qid, rank, cid, rel_bp, mmr2 FROM sel5 ORDER BY qid, rank"
     },
 
+    // triplet mining — mirrors Similarity.tripletMine: rank-1 per
+    // (anchor, same-label?) side, 2-row pivot, integer-bp margin
+    "triplet_mine" -> {
+      val p =
+        """p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+          |        CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS pos,
+          |        q.embedding AS qe, c.embedding AS ce
+          |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          |      WHERE q.vec_id < 16)""".stripMargin
+      s"""WITH ${cosineFrom(p, ", pos")},
+         |r AS (SELECT qid, cid, pos, cos,
+         |        row_number() OVER (PARTITION BY qid, pos ORDER BY cos DESC, cid) AS rk
+         |      FROM s),
+         |g AS (SELECT qid,
+         |        max(CASE WHEN pos = 1 THEN cid END) AS pos_cid,
+         |        max(CASE WHEN pos = 1 THEN cos END) AS pos_cos,
+         |        max(CASE WHEN pos = 0 THEN cid END) AS neg_cid,
+         |        max(CASE WHEN pos = 0 THEN cos END) AS neg_cos
+         |      FROM r WHERE rk = 1 GROUP BY qid)
+         |SELECT qid, pos_cid, pos_cos, neg_cid, neg_cos,
+         |  CAST(round(pos_cos * 10000) AS BIGINT)
+         |    - CAST(round(neg_cos * 10000) AS BIGINT) AS margin_bp
+         |FROM g ORDER BY qid""".stripMargin
+    },
+
+    // per-domain cap — mirrors TextAnalysis.domainCap: quality_bp is
+    // the quality_score formula; cap = rank<=10 per source
+    "domain_cap" ->
+      """WITH q AS (SELECT doc_id, source,
+        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
+        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
+        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, len_bp,
+        |        CASE WHEN tokens = 0 THEN 0
+        |             ELSE (10000 * stop_hits) // tokens END AS stop_bp
+        |      FROM q),
+        |s AS (SELECT doc_id, source,
+        |        CAST(least(10000, (7 * len_bp + 9 * stop_bp) // 10) AS BIGINT) AS quality_bp
+        |      FROM r),
+        |k AS (SELECT source, doc_id, quality_bp,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY quality_bp DESC, doc_id) AS INT) AS rank
+        |      FROM s)
+        |SELECT source, rank, doc_id, quality_bp FROM k WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin,
+
     // vocab-coverage audit — mirrors CorpusStats.oovRate: top-256
     // corpus vocabulary cut on the total order (count DESC, word ASC),
     // per-language OOV share in exact basis points.

@@ -272,6 +272,10 @@ object SparkEntry {
     "oov_rate" -> (CorpusStats.oovRate _),
     // MMR diversified retrieval: λ=0.5 greedy top-5, integer argmax
     "mmr_diversify" -> ((s: SparkSession, d: String) => Similarity.mmrDiversify(s, d)),
+    // triplet mining: hardest positive + hardest negative per anchor
+    "triplet_mine" -> (Similarity.tripletMine _),
+    // per-domain cap: top-10 docs per source by quality on GroupTopK
+    "domain_cap" -> (TextAnalysis.domainCap _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

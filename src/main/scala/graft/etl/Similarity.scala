@@ -272,6 +272,45 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Triplet mining for contrastive/metric learning: per anchor, the
+    * hardest POSITIVE (most-similar same-label vector — the pair the
+    * loss must keep together) and the hardest NEGATIVE (most-similar
+    * different-label vector, as [[hardNegatives]]) plus the margin
+    * between them in integer basis points. margin_bp ≤ 0 flags anchors
+    * whose nearest impostor beats their nearest genuine pair — the
+    * triplets that actually move a triplet/InfoNCE loss.
+    *
+    * Plan: one broadcast-query scoring pass (identical to
+    * [[knnBrute]]), a rank-1 window per (anchor, same-label?) side,
+    * then a 2-row pivot per anchor — no second corpus pass for the
+    * positive side.
+    */
+  def tripletMine(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val q = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("nrm").as("qn")))
+    val c = e.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("cos",
+        round(dotF(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
+      .withColumn("pos", (col("qlabel") === col("clabel")).cast("int"))
+    val w = Window.partitionBy(col("qid"), col("pos"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("qid"))
+      .agg(
+        max(when(col("pos") === 1, col("cid"))).as("pos_cid"),
+        max(when(col("pos") === 1, col("cos"))).as("pos_cos"),
+        max(when(col("pos") === 0, col("cid"))).as("neg_cid"),
+        max(when(col("pos") === 0, col("cos"))).as("neg_cos"))
+      .withColumn("margin_bp",
+        round(col("pos_cos") * 10000).cast("bigint")
+          - round(col("neg_cos") * 10000).cast("bigint"))
+      .orderBy("qid")
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by label × sign-
     * bucket. Label alone leaves block size unbounded (one hot label at
     * 100× = one quadratic straggler); composing the [[signBucket]] key

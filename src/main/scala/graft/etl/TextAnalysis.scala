@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -52,7 +53,11 @@ object TextAnalysis {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityFrom(Tables.documents(spark, dir)).orderBy("doc_id")
 
-  def qualityFrom(docs: DataFrame): DataFrame =
+  /** Adds tokens/stop_hits/len_bp/stop_bp/quality_bp WITHOUT dropping
+    * the input columns — lets consumers ([[domainCap]]) score and keep
+    * their own keys in one scan instead of joining back on doc_id.
+    */
+  def qualityAnnotated(docs: DataFrame): DataFrame =
     docs
       .withColumn("tokens", tokenCount(col("text")).cast("bigint"))
       .withColumn("stop_hits",
@@ -62,10 +67,15 @@ object TextAnalysis {
       .withColumn("stop_bp",
         when(col("tokens") === 0, 0L)
           .otherwise(expr("(10000 * stop_hits) div tokens")))
+      .withColumn("quality_bp",
+        least(lit(10000L), expr("(7 * len_bp + 9 * stop_bp) div 10")))
+
+  def qualityFrom(docs: DataFrame): DataFrame =
+    qualityAnnotated(docs)
       .select(col("doc_id"),
         col("len_bp").as("len_factor_bp"),
         col("stop_bp").as("stop_ratio_bp"),
-        least(lit(10000L), expr("(7 * len_bp + 9 * stop_bp) div 10")).as("quality_bp"))
+        col("quality_bp"))
 
   /** Quality-WEIGHTED deterministic downsampling — keep each document
     * with probability quality_bp/10000, decided by a salted-hash
@@ -76,6 +86,28 @@ object TextAnalysis {
     * as [[Splits.hashBucket]]). Pure map over the scored scan — no
     * shuffle but the output sort.
     */
+  /** Per-domain document cap — the C4/RefinedWeb-style long-tail
+    * control: keep at most the 10 best documents (by [[qualityFrom]]'s
+    * quality_bp, doc_id tie-break) per source, so no single domain can
+    * dominate the training mix no matter how many pages it contributes.
+    *
+    * Plan: the rank<=10 filter over a single-expression row_number
+    * window rides the RewriteRankFilterToGroupTopK rule → the native
+    * bounded-heap GroupTopK operator: per-source state is O(cap), the
+    * corpus is never sorted per group. At 100 TB this is one
+    * source-keyed shuffle with map-side pre-pruning.
+    */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityAnnotated(Tables.documents(spark, dir))
+      .select(col("source"), col("doc_id"), col("quality_bp"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_bp").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("rank"), col("doc_id"), col("quality_bp"))
+      .orderBy("source", "rank")
+  }
+
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     qualityScore(spark, dir)
       .select(col("doc_id"), col("quality_bp"))

@@ -112,11 +112,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // (mmr_diversify is excluded: its per-round localCheckpoint — the
     // fixpoint plan-growth rule — truncates the observable plan to a
     // Scan ExistingRDD, like dedup_components.)
-    for (q <- Seq("knn_recall", "cluster_purity")) {
+    for (q <- Seq("knn_recall", "cluster_purity", "triplet_mine")) {
       val p = plan(q)
       assert(p.contains("Broadcast"), s"$q lost its broadcast side:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
     }
+    // domain_cap: the per-source rank<=10 must ride the native
+    // bounded-heap operator (RewriteRankFilterToGroupTopK), and the
+    // single scan must not join back on doc_id
+    val dc = plan("domain_cap")
+    assert(dc.contains("GroupTopK"), s"domain_cap missed the heap rewrite:\n$dc")
+    assert(!dc.contains("SortMergeJoin") && !dc.contains("BroadcastHashJoin"),
+      s"domain_cap must be a single-scan window, no self-join:\n$dc")
   }
 
   test("banded edit-distance joins on the block key, never a nested loop") {
