@@ -893,6 +893,55 @@ object Oracles {
          |SELECT doc_id, simhash16 FROM sigt ORDER BY doc_id""".stripMargin,
 
     // bit-block LSH over the simhash signature — mirrors Dedup.simhashNearDup
+    // near-dup detector P/R/F1 — mirrors Dedup.neardupEval: simhash
+    // tier (full corpus, restricted to the slice) vs exact 3-gram
+    // Jaccard >= 150bp truth on doc_id<64; full outer so zero-overlap
+    // predictions count as false positives
+    "neardup_eval" ->
+      s"""WITH $SimhashSigCte,
+         |blocks AS (SELECT doc_id, simhash16, b.blk,
+         |    (simhash16 >> (b.blk * 4)) & 15 AS bval
+         |  FROM sigt, (SELECT unnest([0, 1, 2, 3]) AS blk) b),
+         |pred AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM blocks x JOIN blocks y
+         |    ON x.blk = y.blk AND x.bval = y.bval AND x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash16, y.simhash16)) <= 2
+         |    AND x.doc_id < 64 AND y.doc_id < 64),
+         |jsh0 AS (SELECT doc_id, pos, word,
+         |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |       FROM words WHERE doc_id < 64),
+         |jshingles AS (SELECT DISTINCT doc_id, word || ' ' || w1 || ' ' || w2 AS shingle
+         |             FROM jsh0 WHERE w2 IS NOT NULL),
+         |jsizes AS (SELECT doc_id, count(*) AS n_sh FROM jshingles GROUP BY doc_id),
+         |jinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |          FROM jshingles a JOIN jshingles b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |truth AS (SELECT doc_a, doc_b,
+         |    CASE WHEN (10000 * n_common) // (sa.n_sh + sb.n_sh - n_common) >= 150
+         |         THEN 1 ELSE 0 END AS t
+         |  FROM jinter JOIN jsizes sa ON doc_a = sa.doc_id
+         |              JOIN jsizes sb ON doc_b = sb.doc_id),
+         |m AS (SELECT coalesce(tr.t, 0) AS t,
+         |        CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS p
+         |      FROM truth tr FULL OUTER JOIN pred p
+         |        ON tr.doc_a = p.doc_a AND tr.doc_b = p.doc_b),
+         |agg AS (SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+         |          CAST(sum(p) AS BIGINT) AS n_pred,
+         |          CAST(sum(t * p) AS BIGINT) AS n_tp FROM m),
+         |pr AS (SELECT n_truth, n_pred, n_tp,
+         |        CASE WHEN n_pred = 0 THEN 0 ELSE (10000 * n_tp) // n_pred END AS precision_bp,
+         |        CASE WHEN n_truth = 0 THEN 0 ELSE (10000 * n_tp) // n_truth END AS recall_bp
+         |      FROM agg)
+         |SELECT n_truth, n_pred, n_tp,
+         |  CAST(precision_bp AS BIGINT) AS precision_bp,
+         |  CAST(recall_bp AS BIGINT) AS recall_bp,
+         |  CAST(CASE WHEN precision_bp + recall_bp = 0 THEN 0
+         |       ELSE (2 * precision_bp * recall_bp) // (precision_bp + recall_bp)
+         |       END AS BIGINT) AS f1_bp
+         |FROM pr""".stripMargin,
+
     "simhash_neardup" ->
       s"""WITH $SimhashSigCte,
          |blocks AS (SELECT doc_id, simhash16, b.blk,

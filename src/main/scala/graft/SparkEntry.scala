@@ -276,6 +276,8 @@ object SparkEntry {
     "triplet_mine" -> (Similarity.tripletMine _),
     // per-domain cap: top-10 docs per source by quality on GroupTopK
     "domain_cap" -> (TextAnalysis.domainCap _),
+    // near-dup detector P/R/F1: simhash tier vs exact-Jaccard truth
+    "neardup_eval" -> (Dedup.neardupEval _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

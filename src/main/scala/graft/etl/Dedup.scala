@@ -572,6 +572,42 @@ object Dedup {
     * buckets per position, the Manku/Jain/Sarma web-dedup layout); only
     * the constants change, the plan is identical.
     */
+  /** Near-dup detector evaluation: precision / recall / F1 of the
+    * SimHash bit-block tier ([[simhashNearDup]]) against exact 3-gram
+    * Jaccard ground truth (threshold 150 bp — the corpus-calibrated
+    * cut of [[ngramJaccard]]) on the bounded doc_id<64 audit slice.
+    * The measure-don't-guess companion to [[lshQuality]]: that grades
+    * the MinHash banding's s-curve, this grades the OTHER cheap tier
+    * as a binary detector. All-pairs ground truth exists only inside
+    * the bounded slice — the production pattern (audit a small block
+    * exhaustively, extrapolate) — and every rate is exact integer bp.
+    * Predicted pairs with zero shingle overlap count as false
+    * positives via the full-outer join.
+    */
+  def neardupEval(spark: SparkSession, dir: String): DataFrame = {
+    val truthAll = pairJaccardFrom(
+        Tables.documents(spark, dir).filter(col("doc_id") < 64))
+      .withColumn("is_truth",
+        when(col("jaccard_bp") >= 150, 1L).otherwise(0L))
+      .select(col("doc_a"), col("doc_b"), col("is_truth"))
+    val pred = simhashNearDup(spark, dir)
+      .filter(col("doc_a") < 64 && col("doc_b") < 64)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_pred"))
+    truthAll.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+      .select(coalesce(col("is_truth"), lit(0L)).as("t"),
+        coalesce(col("is_pred"), lit(0L)).as("p"))
+      .agg(sum(col("t")).as("n_truth"), sum(col("p")).as("n_pred"),
+        sum(col("t") * col("p")).as("n_tp"))
+      .withColumn("precision_bp", when(col("n_pred") === 0, 0L)
+        .otherwise(expr("(10000 * n_tp) div n_pred")))
+      .withColumn("recall_bp", when(col("n_truth") === 0, 0L)
+        .otherwise(expr("(10000 * n_tp) div n_truth")))
+      .withColumn("f1_bp",
+        when(col("precision_bp") + col("recall_bp") === 0, 0L)
+          .otherwise(expr(
+            "(2 * precision_bp * recall_bp) div (precision_bp + recall_bp)")))
+  }
+
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashFrom(Tables.documents(spark, dir))
       .select(col("doc_id"), col("simhash16"))
