@@ -3193,6 +3193,25 @@ object Oracles {
         |SELECT source, rank, doc_id, quality_bp FROM k WHERE rank <= 10
         |ORDER BY source, rank""".stripMargin,
 
+    // per-lang exact decile cutpoints — mirrors
+    // TextAnalysis.qualityDeciles (grouped histogram rank selection;
+    // d_i = ceil(i*n/10)-th smallest n_chars; HUGEINT-safe casts)
+    "quality_deciles" -> {
+      val ds = (1 to 9).map(i =>
+        s"min(CASE WHEN cum >= ($i * n + 9) // 10 THEN n_chars END) AS d$i")
+        .mkString(",\n        |  ").stripMargin
+      s"""WITH c AS (SELECT lang, n_chars, count(*) AS cc
+         |           FROM documents GROUP BY lang, n_chars),
+         |cum0 AS (SELECT lang, n_chars,
+         |          CAST(sum(cc) OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS cum
+         |        FROM c),
+         |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang)
+         |SELECT lang, n,
+         |  $ds
+         |FROM cum0 JOIN tot USING (lang)
+         |GROUP BY lang, n ORDER BY lang""".stripMargin
+    },
+
     // vocab-coverage audit — mirrors CorpusStats.oovRate: top-256
     // corpus vocabulary cut on the total order (count DESC, word ASC),
     // per-language OOV share in exact basis points.

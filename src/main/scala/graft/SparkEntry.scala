@@ -278,6 +278,8 @@ object SparkEntry {
     "domain_cap" -> (TextAnalysis.domainCap _),
     // near-dup detector P/R/F1: simhash tier vs exact-Jaccard truth
     "neardup_eval" -> (Dedup.neardupEval _),
+    // per-lang exact decile cutpoints (grouped histogram ranks)
+    "quality_deciles" -> (TextAnalysis.qualityDeciles _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

@@ -108,6 +108,33 @@ object TextAnalysis {
       .orderBy("source", "rank")
   }
 
+  /** Per-language exact decile cutpoints of document length — the
+    * length-calibration table a filtering pipeline freezes before
+    * setting per-language min/max-length cuts (a global threshold
+    * over-trims short-written languages). Same two-pass histogram
+    * rank-selection pattern as Relational2.medianPrice, but PER GROUP:
+    * the cumulative window runs over the (lang, n_chars) COUNT table
+    * (bounded by distinct values per language), never the corpus, so
+    * there is no global sort and no single-partition funnel. d_i is
+    * the ceil(i·n/10)-th smallest length — exact integers end to end.
+    */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("lang"), col("n_chars"))
+    val counts = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val tot = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val deciles = (1 to 9).map(i =>
+      min(when(col("cum") >= expr(s"($i * n + 9) div 10"), col("n_chars")))
+        .as(s"d$i"))
+    cum.join(tot, Seq("lang"))
+      .groupBy(col("lang"), col("n"))
+      .agg(deciles.head, deciles.tail: _*)
+      .orderBy("lang")
+  }
+
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     qualityScore(spark, dir)
       .select(col("doc_id"), col("quality_bp"))

@@ -117,6 +117,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       assert(p.contains("Broadcast"), s"$q lost its broadcast side:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
     }
+    // quality_deciles: the cumulative window must run per-lang over
+    // the aggregated counts table, never a single global partition
+    assert(!serialFunnels("quality_deciles").exists(_.contains("Window")),
+      s"decile window funneled to one partition:\n${plan("quality_deciles")}")
     // domain_cap: the per-source rank<=10 must ride the native
     // bounded-heap operator (RewriteRankFilterToGroupTopK), and the
     // single scan must not join back on doc_id
