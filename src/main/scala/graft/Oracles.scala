@@ -3193,6 +3193,27 @@ object Oracles {
         |SELECT source, rank, doc_id, quality_bp FROM k WHERE rank <= 10
         |ORDER BY source, rank""".stripMargin,
 
+    // data-constrained epoch allocator — mirrors CorpusStats.epochMix
+    // (budget = 4× corpus uniform per source, R_max = 4 epochs, spill
+    // reported; all-BIGINT with HUGEINT-safe casts)
+    "epoch_mix" ->
+      """WITH t AS (SELECT source,
+        |  CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |            ELSE len(string_split(coalesce(text,''), ' ')) END AS INT) AS tc
+        |  FROM documents),
+        |toks AS (SELECT source, CAST(sum(tc) AS BIGINT) AS n_tokens FROM t GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+        |               count(*) AS n_src FROM toks),
+        |a AS (SELECT source, n_tokens,
+        |        CAST((4 * total) // n_src AS BIGINT) AS alloc_tokens,
+        |        CAST(least((4 * total) // n_src, 4 * n_tokens) AS BIGINT) AS used_tokens
+        |      FROM toks, tot)
+        |SELECT source, n_tokens, alloc_tokens,
+        |  CAST((10000 * used_tokens) // n_tokens AS BIGINT) AS repeat_bp,
+        |  used_tokens,
+        |  CAST(alloc_tokens - used_tokens AS BIGINT) AS spill_tokens
+        |FROM a ORDER BY source""".stripMargin,
+
     // per-lang exact decile cutpoints — mirrors
     // TextAnalysis.qualityDeciles (grouped histogram rank selection;
     // d_i = ceil(i*n/10)-th smallest n_chars; HUGEINT-safe casts)

@@ -280,6 +280,8 @@ object SparkEntry {
     "neardup_eval" -> (Dedup.neardupEval _),
     // per-lang exact decile cutpoints (grouped histogram ranks)
     "quality_deciles" -> (TextAnalysis.qualityDeciles _),
+    // data-constrained epoch allocator: 4-epoch cap + spill report
+    "epoch_mix" -> (CorpusStats.epochMix _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

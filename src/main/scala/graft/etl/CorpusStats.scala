@@ -174,6 +174,36 @@ object CorpusStats {
       .orderBy("lang")
   }
 
+  /** Epoch allocator under the data-constrained scaling recipe
+    * (Muennighoff et al. 2023: repeating data holds near-full value up
+    * to ~4 epochs): a training budget of 4× the corpus, split
+    * uniformly per source, each source capped at R_max = 4 epochs of
+    * its own tokens. Emits the per-source allocation, the realized
+    * repeat factor (basis points: 10000 = one epoch), and the SPILL —
+    * budget a capped source returns to the pool, i.e. the input to
+    * the next water-filling round a production allocator would run.
+    * Entirely integer arithmetic.
+    *
+    * Scale posture: one source-keyed agg + a 1-row broadcast of the
+    * two corpus scalars — [[mixWeights]]'s shape.
+    */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("n_tokens"))
+    val tot = toks.agg(sum(col("n_tokens")).as("total"),
+      count(lit(1)).as("n_src"))
+    toks.crossJoin(broadcast(tot))
+      .withColumn("alloc_tokens", expr("(4 * total) div n_src"))
+      .withColumn("used_tokens",
+        least(col("alloc_tokens"), expr("4 * n_tokens")))
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+        expr("(10000 * used_tokens) div n_tokens").as("repeat_bp"),
+        col("used_tokens"),
+        (col("alloc_tokens") - col("used_tokens")).as("spill_tokens"))
+      .orderBy("source")
+  }
+
   /** Heaps-law vocabulary growth: the corpus split into 10 doc-id
     * deciles — tokens contributed and NEW distinct words first seen in
     * each decile, with running totals. "First seen" is min(doc_id) per
