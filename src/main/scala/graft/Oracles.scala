@@ -1993,6 +1993,64 @@ object Oracles {
         |      FROM sq)
         |SELECT qid, rank, cid, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // IVF probe sweep — mirrors Similarity.ivfSweep: one shared
+    // assignment/scored skeleton, three unrolled probe tiers
+    "ivf_sweep" -> {
+      val head =
+        """WITH za AS (
+          |  SELECT e.vec_id AS vid, c.vec_id AS cid,
+          |         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+          |         CAST(unnest(c.embedding) AS DOUBLE) AS y
+          |  FROM embeddings e JOIN embeddings c
+          |    ON c.vec_id < 8 AND e.vec_id <> c.vec_id),
+          |da AS (SELECT vid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+          |       FROM za GROUP BY ALL),
+          |sa AS (SELECT vid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM da),
+          |assign AS (SELECT vid, cid AS acid FROM (
+          |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rk
+          |  FROM sa) WHERE rk = 1),
+          |probes AS (SELECT vid AS qid, cid AS pcid, rk AS prk FROM (
+          |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rk
+          |  FROM sa WHERE vid < 16) WHERE rk <= 3),
+          |cand AS (SELECT p.qid, p.prk, a.vid AS cid
+          |         FROM probes p JOIN assign a ON a.acid = p.pcid AND a.vid <> p.qid),
+          |zq AS (SELECT cand.qid, cand.prk, cand.cid,
+          |         CAST(unnest(q.embedding) AS DOUBLE) AS x,
+          |         CAST(unnest(c.embedding) AS DOUBLE) AS y
+          |       FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+          |                 JOIN embeddings c ON c.vec_id = cand.cid),
+          |dq AS (SELECT qid, prk, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+          |       FROM zq GROUP BY ALL),
+          |sq AS (SELECT qid, prk, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM dq),
+          |zb AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+          |         CAST(unnest(q.embedding) AS DOUBLE) AS x,
+          |         CAST(unnest(c.embedding) AS DOUBLE) AS y
+          |       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          |       WHERE q.vec_id < 16),
+          |db AS (SELECT qid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+          |       FROM zb GROUP BY ALL),
+          |sb AS (SELECT qid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM db),
+          |ex AS (SELECT qid, cid FROM (
+          |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          |  FROM sb) WHERE rank <= 5)""".stripMargin
+      val tiers = (1 to 3).map { p =>
+        s"""top$p AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+           |  FROM sq WHERE prk <= $p) WHERE rank <= 5),
+           |st$p AS (SELECT $p AS nprobe,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM sq WHERE prk <= $p) AS n_scanned,
+           |  CAST(count(*) AS BIGINT) AS n_hit,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact
+           |FROM ex JOIN top$p t ON ex.qid = t.qid AND ex.cid = t.cid)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      head + tiers +
+        """
+          |SELECT nprobe, n_scanned, n_hit, n_exact,
+          |  CAST((10000 * n_hit) // n_exact AS BIGINT) AS recall_bp
+          |FROM (SELECT * FROM st1 UNION ALL SELECT * FROM st2 UNION ALL SELECT * FROM st3)
+          |ORDER BY nprobe""".stripMargin
+    },
+
     // trained-codebook IVF — mirrors Similarity.knnIvfTrained (one
     // Lloyd round over all dims, dim-ordered centroid reassembly)
     "knn_ivf_trained" ->

@@ -282,6 +282,8 @@ object SparkEntry {
     "quality_deciles" -> (TextAnalysis.qualityDeciles _),
     // data-constrained epoch allocator: 4-epoch cap + spill report
     "epoch_mix" -> (CorpusStats.epochMix _),
+    // IVF nprobe tuning curve: recall@5 + scan cost per probe count
+    "ivf_sweep" -> ((s: SparkSession, d: String) => Similarity.ivfSweep(s, d)),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

@@ -489,6 +489,65 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** IVF probe-count sweep — the ANN tuning curve: recall@5 vs brute
+    * and candidate rows scanned, for nprobe ∈ {1,2,3} over the
+    * [[knnIvf]] index. This is how the nprobe dial is actually set in
+    * production ("measure, don't guess"): recall_bp rises with each
+    * extra probed list, n_scanned prices it. Micro-averaged over the
+    * query set; all rates exact integer bp.
+    *
+    * The scored candidate frame and the brute baseline are
+    * localCheckpoint'd once and shared by all three probe tiers —
+    * without it each tier would re-run the corpus assignment (the
+    * audit equivalent of the fixpoint plan-growth rule; at 100 TB
+    * this materialization is a staging table).
+    */
+  def ivfSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val cents = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn")))
+    val centCos = e.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(cents, col("vec_id") =!= col("cid"))
+      .withColumn("cos",
+        round(dotF(col("embedding"), col("ce")) / (col("nrm") * col("cn")), 4))
+    val assigned = centCos.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"),
+        first(col("embedding")).as("a_emb"), first(col("nrm")).as("a_nrm"))
+      .select(col("vec_id").as("a_vid"), (-col("m.ncid")).as("acid"),
+        col("a_emb"), col("a_nrm"))
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    val probes = broadcast(centCos.filter(col("vec_id") < 16)
+      .withColumn("prk", row_number().over(wq)).filter(col("prk") <= 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cid").as("pcid"), col("prk")))
+    val scored = probes.join(assigned,
+        col("pcid") === col("acid") && col("qid") =!= col("a_vid"))
+      .withColumn("cos",
+        round(dotF(col("qe"), col("a_emb")) / (col("qn") * col("a_nrm")), 4))
+      .select(col("qid"), col("prk"), col("a_vid").as("cid"), col("cos"))
+      .localCheckpoint()
+    val exact = knnBrute(spark, dir).select(col("qid"), col("cid"))
+      .localCheckpoint()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val stats = (1 to 3).map { p =>
+      val cand = scored.filter(col("prk") <= p)
+      val w5 = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid").asc)
+      val top = cand.withColumn("rank", row_number().over(w5))
+        .filter(col("rank") <= 5).select(col("qid"), col("cid"))
+      val scanned = cand.agg(count(lit(1)).as("n_scanned"))
+      val hits = exact.join(top, Seq("qid", "cid"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      scanned.crossJoin(broadcast(hits)).crossJoin(broadcast(nExact))
+        .select(lit(p).as("nprobe"), col("n_scanned"), col("n_hit"),
+          col("n_exact"))
+    }.reduce(_ unionByName _)
+    stats.withColumn("recall_bp", expr("(10000 * n_hit) div n_exact"))
+      .orderBy("nprobe")
+  }
+
   /** IVF with a TRAINED codebook — the full train→index→search path:
     * one Lloyd round ([[kmeansUpdate]] semantics over ALL dims) refines
     * the seed centroids, the corpus is re-assigned to the trained
