@@ -2515,6 +2515,45 @@ object Oracles {
         |FROM documents d LEFT JOIN enc ON enc.doc_id = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
+    // tokenizer fertility per language — mirrors
+    // CorpusStats.bpeFertility: same 3-round learned merge table as
+    // bpe_encode, lang-grouped symbols-per-word
+    "bpe_fertility" ->
+      """WITH w0 AS (
+        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |wf1 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w0
+        |        WHERE length(word) > 0 GROUP BY word),
+        |p1 AS (SELECT substring(word, i, 2) AS pair, CAST(sum(freq) AS BIGINT) AS n
+        |       FROM wf1, unnest(range(1, length(word))) AS t(i)
+        |       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+        |wf2 AS (SELECT replace(word, (SELECT pair FROM p1), chr(1)) AS word, freq
+        |        FROM wf1),
+        |p2 AS (SELECT substring(word, i, 2) AS pair, CAST(sum(freq) AS BIGINT) AS n
+        |       FROM wf2, unnest(range(1, length(word))) AS t(i)
+        |       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+        |wf3 AS (SELECT replace(word, (SELECT pair FROM p2), chr(2)) AS word, freq
+        |        FROM wf2),
+        |p3 AS (SELECT substring(word, i, 2) AS pair, CAST(sum(freq) AS BIGINT) AS n
+        |       FROM wf3, unnest(range(1, length(word))) AS t(i)
+        |       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+        |dw AS (SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |       FROM documents),
+        |enc AS (SELECT lang, length(word) AS lc,
+        |          length(replace(replace(replace(word,
+        |            (SELECT pair FROM p1), chr(1)),
+        |            (SELECT pair FROM p2), chr(2)),
+        |            (SELECT pair FROM p3), chr(3))) AS le
+        |        FROM dw WHERE length(word) > 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(lc) AS BIGINT) AS n_chars,
+        |  CAST(sum(le) AS BIGINT) AS n_symbols,
+        |  CAST((10000 * sum(lc)) // count(*) AS BIGINT) AS chars_per_word_bp,
+        |  CAST((10000 * sum(le)) // count(*) AS BIGINT) AS symbols_per_word_bp,
+        |  CAST((10000 * sum(lc)) // count(*)
+        |     - (10000 * sum(le)) // count(*) AS BIGINT) AS saved_bp
+        |FROM enc GROUP BY lang ORDER BY lang""".stripMargin,
+
     // range(1, n) is [1, n): pairs at 1..len-1, matching the Spark
     // sequence(1, length-1) under its length>=2 guard
     "bpe_pairs" ->

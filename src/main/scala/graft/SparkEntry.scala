@@ -284,6 +284,8 @@ object SparkEntry {
     "epoch_mix" -> (CorpusStats.epochMix _),
     // IVF nprobe tuning curve: recall@5 + scan cost per probe count
     "ivf_sweep" -> ((s: SparkSession, d: String) => Similarity.ivfSweep(s, d)),
+    // tokenizer fertility: symbols-per-word per language under BPE
+    "bpe_fertility" -> (CorpusStats.bpeFertility _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

@@ -349,6 +349,39 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility per language: symbols-per-word under the
+    * learned merge table — the multilingual-fairness metric (a
+    * tokenizer trained on a skewed mix spends more symbols per word on
+    * under-represented languages, inflating their effective sequence
+    * length and training cost). chars_per_word is the no-merge
+    * baseline; saved_bp is how much the learned merges compress each
+    * language — the parity gap a vocab-budget split must correct.
+    * Same learned picks as [[bpeEncode]] (3-round merge table,
+    * 1-row broadcasts); one lang-keyed agg over the word stream.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val picks = bpeLearnedPicks(spark, dir)
+    val p1 = broadcast(picks(0).select(col("pair").as("p1")))
+    val p2 = broadcast(picks(1).select(col("pair").as("p2")))
+    val p3 = broadcast(picks(2).select(col("pair").as("p3")))
+    def encoded(w: Column): Column =
+      replace(replace(replace(w, col("p1"), lit(Sentinels(0))),
+        col("p2"), lit(Sentinels(1))), col("p3"), lit(Sentinels(2)))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(Shingles.wordArray(col("text"))).as("word"))
+      .crossJoin(p1).crossJoin(p2).crossJoin(p3)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("bigint")).as("n_chars"),
+        sum(length(encoded(col("word"))).cast("bigint")).as("n_symbols"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_symbols"),
+        expr("(10000 * n_chars) div n_words").as("chars_per_word_bp"),
+        expr("(10000 * n_symbols) div n_words").as("symbols_per_word_bp"))
+      .withColumn("saved_bp",
+        col("chars_per_word_bp") - col("symbols_per_word_bp"))
+      .orderBy("lang")
+  }
+
   /** Tokenization ROUND-TRIP proof: encode the word stream under the
     * learned merge table, decode it back (sentinel→pair in reverse
     * rank order), and emit the decoded text — which the oracle
