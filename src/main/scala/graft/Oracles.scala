@@ -731,6 +731,29 @@ object Oracles {
         |       ELSE 'unknown' END AS predicted
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // lang-ID confusion matrix — mirrors TextAnalysis.langidEval
+    "langid_eval" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    len(regexp_extract_all(coalesce(text,''), '\b(the|a|and)\b')) AS hits_en,
+        |    len(regexp_extract_all(coalesce(text,''), '\b(der|die|das|und)\b')) AS hits_de,
+        |    len(regexp_extract_all(coalesce(text,''), '\b(el|la|los|y)\b')) AS hits_es,
+        |    len(regexp_extract_all(coalesce(text,''), '\b(le|la|les|et)\b')) AS hits_fr
+        |  FROM documents),
+        |pr AS (SELECT lang,
+        |  CASE WHEN hits_en > 0 AND hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+        |       WHEN hits_de > 0 AND hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+        |       WHEN hits_es > 0 AND hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+        |       WHEN hits_fr > 0 AND hits_fr = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'fr'
+        |       ELSE 'unknown' END AS predicted
+        |  FROM h),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM pr GROUP BY lang),
+        |g AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+        |      FROM pr GROUP BY lang, predicted)
+        |SELECT g.lang, predicted, n, n_lang,
+        |  CAST((10000 * n) // n_lang AS BIGINT) AS share_bp
+        |FROM g JOIN tot ON g.lang = tot.lang
+        |ORDER BY g.lang, predicted""".stripMargin,
+
     // top-20 PMI collocations — mirrors TextAnalysis.collocations
     "collocations" ->
       s"""WITH $WordsCte,

@@ -286,6 +286,8 @@ object SparkEntry {
     "ivf_sweep" -> ((s: SparkSession, d: String) => Similarity.ivfSweep(s, d)),
     // tokenizer fertility: symbols-per-word per language under BPE
     "bpe_fertility" -> (CorpusStats.bpeFertility _),
+    // lang-ID confusion matrix vs ground truth (routing-leak audit)
+    "langid_eval" -> (TextAnalysis.langidEval _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

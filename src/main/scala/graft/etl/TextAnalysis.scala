@@ -223,6 +223,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID evaluation: the confusion matrix of the [[langId]]
+    * marker heuristic against the corpus's ground-truth lang label,
+    * with each cell's share of its true-language row (exact bp) — the
+    * classifier-eval companion to [[Similarity.clusterPurity]]: before
+    * a pipeline trusts a cheap lang filter to route documents, it
+    * measures where the filter's mass actually goes (the diagonal is
+    * per-language recall; off-diagonal cells are routing leaks).
+    * One (lang, predicted)-keyed agg plus a |langs|-row broadcast.
+    */
+  def langidEval(spark: SparkSession, dir: String): DataFrame = {
+    val pred = langId(spark, dir).select(col("lang"), col("predicted"))
+    val tot = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    pred.groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+      .join(broadcast(tot), Seq("lang"))
+      .withColumn("share_bp", expr("(10000 * n) div n_lang"))
+      .orderBy("lang", "predicted")
+  }
+
   /** Text normalization for training corpora: lowercase, collapse
     * whitespace runs, strip non-alphanumeric-space chars, trim — the
     * standard preprocessing pass, pure codegen'd expressions.
