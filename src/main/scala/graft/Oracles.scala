@@ -916,6 +916,18 @@ object Oracles {
          |SELECT doc_id, simhash16 FROM sigt ORDER BY doc_id""".stripMargin,
 
     // bit-block LSH over the simhash signature — mirrors Dedup.simhashNearDup
+    // cross-source syndication matrix — mirrors Dedup.sourceOverlap:
+    // the shared lshpairs CTE rolled up to unordered source cells
+    "source_overlap" ->
+      s"""WITH $LshPairCtes,
+         |sp AS (SELECT least(da.source, db.source) AS src1,
+         |              greatest(da.source, db.source) AS src2
+         |       FROM lshpairs p
+         |       JOIN documents da ON da.doc_id = p.doc_a
+         |       JOIN documents db ON db.doc_id = p.doc_b)
+         |SELECT src1, src2, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM sp GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin,
+
     // near-dup detector P/R/F1 — mirrors Dedup.neardupEval: simhash
     // tier (full corpus, restricted to the slice) vs exact 3-gram
     // Jaccard >= 150bp truth on doc_id<64; full outer so zero-overlap

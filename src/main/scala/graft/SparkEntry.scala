@@ -288,6 +288,8 @@ object SparkEntry {
     "bpe_fertility" -> (CorpusStats.bpeFertility _),
     // lang-ID confusion matrix vs ground truth (routing-leak audit)
     "langid_eval" -> (TextAnalysis.langidEval _),
+    // cross-source syndication matrix over the LSH candidate pairs
+    "source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

@@ -572,6 +572,28 @@ object Dedup {
     * buckets per position, the Manku/Jain/Sarma web-dedup layout); only
     * the constants change, the plan is identical.
     */
+  /** Cross-source syndication matrix: near-duplicate candidate pairs
+    * ([[minhashLsh]]) rolled up to unordered (source, source) cells —
+    * which sources copy from each other. The diagonal is within-source
+    * boilerplate; off-diagonal mass is syndication/mirroring, the
+    * signal a curation pipeline uses to pick ONE canonical feed per
+    * syndicate before per-source budgets are set. Pair→source lookup
+    * is two keyed joins against the doc→source projection; the rollup
+    * key is normalized with least/greatest so each cell counts once.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashLsh(spark, dir)
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("source").as("source_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("source").as("source_b")), Seq("doc_b"))
+      .groupBy(least(col("source_a"), col("source_b")).as("src1"),
+        greatest(col("source_a"), col("source_b")).as("src2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src1", "src2")
+  }
+
   /** Near-dup detector evaluation: precision / recall / F1 of the
     * SimHash bit-block tier ([[simhashNearDup]]) against exact 3-gram
     * Jaccard ground truth (threshold 150 bp — the corpus-calibrated
