@@ -116,4 +116,51 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(trained * 2 >= brute.size,
       s"trained recall floor: $trained/${brute.size}")
   }
+
+  test("ivf_sweep: recall and scan cost are both monotone in nprobe") {
+    val rows = SparkEntry.queries("ivf_sweep")(spark, dir)
+      .select("nprobe", "n_scanned", "recall_bp")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(rows.sliding(2).forall(p => p(1)._2 > p(0)._2),
+      s"scan cost must grow with probes: ${rows.toSeq}")
+    assert(rows.sliding(2).forall(p => p(1)._3 >= p(0)._3),
+      s"recall must not drop with more probes: ${rows.toSeq}")
+    // the sweep's own numbers must agree with the verified knn_ivf
+    // tier at the same budget (nprobe=2)
+    val brute = topPairs("knn_brute")
+    val ivf2 = (topPairs("knn_ivf") & brute).size.toLong
+    assert(rows(1)._3 == 10000L * ivf2 / brute.size,
+      s"sweep@2 disagrees with knn_ivf: ${rows(1)._3} vs $ivf2/${brute.size}")
+  }
+
+  test("MMR picks less-redundant sets than pure relevance at equal size") {
+    // redundancy = per-query max pairwise cosine among the selected 5;
+    // MMR's diversity term must not INCREASE it on any aggregate, and
+    // must strictly reduce it somewhere (it diverged on all 16 queries
+    // when landed)
+    def maxPairSim(pairs: Set[(Long, Long)]): Double = {
+      val byQ = pairs.groupBy(_._1).values
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect().toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        d / math.sqrt(na * nb)
+      }
+      byQ.map { s =>
+        val ids = s.map(_._2).toSeq
+        ids.combinations(2).map { case Seq(x, y) => cos(e(x), e(y)) }.max
+      }.sum
+    }
+    val rel = topPairs("knn_brute")
+    val mmr = SparkEntry.queries("mmr_diversify")(spark, dir)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(maxPairSim(mmr) < maxPairSim(rel),
+      "MMR did not reduce total within-set redundancy vs pure top-5")
+  }
 }
