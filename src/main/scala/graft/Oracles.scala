@@ -1184,6 +1184,22 @@ object Oracles {
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY node ORDER BY n_triangles DESC, node""".stripMargin,
 
+    // link reciprocity — mirrors Crawl.reciprocity (same edge list as
+    // triangle_count/pagerank; semi-join against the transpose)
+    "reciprocity" ->
+      """WITH cnt AS (SELECT count(*) AS c FROM customer),
+        |e AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,
+        |                      CAST(o_orderkey % c AS BIGINT) AS dst
+        |      FROM orders, cnt),
+        |d AS (SELECT src, dst FROM e WHERE src <> dst),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_recip FROM d a
+        |      WHERE EXISTS (SELECT 1 FROM d b
+        |                    WHERE b.src = a.dst AND b.dst = a.src)),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM d)
+        |SELECT n_edges, n_recip,
+        |  CAST((10000 * n_recip) // n_edges AS BIGINT) AS reciprocity_bp
+        |FROM t, r""".stripMargin,
+
     "pagerank_iter" ->
       """WITH cnt AS (SELECT count(*) AS c FROM customer),
         |e AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,

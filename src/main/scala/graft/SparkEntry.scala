@@ -290,6 +290,8 @@ object SparkEntry {
     "langid_eval" -> (TextAnalysis.langidEval _),
     // cross-source syndication matrix over the LSH candidate pairs
     "source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
+    // link-graph reciprocity: share of edges with a reverse edge
+    "reciprocity" -> (Crawl.reciprocity _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

@@ -171,4 +171,21 @@ object Crawl {
     }
     mass.orderBy("node")
   }
+
+  /** Link reciprocity: the share of directed edges whose reverse edge
+    * also exists (self-loops excluded) — the graph-health companion to
+    * [[triangleCounts]]: a crawl frontier dominated by reciprocal
+    * links is circling a site cluster instead of expanding. One
+    * semi-join of the edge list against its own transpose — keyed
+    * hash join on (src, dst), no enumeration of missing pairs.
+    */
+  def reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).filter(col("src") =!= col("dst"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = e.join(rev, Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip))
+      .withColumn("reciprocity_bp", expr("(10000 * n_recip) div n_edges"))
+  }
 }
