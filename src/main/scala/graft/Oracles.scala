@@ -1445,6 +1445,49 @@ object Oracles {
          |  JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id
          |ORDER BY c.doc_a, c.doc_b""".stripMargin,
 
+    // dedup threshold sweep — mirrors Dedup.dedupSweep over the same
+    // candidate+verify pair frame as neardup_pipeline
+    "dedup_sweep" ->
+      s"""WITH $Shingle3Cte,
+         |sig AS (SELECT doc_id,
+         |  min(md5('seed0:' || shingle)) AS mh_0, min(md5('seed1:' || shingle)) AS mh_1,
+         |  min(md5('seed2:' || shingle)) AS mh_2, min(md5('seed3:' || shingle)) AS mh_3,
+         |  min(md5('seed4:' || shingle)) AS mh_4, min(md5('seed5:' || shingle)) AS mh_5,
+         |  min(md5('seed6:' || shingle)) AS mh_6, min(md5('seed7:' || shingle)) AS mh_7
+         |  FROM shingles GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM banded x JOIN banded y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |sets AS (SELECT doc_id, count(DISTINCT shingle) AS n_sh FROM shingles GROUP BY doc_id),
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |          FROM cand c JOIN dsh a ON a.doc_id = c.doc_a
+         |            JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |          GROUP BY c.doc_a, c.doc_b),
+         |jp AS (SELECT c.doc_a, c.doc_b,
+         |  CAST((10000 * coalesce(i.n_common, 0)) //
+         |    (sa.n_sh + sb.n_sh - coalesce(i.n_common, 0)) AS BIGINT) AS jaccard_bp
+         |  FROM cand c
+         |    LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+         |    JOIN sets sa ON c.doc_a = sa.doc_id JOIN sets sb ON c.doc_b = sb.doc_id),
+         |ax AS (SELECT CAST(unnest([500, 9000, 9600, 9800, 9880]) AS BIGINT) AS threshold),
+         |pt AS (SELECT ax.threshold, jp.doc_a, jp.doc_b
+         |       FROM ax JOIN jp ON jp.jaccard_bp >= ax.threshold),
+         |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM pt GROUP BY threshold),
+         |nd AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs FROM
+         |         (SELECT DISTINCT threshold, unnest([doc_a, doc_b]) AS d FROM pt)
+         |       GROUP BY threshold)
+         |SELECT ax.threshold,
+         |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+         |FROM ax LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+         |ORDER BY ax.threshold""".stripMargin,
+
     // ---- deterministic hash split ----
     "train_test_split" ->
       """WITH b AS (SELECT doc_id,

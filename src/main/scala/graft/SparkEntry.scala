@@ -292,6 +292,8 @@ object SparkEntry {
     "source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
     // link-graph reciprocity: share of edges with a reverse edge
     "reciprocity" -> (Crawl.reciprocity _),
+    // dedup threshold sweep: merge yield per Jaccard cut
+    "dedup_sweep" -> ((s: SparkSession, d: String) => Dedup.dedupSweep(s, d)),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

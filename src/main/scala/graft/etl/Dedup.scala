@@ -572,6 +572,37 @@ object Dedup {
     * buckets per position, the Manku/Jain/Sarma web-dedup layout); only
     * the constants change, the plan is identical.
     */
+  /** Dedup threshold sweep — the dial-setting curve for the near-dup
+    * pipeline: for each candidate Jaccard cut, how many verified pairs
+    * would merge and how many documents are touched. Run over the
+    * corpus-wide LSH-candidate + exact-verify pairs
+    * ([[graft.etl.Splits.neardupPipeline]]), so the curve prices the
+    * threshold exactly where production would apply it. The bounded
+    * 5-point axis joins against the pair frame once (pairs × 5, one
+    * pass) — no per-threshold recomputation.
+    */
+  def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val thr = Seq(500L, 9000L, 9600L, 9800L, 9880L)
+    val axisArr = array(thr.map(lit): _*)
+    val base = spark.range(thr.size).select(
+      element_at(axisArr, (col("id") + 1).cast("int")).as("threshold"))
+    val pt = Splits.neardupPipeline(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+      .select(col("*"), explode(axisArr).as("threshold"))
+      .filter(col("jaccard_bp") >= col("threshold"))
+    val np = pt.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val nd = pt.select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs"))
+    base.join(np, Seq("threshold"), "left")
+      .join(nd, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("threshold")
+  }
+
   /** Cross-source syndication matrix: near-duplicate candidate pairs
     * ([[minhashLsh]]) rolled up to unordered (source, source) cells —
     * which sources copy from each other. The diagonal is within-source
