@@ -605,6 +605,26 @@ object Oracles {
         |  (max(ts_us) - min(ts_us)) / 60000000.0 AS duration_min
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
 
+    // overlapping-interval coalescing — mirrors Events.intervalMerge
+    // (break on overlap vs the running max end, not event gap)
+    "interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS s,
+        |    CAST(epoch_us(ts) AS BIGINT) + 300000000 AS e
+        |  FROM events),
+        |m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+        |      FROM iv),
+        |b AS (SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+        |                     THEN 1 ELSE 0 END AS brk FROM m),
+        |g AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+        |      FROM b)
+        |SELECT user_id, grp AS interval_seq,
+        |  CAST(min(s) AS BIGINT) AS start_us, CAST(max(e) AS BIGINT) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, interval_seq""".stripMargin,
+
     // session funnel (same sessionization CTE as `sessionize`) —
     // mirrors Events.funnelStages
     "funnel_stages" ->
@@ -1603,6 +1623,16 @@ object Oracles {
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    // explicit GROUPING SETS — mirrors Relational2.groupingSetsSales
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
 
     "pivot_flags" ->

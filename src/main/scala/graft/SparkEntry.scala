@@ -294,6 +294,10 @@ object SparkEntry {
     "reciprocity" -> (Crawl.reciprocity _),
     // dedup threshold sweep: merge yield per Jaccard cut
     "dedup_sweep" -> ((s: SparkSession, d: String) => Dedup.dedupSweep(s, d)),
+    // explicit GROUPING SETS lattice with grouping flags
+    "grouping_sets" -> (Relational2.groupingSetsSales _),
+    // overlapping-interval coalescing into maximal busy periods
+    "interval_merge" -> (Events.intervalMerge _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

@@ -456,6 +456,39 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Overlapping-interval coalescing: each event opens a 5-minute
+    * activity interval [ts, ts+300s); overlapping or nested intervals
+    * merge into maximal busy periods per user (the classic
+    * merge-intervals operator — capacity planning, rate-limit
+    * windows). Same break-flag + running-sum shape as [[sessionize]],
+    * but the break tests overlap against the RUNNING MAX of interval
+    * ends, not the gap to the previous event — nested intervals that
+    * gap logic would wrongly split stay merged. All integer µs.
+    */
+  def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), tsUs.as("s"))
+      .withColumn("e", col("s") + 300000000L)
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("s").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("s").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = iv
+      .withColumn("prev_max_e", max(col("e")).over(wPrev))
+      .withColumn("brk",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(wRun))
+    marked.groupBy(col("user_id"), col("grp"))
+      .agg(min(col("s")).as("start_us"), max(col("e")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("grp").as("interval_seq"),
+        col("start_us"), col("end_us"), col("n_events"))
+      .orderBy("user_id", "interval_seq")
+  }
+
   def attribution(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)

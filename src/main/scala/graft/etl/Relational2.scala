@@ -116,6 +116,28 @@ object Relational2 {
       .orderBy(col("g_flag"), col("g_status"),
         col("l_returnflag"), col("l_linestatus"))
 
+  /** Explicit GROUPING SETS — the cube/rollup sibling with a
+    * hand-picked lattice: both one-dimension marginals plus the full
+    * cross and the grand total, with grouping flags so consumers can
+    * tell a NULL key from an aggregated-out dimension. Ordering by the
+    * grouping flags first keeps every stratum's keys all-NULL or
+    * all-present, so engine NULL-ordering differences can never bite
+    * (rollupSales' trick). One pass, Expand + partial aggs — no
+    * per-set rescan.
+    */
+  def groupingSetsSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag"), col("l_linestatus"))
+
   /** Set operations (SURVEY §2.7): customers appearing in both/only-one
     * of two order-status universes — INTERSECT/EXCEPT as first-class
     * ops (semi/anti-join equivalents shown in semiAntiCustomers).
