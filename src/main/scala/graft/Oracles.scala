@@ -605,6 +605,20 @@ object Oracles {
         |  (max(ts_us) - min(ts_us)) / 60000000.0 AS duration_min
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
 
+    // ingest-rate spikes — mirrors Events.rateSpikes (integer
+    // cross-multiplied threshold, day-partitioned window)
+    "rate_spikes" ->
+      """WITH h AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr
+        |           FROM events),
+        |hourly AS (SELECT hr, CAST(count(*) AS BIGINT) AS n, hr // 24 AS day
+        |           FROM h GROUP BY hr),
+        |w AS (SELECT hr, day, n,
+        |        CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS n_day,
+        |        CAST(count(*) OVER (PARTITION BY day) AS BIGINT) AS hours_present
+        |      FROM hourly)
+        |SELECT hr, day, n, n_day, hours_present
+        |FROM w WHERE n * hours_present > 2 * n_day ORDER BY hr""".stripMargin,
+
     // overlapping-interval coalescing — mirrors Events.intervalMerge
     // (break on overlap vs the running max end, not event gap)
     "interval_merge" ->

@@ -298,6 +298,8 @@ object SparkEntry {
     "grouping_sets" -> (Relational2.groupingSetsSales _),
     // overlapping-interval coalescing into maximal busy periods
     "interval_merge" -> (Events.intervalMerge _),
+    // ingest-rate spikes: hours > 2x their day's hourly mean
+    "rate_spikes" -> (Events.rateSpikes _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

@@ -456,6 +456,30 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Ingest-rate spike detection: hours whose event count exceeds 2×
+    * their day's hourly mean — the pipeline-observability alarm that
+    * catches a crawler loop or a replayed feed before it floods a
+    * day's partition. The comparison is cross-multiplied integers
+    * (n·hours_present > 2·n_day), so no rational mean is ever
+    * materialized; the day window partitions by day over the ALREADY
+    * AGGREGATED hourly table — no global window, no funnel, and the
+    * hour axis grows with time, not data volume.
+    */
+  def rateSpikes(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(expr("(ts div 1000) div 3600000000").as("hr"))
+      .groupBy(col("hr")).agg(count(lit(1)).as("n"))
+      .withColumn("day", expr("hr div 24"))
+    val wd = Window.partitionBy(col("day"))
+    hourly
+      .withColumn("n_day", sum(col("n")).over(wd))
+      .withColumn("hours_present", count(lit(1)).over(wd))
+      .filter(col("n") * col("hours_present") > lit(2L) * col("n_day"))
+      .select(col("hr"), col("day"), col("n"), col("n_day"),
+        col("hours_present"))
+      .orderBy("hr")
+  }
+
   /** Overlapping-interval coalescing: each event opens a 5-minute
     * activity interval [ts, ts+300s); overlapping or nested intervals
     * merge into maximal busy periods per user (the classic
