@@ -2692,6 +2692,19 @@ object Oracles {
         |     - (10000 * sum(le)) // count(*) AS BIGINT) AS saved_bp
         |FROM enc GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // bigram next-word table — mirrors CorpusStats.bigramNext
+    "bigram_next" ->
+      s"""WITH $WordsCte,
+         |bg AS (SELECT doc_id, word AS w1,
+         |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |       FROM words),
+         |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+         |      FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2),
+         |r AS (SELECT w1, w2, n,
+         |        CAST(row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS INT) AS rank
+         |      FROM c)
+         |SELECT w1, rank, w2, n FROM r WHERE rank <= 3 ORDER BY w1, rank""".stripMargin,
+
     // range(1, n) is [1, n): pairs at 1..len-1, matching the Spark
     // sequence(1, length-1) under its length>=2 guard
     "bpe_pairs" ->

@@ -300,6 +300,8 @@ object SparkEntry {
     "interval_merge" -> (Events.intervalMerge _),
     // ingest-rate spikes: hours > 2x their day's hourly mean
     "rate_spikes" -> (Events.rateSpikes _),
+    // bigram LM table: top-3 next words per head on GroupTopK
+    "bigram_next" -> (CorpusStats.bigramNext _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

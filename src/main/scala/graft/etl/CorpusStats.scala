@@ -410,6 +410,30 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** Conditional next-word table: top-3 successors per head word by
+    * bigram frequency — the n-gram-LM building block ([[prefixTopk]]
+    * completes prefixes, [[TextAnalysis.collocations]] scores PMI;
+    * this is the raw conditional-frequency table a bigram LM, a
+    * type-ahead ranker, or a template detector reads). Bigrams come
+    * from the 2-shingle ARRAY (pure map, no per-word window); the
+    * rank<=3 cap rides RewriteRankFilterToGroupTopK so per-head state
+    * is O(3), never a sort of a stopword's successor list.
+    */
+  def bigramNext(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(Shingles.shingleArray(col("text"), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("w1"))
+      .orderBy(col("n").desc, col("w2").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("w1"), col("rank"), col("w2"), col("n"))
+      .orderBy("w1", "rank")
+  }
+
   /** Autocomplete index: top-3 completions per 2-char prefix by corpus
     * frequency — word-keyed agg then a prefix-keyed rank that rides the
     * GroupTopK heap rewrite (per-prefix state O(3), never a full
