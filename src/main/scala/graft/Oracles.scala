@@ -1833,6 +1833,57 @@ object Oracles {
         |SELECT qid, rank, did, cos FROM r WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
 
+    // retriever agreement — mirrors TfIdf.retrieverOverlap: the
+    // tfidf_search and knn_brute top-5 sets replayed, then per-query
+    // Jaccard in exact bp
+    "retriever_overlap" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w0
+        |       WHERE length(word) > 0 GROUP BY ALL),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |posts AS (SELECT word, doc_id,
+        |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT) AS w
+        |  FROM tf JOIN dfq USING (word) CROSS JOIN nn),
+        |norms AS (SELECT doc_id, sum(w*w) AS nsq FROM posts GROUP BY doc_id),
+        |pairs AS (SELECT q.doc_id AS qid, c.doc_id AS did,
+        |            sum(q.w * c.w) AS num
+        |          FROM posts q JOIN posts c
+        |            ON q.word = c.word AND q.doc_id < 16 AND q.doc_id <> c.doc_id
+        |          GROUP BY ALL),
+        |ls AS (SELECT qid, did,
+        |        round(num / (sqrt(nq.nsq) * sqrt(nd.nsq)), 4) AS cos
+        |      FROM pairs JOIN norms nq ON nq.doc_id = qid
+        |                 JOIN norms nd ON nd.doc_id = did),
+        |lr AS (SELECT qid, did,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rank
+        |      FROM ls),
+        |lexset AS (SELECT qid, did AS cand FROM lr WHERE rank <= 5),
+        |kp AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+        |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |      WHERE q.vec_id < 16),
+        |kz AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+        |       FROM kp),
+        |kd AS (SELECT qid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |       FROM kz GROUP BY ALL),
+        |ks AS (SELECT qid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM kd),
+        |kr AS (SELECT qid, cid,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank FROM ks),
+        |vecset AS (SELECT qid, cid AS cand FROM kr WHERE rank <= 5),
+        |m AS (SELECT coalesce(l.qid, v.qid) AS qid,
+        |        CASE WHEN l.cand IS NOT NULL THEN 1 ELSE 0 END AS in_lex,
+        |        CASE WHEN v.cand IS NOT NULL THEN 1 ELSE 0 END AS in_vec
+        |      FROM lexset l FULL OUTER JOIN vecset v
+        |        ON l.qid = v.qid AND l.cand = v.cand)
+        |SELECT qid, CAST(sum(in_lex) AS BIGINT) AS n_lex,
+        |  CAST(sum(in_vec) AS BIGINT) AS n_vec,
+        |  CAST(sum(in_lex * in_vec) AS BIGINT) AS n_both,
+        |  CAST((10000 * sum(in_lex * in_vec)) //
+        |    (sum(in_lex) + sum(in_vec) - sum(in_lex * in_vec)) AS BIGINT) AS jaccard_bp
+        |FROM m GROUP BY qid ORDER BY qid""".stripMargin,
+
     // ---- IR / analytics extras ----
     "tfidf_topk" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 64),

@@ -302,6 +302,8 @@ object SparkEntry {
     "rate_spikes" -> (Events.rateSpikes _),
     // bigram LM table: top-3 next words per head on GroupTopK
     "bigram_next" -> (CorpusStats.bigramNext _),
+    // sparse-vs-dense retriever agreement (justifies hybrid fusion)
+    "retriever_overlap" -> (TfIdf.retrieverOverlap _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

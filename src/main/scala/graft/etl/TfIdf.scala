@@ -155,6 +155,30 @@ object TfIdf {
       .orderBy("qid", "rank")
   }
 
+  /** Retriever-agreement audit: per query, the Jaccard overlap of the
+    * sparse (TF-IDF) and dense (embedding kNN) top-5 result sets —
+    * the eval that JUSTIFIES hybrid retrieval: low agreement means
+    * the tiers surface complementary results and [[rrfFusion]] has
+    * something to fuse; agreement ≈ 10000 means one tier is paying
+    * for nothing. Same aligned query-id convention as rrfFusion; the
+    * audit join touches only the two top-k sets.
+    */
+  def retrieverOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val lex = tfidfSearch(spark, dir)
+      .select(col("qid"), col("did").as("cand"), lit(1L).as("in_lex"))
+    val vec = Similarity.knnBrute(spark, dir)
+      .select(col("qid"), col("cid").as("cand"), lit(1L).as("in_vec"))
+    lex.join(vec, Seq("qid", "cand"), "full_outer")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("in_lex"), lit(0L))).as("n_lex"),
+        sum(coalesce(col("in_vec"), lit(0L))).as("n_vec"),
+        sum(coalesce(col("in_lex"), lit(0L))
+          * coalesce(col("in_vec"), lit(0L))).as("n_both"))
+      .withColumn("jaccard_bp",
+        expr("(10000 * n_both) div (n_lex + n_vec - n_both)"))
+      .orderBy("qid")
+  }
+
   /** Edit-distance fuzzy matching on short strings (customer names in a
     * bounded block): levenshtein is integer-exact in both engines. The
     * scale form blocks by length band / prefix before the quadratic
