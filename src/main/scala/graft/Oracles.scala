@@ -620,11 +620,12 @@ object Oracles {
         |FROM w WHERE n * hours_present > 2 * n_day ORDER BY hr""".stripMargin,
 
     // overlapping-interval coalescing — mirrors Events.intervalMerge
-    // (break on overlap vs the running max end, not event gap)
+    // (break on overlap vs the running max end, not event gap;
+    // variable 1-10 min durations make contained intervals real)
     "interval_merge" ->
       """WITH iv AS (SELECT user_id, event_id,
         |    CAST(epoch_us(ts) AS BIGINT) AS s,
-        |    CAST(epoch_us(ts) AS BIGINT) + 300000000 AS e
+        |    CAST(epoch_us(ts) AS BIGINT) + (event_id % 10 + 1) * 60000000 AS e
         |  FROM events),
         |m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e

@@ -487,12 +487,16 @@ object Events {
     * windows). Same break-flag + running-sum shape as [[sessionize]],
     * but the break tests overlap against the RUNNING MAX of interval
     * ends, not the gap to the previous event — nested intervals that
-    * gap logic would wrongly split stay merged. All integer µs.
+    * gap logic would wrongly split stay merged. Durations VARY per
+    * event (1–10 min by event id): with constant durations the
+    * running max collapses to the previous event's end and the
+    * operator would degenerate to gap sessionization; variable
+    * durations are what make contained intervals real. All integer µs.
     */
   def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
     val iv = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), tsUs.as("s"))
-      .withColumn("e", col("s") + 300000000L)
+      .withColumn("e", col("s") + (col("event_id") % 10 + 1) * 60000000L)
     val wPrev = Window.partitionBy(col("user_id"))
       .orderBy(col("s").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
