@@ -605,6 +605,20 @@ object Oracles {
         |  (max(ts_us) - min(ts_us)) / 60000000.0 AS duration_min
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
 
+    // weekly churn — mirrors Events.churnRate
+    "churn_rate" ->
+      """WITH wa AS (SELECT DISTINCT
+        |    (CAST(epoch_us(ts) AS BIGINT) // 86400000000) // 7 AS wk, user_id
+        |  FROM events),
+        |j AS (SELECT a.wk, a.user_id,
+        |        CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END AS retained
+        |      FROM wa a LEFT JOIN wa b
+        |        ON b.wk = a.wk + 1 AND b.user_id = a.user_id)
+        |SELECT wk, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(retained) AS BIGINT) AS n_retained,
+        |  CAST((10000 * (count(*) - sum(retained))) // count(*) AS BIGINT) AS churn_bp
+        |FROM j GROUP BY wk ORDER BY wk""".stripMargin,
+
     // ingest-rate spikes — mirrors Events.rateSpikes (integer
     // cross-multiplied threshold, day-partitioned window)
     "rate_spikes" ->

@@ -37,7 +37,11 @@ object ScaleCheck {
     "minhash_lsh", "dedup_components", "dedup_canonical", "substring_dedup",
     "knn_ivf", "knn_pq_trained", "edit_distance_banded",
     // round-6 gram-heavy additions
-    "span_clip", "phrase_search", "bag_dedup")
+    "span_clip", "phrase_search", "bag_dedup",
+    // round-6 eval/audit wave: the new heaviest consumers — LSH-pair
+    // rollup, threshold sweep over the verified pair frame, bounded
+    // greedy MMR (corpus scan + k²-bounded rounds), bigram GroupTopK
+    "source_overlap", "dedup_sweep", "mmr_diversify", "bigram_next")
 
   private def caesar(r: Int): (String, String) = {
     val a = "abcdefghijklmnopqrstuvwxyz"

@@ -304,6 +304,8 @@ object SparkEntry {
     "bigram_next" -> (CorpusStats.bigramNext _),
     // sparse-vs-dense retriever agreement (justifies hybrid fusion)
     "retriever_overlap" -> (TfIdf.retrieverOverlap _),
+    // weekly active-user churn (rolling retention complement)
+    "churn_rate" -> (Events.churnRate _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

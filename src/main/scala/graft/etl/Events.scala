@@ -456,6 +456,30 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Weekly churn: of the users active in week w, the share with no
+    * event in week w+1 — the retention complement of
+    * [[cohortRetention]] (cohorts follow a fixed start group forward;
+    * churn is the rolling week-over-week leak). The self-join is the
+    * distinct (week, user) frame against itself shifted by one week —
+    * keyed equi-join, integer bp. The final week reports 10000 by
+    * construction (no following week observed).
+    */
+  def churnRate(spark: SparkSession, dir: String): DataFrame = {
+    val wa = Tables.events(spark, dir)
+      .select(expr("((ts div 1000) div 86400000000) div 7").as("wk"),
+        col("user_id"))
+      .distinct()
+    val next = wa.select((col("wk") - 1).as("wk"), col("user_id"),
+      lit(1L).as("retained"))
+    wa.join(next, Seq("wk", "user_id"), "left")
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(coalesce(col("retained"), lit(0L))).as("n_retained"))
+      .withColumn("churn_bp",
+        expr("(10000 * (n_active - n_retained)) div n_active"))
+      .orderBy("wk")
+  }
+
   /** Ingest-rate spike detection: hours whose event count exceeds 2×
     * their day's hourly mean — the pipeline-observability alarm that
     * catches a crawler loop or a replayed feed before it floods a
