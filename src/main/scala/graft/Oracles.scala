@@ -2821,6 +2821,31 @@ object Oracles {
         |SELECT qid, rank, cid, adist_units FROM r WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
 
+    // PQ distortion audit — mirrors Similarity.pqDistortion (same
+    // quantized sub-distance CTEs as knn_pq, argmin per (vec, m),
+    // M-keyed rollup; HUGEINT-safe casts)
+    "pq_distortion" ->
+      """WITH mk AS (
+        |  SELECT m.m, s.vec_id AS k, s.embedding AS se
+        |  FROM embeddings s, (SELECT unnest([0, 1, 2, 3]) AS m) m
+        |  WHERE s.vec_id < 16),
+        |z AS (SELECT e.vec_id, mk.m, mk.k,
+        |        CAST(round(CAST(unnest(e.embedding[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |        CAST(round(CAST(unnest(mk.se[mk.m*16+1 : mk.m*16+16]) AS DOUBLE) * 1000) AS BIGINT) AS y
+        |      FROM embeddings e CROSS JOIN mk),
+        |d AS (SELECT vec_id, m, k,
+        |        CAST(sum((x-y)*(x-y)) AS BIGINT) AS du
+        |      FROM z GROUP BY ALL),
+        |best AS (SELECT vec_id, m, du FROM (
+        |  SELECT vec_id, m, du,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY du, k) AS rk
+        |  FROM d) WHERE rk = 1)
+        |SELECT m, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(du) AS BIGINT) AS total_du,
+        |  CAST(max(du) AS BIGINT) AS max_du,
+        |  CAST(CAST(sum(du) AS BIGINT) // count(*) AS BIGINT) AS mean_du
+        |FROM best GROUP BY m ORDER BY m""".stripMargin,
+
     // PQ shortlist (ADC top-25) + exact re-rank — mirrors
     // Similarity.knnPqRerank; same quantized-integer ADC CTEs as
     // knn_pq, then the exact BIGINT Σ(xq−yq)² fold (1e-6 units) over

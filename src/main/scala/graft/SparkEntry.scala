@@ -306,6 +306,8 @@ object SparkEntry {
     "retriever_overlap" -> (TfIdf.retrieverOverlap _),
     // weekly active-user churn (rolling retention complement)
     "churn_rate" -> (Events.churnRate _),
+    // PQ codebook distortion audit per subquantizer
+    "pq_distortion" -> (Similarity.pqDistortion _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

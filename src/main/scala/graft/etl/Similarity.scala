@@ -663,11 +663,14 @@ object Similarity {
     * [[knnPqRerank]] (shortlist-25 → exact re-rank). Returns every
     * (qid, vec_id) pair with its integer ADC distance and rank.
     */
-  private def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-(vector, subquantizer, centroid) exact integer sub-distances —
+    * the shared first stage of the PQ family ([[pqAdc]] encodes/scans
+    * from it; [[pqDistortion]] audits it). Elements quantize to
+    * integral 1e-3 units once; Σ(xq−yq)² is an exact BIGINT (1e-6
+    * units), so no FP fold exists for thread order to perturb.
+    */
+  private def pqSub(spark: SparkSession, dir: String): DataFrame = {
     val M = 4; val Sub = 16; val K = 16
-    // quantize once: element → integral 1e-3 units (BIGINT). All
-    // downstream distances are exact integer ops — no FP fold exists
-    // for engine thread order to perturb (the r4 knn_pq hash flake).
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -680,15 +683,17 @@ object Similarity {
         .withColumn("m", explode(ms))
         .select(col("m"), col("k"),
           slice(col("se"), col("m") * Sub + 1, lit(Sub)).as("cvec")))
-    // sub-distances: per (vec, m, k), exact BIGINT Σ(xq−yq)² over the
-    // quantized slice (1e-6 units)
-    val sub = e.crossJoin(cb)
+    e.crossJoin(cb)
       .withColumn("xvec", slice(col("embq"), col("m") * Sub + 1, lit(Sub)))
       .withColumn("du",
         aggregate(zip_with(col("xvec"), col("cvec"),
             (x, y) => (x - y) * (x - y)),
           lit(0L), (acc, v) => acc + v))
       .select(col("vec_id"), col("m"), col("k"), col("du"))
+  }
+
+  private def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val sub = pqSub(spark, dir)
     // encode: argmin_k per (vec, m) — two-phase agg, ties to low k
     val codes = sub.groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("du"), col("k"))).as("mn"))
@@ -706,6 +711,28 @@ object Similarity {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adist_units").asc, col("vec_id").asc)
     adc.withColumn("rank", row_number().over(w))
+  }
+
+  /** PQ codebook distortion audit: per subquantizer, the total / mean /
+    * max quantization error (exact 1e-6 integer units) of each
+    * vector's BEST code — the index-quality number a PQ deployment
+    * tracks per build: distortion creeping up between builds means the
+    * codebook no longer fits the data distribution and ADC rankings
+    * degrade silently (the metric k-means PQ training minimizes;
+    * [[knnPqTrained]]'s SSE test pins its training-time half, this
+    * puts the serving-side audit on the verified surface). One
+    * argmin + one M-keyed agg over the shared [[pqSub]] frame.
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val best = pqSub(spark, dir)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("du"), col("k"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.du").as("du"))
+    best.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("du")).as("total_du"),
+        max(col("du")).as("max_du"))
+      .withColumn("mean_du", expr("total_du div n_vecs"))
+      .orderBy("m")
   }
 
   /** PQ shortlist + exact re-rank — how PQ is actually deployed: the
