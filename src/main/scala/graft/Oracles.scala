@@ -780,6 +780,32 @@ object Oracles {
         |       ELSE 'unknown' END AS predicted
         |FROM h ORDER BY doc_id""".stripMargin,
 
+    // Poisson bootstrap — mirrors Observability.bootstrapMean (same
+    // salted-hash uniform as weighted_sample; Poisson(1) CDF cuts as
+    // integer literals)
+    "bootstrap_mean" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS v
+        |  FROM documents),
+        |rep AS (SELECT doc_id, v, CAST(unnest(range(0, 16)) AS INT) AS b FROM t),
+        |u AS (SELECT b, v,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |          CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        |      FROM rep),
+        |c AS (SELECT b, v,
+        |        CASE WHEN u < 1580030168 THEN 0
+        |             WHEN u < 3160060337 THEN 1
+        |             WHEN u < 3950075421 THEN 2
+        |             WHEN u < 4213413783 THEN 3
+        |             WHEN u < 4279248373 THEN 4
+        |             ELSE 5 END AS cnt
+        |      FROM u)
+        |SELECT b, CAST(sum(cnt) AS BIGINT) AS n_eff,
+        |  CAST(sum(cnt * v) AS BIGINT) AS token_mass,
+        |  CAST((10000 * sum(cnt * v)) // sum(cnt) AS BIGINT) AS mean_tokens_bp
+        |FROM c GROUP BY b ORDER BY b""".stripMargin,
+
     // lang-ID confusion matrix — mirrors TextAnalysis.langidEval
     "langid_eval" ->
       """WITH h AS (SELECT doc_id, lang,

@@ -308,6 +308,8 @@ object SparkEntry {
     "churn_rate" -> (Events.churnRate _),
     // PQ codebook distortion audit per subquantizer
     "pq_distortion" -> (Similarity.pqDistortion _),
+    // Poisson bootstrap: 16 one-pass replicates of the token mean
+    "bootstrap_mean" -> (Observability.bootstrapMean _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

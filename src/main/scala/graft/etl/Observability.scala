@@ -125,4 +125,41 @@ object Observability {
         col("risky_rows"), col("n_rows"), col("risky_bp"))
       .orderBy("nation")
   }
+
+  /** Poisson bootstrap of the mean tokens-per-document — uncertainty
+    * for corpus metrics in ONE pass (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", the scalable bootstrap:
+    * each replicate re-weights every row by an independent Poisson(1)
+    * draw instead of resampling, so B=16 replicates ride a single
+    * scan + one small agg — no data movement, no per-replicate scan).
+    * The consumer reads the replicate spread as the CI of the mean.
+    *
+    * Fully deterministic across engines and partitionings: the
+    * "draw" is the salted-hash uniform (weightedSample's rule) cut at
+    * floor(2³²·CDF_Poisson(1)(k)) integer literals, truncated at 5
+    * (tail mass 4·10⁻⁴). Every output is exact integer bp.
+    */
+  def bootstrapMean(spark: SparkSession, dir: String): DataFrame = {
+    val drawn = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("v"))
+      .select(col("doc_id"), col("v"),
+        explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("u",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("b").cast("string"))), 1, 8), 16, 10).cast("bigint"))
+      .withColumn("cnt",
+        when(col("u") < 1580030168L, 0L)
+          .when(col("u") < 3160060337L, 1L)
+          .when(col("u") < 3950075421L, 2L)
+          .when(col("u") < 4213413783L, 3L)
+          .when(col("u") < 4279248373L, 4L)
+          .otherwise(5L))
+    drawn.groupBy(col("b"))
+      .agg(sum(col("cnt")).as("n_eff"),
+        sum(col("cnt") * col("v")).as("token_mass"))
+      .withColumn("mean_tokens_bp",
+        expr("(10000 * token_mass) div n_eff"))
+      .orderBy("b")
+  }
 }
