@@ -1077,6 +1077,26 @@ object Oracles {
          |SELECT qid, rank, cid, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
 
+    // kNN-vote label noise — mirrors Similarity.labelNoise
+    "label_noise" -> {
+      val p =
+        """p AS (SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS cid,
+          |        c.label AS clabel, q.embedding AS qe, c.embedding AS ce
+          |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          |      WHERE q.vec_id < 64)""".stripMargin
+      s"""WITH ${cosineFrom(p, ", qlabel, clabel")},
+         |r AS (SELECT qid, qlabel, clabel,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+         |      FROM s),
+         |v AS (SELECT qid, qlabel, clabel, CAST(count(*) AS BIGINT) AS n
+         |      FROM r WHERE rk <= 5 GROUP BY ALL),
+         |m AS (SELECT qid, qlabel, clabel, n,
+         |        row_number() OVER (PARTITION BY qid ORDER BY n DESC, clabel) AS vrk
+         |      FROM v)
+         |SELECT qid, qlabel AS label, clabel AS neighbor_label, n AS n_votes
+         |FROM m WHERE vrk = 1 AND clabel <> qlabel ORDER BY qid""".stripMargin
+    },
+
     // contrastive hard negatives — mirrors Similarity.hardNegatives
     "hard_negatives" -> {
       val p =

@@ -310,6 +310,8 @@ object SparkEntry {
     "pq_distortion" -> (Similarity.pqDistortion _),
     // Poisson bootstrap: 16 one-pass replicates of the token mean
     "bootstrap_mean" -> (Observability.bootstrapMean _),
+    // kNN-vote label-noise mining over the audit slice
+    "label_noise" -> (Similarity.labelNoise _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

@@ -311,6 +311,41 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** kNN-vote label-noise mining: audit rows (vec_id < 64) whose 5
+    * nearest neighbors' majority label disagrees with their own — the
+    * label-error detector run before labels are trusted for training
+    * or for label-blocked dedup ([[embeddingNearDup]] blocks on label;
+    * a mislabeled vector silently escapes its block). Majority ties
+    * break to the smallest label; output is only the flagged rows.
+    * Plan: one broadcast-audit-slice scoring pass (knnBrute's shape),
+    * rank-5 window, then two tiny keyed aggs over 64×5 votes.
+    */
+  def labelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val q = broadcast(e.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("nrm").as("qn")))
+    val c = e.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("cos",
+        round(dotF(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    val top5 = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("qlabel"), col("clabel"))
+    val votes = top5.groupBy(col("qid"), col("qlabel"), col("clabel"))
+      .agg(count(lit(1)).as("n"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("n").desc, col("clabel").asc)
+    votes.withColumn("vrk", row_number().over(wv))
+      .filter(col("vrk") === 1 && col("clabel") =!= col("qlabel"))
+      .select(col("qid"), col("qlabel").as("label"),
+        col("clabel").as("neighbor_label"), col("n").as("n_votes"))
+      .orderBy("qid")
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by label × sign-
     * bucket. Label alone leaves block size unbounded (one hot label at
     * 100× = one quadratic straggler); composing the [[signBucket]] key
