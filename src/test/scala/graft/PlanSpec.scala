@@ -112,11 +112,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // (mmr_diversify is excluded: its per-round localCheckpoint — the
     // fixpoint plan-growth rule — truncates the observable plan to a
     // Scan ExistingRDD, like dedup_components.)
-    for (q <- Seq("knn_recall", "cluster_purity", "triplet_mine")) {
+    for (q <- Seq("knn_recall", "cluster_purity", "triplet_mine",
+        "label_noise", "pq_distortion")) {
       val p = plan(q)
       assert(p.contains("Broadcast"), s"$q lost its broadcast side:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
     }
+    // bootstrap_mean: replicate expansion is a generator in the scan
+    // stage — one b-keyed agg, no join anywhere
+    val bm = plan("bootstrap_mean")
+    assert(bm.contains("Generate"), s"bootstrap must explode in-scan:\n$bm")
+    assert(!bm.contains("Join"), s"bootstrap grew a join:\n$bm")
     // quality_deciles: the cumulative window must run per-lang over
     // the aggregated counts table, never a single global partition
     assert(!serialFunnels("quality_deciles").exists(_.contains("Window")),
