@@ -246,4 +246,35 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
       .select("link_id").as[Long].collect().toSet
     assert(viaBloom == exact)
   }
+
+  test("round-6 eval wave: sweep monotonicity, P/R bounds, bootstrap bracket, temperature flattening") {
+    val dir = "/root/testdata/sf0.001"
+    // dedup_sweep: raising the threshold can only shrink the merge set
+    val sw = SparkEntry.queries("dedup_sweep")(spark, dir)
+      .select("threshold", "n_pairs", "n_docs")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(sw.sliding(2).forall(p => p(1)._2 <= p(0)._2 && p(1)._3 <= p(0)._3),
+      s"dedup_sweep not monotone: ${sw.toSeq}")
+    // neardup_eval: TP bounded by both sides; F1 between 0 and 10000
+    val ev = SparkEntry.queries("neardup_eval")(spark, dir)
+      .select("n_truth", "n_pred", "n_tp", "f1_bp")
+      .as[(Long, Long, Long, Long)].head()
+    assert(ev._3 <= math.min(ev._1, ev._2) && ev._4 >= 0 && ev._4 <= 10000)
+    // bootstrap: the plain corpus mean lies inside the replicate range
+    // (deterministic draws → a fixed fact at this SF, not a flake)
+    val reps = SparkEntry.queries("bootstrap_mean")(spark, dir)
+      .select("mean_tokens_bp").as[Long].collect()
+    val plain = SparkEntry.queries("temperature_mix")(spark, dir)
+      .agg(sum("n_tokens")).head()
+    val docsN = Tables.documents(spark, dir).count()
+    val plainBp = 10000L * plain.getLong(0) / docsN
+    assert(reps.min <= plainBp && plainBp <= reps.max,
+      s"bootstrap range [${reps.min}, ${reps.max}] misses plain mean $plainBp")
+    // temperature mix flattens: the largest-mass language is damped,
+    // the smallest boosted
+    val tm = SparkEntry.queries("temperature_mix")(spark, dir)
+      .select("n_tokens", "uplift_bp").as[(Long, Long)].collect()
+    assert(tm.maxBy(_._1)._2 <= 0, s"largest lang not damped: ${tm.toSeq}")
+    assert(tm.minBy(_._1)._2 >= 0, s"smallest lang not boosted: ${tm.toSeq}")
+  }
 }
