@@ -3398,6 +3398,27 @@ object Oracles {
         |         // sum(class_n) AS BIGINT) AS risky_bp
         |FROM c GROUP BY nation ORDER BY nation""".stripMargin,
 
+    // l-diversity — mirrors Observability.lDiversity (QI = nation ×
+    // balance band; sensitive = segment; exposed when < 2 distinct)
+    "l_diversity" ->
+      """WITH t AS (SELECT c_nationkey AS nation,
+        |             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |             c_mktsegment AS segment
+        |           FROM customer),
+        |c AS (SELECT nation, bal_band, CAST(count(*) AS BIGINT) AS class_n,
+        |        CAST(count(DISTINCT segment) AS BIGINT) AS n_sensitive
+        |      FROM t GROUP BY ALL)
+        |SELECT nation,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN n_sensitive < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS homogeneous_classes,
+        |  CAST(sum(CASE WHEN n_sensitive < 2 THEN class_n ELSE 0 END) AS BIGINT)
+        |    AS exposed_rows,
+        |  CAST(sum(class_n) AS BIGINT) AS n_rows,
+        |  CAST((10000 * sum(CASE WHEN n_sensitive < 2 THEN class_n ELSE 0 END))
+        |    // sum(class_n) AS BIGINT) AS exposed_bp
+        |FROM c GROUP BY nation ORDER BY nation""".stripMargin,
+
     // Domain-mix drift — mirrors CorpusStats.mixDrift. The ln() terms
     // use the SAME double formula as the Spark side and round to 4dp
     // (the repo's irrational-value rule); shares stay integer bp.

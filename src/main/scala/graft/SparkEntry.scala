@@ -312,6 +312,8 @@ object SparkEntry {
     "bootstrap_mean" -> (Observability.bootstrapMean _),
     // kNN-vote label-noise mining over the audit slice
     "label_noise" -> (Similarity.labelNoise _),
+    // l-diversity: attribute-disclosure audit (k-anonymity sibling)
+    "l_diversity" -> (Observability.lDiversity _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

@@ -126,6 +126,33 @@ object Observability {
       .orderBy("nation")
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s attribute-disclosure
+    * sibling: k-anonymity stops re-identification but a class whose
+    * SENSITIVE value is homogeneous still leaks it (everyone in the
+    * class shares the segment). Quasi-identifiers here are (nation,
+    * balance band); sensitive attribute = market segment; a class is
+    * exposed when it carries fewer than l = 2 distinct segments. Two
+    * keyed aggs, same shape as kAnonymity.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables.customer(spark, dir).select(
+      col("c_nationkey").as("nation"),
+      expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("bal_band"),
+      col("c_mktsegment").as("segment"))
+    val classes = t.groupBy("nation", "bal_band")
+      .agg(count(lit(1)).as("class_n"),
+        countDistinct(col("segment")).as("n_sensitive"))
+    classes.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n_sensitive") < 2, 1L).otherwise(0L))
+          .as("homogeneous_classes"),
+        sum(when(col("n_sensitive") < 2, col("class_n")).otherwise(lit(0L)))
+          .as("exposed_rows"),
+        sum(col("class_n")).as("n_rows"))
+      .withColumn("exposed_bp", expr("(10000 * exposed_rows) div n_rows"))
+      .orderBy("nation")
+  }
+
   /** Poisson bootstrap of the mean tokens-per-document — uncertainty
     * for corpus metrics in ONE pass (Chamandy et al., "Estimating
     * Uncertainty for Massive Data Streams", the scalable bootstrap:
