@@ -7,7 +7,8 @@ import graft.Tables
 /** End-to-end training-corpus build — the LLM-data flow the north-star
   * operators exist for, composed into one run:
   *
-  *   documents → quality gate → exact dedup → near-dup canonicalization
+  *   documents → quality gate → per-source domain cap → exact dedup
+  *   → near-dup canonicalization
   *   (LSH → connected components → best-copy survivor) → duplicated-
   *   span clipping → character-entropy floor → per-language mix
   *   rebalance → RAG chunking → chunked corpus + build report
@@ -30,6 +31,7 @@ import graft.Tables
 object CorpusPipeline {
 
   val QualityFloorBp = 3000   // keep docs scoring ≥ 30%
+  val DomainCapDocs = 20      // RefinedWeb-style per-source cap (best first)
   val ChunkSize = 1000        // config/limits.yaml:166-170
   val ChunkOverlap = 100
   val MinCleanWords = 20      // span clip may not hollow a doc out
@@ -40,7 +42,7 @@ object CorpusPipeline {
     */
   def build(spark: SparkSession, dir: String, outDir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("lang"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val nInput = docs.count()
 
     // 1. quality gate (same basis-point score as the quality_score query)
@@ -50,9 +52,23 @@ object CorpusPipeline {
       Seq("doc_id"))
     val nQuality = kept1.count()
 
+    // 1b. per-source domain cap (round 6): keep at most DomainCapDocs
+    //     best-quality docs per source so no domain dominates the mix
+    //     (the domain_cap query's GroupTopK-able rank<=k shape)
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_bp").desc, col("doc_id").asc)
+    val capped = kept1
+      .join(TextAnalysis.qualityFrom(docs).select("doc_id", "quality_bp"),
+        Seq("doc_id"))
+      .withColumn("src_rank", org.apache.spark.sql.functions.row_number().over(wSrc))
+      .filter(col("src_rank") <= DomainCapDocs)
+      .drop("quality_bp", "src_rank")
+    val nDomCap = capped.count()
+
     // 2. exact dedup: one survivor per distinct text (min doc_id)
-    val kept2 = kept1.join(
-      Dedup.dedupExactFrom(kept1).select(col("canonical_doc").as("doc_id")),
+    val kept2 = capped.join(
+      Dedup.dedupExactFrom(capped).select(col("canonical_doc").as("doc_id")),
       Seq("doc_id"))
     val nExact = kept2.count()
 
@@ -109,10 +125,10 @@ object CorpusPipeline {
     val nChunks = written.count()
 
     import spark.implicits._
-    val report = Seq((nInput, nQuality, nExact, nNearDup, nClipped, nEntropy,
-        nSampled, nChunks))
-      .toDF("n_input", "n_quality", "n_exact", "n_neardup", "n_clipped",
-        "n_entropy", "n_sampled", "n_chunks")
+    val report = Seq((nInput, nQuality, nDomCap, nExact, nNearDup, nClipped,
+        nEntropy, nSampled, nChunks))
+      .toDF("n_input", "n_quality", "n_domcap", "n_exact", "n_neardup",
+        "n_clipped", "n_entropy", "n_sampled", "n_chunks")
     report.write.mode("overwrite").parquet(s"$outDir/report")
     report
   }

@@ -108,11 +108,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     import graft.etl.CorpusPipeline
     val d1 = Files.createTempDirectory("graft_corpus1_").toString
     val r1 = CorpusPipeline.build(spark, "/root/testdata/sf0.001", d1)
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
-    val (nIn, nQ, nE, nN, nCl, nEn, nS, nC) = r1
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    val (nIn, nQ, nD, nE, nN, nCl, nEn, nS, nC) = r1
     // each stage only removes documents; chunking only adds rows
-    assert(nIn >= nQ && nQ >= nE && nE >= nN && nN >= nCl && nCl >= nEn
-      && nEn >= nS, s"stage funnel must shrink: $r1")
+    assert(nIn >= nQ && nQ >= nD && nD >= nE && nE >= nN && nN >= nCl
+      && nCl >= nEn && nEn >= nS, s"stage funnel must shrink: $r1")
+    // the cap binds at this SF (25 docs/source input, cap 20)
+    assert(nD < nQ, s"domain cap should bind at sf0.001: $r1")
     assert(nS > 0 && nC >= nS, s"survivors must chunk: $r1")
     // chunk store is partitioned by lang and readable
     val chunks = spark.read.parquet(s"$d1/chunks")
@@ -121,7 +123,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // deterministic: a second build reproduces the identical corpus
     val d2 = Files.createTempDirectory("graft_corpus2_").toString
     val r2 = CorpusPipeline.build(spark, "/root/testdata/sf0.001", d2)
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
     assert(r1 == r2)
     val c1 = chunks.select("doc_id", "chunk_idx", "chunk")
       .as[(Long, Int, String)].collect().toSet
