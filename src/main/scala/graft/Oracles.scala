@@ -1113,6 +1113,22 @@ object Oracles {
          |ORDER BY qid, rank""".stripMargin
     },
 
+    // ANN cell-occupancy audit — mirrors Similarity.bucketBalance
+    // (same sign-bucket cell expression as knn_bucketed)
+    "bucket_balance" ->
+      """WITH b AS (SELECT vec_id,
+        |        CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+        |             (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |             (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+        |      FROM embeddings),
+        |cells AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs FROM b GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+        |               count(*) AS n_cells FROM cells)
+        |SELECT bucket, n_vecs,
+        |  CAST((10000 * n_vecs) // total AS BIGINT) AS share_bp,
+        |  CAST((10000 * n_vecs * n_cells) // total AS BIGINT) AS balance_bp
+        |FROM cells, tot ORDER BY bucket""".stripMargin,
+
     "knn_bucketed" -> {
       val p =
         """b AS (SELECT vec_id, embedding,
@@ -1278,6 +1294,24 @@ object Oracles {
         |n AS (SELECT unnest([a, b, c]) AS node FROM tri)
         |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM n GROUP BY node ORDER BY n_triangles DESC, node""".stripMargin,
+
+    // out-degree distribution — mirrors Crawl.degreeDistribution
+    "degree_distribution" ->
+      """WITH cnt AS (SELECT count(*) AS c FROM customer),
+        |e AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,
+        |                      CAST(o_orderkey % c AS BIGINT) AS dst
+        |      FROM orders, cnt),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        |b AS (SELECT CASE WHEN outdeg < 2 THEN 0 WHEN outdeg < 4 THEN 1
+        |              WHEN outdeg < 8 THEN 2 WHEN outdeg < 16 THEN 3
+        |              WHEN outdeg < 32 THEN 4 WHEN outdeg < 64 THEN 5
+        |              ELSE 6 END AS bucket
+        |      FROM deg),
+        |cells AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_nodes FROM b GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS total FROM cells)
+        |SELECT bucket, n_nodes,
+        |  CAST((10000 * n_nodes) // total AS BIGINT) AS share_bp
+        |FROM cells, tot ORDER BY bucket""".stripMargin,
 
     // link reciprocity — mirrors Crawl.reciprocity (same edge list as
     // triangle_count/pagerank; semi-join against the transpose)

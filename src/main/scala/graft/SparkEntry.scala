@@ -314,6 +314,10 @@ object SparkEntry {
     "label_noise" -> (Similarity.labelNoise _),
     // l-diversity: attribute-disclosure audit (k-anonymity sibling)
     "l_diversity" -> (Observability.lDiversity _),
+    // out-degree power-law audit (exact power-of-2 buckets)
+    "degree_distribution" -> (Crawl.degreeDistribution _),
+    // ANN sign-bucket occupancy / balance-factor audit
+    "bucket_balance" -> (Similarity.bucketBalance _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

@@ -172,6 +172,30 @@ object Crawl {
     mass.orderBy("node")
   }
 
+  /** Out-degree distribution in power-of-two buckets — the power-law
+    * audit run before trusting degree-dependent designs (the
+    * [[triangleCounts]] degree orientation, frontier partitioning,
+    * skew salting): a heavy tail here predicts hot keys downstream.
+    * Buckets are an explicit integer CASE (never floor(log2(·)) —
+    * FP log at power-of-two boundaries is libm-dependent), so both
+    * engines agree exactly.
+    */
+  def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val deg = edges(spark, dir).groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    val bucket = when(col("outdeg") < 2, 0)
+      .when(col("outdeg") < 4, 1).when(col("outdeg") < 8, 2)
+      .when(col("outdeg") < 16, 3).when(col("outdeg") < 32, 4)
+      .when(col("outdeg") < 64, 5).otherwise(6)
+    val cells = deg.withColumn("bucket", bucket)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_nodes"))
+    val tot = cells.agg(sum(col("n_nodes")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_nodes"),
+        expr("(10000 * n_nodes) div total").as("share_bp"))
+      .orderBy("bucket")
+  }
+
   /** Link reciprocity: the share of directed edges whose reverse edge
     * also exists (self-loops excluded) — the graph-health companion to
     * [[triangleCounts]]: a crawl frontier dominated by reciprocal

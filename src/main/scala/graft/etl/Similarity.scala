@@ -127,6 +127,26 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** ANN index-balance audit: occupancy of each [[signBucket]] cell
+    * and its balance factor (10000 = the cell holds exactly its fair
+    * 1/cells share; the max over cells bounds the worst-case bucket
+    * scan of [[knnBucketed]]). Run per index build — a drifting
+    * embedding distribution shows up here before it shows up as a
+    * latency regression. One 8-cell agg + a 1-row broadcast.
+    */
+  def bucketBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum(col("n_vecs")).as("total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_vecs"),
+        expr("(10000 * n_vecs) div total").as("share_bp"),
+        expr("(10000 * n_vecs * n_cells) div total").as("balance_bp"))
+      .orderBy("bucket")
+  }
+
   /** ANN recall audit: per-query recall@5 of the sign-bucket tier
     * ([[knnBucketed]]) against the exact baseline ([[knnBrute]]), in
     * integer basis points — the eval query a production ANN deployment
