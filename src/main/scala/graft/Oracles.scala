@@ -1734,6 +1734,19 @@ object Oracles {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
 
+    // UNPIVOT — mirrors Relational2.unpivotFlags (coalesced cells so
+    // DuckDB's NULL-dropping UNPIVOT default cannot desync)
+    "unpivot_flags" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |  CAST(coalesce(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS F,
+        |  CAST(coalesce(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS O
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, status, total_cents
+        |FROM (UNPIVOT wide ON F, O INTO NAME status VALUE total_cents)
+        |ORDER BY l_returnflag, status""".stripMargin,
+
     // explicit GROUPING SETS — mirrors Relational2.groupingSetsSales
     "grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,

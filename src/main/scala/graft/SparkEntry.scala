@@ -318,6 +318,8 @@ object SparkEntry {
     "degree_distribution" -> (Crawl.degreeDistribution _),
     // ANN sign-bucket occupancy / balance-factor audit
     "bucket_balance" -> (Similarity.bucketBalance _),
+    // UNPIVOT (melt): wide → long via the first-class verb
+    "unpivot_flags" -> (Relational2.unpivotFlags _),
     // exact phrase search: phrase == shingle, one keyed lookup
     "phrase_search" -> (TfIdf.phraseSearch _),
     // order-invariant exact dedup over the sorted word multiset

@@ -138,6 +138,27 @@ object Relational2 {
       .orderBy(col("g_flag"), col("g_status"),
         col("l_returnflag"), col("l_linestatus"))
 
+  /** UNPIVOT (melt): the inverse of [[pivotFlags]] — the wide
+    * status-per-column revenue table back to long (flag, status,
+    * total_cents) rows via the first-class Dataset.unpivot verb (not a
+    * hand-rolled stack of unions). Sums coalesce to 0 BEFORE the
+    * unpivot: Spark keeps null cells where DuckDB's UNPIVOT drops them
+    * by default, so a null would silently desync the engines. Exact
+    * integer cents.
+    */
+  def unpivotFlags(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        coalesce(sum(when(col("l_linestatus") === "F",
+          Relational.cents(col("l_extendedprice")))), lit(0L)).as("F"),
+        coalesce(sum(when(col("l_linestatus") === "O",
+          Relational.cents(col("l_extendedprice")))), lit(0L)).as("O"))
+    wide.unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+        "status", "total_cents")
+      .orderBy("l_returnflag", "status")
+  }
+
   /** Set operations (SURVEY §2.7): customers appearing in both/only-one
     * of two order-status universes — INTERSECT/EXCEPT as first-class
     * ops (semi/anti-join equivalents shown in semiAntiCustomers).
