@@ -332,7 +332,7 @@ object SparkEntry {
     "lsh_quality" -> (Dedup.lshQuality _),
     // first/last-touch attribution over the running click frame
     "attribution" -> (Events.attribution _),
-    // debounce dedup: drop same-(user,type) events within 5s
+    // debounce dedup: drop same-(user,type) events within 10 min
     "event_dedup" -> (Events.eventDedup _),
     // character-entropy repetitiveness gate (sub-token degeneracy)
     "char_entropy" -> ((s: SparkSession, d: String) => TextAnalysis.charEntropy(s, d)),

@@ -89,6 +89,10 @@ object HtmlExtract extends Serializable {
     var stack = List.empty[String]
     var dropDepth = 0
     var pendingSpace = false
+    // was the last appended visible char inside an anchor? jusText
+    // attributes a collapsed joining space to anchor text only when
+    // BOTH the runs it joins are anchored (Pomikálek 2011 §4.1)
+    var lastAnchored = false
 
     def flush(): Unit = {
       // collapse ran whitespace at append time; trim the edges here
@@ -98,6 +102,7 @@ object HtmlExtract extends Serializable {
       buf.setLength(0)
       anchorChars = 0
       pendingSpace = false
+      lastAnchored = false
     }
 
     def appendText(s: String, from: Int, until: Int): Unit = {
@@ -109,11 +114,12 @@ object HtmlExtract extends Serializable {
           else {
             if (pendingSpace) {
               buf.append(' ')
-              if (anchorDepth > 0) anchorChars += 1
+              if (lastAnchored && anchorDepth > 0) anchorChars += 1
               pendingSpace = false
             }
             buf.append(c)
             if (anchorDepth > 0) anchorChars += 1
+            lastAnchored = anchorDepth > 0
           }
           i += 1
         }
@@ -124,11 +130,12 @@ object HtmlExtract extends Serializable {
       if (dropDepth == 0 && !Character.isWhitespace(c)) {
         if (pendingSpace) {
           buf.append(' ')
-          if (anchorDepth > 0) anchorChars += 1
+          if (lastAnchored && anchorDepth > 0) anchorChars += 1
           pendingSpace = false
         }
         buf.append(c)
         if (anchorDepth > 0) anchorChars += 1
+        lastAnchored = anchorDepth > 0
       } else if (dropDepth == 0) pendingSpace = buf.length > 0
 
     // decode one entity starting at '&'; returns index AFTER it

@@ -67,7 +67,7 @@ object Skyline {
       (max(col("price_c")) - min(col("price_c")) + 1).as("span"))
     val banded = perPrice.crossJoin(broadcast(bounds))
       .withColumn("band",
-        ((col("price_c") - col("lo")) * Bands / col("span")).cast("int"))
+        expr(s"((price_c - lo) * $Bands) div span").cast("int"))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band")).orderBy(col("price_c"))
