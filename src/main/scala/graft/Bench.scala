@@ -50,22 +50,41 @@ object Bench {
     // not query throughput. Timed value = steady-state wall seconds;
     // the cold (first-rep) seconds are kept as a separate map in the
     // file output so regressions in compile cost stay visible too.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A query that throws is a FAILURE, not a fast run: r7 recorded 20
+    // analysis-failing queries as 0.05-0.35s "times" because the old
+    // catch-all here discarded the exception. Failures now land in an
+    // `errors` map (name → exception class+message), are excluded from
+    // the timings, printed to stderr as they happen, and counted in the
+    // final summary line so the driver's tail capture always shows them.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def errMsg(e: Throwable): String = {
+      val m = Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
+      s"${e.getClass.getSimpleName}: $m"
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       scrub()
       val c0 = System.nanoTime()
-      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
+      val coldOk =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          errors(name) = errMsg(e)
+          System.err.println(s"BENCH FAIL $name: ${errMsg(e)}")
+          false
+        }
       val cold = (System.nanoTime() - c0) / 1e9
-      // best-of-2 timed runs: single-run numbers swing 2-3× from GC /
-      // scheduler noise at sf0.1; the min is the honest steady-state
-      // (both runs do full noop-sink materialization)
-      val dt = (1 to 2).map { _ =>
-        scrub() // each rep pays its own persists — honest timing
-        val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      scrub()
-      (name, dt, cold)
+      if (!coldOk) None else {
+        // best-of-2 timed runs: single-run numbers swing 2-3× from GC /
+        // scheduler noise at sf0.1; the min is the honest steady-state
+        // (both runs do full noop-sink materialization)
+        val dt = (1 to 2).map { _ =>
+          scrub() // each rep pays its own persists — honest timing
+          val t0 = System.nanoTime()
+          materialize(fn(spark, sfDir)) // cold run succeeded; a throw here is a real crash
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        scrub()
+        Some((name, dt, cold))
+      }
     }
     // 3-decimal (millisecond) precision: full-precision doubles made the
     // 97-query line ~5 KB, which overflowed the driver's stdout tail
@@ -77,7 +96,9 @@ object Bench {
     val colds = results.map { case (k, _, c) => s"\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold":$colds,"sf":"$sfDir"}"""
+    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_errors":${errors.size},"errors":$errs,"queries":$qs,"cold":$colds,"sf":"$sfDir"}"""
     println(json)
     // Land the full line in a file: the driver's stdout capture keeps
     // only the LAST ~2000 chars (measured from its round-3 artifact),
@@ -92,7 +113,9 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
+    val failed = errors.keys.take(8).map(jstr).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"failed":$failed,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

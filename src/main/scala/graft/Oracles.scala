@@ -1410,6 +1410,29 @@ object Oracles {
         |  md5(text) AS digest
         |FROM h ORDER BY asset_id""".stripMargin,
 
+    // X11 dispatch thresholds — mirrors Multimodal.imageClassify /
+    // ImageFeatures.analyze's routing tree on the same hash-derived
+    // integer features (all div/mod — engine-exact)
+    "image_classify" ->
+      """WITH h AS (SELECT doc_id AS asset_id,
+        |    CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS hh
+        |  FROM documents),
+        |f AS (SELECT asset_id,
+        |    CAST(hh % 1200 + 1 AS INT) AS img_w,
+        |    CAST((hh // 1200) % 800 + 1 AS INT) AS img_h,
+        |    CAST((hh // 7) % 120 AS INT) AS colorfulness,
+        |    CAST((hh // 11) % 4000 AS INT) AS edge_bp,
+        |    CAST((hh // 13) % 10000 AS INT) AS dominant_bp
+        |  FROM h)
+        |SELECT asset_id, img_w, img_h, colorfulness, edge_bp, dominant_bp,
+        |  CASE WHEN img_w < 50 OR img_h < 50
+        |         OR greatest(img_w, img_h) > least(img_w, img_h) * 8 THEN 'decorative'
+        |       WHEN colorfulness < 24 AND edge_bp >= 1500 THEN 'text'
+        |       WHEN dominant_bp >= 5000 THEN 'graphic'
+        |       WHEN colorfulness >= 24 AND dominant_bp < 2500 THEN 'photo'
+        |       ELSE 'graphic' END AS category
+        |FROM f ORDER BY asset_id""".stripMargin,
+
     // ---- image pipeline ----
     "image_filter" ->
       """WITH imgs AS (

@@ -129,6 +129,7 @@ object SparkEntry {
     "session_window_agg"  -> (Events.sessionWindowAgg _),
     "bounded_summary"     -> (Summaries.boundedSummary _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
+    "image_classify" -> (Multimodal.imageClassify _),
     // image pipeline
     "image_filter"  -> (Images.imageFilter _),
     "image_resolve" -> (Images.imageResolve _),

@@ -16,20 +16,23 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); Spark reads it as BIGINT
-      // nanos with this flag (values are whole microseconds — TESTDATA).
+      // events.ts has shipped as TIMESTAMP(NANOS) and as timestamp[us];
+      // this flag covers the nanos encoding (reads as BIGINT) and
+      // Tables.withNanosTs canonicalizes whichever one is on disk.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: ${failures(name)}")
       }
       finally {
         // clearCache() empties only the SQL CacheManager; localCheckpoint()
@@ -54,6 +57,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that fails to dump simply VANISHES from the downstream
+    // compare (that is how r7's 20-query break shrank CORRECTNESS
+    // silently). Make the skip impossible to miss: a summary on stderr
+    // as the last output plus a machine-readable marker in outDir.
+    // rc stays 0 so a partial dump still reaches the oracle compare —
+    // 195 recorded rows beat 0 — the LOUD failure signal for red
+    // queries is sbt test (AnalysisGuardSpec) and Bench's non-zero exit.
+    if (failures.nonEmpty) {
+      Files.writeString(Paths.get(s"$outDir/_verify_errors.json"),
+        failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+      System.err.println(
+        s"[verify] ${failures.size} of ${SparkEntry.queries.size} queries FAILED to dump: " +
+        failures.keys.mkString(", "))
+    } else System.err.println(s"[verify] all dumped queries succeeded")
     spark.stop()
   }
 }

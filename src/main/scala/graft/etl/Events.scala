@@ -11,10 +11,11 @@ import graft.Tables
   * (Structured Streaming) variants live in graft.streaming and share
   * these column expressions; only the batch forms are oracle-verified.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as BIGINT
-  * nanoseconds (spark.sql.legacy.parquet.nanosAsLong). All time math is
-  * integer epoch-µs (`ts div 1000` ↔ DuckDB epoch_us) — exact in both
-  * engines, no double-precision drift on ~1e18 nano values.
+  * `events.ts` is canonicalized to BIGINT epoch-nanoseconds by
+  * Tables.withNanosTs, whatever the parquet writer encoded (INT64 nanos
+  * under spark.sql.legacy.parquet.nanosAsLong, or timestamp[us]). All
+  * time math is integer epoch-µs (`ts div 1000` ↔ DuckDB epoch_us) —
+  * exact in both engines, no double-precision drift on ~1e18 nano values.
   */
 object Events {
 

@@ -1,0 +1,183 @@
+package graft.etl
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+import java.util.concurrent.ConcurrentHashMap
+
+/** Production HTTP transports for the fetch operators (S3/S4/S8): the
+  * `java.net.http`-backed implementations of [[Transport]] and
+  * [[BinaryTransport]], carrying the reference's operational policy:
+  *
+  *  - retry with exponential backoff — 3 attempts, 1s → 2s → 4s capped
+  *    at 10s (config/limits.yaml:125-129), honoring a server-sent
+  *    `Retry-After: <seconds>` when smaller than the cap;
+  *  - retry only what can heal: I/O errors, HTTP 429 and 5xx. Other
+  *    4xx fail immediately (a 404 never gets better);
+  *  - per-HOST politeness floor between consecutive requests
+  *    (config/limits.yaml:105 request_interval_seconds), enforced
+  *    JVM-wide so concurrent tasks in one executor share the budget.
+  *    Cluster posture: per-executor politeness multiplies by the
+  *    executor count — repartition the frontier by host (the crawl
+  *    operators already key by domain) to make the floor global;
+  *  - force-local security routing (config/security.yaml:124-141,
+  *    mirrored from [[Urls.engineFor]]): an internal/sensitive/private
+  *    url is NEVER sent to the external reader endpoint, even if the
+  *    row arrives marked engine=jina — it downgrades to a direct local
+  *    fetch, exactly the reference's "force_local overrides --engine"
+  *    rule.
+  *
+  * The classes hold only primitive config; the HttpClient is built in
+  * `open()` per partition (executor-side) and never serialized — the
+  * lifecycle [[Sources.fetch]]/[[Sources.fetchBinary]] already manage.
+  * Engine semantics (scripts/extract-jina.sh:1-93): engine=jina wraps
+  * the url in the hosted-reader endpoint (`{url}` placeholder);
+  * playwright/trafilatura fetch the url directly — markdown conversion
+  * (S5) is a downstream relational stage ([[HtmlExtract]]), not a
+  * transport concern.
+  */
+object HttpFetch {
+
+  /** host → earliest next allowed request, shared across the JVM. */
+  private val nextAllowed = new ConcurrentHashMap[String, Long]()
+
+  final class HttpStatusException(val code: Int)
+    extends java.io.IOException(s"http_$code")
+
+  def hostOf(url: String): String =
+    try Option(URI.create(url).getHost).getOrElse("")
+    catch { case _: IllegalArgumentException => "" }
+
+  /** Force-local rule — the JVM-side twin of [[Urls.engineFor]]'s first
+    * two branches plus the always-on private-address guard (loopback,
+    * RFC-1918, .internal/.local) from config/security.yaml:10-37.
+    */
+  def forceLocal(url: String): Boolean = {
+    val host = hostOf(url)
+    host.matches(Urls.InternalPattern) ||
+      new scala.util.matching.Regex(Urls.SensitivePattern).findFirstIn(url).isDefined ||
+      host == "localhost" || host.endsWith(".internal") || host.endsWith(".local") ||
+      host.matches("127\\..*|10\\..*|192\\.168\\..*|172\\.(1[6-9]|2[0-9]|3[01])\\..*|\\[?::1\\]?")
+  }
+
+  /** Block until `host`'s politeness window opens, then reserve the next
+    * window. CAS loop instead of a lock: writers for DIFFERENT hosts
+    * never contend, and a lost race for the same host just re-reads the
+    * later deadline.
+    */
+  private def awaitPoliteness(host: String, intervalMs: Long): Unit = {
+    if (intervalMs <= 0 || host.isEmpty) return
+    var done = false
+    while (!done) {
+      val now = System.currentTimeMillis()
+      val prev = nextAllowed.getOrDefault(host, 0L)
+      if (now >= prev) {
+        done = nextAllowed.replace(host, prev, now + intervalMs) ||
+          (prev == 0L && nextAllowed.putIfAbsent(host, now + intervalMs) == null)
+      } else Thread.sleep(prev - now)
+    }
+  }
+
+  /** GET with the retry/backoff/politeness policy. Returns the raw body
+    * bytes of the first successful (2xx) response; throws the last
+    * failure once attempts are exhausted or on a non-retryable status.
+    */
+  def get(client: HttpClient, url: String, timeoutMs: Long,
+      maxAttempts: Int, initialDelayMs: Long, backoffMultiplier: Int,
+      maxDelayMs: Long, perHostIntervalMs: Long): Array[Byte] = {
+    val host = hostOf(url)
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(timeoutMs))
+      .header("User-Agent", "graft-fetch/1.0")
+      .GET().build()
+    var attempt = 1
+    var delay = initialDelayMs
+    while (true) {
+      awaitPoliteness(host, perHostIntervalMs)
+      val failure: Either[(Throwable, Option[Long]), Array[Byte]] =
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+          val code = resp.statusCode()
+          if (code / 100 == 2) Right(resp.body())
+          else {
+            val retryAfter: Option[Long] =
+              if (resp.headers().firstValue("Retry-After").isPresent)
+                scala.util.Try(
+                  resp.headers().firstValue("Retry-After").get.trim.toLong * 1000).toOption
+              else None
+            Left((new HttpStatusException(code),
+              if (code == 429 || code / 100 == 5) retryAfter.orElse(Some(delay)) else None))
+          }
+        } catch {
+          case e: java.io.IOException => Left((e, Some(delay)))
+          case e: InterruptedException => throw e
+        }
+      failure match {
+        case Right(body) => return body
+        case Left((e, None)) => throw e // non-retryable (plain 4xx)
+        case Left((e, Some(wait))) =>
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(math.min(wait, maxDelayMs))
+          delay = math.min(delay * backoffMultiplier, maxDelayMs)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def newClient(timeoutMs: Long): HttpClient =
+    HttpClient.newBuilder()
+      .connectTimeout(Duration.ofMillis(timeoutMs))
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
+}
+
+/** S3/S4 page transport. `readerEndpoint` is the hosted-reader template
+  * with a `{url}` placeholder (config/limits.yaml:137 shape); tests
+  * point it at a loopback server — production at the real reader.
+  */
+class HttpTransport(
+    readerEndpoint: String,
+    timeoutMs: Long = 30000, // limits.yaml:138 timeout_seconds: 30
+    maxAttempts: Int = 3,
+    initialDelayMs: Long = 1000,
+    backoffMultiplier: Int = 2,
+    maxDelayMs: Long = 10000,
+    perHostIntervalMs: Long = 2000 // limits.yaml:105 request_interval_seconds: 2
+) extends Transport {
+
+  @transient private var client: HttpClient = _
+
+  override def open(): Unit = { client = HttpFetch.newClient(timeoutMs) }
+  override def close(): Unit = { client = null }
+
+  override def fetch(url: String, engine: String): (String, String) = {
+    // force_local overrides the routed engine: internal/private targets
+    // never reach the external reader (security.yaml:124-141).
+    val external = engine == "jina" && !HttpFetch.forceLocal(url)
+    val target = if (external) readerEndpoint.replace("{url}", url) else url
+    val body = HttpFetch.get(client, target, timeoutMs, maxAttempts,
+      initialDelayMs, backoffMultiplier, maxDelayMs, perHostIntervalMs)
+    ("ok", new String(body, java.nio.charset.StandardCharsets.UTF_8))
+  }
+}
+
+/** S8 asset transport: same policy, binary payload out. */
+class BinaryHttpTransport(
+    timeoutMs: Long = 30000,
+    maxAttempts: Int = 3,
+    initialDelayMs: Long = 1000,
+    backoffMultiplier: Int = 2,
+    maxDelayMs: Long = 10000,
+    perHostIntervalMs: Long = 2000
+) extends BinaryTransport {
+
+  @transient private var client: HttpClient = _
+
+  override def open(): Unit = { client = HttpFetch.newClient(timeoutMs) }
+  override def close(): Unit = { client = null }
+
+  override def fetch(url: String): (String, Array[Byte]) =
+    ("ok", HttpFetch.get(client, url, timeoutMs, maxAttempts,
+      initialDelayMs, backoffMultiplier, maxDelayMs, perHostIntervalMs))
+}

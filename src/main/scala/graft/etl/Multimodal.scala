@@ -218,4 +218,39 @@ object Multimodal {
         col("width"), col("height"),
         md5(col("payload")).as("digest"))
       .orderBy("asset_id")
+
+  /** X11 category dispatch (ORACLE surface): the routing decision tree
+    * of [[ImageFeatures.analyze]] — decorative / text / graphic / photo
+    * per agents/image-analyzer.md:99-132 and the DESIGN.md:1210-1214
+    * 50 px decorative gate — applied to deterministic synthetic feature
+    * values (integer hash-derived, engine-exact) so DuckDB can verify
+    * the dispatch logic itself. The pixel-statistics half that produces
+    * these features from real bytes is [[withImageFeatures]], driven by
+    * rendered fixtures in ImageFeaturesSpec; this query verifies that
+    * the tier's THRESHOLDS route every feature combination exactly as
+    * specified. Pure projection: map-side, zero shuffles, scale-linear.
+    */
+  def imageClassify(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(coalesce(col("text"), lit(""))), 1, 6), 16, 10)
+      .cast("bigint")
+    Tables.documents(spark, dir)
+      .withColumn("__h", h)
+      .withColumn("img_w", (expr("__h % 1200") + 1).cast("int"))
+      .withColumn("img_h", (expr("(__h div 1200) % 800") + 1).cast("int"))
+      .withColumn("colorfulness", expr("(__h div 7) % 120").cast("int"))
+      .withColumn("edge_bp", expr("(__h div 11) % 4000").cast("int"))
+      .withColumn("dominant_bp", expr("(__h div 13) % 10000").cast("int"))
+      .withColumn("category",
+        // integer aspect test: max > 8*min ⟺ max/min > 8 exactly
+        when(col("img_w") < 50 || col("img_h") < 50 ||
+             greatest(col("img_w"), col("img_h")) >
+               least(col("img_w"), col("img_h")) * 8, "decorative")
+          .when(col("colorfulness") < 24 && col("edge_bp") >= 1500, "text")
+          .when(col("dominant_bp") >= 5000, "graphic")
+          .when(col("colorfulness") >= 24 && col("dominant_bp") < 2500, "photo")
+          .otherwise("graphic"))
+      .select(col("doc_id").as("asset_id"), col("img_w"), col("img_h"),
+        col("colorfulness"), col("edge_bp"), col("dominant_bp"), col("category"))
+      .orderBy("asset_id")
+  }
 }

@@ -24,16 +24,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   */
 object StreamingOps {
 
-  /** Event-time column from the nanos-as-long `ts`. */
+  /** Event-time column from the canonical nanos-as-long `ts`. */
   def eventTime(c: Column): Column = timestamp_micros(expr("ts div 1000"))
+
+  /** Normalize `ts` (either BIGINT-nanos or a timestamp type — see
+    * Tables.withNanosTs) and derive the event-time column. File-stream
+    * sources hand us the raw parquet schema, so the encoding dispatch
+    * must happen here too, not only in the batch reader.
+    */
+  private def withEventTime(df: DataFrame, name: String): DataFrame = {
+    val canon = graft.Tables.withNanosTs(df)
+    canon.withColumn(name, eventTime(col("ts")))
+  }
 
   /** Tumbling 1-hour counts/sums with a 2-hour watermark (late data
     * beyond 2h is dropped — the reference has no late-data story at all;
     * this is the extension surface).
     */
   def tumblingCounts(events: DataFrame): DataFrame =
-    events
-      .withColumn("event_time", eventTime(col("ts")))
+    withEventTime(events, "event_time")
       .withWatermark("event_time", "2 hours")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
@@ -45,8 +54,7 @@ object StreamingOps {
     * state merging.
     */
   def sessionWindows(events: DataFrame): DataFrame =
-    events
-      .withColumn("event_time", eventTime(col("ts")))
+    withEventTime(events, "event_time")
       .withWatermark("event_time", "2 hours")
       .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
@@ -65,12 +73,10 @@ object StreamingOps {
     * variant would emit page-with-null after the horizon closes).
     */
   def pageImageJoin(pages: DataFrame, images: DataFrame): DataFrame = {
-    val p = pages
-      .withColumn("page_time", eventTime(col("ts")))
+    val p = withEventTime(pages, "page_time")
       .withWatermark("page_time", "1 hour")
       .select(col("url"), col("page_time"), col("body"))
-    val i = images
-      .withColumn("img_time", eventTime(col("ts")))
+    val i = withEventTime(images, "img_time")
       .withWatermark("img_time", "1 hour")
       .select(col("url").as("img_url"), col("img_time"), col("img"))
     p.join(i,
@@ -87,8 +93,7 @@ object StreamingOps {
     * instead of growing forever).
     */
   def dedupWithinWatermark(pages: DataFrame): DataFrame =
-    pages
-      .withColumn("event_time", eventTime(col("ts")))
+    withEventTime(pages, "event_time")
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("url")
 

@@ -189,6 +189,145 @@ class FetchSpec extends AnyFunSuite with SparkTestBase {
     val truncated = java.util.Arrays.copyOf(pdf, pdf.length / 3)
     assert(PdfText.extract(truncated).text == "") // no endobj reached
   }
+
+  // ---- real HTTP transport (java.net.http) against a loopback server ----
+
+  import graft.etl.{BinaryHttpTransport, HttpFetch, HttpTransport}
+
+  test("HTTP transport: loopback GET ok; 404 fails fast without retry") {
+    Loopback.withServer { srv =>
+      val hits = new AtomicInteger(0)
+      srv.route("/page") { ex => Loopback.respond(ex, 200, "# hello\n".getBytes) }
+      srv.route("/gone") { ex => hits.incrementAndGet(); Loopback.respond(ex, 404, Array.empty) }
+      val t = new HttpTransport(srv.base + "/reader/{url}",
+        maxAttempts = 3, initialDelayMs = 5, perHostIntervalMs = 0)
+      t.open()
+      try {
+        assert(t.fetch(srv.base + "/page", "trafilatura") == (("ok", "# hello\n")))
+        val e = intercept[HttpFetch.HttpStatusException] {
+          t.fetch(srv.base + "/gone", "trafilatura")
+        }
+        assert(e.code == 404)
+        assert(hits.get() == 1, "plain 4xx must not retry")
+      } finally t.close()
+    }
+  }
+
+  test("HTTP transport: 429 + Retry-After retries to success; 5xx exhausts to an error row") {
+    Loopback.withServer { srv =>
+      val flaky = new AtomicInteger(0)
+      val broken = new AtomicInteger(0)
+      srv.route("/flaky") { ex =>
+        if (flaky.incrementAndGet() == 1)
+          Loopback.respond(ex, 429, Array.empty, "Retry-After" -> "0")
+        else Loopback.respond(ex, 200, "recovered".getBytes)
+      }
+      srv.route("/broken") { ex =>
+        broken.incrementAndGet(); Loopback.respond(ex, 500, Array.empty)
+      }
+      val t = new HttpTransport(srv.base + "/reader/{url}",
+        maxAttempts = 3, initialDelayMs = 5, perHostIntervalMs = 0)
+      t.open()
+      try {
+        assert(t.fetch(srv.base + "/flaky", "playwright") == (("ok", "recovered")))
+        assert(flaky.get() == 2, "429 must retry once and succeed")
+      } finally t.close()
+      // end-to-end through the fetch operator: retries exhaust, the row
+      // degrades to error status, the stage never fails
+      val got = Sources.fetch(Seq(srv.base + "/broken").toDF("url")
+          .withColumn("engine", org.apache.spark.sql.functions.lit("trafilatura")),
+        new HttpTransport(srv.base + "/reader/{url}",
+          maxAttempts = 3, initialDelayMs = 5, perHostIntervalMs = 0)).collect()
+      assert(got.head.getAs[String]("status") == "error:HttpStatusException")
+      assert(broken.get() == 3, "5xx must retry up to max_attempts")
+    }
+  }
+
+  test("HTTP transport: jina wraps the reader endpoint; force-local urls never reach it") {
+    Loopback.withServer { srv =>
+      val readerPaths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      srv.route("/reader/") { ex =>
+        readerPaths.add(ex.getRequestURI.toString)
+        Loopback.respond(ex, 200, "reader md".getBytes)
+      }
+      srv.route("/admin/panel") { ex => Loopback.respond(ex, 200, "local ok".getBytes) }
+      val t = new HttpTransport(srv.base + "/reader/{url}",
+        maxAttempts = 1, initialDelayMs = 5, perHostIntervalMs = 0)
+      t.open()
+      try {
+        // whitelisted external host → hosted reader, url embedded in path
+        val ext = t.fetch("https://building.example.com/p1", "jina")
+        assert(ext == (("ok", "reader md")))
+        assert(readerPaths.size == 1 &&
+          readerPaths.peek.contains("/reader/https://building.example.com/p1"))
+        // sensitive path forces local even when routed jina: direct GET,
+        // reader hit count unchanged (security.yaml force_local override)
+        val loc = t.fetch(srv.base + "/admin/panel", "jina")
+        assert(loc == (("ok", "local ok")))
+        assert(readerPaths.size == 1, "force-local url must never reach the reader")
+        assert(HttpFetch.forceLocal("https://machinery.example.com/x"))
+        assert(HttpFetch.forceLocal("http://10.1.2.3/x"))
+        assert(HttpFetch.forceLocal("http://a.internal/x"))
+        assert(!HttpFetch.forceLocal("https://building.example.com/p1"))
+      } finally t.close()
+    }
+  }
+
+  test("HTTP transport: per-host politeness floors the inter-request interval JVM-wide") {
+    Loopback.withServer { srv =>
+      srv.route("/a") { ex => Loopback.respond(ex, 200, "x".getBytes) }
+      val t = new BinaryHttpTransport(
+        maxAttempts = 1, initialDelayMs = 5, perHostIntervalMs = 60)
+      t.open()
+      try {
+        val t0 = System.nanoTime()
+        (1 to 3).foreach(_ => t.fetch(srv.base + "/a"))
+        val ms = (System.nanoTime() - t0) / 1000000
+        assert(ms >= 120, s"3 same-host fetches with a 60ms floor took ${ms}ms")
+      } finally t.close()
+    }
+  }
+
+  test("Binary HTTP transport: payload bytes round-trip and magic-classify") {
+    Loopback.withServer { srv =>
+      val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 9, 9).map(_.toByte)
+      srv.route("/i.jpg") { ex => Loopback.respond(ex, 200, jpeg) }
+      val got = Sources.fetchBinary(Seq(srv.base + "/i.jpg").toDF("url"),
+          new BinaryHttpTransport(maxAttempts = 1, perHostIntervalMs = 0))
+        .withColumn("kind", Multimodal.mediaKind(org.apache.spark.sql.functions.col("payload")))
+        .select("status", "n_bytes", "kind")
+        .as[(String, Int, String)].collect().head
+      assert(got == (("ok", 6, "jpeg")))
+    }
+  }
+}
+
+/** Minimal loopback HTTP server (JDK built-in) for transport tests —
+  * zero external network, ephemeral port.
+  */
+object Loopback {
+  import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+  final class Srv(val server: HttpServer) {
+    def base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def route(path: String)(h: HttpExchange => Unit): Unit =
+      server.createContext(path, (ex: HttpExchange) => {
+        try h(ex) finally ex.close()
+      })
+  }
+
+  def withServer(f: Srv => Unit): Unit = {
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.start()
+    try f(new Srv(server)) finally server.stop(0)
+  }
+
+  def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+      body: Array[Byte], headers: (String, String)*): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+    if (body.nonEmpty) { val os = ex.getResponseBody; os.write(body); os.close() }
+  }
 }
 
 /** Builders for real (lexically valid, xref included) fixture PDFs:

@@ -149,4 +149,30 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     // "same" pair + the null/empty pair (coalesce(text,'') normalizes)
     assert(groups == Set((1L, 2L), (4L, 2L)))
   }
+
+  test("events ts encoding drift: BIGINT-nanos, timestamp[us] NTZ, and " +
+       "timestamp[us] UTC all sessionize identically") {
+    // r7 lesson: the driver regenerated events.parquet with ts as
+    // timestamp[us] instead of INT64-nanos and 20 temporal queries died
+    // at analysis for a whole round. Tables.withNanosTs normalizes at
+    // the reader edge; this pins all three encodings to identical rows.
+    val us = 1000000L
+    val rows = Seq(
+      (1L, 1L, 0L, 1.50), (1L, 2L, 600L * us, 2.25),
+      (1L, 3L, 2700L * us, 0.75), (2L, 4L, 100L * us, 3.00))
+    val base = rows.toDF("user_id", "event_id", "ts_us", "value")
+    def stage(ts: org.apache.spark.sql.Column): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_tsenc_")
+      base.select(col("user_id"), col("event_id"), ts.as("ts"), col("value"))
+        .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+      d.toString
+    }
+    val asNanos = stage(col("ts_us") * 1000)                       // plain INT64
+    val asNtz   = stage(timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+    val asUtc   = stage(timestamp_micros(col("ts_us")))            // TIMESTAMP (UTC session)
+    val expect = Events.sessionize(spark, asNanos).collect().toSeq
+    assert(expect.nonEmpty)
+    assert(Events.sessionize(spark, asNtz).collect().toSeq == expect)
+    assert(Events.sessionize(spark, asUtc).collect().toSeq == expect)
+  }
 }

@@ -475,6 +475,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(rl.contains("GroupTopK"), s"record_linkage missed the rewrite:\n$rl")
   }
 
+  test("round-8 wave keeps its claimed plan shapes") {
+    // image_classify: the X11 dispatch tier is pure map-side scoring —
+    // single scan, no aggregate, only the output sort exchanges
+    val ic = plan("image_classify")
+    assert(countOf(ic, "+- Exchange") <= 1, s"image_classify grew a shuffle:\n$ic")
+    assert(!ic.contains("HashAggregate"), s"image_classify must not aggregate:\n$ic")
+    // ts-encoding normalization (Tables.withNanosTs) must stay a scan-
+    // stage projection: sessionize keeps its single (user_id) exchange
+    // feeding both windows and the session agg, plus the output sort
+    val sz = plan("sessionize")
+    assert(countOf(sz, "+- Exchange") <= 2, s"sessionize grew a shuffle:\n$sz")
+  }
+
   test("sweep: no query plans a single-partition funnel or cartesian product") {
     // the serial batch_pack is the documented exception (semantic spec
     // for its sharded twin); everything else must keep table-sized data
