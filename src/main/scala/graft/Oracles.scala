@@ -1861,6 +1861,46 @@ object Oracles {
          |  (10000 * top_freq) // n_words AS top_word_bp
          |FROM p ORDER BY doc_id""".stripMargin,
 
+    // Gopher hard gate — mirrors TextAnalysis.gopherRules: all rule
+    // comparisons are integer products (no division), top-bigram tie
+    // broken count desc → length desc → bigram asc in both engines
+    "gopher_rules" ->
+      s"""WITH $WordsCte,
+         |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(length(word)) AS BIGINT) AS sum_len,
+         |    CAST(sum(CASE WHEN regexp_matches(word, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+         |    CAST(count(DISTINCT CASE WHEN word IN ('the','a','be','to','of','and','that','with')
+         |                             THEN word END) AS BIGINT) AS stop_hits
+         |  FROM words GROUP BY doc_id),
+         |bg0 AS (SELECT doc_id,
+         |    word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+         |  FROM words),
+         |bg AS (SELECT doc_id, bigram, count(*) AS cnt
+         |  FROM bg0 WHERE bigram IS NOT NULL GROUP BY 1, 2),
+         |top AS (SELECT doc_id, CAST(cnt * length(bigram) AS BIGINT) AS top2_chars,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cnt DESC, length(bigram) DESC, bigram) AS rn
+         |  FROM bg),
+         |d AS (SELECT doc_id, CAST(length(coalesce(text, '')) AS INT) AS text_len FROM documents),
+         |j AS (SELECT d.doc_id, d.text_len,
+         |    coalesce(n_words, 0) AS n_words, coalesce(sum_len, 0) AS sum_len,
+         |    coalesce(alpha_words, 0) AS alpha_words, coalesce(stop_hits, 0) AS stop_hits,
+         |    coalesce(t.top2_chars, 0) AS top2_chars
+         |  FROM d LEFT JOIN base USING (doc_id)
+         |  LEFT JOIN (SELECT doc_id, top2_chars FROM top WHERE rn = 1) t USING (doc_id))
+         |SELECT doc_id, text_len, n_words, sum_len, alpha_words, stop_hits, top2_chars,
+         |  (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+         |  (n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10) AS r_meanlen,
+         |  (n_words > 0 AND alpha_words * 10 >= n_words * 8) AS r_alpha,
+         |  (stop_hits >= 2) AS r_stop,
+         |  (top2_chars * 5 <= text_len) AS r_repeat,
+         |  ((n_words >= 50 AND n_words <= 100000)
+         |    AND (n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+         |    AND (n_words > 0 AND alpha_words * 10 >= n_words * 8)
+         |    AND (stop_hits >= 2)
+         |    AND (top2_chars * 5 <= text_len)) AS gopher_pass
+         |FROM j ORDER BY doc_id""".stripMargin,
+
     "length_histogram" ->
       """SELECT lang, CAST(floor(n_chars / 100.0) AS INT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bin_chars

@@ -169,6 +169,7 @@ object SparkEntry {
     "text_normalize"    -> (TextAnalysis.textNormalize _),
     "pii_redact"        -> (TextAnalysis.piiRedact _),
     "repetition_profile" -> (TextAnalysis.repetitionProfile _),
+    "gopher_rules" -> (TextAnalysis.gopherRules _),
     "length_histogram"  -> (TextAnalysis.lengthHistogram _),
     "feature_scale"     -> (TextAnalysis.featureScale _),
     "stratified_sample" -> (Splits.stratifiedSample _),

@@ -195,6 +195,72 @@ object TextAnalysis {
         expr("(10000 * top_freq) div n_words").as("top_word_bp"))
       .orderBy("doc_id")
 
+  /** Gopher document-quality GATE (Rae et al. 2021, MassiveText §A1.1):
+    * the hard per-document rule set run BEFORE any model-based scoring
+    * in a production corpus build — each rule a named boolean flag plus
+    * the overall verdict, so downstream stages can both filter on the
+    * gate and audit which rule rejected what. Rules instantiated:
+    * word count in [50, 100000]; mean word length in [3, 10] (as
+    * 3·n ≤ Σlen ≤ 10·n — integer, no division); ≥80% of words contain
+    * an alphabetic character (10·alpha ≥ 8·n); ≥2 distinct stopwords
+    * present (the stop LIST is a config knob; instantiated here with
+    * Gopher's core function words plus 'a' so the rule bites on the
+    * synthetic corpus's vocabulary); characters covered by the most frequent 2-gram ≤ 20% of
+    * the text (count × bigram length ×5 ≤ text length; occurrence
+    * overlap makes this an upper-bound estimate, ties broken count
+    * desc → length desc → bigram asc for determinism). All comparisons
+    * are integer products — oracle-exact at any SF.
+    *
+    * Scale: one explode + two doc-keyed aggregations + a per-doc rn=1
+    * window on the bigram counts — every shuffle keyed by doc_id (high
+    * cardinality), no joins beyond the doc-keyed assembly. Same plan
+    * family as [[repetitionProfile]].
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        length(txt(col("text"))).as("text_len"))
+    val w = Shingles.words(docs.select(col("doc_id"), col("text")))
+    val stops = Seq("the", "a", "be", "to", "of", "and", "that", "with")
+    val base = w.groupBy("doc_id").agg(
+      count(lit(1)).as("n_words"),
+      sum(length(col("word"))).as("sum_len"),
+      sum(when(col("word").rlike("[a-zA-Z]"), 1L).otherwise(0L)).as("alpha_words"),
+      countDistinct(when(col("word").isin(stops: _*), col("word"))).as("stop_hits"))
+    val seq = Window.partitionBy(col("doc_id")).orderBy(col("word_pos"))
+    val bigrams = w
+      .withColumn("w1", lead(col("word"), 1).over(seq))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), concat(col("word"), lit(" "), col("w1")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+    val topW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, length(col("bigram")).desc, col("bigram").asc)
+    val top = bigrams
+      .withColumn("rn", row_number().over(topW)).filter(col("rn") === 1)
+      .select(col("doc_id"), (col("cnt") * length(col("bigram"))).as("top2_chars"))
+    docs.select(col("doc_id"), col("text_len"))
+      .join(base, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text_len"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("sum_len"), lit(0L)).as("sum_len"),
+        coalesce(col("alpha_words"), lit(0L)).as("alpha_words"),
+        coalesce(col("stop_hits"), lit(0L)).as("stop_hits"),
+        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"))
+      .withColumn("r_wordcount", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_meanlen",
+        col("n_words") > 0 && col("sum_len") >= col("n_words") * 3 &&
+          col("sum_len") <= col("n_words") * 10)
+      .withColumn("r_alpha",
+        col("n_words") > 0 && col("alpha_words") * 10 >= col("n_words") * 8)
+      .withColumn("r_stop", col("stop_hits") >= 2)
+      .withColumn("r_repeat", col("top2_chars") * 5 <= col("text_len"))
+      .withColumn("gopher_pass",
+        col("r_wordcount") && col("r_meanlen") && col("r_alpha") &&
+          col("r_stop") && col("r_repeat"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic: per-language marker-hit counts → argmax with
     * a deterministic tie-break on marker order. The `lang` column is the
     * (synthetic) label; `predicted` is the heuristic output — agreement

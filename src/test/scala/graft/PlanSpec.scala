@@ -486,6 +486,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // feeding both windows and the session agg, plus the output sort
     val sz = plan("sessionize")
     assert(countOf(sz, "+- Exchange") <= 2, s"sessionize grew a shuffle:\n$sz")
+    // gopher_rules: every shuffle doc_id-keyed, the top-bigram rn=1
+    // rides the native bounded-heap GroupTopK (never a full per-doc
+    // sort), assembly joins are equi-joins
+    val gr = plan("gopher_rules")
+    assert(gr.contains("GroupTopK"), s"gopher_rules missed the rewrite:\n$gr")
+    assert(!gr.contains("NestedLoop") && !gr.contains("CartesianProduct"),
+      s"gopher_rules lost its keyed joins:\n$gr")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
