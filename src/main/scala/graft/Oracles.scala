@@ -2927,6 +2927,24 @@ object Oracles {
          |      FROM c)
          |SELECT w1, rank, w2, n FROM r WHERE rank <= 3 ORDER BY w1, rank""".stripMargin,
 
+    // CCNet-analog LM score — mirrors CorpusStats.lmScore: integer
+    // per-instance transition probability, then integer mean per doc
+    "lm_score" ->
+      s"""WITH $WordsCte,
+         |bg AS (SELECT doc_id, word AS w1,
+         |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |       FROM words),
+         |inst AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+         |model AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+         |          FROM inst GROUP BY w1, w2),
+         |prefix AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM model GROUP BY w1),
+         |s AS (SELECT doc_id, (10000 * n12) // n1 AS p_bp
+         |      FROM inst JOIN model USING (w1, w2) JOIN prefix USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(p_bp) // count(*) AS BIGINT) AS lm_score_bp,
+         |  CAST(min(p_bp) AS BIGINT) AS min_p_bp
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // range(1, n) is [1, n): pairs at 1..len-1, matching the Spark
     // sequence(1, length-1) under its length>=2 guard
     "bpe_pairs" ->

@@ -304,6 +304,7 @@ object SparkEntry {
     "rate_spikes" -> (Events.rateSpikes _),
     // bigram LM table: top-3 next words per head on GroupTopK
     "bigram_next" -> (CorpusStats.bigramNext _),
+    "lm_score" -> (CorpusStats.lmScore _),
     // sparse-vs-dense retriever agreement (justifies hybrid fusion)
     "retriever_overlap" -> (TfIdf.retrieverOverlap _),
     // weekly active-user churn (rolling retention complement)

@@ -434,6 +434,41 @@ object CorpusStats {
       .orderBy("w1", "rank")
   }
 
+  /** CCNet-style LM quality score (Wenzek et al. 2020 filter corpora by
+    * LM perplexity; the log-free integer analog): per document, the
+    * MEAN and MIN corpus-bigram transition probability over its bigram
+    * instances, in basis points. p(w2|w1) = cnt(w1,w2)/cnt(w1·) as
+    * `(10000·n12) div n1` — integer-exact, so no cross-engine log/double
+    * drift. Template/boilerplate text scores high (its transitions
+    * dominate the model), unusual or garbled word salad scores low —
+    * the same ranking signal perplexity gives, monotone-inverted.
+    *
+    * Plan: one bigram explode reused for model AND scoring, model joins
+    * keyed by (w1,w2)/(w1) (broadcast under AQE when the vocab is
+    * small, hash otherwise), final agg keyed by doc_id. At 100 TB the
+    * model table is vocab²-bounded (≪ corpus) — the scoring join is
+    * the classic small-model × big-corpus shape.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val inst = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Shingles.shingleArray(col("text"), 2)).as("bg"))
+      .select(col("doc_id"),
+        split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+    val model = inst.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val prefix = model.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    inst.join(model, Seq("w1", "w2")).join(prefix, Seq("w1"))
+      .select(col("doc_id"), expr("(10000 * n12) div n1").as("p_bp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_bp")).as("sum_p_bp"),
+        min(col("p_bp")).as("min_p_bp"))
+      .withColumn("lm_score_bp", expr("sum_p_bp div n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score_bp"),
+        col("min_p_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Autocomplete index: top-3 completions per 2-char prefix by corpus
     * frequency — word-keyed agg then a prefix-keyed rank that rides the
     * GroupTopK heap rewrite (per-prefix state O(3), never a full

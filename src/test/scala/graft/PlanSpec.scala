@@ -493,6 +493,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(gr.contains("GroupTopK"), s"gopher_rules missed the rewrite:\n$gr")
     assert(!gr.contains("NestedLoop") && !gr.contains("CartesianProduct"),
       s"gopher_rules lost its keyed joins:\n$gr")
+    // lm_score: model and scoring joins must stay keyed equi-joins
+    // (small-model × big-corpus shape) — never a pair join
+    val lm = plan("lm_score")
+    assert(!lm.contains("NestedLoop") && !lm.contains("CartesianProduct"),
+      s"lm_score lost its keyed joins:\n$lm")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
