@@ -41,7 +41,10 @@ object ScaleCheck {
     // round-6 eval/audit wave: the new heaviest consumers — LSH-pair
     // rollup, threshold sweep over the verified pair frame, bounded
     // greedy MMR (corpus scan + k²-bounded rounds), bigram GroupTopK
-    "source_overlap", "dedup_sweep", "mmr_diversify", "bigram_next")
+    "source_overlap", "dedup_sweep", "mmr_diversify", "bigram_next",
+    // round-8 word-explode additions: the Gopher gate's bigram GroupTopK
+    // and the LM-score model × corpus join
+    "gopher_rules", "lm_score")
 
   private def caesar(r: Int): (String, String) = {
     val a = "abcdefghijklmnopqrstuvwxyz"
