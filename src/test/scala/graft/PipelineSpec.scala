@@ -104,6 +104,32 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(index.contains("| en | 2 |"))
   }
 
+  test("pipeline end-to-end over the real HTTP transport (loopback)") {
+    val prose = ("spark window stream " * 30) +
+      "\n```\nval page = \"served\"\n```\n" + ("body text " * 20)
+    Loopback.withServer { srv =>
+      srv.route("/page/") { ex => Loopback.respond(ex, 200, prose.getBytes) }
+      srv.route("/auth/3") { ex =>
+        Loopback.respond(ex, 200, ("x" * 150 + " please login to continue").getBytes)
+      }
+      srv.route("/gone") { ex => Loopback.respond(ex, 404, Array.empty) }
+      val d = Files.createTempDirectory("graft_pipe_http_").toString
+      val frontier = Seq(
+        srv.base + "/page/1", srv.base + "/page/2",
+        srv.base + "/auth/3", srv.base + "/gone").toDF("url")
+      val index = Pipeline.run(spark, frontier,
+        new graft.etl.HttpTransport(srv.base + "/reader/{url}",
+          maxAttempts = 2, initialDelayMs = 5, perHostIntervalMs = 0), d)
+      val pages = spark.read.parquet(s"$d/pages")
+      // 404 degraded to an error row and dropped; auth page quarantined
+      assert(pages.count() == 3)
+      assert(pages.filter($"route" === "quarantine").count() == 1)
+      val clean = pages.filter($"route" === "clean")
+      assert(clean.count() == 2 && clean.filter($"relevance" > 0).count() == 2)
+      assert(index.startsWith("# INDEX") && index.contains("| en | 2 |"))
+    }
+  }
+
   test("corpus build: monotone stage funnel, deterministic, chunked output") {
     import graft.etl.CorpusPipeline
     val d1 = Files.createTempDirectory("graft_corpus1_").toString
