@@ -75,15 +75,25 @@ object Bench {
       if (!coldOk) None else {
         // best-of-2 timed runs: single-run numbers swing 2-3× from GC /
         // scheduler noise at sf0.1; the min is the honest steady-state
-        // (both runs do full noop-sink materialization)
-        val dt = (1 to 2).map { _ =>
-          scrub() // each rep pays its own persists — honest timing
-          val t0 = System.nanoTime()
-          materialize(fn(spark, sfDir)) // cold run succeeded; a throw here is a real crash
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        scrub()
-        Some((name, dt, cold))
+        // (both runs do full noop-sink materialization). A throw here
+        // (cold run succeeded, rep failed — transient OOM/GC death) is
+        // recorded as this query's error, NOT allowed to kill the whole
+        // bench: the other 200+ timings still reach the driver.
+        try {
+          val dt = (1 to 2).map { _ =>
+            scrub() // each rep pays its own persists — honest timing
+            val t0 = System.nanoTime()
+            materialize(fn(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          scrub()
+          Some((name, dt, cold))
+        } catch { case e: Throwable =>
+          errors(name) = errMsg(e)
+          System.err.println(s"BENCH FAIL $name (timed rep): ${errMsg(e)}")
+          scrub()
+          None
+        }
       }
     }
     // 3-decimal (millisecond) precision: full-precision doubles made the
