@@ -106,7 +106,7 @@ object Bench {
     val colds = results.map { case (k, _, c) => s"\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def jstr(s: String): String = JsonOut.quote(s)
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_errors":${errors.size},"errors":$errs,"queries":$qs,"cold":$colds,"sf":"$sfDir"}"""
     println(json)

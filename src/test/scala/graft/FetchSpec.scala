@@ -266,9 +266,60 @@ class FetchSpec extends AnyFunSuite with SparkTestBase {
         assert(loc == (("ok", "local ok")))
         assert(readerPaths.size == 1, "force-local url must never reach the reader")
         assert(HttpFetch.forceLocal("https://machinery.example.com/x"))
+        // substring host match like engineFor's rlike: SUBDOMAINS of an
+        // internal domain are internal too
+        assert(HttpFetch.forceLocal("https://docs.machinery.example.com/x"))
         assert(HttpFetch.forceLocal("http://10.1.2.3/x"))
         assert(HttpFetch.forceLocal("http://a.internal/x"))
         assert(!HttpFetch.forceLocal("https://building.example.com/p1"))
+      } finally t.close()
+    }
+  }
+
+  test("HTTP transport: redirects follow manually with the force-local hop guard") {
+    Loopback.withServer { srv =>
+      srv.route("/hop") { ex =>
+        Loopback.respond(ex, 302, Array.empty, "Location" -> "/landed")
+      }
+      srv.route("/landed") { ex => Loopback.respond(ex, 200, "arrived".getBytes) }
+      val t = new HttpTransport(srv.base + "/reader/{url}",
+        maxAttempts = 1, initialDelayMs = 5, perHostIntervalMs = 0)
+      t.open()
+      try {
+        // relative Location resolves against the current url and follows
+        assert(t.fetch(srv.base + "/hop", "trafilatura") == (("ok", "arrived")))
+      } finally t.close()
+      // the guard: a fetch that starts OUTSIDE force-local space must
+      // refuse a redirect INTO it (SSRF) — exercised via get() with the
+      // public-origin hop guard, since tests can only originate locally
+      val guard = HttpFetch.hopGuard("https://building.example.com/p")
+      assert(!guard("http://10.1.2.3/latest/meta-data"))
+      assert(!guard("http://127.0.0.1/x"))
+      assert(!guard("https://machinery.example.com/x"))
+      assert(guard("https://other-public.example.net/x"))
+      val client = HttpFetch.newClient(1000)
+      val e = intercept[HttpFetch.RedirectRefusedException] {
+        HttpFetch.get(client, srv.base + "/hop", 1000, 1, 5, 2, 10, 0,
+          allowHop = _ => false)
+      }
+      assert(e.getMessage.contains("refused"))
+    }
+  }
+
+  test("HTTP transport: malformed negative Retry-After still retries (clamped to 0)") {
+    Loopback.withServer { srv =>
+      val hits = new AtomicInteger(0)
+      srv.route("/neg") { ex =>
+        if (hits.incrementAndGet() == 1)
+          Loopback.respond(ex, 429, Array.empty, "Retry-After" -> "-1")
+        else Loopback.respond(ex, 200, "ok2".getBytes)
+      }
+      val t = new HttpTransport(srv.base + "/reader/{url}",
+        maxAttempts = 3, initialDelayMs = 5, perHostIntervalMs = 0)
+      t.open()
+      try {
+        assert(t.fetch(srv.base + "/neg", "playwright") == (("ok", "ok2")))
+        assert(hits.get() == 2)
       } finally t.close()
     }
   }
