@@ -633,6 +633,36 @@ object Oracles {
         |SELECT hr, day, n, n_day, hours_present
         |FROM w WHERE n * hours_present > 2 * n_day ORDER BY hr""".stripMargin,
 
+    // time-series motif match — mirrors Events.tsMotif: mean-centered
+    // (×4, integer) distance² to the rising-ramp pattern over 4
+    // contiguous hours, top-3 per user (d2 asc, hr asc)
+    "ts_motif" ->
+      """WITH h AS (SELECT user_id % 16 AS cohort,
+        |             CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr
+        |           FROM events),
+        |c AS (SELECT cohort, hr, CAST(count(*) AS BIGINT) AS n
+        |      FROM h GROUP BY cohort, hr),
+        |wnd AS (SELECT cohort, hr, n AS x0,
+        |          lead(n, 1) OVER (PARTITION BY cohort ORDER BY hr) AS x1,
+        |          lead(n, 2) OVER (PARTITION BY cohort ORDER BY hr) AS x2,
+        |          lead(n, 3) OVER (PARTITION BY cohort ORDER BY hr) AS x3,
+        |          lead(hr, 3) OVER (PARTITION BY cohort ORDER BY hr) AS hr3
+        |        FROM c),
+        |f AS (SELECT cohort, hr, x0, x1, x2, x3, x0 + x1 + x2 + x3 AS sx
+        |      FROM wnd WHERE hr3 = hr + 3),
+        |s AS (SELECT cohort, hr, CAST(
+        |        (x0 * 4 - sx + 6) * (x0 * 4 - sx + 6) +
+        |        (x1 * 4 - sx + 2) * (x1 * 4 - sx + 2) +
+        |        (x2 * 4 - sx - 2) * (x2 * 4 - sx - 2) +
+        |        (x3 * 4 - sx - 6) * (x3 * 4 - sx - 6) AS BIGINT) AS d2
+        |      FROM f),
+        |r AS (SELECT cohort, hr, d2,
+        |        CAST(row_number() OVER (PARTITION BY cohort
+        |          ORDER BY d2, hr) AS INT) AS rank
+        |      FROM s)
+        |SELECT cohort, rank, hr AS hr_start, d2
+        |FROM r WHERE rank <= 3 ORDER BY cohort, rank""".stripMargin,
+
     // overlapping-interval coalescing — mirrors Events.intervalMerge
     // (break on overlap vs the running max end, not event gap;
     // variable 1-10 min durations make contained intervals real)

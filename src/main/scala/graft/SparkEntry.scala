@@ -302,6 +302,7 @@ object SparkEntry {
     "interval_merge" -> (Events.intervalMerge _),
     // ingest-rate spikes: hours > 2x their day's hourly mean
     "rate_spikes" -> (Events.rateSpikes _),
+    "ts_motif" -> (Events.tsMotif _),
     // bigram LM table: top-3 next words per head on GroupTopK
     "bigram_next" -> (CorpusStats.bigramNext _),
     "lm_score" -> (CorpusStats.lmScore _),

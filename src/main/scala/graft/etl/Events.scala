@@ -505,6 +505,53 @@ object Events {
       .orderBy("hr")
   }
 
+  /** Time-series MOTIF matching: find where each user's hourly activity
+    * best matches a query pattern — the distributed form of streaming
+    * subsequence similarity search (EDBT 2019's problem re-expressed as
+    * window expressions). Series = hourly event counts; candidate
+    * subsequences = every run of 4 CONTIGUOUS hours (lead(hr,3)=hr+3
+    * guards gaps); the match score is the squared Euclidean distance
+    * between the MEAN-CENTERED window and the mean-centered rising-ramp
+    * pattern [0,1,2,3] — centering done as `4·xᵢ − Σx` so everything
+    * stays integer (×4 both sides; the ramp centers to [-6,-2,2,6]).
+    * Offset-invariant like z-normalization but exact: no sqrt, no
+    * doubles, oracle-exact. Series are per 16-way user COHORT (a
+    * single user's hourly activity is too sparse for contiguous runs;
+    * a cohort's is dense — the "metric group" of a real monitoring
+    * feed). Top-3 windows per cohort (d2 asc, hr asc) ride the native
+    * GroupTopK heap. At 100 TB the hourly pre-agg is the data
+    * reduction (hours ≪ events) and every later shuffle is keyed by
+    * cohort.
+    */
+  def tsMotif(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select((col("user_id") % 16).as("cohort"),
+        expr("(ts div 1000) div 3600000000").as("hr"))
+      .groupBy(col("cohort"), col("hr")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("hr").asc)
+    val win = hourly.select(col("cohort"), col("hr"), col("n").as("x0"),
+        lead(col("n"), 1).over(w).as("x1"),
+        lead(col("n"), 2).over(w).as("x2"),
+        lead(col("n"), 3).over(w).as("x3"),
+        lead(col("hr"), 3).over(w).as("hr3"))
+      .filter(col("hr3") === col("hr") + 3)
+      .withColumn("sx", col("x0") + col("x1") + col("x2") + col("x3"))
+    val q = Seq(-6L, -2L, 2L, 6L) // 4·[0,1,2,3] − Σ[0,1,2,3]
+    val d2 = Seq(("x0", q(0)), ("x1", q(1)), ("x2", q(2)), ("x3", q(3)))
+      .map { case (c, qi) =>
+        val y = col(c) * 4 - col("sx") - lit(qi)
+        y * y
+      }.reduce(_ + _)
+    val rankW = Window.partitionBy(col("cohort"))
+      .orderBy(col("d2").asc, col("hr").asc)
+    win.withColumn("d2", d2)
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .select(col("cohort"), col("rank"), col("hr").as("hr_start"),
+        col("d2"))
+      .orderBy("cohort", "rank")
+  }
+
   /** Overlapping-interval coalescing: each event opens a 5-minute
     * activity interval [ts, ts+300s); overlapping or nested intervals
     * merge into maximal busy periods per user (the classic

@@ -498,6 +498,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val lm = plan("lm_score")
     assert(!lm.contains("NestedLoop") && !lm.contains("CartesianProduct"),
       s"lm_score lost its keyed joins:\n$lm")
+    // ts_motif: the top-3-per-cohort rides the GroupTopK heap; the
+    // hourly pre-agg + lead window share the cohort partitioning
+    // (3 exchanges incl. the output sort, no more)
+    val tm = plan("ts_motif")
+    assert(tm.contains("GroupTopK"), s"ts_motif missed the rewrite:\n$tm")
+    assert(countOf(tm, "+- Exchange") <= 3, s"ts_motif grew a shuffle:\n$tm")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
