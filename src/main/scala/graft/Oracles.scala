@@ -663,6 +663,42 @@ object Oracles {
         |SELECT cohort, rank, hr AS hr_start, d2
         |FROM r WHERE rank <= 3 ORDER BY cohort, rank""".stripMargin,
 
+    // median/MAD anomaly hours — mirrors Events.tsAnomaly: LOWER
+    // medians via cumulative value histograms ((N+1)//2 rank), MAD
+    // floored at 1, all integer
+    "ts_anomaly" ->
+      """WITH h AS (SELECT event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr
+        |           FROM events),
+        |hourly AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n
+        |           FROM h GROUP BY event_type, hr),
+        |h1 AS (SELECT event_type, n AS v, count(*) AS cnt
+        |       FROM hourly GROUP BY event_type, n),
+        |c1 AS (SELECT event_type, v,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(cnt) OVER (PARTITION BY event_type) AS nn
+        |       FROM h1),
+        |med AS (SELECT event_type,
+        |          CAST(min(CASE WHEN cum >= (nn + 1) // 2 THEN v END) AS BIGINT) AS med
+        |        FROM c1 GROUP BY event_type),
+        |d AS (SELECT hourly.event_type, hr, n, med, abs(n - med) AS dev
+        |      FROM hourly JOIN med USING (event_type)),
+        |h2 AS (SELECT event_type, dev AS v, count(*) AS cnt
+        |       FROM d GROUP BY event_type, dev),
+        |c2 AS (SELECT event_type, v,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(cnt) OVER (PARTITION BY event_type) AS nn
+        |       FROM h2),
+        |mad AS (SELECT event_type,
+        |          CAST(min(CASE WHEN cum >= (nn + 1) // 2 THEN v END) AS BIGINT) AS mad
+        |        FROM c2 GROUP BY event_type)
+        |SELECT d.event_type, hr, n, med, mad, dev
+        |FROM d JOIN mad USING (event_type)
+        |WHERE dev > 3 * greatest(mad, 1)
+        |ORDER BY event_type, hr""".stripMargin,
+
     // overlapping-interval coalescing — mirrors Events.intervalMerge
     // (break on overlap vs the running max end, not event gap;
     // variable 1-10 min durations make contained intervals real)

@@ -303,6 +303,7 @@ object SparkEntry {
     // ingest-rate spikes: hours > 2x their day's hourly mean
     "rate_spikes" -> (Events.rateSpikes _),
     "ts_motif" -> (Events.tsMotif _),
+    "ts_anomaly" -> (Events.tsAnomaly _),
     // bigram LM table: top-3 next words per head on GroupTopK
     "bigram_next" -> (CorpusStats.bigramNext _),
     "lm_score" -> (CorpusStats.lmScore _),

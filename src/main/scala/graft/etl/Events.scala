@@ -552,6 +552,50 @@ object Events {
       .orderBy("cohort", "rank")
   }
 
+  /** Robust time-series anomaly detection: per event type, flag hours
+    * whose event count deviates from the type's MEDIAN hourly count by
+    * more than 3× the MAD (median absolute deviation) — the standard
+    * robust alternative to [[rateSpikes]]' mean test (one huge spike
+    * drags a mean but not a median, so median/MAD keeps sensitivity
+    * during incidents). LOWER medians throughout ((N+1) div 2 rank
+    * selection) keep every quantity integer — no averaging of middle
+    * values, no doubles, oracle-exact; the MAD floors at 1 so a
+    * zero-variance series doesn't flag every hour.
+    *
+    * Scale: same two-pass value-HISTOGRAM rank selection as
+    * Relational2.medianPrice, partitioned by event_type — the windows
+    * run over (type, count-value) histograms bounded by the value
+    * domain, never the raw hours, and nothing funnels to one partition.
+    */
+  def tsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+
+    // lower median of `v` per event_type via cumulative value histogram
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val hist = df.groupBy(col("event_type"), col(v))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      hist.withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("nn", sum(col("cnt")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= expr("(nn + 1) div 2"), col(v))).as(out))
+    }
+
+    val med = lowerMedian(hourly, "n", "med")
+    val dev = hourly.join(med, Seq("event_type"))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(mad, Seq("event_type"))
+      .filter(col("dev") > lit(3L) * greatest(col("mad"), lit(1L)))
+      .select(col("event_type"), col("hr"), col("n"), col("med"),
+        col("mad"), col("dev"))
+      .orderBy("event_type", "hr")
+  }
+
   /** Overlapping-interval coalescing: each event opens a 5-minute
     * activity interval [ts, ts+300s); overlapping or nested intervals
     * merge into maximal busy periods per user (the classic

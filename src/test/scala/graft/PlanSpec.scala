@@ -504,6 +504,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val tm = plan("ts_motif")
     assert(tm.contains("GroupTopK"), s"ts_motif missed the rewrite:\n$tm")
     assert(countOf(tm, "+- Exchange") <= 3, s"ts_motif grew a shuffle:\n$tm")
+    // ts_anomaly: med/MAD are histogram-sized 1-row-per-type frames —
+    // they must broadcast back to the hourly table, never shuffle it
+    val ta = plan("ts_anomaly")
+    assert(ta.contains("BroadcastHashJoin"), s"ts_anomaly med/mad not broadcast:\n$ta")
+    assert(!ta.contains("CartesianProduct"), s"ts_anomaly went cartesian:\n$ta")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
