@@ -150,6 +150,38 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(groups == Set((1L, 2L), (4L, 2L)))
   }
 
+  test("tsMotif: a perfect rising ramp scores d2=0 at rank 1") {
+    val hourNs = 3600L * 1000000L * 1000L
+    // cohort 1 (user 1): hourly counts [1,2,3,4,1,1] over hours 0-5 —
+    // the window at hour 0 is exactly the centered ramp pattern
+    val rows = (0 to 5).flatMap { h =>
+      val c = Seq(1, 2, 3, 4, 1, 1)(h)
+      (1 to c).map(i => (1L, h.toLong * 10 + i, h * hourNs + i * 1000L))
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft_motif_")
+    rows.toDF("user_id", "event_id", "ts")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val got = Events.tsMotif(spark, d.toString)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.head == ((1L, 1, 0L, 0L)), s"best window wrong: ${got.toSeq}")
+    assert(got.forall(_._4 >= 0) && got.length == 3) // 3 windows, all ranked
+  }
+
+  test("tsAnomaly: a spike hour is flagged against median/MAD, flat hours are not") {
+    val hourNs = 3600L * 1000000L * 1000L
+    // type "a": ten hours of 2 events, hour 10 has 50 → med=2, mad=0→1,
+    // dev=48 > 3 flags exactly that hour
+    val rows = ((0 to 9).flatMap(h => (1 to 2).map(i =>
+        ("a", h * hourNs + i * 1000L))) ++
+      (1 to 50).map(i => ("a", 10 * hourNs + i * 1000L)))
+    val d = java.nio.file.Files.createTempDirectory("graft_anom_")
+    rows.toDF("event_type", "ts")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val got = Events.tsAnomaly(spark, d.toString)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("a", 10L, 50L, 2L, 0L, 48L)), got.toSeq.toString)
+  }
+
   test("events ts encoding drift: BIGINT-nanos, timestamp[us] NTZ, and " +
        "timestamp[us] UTC all sessionize identically") {
     // r7 lesson: the driver regenerated events.parquet with ts as
