@@ -699,6 +699,26 @@ object Oracles {
         |WHERE dev > 3 * greatest(mad, 1)
         |ORDER BY event_type, hr""".stripMargin,
 
+    // dense-grid resample + trailing 3h sum — mirrors Events.tsFill
+    "ts_fill" ->
+      """WITH h AS (SELECT event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr
+        |           FROM events),
+        |hourly AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n
+        |           FROM h GROUP BY event_type, hr),
+        |span AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |         FROM hourly GROUP BY event_type),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr
+        |         FROM span),
+        |f AS (SELECT g.event_type, g.hr, coalesce(hourly.n, 0) AS n
+        |      FROM grid g LEFT JOIN hourly
+        |        ON g.event_type = hourly.event_type AND g.hr = hourly.hr)
+        |SELECT event_type, hr, n,
+        |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_3h,
+        |  (n = 0) AS is_gap
+        |FROM f ORDER BY event_type, hr""".stripMargin,
+
     // overlapping-interval coalescing — mirrors Events.intervalMerge
     // (break on overlap vs the running max end, not event gap;
     // variable 1-10 min durations make contained intervals real)

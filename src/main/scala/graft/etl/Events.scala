@@ -596,6 +596,40 @@ object Events {
       .orderBy("event_type", "hr")
   }
 
+  /** Gap-filled resampling: densify each event type's hourly series to
+    * a complete hour grid (missing hours become explicit zero rows —
+    * the "resample" primitive every downstream rolling computation
+    * needs, since a ROWS frame over a gappy series silently spans
+    * calendar gaps) and compute the trailing 3-hour sum over the dense
+    * grid, where ROWS BETWEEN 2 PRECEDING is now exactly 3 calendar
+    * hours. The grid generates from each type's own [min, max] span
+    * (`sequence` + explode — per-type, never a global calendar join);
+    * all integer.
+    *
+    * Scale: the grid size is hours × types (time-bounded, not
+    * data-bounded); the left join and window share the event_type
+    * partitioning. The dense-grid discipline is what makes window
+    * semantics honest on a 100 TB feed with dead hours.
+    */
+  def tsFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr").asc)
+      .rowsBetween(-2, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("sum_3h", sum(col("n")).over(w))
+      .withColumn("is_gap", col("n") === 0L)
+      .select(col("event_type"), col("hr"), col("n"), col("sum_3h"),
+        col("is_gap"))
+      .orderBy("event_type", "hr")
+  }
+
   /** Overlapping-interval coalescing: each event opens a 5-minute
     * activity interval [ts, ts+300s); overlapping or nested intervals
     * merge into maximal busy periods per user (the classic
