@@ -1443,6 +1443,41 @@ object Oracles {
         |       FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
         |SELECT node, pr AS pr_ppm FROM m3 ORDER BY node""".stripMargin,
 
+    // personalized PageRank from seed 0 — mirrors Crawl.pprSeed: all
+    // restart mass at the seed, zero-mass nodes dropped (sparsity)
+    "ppr_seed" ->
+      """WITH cnt AS (SELECT count(*) AS c FROM customer),
+        |e AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,
+        |                      CAST(o_orderkey % c AS BIGINT) AS dst
+        |      FROM orders, cnt),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |m0 AS (SELECT node,
+        |         CAST(CASE WHEN node = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS pr
+        |       FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(sum(m.pr // d.outdeg) AS BIGINT) AS inbound
+        |       FROM e JOIN m0 m ON e.src = m.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |m1 AS (SELECT n.node,
+        |         CAST(CASE WHEN n.node = 0 THEN 150000 ELSE 0 END
+        |           + (85 * coalesce(c.inbound, 0)) // 100 AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+        |c2 AS (SELECT e.dst AS node, CAST(sum(m.pr // d.outdeg) AS BIGINT) AS inbound
+        |       FROM e JOIN m1 m ON e.src = m.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |m2 AS (SELECT n.node,
+        |         CAST(CASE WHEN n.node = 0 THEN 150000 ELSE 0 END
+        |           + (85 * coalesce(c.inbound, 0)) // 100 AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+        |c3 AS (SELECT e.dst AS node, CAST(sum(m.pr // d.outdeg) AS BIGINT) AS inbound
+        |       FROM e JOIN m2 m ON e.src = m.node JOIN deg d ON e.src = d.src
+        |       GROUP BY e.dst),
+        |m3 AS (SELECT n.node,
+        |         CAST(CASE WHEN n.node = 0 THEN 150000 ELSE 0 END
+        |           + (85 * coalesce(c.inbound, 0)) // 100 AS BIGINT) AS pr
+        |       FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+        |SELECT node, pr AS pr_ppm FROM m3 WHERE pr > 0 ORDER BY node""".stripMargin,
+
     "range_window" ->
       """WITH e AS (SELECT event_type, event_id,
         |             CAST(epoch_us(ts) AS BIGINT) AS ts_us,

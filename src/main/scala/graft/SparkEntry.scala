@@ -124,6 +124,7 @@ object SparkEntry {
     // fixpoint / windows / custom-agg / multimodal
     "crawl_bfs"           -> (Crawl.crawlBfs _),
     "pagerank_iter"       -> ((s: SparkSession, d: String) => Crawl.pagerankIter(s, d)),
+    "ppr_seed"            -> ((s: SparkSession, d: String) => Crawl.pprSeed(s, d)),
     "triangle_count"      -> (Crawl.triangleCounts _),
     "range_window"        -> (Events.rangeWindow _),
     "session_window_agg"  -> (Events.sessionWindowAgg _),

@@ -172,6 +172,40 @@ object Crawl {
     mass.orderBy("node")
   }
 
+  /** PERSONALIZED PageRank from seed node 0 — the locality-aware twin
+    * of [[pagerankIter]]: all restart mass returns to the seed
+    * (pr = 0.15·1[node=seed]·10⁶ ppm + 0.85·inbound), so scores decay
+    * with distance from the seed instead of measuring global
+    * authority. This is the "crawl outward from THIS entry url" /
+    * "rank pages around THIS topic hub" primitive (the reference's
+    * crawl is seed-rooted — crawler-coordinator.md:113's entry_url —
+    * and PPR is its principled scoring). Same integer-ppm mass and
+    * unrolled-iteration oracle as pagerankIter; zero-mass nodes are
+    * dropped (PPR's sparsity IS the feature: mass only reaches the
+    * seed's neighborhood, and at 100 TB the frontier only carries
+    * nonzero rows).
+    */
+  def pprSeed(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val e = edges(spark, dir).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val restart = when(col("node") === 0L, 150000L).otherwise(0L)
+    var mass = nodes.withColumn("pr_ppm",
+      when(col("node") === 0L, 1000000L).otherwise(0L))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(mass.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("pr_ppm div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inbound"))
+      mass = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (restart + expr("(85 * coalesce(inbound, 0)) div 100")).as("pr_ppm"))
+    }
+    mass.filter(col("pr_ppm") > 0).orderBy("node")
+  }
+
   /** Out-degree distribution in power-of-two buckets — the power-law
     * audit run before trusting degree-dependent designs (the
     * [[triangleCounts]] degree orientation, frontier partitioning,
