@@ -605,6 +605,35 @@ object Oracles {
         |  (max(ts_us) - min(ts_us)) / 60000000.0 AS duration_min
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
 
+    // session type-pair association — mirrors Events.sessionBaskets
+    // (same session assignment as sessionize, presence-distinct, a<b)
+    "session_baskets" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |             lag(CAST(epoch_us(ts) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |           FROM events),
+        |b AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk FROM x),
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM b),
+        |pres AS (SELECT DISTINCT user_id, session_seq, event_type FROM s),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        |       FROM (SELECT DISTINCT user_id, session_seq FROM pres)),
+        |tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |       FROM pres GROUP BY event_type),
+        |pr AS (SELECT p1.event_type AS a, p2.event_type AS b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |       FROM pres p1 JOIN pres p2
+        |         ON p1.user_id = p2.user_id AND p1.session_seq = p2.session_seq
+        |        AND p1.event_type < p2.event_type
+        |       GROUP BY 1, 2)
+        |SELECT a, b, n_ab, ta.n_t AS n_a, tb.n_t AS n_b, n_sessions,
+        |  (10000 * n_ab) // n_sessions AS support_bp,
+        |  (10000 * n_sessions * n_ab) // (ta.n_t * tb.n_t) AS lift_bp
+        |FROM pr JOIN tc ta ON pr.a = ta.event_type
+        |        JOIN tc tb ON pr.b = tb.event_type
+        |        CROSS JOIN ns
+        |ORDER BY a, b""".stripMargin,
+
     // weekly churn — mirrors Events.churnRate
     "churn_rate" ->
       """WITH wa AS (SELECT DISTINCT

@@ -306,6 +306,7 @@ object SparkEntry {
     "ts_motif" -> (Events.tsMotif _),
     "ts_anomaly" -> (Events.tsAnomaly _),
     "ts_fill" -> (Events.tsFill _),
+    "session_baskets" -> (Events.sessionBaskets _),
     // bigram LM table: top-3 next words per head on GroupTopK
     "bigram_next" -> (CorpusStats.bigramNext _),
     "lm_score" -> (CorpusStats.lmScore _),

@@ -596,6 +596,39 @@ object Events {
       .orderBy("event_type", "hr")
   }
 
+  /** Session market-basket pairs: which event types co-occur in the
+    * same session more than chance — the classic association-mining
+    * primitive composed from the verified sessionizer. Presence =
+    * DISTINCT (user, session, type); pairs come from a session-keyed
+    * self-join (a < b), so the join is keyed by the high-cardinality
+    * session id and the output is bounded by the TYPE-pair domain, not
+    * the data. support_bp = 10⁴·n_ab div n_sessions; lift_bp =
+    * 10⁴·n_sessions·n_ab div (n_a·n_b) — exact integers (64-bit
+    * headroom holds to ~10⁹ sessions; past that, lift's triple product
+    * needs decimal(38,0), the counts themselves never overflow).
+    */
+  def sessionBaskets(spark: SparkSession, dir: String): DataFrame = {
+    val pres = sessionAssign(Tables.events(spark, dir))
+      .select(col("user_id"), col("session_seq"), col("event_type"))
+      .distinct()
+    val nSessions = pres.select(col("user_id"), col("session_seq")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val typeCounts = pres.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val left = pres.withColumnRenamed("event_type", "a")
+    val right = pres.withColumnRenamed("event_type", "b")
+    left.join(right, Seq("user_id", "session_seq"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .join(typeCounts.select(col("event_type").as("a"), col("n_t").as("n_a")), Seq("a"))
+      .join(typeCounts.select(col("event_type").as("b"), col("n_t").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nSessions))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_sessions"),
+        expr("(10000 * n_ab) div n_sessions").as("support_bp"),
+        expr("(10000 * n_sessions * n_ab) div (n_a * n_b)").as("lift_bp"))
+      .orderBy("a", "b")
+  }
+
   /** Gap-filled resampling: densify each event type's hourly series to
     * a complete hour grid (missing hours become explicit zero rows —
     * the "resample" primitive every downstream rolling computation
