@@ -634,6 +634,27 @@ object Oracles {
         |        CROSS JOIN ns
         |ORDER BY a, b""".stripMargin,
 
+    // session-ordered type transitions — mirrors Events.sessionTransitions
+    "session_transitions" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |             lag(CAST(epoch_us(ts) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |           FROM events),
+        |b AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk FROM x),
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM b),
+        |t AS (SELECT event_type AS from_type,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id, session_seq
+        |          ORDER BY ts_us, event_id) AS to_type
+        |      FROM s),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM c GROUP BY from_type)
+        |SELECT c.from_type, to_type, n, n_from, (10000 * n) // n_from AS prob_bp
+        |FROM c JOIN f ON c.from_type = f.from_type
+        |ORDER BY c.from_type, to_type""".stripMargin,
+
     // weekly churn — mirrors Events.churnRate
     "churn_rate" ->
       """WITH wa AS (SELECT DISTINCT

@@ -307,6 +307,7 @@ object SparkEntry {
     "ts_anomaly" -> (Events.tsAnomaly _),
     "ts_fill" -> (Events.tsFill _),
     "session_baskets" -> (Events.sessionBaskets _),
+    "session_transitions" -> (Events.sessionTransitions _),
     // bigram LM table: top-3 next words per head on GroupTopK
     "bigram_next" -> (CorpusStats.bigramNext _),
     "lm_score" -> (CorpusStats.lmScore _),

@@ -629,6 +629,35 @@ object Events {
       .orderBy("a", "b")
   }
 
+  /** Session transition matrix — the process-mining companion to
+    * [[sessionBaskets]]: ORDERED consecutive event-type transitions
+    * within a session (baskets ask "co-occur?", this asks "what comes
+    * NEXT?"), with per-source transition probabilities in basis points
+    * (10⁴·n div n_from — integer, oracle-exact). The lead window
+    * partitions by (user, session) which the sessionizer's user_id
+    * exchange already satisfies — no extra shuffle before the bounded
+    * (from,to) aggregation. This is the empirical Markov chain a
+    * next-action model or a funnel-drop diagnosis reads.
+    */
+  def sessionTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionAssign(Tables.events(spark, dir))
+      .select(col("user_id"), col("session_seq"), col("event_type"),
+        col("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val counts = s
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    counts.join(fromTotals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("(10000 * n) div n_from").as("prob_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Gap-filled resampling: densify each event type's hourly series to
     * a complete hour grid (missing hours become explicit zero rows —
     * the "resample" primitive every downstream rolling computation
