@@ -28,10 +28,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: pay one-time JVM/codegen/parquet-footer costs outside the
     // timed loop so they don't land on whichever query runs first.
+    // A warmup failure is NOT swallowed silently: a broken table read
+    // must be attributed here, not to whichever timed query fails
+    // first (the timed loop fails loudly on its own).
     try {
       Tables.names.foreach(t => Tables(spark, sfDir, t).count())
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
-    } catch { case _: Throwable => }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"BENCH WARMUP FAIL: ${e.getClass.getName}: ${e.getMessage}")
+    }
     // Release EVERYTHING a query may have pinned in the block manager:
     // clearCache() only empties the SQL CacheManager (Dataset.persist/
     // cache); `localCheckpoint()` blocks — the fixpoint queries' lineage

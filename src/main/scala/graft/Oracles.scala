@@ -11,24 +11,30 @@ package graft
   *  - double aggregates rounded identically on both sides;
   *  - every query is totally ordered by a unique key.
   *
-  * IMPOSSIBILITY NOTE — `minhash_fast` (and any fast-hash tier): a
-  * direct value oracle requires a hash BOTH engines compute
-  * bit-identically. The engines' overlap is exactly the MessageDigest
+  * ERROR-BAND NOTE — sketch/fast-hash tiers (`minhash_fast`,
+  * `distinct_sketch`, `latency_percentiles_approx`): a direct value
+  * oracle requires the two engines to compute the same bits, and
+  * sketch internals (HLL registers, GK summaries) and fast 64-bit
+  * hash families (Spark xxhash64, murmur3 `hash`) have no DuckDB
+  * twin — the engines' hash overlap is exactly the MessageDigest
   * family (md5/sha), which is what the verified `minhash_signature` /
-  * `minhash_lsh` tier uses; every FAST 64-bit family (Spark xxhash64,
-  * murmur3 `hash`) has no DuckDB implementation, and DuckDB's own
-  * `hash()` has no Spark twin. Nor is there a checkable projection:
-  * the min-hash argmin depends on the hash family, so the fast tier's
-  * signatures, band keys, and candidate set all genuinely differ from
-  * the md5 tier's (no containment theorem exists), and the test corpus
-  * contains no identical-shingle-set pairs, so the family-independent
-  * recall-1 subset (exact dups) is empty here. The tier is instead
-  * verified in layers: the signature/banding machinery is ONE shared
-  * parametrized implementation (Dedup.minhashSignatureWith /
-  * lshPairsWith) whose md5 instantiation IS oracle-verified — the fast
-  * tier swaps only the built-in hash primitive — and InvariantSpec
-  * cross-checks in-engine that both tiers recover every
-  * exact-duplicate pair on a corpus constructed to contain them.
+  * `minhash_lsh` tier uses. These tiers are therefore verified via
+  * DETERMINISTIC ERROR-BAND OUTPUTS instead: each query emits the
+  * exact twin's value (DuckDB-recomputable) plus a boolean flag,
+  * computed in-engine with integer arithmetic, that the estimate
+  * lands inside a band the sketch's error CONTRACT guarantees with
+  * overwhelming margin (HLL: 5× rsd; GK: 3× the guaranteed rank
+  * error + slack; MinHash: Hoeffding at 2e−14/pair). The raw
+  * estimate is NOT an output column — engine-specific bits never
+  * reach the hash compare — and the oracle asserts the flag TRUE.
+  * A sketch regression (wrong rsd, broken merge, biased hash) flips
+  * the flag and fails the row; band tightness is separately pinned
+  * in-engine by InvariantSpec. The fast LSH tier additionally layers:
+  * the signature/banding machinery is ONE shared parametrized
+  * implementation (Dedup.minhashSignatureWith / lshPairsWith) whose
+  * md5 instantiation IS oracle-verified, and InvariantSpec
+  * cross-checks that both tiers recover every exact-duplicate pair
+  * on a corpus constructed to contain them.
   */
 object Oracles {
 
@@ -685,7 +691,7 @@ object Oracles {
 
     // time-series motif match — mirrors Events.tsMotif: mean-centered
     // (×4, integer) distance² to the rising-ramp pattern over 4
-    // contiguous hours, top-3 per user (d2 asc, hr asc)
+    // contiguous hours, top-3 per cohort (d2 asc, hr asc)
     "ts_motif" ->
       """WITH h AS (SELECT user_id % 16 AS cohort,
         |             CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr
@@ -1019,6 +1025,30 @@ object Oracles {
       s"""WITH $LshPairCtes
          |SELECT DISTINCT doc_a, doc_b FROM lshpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // fast-tier error-band audit (see the error-band note above):
+    // exact pair Jaccard over the bounded block — same shingle ground
+    // truth as ngram_jaccard, no threshold — with est_ok asserted TRUE
+    "minhash_fast" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 64),
+        |w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word,
+        |         generate_subscripts(string_split(coalesce(text,''), ' '), 1) AS pos FROM docs),
+        |words AS (SELECT * FROM w0 WHERE length(word) > 0),
+        |sh0 AS (SELECT doc_id, pos, word,
+        |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM words),
+        |shingles AS (SELECT DISTINCT doc_id, word || ' ' || w1 || ' ' || w2 AS shingle
+        |             FROM sh0 WHERE w2 IS NOT NULL),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |          FROM shingles a JOIN shingles b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, n_common,
+        |  CAST((10000 * n_common) // (sa.n_sh + sb.n_sh - n_common) AS BIGINT) AS jaccard_bp,
+        |  TRUE AS est_ok
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // transitive closure of the LSH candidate graph — mirrors
     // Dedup.dedupComponents (DuckDB recursive CTE = the serial truth the
@@ -1667,6 +1697,15 @@ object Oracles {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // HLL error-band audit (see the error-band note above): exact
+    // distincts with approx_ok asserted TRUE
+    "distinct_sketch" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(*) AS n_rows,
+        |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "crawl_priority" ->
@@ -2750,6 +2789,30 @@ object Oracles {
         |            AND (n * 90 + 99) // 100 <= cum THEN cents END) / 100.0 AS p90,
         |  max(CASE WHEN (n * 99 + 99) // 100 > cum_before
         |            AND (n * 99 + 99) // 100 <= cum THEN cents END) / 100.0 AS p99
+        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // GK-sketch error-band audit (see the error-band note above):
+    // the exact histogram-rank percentiles with the three per-quantile
+    // band flags asserted TRUE
+    "latency_percentiles_approx" ->
+      """WITH h AS (SELECT event_type,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |             count(*) AS cnt
+        |           FROM events GROUP BY event_type, cents),
+        |c AS (SELECT *,
+        |        CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM h),
+        |b AS (SELECT *, cum - cnt AS cum_before FROM c)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |  max(CASE WHEN (n * 50 + 99) // 100 > cum_before
+        |            AND (n * 50 + 99) // 100 <= cum THEN cents END) / 100.0 AS p50,
+        |  max(CASE WHEN (n * 90 + 99) // 100 > cum_before
+        |            AND (n * 90 + 99) // 100 <= cum THEN cents END) / 100.0 AS p90,
+        |  max(CASE WHEN (n * 99 + 99) // 100 > cum_before
+        |            AND (n * 99 + 99) // 100 <= cum THEN cents END) / 100.0 AS p99,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // time-bounded conversion funnel — mirrors Events.funnelWindowed

@@ -100,8 +100,9 @@ object SparkEntry {
     "dedup_exact"       -> (Dedup.dedupExact _),
     "minhash_signature" -> (Dedup.minhashSignatureQuery _),
     "minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
-    // production-speed signatures (xxhash64): no DuckDB twin exists, so
-    // this is rows-only at the driver; InvariantSpec cross-checks recall
+    // production-speed tier (xxhash64): verified via the deterministic
+    // error-band shape (Oracles error-band note) — exact pair Jaccard
+    // + Hoeffding-safe est_ok flag; InvariantSpec cross-checks recall
     "minhash_fast"      -> (Dedup.minhashFastQuery _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
     "substring_dedup"   -> (Dedup.substringDedup _),
@@ -141,8 +142,8 @@ object SparkEntry {
     // strategy router / distinct / priority crawl
     "transform_route" -> (Router.transformRoute _),
     "distinct_agg"    -> (Router.distinctAgg _),
-    // HLL sketch tier: rows-only (sketch bits differ per engine);
-    // InvariantSpec pins the error bound in-engine
+    // HLL sketch tier: verified via the deterministic error-band shape
+    // (exact distincts + approx_ok flag); InvariantSpec pins the rsd
     "distinct_sketch" -> (Router.distinctSketch _),
     "crawl_priority"  -> ((s: SparkSession, d: String) => Crawl.crawlPriority(s, d)),
     // SQL surface (registered functions via GraftExtensions)
@@ -219,8 +220,9 @@ object SparkEntry {
     "knn_pq_trained"        -> (Similarity.knnPqTrained _),
     "latency_percentiles"   -> (Events.latencyPercentiles _),
     "outlier_mad"           -> (Events.outlierMad _),
-    // KLL-sketch tier: rows-only (sketch internals differ per engine);
-    // InvariantSpec pins the error band vs the exact histogram-rank
+    // GK-sketch tier: verified via the deterministic error-band shape
+    // (exact percentiles + per-quantile rank-band flags); InvariantSpec
+    // pins 2% value closeness vs the exact histogram-rank
     "latency_percentiles_approx" -> (Events.latencyPercentilesApprox _),
     // round-4 completion wave: the last classic shapes (distinct-count
     // buckets with an exclusion anti-join, nested excess-share

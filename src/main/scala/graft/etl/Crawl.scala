@@ -186,6 +186,15 @@ object Crawl {
     * nonzero rows).
     */
   def pprSeed(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    // UNROLL GUARD: at the default 3-round unroll the nested analyzed
+    // plan is fine (the oracle unrolls identically), but Catalyst
+    // re-optimizes the whole nested tree each round — raising `iters`
+    // past ~4 REQUIRES ending each round in `mass.localCheckpoint()`
+    // (NOT persist(): persist truncates recomputation, not the
+    // analyzed tree — the dedup_components 43s→3s lesson, CLAUDE.md).
+    // Persist lifecycle: e/nodes stay pinned while the caller runs the
+    // returned lazy frame; Verify/Bench scrub getPersistentRDDs
+    // between queries — other callers should unpersist when done.
     val e = edges(spark, dir).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()

@@ -145,11 +145,40 @@ object Dedup {
     minhashSignatureWith(docs, numHashes,
       (i, s) => xxhash64(lit(s"seed$i:"), s))
 
-  def minhashFastQuery(spark: SparkSession, dir: String): DataFrame =
-    minhashSignatureFast(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("mh_0"), col("mh_1"), col("mh_7"))
-      .orderBy("doc_id")
+  /** Error-band audit of the fast tier (Oracles.scala error-band
+    * note): xxhash64 signature VALUES are not DuckDB-recomputable, but
+    * the Jaccard similarity a MinHash signature ESTIMATES is. So the
+    * query emits, per intersecting pair of the bounded block, the
+    * exact shingle-set Jaccard (basis points, same ground truth as
+    * [[ngramJaccard]]) plus `est_ok`: the k=256-slot fast-signature
+    * match fraction lands within 2500 bp of the truth. Hoeffding at
+    * k=256, b=0.25 puts a single pair's violation odds at
+    * 2·exp(−2·256·0.0625) ≈ 2e−14 — deterministic in practice for any
+    * driver-regenerated corpus, while still pinning the estimator to
+    * the quantity it estimates. The flag is computed in-engine; the
+    * oracle recomputes the exact side and asserts TRUE.
+    */
+  def minhashFastQuery(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val block = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 64).select(col("doc_id"), col("text"))
+    val sig = minhashSignatureFast(block, k)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
+    pairJaccardFrom(block)
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .withColumn("__matches",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), m => m)).cast("bigint"))
+      .withColumn("est_ok",
+        expr(s"abs((10000 * __matches) div $k - jaccard_bp) <= 2500"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("jaccard_bp"), col("est_ok"))
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** LSH banding over the fast signatures — the same [[lshPairsWith]]
     * core as [[minhashLsh]]; band key = xxhash64 of the slots instead

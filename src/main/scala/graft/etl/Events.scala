@@ -310,25 +310,64 @@ object Events {
   }
 
   /** Approximate-percentile tier of [[latencyPercentiles]] — Spark's
-    * built-in KLL-style sketch (`percentile_approx`), the one-pass
+    * built-in GK-style sketch (`percentile_approx`), the one-pass
     * mergeable form a 100 TB monitoring job actually runs when exact
     * ranks aren't required: O(accuracy) state per group, partials
-    * merge associatively, no second histogram pass. Sketch internals
-    * are engine-specific, so (like distinct_sketch / minhash_fast)
-    * this is rows-only at the driver; InvariantSpec pins the error
-    * band against the exact histogram-rank query.
+    * merge associatively, no second histogram pass.
+    *
+    * Output discipline (Oracles.scala error-band note): the sketch's
+    * returned values are engine-specific, so they are NOT output
+    * columns. Output = the exact histogram-rank percentiles (identical
+    * machinery to [[latencyPercentiles]], DuckDB-recomputable) plus
+    * per-quantile `pXX_ok` flags asserting the sketch value lands
+    * inside the exact value band at ranks `q ± ε` where
+    * ε = 3·(n div accuracy) + 3 ranks — the GK contract is rank error
+    * ≤ n/accuracy, and the 3× + 3 margin absorbs merge-order effects
+    * and the engines' rank-convention off-by-ones while staying a
+    * vanishingly thin rank band (≲0.03% of n). The flags are computed
+    * from the sketch in-engine; the oracle asserts they are TRUE.
+    * InvariantSpec additionally pins 2% value closeness.
     */
-  def latencyPercentilesApprox(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+  def latencyPercentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    def rankFor(pct: Int) = expr(s"(n * $pct + 99) div 100")
+    def eps = expr("(3 * n) div 10000 + 3")
+    def valueAtRank(r: Column) =
+      max(when(r > col("cum_before") && r <= col("cum"), col("cents")))
+    val aggCols = Seq(max(col("n")).as("n_events")) ++
+      Seq(50, 90, 99).flatMap { p =>
+        Seq((valueAtRank(rankFor(p)) / lit(100.0)).as(s"p$p"),
+          valueAtRank(greatest(lit(1L), rankFor(p) - eps)).as(s"__lo$p"),
+          valueAtRank(least(col("n"), rankFor(p) + eps)).as(s"__hi$p"))
+      }
+    val exact = cum.groupBy(col("event_type"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val approx = Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        percentile_approx(col("value"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
-      .select(col("event_type"), col("n_events"),
-        round(element_at(col("ps"), 1), 2).as("p50"),
-        round(element_at(col("ps"), 2), 2).as("p90"),
-        round(element_at(col("ps"), 3), 2).as("p99"))
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
+      .select(col("event_type") +: (1 to 3).map(i =>
+        round(element_at(col("ps"), i) * 100).cast("bigint").as(s"__ap$i")): _*)
+    exact.join(approx, Seq("event_type"))
+      .select(Seq(col("event_type"), col("n_events"),
+        col("p50"), col("p90"), col("p99")) ++
+        Seq(50 -> 1, 90 -> 2, 99 -> 3).map { case (p, i) =>
+          (col(s"__ap$i") >= col(s"__lo$p") && col(s"__ap$i") <= col(s"__hi$p"))
+            .as(s"p${p}_ok")
+        }: _*)
       .orderBy("event_type")
+  }
 
   /** Robust per-type outlier report: median / MAD (median absolute
     * deviation) of event value via the exact histogram-rank method,

@@ -22,9 +22,9 @@ import java.util.concurrent.ConcurrentHashMap
   *    own rate limit (security.yaml:117 max_requests_per_minute: 20 →
   *    3 s floor on the reader host) while the ORIGIN host keeps its
   *    courtesy floor — the reader fetches the origin on our behalf.
-  *    Cluster posture: per-executor politeness multiplies by the
-  *    executor count — repartition the frontier by host (the crawl
-  *    operators already key by domain) to make the floor global;
+  *    Cluster posture: [[Sources.fetch]]/[[Sources.fetchBinary]] place
+  *    each host's requests into one task ([[Sources.byHost]]), so the
+  *    JVM-wide floor here is cluster-global by construction;
   *  - force-local security routing (config/security.yaml:124-141,
   *    mirrored from [[Urls.engineFor]] — substring host match, so
   *    subdomains of an internal domain are internal too): an
@@ -67,18 +67,51 @@ object HttpFetch {
     try Option(URI.create(url).getHost).getOrElse("")
     catch { case _: IllegalArgumentException => "" }
 
+  /** Address-level private-space check, shared with the HTTP client's
+    * own parser: `InetAddress` literal-parses every numeric form the
+    * client itself would connect to (dotted quad, shortened/dword IPv4,
+    * bracketed IPv6, IPv4-mapped IPv6) — so there is no encoding the
+    * guard reads differently from the socket layer — and resolves
+    * hostnames, so a public NAME whose DNS answer points into private
+    * space (rebinding's first resolution) is caught too. Guarded space
+    * = loopback, any-local (0.0.0.0 / ::), link-local (169.254.0.0/16,
+    * fe80::/10), site-local (RFC-1918, fec0::/10) and IPv6 unique-local
+    * (fc00::/7, which InetAddress has no predicate for).
+    *
+    * Returns None when the host is empty or does not resolve — the
+    * fetch itself would fail at connect with the same resolver, so an
+    * unresolvable target is refused by reality, not by the guard.
+    * Residual TOCTOU: an actively-rebinding name can still answer
+    * differently at connect time; pinning would need a custom resolver
+    * wired into the client, which java.net.http does not expose.
+    */
+  private[graft] def privateAddress(host: String): Option[Boolean] =
+    if (host.isEmpty) None
+    else try {
+      Some(java.net.InetAddress.getAllByName(host).exists { a =>
+        a.isLoopbackAddress || a.isAnyLocalAddress || a.isLinkLocalAddress ||
+          a.isSiteLocalAddress ||
+          (a.getAddress.length == 16 && (a.getAddress()(0) & 0xfe) == 0xfc)
+      })
+    } catch {
+      case _: java.io.IOException | _: SecurityException => None
+    }
+
   /** Force-local rule — the JVM-side twin of [[Urls.engineFor]]'s first
     * two branches plus the always-on private-address guard (loopback,
-    * RFC-1918, .internal/.local) from config/security.yaml:10-37.
+    * RFC-1918, link-local, ULA, .internal/.local — see
+    * [[privateAddress]]) from config/security.yaml:10-37.
     * Host matching is UNANCHORED, mirroring engineFor's `rlike`:
-    * `docs.machinery.example.com` is as internal as the apex.
+    * `docs.machinery.example.com` is as internal as the apex. Textual
+    * rules short-circuit first so internal names never touch the
+    * resolver.
     */
   def forceLocal(url: String): Boolean = {
     val host = hostOf(url)
     Urls.InternalPattern.r.findFirstIn(host).isDefined ||
       Urls.SensitivePattern.r.findFirstIn(url).isDefined ||
       host == "localhost" || host.endsWith(".internal") || host.endsWith(".local") ||
-      host.matches("127\\..*|10\\..*|192\\.168\\..*|172\\.(1[6-9]|2[0-9]|3[01])\\..*|\\[?::1\\]?")
+      privateAddress(host).getOrElse(false)
   }
 
   /** Redirect-hop policy for a fetch that began at `origin`: an

@@ -47,15 +47,27 @@ object Router {
     * answer. At 100 TB this is THE cardinality plan — approx_count_
     * distinct is a fixed-size mergeable sketch (no per-key state, no
     * distinct expansion shuffle), while exact countDistinct expands
-    * every (group, value) pair. Driver-checked rows-only (HLL bit
-    * patterns differ per engine); InvariantSpec pins the relative error
-    * to the configured rsd on a known-cardinality corpus.
+    * every (group, value) pair.
+    *
+    * Output discipline (Oracles.scala error-band note): the raw HLL
+    * estimate is engine-specific bits, so it is NOT an output column.
+    * What IS output — and DuckDB-recomputable — is the exact value
+    * plus `approx_ok`, an integer-arithmetic flag that the estimate
+    * sits within 10% (= 5× the configured rsd 0.02, so deterministic
+    * in practice for any driver-regenerated corpus) of the exact
+    * count. The flag is computed from the estimate in-engine; the
+    * oracle asserts it is TRUE. InvariantSpec additionally pins the
+    * relative error on a known-cardinality corpus.
     */
   def distinctSketch(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("__approx"),
         count(lit(1)).as("n_rows"))
+      .withColumn("approx_ok",
+        expr("abs(__approx - exact_parts) * 10000 <= 1000 * exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+        col("approx_ok"))
       .orderBy("l_returnflag")
 }

@@ -198,22 +198,42 @@ object Sources {
     }
   }
 
+  /** Host-keyed placement for the fetch operators: repartition the
+    * request frame on the url's HOST so every request for one host
+    * lands in ONE task — which makes the transport's JVM-wide per-host
+    * politeness floor ([[HttpFetch]]) globally correct BY CONSTRUCTION
+    * on a multi-executor cluster (config/limits.yaml:105 is a
+    * per-crawl floor, not per-executor). `try_parse_url` so a
+    * malformed url keys to null instead of failing the stage (it
+    * becomes an error row downstream like any other bad fetch).
+    * The partition cap is the cluster-wide parallelism dial: hosts
+    * hash across at most `hostPartitions` concurrent fetch tasks.
+    * `hostPartitions <= 0` opts out (unit-scale frames, mock
+    * transports that fan to no real host).
+    */
+  private[graft] def byHost(requests: DataFrame, hostPartitions: Int): DataFrame =
+    if (hostPartitions <= 0) requests
+    else requests.repartition(hostPartitions, expr("try_parse_url(url, 'HOST')"))
+
   /** S4/S5 fetch operator: url rows (already engine-routed by S6 /
     * [[Urls.engineFor]]) → fetched pages, via mapPartitions so each task
     * amortizes one transport setup over its whole batch of urls.
     *
-    * Rate limiting: `minIntervalMs` enforces a per-partition floor
+    * Rate limiting: requests are [[byHost]]-placed first, so the
+    * per-host floor the transport enforces JVM-wide is cluster-global;
+    * `minIntervalMs` additionally enforces a per-partition floor
     * between consecutive fetches (config/limits.yaml:105 crawl-delay);
-    * cluster-wide rate = #concurrent tasks × 1000/minIntervalMs, so the
-    * partition count is the parallelism dial. Failures become
-    * status="error:..." rows, never task failures (one bad page must not
-    * kill a 100 TB stage; retries are a re-run over the error rows).
+    * cluster-wide rate ≤ hostPartitions × 1000/minIntervalMs. Failures
+    * become status="error:..." rows, never task failures (one bad page
+    * must not kill a 100 TB stage; retries are a re-run over the error
+    * rows).
     */
   def fetch(requests: DataFrame, transport: Transport,
-      minIntervalMs: Long = 0L): DataFrame = {
+      minIntervalMs: Long = 0L, hostPartitions: Int = 32): DataFrame = {
     val spark = requests.sparkSession
     import spark.implicits._
-    requests.select(col("url").cast("string"), col("engine").cast("string"))
+    byHost(requests.select(col("url").cast("string"), col("engine").cast("string")),
+        hostPartitions)
       .as[(String, String)]
       .mapPartitions { it =>
         rateLimitedPartition(it, () => transport.open(), () => transport.close(),
@@ -226,16 +246,18 @@ object Sources {
       }.toDF()
   }
 
-  /** S8: image/asset downloader — same per-partition lifecycle and rate
-    * cap as [[fetch]], binary payload out (compress-image.mjs's fetch
-    * step as a dataflow operator). The payload column plugs straight
-    * into [[Multimodal.mediaKind]] / the decode plumbing.
+  /** S8: image/asset downloader — same [[byHost]] placement,
+    * per-partition lifecycle and rate cap as [[fetch]], binary payload
+    * out (compress-image.mjs's fetch step as a dataflow operator). The
+    * payload column plugs straight into [[Multimodal.mediaKind]] / the
+    * decode plumbing.
     */
   def fetchBinary(requests: DataFrame, transport: BinaryTransport,
-      minIntervalMs: Long = 0L): DataFrame = {
+      minIntervalMs: Long = 0L, hostPartitions: Int = 32): DataFrame = {
     val spark = requests.sparkSession
     import spark.implicits._
-    requests.select(col("url").cast("string")).as[String]
+    byHost(requests.select(col("url").cast("string")), hostPartitions)
+      .as[String]
       .mapPartitions { it =>
         rateLimitedPartition(it, () => transport.open(), () => transport.close(),
             minIntervalMs) { url =>

@@ -37,7 +37,9 @@ class FetchSpec extends AnyFunSuite with SparkTestBase {
       "https://furniture.example.com/page/3", // default   → trafilatura
       "https://furniture.example.com/fail/4") // transport throws
       .repartition(2)
-    val got = Sources.fetch(reqs, new StubTransport()).collect()
+    // hostPartitions = 0: this test pins the per-partition transport
+    // lifecycle on a hand-placed frame; byHost placement has its own test
+    val got = Sources.fetch(reqs, new StubTransport(), hostPartitions = 0).collect()
       .map(r => r.getAs[String]("url") ->
         (r.getAs[String]("engine"), r.getAs[String]("status"))).toMap
     assert(StubTransport.opens.get() == 2, "open() must run once per partition")
@@ -272,6 +274,25 @@ class FetchSpec extends AnyFunSuite with SparkTestBase {
         assert(HttpFetch.forceLocal("http://10.1.2.3/x"))
         assert(HttpFetch.forceLocal("http://a.internal/x"))
         assert(!HttpFetch.forceLocal("https://building.example.com/p1"))
+        // address-level guard: every private family, not just the
+        // RFC-1918 spot checks — link-local metadata endpoints, the
+        // any-local address, IPv6 link-local and unique-local
+        assert(HttpFetch.forceLocal("http://169.254.169.254/latest/meta-data"))
+        assert(HttpFetch.forceLocal("http://0.0.0.0/x"))
+        assert(HttpFetch.forceLocal("http://192.168.0.1/x"))
+        assert(HttpFetch.forceLocal("http://172.16.0.1/x"))
+        assert(HttpFetch.forceLocal("http://[::1]/x"))
+        assert(HttpFetch.forceLocal("http://[fe80::1]/x"))
+        assert(HttpFetch.forceLocal("http://[fc00::1]/x"))
+        assert(HttpFetch.forceLocal("http://[fd12:3456::1]/x"))
+        // the guard shares InetAddress with the socket layer, so a
+        // NAME resolving into private space is private (rebinding's
+        // first resolution) — localhost is the one name every
+        // environment resolves
+        assert(HttpFetch.privateAddress("localhost").contains(true))
+        // and an unresolvable host is None — refused by the connect,
+        // not misclassified by the guard
+        assert(HttpFetch.privateAddress("").isEmpty)
       } finally t.close()
     }
   }
@@ -296,6 +317,12 @@ class FetchSpec extends AnyFunSuite with SparkTestBase {
       assert(!guard("http://10.1.2.3/latest/meta-data"))
       assert(!guard("http://127.0.0.1/x"))
       assert(!guard("https://machinery.example.com/x"))
+      // the metadata-service hop the scaladoc cites, plus the other
+      // private families the address-level guard now closes
+      assert(!guard("http://169.254.169.254/latest/meta-data"))
+      assert(!guard("http://0.0.0.0/x"))
+      assert(!guard("http://[fe80::1]/x"))
+      assert(!guard("http://[fc00::1]/x"))
       assert(guard("https://other-public.example.net/x"))
       val client = HttpFetch.newClient(1000)
       val e = intercept[HttpFetch.RedirectRefusedException] {
@@ -336,6 +363,42 @@ class FetchSpec extends AnyFunSuite with SparkTestBase {
         val ms = (System.nanoTime() - t0) / 1000000
         assert(ms >= 120, s"3 same-host fetches with a 60ms floor took ${ms}ms")
       } finally t.close()
+    }
+  }
+
+  test("fetch placement: byHost puts every host in exactly one partition, " +
+      "and single-host fetches serialize at the floor with parallelism > 1") {
+    import org.apache.spark.sql.functions.{col, expr, spark_partition_id}
+    // placement: 40 urls over 4 hosts, 8 partitions → each host's rows
+    // land in ONE partition (the property that makes the JVM floor
+    // cluster-global); malformed urls key to null without failing
+    val reqs = (Seq.tabulate(40)(i => s"http://h${i % 4}.example.com/p/$i") :+
+      "::not a url::").toDF("url")
+    val spread = Sources.byHost(reqs, 8)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("host", expr("try_parse_url(url, 'HOST')"))
+      .groupBy(col("host"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("pid")).as("n_pids"))
+      .select("n_pids").as[Long].collect()
+    assert(spread.nonEmpty && spread.forall(_ == 1L), spread.toSeq.toString)
+    // serialization: a 5-request single-host frame through the real
+    // transport honors the per-host floor end to end, even though the
+    // session runs parallel tasks — the server observes monotonic
+    // arrivals spaced >= the floor
+    Loopback.withServer { srv =>
+      val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      srv.route("/p") { ex =>
+        arrivals.add(System.nanoTime()); Loopback.respond(ex, 200, "x".getBytes)
+      }
+      val urls = (1 to 5).map(i => srv.base + s"/p?i=$i").toDF("url")
+      val got = Sources.fetchBinary(urls,
+          new BinaryHttpTransport(maxAttempts = 1, perHostIntervalMs = 60),
+          hostPartitions = 2)
+        .select("status").as[String].collect()
+      assert(got.length == 5 && got.forall(_ == "ok"))
+      val ts = arrivals.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+      val gaps = ts.sliding(2).map(p => (p(1) - p(0)) / 1000000).toSeq
+      assert(gaps.forall(_ >= 45), s"same-host fetches under the 60ms floor: $gaps")
     }
   }
 

