@@ -137,6 +137,37 @@ object ScaleCheck {
     }
 
     def fmt(v: Double): String = f"$v%.2f"
+
+    // Head-gram frequency profile (VERDICT r8 item 6): the number the
+    // deferred substring_dedup stop-list decision waits on. Over the
+    // replicated corpus, take the cross-doc gram frame (distinct-doc
+    // count >= 2 — exactly the probe build side of
+    // Dedup.substringDedupFrom) and measure what share of the probe's
+    // MATCH traffic (total occurrences of cross-doc grams) the top-1000
+    // grams own. A boilerplate-dominated corpus concentrates here and
+    // would justify a stop-list; a flat profile says the saturating
+    // curve is genuine.
+    if (args.length > 2 && args(2) == "gramprofile") {
+      val docs = Tables(spark, out, "documents").select(col("doc_id"), col("text"))
+      val grams = graft.etl.Shingles.wordShingles(docs, 8)
+        .select(col("doc_id"), col("shingle"))
+      val byGram = grams.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .persist()
+      val (nCross, totOcc) = byGram
+        .agg(count(lit(1)), sum(col("n_occ"))).collect().head match {
+          case r => (r.getLong(0), r.getLong(1))
+        }
+      val headOcc = byGram.orderBy(col("n_occ").desc, col("shingle"))
+        .limit(1000).agg(sum(col("n_occ"))).collect().head.getLong(0)
+      byGram.unpersist()
+      val shareBp = if (totOcc == 0) 0L else 10000L * headOcc / totOcc
+      println(s"""{"metric":"gram_profile","replicas":$reps,"n_cross_grams":$nCross,"cross_occurrences":$totOcc,"head1000_occurrences":$headOcc,"head1000_share_bp":$shareBp}""")
+      spark.stop()
+      return
+    }
+
     val chosen = if (args.length > 2) Heavy.filter(args.drop(2).toSet) else Heavy
     val rows = chosen.map { q =>
       val (t1, p1) = time(spark, q, base)

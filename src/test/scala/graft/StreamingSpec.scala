@@ -96,6 +96,66 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"streamed ${streamed.size} vs batch ${batchNodes.size} nodes")
   }
 
+  test("streaming crawl e2e over the real HTTP transport: rate-limited " +
+      "trigger, retry inside the stream, quarantine routing, no refetch " +
+      "across micro-batches") {
+    // the reference's actual crawl loop on real I/O: watched frontier →
+    // micro-batch → HttpTransport (retry/backoff/politeness/SSRF guard)
+    // → score → quarantine split, with the file-source checkpoint as
+    // the visited state — composes the verified operators end to end
+    val prose = ("spark window stream " * 30) + "served body"
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    def count(path: String): Unit =
+      hits.merge(path, 1, (a: Integer, b: Integer) => a + b)
+    Loopback.withServer { srv =>
+      srv.route("/page/") { ex =>
+        count(ex.getRequestURI.getPath)
+        Loopback.respond(ex, 200, prose.getBytes)
+      }
+      srv.route("/auth/3") { ex =>
+        count("/auth/3")
+        Loopback.respond(ex, 200, ("x" * 150 + " please login to continue").getBytes)
+      }
+      srv.route("/flaky/4") { ex =>
+        count("/flaky/4")
+        if (hits.get("/flaky/4") == 1)
+          Loopback.respond(ex, 429, Array.empty, "Retry-After" -> "0")
+        else Loopback.respond(ex, 200, prose.getBytes)
+      }
+      val base = java.nio.file.Files.createTempDirectory("graft_scrawl_")
+      val frontier = base.resolve("frontier")
+      java.nio.file.Files.createDirectories(frontier)
+      val out = base.resolve("out").toString
+      java.nio.file.Files.writeString(frontier.resolve("wave1.txt"),
+        s"${srv.base}/page/1\n${srv.base}/auth/3\n")
+      val q = graft.etl.Pipeline.runStream(spark, frontier.toString,
+        new graft.etl.HttpTransport(srv.base + "/reader/{url}",
+          maxAttempts = 2, initialDelayMs = 5, perHostIntervalMs = 20),
+        out)
+      try {
+        q.processAllAvailable()
+        // second wave arrives while the stream runs; the first wave's
+        // files are checkpointed away and must not refetch
+        java.nio.file.Files.writeString(frontier.resolve("wave2.txt"),
+          s"${srv.base}/page/2\n${srv.base}/flaky/4\n")
+        q.processAllAvailable()
+      } finally q.stop()
+      val pages = spark.read.parquet(s"$out/pages")
+      assert(pages.count() == 4)
+      // the login wall quarantines with its action; real pages score
+      val quarantined = pages.filter($"route" === "quarantine")
+        .select("url").as[String].collect().toSeq
+      assert(quarantined == Seq(s"${srv.base}/auth/3"))
+      assert(pages.filter($"route" === "clean" && $"relevance" > 0).count() == 3)
+      // the 429 retried INSIDE the stream (two server hits, one row out)
+      assert(hits.get("/flaky/4") == 2)
+      // each page fetched exactly once across micro-batches — the
+      // file-source checkpoint IS the visited state
+      assert(hits.get("/page/1") == 1 && hits.get("/page/2") == 1)
+      assert(hits.get("/auth/3") == 1)
+    }
+  }
+
   test("watermarked dedup: duplicates dropped in-horizon, state expires after it") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.PageVisit
