@@ -4253,6 +4253,83 @@ object Oracles {
         |  SELECT 1 FROM g b
         |  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
         |    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
-        |ORDER BY a.price_c""".stripMargin
+        |ORDER BY a.price_c""".stripMargin,
+
+    // ---- round-9 corpus-composition audit wave ----
+
+    // Zipf head concentration per lang — mirrors CorpusStats
+    // .tokenHeadShare (top-100 by count desc, word asc; binary string
+    // order in both engines)
+    "token_head_share" ->
+      """WITH t0 AS (SELECT lang,
+        |              unnest(string_split(coalesce(text,''), ' ')) AS word
+        |            FROM documents),
+        |t AS (SELECT * FROM t0 WHERE length(word) > 0),
+        |c AS (SELECT lang, word, count(*) AS n FROM t GROUP BY lang, word),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY n DESC, word) AS rn FROM c),
+        |h AS (SELECT lang, sum(n) AS head_occ, count(*) AS n_head
+        |      FROM r WHERE rn <= 100 GROUP BY lang),
+        |tot AS (SELECT lang, sum(n) AS total_occ, count(*) AS n_types
+        |        FROM c GROUP BY lang)
+        |SELECT tot.lang, CAST(n_types AS BIGINT) AS n_types,
+        |  CAST(total_occ AS BIGINT) AS total_occ,
+        |  CAST(n_head AS BIGINT) AS n_head,
+        |  CAST(head_occ AS BIGINT) AS head_occ,
+        |  CAST((10000 * head_occ) // total_occ AS BIGINT) AS head_share_bp
+        |FROM tot JOIN h USING (lang) ORDER BY tot.lang""".stripMargin,
+
+    // ingest-order novelty — mirrors CorpusStats.ingestNovelty (8-gram
+    // positions whose gram's min owner is this doc; same gram CTE as
+    // substring_dedup)
+    "ingest_novelty" ->
+      s"""WITH $WordsCte,
+         |g0 AS (SELECT doc_id, pos, word,
+         |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         |         lead(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
+         |         lead(word, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4,
+         |         lead(word, 5) OVER (PARTITION BY doc_id ORDER BY pos) AS w5,
+         |         lead(word, 6) OVER (PARTITION BY doc_id ORDER BY pos) AS w6,
+         |         lead(word, 7) OVER (PARTITION BY doc_id ORDER BY pos) AS w7
+         |       FROM words),
+         |g AS (SELECT doc_id,
+         |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+         |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS gram
+         |      FROM g0 WHERE w7 IS NOT NULL),
+         |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+         |nov AS (SELECT g.doc_id, count(*) AS nn
+         |        FROM g JOIN f ON g.gram = f.gram AND g.doc_id = f.first_doc
+         |        GROUP BY g.doc_id)
+         |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+         |  CAST(coalesce(v.nn, 0) AS BIGINT) AS n_novel,
+         |  CAST((10000 * coalesce(v.nn, 0)) // t.n_grams AS BIGINT) AS novel_bp
+         |FROM tot t LEFT JOIN nov v USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // cross-language 3-shingle contamination — mirrors CorpusStats
+    // .crosslangOverlap (distinct (lang, shingle) pairs, lang_a < lang_b)
+    "crosslang_overlap" ->
+      """WITH w0 AS (SELECT doc_id, lang,
+        |              unnest(string_split(coalesce(text,''), ' ')) AS word,
+        |              generate_subscripts(string_split(coalesce(text,''), ' '), 1) AS pos
+        |            FROM documents),
+        |words AS (SELECT * FROM w0 WHERE length(word) > 0),
+        |sh0 AS (SELECT doc_id, lang, pos, word,
+        |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |       FROM words),
+        |sl AS (SELECT DISTINCT lang, word || ' ' || w1 || ' ' || w2 AS shingle
+        |       FROM sh0 WHERE w2 IS NOT NULL),
+        |sz AS (SELECT lang, count(*) AS n_sh FROM sl GROUP BY lang),
+        |sh AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+        |       FROM sl a JOIN sl b ON a.shingle = b.shingle AND a.lang < b.lang
+        |       GROUP BY a.lang, b.lang)
+        |SELECT lang_a, lang_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(za.n_sh AS BIGINT) AS n_a, CAST(zb.n_sh AS BIGINT) AS n_b,
+        |  CAST((10000 * n_shared) // least(za.n_sh, zb.n_sh) AS BIGINT) AS overlap_bp
+        |FROM sh JOIN sz za ON lang_a = za.lang JOIN sz zb ON lang_b = zb.lang
+        |ORDER BY lang_a, lang_b""".stripMargin
   )
 }

@@ -354,7 +354,14 @@ object SparkEntry {
     // shuffle-key health: hot-key skew factor per real join key
     "join_skew_report" -> (Skew.joinSkewReport _),
     // Pareto front (min price, max size) via banded prefix-max, no O(n²)
-    "skyline_parts" -> (Skyline.skylineParts _)
+    "skyline_parts" -> (Skyline.skylineParts _),
+    // --- round-9 corpus-composition audit wave ---
+    // Zipf head concentration: top-100 token share per lang (GroupTopK)
+    "token_head_share" -> (CorpusStats.tokenHeadShare _),
+    // ingest-order novelty: share of 8-gram positions first owned here
+    "ingest_novelty" -> (CorpusStats.ingestNovelty _),
+    // cross-language shingle contamination, bounded by the lang domain
+    "crosslang_overlap" -> (CorpusStats.crosslangOverlap _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -503,4 +503,107 @@ object CorpusStats {
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
   }
+
+  /** Zipf head concentration per language: how much of the token mass
+    * the top-100 word types own (integer basis points). The number a
+    * curation pass reads before trusting token-level statistics — a
+    * boilerplate-heavy or templated slice concentrates mass in the
+    * head; natural text doesn't (cf. the 30× gram profile in
+    * BASELINE.md, which made exactly this measurement for the
+    * substring_dedup stop-list call — here it is a first-class verified
+    * query). Reference: the crawl-statistics report surface
+    * (commands/extract.md:92-155), corpus-wide.
+    *
+    * Plan: (lang, word) counts via two-phase hash agg, the top-100 per
+    * lang rides the native [[graft.plans.GroupTopK]] bounded heap (no
+    * per-lang sort of the whole vocabulary), totals join back keyed by
+    * lang. Output bounded by the lang domain.
+    */
+  def tokenHeadShare(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(Shingles.wordArray(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+    val top = graft.plans.GroupTopK.topK(counts, Seq("lang"),
+      Seq(("n", false), ("word", true)), 100)
+    val head = top.groupBy(col("lang"))
+      .agg(sum(col("n")).as("head_occ"), count(lit(1)).as("n_head"))
+    val tot = counts.groupBy(col("lang"))
+      .agg(sum(col("n")).as("total_occ"), count(lit(1)).as("n_types"))
+    tot.join(head, Seq("lang"))
+      .select(col("lang"), col("n_types"), col("total_occ"), col("n_head"),
+        col("head_occ"),
+        expr("(10000 * head_occ) div total_occ").as("head_share_bp"))
+      .orderBy("lang")
+  }
+
+  /** Per-document novelty under ingest order (doc_id as arrival time):
+    * the share of a doc's 8-gram positions whose gram appears in NO
+    * earlier document — the marginal-new-content curve dataset curation
+    * watches to decide when a source is mined out. Distinct from BOTH
+    * neighbors: [[Dedup.substringDedup]] asks "is this span repeated
+    * anywhere", [[TextAnalysis.ngramNovelty]] asks "is this shingle
+    * unique to the doc" (order-free df==1); this asks "did THIS doc
+    * bring it first" — the only one of the three that changes when the
+    * corpus is reordered, which is what makes it the mined-out curve.
+    * All-integer output.
+    *
+    * Plan: same sorted-ngram-table discipline as substring_dedup — one
+    * gram-keyed agg for first owners (min doc_id), one gram+owner
+    * equi-join back, one doc-keyed agg; no pair join, no window over
+    * the gram stream. Docs with <8 words have no gram positions and
+    * are excluded, exactly like substring_dedup.
+    */
+  def ingestNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Shingles.wordShingles(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), 8)
+      .select(col("doc_id"), col("shingle"))
+    val firstOwner = grams.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val tot = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val novel = grams
+      .join(firstOwner, grams("shingle") === firstOwner("shingle") &&
+        grams("doc_id") === firstOwner("first_doc"))
+      .groupBy(grams("doc_id")).agg(count(lit(1)).as("nn"))
+    tot.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("nn"), lit(0L)))
+      .withColumn("novel_bp", expr("(10000 * n_novel) div n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novel_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-language contamination audit: for every language pair, the
+    * number of distinct 3-shingles present in BOTH languages and the
+    * overlap coefficient (shared / smaller side, basis points). High
+    * overlap between languages flags mislabeled documents or
+    * copy-translated boilerplate — the check a multilingual mix runs
+    * before trusting per-language statistics (lang-id eval's corpus-
+    * level complement).
+    *
+    * Plan: distinct (lang, shingle) pairs, then a shingle-keyed
+    * self-join — per shingle the match set is bounded by the LANGUAGE
+    * domain (not the corpus), so the join output is ≤ langs² rows per
+    * shingle and the result is bounded by the lang-pair domain. Never
+    * a doc-pair join.
+    */
+  def crosslangOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sl = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(array_distinct(Shingles.shingleArray(col("text"), 3)))
+          .as("shingle"))
+      .distinct()
+    val sizes = sl.groupBy(col("lang")).agg(count(lit(1)).as("n_sh"))
+    val shared = sl.as("a").join(sl.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("lang").as("lang_a"), col("n_sh").as("n_a"))),
+        Seq("lang_a"))
+      .join(broadcast(sizes.select(col("lang").as("lang_b"), col("n_sh").as("n_b"))),
+        Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("n_shared"), col("n_a"), col("n_b"),
+        expr("(10000 * n_shared) div least(n_a, n_b)").as("overlap_bp"))
+      .orderBy("lang_a", "lang_b")
+  }
 }

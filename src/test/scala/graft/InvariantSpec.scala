@@ -241,6 +241,37 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("round-9 composition wave: novelty bounds + first-doc=10000, head-share bounds, overlap coefficient bounds") {
+    val dir = "/root/testdata/sf0.001"
+    // ingest_novelty: bounds hold and the earliest doc with grams is
+    // 100% novel by construction (nothing precedes it)
+    val nov = SparkEntry.queries("ingest_novelty")(spark, dir)
+      .select("doc_id", "n_grams", "n_novel", "novel_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(nov.nonEmpty)
+    nov.foreach { case (d, g, n, bp) =>
+      assert(n >= 0 && n <= g && bp >= 0 && bp <= 10000, s"doc $d: $n/$g bp=$bp")
+    }
+    assert(nov.minBy(_._1)._4 == 10000L, "first ingested doc must be all-novel")
+    // token_head_share: head is a subset of the vocabulary and of the mass
+    val ths = SparkEntry.queries("token_head_share")(spark, dir)
+      .select("n_types", "total_occ", "n_head", "head_occ", "head_share_bp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(ths.nonEmpty)
+    ths.foreach { case (ty, to, nh, ho, bp) =>
+      assert(nh <= 100 && nh <= ty && ho <= to && bp <= 10000,
+        s"head bounds: types=$ty tot=$to n_head=$nh head=$ho bp=$bp")
+    }
+    // crosslang_overlap: coefficient bounded by the smaller side
+    val cl = SparkEntry.queries("crosslang_overlap")(spark, dir)
+      .select("n_shared", "n_a", "n_b", "overlap_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(cl.nonEmpty)
+    cl.foreach { case (s, a, b, bp) =>
+      assert(s <= math.min(a, b) && bp <= 10000, s"overlap: $s vs ($a,$b) bp=$bp")
+    }
+  }
+
   test("bloom prefilter == exact anti-join on a random url corpus") {
     // seeded-random frontier/visited with overlaps, unicode, near-misses
     val urls = (1 to 400).map(i => s"https://d${i % 7}.example.com/p/$i") ++

@@ -552,6 +552,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       l.contains("windowspecdefinition(user_id") && l.contains("session_seq")),
       s"session_transitions lead must partition by (user, session):\n$st")
     assert(!st.contains("NestedLoop") && !st.contains("CartesianProduct"), st)
+    // --- round-9 corpus-composition wave ---
+    // token_head_share: the per-lang top-100 rides the native bounded
+    // heap (Partial+final GroupTopK), never a full vocabulary window sort
+    val th = plan("token_head_share")
+    assert(th.contains("PartialGroupTopK") && th.contains("GroupTopK"),
+      s"token_head_share missed the GroupTopK rewrite:\n$th")
+    assert(!th.contains("Window"), s"token_head_share kept a window:\n$th")
+    // ingest_novelty: sorted-ngram-table discipline — gram/doc keyed
+    // equi-joins only, no window over the gram stream, no pair join
+    val in9 = plan("ingest_novelty")
+    assert(!in9.contains("NestedLoop") && !in9.contains("CartesianProduct"),
+      s"ingest_novelty lost its keyed joins:\n$in9")
+    // crosslang_overlap: the contamination join is an equi-join on
+    // shingle (per-shingle match set bounded by the lang domain)
+    val cl = plan("crosslang_overlap")
+    assert(!cl.contains("NestedLoop") && !cl.contains("CartesianProduct"),
+      s"crosslang_overlap lost its shingle equi-join:\n$cl")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
