@@ -44,7 +44,10 @@ object ScaleCheck {
     "source_overlap", "dedup_sweep", "mmr_diversify", "bigram_next",
     // round-8 word-explode additions: the Gopher gate's bigram GroupTopK
     // and the LM-score model × corpus join
-    "gopher_rules", "lm_score")
+    "gopher_rules", "lm_score",
+    // round-9 composition wave: gram-keyed first-owner join, per-lang
+    // vocabulary GroupTopK, lang-pair shingle contamination
+    "ingest_novelty", "token_head_share", "crosslang_overlap")
 
   private def caesar(r: Int): (String, String) = {
     val a = "abcdefghijklmnopqrstuvwxyz"
