@@ -4330,6 +4330,70 @@ object Oracles {
         |  CAST(za.n_sh AS BIGINT) AS n_a, CAST(zb.n_sh AS BIGINT) AS n_b,
         |  CAST((10000 * n_shared) // least(za.n_sh, zb.n_sh) AS BIGINT) AS overlap_bp
         |FROM sh JOIN sz za ON lang_a = za.lang JOIN sz zb ON lang_b = zb.lang
-        |ORDER BY lang_a, lang_b""".stripMargin
+        |ORDER BY lang_a, lang_b""".stripMargin,
+
+    // ---- round-9 mix-construction wave ----
+
+    // deterministic stratified sample — mirrors CorpusStats
+    // .stratifiedSample (md5(doc_id) pick order, integer allocation,
+    // floor 1 per stratum)
+    "stratified_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |             md5(CAST(doc_id AS VARCHAR)) AS pick_key
+        |           FROM documents),
+        |s AS (SELECT lang, count(*) AS n_lang FROM d GROUP BY lang),
+        |t AS (SELECT sum(n_lang) AS n_total FROM s),
+        |a AS (SELECT lang, greatest(1, (100 * n_lang) // n_total) AS n_alloc
+        |      FROM s, t),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY pick_key, doc_id) AS rn
+        |      FROM d)
+        |SELECT r.lang, CAST(rn AS INT) AS rn, doc_id,
+        |  CAST(n_alloc AS BIGINT) AS n_alloc
+        |FROM r JOIN a ON r.lang = a.lang
+        |WHERE rn <= n_alloc
+        |ORDER BY r.lang, rn""".stripMargin,
+
+    // Herfindahl source concentration — mirrors CorpusStats
+    // .hhiConcentration (shares in integer bp, summed squares)
+    "hhi_concentration" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n_cell
+        |           FROM documents GROUP BY lang, source),
+        |w AS (SELECT *, sum(n_cell) OVER (PARTITION BY lang) AS n_docs FROM c),
+        |b AS (SELECT *, (10000 * n_cell) // n_docs AS share_bp FROM w)
+        |SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // winsorized aggregates — mirrors Events.winsorizeValues (exact
+    // histogram-rank P1/P99 clamp, integer-cents sums and mean)
+    "winsorize_values" ->
+      """WITH h AS (SELECT event_type,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |             count(*) AS cnt
+        |           FROM events GROUP BY event_type, cents),
+        |c AS (SELECT *,
+        |        CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM h),
+        |b AS (SELECT *, cum - cnt AS cum_before FROM c),
+        |p AS (SELECT event_type,
+        |        max(CASE WHEN (n * 1 + 99) // 100 > cum_before
+        |                  AND (n * 1 + 99) // 100 <= cum THEN cents END) AS p1,
+        |        max(CASE WHEN (n * 99 + 99) // 100 > cum_before
+        |                  AND (n * 99 + 99) // 100 <= cum THEN cents END) AS p99
+        |      FROM b GROUP BY event_type),
+        |v AS (SELECT e.event_type,
+        |        CAST(round(e.value * 100, 0) AS BIGINT) AS cents, p.p1, p.p99
+        |      FROM events e JOIN p ON e.event_type = p.event_type)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN cents < p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+        |  CAST(sum(CASE WHEN cents > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+        |  CAST(max(p1) AS BIGINT) AS p1_c, CAST(max(p99) AS BIGINT) AS p99_c,
+        |  CAST(sum(greatest(p1, least(p99, cents))) // count(*) AS BIGINT) AS wmean_c
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

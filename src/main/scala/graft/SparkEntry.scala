@@ -361,7 +361,14 @@ object SparkEntry {
     // ingest-order novelty: share of 8-gram positions first owned here
     "ingest_novelty" -> (CorpusStats.ingestNovelty _),
     // cross-language shingle contamination, bounded by the lang domain
-    "crosslang_overlap" -> (CorpusStats.crosslangOverlap _)
+    "crosslang_overlap" -> (CorpusStats.crosslangOverlap _),
+    // --- round-9 mix-construction wave ---
+    // proportional per-lang budget, md5-ordered deterministic pick
+    "stratified_sample" -> (CorpusStats.stratifiedSample _),
+    // Herfindahl source-concentration per lang (diversity gate)
+    "hhi_concentration" -> (CorpusStats.hhiConcentration _),
+    // robust clamped aggregates at exact P1/P99 (integer cents)
+    "winsorize_values" -> (Events.winsorizeValues _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

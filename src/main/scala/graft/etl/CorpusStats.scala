@@ -572,6 +572,64 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sampling: a fixed 100-doc budget
+    * allocated across languages proportionally to their corpus share
+    * (integer div, every stratum floored at 1), with the within-stratum
+    * pick ordered by md5(doc_id) — a reproducible pseudo-random order
+    * both engines compute bit-identically, so the "random" sample is
+    * exact-verifiable (same trick as the md5 MinHash tier). This is
+    * the mix-construction primitive: downsample a 100 TB corpus to a
+    * budget while preserving language composition, deterministically
+    * enough to re-run byte-identically.
+    *
+    * Plan: per-lang counts (tiny) broadcast-join the allocation; the
+    * per-stratum pick rides the native [[graft.plans.GroupTopK]]
+    * bounded heap at k=100 (the budget bounds any stratum's heap),
+    * then filters rank ≤ allocation. No global sort, no window over
+    * the corpus.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val target = 100L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("pick_key"))
+    val strata = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val tot = strata.agg(sum(col("n_lang")).as("n_total"))
+    val alloc = strata.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_lang"),
+        greatest(lit(1L), expr(s"($target * n_lang) div n_total")).as("n_alloc"))
+    graft.plans.GroupTopK.topK(docs, Seq("lang"),
+        Seq(("pick_key", true), ("doc_id", true)), target.toInt)
+      .join(broadcast(alloc), Seq("lang"))
+      .filter(col("rn") <= col("n_alloc"))
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_alloc"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Source-concentration index (Herfindahl–Hirschman) per language:
+    * the sum over sources of squared corpus-share basis points —
+    * 10⁸ = a single-source monoculture, 10⁸/k = k equal sources. The
+    * diversity gate a mix owner reads next to [[mixWeights]]: a lang
+    * slice whose HHI spikes is one takedown away from losing its
+    * coverage. Integer end to end (shares via div, squares of bigints).
+    *
+    * Plan: one (lang, source) count agg, per-lang totals as a window
+    * over the tiny agg frame, one more keyed agg — output bounded by
+    * the lang domain.
+    */
+  def hhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_cell"))
+    val wLang = Window.partitionBy(col("lang"))
+    cells.withColumn("n_docs", sum(col("n_cell")).over(wLang))
+      .withColumn("share_bp", expr("(10000 * n_cell) div n_docs"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(expr("share_bp * share_bp")).as("hhi"))
+      .orderBy("lang")
+  }
+
   /** Cross-language contamination audit: for every language pair, the
     * number of distinct 3-shingles present in BOTH languages and the
     * overlap coefficient (shared / smaller side, basis points). High

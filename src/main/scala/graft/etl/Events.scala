@@ -369,6 +369,52 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Winsorized per-type aggregates: clamp values at the exact P1/P99
+    * (histogram-rank selection, same machinery as
+    * [[latencyPercentiles]]) and report the robust mean alongside the
+    * clip counts — the CLEANED statistic a monitoring pipeline
+    * publishes where a raw mean would be one stuck sensor away from
+    * garbage ([[outlierMad]] flags the outliers; this produces the
+    * aggregate that survives them). All integer cents: the clamp
+    * bounds are actual data values, comparisons and sums are exact in
+    * both engines, the mean is an integer div.
+    *
+    * Plan: two scans (bounds from the per-type histogram, then the
+    * clamped agg) with the 1-row-per-type bounds broadcast back — the
+    * hourly-histogram discipline, never a window over raw events.
+    */
+  def winsorizeValues(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+    val hist = vals.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    def rankFor(pct: Int) = expr(s"(n * $pct + 99) div 100")
+    def valueAt(pct: Int) =
+      max(when(rankFor(pct) > col("cum_before") && rankFor(pct) <= col("cum"),
+        col("cents"))).as(s"p$pct")
+    val bounds = cum.groupBy(col("event_type")).agg(valueAt(1), valueAt(99))
+    vals.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("w", greatest(col("p1"), least(col("p99"), col("cents"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("cents") < col("p1"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("cents") > col("p99"), 1L).otherwise(0L)).as("n_clip_high"),
+        max(col("p1")).as("p1_c"), max(col("p99")).as("p99_c"),
+        sum(col("w")).as("wsum_c"))
+      .withColumn("wmean_c", expr("wsum_c div n_events"))
+      .select(col("event_type"), col("n_events"), col("n_clip_low"),
+        col("n_clip_high"), col("p1_c"), col("p99_c"), col("wmean_c"))
+      .orderBy("event_type")
+  }
+
   /** Robust per-type outlier report: median / MAD (median absolute
     * deviation) of event value via the exact histogram-rank method,
     * then the classic robust cut |x − med| > 3·MAD. Mean/stddev break

@@ -270,6 +270,36 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     cl.foreach { case (s, a, b, bp) =>
       assert(s <= math.min(a, b) && bp <= 10000, s"overlap: $s vs ($a,$b) bp=$bp")
     }
+    // stratified_sample: every stratum delivers exactly its allocation
+    // (strata are larger than their allocation at every committed SF)
+    // and the total stays within the budget + per-stratum floors
+    val samp = SparkEntry.queries("stratified_sample")(spark, dir)
+      .select("lang", "rn", "n_alloc").as[(String, Int, Long)].collect()
+    val perLang = samp.groupBy(_._1)
+    perLang.foreach { case (l, rows) =>
+      assert(rows.length.toLong == rows.head._3, s"$l: ${rows.length} != alloc")
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length), s"$l ranks gapless")
+    }
+    val totalAlloc = perLang.values.map(_.head._3).sum
+    assert(totalAlloc >= 95 && totalAlloc <= 100 + perLang.size,
+      s"allocation drifted from the budget: $totalAlloc")
+    // winsorize_values: mean inside the clamp bounds, clip mass <= ~2%
+    val wv = SparkEntry.queries("winsorize_values")(spark, dir)
+      .select("n_events", "n_clip_low", "n_clip_high", "p1_c", "p99_c", "wmean_c")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(wv.nonEmpty)
+    wv.foreach { case (n, lo, hi, p1, p99, m) =>
+      assert(p1 <= p99 && m >= p1 && m <= p99, s"mean $m outside [$p1,$p99]")
+      assert(lo + hi <= n / 50 + 2, s"clip mass $lo+$hi too large for n=$n")
+    }
+    // hhi: bounded by the monoculture ceiling and the equal-share floor
+    val hhi = SparkEntry.queries("hhi_concentration")(spark, dir)
+      .select("n_sources", "hhi").as[(Long, Long)].collect()
+    assert(hhi.nonEmpty)
+    hhi.foreach { case (k, h) =>
+      assert(h <= 100000000L && h >= 100000000L / k - 20000 * k,
+        s"hhi $h out of bounds for k=$k")
+    }
   }
 
   test("bloom prefilter == exact anti-join on a random url corpus") {
