@@ -189,7 +189,15 @@ object Oracles {
        |s AS (SELECT qid, cid$extraCols,
        |             round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM d)""".stripMargin
 
-  val all: Map[String, String] = Map(
+  // Built from a Seq with a duplicate-key require (same rationale as
+  // SparkEntry.queryList): a Map literal keeps the last entry silently.
+  val all: Map[String, String] = {
+    val dups = oracleList.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate oracle keys: ${dups.mkString(", ")}")
+    oracleList.toMap
+  }
+
+  private def oracleList: Seq[(String, String)] = Seq(
 
     // ---- core relational ----
     "q1_agg" ->
@@ -4337,7 +4345,7 @@ object Oracles {
     // deterministic stratified sample — mirrors CorpusStats
     // .stratifiedSample (md5(doc_id) pick order, integer allocation,
     // floor 1 per stratum)
-    "stratified_sample" ->
+    "budget_sample" ->
       """WITH d AS (SELECT doc_id, lang,
         |             md5(CAST(doc_id AS VARCHAR)) AS pick_key
         |           FROM documents),

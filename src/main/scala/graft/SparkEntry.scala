@@ -33,8 +33,21 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ north-star
     * extensions). Keys match Oracles.all (simhash & co. included there;
     * anything without an oracle gets the driver's rows-only check).
+    *
+    * Built from a Seq, NOT a Map literal: a Map literal silently keeps
+    * the LAST entry on a duplicate key, which in round 9 let a new
+    * query shadow an existing one (both sides stayed green because the
+    * oracle shadowed identically — the surface just silently shrank by
+    * one). The require turns that mistake into a loud failure in every
+    * test and main.
     */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val dups = queryList.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate query keys: ${dups.mkString(", ")}")
+    queryList.toMap
+  }
+
+  private def queryList: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // core relational
     "q1_agg"              -> (Relational.q1Agg _),
     "q3_topk"             -> (Relational.q3TopK _),
@@ -364,7 +377,7 @@ object SparkEntry {
     "crosslang_overlap" -> (CorpusStats.crosslangOverlap _),
     // --- round-9 mix-construction wave ---
     // proportional per-lang budget, md5-ordered deterministic pick
-    "stratified_sample" -> (CorpusStats.stratifiedSample _),
+    "budget_sample" -> (CorpusStats.budgetSample _),
     // Herfindahl source-concentration per lang (diversity gate)
     "hhi_concentration" -> (CorpusStats.hhiConcentration _),
     // robust clamped aggregates at exact P1/P99 (integer cents)

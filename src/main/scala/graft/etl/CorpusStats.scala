@@ -588,7 +588,7 @@ object CorpusStats {
     * then filters rank ≤ allocation. No global sort, no window over
     * the corpus.
     */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+  def budgetSample(spark: SparkSession, dir: String): DataFrame = {
     val target = 100L
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),

@@ -26,4 +26,14 @@ class AnalysisGuardSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(bad.isEmpty, s"${bad.size} queries fail analysis:\n" + bad.mkString("\n"))
   }
+
+  test("query and oracle key sets are identical (no orphan on either side)") {
+    // the round-9 lesson behind SparkEntry.queryList's duplicate guard:
+    // a shadowed key shrinks both maps IDENTICALLY, so only an explicit
+    // parity + count check catches surface drift
+    val q = SparkEntry.queries.keySet
+    val o = Oracles.all.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
 }

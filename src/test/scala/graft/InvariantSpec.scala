@@ -270,10 +270,10 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     cl.foreach { case (s, a, b, bp) =>
       assert(s <= math.min(a, b) && bp <= 10000, s"overlap: $s vs ($a,$b) bp=$bp")
     }
-    // stratified_sample: every stratum delivers exactly its allocation
+    // budget_sample: every stratum delivers exactly its allocation
     // (strata are larger than their allocation at every committed SF)
     // and the total stays within the budget + per-stratum floors
-    val samp = SparkEntry.queries("stratified_sample")(spark, dir)
+    val samp = SparkEntry.queries("budget_sample")(spark, dir)
       .select("lang", "rn", "n_alloc").as[(String, Int, Long)].collect()
     val perLang = samp.groupBy(_._1)
     perLang.foreach { case (l, rows) =>

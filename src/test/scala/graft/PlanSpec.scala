@@ -570,14 +570,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!cl.contains("NestedLoop") && !cl.contains("CartesianProduct"),
       s"crosslang_overlap lost its shingle equi-join:\n$cl")
     // --- round-9 mix-construction wave ---
-    // stratified_sample: the per-stratum pick rides the GroupTopK heap
+    // budget_sample: the per-stratum pick rides the GroupTopK heap
     // (never a corpus window sort) and the allocation side broadcasts
-    val ss = plan("stratified_sample")
+    val ss = plan("budget_sample")
     assert(ss.contains("PartialGroupTopK") && ss.contains("GroupTopK"),
-      s"stratified_sample missed the GroupTopK rewrite:\n$ss")
-    assert(!ss.contains("Window"), s"stratified_sample kept a window:\n$ss")
+      s"budget_sample missed the GroupTopK rewrite:\n$ss")
+    assert(!ss.contains("Window"), s"budget_sample kept a window:\n$ss")
     assert(ss.contains("BroadcastHashJoin"),
-      s"stratified_sample must broadcast the allocation:\n$ss")
+      s"budget_sample must broadcast the allocation:\n$ss")
     // winsorize_values: the P1/P99 bounds (1 row per type) broadcast
     // back to the event stream — never the other way around
     val wv = plan("winsorize_values")
