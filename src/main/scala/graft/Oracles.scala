@@ -84,6 +84,28 @@ object Oracles {
       |  FROM documents),
       |words AS (SELECT * FROM w0 WHERE length(word) > 0)""".stripMargin
 
+  /** 5-gram shingles with the source carried — grams5(doc_id, source,
+    * gram); matches Shingles.shingleArray(_, 5) over non-empty words.
+    */
+  val Gram5SrcCte: String =
+    """WITH w0 AS (
+      |  SELECT doc_id, source,
+      |         unnest(string_split(coalesce(text,''), ' ')) AS word,
+      |         generate_subscripts(string_split(coalesce(text,''), ' '), 1) AS pos
+      |  FROM documents),
+      |words5 AS (SELECT * FROM w0 WHERE length(word) > 0),
+      |sh5 AS (
+      |  SELECT doc_id, source, pos, word,
+      |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+      |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+      |         lead(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
+      |         lead(word, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4
+      |  FROM words5),
+      |grams5 AS (
+      |  SELECT doc_id, source,
+      |         word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS gram
+      |  FROM sh5 WHERE w4 IS NOT NULL)""".stripMargin
+
   val Shingle3Cte: String = WordsCte + """,
       |sh0 AS (
       |  SELECT doc_id, pos, word,
@@ -4402,6 +4424,144 @@ object Oracles {
         |  CAST(sum(CASE WHEN cents > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
         |  CAST(max(p1) AS BIGINT) AS p1_c, CAST(max(p99) AS BIGINT) AS p99_c,
         |  CAST(sum(greatest(p1, least(p99, cents))) // count(*) AS BIGINT) AS wmean_c
-        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // ---- round-9 graph-curation wave ----
+    // mutual-kNN graph — mirrors GraphCuration.knnGraph (sign-bucket
+    // blocked top-5 lists, symmetrized by reciprocal membership)
+    "knn_graph" -> {
+      val p =
+        """b AS (SELECT vec_id, embedding,
+          |        CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+          |             (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+          |             (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+          |      FROM embeddings),
+          |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+          |      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)""".stripMargin
+      s"""WITH ${cosineFrom(p, "")},
+         |r AS (SELECT qid, cid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+         |      FROM s),
+         |k AS (SELECT qid, cid, cos FROM r WHERE rk <= 5)
+         |SELECT a.qid AS src, a.cid AS dst, a.cos
+         |FROM k a JOIN k m ON a.qid = m.cid AND a.cid = m.qid
+         |WHERE a.qid < a.cid ORDER BY src, dst""".stripMargin
+    },
+
+    // label propagation over the mutual-kNN graph — mirrors
+    // GraphCuration.labelProp (clamped seeds, 2 unrolled majority
+    // rounds, ties count desc then label asc)
+    "label_prop" -> {
+      val p =
+        """b AS (SELECT vec_id, embedding,
+          |        CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+          |             (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+          |             (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+          |      FROM embeddings),
+          |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+          |      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)""".stripMargin
+      s"""WITH ${cosineFrom(p, "")},
+         |r AS (SELECT qid, cid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+         |      FROM s),
+         |k AS (SELECT qid, cid FROM r WHERE rk <= 5),
+         |eg AS (SELECT a.qid AS src, a.cid AS dst
+         |       FROM k a JOIN k m ON a.qid = m.cid AND a.cid = m.qid
+         |       WHERE a.qid < a.cid),
+         |adj AS (SELECT src AS node, dst AS nbr FROM eg
+         |        UNION ALL SELECT dst AS node, src AS nbr FROM eg),
+         |seeds AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS lp_label,
+         |            0 AS lp_round
+         |          FROM embeddings WHERE vec_id % 4 = 0),
+         |v1 AS (SELECT adj.node, s.lp_label, count(*) AS n
+         |       FROM adj JOIN seeds s ON adj.nbr = s.node
+         |       WHERE adj.node NOT IN (SELECT node FROM seeds)
+         |       GROUP BY adj.node, s.lp_label),
+         |w1 AS (SELECT node, lp_label,
+         |         row_number() OVER (PARTITION BY node ORDER BY n DESC, lp_label) AS rk
+         |       FROM v1),
+         |l1 AS (SELECT node, lp_label, lp_round FROM seeds
+         |       UNION ALL
+         |       SELECT node, lp_label, 1 AS lp_round FROM w1 WHERE rk = 1),
+         |v2 AS (SELECT adj.node, l.lp_label, count(*) AS n
+         |       FROM adj JOIN l1 l ON adj.nbr = l.node
+         |       WHERE adj.node NOT IN (SELECT node FROM l1)
+         |       GROUP BY adj.node, l.lp_label),
+         |w2 AS (SELECT node, lp_label,
+         |         row_number() OVER (PARTITION BY node ORDER BY n DESC, lp_label) AS rk
+         |       FROM v2),
+         |l2 AS (SELECT node, lp_label, lp_round FROM l1
+         |       UNION ALL
+         |       SELECT node, lp_label, 2 AS lp_round FROM w2 WHERE rk = 1)
+         |SELECT node AS vec_id, lp_round, lp_label FROM l2 ORDER BY vec_id""".stripMargin
+    },
+
+    // 3-core after 3 peel rounds — mirrors GraphCuration.kcore
+    // (undirected simple graph from the crawl edge list)
+    "kcore" ->
+      """WITH cnt AS (SELECT count(*) AS c FROM customer),
+        |e0 AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,
+        |                       CAST(o_orderkey % c AS BIGINT) AS dst
+        |       FROM orders, cnt),
+        |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM e0 WHERE src <> dst),
+        |d1 AS (SELECT node, count(*) AS deg FROM
+        |         (SELECT a AS node FROM u0 UNION ALL SELECT b AS node FROM u0)
+        |       GROUP BY node),
+        |k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+        |u1 AS (SELECT a, b FROM u0
+        |       WHERE a IN (SELECT node FROM k1) AND b IN (SELECT node FROM k1)),
+        |d2 AS (SELECT node, count(*) AS deg FROM
+        |         (SELECT a AS node FROM u1 UNION ALL SELECT b AS node FROM u1)
+        |       GROUP BY node),
+        |k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+        |u2 AS (SELECT a, b FROM u1
+        |       WHERE a IN (SELECT node FROM k2) AND b IN (SELECT node FROM k2)),
+        |d3 AS (SELECT node, count(*) AS deg FROM
+        |         (SELECT a AS node FROM u2 UNION ALL SELECT b AS node FROM u2)
+        |       GROUP BY node),
+        |k3 AS (SELECT node FROM d3 WHERE deg >= 3),
+        |u3 AS (SELECT a, b FROM u2
+        |       WHERE a IN (SELECT node FROM k3) AND b IN (SELECT node FROM k3))
+        |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT a AS node FROM u3 UNION ALL SELECT b AS node FROM u3)
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    // ---- round-9 boilerplate wave ----
+    // per-source template-gram profile — mirrors Boilerplate
+    // .boilerplateNgrams (5-grams, threshold 10·df >= 3·n_docs)
+    "boilerplate_ngrams" ->
+      (Gram5SrcCte + """,
+        |df AS (SELECT source, gram, count(DISTINCT doc_id) AS df, count(*) AS occ
+        |       FROM grams5 GROUP BY source, gram),
+        |sd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |j AS (SELECT d.source, d.df, d.occ, s.n_docs,
+        |        CASE WHEN 10 * d.df >= 3 * s.n_docs THEN 1 ELSE 0 END AS is_boiler
+        |      FROM df d JOIN sd s ON d.source = s.source)
+        |SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(is_boiler) AS BIGINT) AS n_boiler,
+        |  CAST(sum(occ) AS BIGINT) AS n_occ,
+        |  CAST((10000 * sum(CASE WHEN is_boiler = 1 THEN occ ELSE 0 END)) // sum(occ)
+        |    AS BIGINT) AS boiler_occ_bp
+        |FROM j GROUP BY source ORDER BY source""".stripMargin),
+
+    // per-doc strip-mass audit — mirrors Boilerplate.boilerplateStrip
+    "boilerplate_strip" ->
+      (Gram5SrcCte + """,
+        |df AS (SELECT source, gram, count(DISTINCT doc_id) AS df
+        |       FROM grams5 GROUP BY source, gram),
+        |sd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |b AS (SELECT d.source, d.gram FROM df d JOIN sd s ON d.source = s.source
+        |      WHERE 10 * d.df >= 3 * s.n_docs),
+        |pos AS (SELECT g.doc_id, count(*) AS n_pos,
+        |         sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler_pos
+        |       FROM grams5 g LEFT JOIN b
+        |         ON g.source = b.source AND g.gram = b.gram
+        |       GROUP BY g.doc_id)
+        |SELECT doc_id, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_boiler_pos AS BIGINT) AS n_boiler_pos,
+        |  CAST((10000 * n_boiler_pos) // n_pos AS BIGINT) AS boiler_bp
+        |FROM pos ORDER BY doc_id""".stripMargin)
   )
 }

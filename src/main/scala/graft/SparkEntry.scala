@@ -381,7 +381,19 @@ object SparkEntry {
     // Herfindahl source-concentration per lang (diversity gate)
     "hhi_concentration" -> (CorpusStats.hhiConcentration _),
     // robust clamped aggregates at exact P1/P99 (integer cents)
-    "winsorize_values" -> (Events.winsorizeValues _)
+    "winsorize_values" -> (Events.winsorizeValues _),
+    // --- round-9 graph-curation wave ---
+    // mutual-kNN graph over embeddings (sign-bucket blocked, top-5)
+    "knn_graph" -> (GraphCuration.knnGraph _),
+    // semi-supervised label propagation across the mutual-kNN graph
+    "label_prop" -> (GraphCuration.labelProp _),
+    // 3-core peel of the crawl link graph (recrawl-priority core)
+    "kcore" -> (GraphCuration.kcore _),
+    // --- round-9 boilerplate wave ---
+    // per-source template-gram profile (C4-style site boilerplate)
+    "boilerplate_ngrams" -> (Boilerplate.boilerplateNgrams _),
+    // per-doc boilerplate strip-mass audit
+    "boilerplate_strip" -> (Boilerplate.boilerplateStrip _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -1,0 +1,145 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions.{dotF, normF}
+
+/** Graph-based corpus curation: the kNN-graph family a large-scale
+  * training-data pipeline builds ON TOP of ANN search — a mutual
+  * nearest-neighbor graph over the embedding space, semi-supervised
+  * label propagation across it (expanding scarce quality/domain labels
+  * to the whole corpus, the SemDeDup/DataComp-style "label the cheap
+  * way" step), and k-core decomposition of the crawl link graph (the
+  * reference's page graph, crawler-coordinator.md:128-159) to find the
+  * densely-linked core worth recrawling vs the peel-off fringe.
+  *
+  * Scale posture, per operator:
+  *  - [[knnGraph]]: the pair join is SIGN-BUCKET-blocked (the
+  *    [[Similarity.signBucket]] cells — 8 cells here, 256-4096 in
+  *    production with the same expression), never all-pairs; top-k is a
+  *    per-node window over node-keyed partitions; the mutuality check
+  *    is a self-join on the (node, nbr) pair key — all shuffle keys
+  *    high-cardinality.
+  *  - [[labelProp]]: each round is one edge-keyed join (votes flow
+  *    along edges) + one node-keyed majority agg. Rounds are UNROLLED
+  *    at 2; raising past ~4 requires per-round localCheckpoint() per
+  *    the repo fixpoint rule (CLAUDE.md; dedup_components 43s→3s).
+  *  - [[kcore]]: the classic distributed peel — recompute degrees,
+  *    drop nodes below k, restrict edges by semi-join; 3 unrolled
+  *    rounds (same checkpoint caveat). Each round is a node-keyed agg
+  *    plus two semi-joins, no broadcast of anything data-sized.
+  *
+  * Determinism: cosines round to 4dp (irrational-value rule); all
+  * ranks break ties on ids; votes break ties on (count desc, label
+  * asc) — total orders in both engines.
+  */
+object GraphCuration {
+
+  /** Directed top-5 cosine neighbor lists, sign-bucket-blocked. */
+  private def directedKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", normF(col("embedding")))
+      .filter(col("nrm").isNotNull)
+      .withColumn("bucket", Similarity.signBucket(col("embedding")))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("nrm").as("qn"), col("bucket").as("qb"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("bucket").as("cb"))
+    val scored = q.join(c, col("qb") === col("cb") && col("qid") =!= col("cid"))
+      .withColumn("cos",
+        round(dotF(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("cid"), col("cos"))
+  }
+
+  /** Mutual-kNN graph: an edge (src, dst) exists iff each endpoint is
+    * in the other's bucket-local top-5. Mutuality is the standard
+    * symmetrization that kills hub vectors (a hub appears in thousands
+    * of top-k lists but reciprocates only k of them).
+    */
+  def knnGraphEdges(spark: SparkSession, dir: String): DataFrame = {
+    val k = directedKnn(spark, dir)
+    val rev = k.select(col("qid").as("rqid"), col("cid").as("rcid"))
+    k.join(rev, col("qid") === col("rcid") && col("cid") === col("rqid"))
+      .filter(col("qid") < col("cid"))
+      .select(col("qid").as("src"), col("cid").as("dst"), col("cos"))
+  }
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraphEdges(spark, dir).orderBy("src", "dst")
+
+  /** Semi-supervised label propagation over the mutual-kNN graph:
+    * seeds (vec_id % 4 == 0) keep their true label (clamped); two
+    * synchronous rounds, each labeling the yet-unlabeled nodes by
+    * majority vote among their labeled neighbors (ties: count desc,
+    * label asc). Emits every node labeled by round 2 with the round
+    * that labeled it — the cheap corpus-wide label expansion run
+    * before mixture weighting (labels here are the embeddings table's
+    * cluster labels; production swaps in quality/domain annotations).
+    */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraphEdges(spark, dir)
+    // undirected adjacency
+    val adj = edges.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("node"), col("src").as("nbr")))
+    val seeds = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("node"), col("label").cast("long").as("lp_label"),
+        lit(0).as("lp_round"))
+
+    def propagate(labeled: DataFrame, roundNo: Int): DataFrame = {
+      val votes = adj
+        .join(labeled.select(col("node").as("nbr"), col("lp_label")), Seq("nbr"))
+        .join(labeled.select(col("node")), Seq("node"), "left_anti")
+        .groupBy(col("node"), col("lp_label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("n_votes").desc, col("lp_label").asc)
+      val winners = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("lp_label"), lit(roundNo).as("lp_round"))
+      labeled.unionByName(winners)
+    }
+
+    // 2 unrolled rounds; >4 needs per-round localCheckpoint() (see scaladoc)
+    val r2 = propagate(propagate(seeds, 1), 2)
+    r2.select(col("node").as("vec_id"), col("lp_round"), col("lp_label"))
+      .orderBy("vec_id")
+  }
+
+  /** 3-core of the crawl link graph after 3 peel rounds: repeatedly
+    * drop nodes with undirected degree < 3 and the edges touching
+    * them. Emits surviving nodes with their residual degree — the
+    * densely-linked core (recrawl-priority set); fringe pages peel
+    * off. 3 rounds approximates the fixpoint the way a production
+    * peel caps iterations per superstep.
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Crawl.edges(spark, dir).filter(col("src") =!= col("dst"))
+    // undirected simple edge set (canonical src < dst)
+    val und = e0.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+    def peel(edges: DataFrame): DataFrame = {
+      val deg = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= 3).select(col("node"))
+      edges
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+    }
+
+    // 3 unrolled rounds; >4 needs per-round localCheckpoint()
+    val e3 = peel(peel(peel(und)))
+    e3.select(col("a").as("node")).union(e3.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+  }
+}

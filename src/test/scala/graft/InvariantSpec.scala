@@ -351,4 +351,42 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     assert(tm.maxBy(_._1)._2 <= 0, s"largest lang not damped: ${tm.toSeq}")
     assert(tm.minBy(_._1)._2 >= 0, s"smallest lang not boosted: ${tm.toSeq}")
   }
+
+  test("round-9 graph-curation + boilerplate wave: mutual degree cap, clamped seeds, peel degrees, strip bounds") {
+    val dir = "/root/testdata/sf0.001"
+    // knn_graph: mutual symmetrization caps every node's degree at k=5
+    val eg = SparkEntry.queries("knn_graph")(spark, dir)
+      .select("src", "dst").as[(Long, Long)].collect()
+    assert(eg.forall(e => e._1 < e._2), "edges not canonical src < dst")
+    val deg = (eg.map(_._1) ++ eg.map(_._2)).groupBy(identity).values.map(_.length)
+    assert(deg.max <= 5, s"mutual-kNN degree ${deg.max} exceeds k=5")
+    // label_prop: ids unique; rounds in 0..2; seeds clamped to truth;
+    // every propagated label drawn from the true label domain
+    val lp = SparkEntry.queries("label_prop")(spark, dir)
+      .select("vec_id", "lp_round", "lp_label").as[(Long, Int, Long)].collect()
+    assert(lp.map(_._1).distinct.length == lp.length, "node labeled twice")
+    assert(lp.forall(r => r._2 >= 0 && r._2 <= 2))
+    val truth = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(lp.count(_._2 == 0) == truth.keysIterator.count(_ % 4 == 0),
+      "seed count mismatch")
+    assert(lp.filter(_._2 == 0).forall(r => truth(r._1) == r._3),
+      "a seed label drifted")
+    val dom = truth.values.toSet
+    assert(lp.forall(r => dom(r._3)), "propagated label outside domain")
+    // kcore: residual degrees positive and node set within the graph
+    val kc = SparkEntry.queries("kcore")(spark, dir)
+      .select("node", "deg").as[(Long, Long)].collect()
+    assert(kc.forall(_._2 >= 1))
+    // boilerplate: boiler grams are a subset; shares inside [0, 10000]
+    val bn = SparkEntry.queries("boilerplate_ngrams")(spark, dir)
+      .select("n_grams", "n_boiler", "boiler_occ_bp")
+      .as[(Long, Long, Long)].collect()
+    assert(bn.forall(r => r._2 <= r._1 && r._3 >= 0 && r._3 <= 10000))
+    val bs = SparkEntry.queries("boilerplate_strip")(spark, dir)
+      .select("n_pos", "n_boiler_pos", "boiler_bp")
+      .as[(Long, Long, Long)].collect()
+    assert(bs.forall(r => r._2 <= r._1 && r._3 >= 0 && r._3 <= 10000))
+  }
 }

@@ -584,6 +584,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(wv.contains("BroadcastHashJoin"),
       s"winsorize_values bounds must broadcast:\n$wv")
     assert(!wv.contains("CartesianProduct"), wv)
+    // --- round-9 graph-curation + boilerplate wave ---
+    // knn_graph: the pair stage is the sign-bucket equi-join — a
+    // nested-loop/cartesian here means the blocking was lost
+    val kg = plan("knn_graph")
+    assert(!kg.contains("CartesianProduct") &&
+      !kg.contains("BroadcastNestedLoopJoin"),
+      s"knn_graph pair join must stay bucket-blocked:\n$kg")
+    val lpn = plan("label_prop")
+    assert(!lpn.contains("CartesianProduct") &&
+      !lpn.contains("BroadcastNestedLoopJoin"),
+      s"label_prop vote joins must stay edge-keyed:\n$lpn")
+    // kcore: each peel restricts edges by LeftSemi against survivors
+    val kcp = plan("kcore")
+    assert(kcp.contains("LeftSemi"), s"kcore peel must semi-join:\n$kcp")
+    assert(!kcp.contains("CartesianProduct"), kcp)
+    // boilerplate: per-source doc counts (|sources| rows) broadcast;
+    // the gram doc-frequency side never does
+    val bng = plan("boilerplate_ngrams")
+    assert(bng.contains("BroadcastHashJoin"),
+      s"boilerplate_ngrams must broadcast the per-source doc counts:\n$bng")
+    assert(!bng.contains("Window"), s"boilerplate_ngrams kept a window:\n$bng")
+    val bst = plan("boilerplate_strip")
+    assert(bst.contains("BroadcastHashJoin"),
+      s"boilerplate_strip must broadcast the per-source doc counts:\n$bst")
+    assert(!bst.contains("CartesianProduct"), bst)
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
