@@ -4562,6 +4562,68 @@ object Oracles {
         |SELECT doc_id, CAST(n_pos AS BIGINT) AS n_pos,
         |  CAST(n_boiler_pos AS BIGINT) AS n_boiler_pos,
         |  CAST((10000 * n_boiler_pos) // n_pos AS BIGINT) AS boiler_bp
-        |FROM pos ORDER BY doc_id""".stripMargin)
+        |FROM pos ORDER BY doc_id""".stripMargin),
+
+    // ---- round-9 eval/drift wave ----
+    // BM25 MRR / P@5 — mirrors TfIdf.mrrEval (same Okapi formula and
+    // operation order as bm25_topk, corpus-wide, fixed query terms,
+    // relevance proxy tf >= 3)
+    "mrr_eval" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word FROM docs),
+        |words AS (SELECT * FROM w0 WHERE length(word) > 0),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words
+        |       WHERE word IN ('spark','window','hash','merge','scan','batch','vector','filter')
+        |       GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |nn AS (SELECT count(*) AS n FROM docs),
+        |sd AS (SELECT sum(dl) AS sumdl FROM dl),
+        |sc AS (SELECT t.doc_id, t.word,
+        |         round(ln(1.0 + (CAST(n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5))
+        |           * (t.tf * 2.2)
+        |           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * CAST(n AS DOUBLE) / CAST(sumdl AS DOUBLE))), 4) AS bm25,
+        |         CASE WHEN t.tf >= 3 THEN 1 ELSE 0 END AS rel
+        |       FROM tf t JOIN dfx f USING (word) JOIN dl d ON t.doc_id = d.doc_id, nn, sd),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY word
+        |        ORDER BY bm25 DESC, doc_id) AS INT) AS rk FROM sc),
+        |t10 AS (SELECT * FROM r WHERE rk <= 10),
+        |m AS (SELECT word, count(*) AS n_ranked,
+        |        coalesce(min(CASE WHEN rel = 1 THEN rk END), 0) AS first_rank,
+        |        sum(CASE WHEN rk <= 5 THEN rel ELSE 0 END) AS rel5
+        |      FROM t10 GROUP BY word)
+        |SELECT word, CAST(n_ranked AS BIGINT) AS n_ranked,
+        |  CAST(first_rank AS INT) AS first_rank,
+        |  CAST(CASE WHEN first_rank > 0 THEN 10000 // first_rank ELSE 0 END AS BIGINT) AS rr_bp,
+        |  CAST(rel5 AS BIGINT) AS rel5,
+        |  CAST((10000 * rel5) // 5 AS BIGINT) AS p5_bp
+        |FROM m ORDER BY word""".stripMargin,
+
+    // per-lang KS drift — mirrors CorpusStats.ksDrift (exact integer
+    // CDFs over the bounded (lang, n_chars) histogram grid)
+    "ks_drift" ->
+      """WITH d AS (SELECT lang, n_chars AS v FROM documents),
+        |hist AS (SELECT lang, v, count(*) AS cnt FROM d GROUP BY lang, v),
+        |grid AS (SELECT l.lang, va.v
+        |         FROM (SELECT DISTINCT lang FROM d) l,
+        |              (SELECT DISTINCT v FROM d) va),
+        |totv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS tot_v FROM hist GROUP BY v),
+        |j AS (SELECT g.lang, g.v, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt, t.tot_v
+        |      FROM grid g LEFT JOIN hist h ON g.lang = h.lang AND g.v = h.v
+        |      JOIN totv t ON g.v = t.v),
+        |cum AS (SELECT lang, v,
+        |          CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_in,
+        |          CAST(sum(tot_v - cnt) OVER (PARTITION BY lang ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rest
+        |        FROM j),
+        |bl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_in FROM d GROUP BY lang),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d)
+        |SELECT c.lang, CAST(max(b.n_in) AS BIGINT) AS n_in,
+        |  CAST(max(t.n_all - b.n_in) AS BIGINT) AS n_rest,
+        |  CAST(max(abs((10000 * c.cum_in) // b.n_in -
+        |               (10000 * c.cum_rest) // (t.n_all - b.n_in))) AS BIGINT) AS ks_bp
+        |FROM cum c JOIN bl b ON c.lang = b.lang, tot t
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin
   )
 }

@@ -393,7 +393,12 @@ object SparkEntry {
     // per-source template-gram profile (C4-style site boilerplate)
     "boilerplate_ngrams" -> (Boilerplate.boilerplateNgrams _),
     // per-doc boilerplate strip-mass audit
-    "boilerplate_strip" -> (Boilerplate.boilerplateStrip _)
+    "boilerplate_strip" -> (Boilerplate.boilerplateStrip _),
+    // --- round-9 eval/drift wave ---
+    // BM25 ranking quality: MRR + P@5 against tf>=3 proxy relevance
+    "mrr_eval" -> (TfIdf.mrrEval _),
+    // per-lang KS length-distribution drift vs corpus rest
+    "ks_drift" -> (CorpusStats.ksDrift _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

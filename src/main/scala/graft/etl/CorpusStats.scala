@@ -664,4 +664,48 @@ object CorpusStats {
         expr("(10000 * n_shared) div least(n_a, n_b)").as("overlap_bp"))
       .orderBy("lang_a", "lang_b")
   }
+
+  /** Per-language two-sample Kolmogorov–Smirnov drift: for each lang,
+    * the KS statistic (max CDF gap, integer basis points) between its
+    * document-length distribution and the REST of the corpus — the
+    * distribution-shift alarm run per ingest slice (companion to
+    * [[mixDrift]], which sees only means/masses; KS sees shape: a
+    * bimodal length profile with the corpus mean flags here first).
+    *
+    * Determinism: CDFs are exact integer counts over the value domain;
+    * the gap is |a div − b div| of nonnegative integers.
+    *
+    * Scale posture: the raw scan collapses to a (lang, n_chars)
+    * HISTOGRAM first; the CDF windows run per-lang over the bounded
+    * value grid (|values| × |langs| rows — domain-sized, not
+    * corpus-sized), the same histogram-not-raw-rows discipline as
+    * ts_anomaly. The lang list broadcasts onto the value spine.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("lang"), col("n_chars").as("v"))
+    val hist = d.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("cnt"))
+    val grid = d.select(col("v")).distinct()
+      .crossJoin(broadcast(d.select(col("lang")).distinct()))
+    val totV = hist.groupBy(col("v")).agg(sum(col("cnt")).as("tot_v"))
+    val j = grid.join(hist, Seq("lang", "v"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .join(totV, Seq("v"))
+      .withColumn("rest", col("tot_v") - col("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = j.withColumn("cum_in", sum(col("cnt")).over(w))
+      .withColumn("cum_rest", sum(col("rest")).over(w))
+    val byLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+    val tot = d.agg(count(lit(1)).as("n_all"))
+    cum.join(broadcast(byLang), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap_bp",
+        abs(expr("(10000 * cum_in) div n_in") -
+          expr("(10000 * cum_rest) div (n_all - n_in)")))
+      .groupBy(col("lang"))
+      .agg(max(col("n_in")).as("n_in"),
+        max(col("n_all") - col("n_in")).as("n_rest"),
+        max(col("gap_bp")).as("ks_bp"))
+      .orderBy("lang")
+  }
 }

@@ -341,4 +341,55 @@ object TfIdf {
       .select(col("phrase"), col("rank"), col("doc_id"), col("n_hits"))
       .orderBy("phrase", "rank")
   }
+
+  /** Fixed evaluation query terms for [[mrrEval]] — high- and
+    * mid-frequency corpus words so ranks differ per term.
+    */
+  val EvalTerms: Seq[String] = Seq(
+    "spark", "window", "hash", "merge", "scan", "batch", "vector", "filter")
+
+  /** Ranking-quality eval of the BM25 retriever: for each query term,
+    * rank the WHOLE corpus by the [[bm25TopK]] score (same Okapi
+    * formula and textual operation order, corpus-wide here), call a
+    * document relevant when tf ≥ 3 (a retriever-independent proxy
+    * truth), and report first-relevant rank, reciprocal rank, and
+    * precision@5 — MRR/P@k, the standard retrieval metrics (Manning
+    * et al., IR book ch.8). All metrics in exact integer basis points;
+    * ranking is total (rounded score desc, doc_id asc).
+    *
+    * Scale posture: the term filter is an `isin` pushed to the scan;
+    * tf/dl/df are keyed aggs; the per-term top-10 rides the
+    * rank-window (|terms| partitions of only the docs CONTAINING the
+    * term — at production scale the GroupTopK native heap replaces
+    * the window exactly as in topk_native).
+    */
+  def mrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val n = docs.count() // corpus scalar, same role as bm25TopK's
+    val words = Shingles.words(docs)
+    val tf = words.filter(col("word").isin(EvalTerms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val sumDl = dl.agg(sum(col("dl"))).head.getLong(0)
+    val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * col("dl") * lit(n.toDouble) / lit(sumDl.toDouble))
+    val scored = tf.join(dfq, Seq("word")).join(dl, Seq("doc_id"))
+      .withColumn("bm25", round(idf * (col("tf") * lit(2.2)) / denom, 4))
+      .withColumn("rel", when(col("tf") >= 3, 1L).otherwise(0L))
+    val w = Window.partitionBy(col("word"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_ranked"),
+        coalesce(min(when(col("rel") === 1, col("rk"))), lit(0)).as("first_rank"),
+        sum(when(col("rk") <= 5, col("rel")).otherwise(0L)).as("rel5"))
+      .withColumn("rr_bp",
+        expr("CASE WHEN first_rank > 0 THEN 10000 div first_rank ELSE 0 END"))
+      .withColumn("p5_bp", expr("(10000 * rel5) div 5"))
+      .orderBy("word")
+  }
 }

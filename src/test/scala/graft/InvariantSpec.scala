@@ -388,5 +388,18 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
       .select("n_pos", "n_boiler_pos", "boiler_bp")
       .as[(Long, Long, Long)].collect()
     assert(bs.forall(r => r._2 <= r._1 && r._3 >= 0 && r._3 <= 10000))
+    // mrr_eval: metric bounds and the rank-1 identity
+    val me = SparkEntry.queries("mrr_eval")(spark, dir)
+      .select("first_rank", "rr_bp", "p5_bp").as[(Int, Long, Long)].collect()
+    assert(me.nonEmpty)
+    assert(me.forall(r => r._1 >= 0 && r._1 <= 10 && r._2 >= 0 && r._2 <= 10000
+      && r._3 >= 0 && r._3 <= 10000))
+    assert(me.filter(_._1 == 1).forall(_._2 == 10000), "rank-1 must give RR=1")
+    // ks_drift: KS in [0, 10000]; splits partition the corpus
+    val kd = SparkEntry.queries("ks_drift")(spark, dir)
+      .select("n_in", "n_rest", "ks_bp").as[(Long, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(kd.forall(r => r._1 + r._2 == nDocs))
+    assert(kd.forall(r => r._3 >= 0 && r._3 <= 10000))
   }
 }

@@ -609,6 +609,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(bst.contains("BroadcastHashJoin"),
       s"boilerplate_strip must broadcast the per-source doc counts:\n$bst")
     assert(!bst.contains("CartesianProduct"), bst)
+    // --- round-9 eval/drift wave ---
+    // mrr_eval: the per-term top-10 rides the GroupTopK heap (never a
+    // corpus window sort); df/dl sides broadcast
+    val me = plan("mrr_eval")
+    assert(me.contains("PartialGroupTopK") && me.contains("GroupTopK"),
+      s"mrr_eval missed the GroupTopK rewrite:\n$me")
+    assert(!me.contains("Window"), s"mrr_eval kept a window:\n$me")
+    assert(me.contains("BroadcastHashJoin"),
+      s"mrr_eval must broadcast df/dl:\n$me")
+    // ks_drift: CDF windows run per-lang over the bounded histogram
+    // grid — never over raw rows, never single-partition
+    val kd = plan("ks_drift")
+    assert(kd.contains("Window"), s"ks_drift lost its per-lang CDF window:\n$kd")
+    assert(!kd.contains("CartesianProduct"), kd)
+    assert(kd.contains("BroadcastHashJoin"),
+      s"ks_drift lang totals must broadcast:\n$kd")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
