@@ -4624,6 +4624,51 @@ object Oracles {
         |  CAST(max(abs((10000 * c.cum_in) // b.n_in -
         |               (10000 * c.cum_rest) // (t.n_all - b.n_in))) AS BIGINT) AS ks_bp
         |FROM cum c JOIN bl b ON c.lang = b.lang, tot t
-        |GROUP BY c.lang ORDER BY c.lang""".stripMargin
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin,
+
+    // asymmetric containment — mirrors Dedup.containmentDedup (same
+    // shingle-intersect skeleton as ngram_jaccard, both directions)
+    "containment_dedup" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 64),
+        |w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word,
+        |         generate_subscripts(string_split(coalesce(text,''), ' '), 1) AS pos FROM docs),
+        |words AS (SELECT * FROM w0 WHERE length(word) > 0),
+        |sh0 AS (SELECT doc_id, pos, word,
+        |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM words),
+        |shingles AS (SELECT DISTINCT doc_id, word || ' ' || w1 || ' ' || w2 AS shingle
+        |             FROM sh0 WHERE w2 IS NOT NULL),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |          FROM shingles a JOIN shingles b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |c AS (SELECT doc_a, doc_b, n_common,
+        |        (10000 * n_common) // sa.n_sh AS cont_a_bp,
+        |        (10000 * n_common) // sb.n_sh AS cont_b_bp
+        |      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+        |                 JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(cont_a_bp AS BIGINT) AS cont_a_bp,
+        |  CAST(cont_b_bp AS BIGINT) AS cont_b_bp
+        |FROM c WHERE cont_a_bp >= 500 OR cont_b_bp >= 500
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // chi-square independence — mirrors CorpusStats.chi2Independence
+    // (exact integer centi-unit cell contributions)
+    "chi2_independence" ->
+      """WITH d AS (SELECT lang, least(n_chars // 100, 5) AS bucket FROM documents),
+        |cells AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS obs
+        |          FROM d GROUP BY lang, bucket),
+        |rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS rt FROM d GROUP BY lang),
+        |ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM d GROUP BY bucket),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+        |SELECT c.lang, c.bucket, c.obs,
+        |  CAST((100 * r.rt * t.ct) // n AS BIGINT) AS exp_c,
+        |  CAST((100 * (n * c.obs - r.rt * t.ct) * (n * c.obs - r.rt * t.ct))
+        |    // (n * r.rt * t.ct) AS BIGINT) AS chi2_c
+        |FROM cells c JOIN rt r ON c.lang = r.lang
+        |     JOIN ct t ON c.bucket = t.bucket, nn
+        |ORDER BY c.lang, c.bucket""".stripMargin
   )
 }

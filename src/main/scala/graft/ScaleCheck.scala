@@ -47,7 +47,12 @@ object ScaleCheck {
     "gopher_rules", "lm_score",
     // round-9 composition wave: gram-keyed first-owner join, per-lang
     // vocabulary GroupTopK, lang-pair shingle contamination
-    "ingest_novelty", "token_head_share", "crosslang_overlap")
+    "ingest_novelty", "token_head_share", "crosslang_overlap",
+    // round-9 graph-curation / boilerplate / eval waves: bucket-blocked
+    // mutual-kNN + propagation (embeddings scale 10×), source-keyed
+    // gram doc-frequency, GroupTopK-ranked BM25 eval, histogram CDFs
+    "knn_graph", "label_prop", "boilerplate_ngrams", "boilerplate_strip",
+    "mrr_eval", "ks_drift")
 
   private def caesar(r: Int): (String, String) = {
     val a = "abcdefghijklmnopqrstuvwxyz"

@@ -398,7 +398,11 @@ object SparkEntry {
     // BM25 ranking quality: MRR + P@5 against tf>=3 proxy relevance
     "mrr_eval" -> (TfIdf.mrrEval _),
     // per-lang KS length-distribution drift vs corpus rest
-    "ks_drift" -> (CorpusStats.ksDrift _)
+    "ks_drift" -> (CorpusStats.ksDrift _),
+    // asymmetric containment (quote/subset duplication) on the block
+    "containment_dedup" -> (Dedup.containmentDedup _),
+    // chi-square lang x length-bucket independence audit
+    "chi2_independence" -> (CorpusStats.chi2Independence _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -708,4 +708,39 @@ object CorpusStats {
         max(col("gap_bp")).as("ks_bp"))
       .orderBy("lang")
   }
+
+  /** Chi-square independence audit of language × document-length
+    * bucket: per contingency cell, the observed count, the expected
+    * count under independence, and the cell's χ² contribution — the
+    * classic "is length confounded with language?" check run before
+    * trusting per-language length statistics ([[ksDrift]] sees one
+    * lang vs rest; this sees the full contingency structure). Cell
+    * χ² = (N·obs − rt·ct)² / (N·rt·ct), held in exact centi-units:
+    * chi2_c = (100·(N·obs − rt·ct)²) div (N·rt·ct). At 5k docs the
+    * numerator peaks ≈ 6e16 — inside int64; corpora past ~1e8 docs
+    * switch the expression to decimal(38,0), plan unchanged.
+    *
+    * Scale posture: three keyed aggs (cell / row / column margins) +
+    * a 1-row corpus total, margins broadcast onto the cell frame —
+    * the contingency table is domain-sized (|langs| × |buckets|),
+    * never corpus-sized.
+    */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"),
+        least(expr("n_chars div 100"), lit(5L)).cast("long").as("bucket"))
+    val cells = d.groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("obs"))
+    val rt = d.groupBy(col("lang")).agg(count(lit(1)).as("rt"))
+    val ct = d.groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val n = d.agg(count(lit(1)).as("n"))
+    cells
+      .join(broadcast(rt), Seq("lang"))
+      .join(broadcast(ct), Seq("bucket"))
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("bucket"), col("obs"),
+        expr("(100 * rt * ct) div n").as("exp_c"),
+        expr("(100 * (n * obs - rt * ct) * (n * obs - rt * ct)) div (n * rt * ct)")
+          .as("chi2_c"))
+      .orderBy("lang", "bucket")
+  }
 }

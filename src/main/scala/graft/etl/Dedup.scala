@@ -423,6 +423,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Asymmetric CONTAINMENT dedup (Broder's containment coefficient):
+    * C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| — the quote/subset-duplication
+    * detector Jaccard misses (a short doc fully embedded in a long one
+    * has near-10000 containment but low Jaccard, because the union is
+    * dominated by the long doc). Flags pairs where EITHER direction's
+    * containment clears the threshold, emitting both directions so the
+    * asymmetric relation (who contains whom) is visible.
+    *
+    * Same shingle-intersect plan as [[ngramJaccard]] (shared-shingle
+    * equi-join on the bounded exact block; the corpus-scale tier runs
+    * the identical arithmetic over the LSH candidate pairs, as
+    * dedup_sweep does for Jaccard). All values exact integer basis
+    * points.
+    */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 64)
+      .select(col("doc_id"), col("text"))
+      .withColumn("sh_set", array_distinct(Shingles.shingleArray(col("text"), 3)))
+    val sh = docs.select(col("doc_id"), explode(col("sh_set")).as("shingle"))
+    val sizes = docs.select(col("doc_id"), size(col("sh_set")).cast("bigint").as("n_sh"))
+      .filter(col("n_sh") > 0)
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("cont_a_bp", expr("(10000 * n_common) div sa.n_sh"))
+      .withColumn("cont_b_bp", expr("(10000 * n_common) div sb.n_sh"))
+      // threshold calibrated to the synthetic corpus; production
+      // subset-dup detection uses ~9000 bp — same plan
+      .filter(col("cont_a_bp") >= 500 || col("cont_b_bp") >= 500)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("cont_a_bp"), col("cont_b_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** LSH quality audit — the EMPIRICAL s-curve: per exact-Jaccard
     * decile, what fraction of pairs did the banded MinHash tier
     * actually surface? InvariantSpec pins the THEORETICAL curve

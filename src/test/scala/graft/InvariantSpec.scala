@@ -401,5 +401,18 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     val nDocs = Tables.documents(spark, dir).count()
     assert(kd.forall(r => r._1 + r._2 == nDocs))
     assert(kd.forall(r => r._3 >= 0 && r._3 <= 10000))
+    // containment_dedup: both directions bounded; the flagged pair
+    // cleared the threshold in at least one direction
+    val cd = SparkEntry.queries("containment_dedup")(spark, dir)
+      .select("cont_a_bp", "cont_b_bp").as[(Long, Long)].collect()
+    assert(cd.nonEmpty)
+    assert(cd.forall(r => r._1 >= 0 && r._1 <= 10000 && r._2 >= 0 && r._2 <= 10000))
+    assert(cd.forall(r => r._1 >= 500 || r._2 >= 500))
+    // chi2_independence: cells partition the corpus; contributions
+    // nonnegative with positive expectations
+    val ch = SparkEntry.queries("chi2_independence")(spark, dir)
+      .select("obs", "exp_c", "chi2_c").as[(Long, Long, Long)].collect()
+    assert(ch.map(_._1).sum == nDocs)
+    assert(ch.forall(r => r._2 > 0 && r._3 >= 0))
   }
 }

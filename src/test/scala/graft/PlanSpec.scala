@@ -625,6 +625,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!kd.contains("CartesianProduct"), kd)
     assert(kd.contains("BroadcastHashJoin"),
       s"ks_drift lang totals must broadcast:\n$kd")
+    // containment_dedup: the pair stage stays a shared-shingle
+    // equi-join (ngram_jaccard's skeleton)
+    val cd = plan("containment_dedup")
+    assert(!cd.contains("CartesianProduct") &&
+      !cd.contains("BroadcastNestedLoopJoin"),
+      s"containment_dedup lost its shingle equi-join:\n$cd")
+    // chi2_independence: domain-sized margins broadcast onto the
+    // cell frame; no window anywhere
+    val ch = plan("chi2_independence")
+    assert(ch.contains("BroadcastHashJoin"),
+      s"chi2_independence margins must broadcast:\n$ch")
+    assert(!ch.contains("Window"), s"chi2_independence kept a window:\n$ch")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
