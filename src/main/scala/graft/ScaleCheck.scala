@@ -176,6 +176,31 @@ object ScaleCheck {
       return
     }
 
+    // Bucket-bits scaling demonstration for the mutual-kNN graph: the
+    // verified query pins bits=3 (8 cells, oracle-matched); at 10× the
+    // fixed cell count makes within-cell pairs grow ~quadratically
+    // (ratio ≈ 4.5). Growing bits with the corpus (the documented
+    // production knob, Similarity.signBucket) must restore ~linear
+    // wall — this measures both settings on the same 10× corpus.
+    if (args.length > 2 && args(2) == "knnbits") {
+      def t(dir: String, bits: Int): Double = {
+        def once(): Unit = graft.etl.GraphCuration.knnGraphEdges(spark, dir, bits)
+          .write.format("noop").mode("overwrite").save()
+        once()
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val r = Seq(3, 6).map { b =>
+        val (t1, tR) = (t(base, b), t(out, b))
+        println(f"[scale] knn_graph bits=$b 1x=${fmt(t1)}%6ss ${reps}x=${fmt(tR)}%6ss ratio=${fmt(tR / t1)}")
+        s""""bits$b":{"t1":${fmt(t1)},"tR":${fmt(tR)},"ratio":${fmt(tR / t1)}}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"knn_graph_bits","replicas":$reps,"results":$r}""")
+      spark.stop()
+      return
+    }
+
     val chosen = if (args.length > 2) Heavy.filter(args.drop(2).toSet) else Heavy
     val rows = chosen.map { q =>
       val (t1, p1) = time(spark, q, base)

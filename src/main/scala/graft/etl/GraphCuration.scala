@@ -37,12 +37,18 @@ import graft.functions.VectorFunctions.{dotF, normF}
   */
 object GraphCuration {
 
-  /** Directed top-5 cosine neighbor lists, sign-bucket-blocked. */
-  private def directedKnn(spark: SparkSession, dir: String): DataFrame = {
+  /** Directed top-5 cosine neighbor lists, sign-bucket-blocked.
+    * `bits` sets the cell count (2^bits): the verified query pins 3
+    * (8 cells, oracle-matched); at scale, bits MUST grow with the
+    * corpus (≈ log2(n / target_cell_size)) so per-cell pair work stays
+    * constant — the 10× ScaleCheck measures exactly this knob
+    * (BASELINE.md round-9 posture table).
+    */
+  private def directedKnn(spark: SparkSession, dir: String, bits: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("nrm", normF(col("embedding")))
       .filter(col("nrm").isNotNull)
-      .withColumn("bucket", Similarity.signBucket(col("embedding")))
+      .withColumn("bucket", Similarity.signBucket(col("embedding"), bits))
     val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"),
       col("nrm").as("qn"), col("bucket").as("qb"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
@@ -62,8 +68,8 @@ object GraphCuration {
     * symmetrization that kills hub vectors (a hub appears in thousands
     * of top-k lists but reciprocates only k of them).
     */
-  def knnGraphEdges(spark: SparkSession, dir: String): DataFrame = {
-    val k = directedKnn(spark, dir)
+  def knnGraphEdges(spark: SparkSession, dir: String, bits: Int = 3): DataFrame = {
+    val k = directedKnn(spark, dir, bits)
     val rev = k.select(col("qid").as("rqid"), col("cid").as("rcid"))
     k.join(rev, col("qid") === col("rcid") && col("cid") === col("rqid"))
       .filter(col("qid") < col("cid"))
