@@ -4669,6 +4669,80 @@ object Oracles {
         |    // (n * r.rt * t.ct) AS BIGINT) AS chi2_c
         |FROM cells c JOIN rt r ON c.lang = r.lang
         |     JOIN ct t ON c.bucket = t.bucket, nn
-        |ORDER BY c.lang, c.bucket""".stripMargin
+        |ORDER BY c.lang, c.bucket""".stripMargin,
+
+    // pairwise Cohen's kappa between quality gates — mirrors
+    // TextAnalysis.filterKappa (single-pass counters, offset-div so
+    // truncating and flooring integer division agree; denom-0 => 10000)
+    "filter_kappa" ->
+      """WITH w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word
+        |            FROM documents),
+        |words AS (SELECT * FROM w0 WHERE length(word) > 0),
+        |base AS (SELECT doc_id, count(*) AS n_words, sum(length(word)) AS sum_len
+        |         FROM words GROUP BY doc_id),
+        |q AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
+        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
+        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
+        |  FROM documents),
+        |qb AS (SELECT doc_id,
+        |        least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
+        |          ELSE (10000 * stop_hits) // tokens END)) // 10) AS quality_bp
+        |      FROM q),
+        |g AS (SELECT qb.doc_id,
+        |        coalesce(b.n_words, 0) >= 50 AS g_words,
+        |        coalesce(b.n_words, 0) > 0 AND
+        |          coalesce(b.sum_len, 0) >= coalesce(b.n_words, 0) * 3 AND
+        |          coalesce(b.sum_len, 0) <= coalesce(b.n_words, 0) * 10 AS g_meanlen,
+        |        qb.quality_bp >= 5000 AS g_quality
+        |      FROM qb LEFT JOIN base b ON qb.doc_id = b.doc_id),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN g_words THEN 1 ELSE 0 END) AS BIGINT) AS w1,
+        |        CAST(sum(CASE WHEN g_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |        CAST(sum(CASE WHEN g_quality THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+        |        CAST(sum(CASE WHEN g_meanlen = g_quality THEN 1 ELSE 0 END) AS BIGINT) AS agree_mq,
+        |        CAST(sum(CASE WHEN g_meanlen = g_words THEN 1 ELSE 0 END) AS BIGINT) AS agree_mw,
+        |        CAST(sum(CASE WHEN g_quality = g_words THEN 1 ELSE 0 END) AS BIGINT) AS agree_qw
+        |      FROM g),
+        |p AS (SELECT 'g_meanlen' AS gate_a, 'g_quality' AS gate_b,
+        |        agree_mq AS n_agree, m1 AS n_a1, q1 AS n_b1, n FROM a
+        |      UNION ALL
+        |      SELECT 'g_meanlen', 'g_words', agree_mw, m1, w1, n FROM a
+        |      UNION ALL
+        |      SELECT 'g_quality', 'g_words', agree_qw, q1, w1, n FROM a),
+        |k AS (SELECT *, n_a1 * n_b1 + (n - n_a1) * (n - n_b1) AS s FROM p)
+        |SELECT gate_a, gate_b, n, n_agree, n_a1, n_b1,
+        |  CAST((10000 * n_agree) // n AS BIGINT) AS po_bp,
+        |  CAST(CASE WHEN n * n - s = 0 THEN 10000
+        |    ELSE (10000 * (n * n_agree - s + (n * n - s))) // (n * n - s) - 10000
+        |    END AS BIGINT) AS kappa_bp
+        |FROM k ORDER BY gate_a, gate_b""".stripMargin,
+
+    // quality-threshold retention sweep — mirrors TextAnalysis
+    // .qualitySweep (grid-broadcast scan, dedup_sweep's twin)
+    "quality_sweep" ->
+      """WITH q AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
+        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
+        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
+        |  FROM documents),
+        |qb AS (SELECT doc_id, tokens,
+        |        least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
+        |          ELSE (10000 * stop_hits) // tokens END)) // 10) AS quality_bp
+        |      FROM q),
+        |grid AS (SELECT CAST(unnest([0,1000,2000,3000,4000,5000,6000,7000,8000,9000]) AS BIGINT) AS threshold),
+        |keep AS (SELECT g.threshold, CAST(count(*) AS BIGINT) AS n_keep,
+        |           CAST(sum(qb.tokens) AS BIGINT) AS tok_keep
+        |         FROM qb JOIN grid g ON qb.quality_bp >= g.threshold
+        |         GROUP BY g.threshold),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |          CAST(sum(tokens) AS BIGINT) AS tok_all FROM qb)
+        |SELECT threshold, n_keep,
+        |  CAST((10000 * n_keep) // n_all AS BIGINT) AS keep_bp,
+        |  tok_keep,
+        |  CAST((10000 * tok_keep) // tok_all AS BIGINT) AS tok_keep_bp
+        |FROM keep, tot ORDER BY threshold""".stripMargin
   )
 }

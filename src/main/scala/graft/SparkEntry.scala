@@ -402,7 +402,11 @@ object SparkEntry {
     // asymmetric containment (quote/subset duplication) on the block
     "containment_dedup" -> (Dedup.containmentDedup _),
     // chi-square lang x length-bucket independence audit
-    "chi2_independence" -> (CorpusStats.chi2Independence _)
+    "chi2_independence" -> (CorpusStats.chi2Independence _),
+    // pairwise Cohen's kappa between quality gates (redundancy audit)
+    "filter_kappa" -> (TextAnalysis.filterKappa _),
+    // quality-threshold retention curve (docs + token mass)
+    "quality_sweep" -> (TextAnalysis.qualitySweep _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

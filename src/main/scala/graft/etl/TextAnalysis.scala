@@ -563,4 +563,100 @@ object TextAnalysis {
         col("n_charset"), col("entropy"))
       .orderBy("doc_id")
   }
+
+  /** Per-document verdicts of three independent quality gates — the
+    * inputs to [[filterKappa]]: a word-count floor, the Gopher
+    * mean-word-length band (both integer-product rules from
+    * [[gopherRules]]), and the composite [[qualityScore]] threshold.
+    */
+  private def gatesFrame(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = Shingles.words(docs.select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(length(col("word"))).as("sum_len"))
+    qualityAnnotated(docs).select(col("doc_id"), col("quality_bp"))
+      .join(base, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("n_words"), lit(0L)) >= 50).as("g_words"),
+        (coalesce(col("n_words"), lit(0L)) > 0 &&
+          coalesce(col("sum_len"), lit(0L)) >= coalesce(col("n_words"), lit(0L)) * 3 &&
+          coalesce(col("sum_len"), lit(0L)) <= coalesce(col("n_words"), lit(0L)) * 10)
+          .as("g_meanlen"),
+        (col("quality_bp") >= 5000).as("g_quality"))
+  }
+
+  /** Pairwise Cohen's kappa between the three quality gates — the
+    * filter-redundancy audit a pipeline runs before stacking gates
+    * (two gates with κ ≈ 1 are one gate paying twice; κ ≈ 0 gates
+    * genuinely compose). κ = (N·agree − S) / (N² − S) with
+    * S = n_a1·n_b1 + n_a0·n_b0, all exact integers. Negative κ is
+    * representable: the div runs on the OFFSET numerator
+    * (num + denom ≥ 0, since κ ≥ −1), then shifts back by 10000 —
+    * Spark's truncating `div` and DuckDB's flooring `//` agree on
+    * nonnegative operands, so the offset keeps the class of
+    * negative-division mismatches out (same discipline as the
+    * repo-wide basis-point rule).
+    *
+    * Scale posture: ONE global aggregation (map-side partial combine,
+    * 1-row result) computes every pairwise counter in a single corpus
+    * pass; the 3-row pair table is unstacked from that row. No join,
+    * no window, no per-pair scan.
+    */
+  def filterKappa(spark: SparkSession, dir: String): DataFrame = {
+    val g = gatesFrame(spark, dir)
+    val a = g.agg(
+      count(lit(1)).as("n"),
+      sum(col("g_words").cast("long")).as("w1"),
+      sum(col("g_meanlen").cast("long")).as("m1"),
+      sum(col("g_quality").cast("long")).as("q1"),
+      sum(when(col("g_meanlen") === col("g_quality"), 1L).otherwise(0L)).as("agree_mq"),
+      sum(when(col("g_meanlen") === col("g_words"), 1L).otherwise(0L)).as("agree_mw"),
+      sum(when(col("g_quality") === col("g_words"), 1L).otherwise(0L)).as("agree_qw"))
+    a.selectExpr(
+        """stack(3,
+          |  'g_meanlen', 'g_quality', agree_mq, m1, q1,
+          |  'g_meanlen', 'g_words',   agree_mw, m1, w1,
+          |  'g_quality', 'g_words',   agree_qw, q1, w1)
+          |AS (gate_a, gate_b, n_agree, n_a1, n_b1)""".stripMargin,
+        "n")
+      .withColumn("s",
+        col("n_a1") * col("n_b1") + (col("n") - col("n_a1")) * (col("n") - col("n_b1")))
+      .withColumn("po_bp", expr("(10000 * n_agree) div n"))
+      // denom 0 iff both gates are constant (S = N²): the convention is
+      // κ = 1 — two constant gates agree perfectly and trivially
+      .withColumn("kappa_bp",
+        expr("""CASE WHEN n * n - s = 0 THEN 10000
+               |ELSE (10000 * (n * n_agree - s + (n * n - s))) div (n * n - s) - 10000
+               |END""".stripMargin))
+      .select(col("gate_a"), col("gate_b"), col("n"), col("n_agree"),
+        col("n_a1"), col("n_b1"), col("po_bp"), col("kappa_bp"))
+      .orderBy("gate_a", "gate_b")
+  }
+
+  /** Quality-threshold retention sweep: for each cutoff on
+    * [[qualityScore]]'s quality_bp, the surviving document count and
+    * token mass — the curve a corpus owner reads before fixing the
+    * filter threshold (dedup_sweep's twin on the quality axis). All
+    * shares exact integer basis points.
+    *
+    * Scale posture: the 10-row threshold grid broadcasts onto one
+    * annotated corpus scan; one threshold-keyed agg + a 1-row totals
+    * broadcast. Output bounded by the grid, not the corpus.
+    */
+  def qualitySweep(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityAnnotated(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("tokens"), col("quality_bp"))
+    val grid = spark.range(0, 10).select((col("id") * 1000).as("threshold"))
+    val tot = q.agg(count(lit(1)).as("n_all"), sum(col("tokens")).as("tok_all"))
+    q.crossJoin(broadcast(grid))
+      .filter(col("quality_bp") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_keep"), sum(col("tokens")).as("tok_keep"))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n_keep"),
+        expr("(10000 * n_keep) div n_all").as("keep_bp"),
+        col("tok_keep"),
+        expr("(10000 * tok_keep) div tok_all").as("tok_keep_bp"))
+      .orderBy("threshold")
+  }
 }

@@ -414,5 +414,21 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
       .select("obs", "exp_c", "chi2_c").as[(Long, Long, Long)].collect()
     assert(ch.map(_._1).sum == nDocs)
     assert(ch.forall(r => r._2 > 0 && r._3 >= 0))
+    // filter_kappa: agreement/kappa bounds; a constant gate has no
+    // skill (kappa 0) even at high raw agreement
+    val fk = SparkEntry.queries("filter_kappa")(spark, dir)
+      .select("n", "n_agree", "po_bp", "kappa_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(fk.length == 3)
+    assert(fk.forall(r => r._2 <= r._1 && r._3 >= 0 && r._3 <= 10000
+      && r._4 >= -10000 && r._4 <= 10000))
+    // quality_sweep: retention monotone non-increasing in threshold;
+    // threshold 0 keeps everything
+    val qs = SparkEntry.queries("quality_sweep")(spark, dir)
+      .select("threshold", "n_keep", "tok_keep", "keep_bp")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(qs.head._1 == 0L && qs.head._4 == 10000L)
+    assert(qs.sliding(2).forall(p => p(1)._2 <= p(0)._2 && p(1)._3 <= p(0)._3),
+      s"quality_sweep not monotone: ${qs.toSeq}")
   }
 }

@@ -637,6 +637,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(ch.contains("BroadcastHashJoin"),
       s"chi2_independence margins must broadcast:\n$ch")
     assert(!ch.contains("Window"), s"chi2_independence kept a window:\n$ch")
+    // filter_kappa: one corpus pass — a doc-keyed gate join, then a
+    // single global agg; no window, no cartesian
+    val fk = plan("filter_kappa")
+    assert(!fk.contains("CartesianProduct"), fk)
+    assert(!fk.contains("Window"), s"filter_kappa kept a window:\n$fk")
+    // quality_sweep: the threshold grid (10 rows) broadcasts onto the
+    // scan — the non-equi join must be the broadcast loop, never a
+    // shuffled cartesian
+    val qs = plan("quality_sweep")
+    assert(qs.contains("BroadcastNestedLoopJoin"),
+      s"quality_sweep grid must broadcast:\n$qs")
+    assert(!qs.contains("CartesianProduct"), qs)
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
