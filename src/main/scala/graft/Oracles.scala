@@ -4743,6 +4743,30 @@ object Oracles {
         |  CAST((10000 * n_keep) // n_all AS BIGINT) AS keep_bp,
         |  tok_keep,
         |  CAST((10000 * tok_keep) // tok_all AS BIGINT) AS tok_keep_bp
-        |FROM keep, tot ORDER BY threshold""".stripMargin
+        |FROM keep, tot ORDER BY threshold""".stripMargin,
+
+    // CUSUM change-point — mirrors Events.cusumChangepoint (integer
+    // m·S_k statistic over the per-type hourly series)
+    "cusum_changepoint" ->
+      """WITH hourly AS (SELECT event_type, (epoch_us(ts) // 3600000000) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, hr),
+        |c AS (SELECT event_type, hr, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr) AS BIGINT) AS k,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        |  FROM hourly),
+        |s AS (SELECT *, abs(m * cum - k * total) AS stat FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY stat DESC, hr) AS rk FROM s)
+        |SELECT event_type, m AS n_hours, total AS n_events, hr AS cp_hr,
+        |  k AS cp_idx, CAST(stat AS BIGINT) AS cusum_peak,
+        |  CAST((10000 * stat) // (m * total) AS BIGINT) AS cusum_bp,
+        |  CAST((100 * cum) // k AS BIGINT) AS pre_rate_c,
+        |  CAST(CASE WHEN m = k THEN 0
+        |    ELSE (100 * (total - cum)) // (m - k) END AS BIGINT) AS post_rate_c
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
   )
 }

@@ -406,7 +406,9 @@ object SparkEntry {
     // pairwise Cohen's kappa between quality gates (redundancy audit)
     "filter_kappa" -> (TextAnalysis.filterKappa _),
     // quality-threshold retention curve (docs + token mass)
-    "quality_sweep" -> (TextAnalysis.qualitySweep _)
+    "quality_sweep" -> (TextAnalysis.qualitySweep _),
+    // CUSUM level-shift locator over hourly event-rate series
+    "cusum_changepoint" -> (Events.cusumChangepoint _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -681,6 +681,54 @@ object Events {
       .orderBy("event_type", "hr")
   }
 
+  /** CUSUM change-point detection over the per-type hourly event-rate
+    * series (Page 1954): the hour k* maximizing |S_k|, where
+    * S_k = Σ_{i≤k}(x_i − x̄) is the cumulative deviation from the
+    * series mean — the level-shift locator that complements
+    * [[tsAnomaly]] (MAD flags isolated spikes; CUSUM finds the point
+    * where the RATE permanently changed, e.g. a deploy or a source
+    * going dark). Exact integers throughout: m·S_k = m·cum_k − k·total
+    * (m = hour count), so the statistic, its argmax, and the pre/post
+    * rates (integer centi-events/hour) never touch a double.
+    *
+    * Scale posture: hourly pre-agg first (the reduction), then windows
+    * partitioned by event_type over the BOUNDED hourly series — the
+    * ts_anomaly discipline; the argmax is a rank-1 filter on the same
+    * partitioning.
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val wIdx = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val c = hourly
+      .withColumn("k", row_number().over(wIdx).cast("long"))
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("stat", abs(col("m") * col("cum") - col("k") * col("total")))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("stat").desc, col("hr").asc)
+    c.withColumn("rk", row_number().over(wRank)).filter(col("rk") === 1)
+      .select(col("event_type"), col("m").as("n_hours"),
+        col("total").as("n_events"), col("hr").as("cp_hr"),
+        col("k").as("cp_idx"), col("stat").as("cusum_peak"),
+        col("cum"))
+      .withColumn("cusum_bp",
+        expr("(10000 * cusum_peak) div (n_hours * n_events)"))
+      .withColumn("pre_rate_c", expr("(100 * cum) div cp_idx"))
+      .withColumn("post_rate_c",
+        expr("""CASE WHEN n_hours = cp_idx THEN 0
+               |ELSE (100 * (n_events - cum)) div (n_hours - cp_idx) END""".stripMargin))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        col("cp_hr"), col("cp_idx"), col("cusum_peak"), col("cusum_bp"),
+        col("pre_rate_c"), col("post_rate_c"))
+      .orderBy("event_type")
+  }
+
   /** Session market-basket pairs: which event types co-occur in the
     * same session more than chance — the classic association-mining
     * primitive composed from the verified sessionizer. Presence =

@@ -182,6 +182,25 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq(("a", 10L, 50L, 2L, 0L, 48L)), got.toSeq.toString)
   }
 
+  test("cusumChangepoint: a level shift is located at the shift hour") {
+    val hourNs = 3600L * 1000000L * 1000L
+    // type "a": hours 0-4 at 2 events/hour, hours 5-9 at 10 events/hour
+    // → the CUSUM peak must sit at the LAST pre-shift hour (hr=4):
+    // m=10, total=60, cum(4)=10 → stat=|10·10−5·60|=200, the max.
+    // pre rate 200 c/h, post rate (60−10)·100/5 = 1000 c/h.
+    val rows = (0 to 4).flatMap(h => (1 to 2).map(i => ("a", h * hourNs + i * 1000L))) ++
+      (5 to 9).flatMap(h => (1 to 10).map(i => ("a", h * hourNs + i * 1000L)))
+    val d = java.nio.file.Files.createTempDirectory("graft_cusum_")
+    rows.toDF("event_type", "ts")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val got = Events.cusumChangepoint(spark, d.toString)
+      .select("event_type", "n_hours", "n_events", "cp_hr", "cp_idx",
+        "cusum_peak", "pre_rate_c", "post_rate_c")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("a", 10L, 60L, 4L, 5L, 200L, 200L, 1000L)),
+      got.toSeq.toString)
+  }
+
   test("events ts encoding drift: BIGINT-nanos, timestamp[us] NTZ, and " +
        "timestamp[us] UTC all sessionize identically") {
     // r7 lesson: the driver regenerated events.parquet with ts as

@@ -649,6 +649,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(qs.contains("BroadcastNestedLoopJoin"),
       s"quality_sweep grid must broadcast:\n$qs")
     assert(!qs.contains("CartesianProduct"), qs)
+    // cusum_changepoint: windows run per-type over the HOURLY pre-agg
+    // (the reduction comes first — an HashAggregate below the Window)
+    val cu = plan("cusum_changepoint")
+    assert(cu.contains("Window"), cu)
+    assert(cu.indexOf("HashAggregate") > cu.indexOf("Window"),
+      s"cusum_changepoint must pre-aggregate to hours below its windows:\n$cu")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
