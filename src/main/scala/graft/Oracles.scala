@@ -4767,6 +4767,54 @@ object Oracles {
         |  CAST((100 * cum) // k AS BIGINT) AS pre_rate_c,
         |  CAST(CASE WHEN m = k THEN 0
         |    ELSE (100 * (total - cum)) // (m - k) END AS BIGINT) AS post_rate_c
-        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // embedding health audit — mirrors Similarity.embeddingAudit
+    "embedding_audit" ->
+      """WITH z AS (SELECT vec_id, label, len(embedding) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |nr AS (SELECT vec_id, label, max(dim) AS dim,
+        |         round(sqrt(sum(x * x)), 4) AS nrm
+        |       FROM z GROUP BY vec_id, label),
+        |e AS (SELECT em.vec_id, em.label,
+        |        CASE WHEN em.embedding IS NULL THEN NULL ELSE n.nrm END AS nrm,
+        |        coalesce(n.dim, 0) AS dim,
+        |        CASE WHEN em.embedding IS NULL THEN 1 ELSE 0 END AS null_flag
+        |      FROM embeddings em LEFT JOIN nr n ON em.vec_id = n.vec_id)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(null_flag) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_baddim,
+        |  min(nrm) AS nrm_min, max(nrm) AS nrm_max,
+        |  round(sum(nrm) / count(nrm), 4) AS nrm_avg
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    // Spearman rank correlation — mirrors TextAnalysis.spearmanCorr
+    // (row_number ranks, doc_id tie-break, offset integer division)
+    "spearman_corr" ->
+      """WITH q AS (SELECT doc_id, lang, n_chars,
+        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
+        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
+        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
+        |  FROM documents),
+        |qb AS (SELECT doc_id, lang, n_chars,
+        |        least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
+        |          ELSE (10000 * stop_hits) // tokens END)) // 10) AS quality_bp
+        |      FROM q),
+        |r AS (SELECT lang,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS r_len,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY quality_bp, doc_id) AS BIGINT) AS r_q
+        |      FROM qb),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum((r_len - r_q) * (r_len - r_q)) AS BIGINT) AS sum_d2
+        |      FROM r GROUP BY lang),
+        |d AS (SELECT *, n * (n * n - 1) AS den FROM a)
+        |SELECT lang, n, sum_d2,
+        |  CAST(CASE WHEN den = 0 THEN 0
+        |    ELSE (10000 * (2 * den - 6 * sum_d2)) // den - 10000
+        |    END AS BIGINT) AS rho_bp
+        |FROM d ORDER BY lang""".stripMargin
   )
 }

@@ -408,7 +408,11 @@ object SparkEntry {
     // quality-threshold retention curve (docs + token mass)
     "quality_sweep" -> (TextAnalysis.qualitySweep _),
     // CUSUM level-shift locator over hourly event-rate series
-    "cusum_changepoint" -> (Events.cusumChangepoint _)
+    "cusum_changepoint" -> (Events.cusumChangepoint _),
+    // embedding-table health audit (zero/null/off-dim vectors, norms)
+    "embedding_audit" -> (Similarity.embeddingAudit _),
+    // Spearman length-vs-quality rank correlation per lang
+    "spearman_corr" -> (TextAnalysis.spearmanCorr _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -25,6 +25,34 @@ import graft.functions.VectorFunctions.{dotF, normF}
   */
 object Similarity {
 
+  /** Embedding-table health audit, per label: vector count, zero and
+    * null vectors, off-dimension vectors, and the norm range/mean —
+    * the "did the encoder break?" gate run before any ANN build (a
+    * batch of zero vectors or a dim drift silently poisons every
+    * cosine downstream; this surfaces both in one scan). Norms round
+    * to 4dp (irrational rule); the mean is sum/n of the ROUNDED norms
+    * — identical formula both engines, rounded again at the surface.
+    *
+    * Scale posture: one map-side pass (norm + dim per row), one
+    * label-keyed agg. Nothing joins, nothing shuffles but the agg.
+    */
+  def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("dim", size(col("embedding")))
+      .withColumn("nrm",
+        when(col("embedding").isNull, lit(null))
+          .otherwise(round(normF(col("embedding")), 4)))
+    e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("embedding").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("dim") =!= 64, 1L).otherwise(0L)).as("n_baddim"),
+        min(col("nrm")).as("nrm_min"),
+        max(col("nrm")).as("nrm_max"),
+        round(sum(col("nrm")) / count(col("nrm")), 4).as("nrm_avg"))
+      .orderBy("label")
+  }
+
   /** Declarative reference form (interpreted; see VectorExpressions for
     * why the queries use the codegen'd dotF/normF instead — results are
     * bit-identical).

@@ -633,6 +633,44 @@ object TextAnalysis {
       .orderBy("gate_a", "gate_b")
   }
 
+  /** Spearman rank correlation between document length and the
+    * composite quality score, per language — "is the quality gate just
+    * a length gate in disguise?" ([[filterKappa]] asks it of binary
+    * verdicts; this asks it of the underlying scores). ρ = 1 −
+    * 6·Σd²/(n(n²−1)) over row_number ranks with a deterministic
+    * doc_id tie-break (documented: not the tie-averaged textbook
+    * variant — identical in both engines, which is what the oracle
+    * needs). Exact integers end to end; negative ρ survives the
+    * truncate-vs-floor division split via the same offset-div trick
+    * as filter_kappa. n³ overflows int64 past ~2M docs per group —
+    * decimal(38,0) escape hatch, plan unchanged.
+    *
+    * Scale posture: two rank windows partitioned by lang + one
+    * lang-keyed agg; no joins.
+    */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityAnnotated(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("quality_bp"))
+    val wLen = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val wQ = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_bp").asc, col("doc_id").asc)
+    val ranked = q
+      .withColumn("r_len", row_number().over(wLen).cast("long"))
+      .withColumn("r_q", row_number().over(wQ).cast("long"))
+      .withColumn("d2",
+        (col("r_len") - col("r_q")) * (col("r_len") - col("r_q")))
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .withColumn("den", col("n") * (col("n") * col("n") - 1L))
+      .withColumn("rho_bp",
+        expr("""CASE WHEN den = 0 THEN 0
+               |ELSE (10000 * (2 * den - 6 * sum_d2)) div den - 10000
+               |END""".stripMargin))
+      .select(col("lang"), col("n"), col("sum_d2"), col("rho_bp"))
+      .orderBy("lang")
+  }
+
   /** Quality-threshold retention sweep: for each cutoff on
     * [[qualityScore]]'s quality_bp, the surviving document count and
     * token mass — the curve a corpus owner reads before fixing the

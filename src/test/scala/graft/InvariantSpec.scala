@@ -430,5 +430,19 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     assert(qs.head._1 == 0L && qs.head._4 == 10000L)
     assert(qs.sliding(2).forall(p => p(1)._2 <= p(0)._2 && p(1)._3 <= p(0)._3),
       s"quality_sweep not monotone: ${qs.toSeq}")
+    // embedding_audit: healthy synthetic table — zero pathologies,
+    // counts partition the table, norm range brackets the mean
+    val ea = SparkEntry.queries("embedding_audit")(spark, dir)
+      .select("n_vecs", "n_null", "n_zero", "n_baddim", "nrm_min", "nrm_max",
+        "nrm_avg")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(ea.map(_._1).sum == Tables.embeddings(spark, dir).count())
+    assert(ea.forall(r => r._2 == 0 && r._3 == 0 && r._4 == 0))
+    assert(ea.forall(r => r._5 <= r._7 && r._7 <= r._6))
+    // spearman_corr: rho bounded, groups partition the corpus
+    val sp = SparkEntry.queries("spearman_corr")(spark, dir)
+      .select("n", "rho_bp").as[(Long, Long)].collect()
+    assert(sp.map(_._1).sum == nDocs)
+    assert(sp.forall(r => r._2 >= -10000 && r._2 <= 10000))
   }
 }

@@ -655,6 +655,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(cu.contains("Window"), cu)
     assert(cu.indexOf("HashAggregate") > cu.indexOf("Window"),
       s"cusum_changepoint must pre-aggregate to hours below its windows:\n$cu")
+    // embedding_audit: one scan, one label-keyed agg — joins or
+    // windows here mean the single-pass design broke
+    val ea = plan("embedding_audit")
+    assert(!ea.contains("Join"), s"embedding_audit grew a join:\n$ea")
+    assert(!ea.contains("Window"), s"embedding_audit grew a window:\n$ea")
+    // spearman_corr: per-lang rank windows + one agg, no joins
+    val sp = plan("spearman_corr")
+    assert(sp.contains("Window"), sp)
+    assert(!sp.contains("Join"), s"spearman_corr grew a join:\n$sp")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
