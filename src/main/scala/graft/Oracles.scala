@@ -4815,6 +4815,34 @@ object Oracles {
         |  CAST(CASE WHEN den = 0 THEN 0
         |    ELSE (10000 * (2 * den - 6 * sum_d2)) // den - 10000
         |    END AS BIGINT) AS rho_bp
-        |FROM d ORDER BY lang""".stripMargin
+        |FROM d ORDER BY lang""".stripMargin,
+
+    // held-out bigram LM eval — mirrors CorpusStats.lmHeldout (train
+    // bucket < 80, test bucket >= 90, unseen bigrams score 0)
+    "lm_heldout" ->
+      s"""WITH $WordsCte,
+         |bk AS (SELECT doc_id,
+         |         CAST(CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS INT) AS bucket
+         |       FROM documents),
+         |bg AS (SELECT w.doc_id, b.bucket, w.word AS w1,
+         |         lead(w.word, 1) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS w2
+         |       FROM words w JOIN bk b ON w.doc_id = b.doc_id),
+         |inst AS (SELECT doc_id, bucket, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+         |model AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+         |          FROM inst WHERE bucket < 80 GROUP BY w1, w2),
+         |prefix AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM model GROUP BY w1),
+         |s AS (SELECT i.doc_id,
+         |        CASE WHEN m.n12 IS NULL THEN 1 ELSE 0 END AS unseen,
+         |        CASE WHEN m.n12 IS NULL THEN 0
+         |             ELSE (10000 * m.n12) // p.n1 END AS p_bp
+         |      FROM inst i
+         |      LEFT JOIN model m ON i.w1 = m.w1 AND i.w2 = m.w2
+         |      LEFT JOIN prefix p ON i.w1 = p.w1
+         |      WHERE i.bucket >= 90)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
+         |  CAST((10000 * sum(unseen)) // count(*) AS BIGINT) AS unseen_bp,
+         |  CAST(sum(p_bp) // count(*) AS BIGINT) AS lm_score_bp
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -412,7 +412,9 @@ object SparkEntry {
     // embedding-table health audit (zero/null/off-dim vectors, norms)
     "embedding_audit" -> (Similarity.embeddingAudit _),
     // Spearman length-vs-quality rank correlation per lang
-    "spearman_corr" -> (TextAnalysis.spearmanCorr _)
+    "spearman_corr" -> (TextAnalysis.spearmanCorr _),
+    // held-out bigram-LM eval (train split model, test split scored)
+    "lm_heldout" -> (CorpusStats.lmHeldout _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

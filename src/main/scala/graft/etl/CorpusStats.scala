@@ -469,6 +469,48 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** TRUE held-out LM quality eval: the bigram model of [[lmScore]]
+    * trained only on the train split (hash bucket < 80, the
+    * [[Splits.trainTestSplit]] assignment) and scored only on the test
+    * split (bucket ≥ 90) — the memorization-free version of lm_score
+    * (which trains on everything it scores and therefore can never see
+    * an unseen bigram). Unseen test bigrams score 0 and are counted
+    * separately (unseen_bp is the generalization-gap signal; a rising
+    * unseen rate per ingest slice means the corpus drifted from the
+    * model). Exact integer basis points throughout.
+    *
+    * Scale posture: same (w1,w2)-keyed model aggs as lm_score; the
+    * scoring join is left-outer on the same high-cardinality key.
+    */
+  def lmHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val inst = Tables.documents(spark, dir)
+      .withColumn("bucket", Splits.hashBucket(col("doc_id"), "split:"))
+      .select(col("doc_id"), col("bucket"),
+        explode(Shingles.shingleArray(col("text"), 2)).as("bg"))
+      .select(col("doc_id"), col("bucket"),
+        split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+    val model = inst.filter(col("bucket") < 80)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val prefix = model.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    inst.filter(col("bucket") >= 90)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(prefix, Seq("w1"), "left")
+      .withColumn("unseen", when(col("n12").isNull, 1L).otherwise(0L))
+      .withColumn("p_bp",
+        when(col("n12").isNull, lit(0L))
+          .otherwise(expr("(10000 * n12) div n1")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).as("n_unseen"),
+        sum(col("p_bp")).as("sum_p_bp"))
+      .withColumn("unseen_bp", expr("(10000 * n_unseen) div n_bigrams"))
+      .withColumn("lm_score_bp", expr("sum_p_bp div n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        col("unseen_bp"), col("lm_score_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Autocomplete index: top-3 completions per 2-char prefix by corpus
     * frequency — word-keyed agg then a prefix-keyed rank that rides the
     * GroupTopK heap rewrite (per-prefix state O(3), never a full

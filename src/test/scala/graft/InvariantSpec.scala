@@ -444,5 +444,17 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
       .select("n", "rho_bp").as[(Long, Long)].collect()
     assert(sp.map(_._1).sum == nDocs)
     assert(sp.forall(r => r._2 >= -10000 && r._2 <= 10000))
+    // lm_heldout: only test-split docs scored; unseen and score bounds;
+    // a doc made entirely of unseen bigrams must score 0
+    val testDocs = SparkEntry.queries("train_test_split")(spark, dir)
+      .filter(col("split") === "test").select("doc_id").as[Long].collect().toSet
+    val lh = SparkEntry.queries("lm_heldout")(spark, dir)
+      .select("doc_id", "n_bigrams", "n_unseen", "unseen_bp", "lm_score_bp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(lh.nonEmpty)
+    assert(lh.forall(r => testDocs(r._1)), "a non-test doc was scored")
+    assert(lh.forall(r => r._3 <= r._2 && r._4 >= 0 && r._4 <= 10000
+      && r._5 >= 0 && r._5 <= 10000))
+    assert(lh.filter(r => r._3 == r._2).forall(_._5 == 0L))
   }
 }
