@@ -4843,6 +4843,42 @@ object Oracles {
          |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
          |  CAST((10000 * sum(unseen)) // count(*) AS BIGINT) AS unseen_bp,
          |  CAST(sum(p_bp) // count(*) AS BIGINT) AS lm_score_bp
-         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Matryoshka truncation recall — mirrors Similarity
+    // .matryoshkaRecall (full-64 truth vs first-16 prefix ranking)
+    "matryoshka_recall" ->
+      """WITH pf AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    q.embedding AS qe, c.embedding AS ce
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 16),
+        |zf AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS x,
+        |         CAST(unnest(ce) AS DOUBLE) AS y FROM pf),
+        |df_ AS (SELECT qid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |        FROM zf GROUP BY qid, cid),
+        |sf AS (SELECT qid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM df_),
+        |rf AS (SELECT qid, cid,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |       FROM sf),
+        |kf AS (SELECT qid, cid FROM rf WHERE rk <= 5),
+        |pt AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    q.embedding[1:16] AS qe, c.embedding[1:16] AS ce
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 16),
+        |zt AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS x,
+        |         CAST(unnest(ce) AS DOUBLE) AS y FROM pt),
+        |dt AS (SELECT qid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |       FROM zt GROUP BY qid, cid),
+        |st AS (SELECT qid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM dt),
+        |rt AS (SELECT qid, cid,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        |       FROM st),
+        |kt AS (SELECT qid, cid FROM rt WHERE rk <= 5)
+        |SELECT f.qid, CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |  CAST((10000 * sum(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END)) // count(*)
+        |    AS BIGINT) AS recall_bp
+        |FROM kf f LEFT JOIN kt t ON f.qid = t.qid AND f.cid = t.cid
+        |GROUP BY f.qid ORDER BY f.qid""".stripMargin
   )
 }

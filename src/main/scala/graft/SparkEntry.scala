@@ -414,7 +414,9 @@ object SparkEntry {
     // Spearman length-vs-quality rank correlation per lang
     "spearman_corr" -> (TextAnalysis.spearmanCorr _),
     // held-out bigram-LM eval (train split model, test split scored)
-    "lm_heldout" -> (CorpusStats.lmHeldout _)
+    "lm_heldout" -> (CorpusStats.lmHeldout _),
+    // Matryoshka truncation recall: 16-dim prefix vs full 64-dim truth
+    "matryoshka_recall" -> (Similarity.matryoshkaRecall _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -53,6 +53,52 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Matryoshka truncation recall (Kusupati et al. 2022, MRL): how much
+    * of the full-64-dim brute top-5 survives when retrieval runs on
+    * only the FIRST 16 dimensions — the eval behind every "store the
+    * short prefix, rerank with the tail" serving design. Per query:
+    * the truncated list's overlap with the full-dim truth and recall
+    * in basis points. Both rankings use the same rounded-cosine total
+    * order as [[knnBrute]].
+    *
+    * Scale posture: two broadcast(query-block) ⋈ corpus passes (the
+    * knnBrute plan twice — the truncated pass reads 4× less vector
+    * data, which is the point); the overlap join touches only the two
+    * k-sized result lists.
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    def topk(trunc: Boolean): DataFrame = {
+      val emb = if (trunc) slice(col("embedding"), 1, 16) else col("embedding")
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), emb.as("v"))
+        .withColumn("nrm", normF(col("v")))
+        .filter(col("nrm").isNotNull)
+      val q = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("v").as("qe"), col("nrm").as("qn")))
+      val c = e.select(col("vec_id").as("cid"), col("v").as("ce"),
+        col("nrm").as("cn"))
+      val scored = q.join(c, col("qid") =!= col("cid"))
+        .withColumn("cos",
+          round(dotF(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("cid"))
+    }
+    val full = topk(trunc = false)
+    val short = topk(trunc = true)
+      .select(col("qid").as("sqid"), col("cid").as("scid"))
+    full
+      .join(short, col("qid") === col("sqid") && col("cid") === col("scid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("scid").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .withColumn("recall_bp", expr("(10000 * n_overlap) div k"))
+      .select(col("qid"), col("k"), col("n_overlap"), col("recall_bp"))
+      .orderBy("qid")
+  }
+
   /** Declarative reference form (interpreted; see VectorExpressions for
     * why the queries use the codegen'd dotF/normF instead — results are
     * bit-identical).

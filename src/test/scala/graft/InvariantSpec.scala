@@ -456,5 +456,13 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     assert(lh.forall(r => r._3 <= r._2 && r._4 >= 0 && r._4 <= 10000
       && r._5 >= 0 && r._5 <= 10000))
     assert(lh.filter(r => r._3 == r._2).forall(_._5 == 0L))
+    // matryoshka_recall: one row per query in the block, k = 5,
+    // recall consistent with the overlap count
+    val mk = SparkEntry.queries("matryoshka_recall")(spark, dir)
+      .select("qid", "k", "n_overlap", "recall_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(mk.length == 16)
+    assert(mk.forall(r => r._2 == 5 && r._3 <= 5
+      && r._4 == 10000 * r._3 / r._2))
   }
 }

@@ -664,6 +664,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val sp = plan("spearman_corr")
     assert(sp.contains("Window"), sp)
     assert(!sp.contains("Join"), s"spearman_corr grew a join:\n$sp")
+    // matryoshka_recall: both retrieval passes broadcast the bounded
+    // query block (the knnBrute non-equi BNLJ shape) and both top-5s
+    // ride the GroupTopK heap; the corpus side never becomes a build
+    val mk = plan("matryoshka_recall")
+    assert(countOf(mk, "BroadcastNestedLoopJoin") >= 2,
+      s"matryoshka_recall must broadcast both query blocks:\n$mk")
+    assert(countOf(mk, "PartialGroupTopK") >= 2,
+      s"matryoshka_recall lost the GroupTopK rewrite:\n$mk")
+    assert(!mk.contains("CartesianProduct"), mk)
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
