@@ -4879,6 +4879,49 @@ object Oracles {
         |  CAST((10000 * sum(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END)) // count(*)
         |    AS BIGINT) AS recall_bp
         |FROM kf f LEFT JOIN kt t ON f.qid = t.qid AND f.cid = t.cid
-        |GROUP BY f.qid ORDER BY f.qid""".stripMargin
+        |GROUP BY f.qid ORDER BY f.qid""".stripMargin,
+
+    // per-source duplication burden — mirrors Dedup.dupAttribution
+    // (one closure + canonical-survivor rank + source rollup)
+    "dup_attribution" ->
+      s"""WITH RECURSIVE $ComponentsCtes,
+         |j AS (SELECT c.doc_id, c.component, d.source, d.n_chars
+         |      FROM comp c JOIN documents d USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY component
+         |        ORDER BY n_chars DESC, doc_id) AS rn FROM j),
+         |att AS (SELECT source, CAST(count(*) AS BIGINT) AS n_clustered,
+         |          CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant
+         |        FROM r GROUP BY source),
+         |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY source)
+         |SELECT ps.source, ps.n_docs,
+         |  coalesce(att.n_clustered, 0) AS n_clustered,
+         |  coalesce(att.n_redundant, 0) AS n_redundant,
+         |  CAST((10000 * coalesce(att.n_redundant, 0)) // ps.n_docs AS BIGINT) AS redundant_bp
+         |FROM ps LEFT JOIN att ON ps.source = att.source
+         |ORDER BY ps.source""".stripMargin,
+
+    // top-10 3-step session paths — mirrors Events.sessionPaths
+    "session_paths" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |             lag(CAST(epoch_us(ts) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |           FROM events),
+        |b AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk FROM x),
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM b),
+        |t AS (SELECT event_type AS t1,
+        |        lead(event_type, 1) OVER (PARTITION BY user_id, session_seq
+        |          ORDER BY ts_us, event_id) AS t2,
+        |        lead(event_type, 2) OVER (PARTITION BY user_id, session_seq
+        |          ORDER BY ts_us, event_id) AS t3
+        |      FROM s),
+        |p AS (SELECT t1 || ' > ' || t2 || ' > ' || t3 AS path FROM t
+        |      WHERE t3 IS NOT NULL),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_paths FROM c)
+        |SELECT path, n, n_paths,
+        |  CAST((10000 * n) // n_paths AS BIGINT) AS share_bp
+        |FROM c, tot ORDER BY n DESC, path LIMIT 10""".stripMargin
   )
 }

@@ -416,7 +416,11 @@ object SparkEntry {
     // held-out bigram-LM eval (train split model, test split scored)
     "lm_heldout" -> (CorpusStats.lmHeldout _),
     // Matryoshka truncation recall: 16-dim prefix vs full 64-dim truth
-    "matryoshka_recall" -> (Similarity.matryoshkaRecall _)
+    "matryoshka_recall" -> (Similarity.matryoshkaRecall _),
+    // per-source near-dup burden attribution over the closure
+    "dup_attribution" -> (Dedup.dupAttribution _),
+    // top-10 3-step session journeys with shares
+    "session_paths" -> (Events.sessionPaths _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -490,6 +491,40 @@ object Dedup {
         sum(coalesce(col("is_cand"), lit(0L))).as("n_cands"))
       .withColumn("cand_rate_bp", expr("(10000 * n_cands) div n_pairs"))
       .orderBy("bucket")
+  }
+
+  /** Per-source duplication-burden attribution: which sources pay the
+    * corpus's near-dup tax. On top of [[dedupComponents]]'s transitive
+    * closure, rank each component by the canonical-survivor order
+    * (n_chars desc, doc_id — [[dedupCanonical]]'s rule) and charge
+    * every NON-survivor copy to its own source; per source emit the
+    * doc count, clustered count, redundant count, and redundant share
+    * — the "who's polluting the corpus" report an ingest owner reads
+    * before renegotiating a source's crawl budget.
+    *
+    * Scale posture: ONE components closure (not two — the survivor
+    * rank re-derives canonical semantics from the same comp frame
+    * instead of re-running the closure), a component-keyed rank
+    * window, and a source-keyed rollup.
+    */
+  def dupAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val comp = dedupComponents(spark, dir)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val flagged = comp.join(docs, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("redundant", when(col("rn") > 1, 1L).otherwise(0L))
+    val perSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val att = flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_clustered"), sum(col("redundant")).as("n_redundant"))
+    perSrc.join(att, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_clustered"), lit(0L)).as("n_clustered"),
+        coalesce(col("n_redundant"), lit(0L)).as("n_redundant"))
+      .withColumn("redundant_bp", expr("(10000 * n_redundant) div n_docs"))
+      .orderBy("source")
   }
 
   /** Connected-component CLUSTERING over the LSH candidate graph — the

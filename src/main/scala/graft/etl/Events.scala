@@ -791,6 +791,38 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Top-10 session paths: the most common 3-step event-type sequences
+    * within a session — [[sessionTransitions]] gives the first-order
+    * Markov edges; this surfaces the actual multi-step journeys
+    * (funnel discovery, not funnel verification). Paths build from two
+    * leads over the session ordering; the global top-10 rides
+    * TakeOrdered (bounded driver state), with each path's share of all
+    * 3-step windows in basis points.
+    *
+    * Scale posture: session-keyed windows (high-cardinality key), a
+    * path-keyed agg, a 1-row totals broadcast, and a bounded global
+    * top-k — never a full sort.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionAssign(Tables.events(spark, dir))
+      .select(col("user_id"), col("session_seq"), col("event_type"),
+        col("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val paths = s
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(" > ", col("event_type"), col("t2"), col("t3")).as("path"))
+    val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("n_paths"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("(10000 * n) div n_paths"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(10)
+      .select(col("path"), col("n"), col("n_paths"), col("share_bp"))
+  }
+
   /** Gap-filled resampling: densify each event type's hourly series to
     * a complete hour grid (missing hours become explicit zero rows —
     * the "resample" primitive every downstream rolling computation

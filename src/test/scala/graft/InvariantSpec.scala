@@ -464,5 +464,24 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     assert(mk.length == 16)
     assert(mk.forall(r => r._2 == 5 && r._3 <= 5
       && r._4 == 10000 * r._3 / r._2))
+    // dup_attribution: sources partition the corpus; the total
+    // redundant count equals clustered docs minus cluster count (one
+    // survivor per component) — cross-checked against the closure
+    val da = SparkEntry.queries("dup_attribution")(spark, dir)
+      .select("n_docs", "n_clustered", "n_redundant", "redundant_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(da.map(_._1).sum == nDocs)
+    assert(da.forall(r => r._3 <= r._2 && r._2 <= r._1
+      && r._4 >= 0 && r._4 <= 10000))
+    val compRows = SparkEntry.queries("dedup_components")(spark, dir)
+      .select("component").as[Long].collect()
+    assert(da.map(_._3).sum == compRows.length - compRows.distinct.length,
+      "redundant total != clustered docs - components")
+    // session_paths: bounded output, consistent shares, ordered desc
+    val spp = SparkEntry.queries("session_paths")(spark, dir)
+      .select("n", "n_paths", "share_bp").as[(Long, Long, Long)].collect()
+    assert(spp.length <= 10 && spp.nonEmpty)
+    assert(spp.forall(r => r._1 <= r._2 && r._3 == 10000 * r._1 / r._2))
+    assert(spp.sliding(2).forall(p => p.length < 2 || p(1)._1 <= p(0)._1))
   }
 }

@@ -673,6 +673,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf(mk, "PartialGroupTopK") >= 2,
       s"matryoshka_recall lost the GroupTopK rewrite:\n$mk")
     assert(!mk.contains("CartesianProduct"), mk)
+    // dup_attribution: survivor rank is a component-keyed window on
+    // the materialized closure; source rollup joins stay hash-keyed
+    val da = plan("dup_attribution")
+    assert(da.contains("Window"), da)
+    assert(!da.contains("CartesianProduct"), da)
+    // session_paths: the global top-10 is a bounded TakeOrdered, not a
+    // full sort + limit
+    val spp = plan("session_paths")
+    assert(spp.contains("TakeOrderedAndProject"),
+      s"session_paths lost its bounded top-k:\n$spp")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
