@@ -4922,6 +4922,410 @@ object Oracles {
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_paths FROM c)
         |SELECT path, n, n_paths,
         |  CAST((10000 * n) // n_paths AS BIGINT) AS share_bp
-        |FROM c, tot ORDER BY n DESC, path LIMIT 10""".stripMargin
+        |FROM c, tot ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    // Nelson-Aalen cumulative hazard — mirrors Events.survivalHazard
+    // (per-term truncated hazard_bp so the running sum is integer-exact;
+    // triangular joins mirror the Spark plan's broadcast triangles)
+    "survival_hazard" ->
+      """WITH pu AS (SELECT user_id,
+        |             min(CAST(epoch_us(ts) AS BIGINT)) AS first_us,
+        |             max(CAST(epoch_us(ts) AS BIGINT)) AS last_us
+        |           FROM events GROUP BY user_id),
+        |e AS (SELECT max(last_us) AS end_us FROM pu),
+        |lives AS (SELECT (last_us - first_us) // 86400000000 AS life_d,
+        |            CASE WHEN last_us >= end_us - 604800000000
+        |                 THEN 1 ELSE 0 END AS censored
+        |          FROM pu, e),
+        |byday AS (SELECT life_d, CAST(sum(1 - censored) AS BIGINT) AS deaths,
+        |            CAST(sum(censored) AS BIGINT) AS n_censored
+        |          FROM lives GROUP BY life_d),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM lives),
+        |ar AS (SELECT b.life_d, b.deaths, b.n_censored, t.n_users,
+        |         CAST(coalesce(sum(x.ex), 0) AS BIGINT) AS prior_exits
+        |       FROM byday b CROSS JOIN tot t
+        |       LEFT JOIN (SELECT life_d AS d0, deaths + n_censored AS ex
+        |                  FROM byday) x ON x.d0 < b.life_d
+        |       GROUP BY b.life_d, b.deaths, b.n_censored, t.n_users),
+        |hz AS (SELECT life_d, n_users - prior_exits AS at_risk, deaths,
+        |         n_censored,
+        |         CAST((10000 * deaths) // (n_users - prior_exits) AS BIGINT)
+        |           AS hazard_bp
+        |       FROM ar)
+        |SELECT a.life_d, CAST(a.at_risk AS BIGINT) AS at_risk, a.deaths,
+        |  a.n_censored, a.hazard_bp,
+        |  CAST(sum(b.hazard_bp) AS BIGINT) AS cum_hazard_bp
+        |FROM hz a JOIN hz b ON b.life_d <= a.life_d
+        |GROUP BY a.life_d, a.at_risk, a.deaths, a.n_censored, a.hazard_bp
+        |ORDER BY a.life_d""".stripMargin,
+
+    // lag-k ACF over the dense hourly grid — mirrors Events.autocorrLag
+    // (m²-scaled integer covariances; spearman-style shifted division)
+    "autocorr_lag" ->
+      """WITH h AS (SELECT event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr
+        |           FROM events),
+        |hourly AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n
+        |           FROM h GROUP BY event_type, hr),
+        |span AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |         FROM hourly GROUP BY event_type),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr
+        |         FROM span),
+        |f AS (SELECT g.event_type, g.hr, coalesce(hourly.n, 0) AS n
+        |      FROM grid g LEFT JOIN hourly
+        |        ON g.event_type = hourly.event_type AND g.hr = hourly.hr),
+        |c AS (SELECT event_type, hr,
+        |        CAST(count(*) OVER wa AS BIGINT) AS m,
+        |        CAST(count(*) OVER wa AS BIGINT) * n
+        |          - CAST(sum(n) OVER wa AS BIGINT) AS c
+        |      FROM f WINDOW wa AS (PARTITION BY event_type)),
+        |cc AS (SELECT event_type, m, c,
+        |         lead(c, 1) OVER wo AS c_1,
+        |         lead(c, 2) OVER wo AS c_2,
+        |         lead(c, 3) OVER wo AS c_3,
+        |         lead(c, 24) OVER wo AS c_24
+        |       FROM c WINDOW wo AS (PARTITION BY event_type ORDER BY hr)),
+        |a AS (SELECT event_type, CAST(max(m) AS BIGINT) AS m_hours,
+        |        CAST(sum(c * c) AS BIGINT) AS var2,
+        |        CAST(sum(c * c_1) AS BIGINT) AS cov2_1,
+        |        CAST(sum(c * c_2) AS BIGINT) AS cov2_2,
+        |        CAST(sum(c * c_3) AS BIGINT) AS cov2_3,
+        |        CAST(sum(c * c_24) AS BIGINT) AS cov2_24
+        |      FROM cc GROUP BY event_type)
+        |SELECT event_type, m_hours,
+        |  CAST(CASE WHEN var2 = 0 THEN 0
+        |       ELSE (10000 * (var2 + cov2_1)) // var2 - 10000 END AS BIGINT)
+        |    AS acf1_bp,
+        |  CAST(CASE WHEN var2 = 0 THEN 0
+        |       ELSE (10000 * (var2 + cov2_2)) // var2 - 10000 END AS BIGINT)
+        |    AS acf2_bp,
+        |  CAST(CASE WHEN var2 = 0 THEN 0
+        |       ELSE (10000 * (var2 + cov2_3)) // var2 - 10000 END AS BIGINT)
+        |    AS acf3_bp,
+        |  CAST(CASE WHEN var2 = 0 THEN 0
+        |       ELSE (10000 * (var2 + cov2_24)) // var2 - 10000 END AS BIGINT)
+        |    AS acf24_bp
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // >=2x-median burst runs — mirrors Events.burstDetect (dense grid,
+    // exact histogram median, gaps-and-islands run ids)
+    "burst_detect" ->
+      """WITH h AS (SELECT event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr
+        |           FROM events),
+        |hourly AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n
+        |           FROM h GROUP BY event_type, hr),
+        |span AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |         FROM hourly GROUP BY event_type),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hr
+        |         FROM span),
+        |f AS (SELECT g.event_type, g.hr, coalesce(hourly.n, 0) AS n
+        |      FROM grid g LEFT JOIN hourly
+        |        ON g.event_type = hourly.event_type AND g.hr = hourly.hr),
+        |hist AS (SELECT event_type, n, count(*) AS cnt
+        |         FROM f GROUP BY event_type, n),
+        |cum AS (SELECT event_type, n,
+        |          sum(cnt) OVER (PARTITION BY event_type ORDER BY n
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          sum(cnt) OVER (PARTITION BY event_type) AS nn
+        |        FROM hist),
+        |med AS (SELECT event_type,
+        |          min(CASE WHEN cum >= (nn + 1) // 2 THEN n END) AS med
+        |        FROM cum GROUP BY event_type),
+        |flag AS (SELECT f.event_type, f.hr, f.n, m.med,
+        |           CASE WHEN f.n >= 2 * greatest(m.med, 1)
+        |                THEN 1 ELSE 0 END AS is_burst
+        |         FROM f JOIN med m ON f.event_type = m.event_type),
+        |g AS (SELECT *, sum(1 - is_burst) OVER (PARTITION BY event_type
+        |        ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        AS grp
+        |      FROM flag)
+        |SELECT event_type, min(hr) AS start_hr, max(hr) AS end_hr,
+        |  CAST(count(*) AS BIGINT) AS len_hours,
+        |  CAST(max(n) AS BIGINT) AS peak_n,
+        |  CAST(sum(n) AS BIGINT) AS burst_mass,
+        |  CAST(max(med) AS BIGINT) AS med
+        |FROM g WHERE is_burst = 1
+        |GROUP BY event_type, grp HAVING count(*) >= 2
+        |ORDER BY event_type, start_hr""".stripMargin,
+
+    // capped common-neighbor Jaccard — mirrors GraphCuration.jaccardLinkpred
+    "jaccard_linkpred" ->
+      """WITH cnt AS (SELECT count(*) AS c FROM customer),
+        |e0 AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,
+        |                       CAST(o_orderkey % c AS BIGINT) AS dst
+        |       FROM orders, cnt),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM e0 WHERE src <> dst),
+        |adj0 AS (SELECT a AS node, b AS nbr FROM und
+        |         UNION ALL SELECT b AS node, a AS nbr FROM und),
+        |adj AS (SELECT node, nbr FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY node
+        |             ORDER BY nbr) AS rk FROM adj0)
+        |        WHERE rk <= 20),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY node),
+        |pairs AS (SELECT x.node AS a, y.node AS b,
+        |            CAST(count(*) AS BIGINT) AS common
+        |          FROM adj x JOIN adj y
+        |            ON x.nbr = y.nbr AND x.node < y.node
+        |          GROUP BY x.node, y.node HAVING count(*) >= 2),
+        |cand AS (SELECT p.* FROM pairs p
+        |         WHERE NOT EXISTS (SELECT 1 FROM und u
+        |                           WHERE u.a = p.a AND u.b = p.b))
+        |SELECT c.a, c.b, c.common, da.deg AS deg_a, db.deg AS deg_b,
+        |  CAST((10000 * c.common) // (da.deg + db.deg - c.common) AS BIGINT)
+        |    AS jaccard_bp
+        |FROM cand c
+        |JOIN deg da ON da.node = c.a
+        |JOIN deg db ON db.node = c.b
+        |ORDER BY jaccard_bp DESC, c.a, c.b LIMIT 20""".stripMargin,
+
+    // graded nDCG@5, reciprocal-rank discounts — mirrors TfIdf.ndcgEval
+    "ndcg_eval" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word FROM docs),
+        |words AS (SELECT * FROM w0 WHERE length(word) > 0),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words
+        |       WHERE word IN ('spark','window','hash','merge','scan','batch','vector','filter')
+        |       GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |nn AS (SELECT count(*) AS n FROM docs),
+        |sd AS (SELECT sum(dl) AS sumdl FROM dl),
+        |sc AS (SELECT t.doc_id, t.word,
+        |         round(ln(1.0 + (CAST(n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5))
+        |           * (t.tf * 2.2)
+        |           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * CAST(n AS DOUBLE) / CAST(sumdl AS DOUBLE))), 4) AS bm25,
+        |         CASE WHEN t.tf >= 5 THEN 2 WHEN t.tf >= 3 THEN 1 ELSE 0 END AS rel
+        |       FROM tf t JOIN dfx f USING (word) JOIN dl d ON t.doc_id = d.doc_id, nn, sd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY word
+        |        ORDER BY bm25 DESC, doc_id) AS rk FROM sc),
+        |dcg AS (SELECT word, CAST(sum(rel * (10000 // rk)) AS BIGINT) AS dcg,
+        |          CAST(sum(rel) AS BIGINT) AS rel_mass5
+        |        FROM r WHERE rk <= 5 GROUP BY word),
+        |ri AS (SELECT *, row_number() OVER (PARTITION BY word
+        |         ORDER BY rel DESC, doc_id) AS rk FROM sc WHERE rel > 0),
+        |idcg AS (SELECT word, CAST(sum(rel * (10000 // rk)) AS BIGINT) AS idcg
+        |         FROM ri WHERE rk <= 5 GROUP BY word)
+        |SELECT d.word, d.dcg, coalesce(i.idcg, 0) AS idcg, d.rel_mass5,
+        |  CAST(CASE WHEN coalesce(i.idcg, 0) = 0 THEN 0
+        |       ELSE (10000 * d.dcg) // i.idcg END AS BIGINT) AS ndcg_bp
+        |FROM dcg d LEFT JOIN idcg i USING (word)
+        |ORDER BY d.word""".stripMargin,
+
+    // PRF query expansion from top-3 BM25 docs — mirrors TfIdf.queryExpansion
+    "query_expansion" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word FROM docs),
+        |words AS (SELECT * FROM w0 WHERE length(word) > 0),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words
+        |       WHERE word IN ('spark','window','hash','merge','scan','batch','vector','filter')
+        |       GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |nn AS (SELECT count(*) AS n FROM docs),
+        |sd AS (SELECT sum(dl) AS sumdl FROM dl),
+        |sc AS (SELECT t.doc_id, t.word,
+        |         round(ln(1.0 + (CAST(n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5))
+        |           * (t.tf * 2.2)
+        |           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * CAST(n AS DOUBLE) / CAST(sumdl AS DOUBLE))), 4) AS bm25
+        |       FROM tf t JOIN dfx f USING (word) JOIN dl d ON t.doc_id = d.doc_id, nn, sd),
+        |prf AS (SELECT word AS query, doc_id FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY word
+        |             ORDER BY bm25 DESC, doc_id) AS rk FROM sc)
+        |        WHERE rk <= 3),
+        |mined AS (SELECT p.query, w.word,
+        |            CAST(count(DISTINCT w.doc_id) AS BIGINT) AS prf_df,
+        |            CAST(count(*) AS BIGINT) AS prf_tf
+        |          FROM words w JOIN prf p ON w.doc_id = p.doc_id
+        |          WHERE w.word <> p.query AND length(w.word) >= 4
+        |          GROUP BY p.query, w.word)
+        |SELECT query, CAST(rank AS INT) AS rank, word AS exp_word, prf_df, prf_tf FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query
+        |     ORDER BY prf_df DESC, prf_tf DESC, word) AS rank FROM mined)
+        |WHERE rank <= 5 ORDER BY query, rank""".stripMargin,
+
+    // min/max skipping audit, natural vs clustered — mirrors Layout.minmaxPrune
+    "minmax_prune" ->
+      """WITH base AS (SELECT l_orderkey,
+        |         CAST(datediff('day', DATE '1992-01-01',
+        |           CAST(l_shipdate AS DATE)) AS BIGINT) AS day
+        |       FROM lineitem),
+        |okm AS (SELECT max(l_orderkey) AS ok_max FROM base),
+        |dex AS (SELECT min(day) AS day_min, max(day) AS day_max FROM base),
+        |lo AS (SELECT datediff('day', DATE '1992-01-01', DATE '1994-01-01') AS d_lo,
+        |              datediff('day', DATE '1992-01-01', DATE '1994-12-31') AS d_hi),
+        |natf AS (SELECT l_orderkey // (ok_max // 64 + 1) AS file_id,
+        |           count(*) AS n_rows, min(day) AS d_min, max(day) AS d_max,
+        |           sum(CASE WHEN day BETWEEN d_lo AND d_hi THEN 1 ELSE 0 END) AS n_match
+        |         FROM base, okm, lo GROUP BY file_id, d_lo, d_hi),
+        |nat AS (SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        |          CAST(sum(CASE WHEN d_max < d_lo OR d_min > d_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        |          CAST(sum(CASE WHEN d_max < d_lo OR d_min > d_hi THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+        |          CAST(sum(n_match) AS BIGINT) AS rows_match,
+        |          CAST(sum(n_rows) AS BIGINT) AS rows_total
+        |        FROM natf, lo),
+        |cluf AS (SELECT (day - day_min) // ((day_max - day_min) // 64 + 1) AS file_id,
+        |           count(*) AS n_rows, min(day) AS d_min, max(day) AS d_max,
+        |           sum(CASE WHEN day BETWEEN d_lo AND d_hi THEN 1 ELSE 0 END) AS n_match
+        |         FROM base, dex, lo GROUP BY file_id, d_lo, d_hi),
+        |clu AS (SELECT 'shipdate_clustered' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        |          CAST(sum(CASE WHEN d_max < d_lo OR d_min > d_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        |          CAST(sum(CASE WHEN d_max < d_lo OR d_min > d_hi THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+        |          CAST(sum(n_match) AS BIGINT) AS rows_match,
+        |          CAST(sum(n_rows) AS BIGINT) AS rows_total
+        |        FROM cluf, lo)
+        |SELECT layout, n_files, n_skipped, rows_scanned, rows_match,
+        |  CAST((10000 * rows_scanned) // rows_total AS BIGINT) AS scan_bp
+        |FROM (SELECT * FROM nat UNION ALL SELECT * FROM clu)
+        |ORDER BY layout""".stripMargin,
+
+    // GDPR cascade-delete dry run — mirrors Observability.forgetCascade
+    "forget_cascade" ->
+      """WITH seeds AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |delo AS (SELECT o_orderkey FROM orders
+        |         WHERE o_custkey IN (SELECT c_custkey FROM seeds)),
+        |rows_ AS (
+        |  SELECT 'customer' AS tbl,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_total,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM seeds) AS n_delete
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM delo)
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+        |  UNION ALL
+        |  SELECT 'events',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM events),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM events WHERE user_id % 97 = 0))
+        |SELECT tbl, n_total, n_delete,
+        |  CAST((10000 * n_delete) // n_total AS BIGINT) AS share_bp
+        |FROM rows_ ORDER BY tbl""".stripMargin,
+
+    // integer Flesch-Kincaid — mirrors TextAnalysis.readability
+    "readability" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS words,
+        |    greatest(1, CAST(len(regexp_extract_all(coalesce(text,''), '[.!?]+')) AS BIGINT)) AS sentences,
+        |    CAST(len(regexp_extract_all(lower(coalesce(text,'')), '[aeiouy]+')) AS BIGINT) AS syllables
+        |  FROM documents)
+        |SELECT doc_id, lang, words, sentences, syllables,
+        |  CAST((39 * words) // sentences
+        |    + (1180 * syllables) // greatest(words, 1) - 1559 AS BIGINT) AS fk_x100
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // severity blocklist gate — mirrors TextAnalysis.blocklistFilter
+    "blocklist_filter" ->
+      """WITH bl(word, sev) AS (VALUES ('dup', 4), ('slow', 3), ('big', 1), ('fast', 1)),
+        |w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word FROM documents),
+        |words AS (SELECT * FROM w0 WHERE length(word) > 0),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |           CAST(sum(sev) AS BIGINT) AS sev_mass, max(sev) AS max_sev
+        |         FROM words JOIN bl USING (word) GROUP BY doc_id),
+        |scored AS (SELECT d.source, coalesce(h.sev_mass, 0) AS sev_mass,
+        |             CASE WHEN coalesce(h.max_sev, 0) >= 4
+        |                       OR coalesce(h.sev_mass, 0) >= 20 THEN 'block'
+        |                  WHEN coalesce(h.sev_mass, 0) >= 8 THEN 'review'
+        |                  ELSE 'pass' END AS verdict
+        |           FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id),
+        |bysrc AS (SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+        |            CAST(sum(sev_mass) AS BIGINT) AS sev_mass
+        |          FROM scored GROUP BY source, verdict),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+        |        FROM scored GROUP BY source)
+        |SELECT b.source, b.verdict, b.n_docs,
+        |  CAST((10000 * b.n_docs) // t.n_source AS BIGINT) AS share_bp,
+        |  b.sev_mass
+        |FROM bysrc b JOIN tot t ON b.source = t.source
+        |ORDER BY b.source, b.verdict""".stripMargin,
+
+    // per-source deciles on the global percentile scale — mirrors
+    // CorpusStats.quantileNorm
+    "quantile_norm" ->
+      """WITH q0 AS (SELECT source, doc_id,
+        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
+        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
+        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
+        |  FROM documents),
+        |q AS (SELECT source,
+        |        least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
+        |          ELSE (10000 * stop_hits) // tokens END)) // 10) AS v
+        |      FROM q0),
+        |hs AS (SELECT source, v, count(*) AS cnt FROM q GROUP BY source, v),
+        |cum AS (SELECT source, v,
+        |          sum(cnt) OVER (PARTITION BY source ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          sum(cnt) OVER (PARTITION BY source) AS nn
+        |        FROM hs),
+        |dec AS (SELECT source, d.decile,
+        |          min(CASE WHEN cum >= (d.decile * nn + 9) // 10 THEN v END) AS q_value
+        |        FROM cum, (SELECT unnest(generate_series(1, 9)) AS decile) d
+        |        GROUP BY source, d.decile),
+        |hg AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt_g FROM q GROUP BY v),
+        |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_g FROM q)
+        |SELECT dec.source, CAST(dec.decile AS BIGINT) AS decile,
+        |  CAST(dec.q_value AS BIGINT) AS q_value,
+        |  CAST((10000 * coalesce(sum(hg.cnt_g), 0)) // max(ng.n_g) AS BIGINT)
+        |    AS global_pct_bp
+        |FROM dec CROSS JOIN ng LEFT JOIN hg ON hg.v < dec.q_value
+        |GROUP BY dec.source, dec.decile, dec.q_value
+        |ORDER BY dec.source, dec.decile""".stripMargin,
+
+    // power-of-2 half-life weighting — mirrors Events.recencyDecay
+    "recency_decay" ->
+      """WITH ev AS (SELECT event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |e AS (SELECT max(us) AS end_us FROM ev),
+        |w AS (SELECT event_type,
+        |        (end_us - us) // 604800000000 AS age_w,
+        |        10000 // (1 << least((end_us - us) // 604800000000, 20)) AS w_bp
+        |      FROM ev, e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(w_bp) AS BIGINT) AS decayed_mass_bp,
+        |  CAST(sum(w_bp) // count(*) AS BIGINT) AS avg_weight_bp,
+        |  CAST(max(age_w) AS BIGINT) AS oldest_weeks,
+        |  CAST(min(age_w) AS BIGINT) AS newest_weeks
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // two-phase arrival-prefix lateness — mirrors Events.latenessAudit
+    "lateness_audit" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS us,
+        |             event_id // 1000 AS chunk
+        |           FROM events),
+        |cm AS (SELECT event_type, chunk, max(us) AS cmax
+        |       FROM ev GROUP BY event_type, chunk),
+        |pr AS (SELECT event_type, chunk,
+        |         max(cmax) OVER (PARTITION BY event_type ORDER BY chunk
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prior_chunk_max
+        |       FROM cm),
+        |x AS (SELECT e.event_type, e.us,
+        |        greatest(
+        |          coalesce(max(e.us) OVER (PARTITION BY e.event_type, e.chunk
+        |            ORDER BY e.event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1),
+        |          coalesce(p.prior_chunk_max, -1)) AS prior_max
+        |      FROM ev e JOIN pr p
+        |        ON e.event_type = p.event_type AND e.chunk = p.chunk),
+        |l AS (SELECT event_type,
+        |        CASE WHEN prior_max > us THEN (prior_max - us) // 1000000
+        |             ELSE 0 END AS late_s,
+        |        CASE WHEN prior_max > us THEN 1 ELSE 0 END AS is_late
+        |      FROM x)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(is_late) AS BIGINT) AS n_late,
+        |  CAST((10000 * sum(is_late)) // count(*) AS BIGINT) AS late_bp,
+        |  CAST(max(late_s) AS BIGINT) AS max_late_s,
+        |  CAST(CASE WHEN sum(is_late) = 0 THEN 0
+        |       ELSE sum(late_s) // sum(is_late) END AS BIGINT) AS mean_late_s
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -52,7 +52,14 @@ object ScaleCheck {
     // mutual-kNN + propagation (embeddings scale 10×), source-keyed
     // gram doc-frequency, GroupTopK-ranked BM25 eval, histogram CDFs
     "knn_graph", "label_prop", "boilerplate_ngrams", "boilerplate_strip",
-    "mrr_eval", "ks_drift")
+    "mrr_eval", "ks_drift",
+    // round-9 close-out wave: PRF mining + graded eval over the
+    // replicated corpus; histogram-calibration + wordlist gates; the
+    // two-phase lateness / survival / ACF family over replicated
+    // events (10× users in the same observation window — organic
+    // traffic growth, the production shape)
+    "ndcg_eval", "query_expansion", "quantile_norm", "blocklist_filter",
+    "lateness_audit", "survival_hazard", "autocorr_lag")
 
   private def caesar(r: Int): (String, String) = {
     val a = "abcdefghijklmnopqrstuvwxyz"
@@ -84,9 +91,19 @@ object ScaleCheck {
         translate(col("c_name"), from, to).as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     })
+    // events: replica r adds a disjoint user population with shifted
+    // event ids in the SAME observation window — organic traffic
+    // growth (10× users, constant span), which scales the per-user /
+    // per-chunk shuffles while the bounded day/hour grids stay bounded
+    // (exactly the posture claim under test). `ts` is carried verbatim
+    // (whatever encoding is on disk, Tables.withNanosTs re-adapts).
+    union("events", (df, r) =>
+      df.select((col("event_id") + lit(r * shift)).as("event_id"),
+        col("ts"), (col("user_id") + lit(r * shift)).as("user_id"),
+        col("event_type"), col("value"), col("props")))
     // Remaining tables: carried over untouched (heavy families don't read
     // them, but the loaders expect the full layout to exist).
-    Tables.names.filterNot(Set("documents", "embeddings", "customer")).foreach { t =>
+    Tables.names.filterNot(Set("documents", "embeddings", "customer", "events")).foreach { t =>
       Tables(spark, base, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
   }

@@ -420,7 +420,34 @@ object SparkEntry {
     // per-source near-dup burden attribution over the closure
     "dup_attribution" -> (Dedup.dupAttribution _),
     // top-10 3-step session journeys with shares
-    "session_paths" -> (Events.sessionPaths _)
+    "session_paths" -> (Events.sessionPaths _),
+    // --- round-9 close-out wave ---
+    // Nelson-Aalen cumulative hazard over censored user lifetimes
+    "survival_hazard" -> (Events.survivalHazard _),
+    // lag-{1,2,3,24} ACF of per-type hourly rates (exact integer)
+    "autocorr_lag" -> (Events.autocorrLag _),
+    // maximal >=2x-median runs over the dense hourly grid
+    "burst_detect" -> (Events.burstDetect _),
+    // common-neighbor Jaccard link prediction (capped wedge join)
+    "jaccard_linkpred" -> (GraphCuration.jaccardLinkpred _),
+    // graded nDCG@5 with exact reciprocal-rank discounts
+    "ndcg_eval" -> (TfIdf.ndcgEval _),
+    // PRF query expansion from top-3 BM25 docs
+    "query_expansion" -> (TfIdf.queryExpansion _),
+    // min/max data-skipping audit: natural vs shipdate-clustered files
+    "minmax_prune" -> (Layout.minmaxPrune _),
+    // GDPR cascade-delete blast-radius dry run
+    "forget_cascade" -> (Observability.forgetCascade _),
+    // integer Flesch-Kincaid grade per document
+    "readability" -> (TextAnalysis.readability _),
+    // severity-weighted safety wordlist gate, per-source dashboard
+    "blocklist_filter" -> (TextAnalysis.blocklistFilter _),
+    // per-source quality deciles on the global percentile scale
+    "quantile_norm" -> (CorpusStats.quantileNorm _),
+    // half-life (power-of-2) freshness weighting per event type
+    "recency_decay" -> (Events.recencyDecay _),
+    // out-of-orderness audit: two-phase arrival-prefix running max
+    "lateness_audit" -> (Events.latenessAudit _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

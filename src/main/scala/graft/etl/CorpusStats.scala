@@ -785,4 +785,57 @@ object CorpusStats {
           .as("chi2_c"))
       .orderBy("lang", "bucket")
   }
+
+  /** Cross-source quantile calibration: each source's quality-score
+    * deciles mapped onto the GLOBAL quality distribution — the
+    * rank-based normalization (quantile norm, the microarray-era
+    * technique) that makes "quality ≥ X" mean the same thing across
+    * sources whose raw score distributions differ (a strict-source
+    * 0.6 may be a lenient-source 0.9). Emits per (source, decile) the
+    * source-local decile value and its global percentile in basis
+    * points; a flat column per source ⇒ that source's scores are
+    * already calibrated.
+    *
+    * Exactness: decile d's value is the exact rank-ceil(d·n/10)
+    * element via the per-source cumulative value histogram
+    * ([[graft.etl.Events.tsAnomaly]]'s selection); the global
+    * percentile counts strictly-smaller mass in the GLOBAL value
+    * histogram — both integer.
+    *
+    * Scale posture: score annotation is map-side; both histograms are
+    * keyed aggs; the per-source CDF window runs over the bounded
+    * (source × value) histogram; the global histogram (bounded by the
+    * value domain, ≤ 10001 rows) BROADCASTS onto the sources × 9
+    * decile frame as a triangular join. Never a global window, never
+    * a data-sized pair join.
+    */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityAnnotated(Tables.documents(spark, dir))
+      .select(col("source"), col("quality_bp").as("v"))
+    // per-source decile values from the cumulative value histogram
+    val histS = q.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    val cum = histS
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("nn", sum(col("cnt")).over(wAll))
+    val grid = spark.range(1, 10).select(col("id").as("decile"))
+    val deciles = cum.crossJoin(broadcast(grid))
+      .groupBy(col("source"), col("decile"))
+      .agg(min(when(col("cum") >= expr("(decile * nn + 9) div 10"),
+        col("v"))).as("q_value"))
+    // global percentile of each decile value: strictly-smaller mass
+    val histG = q.groupBy(col("v")).agg(count(lit(1)).as("cnt_g"))
+    val nG = q.agg(count(lit(1)).as("n_g"))
+    deciles.crossJoin(broadcast(nG))
+      .join(broadcast(histG), col("v") < col("q_value"), "left")
+      .groupBy(col("source"), col("decile"), col("q_value"), col("n_g"))
+      .agg(coalesce(sum(col("cnt_g")), lit(0L)).as("below"))
+      .withColumn("global_pct_bp", expr("(10000 * below) div n_g"))
+      .select(col("source"), col("decile"), col("q_value"),
+        col("global_pct_bp"))
+      .orderBy("source", "decile")
+  }
 }

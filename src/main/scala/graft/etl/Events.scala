@@ -909,4 +909,279 @@ object Events {
         col("first_touch_us"), col("last_touch_us"), col("n_touches"))
       .orderBy("event_id")
   }
+
+  /** Discrete-time survival analysis over user lifetimes (Nelson-Aalen
+    * cumulative hazard, Aalen 1978): a user's lifetime is the span in
+    * whole days from their first to last event; users whose last event
+    * falls within 7 days of the corpus end are right-censored (still
+    * active — their true lifetime is only known to EXCEED the observed
+    * span). For each observed day d: the at-risk count (users with
+    * lifetime ≥ d), events (uncensored users whose lifetime ends at
+    * exactly d), censored exits, the per-day hazard, and the running
+    * cumulative hazard — the retention curve churn models calibrate
+    * against, and the censoring-aware upgrade of [[churnRate]]'s naive
+    * ratio (which undercounts survival by treating active users as
+    * churned).
+    *
+    * Determinism: Kaplan-Meier's survival PRODUCT of rationals is not
+    * cross-engine exact, so this emits the additive Nelson-Aalen form —
+    * hazard_bp = (10000·deaths) div at_risk truncated per term, summed
+    * by a window. Each term truncates identically in both engines, so
+    * the running sum is integer-exact (same discipline as spearman's
+    * shifted div). S(t) ≈ exp(−H(t)) is a reader-side transform.
+    *
+    * Scale posture: one user-keyed agg collapses 100 TB of events to
+    * one row per user; the day grid is bounded by the observation span
+    * (≤ thousands of rows), so both running sums are TRIANGULAR
+    * BROADCAST JOINS over the bounded grid ([[Aggregates.batchPackSharded]]'s
+    * offset pattern — never an unpartitioned window, which would plan a
+    * single-partition funnel). The global max-ts is a 1-row broadcast.
+    */
+  def survivalHazard(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), tsUs.as("us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val endUs = perUser.agg(max(col("last_us")).as("end_us"))
+    val lives = perUser.crossJoin(broadcast(endUs))
+      .select(
+        expr("(last_us - first_us) div 86400000000").as("life_d"),
+        (col("last_us") >= col("end_us") - lit(7L * 86400000000L))
+          .cast("long").as("censored"))
+    // exits per day, split by censoring status. localCheckpoint: the
+    // day grid is BOUNDED (one row per observed day) and feeds four
+    // branches of the triangular joins below — without the checkpoint
+    // the plan nests the full events subtree ~12×. n_users re-derives
+    // from the checkpointed grid (every user exits on exactly one day),
+    // so events are scanned once.
+    val byDay = lives.groupBy(col("life_d"))
+      .agg(sum(lit(1L) - col("censored")).as("deaths"),
+        sum(col("censored")).as("n_censored"))
+      .localCheckpoint()
+    val total = byDay.agg(
+      sum(col("deaths") + col("n_censored")).as("n_users"))
+    // at_risk(d) = n_users - exits strictly before d (triangular join)
+    val exits = byDay.select(col("life_d").as("d0"),
+      (col("deaths") + col("n_censored")).as("ex"))
+    val atRisk = byDay.crossJoin(broadcast(total))
+      .join(broadcast(exits), col("d0") < col("life_d"), "left")
+      .groupBy(col("life_d"), col("deaths"), col("n_censored"),
+        col("n_users"))
+      .agg(coalesce(sum(col("ex")), lit(0L)).as("prior_exits"))
+      .withColumn("at_risk", col("n_users") - col("prior_exits"))
+      .withColumn("hazard_bp", expr("(10000 * deaths) div at_risk"))
+    // cumulative hazard: inclusive triangular sum of per-day hazards
+    val haz = atRisk.select(col("life_d").as("d1"),
+      col("hazard_bp").as("h"))
+    atRisk
+      .join(broadcast(haz), col("d1") <= col("life_d"))
+      .groupBy(col("life_d"), col("at_risk"), col("deaths"),
+        col("n_censored"), col("hazard_bp"))
+      .agg(sum(col("h")).as("cum_hazard_bp"))
+      .select(col("life_d"), col("at_risk"), col("deaths"),
+        col("n_censored"), col("hazard_bp"), col("cum_hazard_bp"))
+      .orderBy("life_d")
+  }
+
+  /** Lag-k autocorrelation of each event type's hourly rate series
+    * (k ∈ {1, 2, 3, 24} — adjacent-hour persistence up to the daily
+    * seasonal echo): the ACF profile that separates bursty types from
+    * periodic ones, and the statistic behind every "is this series
+    * seasonal?" gate in a forecasting pipeline (Box & Jenkins ch.2).
+    * Computed on the DENSE hour grid ([[tsFill]]'s discipline —
+    * missing hours are real zeros; ACF over a gappy series is wrong).
+    *
+    * Exactness: with S = Σx over all m hours, m²·cov_k =
+    * Σ_{t≤m−k}(m·x_t − S)(m·x_{t+k} − S) is pure integer arithmetic
+    * (the n²-scaling that clears both means), and m²·var uses the
+    * same transform over all t, so acf_bp = the spearman-style
+    * shifted division (10000·(var′+cov′)) div var′ − 10000 — exact in
+    * both engines, negative values survive (numerator stays
+    * nonnegative because |cov_k| ≤ var by Cauchy-Schwarz).
+    *
+    * Scale posture: hourly pre-agg is the reduction; the grid and all
+    * windows are (event_type)-keyed over BOUNDED series; the lag
+    * values come from `lead` over the same partitioning — no
+    * self-join, no broadcast of anything data-sized.
+    */
+  def autocorrLag(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val dense = grid.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr").asc)
+    val lags = Seq(1, 2, 3, 24)
+    val withLeads = lags.foldLeft(
+      dense
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("n")).over(wAll))
+        .withColumn("c", col("m") * col("n") - col("s"))) { (df, k) =>
+      df.withColumn(s"c_$k", lead(col("c"), k).over(wOrd))
+    }
+    val aggCols = (sum(col("c") * col("c")).as("var2")) +:
+      lags.map(k => sum(col("c") * col(s"c_$k")).as(s"cov2_$k"))
+    val agged = withLeads.groupBy(col("event_type"))
+      .agg(max(col("m")).as("m_hours"), aggCols: _*)
+    lags.foldLeft(agged) { (df, k) =>
+        df.withColumn(s"acf${k}_bp",
+          expr(s"""CASE WHEN var2 = 0 THEN 0
+                  |ELSE (10000 * (var2 + cov2_$k)) div var2 - 10000
+                  |END""".stripMargin))
+      }
+      .select((col("event_type") +: col("m_hours") +:
+        lags.map(k => col(s"acf${k}_bp"))): _*)
+      .orderBy("event_type")
+  }
+
+  /** Burst detection over the dense hourly grid: maximal runs of
+    * consecutive hours where a type's rate is ≥ 2× its median hourly
+    * rate (median over the dense grid, [[tsAnomaly]]'s exact
+    * cumulative-histogram selection). Emits one row per burst with
+    * span, length, peak rate, and total burst mass — the
+    * "flash-crowd / scraper / incident" primitive that single-hour
+    * spike detection (tsAnomaly) can't express because it has no run
+    * structure. Gaps-and-islands: burst group = running count of
+    * non-burst hours at each burst hour (consecutive burst hours
+    * share it); all integer.
+    *
+    * Scale posture: identical to [[tsFill]] — hourly pre-agg, then
+    * type-keyed windows over the bounded dense grid; the median join
+    * broadcasts one row per type. Output bounded by burst count.
+    */
+  def burstDetect(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val dense = grid.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    // exact lower median of n over the dense grid, per type
+    val hist = dense.groupBy(col("event_type"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val med = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("nn", sum(col("cnt")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= expr("(nn + 1) div 2"), col("n"))).as("med"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hr").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = dense.join(med, Seq("event_type"))
+      .withColumn("is_burst",
+        (col("n") >= lit(2L) * greatest(col("med"), lit(1L))).cast("long"))
+      .withColumn("grp", sum(lit(1L) - col("is_burst")).over(wOrd))
+    flagged.filter(col("is_burst") === 1L)
+      .groupBy(col("event_type"), col("grp"))
+      .agg(min(col("hr")).as("start_hr"), max(col("hr")).as("end_hr"),
+        count(lit(1)).as("len_hours"), max(col("n")).as("peak_n"),
+        sum(col("n")).as("burst_mass"), max(col("med")).as("med"))
+      .filter(col("len_hours") >= 2)
+      .select(col("event_type"), col("start_hr"), col("end_hr"),
+        col("len_hours"), col("peak_n"), col("burst_mass"), col("med"))
+      .orderBy("event_type", "start_hr")
+  }
+
+  /** Half-life recency weighting: each event's training weight decays
+    * by 2× per week of age (half-life 7 d against the corpus end) —
+    * the freshness-weighted sampling mass a continually-retrained
+    * model assigns its event stream. Exponential decay is usually
+    * exp(−λ·age), irrational and cross-engine unsafe; powers of two
+    * ARE exact — weight_bp = 10000 div 2^age_weeks (shift, capped at
+    * 2^20 ≈ zero) gives the same geometric family with integer
+    * arithmetic both engines reproduce bit-for-bit. Per type: event
+    * count, decayed mass, the average weight, and the age span — the
+    * "how much of this stream still matters" dashboard.
+    *
+    * Scale posture: one scan, a 1-row corpus-end broadcast, a map-side
+    * weight, one type-keyed agg. Nothing else.
+    */
+  def recencyDecay(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), tsUs.as("us"))
+    val endUs = ev.agg(max(col("us")).as("end_us"))
+    ev.crossJoin(broadcast(endUs))
+      .withColumn("age_w", expr("(end_us - us) div 604800000000"))
+      .withColumn("w_bp",
+        expr("10000 div shiftleft(1L, cast(least(age_w, 20) as int))"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w_bp")).as("decayed_mass_bp"),
+        max(col("age_w")).as("oldest_weeks"),
+        min(col("age_w")).as("newest_weeks"))
+      .withColumn("avg_weight_bp",
+        expr("decayed_mass_bp div n_events"))
+      .select(col("event_type"), col("n_events"), col("decayed_mass_bp"),
+        col("avg_weight_bp"), col("oldest_weeks"), col("newest_weeks"))
+      .orderBy("event_type")
+  }
+
+  /** Watermark-lateness audit: how out-of-order each event type's
+    * stream actually arrives — the number that sets a Structured
+    * Streaming `withWatermark` delay honestly (too tight drops data,
+    * [[StreamingOps]]' epoch-0 gotcha; too loose bloats state).
+    * Arrival order is the event_id sequence; an event is LATE if some
+    * earlier-arriving event of its type carries a larger event time.
+    * Reports per type: events, late events and share, and the max /
+    * mean lateness in whole seconds.
+    *
+    * The arrival-prefix running max is TWO-PHASE ([[Aggregates
+    * .batchPackSharded]]'s decomposition): arrivals chunk by
+    * event_id div 1000; phase 1 takes each chunk's max event time
+    * (keyed agg) and runs the cross-chunk prefix max over the BOUNDED
+    * chunk grid (type-keyed window); phase 2 runs the within-chunk
+    * prefix max under a (type, chunk)-keyed window — high-cardinality
+    * partitioning end to end, never one partition per type over the
+    * raw stream. prior_max = greatest(cross-chunk, within-chunk).
+    *
+    * Scale posture: one scan, one (type, chunk) agg, one bounded-grid
+    * window, one (type, chunk) window, one equi-join on (type, chunk),
+    * one type-keyed agg. All integer µs → s.
+    */
+  def latenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), tsUs.as("us"))
+      .withColumn("chunk", expr("event_id div 1000"))
+    val chunkMax = ev.groupBy(col("event_type"), col("chunk"))
+      .agg(max(col("us")).as("cmax"))
+    val wChunks = Window.partitionBy(col("event_type"))
+      .orderBy(col("chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = chunkMax
+      .withColumn("prior_chunk_max", max(col("cmax")).over(wChunks))
+      .select(col("event_type"), col("chunk"), col("prior_chunk_max"))
+    val wIn = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.join(prior, Seq("event_type", "chunk"))
+      .withColumn("within_max", max(col("us")).over(wIn))
+      .withColumn("prior_max",
+        greatest(coalesce(col("within_max"), lit(-1L)),
+          coalesce(col("prior_chunk_max"), lit(-1L))))
+      .withColumn("late_s",
+        when(col("prior_max") > col("us"),
+          expr("(prior_max - us) div 1000000")).otherwise(lit(0L)))
+      .withColumn("is_late",
+        (col("prior_max") > col("us")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("is_late")).as("n_late"),
+        max(col("late_s")).as("max_late_s"),
+        sum(col("late_s")).as("total_late_s"))
+      .withColumn("late_bp", expr("(10000 * n_late) div n_events"))
+      .withColumn("mean_late_s",
+        expr("CASE WHEN n_late = 0 THEN 0 ELSE total_late_s div n_late END"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        col("late_bp"), col("max_late_s"), col("mean_late_s"))
+      .orderBy("event_type")
+  }
 }

@@ -154,4 +154,52 @@ object GraphCuration {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .orderBy("node")
   }
+
+  /** Common-neighbor link prediction over the crawl link graph
+    * (Liben-Nowell & Kleinberg 2003): for every non-adjacent node pair
+    * sharing ≥ 2 neighbors, the Jaccard overlap of their (capped)
+    * neighborhoods — the top-20 predicted edges are the "pages that
+    * SHOULD link but don't" recrawl/discovery candidates, the graph
+    * analog of [[knnGraph]]'s embedding neighbors.
+    *
+    * Neighborhoods are CAPPED at the 20 smallest-id neighbors per node
+    * before the wedge join — the production guard that bounds the
+    * candidate-pair blowup at Σ cap·deg instead of Σ deg² (a 100 TB
+    * web graph's hub pages would otherwise emit billions of wedges;
+    * same knob family as [[knnGraph]]'s `bits`). Jaccard uses the
+    * capped degree on both sides, so the ratio stays ≤ 1 by
+    * construction and exact in integer basis points.
+    *
+    * Scale posture: the wedge join is keyed by the shared neighbor
+    * (high-cardinality); pair counting is a (a, b)-keyed agg; existing
+    * edges leave via an anti-join on the same pair key; the global
+    * top-20 is a TakeOrdered, never a full sort.
+    */
+  def jaccardLinkpred(spark: SparkSession, dir: String): DataFrame = {
+    val und = Crawl.edges(spark, dir).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val adj0 = und.select(col("a").as("node"), col("b").as("nbr"))
+      .union(und.select(col("b").as("node"), col("a").as("nbr")))
+    val wN = Window.partitionBy(col("node")).orderBy(col("nbr").asc)
+    val adj = adj0.withColumn("rk", row_number().over(wN))
+      .filter(col("rk") <= 20).select(col("node"), col("nbr"))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val pairs = adj.as("x")
+      .join(adj.as("y"),
+        col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 2)
+    pairs.join(und, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .withColumn("uni", col("deg_a") + col("deg_b") - col("common"))
+      .withColumn("jaccard_bp", expr("(10000 * common) div uni"))
+      .select(col("a"), col("b"), col("common"), col("deg_a"),
+        col("deg_b"), col("jaccard_bp"))
+      .orderBy(col("jaccard_bp").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
 }

@@ -189,4 +189,51 @@ object Observability {
         expr("(10000 * token_mass) div n_eff"))
       .orderBy("b")
   }
+
+  /** Right-to-be-forgotten cascade audit (GDPR art. 17 / CCPA
+    * deletion): given a deletion cohort (here every 97th customer —
+    * production passes the actual request list), measure the blast
+    * radius BEFORE deleting — how many rows each downstream table
+    * loses when the deletion cascades along foreign keys
+    * (customer → orders → lineitem, plus the cohort's event stream).
+    * One row per table with total rows, cascade-deleted rows, and the
+    * share in basis points — the dry-run report a data-governance
+    * pipeline files with every deletion batch.
+    *
+    * Scale posture: each cascade level is a LEFT SEMI join on the
+    * parent's key set (key-partitioned shuffles; at 100 TB the
+    * customer cohort is broadcast-sized and Spark picks the broadcast
+    * semi automatically); counts are per-table global aggs; the
+    * 4-row output unions 1-row frames. No row data ever moves — only
+    * keys and counters.
+    */
+  def forgetCascade(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    val seeds = cust.filter(col("c_custkey") % 97 === 0)
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val delOrders = orders.join(
+      seeds.withColumnRenamed("c_custkey", "o_custkey"),
+      Seq("o_custkey"), "left_semi")
+    val line = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val delLine = line.join(
+      delOrders.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_semi")
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val delEv = ev.filter(col("user_id") % 97 === 0)
+
+    def row(tbl: String, total: DataFrame, deleted: DataFrame): DataFrame = {
+      val t = total.agg(count(lit(1)).as("n_total"))
+      val d = deleted.agg(count(lit(1)).as("n_delete"))
+      t.crossJoin(broadcast(d))
+        .select(lit(tbl).as("tbl"), col("n_total"), col("n_delete"),
+          expr("(10000 * n_delete) div n_total").as("share_bp"))
+    }
+
+    row("customer", cust, seeds)
+      .unionByName(row("orders", orders, delOrders))
+      .unionByName(row("lineitem", line, delLine))
+      .unionByName(row("events", ev, delEv))
+      .orderBy("tbl")
+  }
 }

@@ -697,4 +697,79 @@ object TextAnalysis {
         expr("(10000 * tok_keep) div tok_all").as("tok_keep_bp"))
       .orderBy("threshold")
   }
+
+  /** Flesch-Kincaid-style readability grade, integer-exact: grade×100
+    * = 39·(words/sentence) + 1180·(syllables/word) − 1559, with each
+    * rational term truncated by integer `div` (the real FK
+    * coefficients ×100; Kincaid et al. 1975). Sentences count
+    * terminator runs ([.!?]+, min 1); syllables are vowel-group runs
+    * ([aeiouy]+ on the lowercased text) — the standard heuristic. The
+    * reading-level gate a curriculum/quality pipeline runs beside
+    * [[gopherRules]]; per-doc rows so downstream splits can threshold.
+    *
+    * Scale posture: pure map-side regex counting over one scan — zero
+    * shuffles but the output sort.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("bigint").as("words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(txt(col("text")), lit("[.!?]+"), lit(0)))
+            .cast("bigint")).as("sentences"),
+        size(regexp_extract_all(lower(txt(col("text"))), lit("[aeiouy]+"),
+          lit(0))).cast("bigint").as("syllables"))
+      .withColumn("fk_x100",
+        expr("""(39 * words) div sentences
+               | + (1180 * syllables) div greatest(words, 1) - 1559""".stripMargin))
+      .orderBy("doc_id")
+
+  /** Severity-weighted blocklist terms for [[blocklistFilter]] —
+    * production swaps in the real safety wordlist; severities make the
+    * verdict logic non-trivial (one sev-4 term blocks outright).
+    */
+  val Blocklist: Seq[(String, Int)] =
+    Seq("dup" -> 4, "slow" -> 3, "big" -> 1, "fast" -> 1)
+
+  /** Safety blocklist gate: count per-document hits against a
+    * severity-weighted wordlist, score the severity mass, and issue a
+    * three-way verdict — block (any severity-4 term, or mass ≥ 20),
+    * review (mass ≥ 8), pass. Reports the moderation dashboard: per
+    * (source, verdict) document counts and share within the source —
+    * the wordlist-tier safety filter every corpus runs before the
+    * model-based one ([[piiRedact]]'s sibling on the policy axis).
+    *
+    * Scale posture: the wordlist is a broadcast map-side join on the
+    * token stream; doc scoring is a doc-keyed agg; the dashboard is a
+    * (source, verdict) agg with a per-source totals broadcast. Output
+    * bounded by sources × 3.
+    */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val words = Shingles.words(docs.select(col("doc_id"), col("text")))
+    val blDf = spark.createDataFrame(Blocklist).toDF("word", "sev")
+    val hits = words.join(broadcast(blDf), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("sev").cast("long")).as("sev_mass"),
+        max(col("sev")).as("max_sev"))
+    val scored = docs.join(hits, Seq("doc_id"), "left")
+      .withColumn("sev_mass", coalesce(col("sev_mass"), lit(0L)))
+      .withColumn("verdict",
+        when(coalesce(col("max_sev"), lit(0)) >= 4 ||
+          col("sev_mass") >= 20, "block")
+          .when(col("sev_mass") >= 8, "review")
+          .otherwise("pass"))
+    val bySrc = scored.groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sev_mass")).as("sev_mass"))
+    val totals = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+    bySrc.join(broadcast(totals), Seq("source"))
+      .withColumn("share_bp", expr("(10000 * n_docs) div n_source"))
+      .select(col("source"), col("verdict"), col("n_docs"),
+        col("share_bp"), col("sev_mass"))
+      .orderBy("source", "verdict")
+  }
 }

@@ -685,6 +685,106 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"session_paths lost its bounded top-k:\n$spp")
   }
 
+  test("round-9 close-out wave keeps its claimed plan shapes") {
+    // survival_hazard: the bounded day grid is localCheckpoint'ed, so
+    // the triangular joins read the materialized grid (Scan
+    // ExistingRDD) — a FileScan inside the triangles would mean the
+    // events subtree is being re-derived per branch (~12 scans)
+    val sh = plan("survival_hazard")
+    assert(sh.contains("Scan ExistingRDD"),
+      s"survival_hazard lost its checkpointed day grid:\n$sh")
+    assert(!sh.contains("FileScan"),
+      s"survival_hazard re-derives events per triangle branch:\n$sh")
+    assert(!sh.contains("CartesianProduct"), sh)
+    // autocorr_lag / burst_detect: the hourly pre-agg is the reduction
+    // — every window (grid stats, leads, run ids) partitions by
+    // event_type ABOVE an aggregate, never over raw events; the dense
+    // grid joins broadcast (bounded by hours x types)
+    for (q <- Seq("autocorr_lag", "burst_detect")) {
+      val p = plan(q)
+      assert(p.contains("windowspecdefinition(event_type"),
+        s"$q window lost its event_type partitioning:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q grid join must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    }
+    // jaccard_linkpred: the neighbor cap rides the GroupTopK heap, the
+    // wedge join stays a nbr-keyed equi-join, and the global top-20 is
+    // a bounded TakeOrdered — never a full sort or a pair loop
+    val jl = plan("jaccard_linkpred")
+    assert(jl.contains("GroupTopK"),
+      s"jaccard_linkpred neighbor cap missed the GroupTopK rewrite:\n$jl")
+    assert(jl.contains("TakeOrderedAndProject"),
+      s"jaccard_linkpred lost its bounded top-k:\n$jl")
+    assert(!jl.contains("CartesianProduct") && !jl.contains("NestedLoop"),
+      s"jaccard_linkpred lost its wedge equi-join:\n$jl")
+    // ndcg_eval: both DCG top-5s (system + ideal) ride GroupTopK
+    // heaps; df/dl sides broadcast; no window sort anywhere
+    val ne = plan("ndcg_eval")
+    assert(countOf(ne, "PartialGroupTopK") >= 2,
+      s"ndcg_eval lost a GroupTopK rewrite:\n$ne")
+    assert(!ne.contains("Window"), s"ndcg_eval kept a window:\n$ne")
+    assert(ne.contains("BroadcastHashJoin"),
+      s"ndcg_eval must broadcast df/dl:\n$ne")
+    // query_expansion: the PRF doc set (|terms| x 3 rows) broadcasts
+    // onto the token stream; both top-k stages ride GroupTopK
+    val qe = plan("query_expansion")
+    assert(countOf(qe, "PartialGroupTopK") >= 2,
+      s"query_expansion lost a GroupTopK rewrite:\n$qe")
+    assert(qe.contains("BroadcastHashJoin"),
+      s"query_expansion PRF set must broadcast:\n$qe")
+    assert(!qe.contains("CartesianProduct"), qe)
+    // minmax_prune: the key-space extremes are 1-row broadcast
+    // scalars; no data-sized join of any kind
+    val mp = plan("minmax_prune")
+    assert(mp.contains("BroadcastNestedLoopJoin"),
+      s"minmax_prune extremes must broadcast:\n$mp")
+    assert(!mp.contains("SortMergeJoin") && !mp.contains("CartesianProduct"),
+      s"minmax_prune grew a data-sized join:\n$mp")
+    // forget_cascade: every cascade level is a LeftSemi keyed join
+    // (orders by custkey, lineitem by orderkey)
+    val fc = plan("forget_cascade")
+    assert(countOf(fc, "LeftSemi") >= 3,
+      s"forget_cascade lost a semi-join cascade level:\n$fc")
+    assert(!fc.contains("CartesianProduct"), fc)
+    // readability: pure map-side regex counting — no joins, no
+    // windows, no aggregates; only the output sort exchanges
+    val rd = plan("readability")
+    assert(!rd.contains("Join") && !rd.contains("Window") &&
+      !rd.contains("HashAggregate"),
+      s"readability must stay map-side:\n$rd")
+    assert(countOf(rd, "+- Exchange") <= 1, s"readability grew a shuffle:\n$rd")
+    // blocklist_filter: the wordlist and the per-source totals both
+    // broadcast; scoring joins stay doc/source-keyed equi-joins
+    val bf = plan("blocklist_filter")
+    assert(countOf(bf, "BroadcastHashJoin") >= 2,
+      s"blocklist_filter wordlist/totals must broadcast:\n$bf")
+    assert(!bf.contains("CartesianProduct") && !bf.contains("NestedLoop"), bf)
+    // quantile_norm: the per-source CDF window runs over the bounded
+    // histogram; the global histogram broadcasts as the triangular
+    // percentile join — never a global window or a shuffled non-equi
+    val qn = plan("quantile_norm")
+    assert(qn.contains("windowspecdefinition(source"),
+      s"quantile_norm CDF window lost its source partitioning:\n$qn")
+    assert(qn.contains("BroadcastNestedLoopJoin"),
+      s"quantile_norm global histogram must broadcast:\n$qn")
+    assert(!qn.contains("CartesianProduct"), qn)
+    // recency_decay: one scan, a 1-row corpus-end broadcast, map-side
+    // weights, one type-keyed agg — nothing else
+    val rc = plan("recency_decay")
+    assert(!rc.contains("SortMergeJoin") && !rc.contains("CartesianProduct"),
+      s"recency_decay grew a data-sized join:\n$rc")
+    assert(!rc.contains("Window"), s"recency_decay grew a window:\n$rc")
+    // lateness_audit: the cross-chunk prefix max runs over the bounded
+    // chunk grid (event_type partitioning); the within-chunk window
+    // partitions by (event_type, chunk); the grid joins back as a
+    // keyed equi-join
+    val la = plan("lateness_audit")
+    assert(la.contains("windowspecdefinition(event_type"),
+      s"lateness_audit windows lost their keyed partitioning:\n$la")
+    assert(!la.contains("CartesianProduct") && !la.contains("NestedLoop"), la)
+  }
+
   test("sweep: no query plans a single-partition funnel or cartesian product") {
     // the serial batch_pack is the documented exception (semantic spec
     // for its sharded twin); everything else must keep table-sized data
