@@ -5326,6 +5326,157 @@ object Oracles {
         |  CAST(max(late_s) AS BIGINT) AS max_late_s,
         |  CAST(CASE WHEN sum(is_late) = 0 THEN 0
         |       ELSE sum(late_s) // sum(is_late) END AS BIGINT) AS mean_late_s
-        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // vocab-size coverage curve — mirrors CorpusStats.vocabCoverage
+    "vocab_coverage" ->
+      """WITH w0 AS (SELECT lang, unnest(string_split(coalesce(text,''), ' ')) AS word
+        |            FROM documents),
+        |words AS (SELECT * FROM w0 WHERE length(word) > 0),
+        |wf AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+        |       FROM words GROUP BY lang, word),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |             ORDER BY n DESC, word) AS rk FROM wf),
+        |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS mass,
+        |          CAST(count(*) AS BIGINT) AS vocab_size
+        |        FROM wf GROUP BY lang),
+        |cuts AS (SELECT CAST(1 << cast(i AS INT) AS BIGINT) AS cut FROM
+        |           (SELECT unnest(generate_series(6, 9)) AS i)),
+        |cov AS (SELECT lang, cut, CAST(sum(n) AS BIGINT) AS covered
+        |        FROM ranked, cuts WHERE rk <= cut GROUP BY lang, cut)
+        |SELECT c.lang, c.cut, c.covered, t.mass, t.vocab_size,
+        |  CAST((10000 * c.covered) // t.mass AS BIGINT) AS coverage_bp
+        |FROM cov c JOIN tot t ON c.lang = t.lang
+        |ORDER BY c.lang, c.cut""".stripMargin,
+
+    // Kneser-Ney held-out bigram LM — mirrors CorpusStats.lmKneserNey
+    // (quarter-unit D=3/4 discount; every term one truncated division)
+    "lm_kneser_ney" ->
+      s"""WITH $WordsCte,
+        |bk AS (SELECT doc_id,
+        |         CAST(CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS INT) AS bucket
+        |       FROM documents),
+        |bg0 AS (SELECT w.doc_id, b.bucket, w.word AS w1,
+        |         lead(w.word, 1) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS w2
+        |       FROM words w JOIN bk b ON w.doc_id = b.doc_id),
+        |bg AS (SELECT doc_id, bucket, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+        |model AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+        |          FROM bg WHERE bucket < 80 GROUP BY w1, w2),
+        |prefix AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1,
+        |             CAST(count(*) AS BIGINT) AS n1plus
+        |           FROM model GROUP BY w1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
+        |         FROM model GROUP BY w2),
+        |types AS (SELECT CAST(count(*) AS BIGINT) AS t FROM model),
+        |sc AS (SELECT b.doc_id,
+        |         CASE WHEN m.n12 IS NOT NULL
+        |              THEN (10000 * (4 * m.n12 - 3)) // (4 * p.n1)
+        |              ELSE 0 END AS term1_bp,
+        |         CASE WHEN p.n1 IS NOT NULL
+        |              THEN (30000 * p.n1plus * coalesce(c.ncont, 0)) // (4 * p.n1 * ty.t)
+        |              ELSE (10000 * coalesce(c.ncont, 0)) // ty.t END AS backoff_bp,
+        |         CASE WHEN m.n12 IS NULL THEN 1 ELSE 0 END AS unseen
+        |       FROM bg b
+        |       LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |       LEFT JOIN prefix p ON b.w1 = p.w1
+        |       LEFT JOIN cont c ON b.w2 = c.w2
+        |       CROSS JOIN types ty
+        |       WHERE b.bucket >= 90)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(unseen) AS BIGINT) AS n_unseen,
+        |  CAST(sum(term1_bp + backoff_bp) // count(*) AS BIGINT) AS kn_bp,
+        |  CAST(CASE WHEN sum(term1_bp + backoff_bp) = 0 THEN 0
+        |       ELSE (10000 * sum(backoff_bp)) // sum(term1_bp + backoff_bp)
+        |       END AS BIGINT) AS backoff_share_bp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // integer power iteration, 3 unrolled rounds — mirrors
+    // Similarity.pcaPower (quantize once, shifted-div normalization)
+    "pca_power" -> {
+      def rnd(i: Int, prev: String): String =
+        s"""d$i AS (SELECT e.vec_id, CAST(sum(e.ei * v.v) AS BIGINT) AS dot
+           |      FROM e JOIN $prev v USING (dim) GROUP BY e.vec_id),
+           |s$i AS (SELECT e.dim, CAST(sum(e.ei * d.dot) AS BIGINT) AS s
+           |      FROM e JOIN d$i d USING (vec_id) GROUP BY e.dim),
+           |m$i AS (SELECT greatest(max(abs(s)), 1) AS m FROM s$i),
+           |v$i AS (SELECT dim, (100 * (s + m)) // m - 100 AS v
+           |      FROM s$i, m$i)""".stripMargin
+      s"""WITH e AS (SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS ei
+         |  FROM embeddings),
+         |v0 AS (SELECT CAST(dim AS INT) AS dim, CAST(100 AS BIGINT) AS v
+         |       FROM (SELECT unnest(generate_series(0, 63)) AS dim)),
+         |${rnd(1, "v0")},
+         |${rnd(2, "v1")},
+         |${rnd(3, "v2")}
+         |SELECT dim, CAST(v AS BIGINT) AS v_100 FROM v3 ORDER BY dim""".stripMargin
+    },
+
+    // hourly-anchor linear interpolation — mirrors Events.interpJoin
+    // (nonnegative weighted form; hold-last at the series tail)
+    "interp_join" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS us,
+        |             CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v_c
+        |           FROM events),
+        |e2 AS (SELECT *, us // 3600000000 AS hr FROM ev),
+        |a AS (SELECT event_type, hr, CAST(sum(v_c) // count(*) AS BIGINT) AS a_v
+        |      FROM e2 GROUP BY event_type, hr),
+        |p AS (SELECT event_type, hr, a_v,
+        |        lead(hr, 1) OVER w AS next_hr,
+        |        lead(a_v, 1) OVER w AS next_v
+        |      FROM a WINDOW w AS (PARTITION BY event_type ORDER BY hr))
+        |SELECT e.event_id, e.event_type, e.us AS ts_us,
+        |  p.a_v AS v0_c, p.next_v AS v1_c,
+        |  CAST(CASE WHEN p.next_hr IS NULL THEN p.a_v
+        |       ELSE (p.a_v * (p.next_hr * 3600000000 - e.us)
+        |             + p.next_v * (e.us - p.hr * 3600000000))
+        |            // ((p.next_hr - p.hr) * 3600000000) END AS BIGINT)
+        |    AS v_interp_c
+        |FROM e2 e JOIN p ON e.event_type = p.event_type AND e.hr = p.hr
+        |ORDER BY e.event_id""".stripMargin,
+
+    // weekly exact p50/p90 drift — mirrors Events.quantileDrift
+    "quantile_drift" ->
+      """WITH x AS (SELECT event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS wk,
+        |             CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v_c
+        |           FROM events),
+        |hist AS (SELECT event_type, wk, v_c, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM x GROUP BY event_type, wk, v_c),
+        |c AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type, wk ORDER BY v_c
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY event_type, wk) AS nn
+        |      FROM hist),
+        |q AS (SELECT event_type, wk, CAST(max(nn) AS BIGINT) AS n,
+        |        min(CASE WHEN cum >= (nn + 1) // 2 THEN v_c END) AS p50_c,
+        |        min(CASE WHEN 10 * cum >= 9 * nn THEN v_c END) AS p90_c
+        |      FROM c GROUP BY event_type, wk)
+        |SELECT event_type, wk, n, CAST(p50_c AS BIGINT) AS p50_c,
+        |  CAST(p90_c AS BIGINT) AS p90_c,
+        |  CAST(p50_c - coalesce(lag(p50_c, 1) OVER (PARTITION BY event_type
+        |    ORDER BY wk), p50_c) AS BIGINT) AS p50_delta_c
+        |FROM q ORDER BY event_type, wk""".stripMargin,
+
+    // WAU / trailing-4-week MAU — mirrors Events.stickiness
+    "stickiness" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |             CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS wk
+        |           FROM events),
+        |wau AS (SELECT wk, CAST(count(*) AS BIGINT) AS wau
+        |        FROM uw GROUP BY wk),
+        |span AS (SELECT max(wk) AS w1 FROM uw),
+        |contrib AS (SELECT DISTINCT user_id, mwk AS wk FROM
+        |              (SELECT user_id,
+        |                 unnest(generate_series(wk, wk + 3)) AS mwk
+        |               FROM uw), span
+        |            WHERE mwk <= w1),
+        |mau AS (SELECT wk, CAST(count(*) AS BIGINT) AS mau
+        |        FROM contrib GROUP BY wk)
+        |SELECT w.wk, w.wau, m.mau,
+        |  CAST((10000 * w.wau) // m.mau AS BIGINT) AS stickiness_bp
+        |FROM wau w JOIN mau m ON w.wk = m.wk
+        |ORDER BY w.wk""".stripMargin
   )
 }

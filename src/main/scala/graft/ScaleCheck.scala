@@ -59,7 +59,14 @@ object ScaleCheck {
     // events (10× users in the same observation window — organic
     // traffic growth, the production shape)
     "ndcg_eval", "query_expansion", "quantile_norm", "blocklist_filter",
-    "lateness_audit", "survival_hazard", "autocorr_lag")
+    "lateness_audit", "survival_hazard", "autocorr_lag",
+    // round-9 wave 3: KN model aggs over the replicated split, vocab
+    // ranking over the (replica-rotated, so 10×) vocabulary, and the
+    // power iteration's corpus-scan rounds over 10× vectors
+    "lm_kneser_ney", "vocab_coverage", "pca_power",
+    // round-9 wave 4: anchor interpolation / weekly quantile grids /
+    // windowed-distinct decomposition over 10× events
+    "interp_join", "quantile_drift", "stickiness")
 
   private def caesar(r: Int): (String, String) = {
     val a = "abcdefghijklmnopqrstuvwxyz"

@@ -447,7 +447,19 @@ object SparkEntry {
     // half-life (power-of-2) freshness weighting per event type
     "recency_decay" -> (Events.recencyDecay _),
     // out-of-orderness audit: two-phase arrival-prefix running max
-    "lateness_audit" -> (Events.latenessAudit _)
+    "lateness_audit" -> (Events.latenessAudit _),
+    // per-lang token-mass coverage at vocab cuts 64..512
+    "vocab_coverage" -> (CorpusStats.vocabCoverage _),
+    // Kneser-Ney smoothed held-out bigram LM (quarter-unit discount)
+    "lm_kneser_ney" -> (CorpusStats.lmKneserNey _),
+    // integer-quantized power iteration: top principal direction
+    "pca_power" -> (Similarity.pcaPower _),
+    // linear interpolation between hourly anchors (asof's slope twin)
+    "interp_join" -> (Events.interpJoin _),
+    // weekly exact p50/p90 value drift per type
+    "quantile_drift" -> (Events.quantileDrift _),
+    // WAU / trailing-4-week MAU stickiness ratio
+    "stickiness" -> (Events.stickiness _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

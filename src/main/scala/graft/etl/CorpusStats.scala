@@ -838,4 +838,108 @@ object CorpusStats {
         col("global_pct_bp"))
       .orderBy("source", "decile")
   }
+
+  /** Vocabulary-size coverage curve: for each language and each vocab
+    * cut in {64, 128, 256, 512}, the share of token MASS covered by
+    * the top-cut most frequent words of that language — [[oovRate]]'s
+    * single top-256 cut widened to the curve a tokenizer-budget
+    * decision actually reads (where coverage flattens is where vocab
+    * spend stops paying). Rank ties break on word; coverage in exact
+    * integer basis points.
+    *
+    * Scale posture: one token scan → (lang, word) agg; the per-lang
+    * frequency ranking is a window over the BOUNDED vocabulary frame
+    * (not the token stream — [[vocabGrowth]]'s discipline); the 4-row
+    * cut grid broadcasts; output bounded by langs × cuts.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(spark, dir)
+      .select(col("lang"), explode(Shingles.wordArray(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("word").asc)
+    val ranked = wf.withColumn("rk", row_number().over(wRank))
+    val totals = wf.groupBy(col("lang")).agg(sum(col("n")).as("mass"),
+      count(lit(1)).as("vocab_size"))
+    val cuts = spark.range(6, 10)
+      .select(expr("cast(shiftleft(1L, cast(id as int)) as long)").as("cut"))
+    ranked.crossJoin(broadcast(cuts))
+      .filter(col("rk") <= col("cut"))
+      .groupBy(col("lang"), col("cut"))
+      .agg(sum(col("n")).as("covered"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("coverage_bp", expr("(10000 * covered) div mass"))
+      .select(col("lang"), col("cut"), col("covered"), col("mass"),
+        col("vocab_size"), col("coverage_bp"))
+      .orderBy("lang", "cut")
+  }
+
+  /** Kneser-Ney smoothed held-out bigram LM (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form): [[lmHeldout]] scores an unseen
+    * test bigram 0 — KN is WHY production LMs don't. Absolute discount
+    * D = 3/4 off every seen bigram count funds an interpolation weight
+    * λ(w1) = D·N1+(w1·)/c(w1) paid out over the CONTINUATION
+    * probability P_cont(w2) = N1+(·w2)/|bigram types| (how many
+    * distinct contexts w2 completes — "Francisco" is frequent but
+    * completes only "San", so its continuation mass is tiny). Seen
+    * test bigrams score max(c−D,0)/c(w1) + λ·P_cont; unseen-w2-after-
+    * seen-w1 gets the λ·P_cont backoff; unseen w1 backs off to P_cont
+    * alone. Per test doc: the KN score, the backoff mass share, and
+    * the unseen count — directly comparable against lm_heldout's
+    * zero-for-unseen column.
+    *
+    * Exactness: D = 3/4 clears through quarter-units — term1_bp =
+    * (10000·(4c12−3)) div (4c1), backoff_bp = (30000·N1w1·Ncont) div
+    * (4·c1·T) — every term one truncated integer division, mirrored
+    * verbatim in the oracle (64-bit safe: 3e4·N1·Ncont ≤ 3e4·v²
+    * at vocabulary v ≈ 10³ → ~3e10).
+    *
+    * Scale posture: identical join graph to [[lmHeldout]] — (w1,w2)-
+    * and w1-keyed model aggs, continuation counts are w2-keyed, the
+    * type total is a 1-row broadcast; scoring is left joins on the
+    * same high-cardinality keys.
+    */
+  def lmKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val inst = Tables.documents(spark, dir)
+      .withColumn("bucket", Splits.hashBucket(col("doc_id"), "split:"))
+      .select(col("doc_id"), col("bucket"),
+        explode(Shingles.shingleArray(col("text"), 2)).as("bg"))
+      .select(col("doc_id"), col("bucket"),
+        split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+    val train = inst.filter(col("bucket") < 80)
+    val model = train.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n12"))
+    val prefix = model.groupBy(col("w1"))
+      .agg(sum(col("n12")).as("n1"), count(lit(1)).as("n1plus"))
+    val cont = model.groupBy(col("w2"))
+      .agg(count(lit(1)).as("ncont"))
+    val types = model.agg(count(lit(1)).as("t"))
+    inst.filter(col("bucket") >= 90)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(prefix, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("ncont", coalesce(col("ncont"), lit(0L)))
+      .withColumn("term1_bp",
+        when(col("n12").isNotNull,
+          expr("(10000 * (4 * n12 - 3)) div (4 * n1)")).otherwise(lit(0L)))
+      .withColumn("backoff_bp",
+        when(col("n1").isNotNull,
+          expr("(30000 * n1plus * ncont) div (4 * n1 * t)"))
+          .otherwise(expr("(10000 * ncont) div t")))
+      .withColumn("unseen", when(col("n12").isNull, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).as("n_unseen"),
+        sum(col("term1_bp") + col("backoff_bp")).as("sum_p_bp"),
+        sum(col("backoff_bp")).as("sum_backoff_bp"))
+      .withColumn("kn_bp", expr("sum_p_bp div n_bigrams"))
+      .withColumn("backoff_share_bp",
+        expr("CASE WHEN sum_p_bp = 0 THEN 0"
+          + " ELSE (10000 * sum_backoff_bp) div sum_p_bp END"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        col("kn_bp"), col("backoff_share_bp"))
+      .orderBy("doc_id")
+  }
 }

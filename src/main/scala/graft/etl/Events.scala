@@ -1184,4 +1184,120 @@ object Events {
         col("late_bp"), col("max_late_s"), col("mean_late_s"))
       .orderBy("event_type")
   }
+
+  /** Interpolation join — [[AsOf.asOfJoin]] carries the LAST value
+    * forward; this LINEARLY INTERPOLATES between the surrounding
+    * hourly anchors instead (the feature-backfill primitive: a model
+    * reading an hourly-snapshotted feature at event time wants the
+    * value slope, not a staircase). Anchors are each type's hourly
+    * mean value in integer cents, timestamped at the hour start; each
+    * event interpolates between its OWN hour's anchor and the next
+    * existing hour's (hold-last at the series tail). The weighted
+    * form v = (v0·(t1−t) + v1·(t−t0)) div (t1−t0) keeps every operand
+    * nonnegative — no negative-division cross-engine hazard.
+    *
+    * Scale posture: anchors are the hourly pre-agg (the reduction);
+    * next-anchor is a `lead` over the BOUNDED per-type hourly grid;
+    * events attach their anchor pair by an equi-join on (type, hour)
+    * — never a window over the raw stream ([[AsOf]]'s user-keyed
+    * union trick doesn't apply here because the interpolation key is
+    * the low-cardinality type).
+    */
+  def interpJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), tsUs.as("us"),
+        expr("cast(round(cast(value as double) * 100, 0) as bigint)").as("v_c"))
+      .withColumn("hr", expr("us div 3600000000"))
+    val anchors = ev.groupBy(col("event_type"), col("hr"))
+      .agg(expr("sum(v_c) div count(1)").as("a_v"))
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("hr").asc)
+    val pairs = anchors
+      .withColumn("next_hr", lead(col("hr"), 1).over(wNext))
+      .withColumn("next_v", lead(col("a_v"), 1).over(wNext))
+    ev.join(pairs, Seq("event_type", "hr"))
+      .withColumn("t0", col("hr") * lit(3600000000L))
+      .withColumn("t1", col("next_hr") * lit(3600000000L))
+      .withColumn("v_interp_c",
+        when(col("next_hr").isNull, col("a_v"))
+          .otherwise(expr(
+            "(a_v * (t1 - us) + next_v * (us - t0)) div (t1 - t0)")))
+      .select(col("event_id"), col("event_type"), col("us").as("ts_us"),
+        col("a_v").as("v0_c"), col("next_v").as("v1_c"),
+        col("v_interp_c"))
+      .orderBy("event_id")
+  }
+
+  /** Weekly quantile drift: exact p50/p90 of the event value (integer
+    * cents) per (type, week), with the week-over-week p50 delta — the
+    * distribution-shift monitor that catches "the payment amounts
+    * changed shape" long before the mean moves ([[tsAnomaly]] watches
+    * rate; this watches VALUE). Quantiles by the exact cumulative
+    * value-histogram rank selection; the delta is a `lag` over the
+    * bounded (type, week) grid.
+    *
+    * Scale posture: one scan → (type, week, value) histogram agg; all
+    * windows run over the bounded histogram / week grids, keyed by
+    * type(+week); output bounded by types × weeks.
+    */
+  def quantileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(ts div 1000) div 604800000000").as("wk"),
+        expr("cast(round(cast(value as double) * 100, 0) as bigint)").as("v_c"))
+      .groupBy(col("event_type"), col("wk"), col("v_c"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type"), col("wk"))
+      .orderBy(col("v_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"), col("wk"))
+    val q = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("nn", sum(col("cnt")).over(wAll))
+      .groupBy(col("event_type"), col("wk"))
+      .agg(max(col("nn")).as("n"),
+        min(when(col("cum") >= expr("(nn + 1) div 2"), col("v_c"))).as("p50_c"),
+        min(when(expr("10 * cum >= 9 * nn"), col("v_c"))).as("p90_c"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("wk").asc)
+    q.withColumn("p50_delta_c",
+        col("p50_c") - coalesce(lag(col("p50_c"), 1).over(wLag), col("p50_c")))
+      .select(col("event_type"), col("wk"), col("n"), col("p50_c"),
+        col("p90_c"), col("p50_delta_c"))
+      .orderBy("event_type", "wk")
+  }
+
+  /** Engagement stickiness: per week, the weekly-active users (WAU),
+    * the trailing-4-week monthly-active users (MAU), and the DAU/MAU-
+    * family stickiness ratio WAU/MAU in basis points — the product-
+    * analytics north-star that [[churnRate]]'s exit counting can't
+    * express (a user can be retained but barely active). MAU without
+    * a sliding distinct-count window: each distinct (user, week)
+    * contributes itself to the 4 FORWARD weeks' windows (`sequence` +
+    * explode), so MAU(w) is a plain distinct count per week — the
+    * standard shuffle-friendly decomposition of windowed COUNT
+    * DISTINCT.
+    *
+    * Scale posture: one scan → distinct (user, week) — the reduction;
+    * the 4-week contribution explode is map-side ×4; both counts are
+    * week-keyed distinct aggs; output bounded by the week grid.
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000) div 604800000000").as("wk"))
+      .distinct()
+    val wau = uw.groupBy(col("wk")).agg(count(lit(1)).as("wau"))
+    val span = uw.agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+    val contrib = uw
+      .select(col("user_id"), col("wk"),
+        explode(sequence(col("wk"), col("wk") + 3)).as("mwk"))
+      .crossJoin(broadcast(span))
+      .filter(col("mwk") <= col("w1"))
+      .select(col("user_id"), col("mwk").as("wk"))
+      .distinct()
+    val mau = contrib.groupBy(col("wk")).agg(count(lit(1)).as("mau"))
+    wau.join(mau, Seq("wk"))
+      .withColumn("stickiness_bp", expr("(10000 * wau) div mau"))
+      .select(col("wk"), col("wau"), col("mau"), col("stickiness_bp"))
+      .orderBy("wk")
+  }
 }

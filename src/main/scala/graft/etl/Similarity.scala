@@ -1139,4 +1139,61 @@ object Similarity {
         round(min(col("vnorm")), 4).as("min_norm"),
         round(max(col("vnorm")), 4).as("max_norm"))
       .orderBy("label")
+
+  /** Matrix-free top principal direction by power iteration (Mises &
+    * Pollaczek-Geiringer 1929; the embedding-table "what is the
+    * dominant axis" diagnostic — a huge first component usually means
+    * an uncentered encoder or a rogue feature, the check run before
+    * trusting cosine geometry). Three unrolled iterations of
+    * v ← normalize(Eᵀ(Ev)) on the raw second-moment matrix, never
+    * materializing the d×d matrix: each round is one vec-keyed dot
+    * product and one dim-keyed weighted sum over the exploded
+    * (vec, dim, value) frame.
+    *
+    * Exactness: embeddings quantize ONCE to integer ten-thousandths
+    * (e_int = round(e·10⁴)), v is held in integer [−100, 100] units,
+    * and every normalization is the spearman-style shifted division
+    * ((100·(s+m)) div m − 100, m = max|s|) — float addition order can
+    * never flip a bit because there are no float additions. The sign
+    * indeterminacy of eigenvectors is fixed by the deterministic
+    * all-ones start. 64-bit headroom: |s| ≤ n·maxE·64·maxE·100 ≈
+    * 10⁵·4·10⁴·2.6·10⁸ only at ~10⁸ rows — past that, promote s to
+    * decimal(38,0).
+    *
+    * Scale posture: the explode is vec-keyed (high cardinality); dim
+    * aggs produce 64-row frames that BROADCAST back; three rounds
+    * unrolled (fixpoint checkpoint rule applies past ~4). One corpus
+    * scan per round pair — at production scale, persist the quantized
+    * exploded frame once.
+    */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        expr("cast(round(cast(x as double) * 10000, 0) as bigint)").as("ei"))
+
+    // one power round: v(dim, v) -> normalized E'T(Ev) in [-100, 100].
+    // s localCheckpoints (64 rows): each round's s feeds BOTH the max
+    // and the output, and the next round re-reads v — without the
+    // checkpoint the plan doubles per round (the CLAUDE.md fixpoint
+    // rule; e would be re-scanned 2^rounds times).
+    def round1(v: DataFrame): DataFrame = {
+      val dots = e.join(broadcast(v), Seq("dim"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("ei") * col("v")).as("dot"))
+      val s = e.join(dots, Seq("vec_id"))
+        .groupBy(col("dim"))
+        .agg(sum(col("ei") * col("dot")).as("s"))
+        .localCheckpoint()
+      val m = s.agg(greatest(max(abs(col("s"))), lit(1L)).as("m"))
+      s.crossJoin(broadcast(m))
+        .select(col("dim"),
+          expr("(100 * (s + m)) div m - 100").as("v"))
+    }
+
+    val v0 = spark.range(0, 64)
+      .select(col("id").cast("int").as("dim"), lit(100L).as("v"))
+    val v3 = round1(round1(round1(v0)))
+    v3.select(col("dim"), col("v").as("v_100")).orderBy("dim")
+  }
 }

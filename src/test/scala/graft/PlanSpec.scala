@@ -783,6 +783,55 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(la.contains("windowspecdefinition(event_type"),
       s"lateness_audit windows lost their keyed partitioning:\n$la")
     assert(!la.contains("CartesianProduct") && !la.contains("NestedLoop"), la)
+    // vocab_coverage: the frequency ranking is a per-lang window over
+    // the bounded vocabulary; the 4-row cut grid is the broadcast
+    // non-equi loop; per-lang totals broadcast
+    val vc = plan("vocab_coverage")
+    assert(vc.contains("windowspecdefinition(lang"),
+      s"vocab_coverage ranking lost its lang partitioning:\n$vc")
+    assert(vc.contains("BroadcastNestedLoopJoin") &&
+      vc.contains("BroadcastHashJoin"),
+      s"vocab_coverage grid/totals must broadcast:\n$vc")
+    assert(!vc.contains("CartesianProduct"), vc)
+    // lm_kneser_ney: scoring stays keyed left joins on the model
+    // tables (broadcast at this SF) + the 1-row types scalar; never a
+    // pair join
+    val kn = plan("lm_kneser_ney")
+    assert(countOf(kn, "BroadcastHashJoin") >= 3,
+      s"lm_kneser_ney model joins must stay keyed:\n$kn")
+    assert(!kn.contains("CartesianProduct"), kn)
+    // pca_power: each round's 64-row s frame localCheckpoints (the
+    // fixpoint rule — without it the plan doubles per round), so the
+    // final plan reads the materialized frame, never a FileScan
+    val pp = plan("pca_power")
+    assert(pp.contains("Scan ExistingRDD"),
+      s"pca_power lost its per-round checkpoint:\n$pp")
+    assert(!pp.contains("FileScan"),
+      s"pca_power re-derives the corpus per round branch:\n$pp")
+    assert(!pp.contains("CartesianProduct"), pp)
+    // interp_join: anchors pre-aggregate to hours BELOW the next-
+    // anchor lead window (event_type partitioning over the bounded
+    // grid); events attach by a keyed equi-join
+    val ij = plan("interp_join")
+    assert(ij.contains("windowspecdefinition(event_type"),
+      s"interp_join lead lost its type partitioning:\n$ij")
+    assert(ij.indexOf("HashAggregate") > ij.indexOf("Window"),
+      s"interp_join must pre-aggregate anchors below the window:\n$ij")
+    assert(!ij.contains("CartesianProduct") && !ij.contains("NestedLoop"), ij)
+    // quantile_drift: rank selection runs over the (type, week, value)
+    // HISTOGRAM (aggregate below the windows), never raw events
+    val qd = plan("quantile_drift")
+    assert(qd.contains("windowspecdefinition(event_type"),
+      s"quantile_drift windows lost their keyed partitioning:\n$qd")
+    assert(qd.indexOf("HashAggregate") > qd.indexOf("Window"),
+      s"quantile_drift must build the histogram below its windows:\n$qd")
+    assert(!qd.contains("CartesianProduct"), qd)
+    // stickiness: the windowed COUNT DISTINCT is decomposed into a
+    // forward-contribution explode + week-keyed distinct aggs — no
+    // window anywhere; the span scalar broadcasts
+    val sk = plan("stickiness")
+    assert(!sk.contains("Window"), s"stickiness grew a window:\n$sk")
+    assert(!sk.contains("CartesianProduct"), sk)
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
