@@ -5477,6 +5477,236 @@ object Oracles {
         |SELECT w.wk, w.wau, m.mau,
         |  CAST((10000 * w.wau) // m.mau AS BIGINT) AS stickiness_bp
         |FROM wau w JOIN mau m ON w.wk = m.wk
-        |ORDER BY w.wk""".stripMargin
+        |ORDER BY w.wk""".stripMargin,
+
+    // HITS hubs/authorities, 2 unrolled rounds — mirrors Crawl.hitsScores
+    "hits_scores" ->
+      """WITH cnt AS (SELECT count(*) AS c FROM customer),
+        |e0 AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,
+        |                       CAST(o_orderkey % c AS BIGINT) AS dst
+        |       FROM orders, cnt),
+        |e AS (SELECT * FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT node FROM
+        |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |a1r AS (SELECT dst AS node, CAST(count(*) * 1000 AS BIGINT) AS a
+        |        FROM e GROUP BY dst),
+        |a1m AS (SELECT greatest(max(a), 1) AS m FROM a1r),
+        |a1 AS (SELECT node, (1000 * a) // m AS a FROM a1r, a1m),
+        |h1r AS (SELECT e.src AS node, CAST(sum(a1.a) AS BIGINT) AS h
+        |        FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+        |h1m AS (SELECT greatest(max(h), 1) AS m FROM h1r),
+        |h1 AS (SELECT node, (1000 * h) // m AS h FROM h1r, h1m),
+        |a2r AS (SELECT e.dst AS node, CAST(sum(h1.h) AS BIGINT) AS a
+        |        FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+        |a2m AS (SELECT greatest(max(a), 1) AS m FROM a2r),
+        |a2 AS (SELECT node, (1000 * a) // m AS a FROM a2r, a2m),
+        |h2r AS (SELECT e.src AS node, CAST(sum(a2.a) AS BIGINT) AS h
+        |        FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+        |h2m AS (SELECT greatest(max(h), 1) AS m FROM h2r),
+        |h2 AS (SELECT node, (1000 * h) // m AS h FROM h2r, h2m)
+        |SELECT n.node, CAST(coalesce(a2.a, 0) AS BIGINT) AS auth_1000,
+        |  CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_1000
+        |FROM nodes n
+        |LEFT JOIN a2 ON n.node = a2.node
+        |LEFT JOIN h2 ON n.node = h2.node
+        |ORDER BY n.node""".stripMargin,
+
+    // view->purchase lag histogram — mirrors Events.conversionLag
+    "conversion_lag" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |fv AS (SELECT user_id, min(us) AS view_us FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |fb AS (SELECT e.user_id, f.view_us, min(e.us) AS buy_us
+        |       FROM ev e JOIN fv f ON e.user_id = f.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us >= f.view_us
+        |       GROUP BY e.user_id, f.view_us),
+        |lagt AS (SELECT (buy_us - view_us) // 60000000 AS lag_min FROM fb),
+        |b AS (SELECT CASE WHEN lag_min < 1 THEN 0 WHEN lag_min < 2 THEN 1
+        |        WHEN lag_min < 4 THEN 2 WHEN lag_min < 8 THEN 3
+        |        WHEN lag_min < 16 THEN 4 WHEN lag_min < 32 THEN 5
+        |        WHEN lag_min < 64 THEN 6 WHEN lag_min < 128 THEN 7
+        |        WHEN lag_min < 256 THEN 8 WHEN lag_min < 512 THEN 9
+        |        WHEN lag_min < 1024 THEN 10 ELSE 11 END AS bucket FROM lagt),
+        |cells AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_users
+        |          FROM b GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS total FROM cells)
+        |SELECT c.bucket, c.n_users,
+        |  CAST((10000 * c.n_users) // t.total AS BIGINT) AS share_bp,
+        |  CAST((10000 * sum(c2.n_users)) // t.total AS BIGINT) AS cum_bp
+        |FROM cells c JOIN cells c2 ON c2.bucket <= c.bucket
+        |CROSS JOIN tot t
+        |GROUP BY c.bucket, c.n_users, t.total
+        |ORDER BY c.bucket""".stripMargin,
+
+    // fixed-band RFM segmentation — mirrors Relational3.rfmSegments
+    "rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |         max(CAST(o_orderdate AS DATE)) AS last_d,
+        |         CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS money_c
+        |       FROM orders GROUP BY o_custkey),
+        |e AS (SELECT max(last_d) AS end_d FROM per),
+        |b AS (SELECT datediff('day', last_d, end_d) AS recency_d,
+        |        freq, money_c FROM per, e),
+        |bb AS (SELECT
+        |         CASE WHEN recency_d < 30 THEN 0 WHEN recency_d < 90 THEN 1
+        |              WHEN recency_d < 180 THEN 2 WHEN recency_d < 365 THEN 3
+        |              ELSE 4 END AS r_band,
+        |         CASE WHEN freq < 2 THEN 0 WHEN freq < 4 THEN 1
+        |              WHEN freq < 8 THEN 2 WHEN freq < 16 THEN 3
+        |              ELSE 4 END AS f_band,
+        |         CASE WHEN money_c < 1000000 THEN 0
+        |              WHEN money_c < 10000000 THEN 1
+        |              WHEN money_c < 100000000 THEN 2
+        |              WHEN money_c < 1000000000 THEN 3 ELSE 4 END AS m_band,
+        |         money_c, freq
+        |       FROM b)
+        |SELECT CAST(r_band AS INT) AS r_band, CAST(f_band AS INT) AS f_band,
+        |  CAST(m_band AS INT) AS m_band,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(money_c) AS BIGINT) AS segment_cents,
+        |  CAST(sum(freq) AS BIGINT) AS segment_orders
+        |FROM bb GROUP BY r_band, f_band, m_band
+        |ORDER BY r_band, f_band, m_band""".stripMargin,
+
+    // percent_rank / cume_dist / ntile — mirrors Relational2.analyticRanks
+    // (single IEEE divisions of identical integers: bit-exact unrounded)
+    "analytic_ranks" ->
+      """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS INT) AS nation,
+        |             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+        |           FROM customer)
+        |SELECT c_custkey, nation, bal_c,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM c WINDOW w AS (PARTITION BY nation
+        |  ORDER BY bal_c, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Newman degree assortativity — mirrors Crawl.assortativity
+    "assortativity" ->
+      """WITH cnt AS (SELECT count(*) AS c FROM customer),
+        |e0 AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,
+        |                       CAST(o_orderkey % c AS BIGINT) AS dst
+        |       FROM orders, cnt),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM e0 WHERE src <> dst),
+        |both_ AS (SELECT a AS u, b AS v FROM und
+        |          UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+        |        FROM both_ GROUP BY u),
+        |xy AS (SELECT dx.deg AS x, dy.deg AS y
+        |       FROM both_ b JOIN deg dx ON b.u = dx.u
+        |       JOIN deg dy ON b.v = dy.u),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(y * y) AS BIGINT) AS syy
+        |      FROM xy)
+        |SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS cov_n2,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS varx_n2,
+        |  CAST(n * syy - sy * sy AS BIGINT) AS vary_n2,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+        |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+        |  END AS r_4dp
+        |FROM m""".stripMargin,
+
+    // duplicate-cluster size power-law — mirrors Dedup.clusterSizes
+    "cluster_sizes" ->
+      s"""WITH RECURSIVE $ComponentsCtes,
+         |cs AS (SELECT DISTINCT c.component, s.cluster_size
+         |       FROM comp c JOIN sizes s ON c.component = s.component),
+         |b AS (SELECT CASE WHEN cluster_size < 4 THEN 0
+         |        WHEN cluster_size < 8 THEN 1 WHEN cluster_size < 16 THEN 2
+         |        WHEN cluster_size < 32 THEN 3 WHEN cluster_size < 64 THEN 4
+         |        WHEN cluster_size < 128 THEN 5 ELSE 6 END AS bucket,
+         |        cluster_size
+         |      FROM cs),
+         |cells AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_clusters,
+         |            CAST(sum(cluster_size) AS BIGINT) AS doc_mass
+         |          FROM b GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(doc_mass) AS BIGINT) AS total_docs FROM cells)
+         |SELECT bucket, n_clusters, doc_mass,
+         |  CAST((10000 * doc_mass) // total_docs AS BIGINT) AS mass_bp
+         |FROM cells, tot ORDER BY bucket""".stripMargin,
+
+    // reliability diagram — mirrors TextAnalysis.calibrationBins
+    // (classifier pseudo-probability vs the independent rule gate)
+    "calibration_bins" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(coalesce(text, ''), ' '),
+        |                         w -> length(w) > 0) AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |        CAST(coalesce(list_sum(list_transform(toks, w ->
+        |          CAST(concat('0x', substr(md5(lower(w)), 1, 8)) AS BIGINT)
+        |            % 2001 - 1000)), 0) AS BIGINT) AS score
+        |      FROM t WHERE len(toks) > 0),
+        |pred AS (SELECT doc_id,
+        |           least(10000, greatest(0, (score // n_tokens + 1000) * 5)) AS p_bp
+        |         FROM s),
+        |q0 AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
+        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
+        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
+        |  FROM documents),
+        |truth AS (SELECT doc_id,
+        |        CASE WHEN least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
+        |          ELSE (10000 * stop_hits) // tokens END)) // 10) >= 5000
+        |        THEN 1 ELSE 0 END AS pass
+        |      FROM q0),
+        |j AS (SELECT least(p.p_bp // 1000, 9) AS bin, p.p_bp, tr.pass
+        |      FROM pred p JOIN truth tr ON p.doc_id = tr.doc_id)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(p_bp) // count(*) AS BIGINT) AS mean_pred_bp,
+        |  CAST((10000 * sum(pass)) // count(*) AS BIGINT) AS pass_bp,
+        |  CAST(abs(sum(p_bp) // count(*)
+        |    - (10000 * sum(pass)) // count(*)) AS BIGINT) AS gap_bp
+        |FROM j GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // sweep-line peak concurrency — mirrors Events.peakConcurrency
+    "peak_concurrency" ->
+      """WITH ev AS (SELECT event_type,
+        |             CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |d0 AS (SELECT event_type, us // 60000000 AS mn, 1 AS d FROM ev
+        |       UNION ALL
+        |       SELECT event_type, (us + 300000000) // 60000000 AS mn, -1 AS d
+        |       FROM ev),
+        |deltas AS (SELECT event_type, mn, CAST(sum(d) AS BIGINT) AS delta
+        |           FROM d0 GROUP BY event_type, mn),
+        |conc AS (SELECT event_type, mn,
+        |           CAST(sum(delta) OVER (PARTITION BY event_type ORDER BY mn
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |             AS conc
+        |         FROM deltas),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY conc DESC, mn) AS rk FROM conc)
+        |SELECT event_type, conc AS peak, mn AS peak_minute
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // SLO burn-rate alerting — mirrors Events.sloBurn
+    "slo_burn" ->
+      """WITH hourly AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_err
+        |       FROM events GROUP BY hr),
+        |j AS (SELECT h.hr, h.n, h.n_err,
+        |        CAST(sum(w.n) AS BIGINT) AS n6, CAST(sum(w.n_err) AS BIGINT) AS e6
+        |      FROM hourly h JOIN hourly w
+        |        ON w.hr >= h.hr - 5 AND w.hr <= h.hr
+        |      GROUP BY h.hr, h.n, h.n_err)
+        |SELECT hr, n, n_err,
+        |  CAST((10000 * n_err) // n AS BIGINT) AS err_bp,
+        |  CAST(((10000 * n_err) // n) // 10 AS BIGINT) AS burn1_x10,
+        |  CAST(((10000 * e6) // n6) // 10 AS BIGINT) AS burn6_x10,
+        |  ((10000 * n_err) // n) // 10 >= 144 AS alert_fast,
+        |  ((10000 * e6) // n6) // 10 >= 60 AS alert_slow
+        |FROM j ORDER BY hr""".stripMargin
   )
 }

@@ -66,7 +66,14 @@ object ScaleCheck {
     "lm_kneser_ney", "vocab_coverage", "pca_power",
     // round-9 wave 4: anchor interpolation / weekly quantile grids /
     // windowed-distinct decomposition over 10× events
-    "interp_join", "quantile_drift", "stickiness")
+    "interp_join", "quantile_drift", "stickiness",
+    // round-9 waves 5-6: lag histogram over 10× events, fused analytic
+    // window pass over 10× customers, components closure at 10× docs
+    // (hits/assortativity/rfm read the unreplicated orders graph)
+    "conversion_lag", "analytic_ranks", "cluster_sizes",
+    // round-9 wave 7: dual-scorer calibration join over 10× docs,
+    // sweep-line + burn-rate grids over 10× events
+    "calibration_bins", "peak_concurrency", "slo_burn")
 
   private def caesar(r: Int): (String, String) = {
     val a = "abcdefghijklmnopqrstuvwxyz"

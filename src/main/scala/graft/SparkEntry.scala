@@ -459,7 +459,25 @@ object SparkEntry {
     // weekly exact p50/p90 value drift per type
     "quantile_drift" -> (Events.quantileDrift _),
     // WAU / trailing-4-week MAU stickiness ratio
-    "stickiness" -> (Events.stickiness _)
+    "stickiness" -> (Events.stickiness _),
+    // HITS hubs/authorities, 2 mutual-reinforcement rounds
+    "hits_scores" -> (Crawl.hitsScores _),
+    // first-view -> first-purchase lag histogram (power-of-2 buckets)
+    "conversion_lag" -> (Events.conversionLag _),
+    // fixed-band RFM customer segmentation grid
+    "rfm_segments" -> (Relational3.rfmSegments _),
+    // percent_rank / cume_dist / ntile over nation-partitioned balances
+    "analytic_ranks" -> (Relational2.analyticRanks _),
+    // Newman degree assortativity of the link graph (1 row)
+    "assortativity" -> (Crawl.assortativity _),
+    // duplicate-cluster size power-law over the components closure
+    "cluster_sizes" -> (Dedup.clusterSizes _),
+    // reliability diagram: classifier score vs rule-gate pass rate
+    "calibration_bins" -> (TextAnalysis.calibrationBins _),
+    // sweep-line peak simultaneous 5-min holds per type
+    "peak_concurrency" -> (Events.peakConcurrency _),
+    // SRE multi-window SLO burn-rate alerting over hourly error share
+    "slo_burn" -> (Events.sloBurn _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -223,6 +223,53 @@ object Crawl {
     * FP log at power-of-two boundaries is libm-dependent), so both
     * engines agree exactly.
     */
+  /** HITS hubs-and-authorities (Kleinberg 1999), two unrolled mutual-
+    * reinforcement rounds over the crawl link graph: authority(j) =
+    * Σ_{i→j} hub(i), hub(i) = Σ_{i→j} authority(j), each renormalized
+    * to a 0–1000 integer scale by its max ([[pagerankIter]]'s sibling
+    * — PageRank finds globally-endorsed pages, HITS separates the
+    * DIRECTORY pages that point at good content from the content
+    * itself, which is exactly the crawl-frontier split: hubs are worth
+    * re-expanding, authorities worth re-fetching). Normalization is
+    * the shifted-free division (scores nonnegative): s' = (1000·s) div
+    * max(s), exact in both engines.
+    *
+    * Scale posture: each half-round is one edge-keyed join + one
+    * node-keyed agg + a 1-row max broadcast; two rounds unrolled
+    * (fixpoint checkpoint rule applies past ~4).
+    */
+  def hitsScores(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).filter(col("src") =!= col("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+
+    // the agg frame feeds both the max and the rescale, and each round
+    // feeds the next — localCheckpoint stops the plan doubling per
+    // half-round (fixpoint rule; node-sized materialization, the same
+    // cost class as pagerank's per-level persists)
+    def norm(df: DataFrame, c: String): DataFrame = {
+      val d = df.localCheckpoint()
+      val m = d.agg(greatest(max(col(c)), lit(1L)).as("m"))
+      d.crossJoin(broadcast(m))
+        .select(col("node"), expr(s"(1000 * $c) div m").as(c))
+    }
+
+    var hub = nodes.withColumn("h", lit(1000L))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to 2) {
+      auth = norm(e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a")), "a")
+      hub = norm(e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h")), "h")
+    }
+    nodes
+      .join(auth, Seq("node"), "left")
+      .join(hub, Seq("node"), "left")
+      .select(col("node"), coalesce(col("a"), lit(0L)).as("auth_1000"),
+        coalesce(col("h"), lit(0L)).as("hub_1000"))
+      .orderBy("node")
+  }
+
   def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
     val deg = edges(spark, dir).groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg"))
@@ -237,6 +284,50 @@ object Crawl {
       .select(col("bucket"), col("n_nodes"),
         expr("(10000 * n_nodes) div total").as("share_bp"))
       .orderBy("bucket")
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the undirected edge multiset (each edge in
+    * both orientations, so the statistic is symmetric) — positive ⇒
+    * hubs link hubs (social-graph shape), negative ⇒ hubs link leaves
+    * (web/crawl shape, and what a healthy frontier looks like). The
+    * number that tells a crawler whether link-following concentrates
+    * or disperses at scale.
+    *
+    * Exactness: the n-scaled integer moments (n·Σxy−ΣxΣy etc.) are
+    * exact 64-bit integers; the final r is one sqrt product + one
+    * division of those EXACT integers, rounded to 4dp — IEEE sqrt and
+    * division are correctly rounded, so both engines produce the same
+    * double from the same integers (the irrational-value rule).
+    *
+    * Scale posture: a node-keyed degree agg, two edge-keyed joins to
+    * attach endpoint degrees, one global moment agg. One row out.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val und = edges(spark, dir).filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val both = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = both.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val xy = both
+      .join(deg.select(col("u"), col("deg").as("x")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("deg").as("y")), Seq("v"))
+    xy.agg(count(lit(1)).as("n"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n2"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_n2"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary_n2"))
+      .withColumn("r_4dp",
+        when(col("varx_n2") === 0 || col("vary_n2") === 0, lit(0.0))
+          .otherwise(round(col("cov_n2").cast("double") /
+            (sqrt(col("varx_n2").cast("double")) *
+              sqrt(col("vary_n2").cast("double"))), 4)))
   }
 
   /** Link reciprocity: the share of directed edges whose reverse edge

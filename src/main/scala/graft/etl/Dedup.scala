@@ -783,4 +783,38 @@ object Dedup {
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Duplicate-cluster size distribution in power-of-two buckets — the
+    * power-law audit over [[dedupComponents]]'s closure: a heavy tail
+    * (a few giant clusters owning most clustered docs) means template
+    * boilerplate and argues for the substring tier; many pairs means
+    * organic near-dups. Reports per bucket the cluster count, the doc
+    * mass those clusters own, and its share of all clustered docs —
+    * the "how bad is our duplication, structurally" dashboard.
+    *
+    * Scale posture: one row per component from the closure (already
+    * pair-bounded), map-side bucketing, one bucket agg, 1-row totals
+    * broadcast. Output ≤ 7 rows.
+    */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponents(spark, dir)
+      .select(col("component"), col("cluster_size")).distinct()
+    val bucket = when(col("cluster_size") < 4, 0)
+      .when(col("cluster_size") < 8, 1).when(col("cluster_size") < 16, 2)
+      .when(col("cluster_size") < 32, 3).when(col("cluster_size") < 64, 4)
+      .when(col("cluster_size") < 128, 5).otherwise(6)
+    // <=7 rows feeding both totals and shares — checkpoint so the
+    // components closure isn't re-derived per branch
+    val cells = comp.withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("doc_mass"))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("doc_mass")).as("total_docs"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("mass_bp", expr("(10000 * doc_mass) div total_docs"))
+      .select(col("bucket"), col("n_clusters"), col("doc_mass"),
+        col("mass_bp"))
+      .orderBy("bucket")
+  }
 }

@@ -1300,4 +1300,129 @@ object Events {
       .select(col("wk"), col("wau"), col("mau"), col("stickiness_bp"))
       .orderBy("wk")
   }
+
+  /** Conversion-lag distribution: minutes from a user's FIRST view to
+    * their first purchase AT OR AFTER it, in power-of-two buckets with
+    * cumulative share — the "how long does the funnel actually take"
+    * histogram that [[funnelWindowed]]'s fixed attribution window
+    * assumes an answer to (read the p90 bucket off this to SET that
+    * window). Buckets are the exact CASE ladder ([[graft.etl.Crawl
+    * .degreeDistribution]]'s power-law trick — no irrational log2);
+    * the cumulative share is a triangular broadcast join over the
+    * bounded ≤12-row bucket frame, never an unpartitioned window.
+    *
+    * Scale posture: two user-keyed min-aggs (the reduction), map-side
+    * bucketing, one bucket agg, 1-row totals broadcast, bounded
+    * triangle. Output ≤ 12 rows.
+    */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), tsUs.as("us"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+    val firstBuy = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("us") >= col("view_us"))
+      .groupBy(col("user_id"), col("view_us"))
+      .agg(min(col("us")).as("buy_us"))
+    val lag = firstBuy
+      .withColumn("lag_min", expr("(buy_us - view_us) div 60000000"))
+    val bucket = when(col("lag_min") < 1, 0).when(col("lag_min") < 2, 1)
+      .when(col("lag_min") < 4, 2).when(col("lag_min") < 8, 3)
+      .when(col("lag_min") < 16, 4).when(col("lag_min") < 32, 5)
+      .when(col("lag_min") < 64, 6).when(col("lag_min") < 128, 7)
+      .when(col("lag_min") < 256, 8).when(col("lag_min") < 512, 9)
+      .when(col("lag_min") < 1024, 10).otherwise(11)
+    // bounded (<=12 rows) and read by three branches (totals, shares,
+    // triangle) — localCheckpoint so the user-keyed reduction runs
+    // once, not per branch
+    val cells = lag.withColumn("bucket", bucket)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_users"))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("n_users")).as("total"))
+    val shared = cells.crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("(10000 * n_users) div total"))
+    val cum = cells.select(col("bucket").as("b2"), col("n_users").as("n2"))
+    shared.join(broadcast(cum), col("b2") <= col("bucket"))
+      .groupBy(col("bucket"), col("n_users"), col("share_bp"),
+        col("total"))
+      .agg(sum(col("n2")).as("n_cum"))
+      .withColumn("cum_bp", expr("(10000 * n_cum) div total"))
+      .select(col("bucket"), col("n_users"), col("share_bp"),
+        col("cum_bp"))
+      .orderBy("bucket")
+  }
+
+  /** Peak concurrency by sweep line: each event holds a resource for
+    * 5 minutes; per type, the maximum number of simultaneously-open
+    * holds and the minute it first occurs — the capacity-planning
+    * number ([[intervalMerge]] coalesces busy spans; this counts the
+    * DEPTH inside them). The sweep is +1 at the start minute, −1 at
+    * the end minute, aggregated to the per-(type, minute) delta grid
+    * FIRST (the reduction — the running sum then walks the bounded
+    * delta grid, never raw events; concurrency is constant between
+    * deltas so the peak always sits on a grid row).
+    *
+    * Scale posture: one scan → explode(±1) → (type, minute) delta agg
+    * → type-keyed running sum over the time-bounded grid → rank-1
+    * filter. Same discipline as [[tsAnomaly]]'s histograms.
+    */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), tsUs.as("us"))
+    val deltas = ev.select(col("event_type"),
+        explode(array(
+          struct(expr("us div 60000000").as("mn"), lit(1L).as("d")),
+          struct(expr("(us + 300000000) div 60000000").as("mn"),
+            lit(-1L).as("d")))).as("x"))
+      .select(col("event_type"), col("x.mn").as("mn"), col("x.d").as("d"))
+      .groupBy(col("event_type"), col("mn")).agg(sum(col("d")).as("delta"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("mn").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conc = deltas.withColumn("conc", sum(col("delta")).over(wRun))
+    val wPeak = Window.partitionBy(col("event_type"))
+      .orderBy(col("conc").desc, col("mn").asc)
+    conc.withColumn("rk", row_number().over(wPeak)).filter(col("rk") === 1)
+      .select(col("event_type"), col("conc").as("peak"),
+        col("mn").as("peak_minute"))
+      .orderBy("event_type")
+  }
+
+  /** SLO burn-rate alerting (the Google SRE workbook's multi-window
+    * policy): per hour, the error-event share against a 1% (100 bp)
+    * availability SLO, the 1-hour burn rate, the trailing-6-hour burn
+    * rate, and the fast/slow alert flags (fast: 1 h burn ≥ 14.4×;
+    * slow: 6 h burn ≥ 6× — the standard page/ticket thresholds,
+    * ×10 integer units). Burn = err_bp/SLO_bp exactly as err_bp div 10
+    * in ×10 units. The trailing window is a BROADCAST band join over
+    * the bounded hourly grid (h−5 ≤ h2 ≤ h) — the hours axis is
+    * time-bounded, so the triangle is tiny and the plan has no
+    * unpartitioned window.
+    *
+    * Scale posture: one scan → hourly (n, n_err) agg (the reduction),
+    * bounded non-equi broadcast join, map-side flags. Output = hours.
+    */
+  def sloBurn(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(expr("(ts div 1000) div 3600000000").as("hr"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("n"), sum(col("is_err")).as("n_err"))
+      .localCheckpoint() // bounded hourly grid, read by both band sides
+    val win = hourly.select(col("hr").as("h2"), col("n").as("n2"),
+      col("n_err").as("e2"))
+    hourly.join(broadcast(win),
+        col("h2") >= col("hr") - 5 && col("h2") <= col("hr"))
+      .groupBy(col("hr"), col("n"), col("n_err"))
+      .agg(sum(col("n2")).as("n6"), sum(col("e2")).as("e6"))
+      .withColumn("err_bp", expr("(10000 * n_err) div n"))
+      .withColumn("burn1_x10", expr("((10000 * n_err) div n) div 10"))
+      .withColumn("burn6_x10", expr("((10000 * e6) div n6) div 10"))
+      .withColumn("alert_fast", col("burn1_x10") >= 144L)
+      .withColumn("alert_slow", col("burn6_x10") >= 60L)
+      .select(col("hr"), col("n"), col("n_err"), col("err_bp"),
+        col("burn1_x10"), col("burn6_x10"), col("alert_fast"),
+        col("alert_slow"))
+      .orderBy("hr")
+  }
 }

@@ -275,4 +275,31 @@ object Relational2 {
       .agg((sum(col("cents")) / lit(100.0)).as("total"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  /** The remaining analytic rank functions — percent_rank, cume_dist,
+    * ntile(4) — per nation over customer balances (cents), completing
+    * the §2.8 window surface beyond rank/dense_rank/row_number.
+    * Cross-engine exactness: both are a SINGLE IEEE division of
+    * identical small integers ((rank−1)/(n−1), rank/n) — correctly
+    * rounded in both engines, so bit-identical without any rounding
+    * discipline; ntile is pure integers. The ORDER BY carries a
+    * custkey tie-break so ranks are total.
+    *
+    * Scale posture: one scan, one nation-keyed window pass (all three
+    * functions share the same window ordering → ONE sort), output
+    * sort. Nothing else.
+    */
+  def analyticRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("bal_c").asc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("int").as("nation"),
+        cents(col("c_acctbal")).as("bal_c"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .select(col("c_custkey"), col("nation"), col("bal_c"),
+        col("pct_rank"), col("cume"), col("quartile"))
+      .orderBy("c_custkey")
+  }
 }

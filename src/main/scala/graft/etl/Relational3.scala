@@ -420,4 +420,47 @@ object Relational3 {
         (col("rev_cents") - col("prev_cents")).as("delta_cents"))
       .orderBy("month")
   }
+
+  /** RFM customer segmentation (Hughes 1994, the direct-marketing
+    * classic): each customer banded on Recency (days since their last
+    * order, against the corpus-max order date), Frequency (order
+    * count), and Monetary (lifetime cents), then rolled up per
+    * (r, f, m) segment — the "champions / at-risk / hibernating" grid
+    * a CRM reads. Bands are FIXED business thresholds (R: 30/90/180/
+    * 365 d; F: 1/2/4/8 orders; M: power-of-10 cents), not data
+    * quantiles — deterministic, comparable across runs, and free of
+    * the unpartitioned ntile window quantile-banding would need.
+    *
+    * Scale posture: one customer-keyed agg (the reduction), a 1-row
+    * max-date broadcast, map-side banding, one segment agg. Output
+    * bounded by the 5×5×5 band grid.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"),
+        sum(col("c")).as("money_c"))
+    val end = per.agg(max(col("last_d")).as("end_d"))
+    val banded = per.crossJoin(broadcast(end))
+      .withColumn("recency_d", datediff(col("end_d"), col("last_d")))
+      .withColumn("r_band",
+        when(col("recency_d") < 30, 0).when(col("recency_d") < 90, 1)
+          .when(col("recency_d") < 180, 2).when(col("recency_d") < 365, 3)
+          .otherwise(4))
+      .withColumn("f_band",
+        when(col("freq") < 2, 0).when(col("freq") < 4, 1)
+          .when(col("freq") < 8, 2).when(col("freq") < 16, 3).otherwise(4))
+      .withColumn("m_band",
+        when(col("money_c") < 1000000L, 0)
+          .when(col("money_c") < 10000000L, 1)
+          .when(col("money_c") < 100000000L, 2)
+          .when(col("money_c") < 1000000000L, 3).otherwise(4))
+    banded.groupBy(col("r_band"), col("f_band"), col("m_band"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("money_c")).as("segment_cents"),
+        expr("sum(freq)").as("segment_orders"))
+      .orderBy("r_band", "f_band", "m_band")
+  }
 }

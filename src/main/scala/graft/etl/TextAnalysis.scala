@@ -772,4 +772,50 @@ object TextAnalysis {
         col("share_bp"), col("sev_mass"))
       .orderBy("source", "verdict")
   }
+
+  /** Classifier calibration audit (reliability diagram + per-bin ECE
+    * contributions, Guo et al. 2017): bin [[qualityClassifier]]'s
+    * hashed-feature score (normalized to a 0–10000 bp pseudo-
+    * probability) into deciles and compare each bin's MEAN PREDICTION
+    * against the EMPIRICAL pass rate under the independent rule-based
+    * gate ([[qualityAnnotated]] quality_bp ≥ 5000) — a well-calibrated
+    * scorer has gap ≈ 0 everywhere; a confident-but-wrong one shows
+    * the classic over-confidence staircase. The audit every learned
+    * quality filter needs before its threshold means anything.
+    *
+    * All integer: per-token score s ∈ [−1000, 1000] maps to
+    * p_bp = clamp((s+1000)·5); bins are p_bp div 1000; means and rates
+    * are truncated divisions; gap_bp = |mean − rate|.
+    *
+    * Scale posture: two map-side scoring passes joined doc-keyed, one
+    * 10-row bin agg. Output ≤ 10 rows.
+    */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val pred = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(split(txt(col("text")), " "), w => length(w) > 0).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("int"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, w) =>
+          acc + (conv(substring(md5(lower(w)), 1, 8), 16, 10)
+            .cast("long") % 2001L) - 1000L).as("score"))
+      .withColumn("p_bp",
+        least(lit(10000L), greatest(lit(0L),
+          (expr("score div n_tokens") + 1000L) * 5L)))
+    val truth = qualityAnnotated(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        (col("quality_bp") >= 5000L).cast("long").as("pass"))
+    pred.join(truth, Seq("doc_id"))
+      .withColumn("bin", least(expr("p_bp div 1000"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("p_bp")).as("sum_p"), sum(col("pass")).as("n_pass"))
+      .withColumn("mean_pred_bp", expr("sum_p div n_docs"))
+      .withColumn("pass_bp", expr("(10000 * n_pass) div n_docs"))
+      .withColumn("gap_bp", abs(col("mean_pred_bp") - col("pass_bp")))
+      .select(col("bin"), col("n_docs"), col("mean_pred_bp"),
+        col("pass_bp"), col("gap_bp"))
+      .orderBy("bin")
+  }
 }

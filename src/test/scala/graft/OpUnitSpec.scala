@@ -226,4 +226,46 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(Events.sessionize(spark, asNtz).collect().toSeq == expect)
     assert(Events.sessionize(spark, asUtc).collect().toSeq == expect)
   }
+
+  test("survivalHazard: censoring keeps active users out of the deaths, " +
+       "hazards truncate per day and accumulate") {
+    val dayNs = 86400L * 1000000L * 1000L
+    // u1: days 0..2 (life 2, dies: last event 8 days before corpus end)
+    // u2: day 0 only (life 0, dies)
+    // u3: days 0..10 (life 10, last event AT the end → censored)
+    val rows = Seq(
+      (1L, 0L * dayNs), (1L, 2L * dayNs),
+      (2L, 0L * dayNs),
+      (3L, 0L * dayNs), (3L, 10L * dayNs))
+    val d = java.nio.file.Files.createTempDirectory("graft_surv_")
+    rows.toDF("user_id", "ts")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val got = Events.survivalHazard(spark, d.toString)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // day 0: at_risk 3, u2 dies → 3333 bp; day 2: at_risk 2, u1 dies
+    // → 5000 bp, cum 8333; day 10: u3 exits CENSORED → hazard 0
+    assert(got == Seq(
+      (0L, 3L, 1L, 0L, 3333L, 3333L),
+      (2L, 2L, 1L, 0L, 5000L, 8333L),
+      (10L, 1L, 0L, 1L, 0L, 8333L)), got.toString)
+  }
+
+  test("conversionLag: purchase before the first view never converts; " +
+       "lags land in their power-of-2 buckets with cumulative share") {
+    val minNs = 60L * 1000000L * 1000L
+    val rows = Seq(
+      // u1: view then purchase 30 s later → lag 0 min → bucket 0
+      (1L, "view", 0L), (1L, "purchase", minNs / 2),
+      // u2: view then purchase 5 min later → bucket 3 (< 8)
+      (2L, "view", 0L), (2L, "purchase", 5L * minNs),
+      // u3: purchase BEFORE its only view → no conversion
+      (3L, "purchase", 0L), (3L, "view", 10L * minNs))
+    val d = java.nio.file.Files.createTempDirectory("graft_clag_")
+    rows.toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val got = Events.conversionLag(spark, d.toString)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 1L, 5000L, 5000L), (3, 1L, 5000L, 10000L)),
+      got.toString)
+  }
 }

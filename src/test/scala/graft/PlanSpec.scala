@@ -832,6 +832,67 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val sk = plan("stickiness")
     assert(!sk.contains("Window"), s"stickiness grew a window:\n$sk")
     assert(!sk.contains("CartesianProduct"), sk)
+    // hits_scores: each half-round's node-sized score frame
+    // localCheckpoints (plan would double per half-round otherwise)
+    val hs = plan("hits_scores")
+    assert(hs.contains("Scan ExistingRDD"),
+      s"hits_scores lost its per-round checkpoints:\n$hs")
+    assert(!hs.contains("CartesianProduct"), hs)
+    // conversion_lag: the bounded bucket frame localCheckpoints (three
+    // branches read it), so the final plan reads the materialized
+    // cells — the triangle and totals are broadcast loops over it
+    val cg = plan("conversion_lag")
+    assert(cg.contains("Scan ExistingRDD") && !cg.contains("FileScan"),
+      s"conversion_lag re-derives the reduction per branch:\n$cg")
+    assert(cg.contains("BroadcastNestedLoopJoin"),
+      s"conversion_lag bucket triangle must broadcast:\n$cg")
+    assert(!cg.contains("Window"), s"conversion_lag grew a window:\n$cg")
+    assert(!cg.contains("CartesianProduct"), cg)
+    // rfm_segments: one customer-keyed reduction, map-side banding,
+    // one segment agg — no windows, no data-sized joins
+    val rf = plan("rfm_segments")
+    assert(!rf.contains("Window") && !rf.contains("SortMergeJoin") &&
+      !rf.contains("CartesianProduct"),
+      s"rfm_segments must stay reduction + banding:\n$rf")
+    // analytic_ranks: all three rank functions share ONE window pass
+    // (same partitioning + ordering → a single Window node, one sort)
+    val ar = plan("analytic_ranks")
+    assert(countOf(ar, "+- Window") == 1,
+      s"analytic_ranks must fuse into one window pass:\n$ar")
+    assert(!ar.contains("Join"), s"analytic_ranks grew a join:\n$ar")
+    // assortativity: degree attach is keyed equi-joins; one global
+    // moment agg — never a pair loop
+    val as9 = plan("assortativity")
+    assert(!as9.contains("CartesianProduct") && !as9.contains("NestedLoop"),
+      s"assortativity lost its keyed degree joins:\n$as9")
+    // cluster_sizes: reads the checkpointed closure/cells — no
+    // FileScan re-derivation per branch
+    val cz = plan("cluster_sizes")
+    assert(cz.contains("Scan ExistingRDD") && !cz.contains("FileScan"),
+      s"cluster_sizes re-derives the closure per branch:\n$cz")
+    assert(!cz.contains("CartesianProduct"), cz)
+    // calibration_bins: two map-side scorers joined doc-keyed, one
+    // bin agg — no window, never a pair loop
+    val cb = plan("calibration_bins")
+    assert(!cb.contains("Window") && !cb.contains("CartesianProduct") &&
+      !cb.contains("NestedLoop"),
+      s"calibration_bins must stay keyed score-join + bin agg:\n$cb")
+    // peak_concurrency: the sweep runs over the (type, minute) delta
+    // GRID — aggregate below the running-sum window, type partitioning
+    val pk = plan("peak_concurrency")
+    assert(pk.contains("windowspecdefinition(event_type"),
+      s"peak_concurrency sweep lost its type partitioning:\n$pk")
+    assert(pk.indexOf("HashAggregate") > pk.indexOf("Window"),
+      s"peak_concurrency must pre-aggregate deltas below the sweep:\n$pk")
+    assert(!pk.contains("CartesianProduct"), pk)
+    // slo_burn: the hourly grid localCheckpoints (band join reads both
+    // sides), the trailing-6h band is a broadcast non-equi loop
+    val sb9 = plan("slo_burn")
+    assert(sb9.contains("Scan ExistingRDD") && !sb9.contains("FileScan"),
+      s"slo_burn re-derives the hourly grid per band side:\n$sb9")
+    assert(sb9.contains("BroadcastNestedLoopJoin"),
+      s"slo_burn band join must broadcast:\n$sb9")
+    assert(!sb9.contains("CartesianProduct"), sb9)
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
