@@ -5707,6 +5707,85 @@ object Oracles {
         |  CAST(((10000 * e6) // n6) // 10 AS BIGINT) AS burn6_x10,
         |  ((10000 * n_err) // n) // 10 >= 144 AS alert_fast,
         |  ((10000 * e6) // n6) // 10 >= 60 AS alert_slow
-        |FROM j ORDER BY hr""".stripMargin
+        |FROM j ORDER BY hr""".stripMargin,
+
+    // two-phase deterministic shuffle — mirrors Splits.corpusShuffle
+    "corpus_shuffle" ->
+      """WITH keyed AS (SELECT doc_id,
+        |         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS skey
+        |       FROM documents),
+        |k2 AS (SELECT *, CAST(concat('0x', substr(skey, 1, 2)) AS INT) AS shard
+        |       FROM keyed),
+        |local_ AS (SELECT doc_id, shard,
+        |         row_number() OVER (PARTITION BY shard
+        |           ORDER BY skey, doc_id) AS local_rank
+        |       FROM k2),
+        |counts AS (SELECT shard, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM k2 GROUP BY shard),
+        |off AS (SELECT a.shard,
+        |          CAST(coalesce(sum(b.cnt), 0) AS BIGINT) AS off
+        |        FROM counts a LEFT JOIN counts b ON b.shard < a.shard
+        |        GROUP BY a.shard)
+        |SELECT l.doc_id, l.shard,
+        |  CAST(o.off + l.local_rank - 1 AS BIGINT) AS shuffle_pos
+        |FROM local_ l JOIN off o ON l.shard = o.shard
+        |ORDER BY l.doc_id""".stripMargin,
+
+    // top correlated dimension pairs — mirrors Similarity.dimCorrelation
+    "dim_correlation" ->
+      """WITH e AS (SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS ei
+        |  FROM embeddings),
+        |p AS (SELECT a.dim AS d1, b.dim AS d2, a.ei AS x, b.ei AS y
+        |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim < b.dim),
+        |m AS (SELECT d1, d2, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(y * y) AS BIGINT) AS syy
+        |      FROM p GROUP BY d1, d2)
+        |SELECT d1, d2, n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+        |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+        |  END AS r_4dp
+        |FROM m ORDER BY abs(r_4dp) DESC, d1, d2 LIMIT 20""".stripMargin,
+
+    // densest 10-word passage — mirrors TfIdf.bestSnippet (oracle pos
+    // is 1-based generate_subscripts; Spark's posexplode is 0-based,
+    // hence the pos - 1 shift on the occurrence list)
+    "best_snippet" ->
+      s"""WITH $WordsCte,
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words
+        |       WHERE word IN ('spark','window','hash','merge','scan','batch','vector','filter')
+        |       GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |sd AS (SELECT sum(dl) AS sumdl FROM dl),
+        |sc AS (SELECT t.doc_id, t.word,
+        |         round(ln(1.0 + (CAST(n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5))
+        |           * (t.tf * 2.2)
+        |           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * CAST(n AS DOUBLE) / CAST(sumdl AS DOUBLE))), 4) AS bm25
+        |       FROM tf t JOIN dfx f USING (word) JOIN dl d ON t.doc_id = d.doc_id, nn, sd),
+        |top1 AS (SELECT word AS query, doc_id FROM
+        |           (SELECT *, row_number() OVER (PARTITION BY word
+        |              ORDER BY bm25 DESC, doc_id) AS rk FROM sc)
+        |         WHERE rk = 1),
+        |occ AS (SELECT t.query, t.doc_id, CAST(w.pos - 1 AS BIGINT) AS pos
+        |        FROM words w JOIN top1 t
+        |          ON w.doc_id = t.doc_id AND w.word = t.query),
+        |cand AS (SELECT s.query, s.doc_id, s.pos AS start_pos,
+        |           CAST(count(*) AS BIGINT) AS hits
+        |         FROM occ s JOIN occ o
+        |           ON s.query = o.query AND s.doc_id = o.doc_id
+        |          AND o.pos >= s.pos AND o.pos <= s.pos + 9
+        |         GROUP BY s.query, s.doc_id, s.pos)
+        |SELECT query, doc_id, start_pos, hits FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query
+        |     ORDER BY hits DESC, start_pos) AS rk FROM cand)
+        |WHERE rk = 1 ORDER BY query""".stripMargin
   )
 }

@@ -73,7 +73,10 @@ object ScaleCheck {
     "conversion_lag", "analytic_ranks", "cluster_sizes",
     // round-9 wave 7: dual-scorer calibration join over 10× docs,
     // sweep-line + burn-rate grids over 10× events
-    "calibration_bins", "peak_concurrency", "slo_burn")
+    "calibration_bins", "peak_concurrency", "slo_burn",
+    // round-9 wave 8: two-phase shuffle rank over 10× docs, d²-bounded
+    // dim-pair moments over 10× vectors, snippet band join over 10× docs
+    "corpus_shuffle", "dim_correlation", "best_snippet")
 
   private def caesar(r: Int): (String, String) = {
     val a = "abcdefghijklmnopqrstuvwxyz"

@@ -477,7 +477,13 @@ object SparkEntry {
     // sweep-line peak simultaneous 5-min holds per type
     "peak_concurrency" -> (Events.peakConcurrency _),
     // SRE multi-window SLO burn-rate alerting over hourly error share
-    "slo_burn" -> (Events.sloBurn _)
+    "slo_burn" -> (Events.sloBurn _),
+    // two-phase deterministic global shuffle rank (md5 order)
+    "corpus_shuffle" -> (Splits.corpusShuffle _),
+    // top-20 most correlated embedding dimension pairs
+    "dim_correlation" -> (Similarity.dimCorrelation _),
+    // densest 10-word passage per query term in its top BM25 doc
+    "best_snippet" -> (TfIdf.bestSnippet _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -1196,4 +1196,52 @@ object Similarity {
     val v3 = round1(round1(round1(v0)))
     v3.select(col("dim"), col("v").as("v_100")).orderBy("dim")
   }
+
+  /** Redundant-dimension audit: Pearson correlation of every embedding
+    * dimension PAIR (64² bounded domain), top-20 by |r| — highly
+    * correlated dimensions mean the encoder wastes capacity and the
+    * index pays for axes that carry no independent signal (the check
+    * behind [[matryoshkaRecall]]'s truncation question and PQ's
+    * subspace split). [[pcaPower]] finds the one dominant axis; this
+    * finds the pairwise structure.
+    *
+    * Exactness: the [[graft.etl.Crawl.assortativity]] discipline —
+    * values quantized once to integer ten-thousandths, n-scaled
+    * integer moments per pair, one correctly-rounded sqrt product +
+    * division at the surface (4dp).
+    *
+    * Scale posture: the pair frame is a vec-keyed self equi-join
+    * (d²/2 rows PER VECTOR, a constant 2016× map-side expansion —
+    * never a vector-pair join); moments are (d1, d2)-keyed aggs over
+    * the bounded pair domain; top-20 is a TakeOrdered.
+    */
+  def dimCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        expr("cast(round(cast(x as double) * 10000, 0) as bigint)").as("ei"))
+    val pairs = e.as("p")
+      .join(e.as("q"), col("p.vec_id") === col("q.vec_id") &&
+        col("p.dim") < col("q.dim"))
+      .select(col("p.dim").as("d1"), col("q.dim").as("d2"),
+        col("p.ei").as("x"), col("q.ei").as("y"))
+    pairs.groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("d1"), col("d2"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_n2"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_n2"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary_n2"))
+      .withColumn("r_4dp",
+        when(col("varx_n2") === 0 || col("vary_n2") === 0, lit(0.0))
+          .otherwise(round(col("cov_n2").cast("double") /
+            (sqrt(col("varx_n2").cast("double")) *
+              sqrt(col("vary_n2").cast("double"))), 4)))
+      .select(col("d1"), col("d2"), col("n"), col("r_4dp"))
+      .orderBy(abs(col("r_4dp")).desc, col("d1").asc, col("d2").asc)
+      .limit(20)
+  }
 }

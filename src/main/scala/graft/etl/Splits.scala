@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Deterministic train/test splitting — the training-data pipeline's
@@ -158,5 +159,41 @@ object Splits {
       .withColumn("jaccard_bp", expr("(10000 * n_common) div n_union"))
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard_bp"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Deterministic corpus shuffle: every document gets a GLOBAL
+    * permutation position from an md5 sort key — the reproducible
+    * training-order shuffle that runs before sequence packing (a
+    * corpus streamed in crawl order trains on one site at a time;
+    * a rand() shuffle is unreproducible across reruns/engines). The
+    * global rank is TWO-PHASE ([[graft.etl.Aggregates
+    * .batchPackSharded]]'s decomposition): shard = first md5 byte
+    * (256 shards, uniform by construction), within-shard rank under a
+    * shard-keyed window, plus a 256-row broadcast triangular offset —
+    * the md5-ordering is shard-prefix-contiguous, so offset + local
+    * rank IS the global rank, with no unpartitioned window anywhere.
+    *
+    * Scale posture: one scan, a shard-keyed window, a 256-row offset
+    * triangle. The standard shuffle-at-scale recipe.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("skey",
+        md5(concat(lit("shuffle:"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 2), 16, 10).cast("int"))
+    val wIn = Window.partitionBy(col("shard"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+    val local = keyed.withColumn("local_rank", row_number().over(wIn))
+    val counts = keyed.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("offset"))
+    local.join(broadcast(offsets), Seq("shard"))
+      .select(col("doc_id"), col("shard"),
+        (col("offset") + col("local_rank") - 1L).as("shuffle_pos"))
+      .orderBy("doc_id")
   }
 }

@@ -498,4 +498,60 @@ object TfIdf {
         col("prf_df"), col("prf_tf"))
       .orderBy("query", "rank")
   }
+
+  /** Best-snippet extraction: for each query term, the densest 10-word
+    * window in its top BM25 document — the passage a search result
+    * page highlights (and the passage-selection step in front of a
+    * reranker/reader). A window CANDIDATE starts at each occurrence of
+    * the term (the optimal max-density window always starts on an
+    * occurrence), and its score is the occurrence count in
+    * [start, start+9] word positions; ties break on the earliest
+    * start. Positions are the original-split word positions
+    * ([[Shingles.words]]), so snippets are reconstructable by offset.
+    *
+    * Scale posture: the top-1 doc set is |terms| rows — BROADCAST onto
+    * the position stream; the density count is a per-(term, doc)
+    * self-join of the term's OWN occurrence list (bounded by per-doc
+    * term frequency, not doc length); one rank window over candidates.
+    */
+  def bestSnippet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val words = Shingles.words(docs)
+    val tf = words.filter(col("word").isin(EvalTerms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val sumDl = dl.agg(sum(col("dl"))).head.getLong(0)
+    val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * col("dl") * lit(n.toDouble) / lit(sumDl.toDouble))
+    val scored = tf.join(dfq, Seq("word")).join(dl, Seq("doc_id"))
+      .withColumn("bm25", round(idf * (col("tf") * lit(2.2)) / denom, 4))
+    val wSys = Window.partitionBy(col("word"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    val top1 = scored.withColumn("rk", row_number().over(wSys))
+      .filter(col("rk") === 1)
+      .select(col("word").as("query"), col("doc_id"))
+    val occ = words.as("w").join(broadcast(top1.as("t")),
+        col("w.doc_id") === col("t.doc_id") &&
+          col("w.word") === col("t.query"))
+      .select(col("t.query").as("query"), col("t.doc_id").as("doc_id"),
+        col("w.word_pos").cast("long").as("pos"))
+    val cand = occ.as("s")
+      .join(occ.as("o"),
+        col("s.query") === col("o.query") &&
+          col("s.doc_id") === col("o.doc_id") &&
+          col("o.pos") >= col("s.pos") &&
+          col("o.pos") <= col("s.pos") + 9L)
+      .groupBy(col("s.query").as("query"), col("s.doc_id").as("doc_id"),
+        col("s.pos").as("start_pos"))
+      .agg(count(lit(1)).as("hits"))
+    val wBest = Window.partitionBy(col("query"))
+      .orderBy(col("hits").desc, col("start_pos").asc)
+    cand.withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+      .select(col("query"), col("doc_id"), col("start_pos"), col("hits"))
+      .orderBy("query")
+  }
 }

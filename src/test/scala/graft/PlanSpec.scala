@@ -893,6 +893,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(sb9.contains("BroadcastNestedLoopJoin"),
       s"slo_burn band join must broadcast:\n$sb9")
     assert(!sb9.contains("CartesianProduct"), sb9)
+    // corpus_shuffle: the global rank is two-phase — a SHARD-keyed
+    // window plus the 256-row broadcast offset triangle; never an
+    // unpartitioned rank
+    val cshuf = plan("corpus_shuffle")
+    assert(cshuf.contains("windowspecdefinition(shard"),
+      s"corpus_shuffle rank lost its shard partitioning:\n$cshuf")
+    assert(cshuf.contains("BroadcastNestedLoopJoin"),
+      s"corpus_shuffle offset triangle must broadcast:\n$cshuf")
+    assert(!cshuf.contains("CartesianProduct"), cshuf)
+    // dim_correlation: the pair frame is a vec-keyed equi self-join
+    // (constant d^2/2 expansion per vector); top-20 is a TakeOrdered
+    val dc = plan("dim_correlation")
+    assert(dc.contains("TakeOrderedAndProject"),
+      s"dim_correlation lost its bounded top-k:\n$dc")
+    assert(!dc.contains("CartesianProduct") && !dc.contains("NestedLoop"),
+      s"dim_correlation pair join must stay vec-keyed:\n$dc")
+    // best_snippet: both rank-1 filters ride GroupTopK heaps; the
+    // occurrence band join stays a keyed equi-join
+    val bs = plan("best_snippet")
+    assert(countOf(bs, "GroupTopK") >= 2,
+      s"best_snippet lost a GroupTopK rewrite:\n$bs")
+    assert(!bs.contains("CartesianProduct") && !bs.contains("NestedLoop"),
+      s"best_snippet lost its keyed occurrence join:\n$bs")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
