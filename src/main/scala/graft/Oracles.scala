@@ -5786,6 +5786,85 @@ object Oracles {
         |SELECT query, doc_id, start_pos, hits FROM
         |  (SELECT *, row_number() OVER (PARTITION BY query
         |     ORDER BY hits DESC, start_pos) AS rk FROM cand)
-        |WHERE rk = 1 ORDER BY query""".stripMargin
+        |WHERE rk = 1 ORDER BY query""".stripMargin,
+
+    // FK orphan audit — mirrors Observability.fkIntegrity
+    "fk_integrity" ->
+      """WITH rows_ AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'events.user_id->customer',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM events),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM events e
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = e.user_id)))
+        |SELECT fk_edge, n_child, n_orphans,
+        |  CAST((10000 * n_orphans) // n_child AS BIGINT) AS orphan_bp
+        |FROM rows_ ORDER BY fk_edge""".stripMargin,
+
+    // watermark drop-rate sweep — mirrors Events.watermarkSweep
+    // (lateness_audit's two-phase prior-max, 5-delay grid)
+    "watermark_sweep" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |             CAST(epoch_us(ts) AS BIGINT) AS us,
+        |             event_id // 1000 AS chunk
+        |           FROM events),
+        |cm AS (SELECT event_type, chunk, max(us) AS cmax
+        |       FROM ev GROUP BY event_type, chunk),
+        |pr AS (SELECT event_type, chunk,
+        |         max(cmax) OVER (PARTITION BY event_type ORDER BY chunk
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prior_chunk_max
+        |       FROM cm),
+        |x AS (SELECT e.us,
+        |        greatest(
+        |          coalesce(max(e.us) OVER (PARTITION BY e.event_type, e.chunk
+        |            ORDER BY e.event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1),
+        |          coalesce(p.prior_chunk_max, -1)) AS prior_max
+        |      FROM ev e JOIN pr p
+        |        ON e.event_type = p.event_type AND e.chunk = p.chunk),
+        |l AS (SELECT greatest(0, prior_max - us) AS late_us FROM x),
+        |d(delay_s) AS (VALUES (CAST(0 AS BIGINT)), (1), (10), (60), (300))
+        |SELECT d.delay_s, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN l.late_us > d.delay_s * 1000000
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST((10000 * sum(CASE WHEN l.late_us > d.delay_s * 1000000
+        |       THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS drop_bp
+        |FROM l CROSS JOIN d GROUP BY d.delay_s ORDER BY d.delay_s""".stripMargin,
+
+    // multi-seed BFS reachability — mirrors Crawl.bfsLayers
+    "bfs_layers" ->
+      """WITH RECURSIVE cnt AS (SELECT count(*) AS c FROM customer),
+        |e0 AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,
+        |                       CAST(o_orderkey % c AS BIGINT) AS dst
+        |       FROM orders, cnt),
+        |e AS (SELECT * FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT node FROM
+        |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r(node, level) AS (
+        |  SELECT node, 0 FROM nodes WHERE node < 8
+        |  UNION
+        |  SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.node
+        |  WHERE r.level < 3),
+        |visited AS (SELECT node, min(level) AS level FROM r GROUP BY node),
+        |pl AS (SELECT level, CAST(count(*) AS BIGINT) AS n_new
+        |       FROM visited GROUP BY level)
+        |SELECT a.level, a.n_new,
+        |  CAST(sum(b.n_new) AS BIGINT) AS n_cum,
+        |  CAST((10000 * sum(b.n_new)) // max(ntot.n) AS BIGINT) AS reach_bp
+        |FROM pl a JOIN pl b ON b.level <= a.level CROSS JOIN ntot
+        |GROUP BY a.level, a.n_new ORDER BY a.level""".stripMargin
   )
 }

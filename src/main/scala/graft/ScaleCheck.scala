@@ -76,7 +76,10 @@ object ScaleCheck {
     "calibration_bins", "peak_concurrency", "slo_burn",
     // round-9 wave 8: two-phase shuffle rank over 10× docs, d²-bounded
     // dim-pair moments over 10× vectors, snippet band join over 10× docs
-    "corpus_shuffle", "dim_correlation", "best_snippet")
+    "corpus_shuffle", "dim_correlation", "best_snippet",
+    // round-9 wave 9: the watermark sweep rides lateness_audit's
+    // two-phase plan over 10× events (fk/bfs read unreplicated tables)
+    "watermark_sweep")
 
   private def caesar(r: Int): (String, String) = {
     val a = "abcdefghijklmnopqrstuvwxyz"

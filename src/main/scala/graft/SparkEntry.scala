@@ -483,7 +483,13 @@ object SparkEntry {
     // top-20 most correlated embedding dimension pairs
     "dim_correlation" -> (Similarity.dimCorrelation _),
     // densest 10-word passage per query term in its top BM25 doc
-    "best_snippet" -> (TfIdf.bestSnippet _)
+    "best_snippet" -> (TfIdf.bestSnippet _),
+    // foreign-key orphan audit per schema edge
+    "fk_integrity" -> (Observability.fkIntegrity _),
+    // drop-rate curve vs candidate watermark delays
+    "watermark_sweep" -> (Events.watermarkSweep _),
+    // multi-seed BFS reachability profile (4 levels)
+    "bfs_layers" -> (Crawl.bfsLayers _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -286,6 +286,50 @@ object Crawl {
       .orderBy("bucket")
   }
 
+  /** Multi-seed reachability profile: BFS from the 8 lowest-id nodes,
+    * 3 levels, reporting per level the newly-reached nodes, the
+    * cumulative reach, and its share of the node universe — the
+    * "how much of the graph can this seed set see" curve that sizes a
+    * crawl's seed list ([[crawlBfs]] walks ONE seed with the
+    * relevance prune; this measures pure reachability for the seed-
+    * selection decision). Same per-level materialized-frontier
+    * discipline as crawlBfs; all shares exact integer basis points.
+    *
+    * Scale posture: per level one edge-keyed join + anti-join against
+    * the visited set, frontier persisted per level (bounded lineage);
+    * the node-universe total is a 1-row broadcast. Output = 4 rows.
+    */
+  def bfsLayers(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir).filter(col("src") =!= col("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nTotal = nodes.count()
+    var visited = nodes.filter(col("node") < 8)
+      .select(col("node"), lit(0).as("level")).persist()
+    var frontier = visited.select(col("node"))
+    for (lvl <- 1 to 3) {
+      val next = e
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(lvl).as("level"))
+        .persist()
+      next.count()
+      visited = visited.unionByName(next)
+      frontier = next.select(col("node"))
+    }
+    val perLevel = visited.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_new"))
+      .localCheckpoint() // 4 rows, read by the cumulative triangle too
+    val cum = perLevel.select(col("level").as("l2"), col("n_new").as("n2"))
+    perLevel.join(broadcast(cum), col("l2") <= col("level"))
+      .groupBy(col("level"), col("n_new"))
+      .agg(sum(col("n2")).as("n_cum"))
+      .withColumn("reach_bp", expr(s"(10000 * n_cum) div ${nTotal}L"))
+      .select(col("level"), col("n_new"), col("n_cum"), col("reach_bp"))
+      .orderBy("level")
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the undirected edge multiset (each edge in
     * both orientations, so the statistic is symmetric) — positive ⇒

@@ -1425,4 +1425,52 @@ object Events {
         col("alert_slow"))
       .orderBy("hr")
   }
+
+  /** Watermark-delay sweep: the drop-rate curve [[latenessAudit]]'s
+    * summary implies — for candidate watermark delays {0, 1, 10, 60,
+    * 300} seconds, the share of events that would arrive LATER than
+    * the delay allows and be dropped by a stateful streaming operator.
+    * This is the number `withWatermark` is actually set from: pick the
+    * knee where drop_bp falls below the pipeline's loss budget.
+    * Lateness is the same two-phase arrival-prefix running max
+    * (chunked by event_id, cross-chunk maxima over the bounded grid —
+    * never one partition per type).
+    *
+    * Scale posture: latenessAudit's plan plus a 5-row broadcast delay
+    * grid and a (delay)-keyed agg. Output = 5 rows.
+    */
+  def watermarkSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), tsUs.as("us"))
+      .withColumn("chunk", expr("event_id div 1000"))
+    val chunkMax = ev.groupBy(col("event_type"), col("chunk"))
+      .agg(max(col("us")).as("cmax"))
+    val wChunks = Window.partitionBy(col("event_type"))
+      .orderBy(col("chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = chunkMax
+      .withColumn("prior_chunk_max", max(col("cmax")).over(wChunks))
+      .select(col("event_type"), col("chunk"), col("prior_chunk_max"))
+    val wIn = Window.partitionBy(col("event_type"), col("chunk"))
+      .orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = ev.join(prior, Seq("event_type", "chunk"))
+      .withColumn("within_max", max(col("us")).over(wIn))
+      .withColumn("late_us",
+        greatest(lit(0L),
+          greatest(coalesce(col("within_max"), lit(-1L)),
+            coalesce(col("prior_chunk_max"), lit(-1L))) - col("us")))
+    val delays = spark.createDataFrame(
+      Seq(Tuple1(0L), Tuple1(1L), Tuple1(10L), Tuple1(60L), Tuple1(300L)))
+      .toDF("delay_s")
+    late.crossJoin(broadcast(delays))
+      .groupBy(col("delay_s"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_us") > col("delay_s") * 1000000L).cast("long"))
+          .as("n_dropped"))
+      .withColumn("drop_bp", expr("(10000 * n_dropped) div n_events"))
+      .select(col("delay_s"), col("n_events"), col("n_dropped"),
+        col("drop_bp"))
+      .orderBy("delay_s")
+  }
 }

@@ -236,4 +236,43 @@ object Observability {
       .unionByName(row("events", ev, delEv))
       .orderBy("tbl")
   }
+
+  /** Referential-integrity audit: for every foreign-key edge in the
+    * corpus schema, the child rows whose parent key is MISSING (the
+    * orphans a MERGE/ingest precheck must count before any join-based
+    * pipeline silently drops them — an inner join on a 2% orphaned FK
+    * is a 2% silent data loss). Edges: lineitem→orders,
+    * orders→customer, and events.user→customer (the last one is
+    * EXPECTED to orphan — event users are not customers — which is
+    * exactly what the audit should surface rather than assume).
+    *
+    * Scale posture: one LEFT ANTI join per edge (key-partitioned; the
+    * parent side is key-only), one count each; 3 rows out.
+    */
+  def fkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+
+    def edge(name: String, child: DataFrame, parent: DataFrame,
+        key: String): DataFrame = {
+      val t = child.agg(count(lit(1)).as("n_child"))
+      val o = child.join(parent, Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      t.crossJoin(broadcast(o))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
+          expr("(10000 * n_orphans) div n_child").as("orphan_bp"))
+    }
+
+    edge("lineitem.l_orderkey->orders",
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("k")),
+        orders.select(col("o_orderkey").as("k")), "k")
+      .unionByName(edge("orders.o_custkey->customer",
+        orders.select(col("o_custkey").as("k")),
+        cust.select(col("c_custkey").as("k")), "k"))
+      .unionByName(edge("events.user_id->customer",
+        Tables.events(spark, dir).select(col("user_id").as("k")),
+        cust.select(col("c_custkey").as("k")), "k"))
+      .orderBy("fk_edge")
+  }
 }

@@ -916,6 +916,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"best_snippet lost a GroupTopK rewrite:\n$bs")
     assert(!bs.contains("CartesianProduct") && !bs.contains("NestedLoop"),
       s"best_snippet lost its keyed occurrence join:\n$bs")
+    // fk_integrity: one LeftAnti per FK edge, nothing data-sized else
+    val fi = plan("fk_integrity")
+    assert(countOf(fi, "LeftAnti") >= 3,
+      s"fk_integrity lost an anti-join edge:\n$fi")
+    assert(!fi.contains("CartesianProduct"), fi)
+    // watermark_sweep: lateness_audit's keyed two-phase windows plus a
+    // broadcast 5-row delay grid
+    val ws = plan("watermark_sweep")
+    assert(ws.contains("windowspecdefinition(event_type"),
+      s"watermark_sweep windows lost their keyed partitioning:\n$ws")
+    assert(ws.contains("BroadcastNestedLoopJoin"),
+      s"watermark_sweep delay grid must broadcast:\n$ws")
+    assert(!ws.contains("CartesianProduct"), ws)
+    // bfs_layers: per-level frontiers are materialized (checkpointed
+    // per-level summary read by the cumulative triangle)
+    val bl = plan("bfs_layers")
+    assert(bl.contains("Scan ExistingRDD"),
+      s"bfs_layers lost its materialized level summary:\n$bl")
+    assert(!bl.contains("CartesianProduct"), bl)
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
