@@ -268,4 +268,44 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((0, 1L, 5000L, 5000L), (3, 1L, 5000L, 10000L)),
       got.toString)
   }
+
+  test("interpJoin: interior events interpolate between hour anchors, " +
+       "the tail holds the last anchor") {
+    val secNs = 1000000L * 1000L
+    // hour 0 anchor: mean(100c, 200c) = 150c; hour 1 anchor: 300c
+    val rows = Seq(
+      (1L, "a", 0L * secNs, 1.00),
+      (2L, "a", 60L * secNs, 2.00),
+      (3L, "a", 3600L * secNs, 3.00))
+    val d = java.nio.file.Files.createTempDirectory("graft_interp_")
+    rows.toDF("event_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val got = Events.interpJoin(spark, d.toString)
+      .as[(Long, String, Long, Long, Option[Long], Long)].collect().toSeq
+    // t=0: pure v0; t=60s: (150*3540 + 300*60) div 3600 = 152;
+    // t=3600s is the last anchor's own hour -> hold 300
+    assert(got == Seq(
+      (1L, "a", 0L, 150L, Some(300L), 150L),
+      (2L, "a", 60000000L, 150L, Some(300L), 152L),
+      (3L, "a", 3600000000L, 300L, None, 300L)), got.toString)
+  }
+
+  test("watermarkSweep: a 50s-late event is dropped below a 60s " +
+       "watermark and kept at or above it") {
+    val secNs = 1000000L * 1000L
+    // arrival order = event_id: id2 arrives after id1 but carries an
+    // EARLIER event time (50 s late vs the running max of 100 s)
+    val rows = Seq(
+      (1L, "a", 100L * secNs),
+      (2L, "a", 50L * secNs),
+      (3L, "a", 200L * secNs))
+    val d = java.nio.file.Files.createTempDirectory("graft_wm_")
+    rows.toDF("event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val got = Events.watermarkSweep(spark, d.toString)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 1L, 3333L), (1L, 3L, 1L, 3333L), (10L, 3L, 1L, 3333L),
+      (60L, 3L, 0L, 0L), (300L, 3L, 0L, 0L)), got.toString)
+  }
 }
