@@ -49,6 +49,22 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Hourly error-share monitor — the streaming twin of
+    * graft.etl.Events.sloBurn's per-hour core (n, n_err, err_bp): a
+    * watermarked tumbling window so the burn-rate alert can fire
+    * per micro-batch instead of per batch recompute. The trailing-6h
+    * burn tier stays batch-side (a band join over closed windows);
+    * this emits the closed hourly cells it reads.
+    */
+  def hourlyErrorShare(events: DataFrame): DataFrame =
+    withEventTime(events, "event_time")
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "error").cast("long")).as("n_err"))
+      .select(col("window.start").as("win_start"), col("n"), col("n_err"),
+        expr("(10000 * n_err) div n").as("err_bp"))
+
   /** Session windows (30-min gap) per user — the streaming twin of
     * graft.etl.Events.sessionize, using Spark's native session_window
     * state merging.

@@ -353,6 +353,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming hourly error share equals the batch slo_burn core") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    // hour 1 (offset past the epoch-0 watermark gotcha): 3 ok + 1
+    // error = 2500 bp; hour 2: 2 errors of 2 = 10000 bp
+    src.addData(
+      Ev(1, 61 * min, 1, "click", 1.0), Ev(2, 65 * min, 2, "view", 1.0),
+      Ev(3, 70 * min, 3, "click", 1.0), Ev(4, 75 * min, 4, "error", 1.0),
+      Ev(5, 121 * min, 5, "error", 1.0), Ev(6, 130 * min, 6, "error", 1.0))
+    val q = StreamingOps.hourlyErrorShare(src.toDF())
+      .writeStream.format("memory").queryName("errshare_t")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("errshare_t")
+        .select("n", "n_err", "err_bp").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(rows == Set((4L, 1L, 2500L), (2L, 2L, 10000L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming RRF fusion converges to the batch rrf_fusion result") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{FusedHit, TierHit}
