@@ -308,4 +308,23 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
       (0L, 3L, 1L, 3333L), (1L, 3L, 1L, 3333L), (10L, 3L, 1L, 3333L),
       (60L, 3L, 0L, 0L), (300L, 3L, 0L, 0L)), got.toString)
   }
+
+  test("hitsScores: a pure hub concentrates hub mass, its targets " +
+       "split authority by in-degree") {
+    // 10 customers -> ids mod 10; orders craft edges 0->1, 0->2, 3->1
+    // (o_custkey % 10 -> o_orderkey % 10, self-loops excluded).
+    // Hand-unrolled two rounds: a2 = {1: 1000, 2: 600},
+    // h2 = {0: 1000, 3: 625} (integer (1000*s) div max at each step).
+    val d = java.nio.file.Files.createTempDirectory("graft_hits_")
+    (0 to 9).map(i => Tuple1(i.toLong)).toSeq.toDF("c_custkey")
+      .write.mode("overwrite").parquet(d.resolve("customer.parquet").toString)
+    Seq((0L, 1L), (0L, 2L), (3L, 1L))
+      .map { case (s, t) => (s, t + 10L) } // orderkey%10 = t, unique keys
+      .toDF("o_custkey", "o_orderkey")
+      .write.mode("overwrite").parquet(d.resolve("orders.parquet").toString)
+    val got = graft.etl.Crawl.hitsScores(spark, d.toString)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 1000L), (1L, 1000L, 0L), (2L, 600L, 0L),
+      (3L, 0L, 625L)), got.toString)
+  }
 }
