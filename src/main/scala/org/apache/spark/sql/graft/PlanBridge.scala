@@ -11,4 +11,19 @@ object PlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Unpersist the block-manager blocks behind a `localCheckpoint()`ed
+    * frame (its analyzed plan is a `LogicalRDD` over the checkpointed
+    * RDD — `Dataset.unpersist` can't reach it: that only clears the
+    * SQL CacheManager). Safe once nothing downstream will re-read the
+    * frame; a later action on it would fail (lineage is truncated), so
+    * callers release only intermediates whose final consumer has been
+    * materialized. No-op for non-LogicalRDD plans.
+    */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 }

@@ -14,12 +14,45 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
+  // planOnly: the graph fixpoints materialize eagerly through reliable
+  // checkpoints since round 10 — passthrough keeps their full lazy tree
+  // visible here (and keeps plan-building side-effect-free)
+  private def plan(name: String): String = graft.etl.Fixpoint.planOnly {
     SparkEntry.queries(name)(spark, dir).queryExecution
       .explainString(FormattedMode)
+  }
 
   private def countOf(p: String, token: String): Int =
     p.sliding(token.length).count(_ == token)
+
+  /** Every plan a query ACTUALLY executes, end to end — the instrument
+    * for the eager graph fixpoints, whose interesting plans (per-round
+    * joins, checkpoint materializations) run INSIDE the operator and
+    * are invisible in the returned frame's single checkpoint-scan leaf.
+    * A QueryExecutionListener records each action's executed plan (the
+    * per-round `checkpoint` actions included); delivery is async, so we
+    * drain the bus before unregistering.
+    */
+  private def executedPlans(name: String): Seq[String] = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.explainString(FormattedMode))
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      org.apache.spark.graft.TestBusBridge.waitUntilEmpty(spark.sparkContext)
+    } finally spark.listenerManager.unregister(l)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
 
   /** Single-partition exchanges that funnel real data through one task.
     *
@@ -33,8 +66,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     * table-sized data through one task and fails here.
     */
   private def serialFunnels(name: String): Seq[String] = {
-    val p = SparkEntry.queries(name)(spark, dir).queryExecution
-      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    val p = graft.etl.Fixpoint.planOnly {
+      SparkEntry.queries(name)(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+    }
     val lines = p.linesIterator.toVector
     lines.zipWithIndex
       .filter(_._1.contains("Exchange SinglePartition"))
@@ -517,8 +552,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // nodes ⋈ contrib re-derive, incl. the final round) stays a
     // shuffled keyed join; only edge-derived frames (edges, degrees)
     // may broadcast. A BroadcastHashJoin LeftOuter here would mean
-    // Catalyst chose to ship the mass frame.
-    val pr = plan("ppr_seed")
+    // Catalyst chose to ship the mass frame. Since round 10 the
+    // operator materializes internally (Fixpoint.reliably), so the pin
+    // reads the EXECUTED plans — the returned frame is just the result
+    // checkpoint; the mass joins run inside the operator (and the
+    // checkpointed nodes leaf carries unknown/huge stats, which is what
+    // structurally keeps the mass side off the broadcast path). AQE is
+    // disabled for this one run: at sf0.001 its runtime join conversion
+    // correctly broadcasts the observed-tiny contrib frame, but the pin
+    // is about the STATIC choice — the one made with no runtime
+    // evidence, i.e. the one a 100 TB run starts from.
+    val pr = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try executedPlans("ppr_seed").mkString("\n=== next executed plan ===\n")
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
     assert(pr.contains("SortMergeJoin LeftOuter"),
       s"ppr_seed mass join must stay a shuffled keyed join:\n$pr")
     assert(!pr.contains("BroadcastHashJoin LeftOuter"),
@@ -832,9 +880,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val sk = plan("stickiness")
     assert(!sk.contains("Window"), s"stickiness grew a window:\n$sk")
     assert(!sk.contains("CartesianProduct"), sk)
-    // hits_scores: each half-round's node-sized score frame
-    // localCheckpoints (plan would double per half-round otherwise)
-    val hs = plan("hits_scores")
+    // hits_scores: each half-round's node-sized score frame is eagerly
+    // checkpointed (plan would double per half-round otherwise) — the
+    // later half-rounds' EXECUTED plans must read the prior round's
+    // materialization (Scan ExistingRDD), never re-derive it
+    val hs = executedPlans("hits_scores").mkString("\n=== next executed plan ===\n")
     assert(hs.contains("Scan ExistingRDD"),
       s"hits_scores lost its per-round checkpoints:\n$hs")
     assert(!hs.contains("CartesianProduct"), hs)
@@ -930,8 +980,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"watermark_sweep delay grid must broadcast:\n$ws")
     assert(!ws.contains("CartesianProduct"), ws)
     // bfs_layers: per-level frontiers are materialized (checkpointed
-    // per-level summary read by the cumulative triangle)
-    val bl = plan("bfs_layers")
+    // per-level summary read by the cumulative triangle) — the final
+    // returned frame and the per-level executed plans must read
+    // materializations (Scan ExistingRDD), never re-derive levels
+    val bl = executedPlans("bfs_layers").mkString("\n=== next executed plan ===\n")
     assert(bl.contains("Scan ExistingRDD"),
       s"bfs_layers lost its materialized level summary:\n$bl")
     assert(!bl.contains("CartesianProduct"), bl)
