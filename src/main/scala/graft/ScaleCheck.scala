@@ -220,19 +220,40 @@ object ScaleCheck {
     // production knob, Similarity.signBucket) must restore ~linear
     // wall — this measures both settings on the same 10× corpus.
     if (args.length > 2 && args(2) == "knnbits") {
+      import graft.etl.GraphCuration
       def t(dir: String, bits: Int): Double = {
-        def once(): Unit = graft.etl.GraphCuration.knnGraphEdges(spark, dir, bits)
+        def once(): Unit = GraphCuration.knnGraphEdges(spark, dir, bits)
           .write.format("noop").mode("overwrite").save()
         once()
         (1 to 2).map { _ =>
           val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
         }.min
       }
-      val r = Seq(3, 6).map { b =>
+      // since round 10 the knob derives itself: AutoBits reads the
+      // corpus count and picks ceil(log2(n/1000)) — record what it
+      // chose at each scale alongside the manual settings it replaces
+      val auto1 = GraphCuration.adaptiveBits(Tables.embeddings(spark, base).count())
+      val autoR = GraphCuration.adaptiveBits(Tables.embeddings(spark, out).count())
+      val r = (Seq("bits3" -> 3, "bits6" -> 6,
+          "auto" -> GraphCuration.AutoBits).map { case (tag, b) =>
         val (t1, tR) = (t(base, b), t(out, b))
-        println(f"[scale] knn_graph bits=$b 1x=${fmt(t1)}%6ss ${reps}x=${fmt(tR)}%6ss ratio=${fmt(tR / t1)}")
-        s""""bits$b":{"t1":${fmt(t1)},"tR":${fmt(tR)},"ratio":${fmt(tR / t1)}}"""
-      }.mkString("{", ",", "}")
+        val lbl = if (b == GraphCuration.AutoBits) s"auto($auto1->$autoR)" else s"bits=$b"
+        println(f"[scale] knn_graph $lbl%-14s 1x=${fmt(t1)}%6ss ${reps}x=${fmt(tR)}%6ss ratio=${fmt(tR / t1)}")
+        s""""$tag":{"t1":${fmt(t1)},"tR":${fmt(tR)},"ratio":${fmt(tR / t1)}}"""
+      } :+ {
+        // label_prop inherits the pair stage — time its adaptive path too
+        def lp(dir: String): Double = {
+          def once(): Unit = GraphCuration.labelProp(spark, dir, GraphCuration.AutoBits)
+            .write.format("noop").mode("overwrite").save()
+          once()
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        val (l1, lR) = (lp(base), lp(out))
+        println(f"[scale] label_prop auto($auto1->$autoR) 1x=${fmt(l1)}%6ss ${reps}x=${fmt(lR)}%6ss ratio=${fmt(lR / l1)}")
+        s""""label_prop_auto":{"t1":${fmt(l1)},"tR":${fmt(lR)},"ratio":${fmt(lR / l1)}},"auto_bits":{"b1":$auto1,"bR":$autoR}"""
+      }).mkString("{", ",", "}")
       println(s"""{"metric":"knn_graph_bits","replicas":$reps,"results":$r}""")
       spark.stop()
       return

@@ -386,7 +386,9 @@ object SparkEntry {
     // mutual-kNN graph over embeddings (sign-bucket blocked, top-5)
     "knn_graph" -> (GraphCuration.knnGraph _),
     // semi-supervised label propagation across the mutual-kNN graph
-    "label_prop" -> (GraphCuration.labelProp _),
+    // (bits=3 = the verified-oracle blocking config)
+    "label_prop" -> ((s: SparkSession, d: String) =>
+      GraphCuration.labelProp(s, d, bits = 3)),
     // 3-core peel of the crawl link graph (recrawl-priority core)
     "kcore" -> (GraphCuration.kcore _),
     // --- round-9 boilerplate wave ---

@@ -37,12 +37,32 @@ import graft.functions.VectorFunctions.{dotF, normF}
   */
 object GraphCuration {
 
+  /** Sentinel for [[knnGraphEdges]]/[[labelProp]]: derive the blocking
+    * bits from the corpus size instead of pinning them. */
+  val AutoBits: Int = -1
+
+  /** bits = clamp(ceil(log2(n / targetCell)), 3, 12): the cell count
+    * that keeps within-cell pair work roughly constant as the corpus
+    * grows — the knob BASELINE.md's `knnbits` ScaleCheck measured by
+    * hand through round 9 (bits=3 at the base corpus, bits=6 at 10×:
+    * exactly what targetCell=1000 derives — 5 cells → 3 bits, 50 cells
+    * → 6 bits). Floor 3 = the verified-oracle config; cap 12 (4096
+    * cells) = the documented production range, still far below the
+    * 64-dim sign-bit budget. Pure integer/log arithmetic on a COUNT —
+    * no data-dependent flakiness.
+    */
+  def adaptiveBits(nVectors: Long, targetCell: Long = 1000L): Int = {
+    val cells = math.max(1.0, nVectors.toDouble / targetCell)
+    val b = math.ceil(math.log(cells) / math.log(2.0)).toInt
+    math.min(12, math.max(3, b))
+  }
+
   /** Directed top-5 cosine neighbor lists, sign-bucket-blocked.
     * `bits` sets the cell count (2^bits): the verified query pins 3
-    * (8 cells, oracle-matched); at scale, bits MUST grow with the
-    * corpus (≈ log2(n / target_cell_size)) so per-cell pair work stays
+    * (8 cells, oracle-matched); by default ([[AutoBits]]) bits grow
+    * with the corpus via [[adaptiveBits]] so per-cell pair work stays
     * constant — the 10× ScaleCheck measures exactly this knob
-    * (BASELINE.md round-9 posture table).
+    * (BASELINE.md round-9/10 posture tables).
     */
   private def directedKnn(spark: SparkSession, dir: String, bits: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -68,16 +88,23 @@ object GraphCuration {
     * symmetrization that kills hub vectors (a hub appears in thousands
     * of top-k lists but reciprocates only k of them).
     */
-  def knnGraphEdges(spark: SparkSession, dir: String, bits: Int = 3): DataFrame = {
-    val k = directedKnn(spark, dir, bits)
+  def knnGraphEdges(spark: SparkSession, dir: String,
+      bits: Int = AutoBits): DataFrame = {
+    val chosen =
+      if (bits == AutoBits) adaptiveBits(Tables.embeddings(spark, dir).count())
+      else bits
+    val k = directedKnn(spark, dir, chosen)
     val rev = k.select(col("qid").as("rqid"), col("cid").as("rcid"))
     k.join(rev, col("qid") === col("rcid") && col("cid") === col("rqid"))
       .filter(col("qid") < col("cid"))
       .select(col("qid").as("src"), col("cid").as("dst"), col("cos"))
   }
 
+  /** Verified query: bits pinned at 3 so the DuckDB oracle (written for
+    * the 8-cell blocking) is unchanged; library callers get the
+    * adaptive default via [[knnGraphEdges]]. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
-    knnGraphEdges(spark, dir).orderBy("src", "dst")
+    knnGraphEdges(spark, dir, bits = 3).orderBy("src", "dst")
 
   /** Semi-supervised label propagation over the mutual-kNN graph:
     * seeds (vec_id % 4 == 0) keep their true label (clamped); two
@@ -88,8 +115,11 @@ object GraphCuration {
     * before mixture weighting (labels here are the embeddings table's
     * cluster labels; production swaps in quality/domain annotations).
     */
-  def labelProp(spark: SparkSession, dir: String): DataFrame = {
-    val edges = knnGraphEdges(spark, dir)
+  def labelProp(spark: SparkSession, dir: String,
+      bits: Int = 3): DataFrame = {
+    // verified query keeps bits=3 (oracle config); pass AutoBits for
+    // the corpus-scaled blocking
+    val edges = knnGraphEdges(spark, dir, bits)
     // undirected adjacency
     val adj = edges.select(col("src").as("node"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("node"), col("src").as("nbr")))

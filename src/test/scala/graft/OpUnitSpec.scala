@@ -327,4 +327,30 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((0L, 0L, 1000L), (1L, 1000L, 0L), (2L, 600L, 0L),
       (3L, 0L, 625L)), got.toString)
   }
+
+  test("adaptiveBits: floor 3 at the verified scale, grows as " +
+       "ceil(log2(n/1000)), caps at 12") {
+    import graft.etl.GraphCuration.adaptiveBits
+    // the verified-config floor: any corpus up to 8k vectors gets the
+    // oracle-matched 8-cell blocking
+    assert(Seq(0L, 1L, 500L, 1000L, 8000L).map(adaptiveBits(_)).forall(_ == 3))
+    assert(adaptiveBits(8001) == 4)
+    assert(adaptiveBits(16000) == 4)
+    assert(adaptiveBits(50000) == 6)   // the measured 10x fix (BASELINE.md)
+    assert(adaptiveBits(1000000) == 10)
+    assert(adaptiveBits(Long.MaxValue) == 12) // production cap, 4096 cells
+    // monotone in n: growing a corpus never shrinks the cell count
+    val curve = Seq(1L, 1000L, 10000L, 100000L, 10000000L, 1000000000L)
+      .map(adaptiveBits(_))
+    assert(curve == curve.sorted, curve.toString)
+  }
+
+  test("knnGraphEdges AutoBits reproduces the pinned bits=3 result at " +
+       "the verified corpus scale") {
+    import graft.etl.GraphCuration
+    val dir = "/root/testdata/sf0.001"
+    val auto = GraphCuration.knnGraphEdges(spark, dir).collect().toSet
+    val pinned = GraphCuration.knnGraphEdges(spark, dir, bits = 3).collect().toSet
+    assert(auto == pinned, "adaptive blocking diverged from the oracle config")
+  }
 }
