@@ -380,6 +380,11 @@ object Crawl {
     * division of those EXACT integers, rounded to 4dp — IEEE sqrt and
     * division are correctly rounded, so both engines produce the same
     * double from the same integers (the irrational-value rule).
+    * 64-bit headroom (ANSI throws on overflow): |n·Σxy| ≤ n²·dmax²
+    * (n = oriented edge count, dmax = max degree), in-bounds while
+    * n·dmax < 3·10⁹ — e.g. 10⁸ edges at dmax ≤ 30. Past that, promote
+    * the moment sums to decimal(38,0) (bound becomes n·dmax < 10¹⁹);
+    * surface math unchanged.
     *
     * Scale posture: a node-keyed degree agg, two edge-keyed joins to
     * attach endpoint degrees, one global moment agg. One row out.

@@ -999,6 +999,15 @@ object Events {
     * both engines, negative values survive (numerator stays
     * nonnegative because |cov_k| ≤ var by Cauchy-Schwarz).
     *
+    * 64-bit headroom (ANSI mode throws on overflow, loudly): each
+    * moment term |m·x − S| ≤ m·maxN (maxN = the largest hourly count),
+    * so |m²·cov| ≤ m³·maxN² — within int64 while m³·maxN² < 9.2·10¹⁸,
+    * e.g. a year of hours (m = 8760) supports maxN ≈ 3.7·10³ events/
+    * hour, and m = 950 hours supports maxN = 10⁵. Past that bound,
+    * promote the moment operands to decimal(38,0) (10³⁸ ceiling: a
+    * year of hours then supports maxN ≈ 10¹³) — the [[pcaPower]]
+    * discipline; the shifted-division surface is unchanged.
+    *
     * Scale posture: hourly pre-agg is the reduction; the grid and all
     * windows are (event_type)-keyed over BOUNDED series; the lag
     * values come from `lead` over the same partitioning — no
@@ -1147,7 +1156,17 @@ object Events {
     * window, one (type, chunk) window, one equi-join on (type, chunk),
     * one type-keyed agg. All integer µs → s.
     */
-  def latenessAudit(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared core of [[latenessAudit]] and [[watermarkSweep]]: the
+    * per-event arrival lateness frame (event_type, event_id, us,
+    * late_us), where late_us = max(0, prior_max − us) and prior_max is
+    * the running max event time over the ARRIVAL prefix (event_id
+    * order) of the same type. Two-phase as documented on
+    * latenessAudit: within-chunk window + cross-chunk prefix max over
+    * the bounded chunk grid — high-cardinality partitioning end to
+    * end. Extracted in round 10 (ADVICE r9): the two operators
+    * previously duplicated this whole pipeline and could drift.
+    */
+  private def arrivalLateness(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), tsUs.as("us"))
       .withColumn("chunk", expr("event_id div 1000"))
@@ -1164,14 +1183,17 @@ object Events {
       .rowsBetween(Window.unboundedPreceding, -1)
     ev.join(prior, Seq("event_type", "chunk"))
       .withColumn("within_max", max(col("us")).over(wIn))
-      .withColumn("prior_max",
-        greatest(coalesce(col("within_max"), lit(-1L)),
-          coalesce(col("prior_chunk_max"), lit(-1L))))
-      .withColumn("late_s",
-        when(col("prior_max") > col("us"),
-          expr("(prior_max - us) div 1000000")).otherwise(lit(0L)))
-      .withColumn("is_late",
-        (col("prior_max") > col("us")).cast("long"))
+      .withColumn("late_us",
+        greatest(lit(0L),
+          greatest(coalesce(col("within_max"), lit(-1L)),
+            coalesce(col("prior_chunk_max"), lit(-1L))) - col("us")))
+      .select(col("event_type"), col("event_id"), col("us"), col("late_us"))
+  }
+
+  def latenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    arrivalLateness(spark, dir)
+      .withColumn("late_s", expr("late_us div 1000000"))
+      .withColumn("is_late", (col("late_us") > 0).cast("long"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("is_late")).as("n_late"),
@@ -1440,26 +1462,7 @@ object Events {
     * grid and a (delay)-keyed agg. Output = 5 rows.
     */
   def watermarkSweep(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), col("event_id"), tsUs.as("us"))
-      .withColumn("chunk", expr("event_id div 1000"))
-    val chunkMax = ev.groupBy(col("event_type"), col("chunk"))
-      .agg(max(col("us")).as("cmax"))
-    val wChunks = Window.partitionBy(col("event_type"))
-      .orderBy(col("chunk").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val prior = chunkMax
-      .withColumn("prior_chunk_max", max(col("cmax")).over(wChunks))
-      .select(col("event_type"), col("chunk"), col("prior_chunk_max"))
-    val wIn = Window.partitionBy(col("event_type"), col("chunk"))
-      .orderBy(col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val late = ev.join(prior, Seq("event_type", "chunk"))
-      .withColumn("within_max", max(col("us")).over(wIn))
-      .withColumn("late_us",
-        greatest(lit(0L),
-          greatest(coalesce(col("within_max"), lit(-1L)),
-            coalesce(col("prior_chunk_max"), lit(-1L))) - col("us")))
+    val late = arrivalLateness(spark, dir)
     val delays = spark.createDataFrame(
       Seq(Tuple1(0L), Tuple1(1L), Tuple1(10L), Tuple1(60L), Tuple1(300L)))
       .toDF("delay_s")

@@ -195,7 +195,12 @@ object Observability {
     * production passes the actual request list), measure the blast
     * radius BEFORE deleting — how many rows each downstream table
     * loses when the deletion cascades along foreign keys
-    * (customer → orders → lineitem, plus the cohort's event stream).
+    * (customer → orders → lineitem). The events tier is NOT a true FK
+    * cascade from the customer seeds — event user_ids are not
+    * custkeys ([[fkIntegrity]]'s finding) — so it applies the
+    * ANALOGOUS modular cohort on user_id (user_id % 97 == 0): the
+    * same "every 97th identity" policy evaluated independently per
+    * id domain.
     * One row per table with total rows, cascade-deleted rows, and the
     * share in basis points — the dry-run report a data-governance
     * pipeline files with every deletion batch.

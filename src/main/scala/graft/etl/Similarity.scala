@@ -1208,7 +1208,11 @@ object Similarity {
     * Exactness: the [[graft.etl.Crawl.assortativity]] discipline —
     * values quantized once to integer ten-thousandths, n-scaled
     * integer moments per pair, one correctly-rounded sqrt product +
-    * division at the surface (4dp).
+    * division at the surface (4dp). 64-bit headroom (ANSI throws on
+    * overflow): per pair |n·Σxy| ≤ n²·(10⁴)² (|ei| ≤ 10⁴ for unit-norm
+    * embeddings), in-bounds while n < 3·10⁵ vectors; past that promote
+    * the moment sums to decimal(38,0) (bound becomes n < 10¹⁵) —
+    * the [[pcaPower]] promotion path, surface math unchanged.
     *
     * Scale posture: the pair frame is a vec-keyed self equi-join
     * (d²/2 rows PER VECTOR, a constant 2016× map-side expansion —

@@ -442,4 +442,51 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
           s"only-batch=${batch.keySet -- recount.keySet}")
     } finally q.stop()
   }
+
+  test("watermarkSweep's predicted drop counts match ACTUAL streaming " +
+       "drops at every candidate delay (r9 verdict item 4)") {
+    // The sweep (Events.watermarkSweep) predicts, per candidate delay,
+    // how many events a withWatermark(delay) stateful op would drop.
+    // Replay the SAME fixture through a real streaming aggregation —
+    // one event per micro-batch, in arrival order, so the watermark
+    // advances exactly like the sweep's arrival-prefix running max —
+    // and require the observed drop count to match the prediction ±0.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, timestamp_micros, window}
+    val secUs = 1000000L
+    // arrival order = event_id: id2 arrives 50s late vs the running
+    // max of 100s (the OpUnitSpec watermarkSweep fixture, µs domain)
+    val fixture = Seq(
+      (1L, 100L * secUs), (2L, 50L * secUs), (3L, 200L * secUs))
+    val d = java.nio.file.Files.createTempDirectory("graft_wmp_")
+    fixture.map { case (id, us) => (id, "a", us * 1000L) } // ns on disk
+      .toDF("event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(d.resolve("events.parquet").toString)
+    val predicted = graft.etl.Events.watermarkSweep(spark, d.toString)
+      .select("delay_s", "n_dropped").as[(Long, Long)].collect().toMap
+
+    def observedDrops(delayS: Long): Long = {
+      val src = MemoryStream[(Long, Long)]
+      val name = s"wmproof_$delayS"
+      // each event is its own 5s window => surviving events == distinct
+      // windows in the sink; a dropped event never updates any group
+      val q = src.toDF().toDF("event_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", s"$delayS seconds")
+        .groupBy(window(col("ts"), "5 seconds")).count()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        // one micro-batch per event: the watermark then advances off
+        // each prior arrival, mirroring the sweep's per-row prefix max
+        fixture.foreach { e => src.addData(e); q.processAllAvailable() }
+        fixture.size - spark.table(name).select("window").distinct().count()
+      } finally q.stop()
+    }
+
+    for (delayS <- Seq(0L, 1L, 10L, 60L, 300L))
+      assert(observedDrops(delayS) == predicted(delayS),
+        s"delay=${delayS}s: streaming dropped ${observedDrops(delayS)}, " +
+          s"sweep predicted ${predicted(delayS)}")
+  }
 }
