@@ -19,6 +19,14 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CODEGEN_LOG=1: surface Janino compile events ("Code
+    // generated in N ms") so a cold-rep spike can be attributed to (or
+    // cleared of) generated-code compilation — the r9 verdict item 6
+    // instrument.
+    if (sys.env.contains("SPARK_GRAFT_CODEGEN_LOG"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+        org.apache.logging.log4j.Level.INFO)
     val fn = SparkEntry.queries(name)
     for (i <- 1 to reps) {
       // same scrub as Bench: SQL cache + RDD-level localCheckpoint blocks
