@@ -86,6 +86,45 @@ object ScaleCheck {
     // cluster_sizes as the second components-closure consumer
     "kcore", "bfs_layers", "hits_scores", "dup_attribution")
 
+  /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
+    * stable slug hash (xxhash64 — deterministic, collision-irrelevant
+    * for profiling), text the page body. The hook that lets
+    * [[gramProfile]] run over REAL crawled pages instead of synthetic
+    * replicas (the r9 stop-list NO-GO was conditioned on exactly this
+    * re-run).
+    */
+  def pagesDocs(spark: SparkSession, root: String): DataFrame =
+    spark.read.format("graftpages").load(root)
+      .select(xxhash64(col("slug")).as("doc_id"),
+        coalesce(col("body"), lit("")).as("text"))
+
+  /** Cross-doc 8-gram head profile over any (doc_id, text) corpus:
+    * (n_cross_grams, total cross-doc occurrences, top-1000 gram
+    * occurrences, top-1000 share in basis points). The probe-build
+    * frame is exactly Dedup.substringDedupFrom's (nd >= 2 grams).
+    */
+  def gramProfile(docs: DataFrame): (Long, Long, Long, Long) = {
+    val grams = graft.etl.Shingles.wordShingles(
+        docs.select(col("doc_id"), col("text")), 8)
+      .select(col("doc_id"), col("shingle"))
+    val byGram = grams.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .persist()
+    try {
+      val (nCross, totOcc) = byGram
+        .agg(count(lit(1)), sum(col("n_occ"))).collect().head match {
+          case r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+      val headOcc =
+        if (nCross == 0) 0L
+        else byGram.orderBy(col("n_occ").desc, col("shingle"))
+          .limit(1000).agg(sum(col("n_occ"))).collect().head.getLong(0)
+      val shareBp = if (totOcc == 0) 0L else 10000L * headOcc / totOcc
+      (nCross, totOcc, headOcc, shareBp)
+    } finally { byGram.unpersist(blocking = false); () }
+  }
+
   private def caesar(r: Int): (String, String) = {
     val a = "abcdefghijklmnopqrstuvwxyz"
     val k = r % 26
@@ -195,7 +234,13 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/documents.parquet"))) {
+    // gramprofile accepts EXTERNAL corpora (r9 verdict item 7): `pages`
+    // treats args(0) as a graftpages store root instead of a
+    // documents.parquet dir — never replicate into either.
+    val mode = if (args.length > 2) args(2) else ""
+    val pagesMode = mode == "gramprofile" && args.length > 3 && args(3) == "pages"
+    if (!pagesMode &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/documents.parquet"))) {
       println(s"[scale] generating ${reps}x corpus at $out ...")
       replicate(spark, base, out, reps)
     }
@@ -204,30 +249,27 @@ object ScaleCheck {
 
     // Head-gram frequency profile (VERDICT r8 item 6): the number the
     // deferred substring_dedup stop-list decision waits on. Over the
-    // replicated corpus, take the cross-doc gram frame (distinct-doc
+    // given corpus, take the cross-doc gram frame (distinct-doc
     // count >= 2 — exactly the probe build side of
     // Dedup.substringDedupFrom) and measure what share of the probe's
     // MATCH traffic (total occurrences of cross-doc grams) the top-1000
     // grams own. A boilerplate-dominated corpus concentrates here and
     // would justify a stop-list; a flat profile says the saturating
     // curve is genuine.
-    if (args.length > 2 && args(2) == "gramprofile") {
-      val docs = Tables(spark, out, "documents").select(col("doc_id"), col("text"))
-      val grams = graft.etl.Shingles.wordShingles(docs, 8)
-        .select(col("doc_id"), col("shingle"))
-      val byGram = grams.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2)
-        .persist()
-      val (nCross, totOcc) = byGram
-        .agg(count(lit(1)), sum(col("n_occ"))).collect().head match {
-          case r => (r.getLong(0), r.getLong(1))
-        }
-      val headOcc = byGram.orderBy(col("n_occ").desc, col("shingle"))
-        .limit(1000).agg(sum(col("n_occ"))).collect().head.getLong(0)
-      byGram.unpersist()
-      val shareBp = if (totOcc == 0) 0L else 10000L * headOcc / totOcc
-      println(s"""{"metric":"gram_profile","replicas":$reps,"n_cross_grams":$nCross,"cross_occurrences":$totOcc,"head1000_occurrences":$headOcc,"head1000_share_bp":$shareBp}""")
+    //
+    // CLI paths (so the r9 NO-GO can be revisited with one command when
+    // real data shows up):
+    //   ScaleCheck <dir> <reps> gramprofile        — <dir>/documents.parquet
+    //     (a ScaleCheck replica dir OR any external parquet with
+    //     doc_id/text; replication is skipped when the file exists)
+    //   ScaleCheck <root> 1 gramprofile pages      — a graftpages store
+    //     (the crawl pipeline's own output: slug/body -> doc_id/text)
+    if (mode == "gramprofile") {
+      val docs =
+        if (pagesMode) pagesDocs(spark, out)
+        else Tables(spark, out, "documents").select(col("doc_id"), col("text"))
+      val (nCross, totOcc, headOcc, shareBp) = gramProfile(docs)
+      println(s"""{"metric":"gram_profile","replicas":$reps,"source":"${if (pagesMode) "graftpages" else "documents"}","n_cross_grams":$nCross,"cross_occurrences":$totOcc,"head1000_occurrences":$headOcc,"head1000_share_bp":$shareBp}""")
       spark.stop()
       return
     }

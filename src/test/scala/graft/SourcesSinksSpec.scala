@@ -174,6 +174,39 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
     assert(r2.select("slug").as[String].collect().toSeq == Seq("p3"))
   }
 
+  test("gramprofile over a graftpages store: the real-corpus hook " +
+       "profiles crawled pages, not just ScaleCheck replicas") {
+    val d = tmpDir()
+    // a 10-word shared span flanked by per-page words on BOTH sides:
+    // the store round-trip glues markdown furniture (title header,
+    // newlines) onto the adjacent token — the tokenizer splits on
+    // single spaces only — so only INTERIOR grams survive identically.
+    // Interior 8-grams of a 10-word clean span: exactly 3.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      ("a", "A", s"aone $shared atail one two three four five six"),
+      ("b", "B", s"bone $shared btail seven eight nine ten eleven twelve"),
+      ("c", "C", "wholly unrelated text with no overlapping grams at all here"))
+      .toDF("slug", "title", "body")
+      .write.format("graftpages").mode("append").save(d.toString)
+    val docs = ScaleCheck.pagesDocs(spark, d.toString)
+    assert(docs.count() == 3)
+    // stable ids: the slug hash is deterministic across reads
+    val ids = docs.select("doc_id").as[Long].collect().toSet
+    assert(ids.size == 3 &&
+      ids == ScaleCheck.pagesDocs(spark, d.toString)
+        .select("doc_id").as[Long].collect().toSet)
+    val (nCross, totOcc, headOcc, shareBp) = ScaleCheck.gramProfile(docs)
+    // the 3 interior shared 8-grams cross docs (pages a and b), once
+    // per doc each; they ARE the head, so the share is 100%
+    assert(nCross == 3L, s"nCross=$nCross")
+    assert(totOcc == 6L && headOcc == 6L && shareBp == 10000L,
+      s"($totOcc, $headOcc, $shareBp)")
+    // a store with no cross-doc grams profiles to all-zero, not a crash
+    val solo = ScaleCheck.gramProfile(docs.filter(!$"text".contains("alpha")))
+    assert(solo == ((0L, 0L, 0L, 0L)), solo.toString)
+  }
+
   test("graftpages DSv2 write: a failed task aborts without dirtying the store") {
     val d = tmpDir()
     Seq(("keep", "T", "original")).toDF("slug", "title", "body")
