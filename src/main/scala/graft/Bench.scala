@@ -3,6 +3,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Extract the flat `"queries":{"name":sec,...}` map from a prior
+    * BENCH.json without a JSON dependency — input to the outlier rerun
+    * guard. Tolerates any leading fields (metric, errors, reran);
+    * returns empty on missing/malformed input (guard disabled).
+    */
+  private[graft] def parsePriorQueries(txt: String): Map[String, Double] = {
+    val qsec = txt.indexOf("\"queries\":{")
+    if (qsec < 0) Map.empty
+    else {
+      val end = txt.indexOf('}', qsec)
+      if (end < 0) Map.empty
+      else {
+        val body = txt.substring(qsec + 11, end)
+        """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+  }
+
   /** Materialize every output column of `df`, defeating the two ways
     * `count()` lies about map-only queries: Catalyst prunes unreferenced
     * project columns and eliminates sorts under a bare count, so a
@@ -74,18 +93,10 @@ object Bench {
     // (fresh checkout, renamed queries) just disables the guard.
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH.json")
     val prior: Map[String, Double] =
-      try {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(priorPath)),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val qsec = txt.indexOf("\"queries\":{")
-        if (qsec < 0) Map.empty
-        else {
-          val body = txt.substring(qsec + 11, txt.indexOf('}', qsec))
-          """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      } catch { case _: Throwable => Map.empty }
+      try parsePriorQueries(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(priorPath)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => Map.empty }
     // GC-weather control for the timed reps: a full collection + brief
     // settle drains the garbage the cold rep (and earlier queries) left
     // behind, so a concurrent GC cycle doesn't land mid-rep. BENCH_r09
