@@ -281,21 +281,26 @@ object CorpusStats {
         .orderBy(col("n").desc, col("pair")).limit(1)
         .select(lit(round).as("round"), col("pair"), col("n"))
     }
-    var wf = Shingles.words(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .localCheckpoint()
-    var picks = Vector.empty[DataFrame]
-    for (r <- 1 to 3) {
-      val top = topPair(wf, r).localCheckpoint()
-      picks :+= top
-      // sentinel-free words are injective under replace: no re-group
-      wf = wf.crossJoin(broadcast(top.select(col("pair").as("mp"))))
-        .select(replace(col("word"), col("mp"), lit(Sentinels(r - 1))).as("word"),
-          col("freq"))
-        .localCheckpoint()
-    }
-    picks
+    // wf rounds are locals (released below); the returned picks go to
+    // reliable checkpoints — callers read them lazily, and nothing may
+    // stay pinned after this returns (round-10 lifecycle rule)
+    val bpeLocals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var wf = Fixpoint.locally(Shingles.words(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")), bpeLocals)
+      var picks = Vector.empty[DataFrame]
+      for (r <- 1 to 3) {
+        val top = Fixpoint.reliably(topPair(wf, r))
+        picks :+= top
+        // sentinel-free words are injective under replace: no re-group
+        wf = Fixpoint.locally(
+          wf.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+            .select(replace(col("word"), col("mp"),
+              lit(Sentinels(r - 1))).as("word"), col("freq")), bpeLocals)
+      }
+      picks
+    } finally Fixpoint.releaseAll(bpeLocals)
   }
 
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {

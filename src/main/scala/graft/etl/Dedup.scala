@@ -194,9 +194,10 @@ object Dedup {
     * the band's signature slots; candidate pairs = docs sharing any
     * band key (distinct a<b pairs). The self-join is per-bucket — the
     * O(n²) blowup only happens inside a bucket, which is the entire
-    * point of LSH at scale. The banded table is materialized once so
-    * both sides of the self-join read the cache instead of re-deriving
-    * the signature pipeline.
+    * point of LSH at scale. The banded table is materialized once
+    * (reliable checkpoint — nothing pinned outlives the call) so both
+    * sides of the self-join read it instead of re-deriving the
+    * signature pipeline.
     */
   private def lshPairsWith(sig: DataFrame, numHashes: Int, bandSize: Int,
       bandKey: Seq[Column] => Column): DataFrame = {
@@ -205,9 +206,9 @@ object Dedup {
       val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
       struct(lit(b).as("band"), bandKey(slots).as("bkey"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      .persist()
+    val banded = Fixpoint.reliably(
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey")))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -257,10 +258,12 @@ object Dedup {
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     }
     // one signature pass for BOTH sides: banding is per-doc, so band
-    // everything once, cache the (tiny) band rows, and split by filter —
-    // two banded(filter(...)) branches would each re-run the full md5
-    // signature pipeline (measured 2× the query cost at sf0.1)
-    val all = banded(docs).persist()
+    // everything once, materialize the (tiny) band rows, and split by
+    // filter — two banded(filter(...)) branches would each re-run the
+    // full md5 signature pipeline (measured 2× the query cost at sf0.1).
+    // Reliable checkpoint, not persist: zero pinned blocks on return
+    // (the round-10 lifecycle rule).
+    val all = Fixpoint.reliably(banded(docs))
     val batch = all.filter(col("doc_id") % 10 === 0)
     val corpus = all.filter(col("doc_id") % 10 =!= 0)
     batch.as("n").join(corpus.as("c"),
@@ -557,52 +560,55 @@ object Dedup {
 
   /** pairs(doc_a < doc_b) → (doc_id, component, cluster_size).
     *
-    * Lineage discipline: every round ends in `localCheckpoint()`, not
-    * `persist()`. A persist only truncates RECOMPUTATION — the analyzed
-    * plan still nests the previous round's plan (twice, via the
-    * pointer-jump self-join), so with persist alone Catalyst re-optimizes
-    * an exponentially growing tree and the fixpoint spends its time in
-    * the optimizer (measured 43 s at sf0.1), not in the joins. The
-    * checkpoint materializes the round AND resets the plan to a leaf.
-    * On a cluster you'd use reliable `checkpoint()` (localCheckpoint
-    * is not executor-loss-tolerant); same plan shape.
+    * Lineage discipline: every round ends in an eager LOCAL checkpoint
+    * ([[Fixpoint.locally]]), not `persist()`. A persist only truncates
+    * RECOMPUTATION — the analyzed plan still nests the previous round's
+    * plan (twice, via the pointer-jump self-join), so with persist alone
+    * Catalyst re-optimizes an exponentially growing tree and the
+    * fixpoint spends its time in the optimizer (measured 43 s at
+    * sf0.1), not in the joins. The checkpoint materializes the round
+    * AND resets the plan to a leaf. The FINAL result goes to a reliable
+    * checkpoint and every round's local blocks are released before
+    * returning — zero pinned residue (round-10 lifecycle rule; the
+    * reliable final is also the executor-loss-tolerant piece a cluster
+    * needs).
     */
   def dedupComponentsFrom(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
-    def lblSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
-    var prevSum = lblSum(labels)
-    var converged = false
-    while (!converged) {
-      // (1) min over neighbors (left join: isolated labels keep their own)
-      val nbr = edges.as("e")
-        .join(labels.as("l"), col("e.v") === col("l.node"))
-        .groupBy(col("e.u").as("node")).agg(min(col("l.lbl")).as("nbl"))
-      val stepped = labels.join(nbr, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-      // (2) pointer-jump: follow the label one hop (lbl is a node id)
-      val jumped = stepped.as("a")
-        .join(stepped.as("b"), col("a.lbl") === col("b.node"), "left")
-        .select(col("a.node").as("node"),
-          coalesce(col("b.lbl"), col("a.lbl")).as("lbl"))
-        .localCheckpoint() // eager: materializes and truncates lineage
-      val curSum = lblSum(jumped)
-      labels = jumped
-      converged = curSum == prevSum
-      prevSum = curSum
-    }
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("lbl"))
-      .select(col("node").as("doc_id"), col("lbl").as("component"),
-        col("cluster_size"))
-      .orderBy("doc_id")
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val edges = Fixpoint.locally(pairs
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))), locals)
+      var labels = Fixpoint.locally(edges.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node")), locals)
+      def lblSum(df: DataFrame): Long =
+        df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+      var prevSum = lblSum(labels)
+      var converged = false
+      while (!converged) {
+        // (1) min over neighbors (left join: isolated labels keep their own)
+        val nbr = edges.as("e")
+          .join(labels.as("l"), col("e.v") === col("l.node"))
+          .groupBy(col("e.u").as("node")).agg(min(col("l.lbl")).as("nbl"))
+        val stepped = labels.join(nbr, Seq("node"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        // (2) pointer-jump: follow the label one hop (lbl is a node id)
+        val jumped = Fixpoint.locally(stepped.as("a")
+          .join(stepped.as("b"), col("a.lbl") === col("b.node"), "left")
+          .select(col("a.node").as("node"),
+            coalesce(col("b.lbl"), col("a.lbl")).as("lbl")), locals)
+        val curSum = lblSum(jumped)
+        labels = jumped
+        converged = curSum == prevSum
+        prevSum = curSum
+      }
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      Fixpoint.reliably(labels.join(sizes, Seq("lbl"))
+        .select(col("node").as("doc_id"), col("lbl").as("component"),
+          col("cluster_size"))
+        .orderBy("doc_id"))
+    } finally Fixpoint.releaseAll(locals)
   }
 
   /** Canonical-survivor selection — the END of the dedup pipeline:
@@ -768,11 +774,10 @@ object Dedup {
       .select(col("doc_id"), col("simhash16"))
     val blocks = (0 until 4).map(b => struct(lit(b).as("blk"),
       shiftright(col("simhash16"), b * 4).bitwiseAND(15).as("bval")))
-    val banded = sig
+    val banded = Fixpoint.reliably(sig
       .select(col("doc_id"), col("simhash16"), explode(array(blocks: _*)).as("bs"))
       .select(col("doc_id"), col("simhash16"),
-        col("bs.blk").as("blk"), col("bs.bval").as("bval"))
-      .persist()
+        col("bs.blk").as("blk"), col("bs.bval").as("bval")))
     banded.as("x").join(banded.as("y"),
         col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -804,12 +809,12 @@ object Dedup {
       .when(col("cluster_size") < 32, 3).when(col("cluster_size") < 64, 4)
       .when(col("cluster_size") < 128, 5).otherwise(6)
     // <=7 rows feeding both totals and shares — checkpoint so the
-    // components closure isn't re-derived per branch
-    val cells = comp.withColumn("bucket", bucket)
+    // components closure isn't re-derived per branch (reliable: no
+    // pinned blocks outlive the call)
+    val cells = Fixpoint.reliably(comp.withColumn("bucket", bucket)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_clusters"),
-        sum(col("cluster_size")).as("doc_mass"))
-      .localCheckpoint()
+        sum(col("cluster_size")).as("doc_mass")))
     val tot = cells.agg(sum(col("doc_mass")).as("total_docs"))
     cells.crossJoin(broadcast(tot))
       .withColumn("mass_bp", expr("(10000 * doc_mass) div total_docs"))

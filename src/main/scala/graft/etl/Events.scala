@@ -954,10 +954,9 @@ object Events {
     // the plan nests the full events subtree ~12×. n_users re-derives
     // from the checkpointed grid (every user exits on exactly one day),
     // so events are scanned once.
-    val byDay = lives.groupBy(col("life_d"))
+    val byDay = Fixpoint.reliably(lives.groupBy(col("life_d"))
       .agg(sum(lit(1L) - col("censored")).as("deaths"),
-        sum(col("censored")).as("n_censored"))
-      .localCheckpoint()
+        sum(col("censored")).as("n_censored")))
     val total = byDay.agg(
       sum(col("deaths") + col("n_censored")).as("n_users"))
     // at_risk(d) = n_users - exits strictly before d (triangular join)
@@ -1358,9 +1357,8 @@ object Events {
     // bounded (<=12 rows) and read by three branches (totals, shares,
     // triangle) — localCheckpoint so the user-keyed reduction runs
     // once, not per branch
-    val cells = lag.withColumn("bucket", bucket)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_users"))
-      .localCheckpoint()
+    val cells = Fixpoint.reliably(lag.withColumn("bucket", bucket)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_users")))
     val tot = cells.agg(sum(col("n_users")).as("total"))
     val shared = cells.crossJoin(broadcast(tot))
       .withColumn("share_bp", expr("(10000 * n_users) div total"))
@@ -1425,12 +1423,13 @@ object Events {
     * bounded non-equi broadcast join, map-side flags. Output = hours.
     */
   def sloBurn(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
+    // bounded hourly grid, read by both band sides — reliable
+    // checkpoint (round-10 lifecycle: no pinned blocks outlive the call)
+    val hourly = Fixpoint.reliably(Tables.events(spark, dir)
       .select(expr("(ts div 1000) div 3600000000").as("hr"),
         (col("event_type") === "error").cast("long").as("is_err"))
       .groupBy(col("hr"))
-      .agg(count(lit(1)).as("n"), sum(col("is_err")).as("n_err"))
-      .localCheckpoint() // bounded hourly grid, read by both band sides
+      .agg(count(lit(1)).as("n"), sum(col("is_err")).as("n_err")))
     val win = hourly.select(col("hr").as("h2"), col("n").as("n2"),
       col("n_err").as("e2"))
     hourly.join(broadcast(win),

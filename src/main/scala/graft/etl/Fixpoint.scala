@@ -36,11 +36,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Fixpoint {
 
   /** Test hook: inside [[planOnly]], [[reliably]] returns its input
-    * unchanged so plan specs can inspect an operator's FULL lazy tree
-    * (the checkpoint would otherwise hide everything upstream behind a
-    * `Scan ExistingRDD` leaf) without eagerly executing it. Never set
-    * outside tests — passthrough restores the pre-round-10 pinned-
-    * block behavior.
+    * unchanged so plan specs can inspect an operator's final-stage lazy
+    * tree (the checkpoint would otherwise hide everything upstream
+    * behind a `Scan ExistingRDD` leaf) without eagerly executing it.
+    * [[locally]] is NOT passed through: convergence loops depend on the
+    * per-round truncation (the 43 s optimizer-blowup rule), and those
+    * rounds were checkpoint leaves in the observable plan before round
+    * 10 too. CAVEAT: a frame built under planOnly must only be
+    * EXPLAINED, never executed — the operator's finally has already
+    * released the local blocks its plan references. Never set outside
+    * tests.
     */
   @volatile private var passthrough = false
 
@@ -87,9 +92,11 @@ object Fixpoint {
     * state that no returned frame references.
     */
   def locally(df: DataFrame,
-      scope: scala.collection.mutable.Buffer[DataFrame]): DataFrame =
-    if (passthrough) df
-    else { val d = df.localCheckpoint(); scope += d; d }
+      scope: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+    val d = df.localCheckpoint()
+    scope += d
+    d
+  }
 
   /** Release every frame registered by [[locally]]. Call from the
     * operator's `finally`, after the final [[reliably]]. */

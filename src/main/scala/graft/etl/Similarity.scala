@@ -317,12 +317,12 @@ object Similarity {
         round(dotF(col("qe"), col("ce")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid").asc)
-    val cand = scored.withColumn("srk", row_number().over(w))
+    val mmrLocals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val cand = Fixpoint.locally(scored.withColumn("srk", row_number().over(w))
       .filter(col("srk") <= 20)
       .select(col("qid"), col("cid"),
         round(col("cos") * 10000).cast("bigint").as("rel_bp"),
-        col("ce"), col("cn"))
-      .localCheckpoint()
+        col("ce"), col("cn")), mmrLocals)
     val sims = cand.select(col("qid"), col("cid").as("acid"),
         col("ce").as("ae"), col("cn").as("an"))
       .join(cand.select(col("qid"), col("cid").as("bcid"),
@@ -331,7 +331,7 @@ object Similarity {
       .select(col("qid"), col("acid"), col("bcid"),
         round(round(dotF(col("ae"), col("be")) / (col("an") * col("bn")), 4)
           * 10000).cast("bigint").as("sim_bp"))
-      .localCheckpoint()
+    val simsCk = Fixpoint.locally(sims, mmrLocals)
     val slim = cand.select(col("qid"), col("cid"), col("rel_bp"))
     val first = slim
       .withColumn("pk", row_number().over(Window.partitionBy(col("qid"))
@@ -339,12 +339,12 @@ object Similarity {
       .filter(col("pk") === 1)
       .select(col("qid"), col("cid"), col("rel_bp"),
         col("rel_bp").as("mmr2"), lit(1).as("rank"))
-    var selected = first.localCheckpoint()
+    var selected = Fixpoint.locally(first, mmrLocals)
     for (r <- 2 to 5) {
       val remaining = slim.join(
         selected.select(col("qid").as("vq"), col("cid").as("vc")),
         col("qid") === col("vq") && col("cid") === col("vc"), "left_anti")
-      val simsR = sims.select(col("qid").as("sq"), col("acid"),
+      val simsR = simsCk.select(col("qid").as("sq"), col("acid"),
         col("bcid"), col("sim_bp"))
       val withMs = remaining
         .join(selected.select(col("qid"), col("cid").as("scid")), Seq("qid"))
@@ -359,11 +359,13 @@ object Similarity {
         .filter(col("pk") === 1)
         .select(col("qid"), col("cid"), col("rel_bp"), col("mmr2"),
           lit(r).as("rank"))
-      selected = selected.unionByName(pick).localCheckpoint()
+      selected = Fixpoint.locally(selected.unionByName(pick), mmrLocals)
     }
-    selected.select(col("qid"), col("rank"), col("cid"), col("rel_bp"),
-        col("mmr2"))
-      .orderBy("qid", "rank")
+    try Fixpoint.reliably(
+      selected.select(col("qid"), col("rank"), col("cid"), col("rel_bp"),
+          col("mmr2"))
+        .orderBy("qid", "rank"))
+    finally Fixpoint.releaseAll(mmrLocals)
   }
 
   /** Triplet mining for contrastive/metric learning: per anchor, the
@@ -626,7 +628,7 @@ object Similarity {
     * query set; all rates exact integer bp.
     *
     * The scored candidate frame and the brute baseline are
-    * localCheckpoint'd once and shared by all three probe tiers —
+    * eagerly materialized once and shared by all three probe tiers —
     * without it each tier would re-run the corpus assignment (the
     * audit equivalent of the fixpoint plan-growth rule; at 100 TB
     * this materialization is a staging table).
@@ -656,12 +658,13 @@ object Similarity {
       .withColumn("cos",
         round(dotF(col("qe"), col("a_emb")) / (col("qn") * col("a_nrm")), 4))
       .select(col("qid"), col("prk"), col("a_vid").as("cid"), col("cos"))
-      .localCheckpoint()
-    val exact = knnBrute(spark, dir).select(col("qid"), col("cid"))
-      .localCheckpoint()
+    val sweepLocals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val scoredCk = Fixpoint.locally(scored, sweepLocals)
+    val exact = Fixpoint.locally(
+      knnBrute(spark, dir).select(col("qid"), col("cid")), sweepLocals)
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val stats = (1 to 3).map { p =>
-      val cand = scored.filter(col("prk") <= p)
+      val cand = scoredCk.filter(col("prk") <= p)
       val w5 = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("cid").asc)
       val top = cand.withColumn("rank", row_number().over(w5))
@@ -673,8 +676,10 @@ object Similarity {
         .select(lit(p).as("nprobe"), col("n_scanned"), col("n_hit"),
           col("n_exact"))
     }.reduce(_ unionByName _)
-    stats.withColumn("recall_bp", expr("(10000 * n_hit) div n_exact"))
-      .orderBy("nprobe")
+    try Fixpoint.reliably(
+      stats.withColumn("recall_bp", expr("(10000 * n_hit) div n_exact"))
+        .orderBy("nprobe"))
+    finally Fixpoint.releaseAll(sweepLocals)
   }
 
   /** IVF with a TRAINED codebook — the full train→index→search path:
@@ -970,6 +975,7 @@ object Similarity {
       seedLo: Long, lloydRounds: Int): DataFrame = {
     val K = 16
     def sqdist = pqSqdist _
+    val cbLocals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var cbT = broadcast(subv
       .filter(col("vec_id") >= seedLo && col("vec_id") < seedLo + K)
       .select(col("m").as("cm"), (col("vec_id") - seedLo).as("k"),
@@ -1002,20 +1008,21 @@ object Similarity {
         .groupBy(col("m"), col("code"))
         .agg(min(struct(col("dm"), col("vec_id"))).as("md"))
         .select(col("m"), col("code"), col("md.vec_id").as("mvid"))
-      // end every Lloyd round in an EAGER localCheckpoint: the codebook
+      // end every Lloyd round in an EAGER local checkpoint: the codebook
       // is M·K tiny rows, but without the lineage cut each downstream
       // reference re-nests the whole round's join chain and Catalyst
       // re-optimizes an exponentially growing tree (the repo's
       // dedup_components fixpoint lesson; measured 36.8 s cold rep on
-      // knn_pq_trained from exactly this). On a cluster swap for
-      // reliable checkpoint.
-      cbT = broadcast(medoid
+      // knn_pq_trained from exactly this).
+      cbT = broadcast(Fixpoint.locally(medoid
         .join(subv.select(col("vec_id").as("mvid"), col("m"), col("xvec")),
           Seq("mvid", "m"))
-        .select(col("m").as("cm"), col("code").as("k"), col("xvec").as("cvec"))
-        .localCheckpoint())
+        .select(col("m").as("cm"), col("code").as("k"), col("xvec").as("cvec")),
+        cbLocals))
     }
-    cbT
+    // hand callers a reliable, unpinned codebook and drop the round blocks
+    try broadcast(Fixpoint.reliably(cbT))
+    finally Fixpoint.releaseAll(cbLocals)
   }
 
   /** Total quantization SSE (1e-6 units) of the corpus under the
@@ -1173,18 +1180,19 @@ object Similarity {
         expr("cast(round(cast(x as double) * 10000, 0) as bigint)").as("ei"))
 
     // one power round: v(dim, v) -> normalized E'T(Ev) in [-100, 100].
-    // s localCheckpoints (64 rows): each round's s feeds BOTH the max
+    // s checkpoints eagerly (64 rows): each round's s feeds BOTH the max
     // and the output, and the next round re-reads v — without the
     // checkpoint the plan doubles per round (the CLAUDE.md fixpoint
-    // rule; e would be re-scanned 2^rounds times).
+    // rule; e would be re-scanned 2^rounds times). Round blocks are
+    // locals, released once the final frame is reliably materialized.
+    val pcaLocals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def round1(v: DataFrame): DataFrame = {
       val dots = e.join(broadcast(v), Seq("dim"))
         .groupBy(col("vec_id"))
         .agg(sum(col("ei") * col("v")).as("dot"))
-      val s = e.join(dots, Seq("vec_id"))
+      val s = Fixpoint.locally(e.join(dots, Seq("vec_id"))
         .groupBy(col("dim"))
-        .agg(sum(col("ei") * col("dot")).as("s"))
-        .localCheckpoint()
+        .agg(sum(col("ei") * col("dot")).as("s")), pcaLocals)
       val m = s.agg(greatest(max(abs(col("s"))), lit(1L)).as("m"))
       s.crossJoin(broadcast(m))
         .select(col("dim"),
@@ -1194,7 +1202,9 @@ object Similarity {
     val v0 = spark.range(0, 64)
       .select(col("id").cast("int").as("dim"), lit(100L).as("v"))
     val v3 = round1(round1(round1(v0)))
-    v3.select(col("dim"), col("v").as("v_100")).orderBy("dim")
+    try Fixpoint.reliably(
+      v3.select(col("dim"), col("v").as("v_100")).orderBy("dim"))
+    finally Fixpoint.releaseAll(pcaLocals)
   }
 
   /** Redundant-dimension audit: Pearson correlation of every embedding

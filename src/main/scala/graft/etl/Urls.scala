@@ -219,7 +219,7 @@ object Urls {
     // both branches consume the routed stream: materialize it once
     // (localCheckpoint, the fixpoint rule) instead of re-running the
     // scan + probe joins per branch
-    val routed = bloomRoute(links, visited).localCheckpoint()
+    val routed = Fixpoint.reliably(bloomRoute(links, visited))
     val definiteNew = routed.filter(!col("maybe_visited"))
       .select("link_id", "norm_url")
     val checked = routed.filter(col("maybe_visited"))
@@ -369,17 +369,18 @@ object Urls {
   //   through hash-partitioned exchanges.
   def pageIdGen(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val links = linkCorpus(spark, dir)
+    // two consumers (window branch + counts branch) — materialize once
+    // so the normalize+skip regexes run once, not per branch; reliable
+    // checkpoint, not persist (round-10 lifecycle: nothing stays
+    // pinned). At scale this is the frontier checkpoint the crawl loop
+    // keeps anyway.
+    val links = Fixpoint.reliably(linkCorpus(spark, dir)
       .withColumn("norm_url", normalizeUrl(col("url")))
       .filter(keepUrl(col("norm_url")))
       // prefix length 37 reaches past the longest domain into the first
       // path digit — enough spread for this corpus; any prefix is correct.
       .withColumn("shard", substring(col("norm_url"), 1, 37))
-      .select(col("norm_url"), col("shard"))
-      // two consumers (window branch + counts branch) — persist so the
-      // normalize+skip regexes run once, not once per branch; at scale
-      // this is the frontier checkpoint the crawl loop keeps anyway
-      .persist()
+      .select(col("norm_url"), col("shard")))
     val wLocal = Window.partitionBy(col("shard")).orderBy(col("norm_url"))
     val counts = links.groupBy(col("shard")).agg(count(lit(1)).as("n"))
     val offsets = counts.as("a")

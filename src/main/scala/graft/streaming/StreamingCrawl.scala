@@ -101,6 +101,10 @@ object StreamingCrawl {
       if (after == before) stable += 1 else stable = 0
     }
     query.stop()
+    // the crawl state lives in the visited parquet files — release the
+    // edge cache before returning (round-10 lifecycle: no pinned
+    // blocks outlive the operator)
+    e.unpersist(blocking = false)
     spark.read.parquet(s"$visitedDir/*")
       .groupBy(col("node")).agg(min(col("depth")).as("depth"))
       .orderBy("node")

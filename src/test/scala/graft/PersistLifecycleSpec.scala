@@ -48,6 +48,22 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("the dedup / ANN / grid families also compose clean: zero pinned " +
+      "RDDs after each materialization (round-10 engine-wide sweep)") {
+    freshStart()
+    // the queries whose operators formerly pinned persist()/
+    // localCheckpoint() blocks for the harness scrub to clean
+    val qs = Seq("minhash_lsh", "simhash_neardup", "dedup_incremental",
+      "dedup_components", "cluster_sizes", "mmr_diversify", "ivf_sweep",
+      "knn_pq_trained", "pca_power", "survival_hazard", "conversion_lag",
+      "slo_burn", "bpe_train", "page_id_gen", "bloom_prefilter")
+    qs.foreach { name =>
+      assert(SparkEntry.queries(name)(spark, dir).count() > 0,
+        s"$name returned no rows")
+      assertNoPins(name)
+    }
+  }
+
   test("released results stay re-executable (checkpoint-backed lineage)") {
     freshStart()
     val bfs = Crawl.crawlBfs(spark, dir)

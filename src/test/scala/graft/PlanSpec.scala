@@ -738,7 +738,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // the triangular joins read the materialized grid (Scan
     // ExistingRDD) — a FileScan inside the triangles would mean the
     // events subtree is being re-derived per branch (~12 scans)
-    val sh = plan("survival_hazard")
+    // (executedPlans since r10: the grid is a Fixpoint.reliably stage,
+    // invisible to the planOnly lazy twin; the FINAL executed plan must
+    // read the materialized grid, earlier plans do the FileScan once)
+    val sh = executedPlans("survival_hazard").last
     assert(sh.contains("Scan ExistingRDD"),
       s"survival_hazard lost its checkpointed day grid:\n$sh")
     assert(!sh.contains("FileScan"),
@@ -851,7 +854,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // pca_power: each round's 64-row s frame localCheckpoints (the
     // fixpoint rule — without it the plan doubles per round), so the
     // final plan reads the materialized frame, never a FileScan
-    val pp = plan("pca_power")
+    val pp = executedPlans("pca_power").last // final stage: reads materializations only
     assert(pp.contains("Scan ExistingRDD"),
       s"pca_power lost its per-round checkpoint:\n$pp")
     assert(!pp.contains("FileScan"),
@@ -891,7 +894,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // conversion_lag: the bounded bucket frame localCheckpoints (three
     // branches read it), so the final plan reads the materialized
     // cells — the triangle and totals are broadcast loops over it
-    val cg = plan("conversion_lag")
+    val cg = executedPlans("conversion_lag").last
     assert(cg.contains("Scan ExistingRDD") && !cg.contains("FileScan"),
       s"conversion_lag re-derives the reduction per branch:\n$cg")
     assert(cg.contains("BroadcastNestedLoopJoin"),
@@ -917,7 +920,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"assortativity lost its keyed degree joins:\n$as9")
     // cluster_sizes: reads the checkpointed closure/cells — no
     // FileScan re-derivation per branch
-    val cz = plan("cluster_sizes")
+    val cz = executedPlans("cluster_sizes").last
     assert(cz.contains("Scan ExistingRDD") && !cz.contains("FileScan"),
       s"cluster_sizes re-derives the closure per branch:\n$cz")
     assert(!cz.contains("CartesianProduct"), cz)
@@ -937,7 +940,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!pk.contains("CartesianProduct"), pk)
     // slo_burn: the hourly grid localCheckpoints (band join reads both
     // sides), the trailing-6h band is a broadcast non-equi loop
-    val sb9 = plan("slo_burn")
+    val sb9 = executedPlans("slo_burn").last
     assert(sb9.contains("Scan ExistingRDD") && !sb9.contains("FileScan"),
       s"slo_burn re-derives the hourly grid per band side:\n$sb9")
     assert(sb9.contains("BroadcastNestedLoopJoin"),
