@@ -13,6 +13,10 @@ object Smoke {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Fixpoint.reliably writes per-call checkpoint files; let the
+      // ContextCleaner delete them when the frames are GC'd so a
+      // long-lived session doesn't accumulate temp-dir state
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

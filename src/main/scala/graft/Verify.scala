@@ -38,6 +38,10 @@ object Verify {
       // this flag covers the nanos encoding (reads as BIGINT) and
       // Tables.withNanosTs canonicalizes whichever one is on disk.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Fixpoint.reliably writes per-call checkpoint files; let the
+      // ContextCleaner delete them when the frames are GC'd so a
+      // long-lived session doesn't accumulate temp-dir state
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
