@@ -5865,6 +5865,61 @@ object Oracles {
         |  CAST(sum(b.n_new) AS BIGINT) AS n_cum,
         |  CAST((10000 * sum(b.n_new)) // max(ntot.n) AS BIGINT) AS reach_bp
         |FROM pl a JOIN pl b ON b.level <= a.level CROSS JOIN ntot
-        |GROUP BY a.level, a.n_new ORDER BY a.level""".stripMargin
+        |GROUP BY a.level, a.n_new ORDER BY a.level""".stripMargin,
+
+    // BLEU-2 clipped n-gram precision over keyed candidate/reference
+    // pairs — mirrors TextAnalysis.bleuEval: candidate = even doc_id,
+    // reference = doc_id + 1; both sides need >= 2 words; floor(sqrt)
+    // of the bp product is cross-engine exact (see the Scala scaladoc).
+    "bleu_eval" ->
+      (s"""WITH $WordsCte,
+         |uni AS (SELECT doc_id, word AS g FROM words),
+         |b0 AS (SELECT doc_id, pos, word,
+         |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+         |       FROM words),
+         |bigr AS (SELECT doc_id, word || ' ' || w1 AS g FROM b0
+         |         WHERE w1 IS NOT NULL),
+         |cnt1 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM uni GROUP BY doc_id, g),
+         |cnt2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM bigr GROUP BY doc_id, g),
+         |tot1 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS t
+         |         FROM cnt1 GROUP BY doc_id),
+         |tot2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS t
+         |         FROM cnt2 GROUP BY doc_id),
+         |pairs AS (SELECT c.doc_id, r.doc_id AS ref_id
+         |          FROM documents c JOIN documents r
+         |            ON r.doc_id = c.doc_id + 1
+         |          WHERE c.doc_id % 2 = 0),
+         |elig AS (SELECT p.doc_id, p.ref_id, tc.t AS n1_total
+         |         FROM pairs p
+         |         JOIN tot1 tc ON tc.doc_id = p.doc_id
+         |         JOIN tot1 tr ON tr.doc_id = p.ref_id
+         |         WHERE tc.t >= 2 AND tr.t >= 2),
+         |m1 AS (SELECT e.doc_id, CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS m
+         |       FROM elig e
+         |       JOIN cnt1 a ON a.doc_id = e.doc_id
+         |       JOIN cnt1 b ON b.doc_id = e.ref_id AND b.g = a.g
+         |       GROUP BY e.doc_id),
+         |m2 AS (SELECT e.doc_id, CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS m
+         |       FROM elig e
+         |       JOIN cnt2 a ON a.doc_id = e.doc_id
+         |       JOIN cnt2 b ON b.doc_id = e.ref_id AND b.g = a.g
+         |       GROUP BY e.doc_id),
+         |j AS (SELECT e.doc_id, e.ref_id, e.n1_total,
+         |        CAST(coalesce(m1.m, 0) AS BIGINT) AS n1_match,
+         |        t2.t AS n2_total,
+         |        CAST(coalesce(m2.m, 0) AS BIGINT) AS n2_match
+         |      FROM elig e
+         |      JOIN tot2 t2 ON t2.doc_id = e.doc_id
+         |      LEFT JOIN m1 ON m1.doc_id = e.doc_id
+         |      LEFT JOIN m2 ON m2.doc_id = e.doc_id)
+         |SELECT doc_id, ref_id, n1_total, n1_match, n2_total, n2_match,
+         |  CAST((10000 * n1_match) // n1_total AS BIGINT) AS p1_bp,
+         |  CAST((10000 * n2_match) // n2_total AS BIGINT) AS p2_bp,
+         |  CAST(floor(sqrt(CAST(((10000 * n1_match) // n1_total)
+         |    * ((10000 * n2_match) // n2_total) AS DOUBLE))) AS BIGINT)
+         |    AS bleu2_bp
+         |FROM j ORDER BY doc_id""").stripMargin
   )
 }

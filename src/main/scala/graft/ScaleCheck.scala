@@ -84,7 +84,9 @@ object ScaleCheck {
     // graph genuinely grows R× — the graph fixpoint family is measured
     // on real graph growth (r9 verdict item 5); dup_attribution joins
     // cluster_sizes as the second components-closure consumer
-    "kcore", "bfs_layers", "hits_scores", "dup_attribution")
+    "kcore", "bfs_layers", "hits_scores", "dup_attribution",
+    // round-10 eval addition: gram-keyed clip joins over 10× docs
+    "bleu_eval")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

@@ -491,7 +491,10 @@ object SparkEntry {
     // drop-rate curve vs candidate watermark delays
     "watermark_sweep" -> (Events.watermarkSweep _),
     // multi-seed BFS reachability profile (4 levels)
-    "bfs_layers" -> (Crawl.bfsLayers _)
+    "bfs_layers" -> (Crawl.bfsLayers _),
+    // --- round-10 eval addition ---
+    // BLEU-2 clipped n-gram precision over keyed candidate/ref pairs
+    "bleu_eval" -> (TextAnalysis.bleuEval _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

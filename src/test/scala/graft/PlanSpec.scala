@@ -992,6 +992,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!bl.contains("CartesianProduct"), bl)
   }
 
+  test("round-10 pin: bleu_eval stays keyed — gram equi-joins, no window") {
+    // the clip join is (ref_id, gram)-keyed, pairing is an id equi-join
+    // (never a low-cardinality window over the corpus), totals are
+    // doc-keyed aggs
+    val be = plan("bleu_eval")
+    assert(!be.contains("Window"), s"bleu_eval grew a window:\n$be")
+    assert(!be.contains("CartesianProduct") && !be.contains("NestedLoop"),
+      s"bleu_eval lost its keyed joins:\n$be")
+    assert(be.linesIterator.exists(l => l.contains("keys") &&
+      l.contains("shingle")),
+      s"bleu_eval clip join must key on the gram:\n$be")
+  }
+
   test("sweep: no query plans a single-partition funnel or cartesian product") {
     // the serial batch_pack is the documented exception (semantic spec
     // for its sharded twin); everything else must keep table-sized data
