@@ -206,15 +206,21 @@ object Dedup {
       val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
       struct(lit(b).as("band"), bandKey(slots).as("bkey"))
     }
-    val banded = Fixpoint.reliably(
+    // banded table: fast local checkpoint read by both self-join sides;
+    // the (small) pair OUTPUT goes to reliable storage, after which the
+    // band blocks are released — zero pins, memory-speed staging
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val banded = Fixpoint.locally(
       sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey")))
-    banded.as("x").join(banded.as("y"),
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey")),
+      locals)
+    try Fixpoint.reliably(banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b"))
+    finally Fixpoint.releaseAll(locals)
   }
 
   /** LSH banding: a band key = md5 of its bandSize signature slots;
@@ -261,16 +267,18 @@ object Dedup {
     // everything once, materialize the (tiny) band rows, and split by
     // filter — two banded(filter(...)) branches would each re-run the
     // full md5 signature pipeline (measured 2× the query cost at sf0.1).
-    // Reliable checkpoint, not persist: zero pinned blocks on return
-    // (the round-10 lifecycle rule).
-    val all = Fixpoint.reliably(banded(docs))
+    // Fast local staging + reliable pair output: zero pinned blocks on
+    // return (the round-10 lifecycle rule).
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val all = Fixpoint.locally(banded(docs), locals)
     val batch = all.filter(col("doc_id") % 10 === 0)
     val corpus = all.filter(col("doc_id") % 10 =!= 0)
-    batch.as("n").join(corpus.as("c"),
+    try Fixpoint.reliably(batch.as("n").join(corpus.as("c"),
         col("n.band") === col("c.band") && col("n.bkey") === col("c.bkey"))
       .select(col("n.doc_id").as("new_doc"), col("c.doc_id").as("corpus_doc"))
       .distinct()
-      .orderBy("new_doc", "corpus_doc")
+      .orderBy("new_doc", "corpus_doc"))
+    finally Fixpoint.releaseAll(locals)
   }
 
   /** Benchmark decontamination — the n-gram collision test every
@@ -774,11 +782,12 @@ object Dedup {
       .select(col("doc_id"), col("simhash16"))
     val blocks = (0 until 4).map(b => struct(lit(b).as("blk"),
       shiftright(col("simhash16"), b * 4).bitwiseAND(15).as("bval")))
-    val banded = Fixpoint.reliably(sig
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val banded = Fixpoint.locally(sig
       .select(col("doc_id"), col("simhash16"), explode(array(blocks: _*)).as("bs"))
       .select(col("doc_id"), col("simhash16"),
-        col("bs.blk").as("blk"), col("bs.bval").as("bval")))
-    banded.as("x").join(banded.as("y"),
+        col("bs.blk").as("blk"), col("bs.bval").as("bval")), locals)
+    try Fixpoint.reliably(banded.as("x").join(banded.as("y"),
         col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -786,7 +795,8 @@ object Dedup {
           .cast("int").as("hamming"))
       .filter(col("hamming") <= 2)
       .distinct()
-      .orderBy("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b"))
+    finally Fixpoint.releaseAll(locals)
   }
 
   /** Duplicate-cluster size distribution in power-of-two buckets — the

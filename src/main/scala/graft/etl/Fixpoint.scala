@@ -42,10 +42,10 @@ object Fixpoint {
     * [[locally]] is NOT passed through: convergence loops depend on the
     * per-round truncation (the 43 s optimizer-blowup rule), and those
     * rounds were checkpoint leaves in the observable plan before round
-    * 10 too. CAVEAT: a frame built under planOnly must only be
-    * EXPLAINED, never executed — the operator's finally has already
-    * released the local blocks its plan references. Never set outside
-    * tests.
+    * 10 too. [[releaseAll]] is also a no-op under planOnly so those
+    * local blocks stay readable by in-operator consumers (a components
+    * loop over a passthrough pair frame) — plan inspection accepts the
+    * pins. Never set outside tests.
     */
   @volatile private var passthrough = false
 
@@ -99,7 +99,15 @@ object Fixpoint {
   }
 
   /** Release every frame registered by [[locally]]. Call from the
-    * operator's `finally`, after the final [[reliably]]. */
+    * operator's `finally`, after the final [[reliably]]. Under
+    * [[planOnly]] this is a NO-OP: reliably passed the final frame
+    * through lazily, so downstream consumers (a components loop over a
+    * passthrough pair frame, a later eager stage) still read the local
+    * blocks — releasing them here made the plan sweep throw
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Plan inspection accepts the
+    * pins; real execution paths never run under planOnly.
+    */
   def releaseAll(scope: scala.collection.mutable.Buffer[DataFrame]): Unit =
-    scope.foreach(org.apache.spark.sql.graft.PlanBridge.releaseLocalCheckpoint)
+    if (!passthrough)
+      scope.foreach(org.apache.spark.sql.graft.PlanBridge.releaseLocalCheckpoint)
 }
