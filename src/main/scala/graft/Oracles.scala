@@ -84,6 +84,60 @@ object Oracles {
       |  FROM documents),
       |words AS (SELECT * FROM w0 WHERE length(word) > 0)""".stripMargin
 
+  /** Candidate/reference clipped-gram pair chain shared by bleu_eval /
+    * rouge_eval — mirrors TextAnalysis.pairClipStats (one CTE text, two
+    * surfaces, so the twins cannot silently diverge). Ends at
+    * j(doc_id, ref_id, n1_total, n1_match, n2_total, n2_match,
+    * r1_total, r2_total): candidate totals for precision, reference
+    * totals for recall, symmetric clipped matches.
+    */
+  lazy val PairClipCte: String =
+    s"""WITH $WordsCte,
+       |uni AS (SELECT doc_id, word AS g FROM words),
+       |b0 AS (SELECT doc_id, pos, word,
+       |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+       |       FROM words),
+       |bigr AS (SELECT doc_id, word || ' ' || w1 AS g FROM b0
+       |         WHERE w1 IS NOT NULL),
+       |cnt1 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM uni GROUP BY doc_id, g),
+       |cnt2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM bigr GROUP BY doc_id, g),
+       |tot1 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS t
+       |         FROM cnt1 GROUP BY doc_id),
+       |tot2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS t
+       |         FROM cnt2 GROUP BY doc_id),
+       |pairs AS (SELECT c.doc_id, r.doc_id AS ref_id
+       |          FROM documents c JOIN documents r
+       |            ON r.doc_id = c.doc_id + 1
+       |          WHERE c.doc_id % 2 = 0),
+       |elig AS (SELECT p.doc_id, p.ref_id, tc.t AS n1_total,
+       |           tr.t AS r1_total
+       |         FROM pairs p
+       |         JOIN tot1 tc ON tc.doc_id = p.doc_id
+       |         JOIN tot1 tr ON tr.doc_id = p.ref_id
+       |         WHERE tc.t >= 2 AND tr.t >= 2),
+       |m1 AS (SELECT e.doc_id, CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS m
+       |       FROM elig e
+       |       JOIN cnt1 a ON a.doc_id = e.doc_id
+       |       JOIN cnt1 b ON b.doc_id = e.ref_id AND b.g = a.g
+       |       GROUP BY e.doc_id),
+       |m2 AS (SELECT e.doc_id, CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS m
+       |       FROM elig e
+       |       JOIN cnt2 a ON a.doc_id = e.doc_id
+       |       JOIN cnt2 b ON b.doc_id = e.ref_id AND b.g = a.g
+       |       GROUP BY e.doc_id),
+       |j AS (SELECT e.doc_id, e.ref_id, e.n1_total,
+       |        CAST(coalesce(m1.m, 0) AS BIGINT) AS n1_match,
+       |        t2.t AS n2_total,
+       |        CAST(coalesce(m2.m, 0) AS BIGINT) AS n2_match,
+       |        e.r1_total, tr2.t AS r2_total
+       |      FROM elig e
+       |      JOIN tot2 t2 ON t2.doc_id = e.doc_id
+       |      JOIN tot2 tr2 ON tr2.doc_id = e.ref_id
+       |      LEFT JOIN m1 ON m1.doc_id = e.doc_id
+       |      LEFT JOIN m2 ON m2.doc_id = e.doc_id)""".stripMargin
+
   /** 5-gram shingles with the source carried — grams5(doc_id, source,
     * gram); matches Shingles.shingleArray(_, 5) over non-empty words.
     */
@@ -3811,6 +3865,52 @@ object Oracles {
         |    // sum(class_n) AS BIGINT) AS exposed_bp
         |FROM c GROUP BY nation ORDER BY nation""".stripMargin,
 
+    // t-closeness — mirrors Observability.tCloseness (QI = nation ×
+    // segment; sensitive = ordered balance band; ordered EMD via
+    // cross-multiplied integer prefix sums; breach at 2000 bp).
+    "t_closeness" ->
+      """WITH t AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        |           FROM customer),
+        |cb AS (SELECT nation, segment, band, CAST(count(*) AS BIGINT) AS c
+        |       FROM t GROUP BY ALL),
+        |cls AS (SELECT nation, segment, CAST(sum(c) AS BIGINT) AS n_c
+        |        FROM cb GROUP BY ALL),
+        |gb AS (SELECT band, CAST(sum(c) AS BIGINT) AS g FROM cb GROUP BY band),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total,
+        |          CAST(count(*) AS BIGINT) AS k_bands FROM gb),
+        |grid AS (SELECT cls.nation, cls.segment, cls.n_c, gb.band, gb.g,
+        |           CAST(coalesce(cb.c, 0) AS BIGINT) AS c
+        |         FROM cls CROSS JOIN gb
+        |         LEFT JOIN cb ON cb.nation = cls.nation
+        |           AND cb.segment = cls.segment AND cb.band = gb.band),
+        |cum AS (SELECT nation, segment, n_c,
+        |          CAST(sum(c) OVER (PARTITION BY nation, segment ORDER BY band
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_c,
+        |          CAST(sum(g) OVER (PARTITION BY nation, segment ORDER BY band
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_g
+        |        FROM grid),
+        |e AS (SELECT nation, segment, n_c,
+        |        CAST(sum(abs(cum_c * tot.n_total - cum_g * n_c)) AS BIGINT)
+        |          AS emd_num,
+        |        max(tot.n_total) AS n_total, max(tot.k_bands) AS k_bands
+        |      FROM cum CROSS JOIN tot GROUP BY nation, segment, n_c),
+        |tb AS (SELECT nation, n_c,
+        |         CAST((10000 * emd_num) // ((k_bands - 1) * n_c * n_total)
+        |           AS BIGINT) AS t_bp
+        |       FROM e)
+        |SELECT nation, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(n_c) AS BIGINT) AS n_rows,
+        |  CAST(max(t_bp) AS BIGINT) AS max_t_bp,
+        |  CAST(sum(t_bp) // count(*) AS BIGINT) AS avg_t_bp,
+        |  CAST(sum(CASE WHEN t_bp > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS breach_classes,
+        |  CAST(sum(CASE WHEN t_bp > 2000 THEN n_c ELSE 0 END) AS BIGINT)
+        |    AS breach_rows
+        |FROM tb GROUP BY nation ORDER BY nation""".stripMargin,
+
     // Domain-mix drift — mirrors CorpusStats.mixDrift. The ln() terms
     // use the SAME double formula as the Spark side and round to 4dp
     // (the repo's irrational-value rule); shares stay integer bp.
@@ -5872,54 +5972,33 @@ object Oracles {
     // reference = doc_id + 1; both sides need >= 2 words; floor(sqrt)
     // of the bp product is cross-engine exact (see the Scala scaladoc).
     "bleu_eval" ->
-      (s"""WITH $WordsCte,
-         |uni AS (SELECT doc_id, word AS g FROM words),
-         |b0 AS (SELECT doc_id, pos, word,
-         |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
-         |       FROM words),
-         |bigr AS (SELECT doc_id, word || ' ' || w1 AS g FROM b0
-         |         WHERE w1 IS NOT NULL),
-         |cnt1 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
-         |         FROM uni GROUP BY doc_id, g),
-         |cnt2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
-         |         FROM bigr GROUP BY doc_id, g),
-         |tot1 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS t
-         |         FROM cnt1 GROUP BY doc_id),
-         |tot2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS t
-         |         FROM cnt2 GROUP BY doc_id),
-         |pairs AS (SELECT c.doc_id, r.doc_id AS ref_id
-         |          FROM documents c JOIN documents r
-         |            ON r.doc_id = c.doc_id + 1
-         |          WHERE c.doc_id % 2 = 0),
-         |elig AS (SELECT p.doc_id, p.ref_id, tc.t AS n1_total
-         |         FROM pairs p
-         |         JOIN tot1 tc ON tc.doc_id = p.doc_id
-         |         JOIN tot1 tr ON tr.doc_id = p.ref_id
-         |         WHERE tc.t >= 2 AND tr.t >= 2),
-         |m1 AS (SELECT e.doc_id, CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS m
-         |       FROM elig e
-         |       JOIN cnt1 a ON a.doc_id = e.doc_id
-         |       JOIN cnt1 b ON b.doc_id = e.ref_id AND b.g = a.g
-         |       GROUP BY e.doc_id),
-         |m2 AS (SELECT e.doc_id, CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS m
-         |       FROM elig e
-         |       JOIN cnt2 a ON a.doc_id = e.doc_id
-         |       JOIN cnt2 b ON b.doc_id = e.ref_id AND b.g = a.g
-         |       GROUP BY e.doc_id),
-         |j AS (SELECT e.doc_id, e.ref_id, e.n1_total,
-         |        CAST(coalesce(m1.m, 0) AS BIGINT) AS n1_match,
-         |        t2.t AS n2_total,
-         |        CAST(coalesce(m2.m, 0) AS BIGINT) AS n2_match
-         |      FROM elig e
-         |      JOIN tot2 t2 ON t2.doc_id = e.doc_id
-         |      LEFT JOIN m1 ON m1.doc_id = e.doc_id
-         |      LEFT JOIN m2 ON m2.doc_id = e.doc_id)
+      (s"""$PairClipCte
          |SELECT doc_id, ref_id, n1_total, n1_match, n2_total, n2_match,
          |  CAST((10000 * n1_match) // n1_total AS BIGINT) AS p1_bp,
          |  CAST((10000 * n2_match) // n2_total AS BIGINT) AS p2_bp,
          |  CAST(floor(sqrt(CAST(((10000 * n1_match) // n1_total)
          |    * ((10000 * n2_match) // n2_total) AS DOUBLE))) AS BIGINT)
          |    AS bleu2_bp
-         |FROM j ORDER BY doc_id""").stripMargin
+         |FROM j ORDER BY doc_id""").stripMargin,
+
+    // ROUGE-1/2 clipped n-gram recall + unigram F1 — mirrors
+    // TextAnalysis.rougeEval on the SAME PairClipCte chain as bleu_eval
+    // (matches are symmetric; only denominators differ). f1 guards on
+    // p1_bp + r1_bp = 0, not on the match count (a >10000-word side can
+    // floor a nonzero match to 0 bp).
+    "rouge_eval" ->
+      (s"""$PairClipCte,
+         |k AS (SELECT doc_id, ref_id, n1_match, n2_match,
+         |        r1_total, r2_total,
+         |        CAST((10000 * n1_match) // r1_total AS BIGINT) AS r1_bp,
+         |        CAST((10000 * n2_match) // r2_total AS BIGINT) AS r2_bp,
+         |        CAST((10000 * n1_match) // n1_total AS BIGINT) AS p1_bp
+         |      FROM j)
+         |SELECT doc_id, ref_id, n1_match, n2_match, r1_total, r2_total,
+         |  r1_bp, r2_bp,
+         |  CAST(CASE WHEN p1_bp + r1_bp = 0 THEN 0
+         |    ELSE (2 * p1_bp * r1_bp) // (p1_bp + r1_bp) END AS BIGINT)
+         |    AS f1_bp
+         |FROM k ORDER BY doc_id""").stripMargin
   )
 }

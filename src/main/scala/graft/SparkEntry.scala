@@ -492,9 +492,13 @@ object SparkEntry {
     "watermark_sweep" -> (Events.watermarkSweep _),
     // multi-seed BFS reachability profile (4 levels)
     "bfs_layers" -> (Crawl.bfsLayers _),
-    // --- round-10 eval addition ---
+    // --- round-10 eval additions ---
     // BLEU-2 clipped n-gram precision over keyed candidate/ref pairs
-    "bleu_eval" -> (TextAnalysis.bleuEval _)
+    "bleu_eval" -> (TextAnalysis.bleuEval _),
+    // ROUGE-1/2 clipped n-gram recall + unigram F1 (same pair frame)
+    "rouge_eval" -> (TextAnalysis.rougeEval _),
+    // t-closeness: ordered-EMD distribution-disclosure audit
+    "t_closeness" -> (Observability.tCloseness _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

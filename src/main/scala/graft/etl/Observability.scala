@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -150,6 +151,83 @@ object Observability {
           .as("exposed_rows"),
         sum(col("class_n")).as("n_rows"))
       .withColumn("exposed_bp", expr("(10000 * exposed_rows) div n_rows"))
+      .orderBy("nation")
+  }
+
+  /** t-closeness breach threshold: a class whose sensitive-attribute
+    * distribution sits more than 0.2 EMD from the global one (2000 bp)
+    * leaks the attribute through membership alone — the t the original
+    * paper uses in its worked examples. */
+  val TCloseBp = 2000L
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    * distribution-disclosure sibling of [[kAnonymity]] /
+    * [[lDiversity]]: a class can be k-anonymous AND l-diverse yet still
+    * leak, when its sensitive-value DISTRIBUTION differs sharply from
+    * the table's (e.g. a class where 90% of balances sit in the top
+    * band). For the ordered sensitive attribute (balance band) the
+    * paper's distance is the ordered Earth-Mover's Distance:
+    * EMD = (1/(K−1)) · Σ_k |Σ_{j≤k} (p_j − q_j)| over the K-band
+    * support. Quasi-identifiers here are (nation, market segment);
+    * reported per nation: class count, worst and mean class EMD in
+    * basis points, and the classes/rows breaching [[TCloseBp]].
+    *
+    * Exactness: prefix sums compare cross-multiplied integers
+    * (cum_class·N − cum_global·n_c), so the EMD numerator is an exact
+    * 64-bit integer and t_bp one integer division — no rationals ever
+    * materialize. 64-bit headroom (ANSI throws loudly): the summed
+    * |prefix| terms are bounded by K·n_c·N, so 10000·Σ needs
+    * n_c·N < 9·10¹⁴ / K — with K = 11 bands, safe to ~10⁷ rows even if
+    * one class holds the whole table; past that promote the cum
+    * products to decimal(38,0) (same path as pcaPower documents).
+    *
+    * Scale posture: one QI×band keyed agg over the table (map-side
+    * combined), then everything downstream lives on the CLASS grid
+    * (classes × K bands — bounded by QI cardinality, never row count):
+    * the band support and the 1-row total are broadcast, the prefix
+    * window partitions by class over K rows. Output = one row per
+    * nation.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(
+      col("c_nationkey").as("nation"),
+      col("c_mktsegment").as("segment"),
+      expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("band"))
+    val cb = cust.groupBy("nation", "segment", "band")
+      .agg(count(lit(1)).as("c"))
+    val cls = cb.groupBy("nation", "segment").agg(sum(col("c")).as("n_c"))
+    val gb = cb.groupBy("band").agg(sum(col("c")).as("g"))
+    val tot = gb.agg(sum(col("g")).as("n_total"),
+      count(lit(1)).as("k_bands"))
+    val grid = cls.crossJoin(broadcast(gb))
+      .join(cb, Seq("nation", "segment", "band"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy("nation", "segment").orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perClass = grid
+      .withColumn("cum_c", sum(col("c")).over(w))
+      .withColumn("cum_g", sum(col("g")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("p_abs",
+        abs(col("cum_c") * col("n_total") - col("cum_g") * col("n_c")))
+      .groupBy(col("nation"), col("segment"), col("n_c"))
+      .agg(sum(col("p_abs")).as("emd_num"),
+        max(col("n_total")).as("n_total"), max(col("k_bands")).as("k_bands"))
+      .withColumn("t_bp",
+        expr("(10000 * emd_num) div ((k_bands - 1) * n_c * n_total)"))
+    perClass.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n_c")).as("n_rows"),
+        max(col("t_bp")).as("max_t_bp"),
+        sum(col("t_bp")).as("sum_t"),
+        sum(when(col("t_bp") > TCloseBp, 1L).otherwise(0L))
+          .as("breach_classes"),
+        sum(when(col("t_bp") > TCloseBp, col("n_c")).otherwise(lit(0L)))
+          .as("breach_rows"))
+      .withColumn("avg_t_bp", expr("sum_t div n_classes"))
+      .select(col("nation"), col("n_classes"), col("n_rows"),
+        col("max_t_bp"), col("avg_t_bp"), col("breach_classes"),
+        col("breach_rows"))
       .orderBy("nation")
   }
 

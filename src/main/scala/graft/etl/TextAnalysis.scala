@@ -842,13 +842,71 @@ object TextAnalysis {
     * data-sized, no pair explosion beyond the gram-overlap join.
     */
   def bleuEval(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    // each gram-count frame is read 4× (totals + both clip-join sides)
-    // — materialize once (fast local checkpoints, released once the
-    // bounded pair output is reliably materialized) instead of
-    // re-tokenizing the corpus per consumer: measured 18.6 s → 9.2 s on
-    // the 10× ScaleCheck corpus, zero pinned residue either way
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try Fixpoint.reliably(pairClipStats(spark, dir, locals)
+      .select(col("doc_id"), col("ref_id"), col("n1_total"), col("n1_match"),
+        col("n2_total"), col("n2_match"))
+      .withColumn("p1_bp", expr("(10000 * n1_match) div n1_total"))
+      .withColumn("p2_bp", expr("(10000 * n2_match) div n2_total"))
+      .withColumn("bleu2_bp",
+        floor(sqrt((col("p1_bp") * col("p2_bp")).cast("double"))).cast("long"))
+      .orderBy("doc_id"))
+    finally Fixpoint.releaseAll(locals)
+  }
+
+  /** ROUGE-1/2 clipped n-gram RECALL (Lin 2004) with the F1 option over
+    * the same candidate/reference pairs as [[bleuEval]] — the
+    * summarization-eval complement to BLEU's precision: how much of the
+    * reference did the candidate cover, vs how much of the candidate is
+    * in the reference. The clipped match count Σ_g min(count_cand(g),
+    * count_ref(g)) is symmetric, so only the denominators differ:
+    * recall divides by reference gram totals, and f1_bp is the exact
+    * integer harmonic mean 2·p1·r1 div (p1+r1) of the unigram
+    * precision/recall basis points (0 when both are 0 — the guard is on
+    * p1_bp + r1_bp, not on the match count, because a >10000-word
+    * candidate can floor a nonzero match to 0 bp).
+    *
+    * Scale posture: identical to [[bleuEval]] — the shared
+    * [[pairClipStats]] frame is the whole cost; the recall/F1 surface
+    * is one map pass over the bounded pair output.
+    */
+  def rougeEval(spark: SparkSession, dir: String): DataFrame = {
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try Fixpoint.reliably(pairClipStats(spark, dir, locals)
+      .select(col("doc_id"), col("ref_id"), col("n1_match"), col("n2_match"),
+        col("r1_total"), col("r2_total"), col("n1_total"))
+      .withColumn("r1_bp", expr("(10000 * n1_match) div r1_total"))
+      .withColumn("r2_bp", expr("(10000 * n2_match) div r2_total"))
+      .withColumn("p1_bp", expr("(10000 * n1_match) div n1_total"))
+      .withColumn("f1_bp",
+        when(col("p1_bp") + col("r1_bp") === 0, lit(0L))
+          .otherwise(expr("(2 * p1_bp * r1_bp) div (p1_bp + r1_bp)")))
+      .select(col("doc_id"), col("ref_id"), col("n1_match"), col("n2_match"),
+        col("r1_total"), col("r2_total"), col("r1_bp"), col("r2_bp"),
+        col("f1_bp"))
+      .orderBy("doc_id"))
+    finally Fixpoint.releaseAll(locals)
+  }
+
+  /** Shared candidate/reference pair machinery for [[bleuEval]] and
+    * [[rougeEval]] (extracted so the two eval surfaces cannot silently
+    * diverge — the same hazard the round-9 advice flagged on the
+    * lateness/watermark twins): per eligible pair (candidate = every
+    * even doc_id, reference = doc_id + 1, both sides ≥ 2 words so every
+    * denominator is positive under ANSI) the clipped gram matches
+    * Σ_g min(count_cand(g), count_ref(g)) for n ∈ {1, 2}, plus BOTH
+    * denominator families — candidate totals (n1/n2, precision) and
+    * reference totals (r1/r2, recall).
+    *
+    * Each gram-count frame is read 4× (totals + both clip-join sides)
+    * — materialized once as fast local checkpoints into the CALLER's
+    * scope (released after the caller's reliable final frame) instead
+    * of re-tokenizing the corpus per consumer: measured 18.6 s → 9.2 s
+    * on the 10× ScaleCheck corpus, zero pinned residue either way.
+    */
+  private def pairClipStats(spark: SparkSession, dir: String,
+      locals: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     def gramCounts(k: Int): DataFrame =
       Fixpoint.locally(Shingles.wordShingles(docs, k)
         .groupBy(col("doc_id"), col("shingle"))
@@ -864,30 +922,27 @@ object TextAnalysis {
     // both sides need >= 2 words so 1- and 2-gram totals are positive
     val eligible = pairs
       .join(tot1.select(col("doc_id"), col("t").as("n1_total")), Seq("doc_id"))
-      .join(tot1.select(col("doc_id").as("ref_id"), col("t").as("nr1")),
+      .join(tot1.select(col("doc_id").as("ref_id"), col("t").as("r1_total")),
         Seq("ref_id"))
-      .filter(col("n1_total") >= 2 && col("nr1") >= 2)
-      .select(col("doc_id"), col("ref_id"), col("n1_total"))
+      .filter(col("n1_total") >= 2 && col("r1_total") >= 2)
+      .select(col("doc_id"), col("ref_id"), col("n1_total"), col("r1_total"))
     def matched(cn: DataFrame): DataFrame = cn
       .join(eligible.select(col("doc_id"), col("ref_id")), Seq("doc_id"))
       .join(cn.select(col("doc_id").as("ref_id"), col("shingle"),
         col("cnt").as("rcnt")), Seq("ref_id", "shingle"))
       .groupBy(col("doc_id"))
       .agg(sum(least(col("cnt"), col("rcnt"))).as("m"))
-    try Fixpoint.reliably(eligible
+    eligible
       .join(matched(c1).select(col("doc_id"), col("m").as("n1_match")),
         Seq("doc_id"), "left")
       .join(tot2.select(col("doc_id"), col("t").as("n2_total")), Seq("doc_id"))
+      .join(tot2.select(col("doc_id").as("ref_id"), col("t").as("r2_total")),
+        Seq("ref_id"))
       .join(matched(c2).select(col("doc_id"), col("m").as("n2_match")),
         Seq("doc_id"), "left")
-      .select(col("doc_id"), col("ref_id"), col("n1_total"),
+      .select(col("doc_id"), col("ref_id"),
+        col("n1_total"), col("n2_total"), col("r1_total"), col("r2_total"),
         coalesce(col("n1_match"), lit(0L)).as("n1_match"),
-        col("n2_total"), coalesce(col("n2_match"), lit(0L)).as("n2_match"))
-      .withColumn("p1_bp", expr("(10000 * n1_match) div n1_total"))
-      .withColumn("p2_bp", expr("(10000 * n2_match) div n2_total"))
-      .withColumn("bleu2_bp",
-        floor(sqrt((col("p1_bp") * col("p2_bp")).cast("double"))).cast("long"))
-      .orderBy("doc_id"))
-    finally Fixpoint.releaseAll(locals)
+        coalesce(col("n2_match"), lit(0L)).as("n2_match"))
   }
 }

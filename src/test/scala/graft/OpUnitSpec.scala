@@ -351,6 +351,49 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
       (2L, 3L, 3L, 10000L, 10000L, 10000L)), got.toString)
   }
 
+  test("rougeEval: recall divides by REFERENCE totals; f1 is the exact " +
+       "integer harmonic mean of unigram precision/recall bp") {
+    // same fixture as bleuEval. pair (0, 1): matches are symmetric
+    // (m1 = 2, m2 = 1) but denominators flip to the ref side:
+    // r1 = 20000/3 -> 6666 bp, r2 = 1 of 2 -> 5000 bp; p1 = 5000 bp,
+    // f1 = (2*5000*6666) div 11666 = 5714. Identical pair (2, 3):
+    // 10000 everywhere. (4, 5): ref has 1 word -> excluded.
+    val d = java.nio.file.Files.createTempDirectory("graft_rouge_")
+    Seq(
+      (0L, "a a a b"), (1L, "a b c"),
+      (2L, "x y z"), (3L, "x y z"),
+      (4L, "p q r"), (5L, "p"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.TextAnalysis.rougeEval(spark, d.toString)
+      .select("doc_id", "ref_id", "n1_match", "r1_bp", "r2_bp", "f1_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 2L, 6666L, 5000L, 5714L),
+      (2L, 3L, 3L, 10000L, 10000L, 10000L)), got.toString)
+  }
+
+  test("tCloseness: a one-band class sits at half the two-band EMD " +
+       "scale; a globally-proportioned class scores 0") {
+    // global bands {0: 3 rows, 1: 3 rows}, N = 6, K = 2.
+    // nation 0 / segment A: both rows in band 0 -> prefix |2*6 - 3*2| =
+    // 6 -> t = 60000 div (1*2*6) = 5000 bp (breach at the 2000 cut);
+    // segment B mirrors it in band 1 -> 5000. nation 1 / segment A:
+    // one row per band = the global distribution exactly -> 0 bp.
+    val d = java.nio.file.Files.createTempDirectory("graft_tclose_")
+    Seq(
+      (0L, "A", 0.0), (0L, "A", 500.0),
+      (0L, "B", 1000.0), (0L, "B", 1500.0),
+      (1L, "A", 0.0), (1L, "A", 1000.0))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(d.resolve("customer.parquet").toString)
+    val got = graft.etl.Observability.tCloseness(spark, d.toString)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 4L, 5000L, 5000L, 2L, 4L),
+      (1L, 1L, 2L, 0L, 0L, 0L, 0L)), got.toString)
+  }
+
   test("adaptiveBits: floor 3 at the verified scale, grows as " +
        "ceil(log2(n/1000)), caps at 12") {
     import graft.etl.GraphCuration.adaptiveBits

@@ -1003,6 +1003,31 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(be.linesIterator.exists(l => l.contains("keys") &&
       l.contains("shingle")),
       s"bleu_eval clip join must key on the gram:\n$be")
+    // rouge_eval rides the SAME pairClipStats chain — identical pins
+    val re = plan("rouge_eval")
+    assert(!re.contains("Window"), s"rouge_eval grew a window:\n$re")
+    assert(!re.contains("CartesianProduct") && !re.contains("NestedLoop"),
+      s"rouge_eval lost its keyed joins:\n$re")
+    assert(re.linesIterator.exists(l => l.contains("keys") &&
+      l.contains("shingle")),
+      s"rouge_eval clip join must key on the gram:\n$re")
+  }
+
+  test("round-10 pin: t_closeness scans customer once; all downstream " +
+       "work lives on the broadcast class grid") {
+    val tc = plan("t_closeness")
+    // one QI×band agg over ONE table scan; the grid/cum/EMD stages are
+    // class-cardinality only (band support + 1-row total broadcast)
+    assert(countOf(tc, "Scan parquet") == 1,
+      s"t_closeness must read customer exactly once:\n$tc")
+    assert(!tc.contains("CartesianProduct"), tc)
+    // the prefix window partitions by the QI class, never the table
+    assert(tc.linesIterator.exists(l => l.contains("Window")),
+      s"t_closeness lost its prefix-sum window:\n$tc")
+    assert(!tc.linesIterator.exists(l =>
+        l.contains("windowspecdefinition()") ||
+        (l.contains("Window") && l.contains("SinglePartition"))),
+      s"t_closeness window must partition by the QI class:\n$tc")
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
