@@ -1852,7 +1852,8 @@ object Oracles {
     // ---- range join (binned band-join == plain theta join) ----
     "range_join_band" ->
       """WITH ord AS (SELECT o_custkey AS k,
-        |               CAST(epoch_us(o_orderdate) AS BIGINT) AS o_us FROM orders),
+        |               CAST(1704067200000000 + ((epoch_us(o_orderdate) // 86400000000) % 31)
+        |                 * 86400000000 AS BIGINT) AS o_us FROM orders),
         |ev AS (SELECT event_id, user_id AS k,
         |         CAST(epoch_us(ts) AS BIGINT) AS e_us FROM events)
         |SELECT event_id, count(*) AS n_orders_in_band
@@ -3893,13 +3894,13 @@ object Oracles {
         |            AS BIGINT) AS cum_g
         |        FROM grid),
         |e AS (SELECT nation, segment, n_c,
-        |        CAST(sum(abs(cum_c * tot.n_total - cum_g * n_c)) AS BIGINT)
-        |          AS emd_num,
+        |        sum(abs(CAST(cum_c AS HUGEINT) * tot.n_total
+        |          - CAST(cum_g AS HUGEINT) * n_c)) AS emd_num,
         |        max(tot.n_total) AS n_total, max(tot.k_bands) AS k_bands
         |      FROM cum CROSS JOIN tot GROUP BY nation, segment, n_c),
         |tb AS (SELECT nation, n_c,
-        |         CAST((10000 * emd_num) // ((k_bands - 1) * n_c * n_total)
-        |           AS BIGINT) AS t_bp
+        |         CAST((10000 * emd_num) // (greatest(k_bands - 1, 1)
+        |           * CAST(n_c AS HUGEINT) * n_total) AS BIGINT) AS t_bp
         |       FROM e)
         |SELECT nation, CAST(count(*) AS BIGINT) AS n_classes,
         |  CAST(sum(n_c) AS BIGINT) AS n_rows,
@@ -5086,11 +5087,11 @@ object Oracles {
         |         lead(c, 24) OVER wo AS c_24
         |       FROM c WINDOW wo AS (PARTITION BY event_type ORDER BY hr)),
         |a AS (SELECT event_type, CAST(max(m) AS BIGINT) AS m_hours,
-        |        CAST(sum(c * c) AS BIGINT) AS var2,
-        |        CAST(sum(c * c_1) AS BIGINT) AS cov2_1,
-        |        CAST(sum(c * c_2) AS BIGINT) AS cov2_2,
-        |        CAST(sum(c * c_3) AS BIGINT) AS cov2_3,
-        |        CAST(sum(c * c_24) AS BIGINT) AS cov2_24
+        |        sum(CAST(c AS HUGEINT) * c) AS var2,
+        |        sum(CAST(c AS HUGEINT) * c_1) AS cov2_1,
+        |        sum(CAST(c AS HUGEINT) * c_2) AS cov2_2,
+        |        sum(CAST(c AS HUGEINT) * c_3) AS cov2_3,
+        |        sum(CAST(c AS HUGEINT) * c_24) AS cov2_24
         |      FROM cc GROUP BY event_type)
         |SELECT event_type, m_hours,
         |  CAST(CASE WHEN var2 = 0 THEN 0
@@ -5978,7 +5979,8 @@ object Oracles {
          |  CAST((10000 * n2_match) // n2_total AS BIGINT) AS p2_bp,
          |  CAST(floor(sqrt(CAST(((10000 * n1_match) // n1_total)
          |    * ((10000 * n2_match) // n2_total) AS DOUBLE))) AS BIGINT)
-         |    AS bleu2_bp
+         |    AS bleu2_bp,
+         |  CAST((10000 * n1_total) // r1_total AS BIGINT) AS len_ratio_bp
          |FROM j ORDER BY doc_id""").stripMargin,
 
     // ROUGE-1/2 clipped n-gram recall + unigram F1 — mirrors

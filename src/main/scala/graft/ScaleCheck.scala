@@ -86,7 +86,11 @@ object ScaleCheck {
     // cluster_sizes as the second components-closure consumer
     "kcore", "bfs_layers", "hits_scores", "dup_attribution",
     // round-10 eval addition: gram-keyed clip joins over 10× docs
-    "bleu_eval")
+    "bleu_eval",
+    // round 11: rouge shares bleu's pairClipStats chain (recall
+    // denominators differ — one run covers both claims); t_closeness's
+    // staged QI×band grid over 10× customers
+    "rouge_eval", "t_closeness")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant
@@ -136,6 +140,23 @@ object ScaleCheck {
 
   private def replicate(spark: SparkSession, base: String, out: String, reps: Int): Unit = {
     val shift = 10000000L
+    // replica key bands are only disjoint while every shifted key fits
+    // under the shift — pointing base at a big-SF corpus (sf10 orders
+    // reach ~6·10⁷) would silently alias replicas into each other and
+    // void both the FK-consistency and residue-band claims (ADVICE
+    // r10). Fail loudly instead.
+    val maxKey = Seq(
+      "documents" -> "doc_id", "embeddings" -> "vec_id",
+      "customer" -> "c_custkey", "events" -> "event_id",
+      "events" -> "user_id", "orders" -> "o_orderkey",
+      "orders" -> "o_custkey")
+      .map { case (t, k) =>
+        val m = Tables(spark, base, t).agg(max(col(k)).cast("long")).collect().head
+        (s"$t.$k", if (m.isNullAt(0)) 0L else m.getLong(0))
+      }.maxBy(_._2)
+    require(maxKey._2 < shift,
+      s"replicate: ${maxKey._1} max ${maxKey._2} >= shift $shift — " +
+        "replica key bands would overlap; raise the shift")
     def union(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
       val src = Tables(spark, base, name)
       val all = (0 until reps).map(r => f(src, r)).reduce(_.unionAll(_))

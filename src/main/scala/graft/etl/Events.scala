@@ -998,14 +998,16 @@ object Events {
     * both engines, negative values survive (numerator stays
     * nonnegative because |cov_k| ≤ var by Cauchy-Schwarz).
     *
-    * 64-bit headroom (ANSI mode throws on overflow, loudly): each
-    * moment term |m·x − S| ≤ m·maxN (maxN = the largest hourly count),
-    * so |m²·cov| ≤ m³·maxN² — within int64 while m³·maxN² < 9.2·10¹⁸,
-    * e.g. a year of hours (m = 8760) supports maxN ≈ 3.7·10³ events/
-    * hour, and m = 950 hours supports maxN = 10⁵. Past that bound,
-    * promote the moment operands to decimal(38,0) (10³⁸ ceiling: a
-    * year of hours then supports maxN ≈ 10¹³) — the [[pcaPower]]
-    * discipline; the shifted-division surface is unchanged.
+    * 64-bit headroom: each moment term |m·x − S| ≤ m·maxN (maxN = the
+    * largest hourly count), so |m²·cov| ≤ m³·maxN² — int64 clears only
+    * while m³·maxN² < 9.2·10¹⁸, e.g. a year of hours (m = 8760) caps
+    * maxN at ≈ 3.7·10³ events/hour. That is within 10² of plausible
+    * production rates, so since round 11 the moment operands are
+    * UNCONDITIONALLY promoted to decimal(38,0) (the [[pcaPower]]
+    * discipline; DuckDB side mirrors with HUGEINT): the 10³⁸ ceiling
+    * lets a year of hours carry maxN ≈ 10¹³, ANSI overflow can't fire,
+    * and the IntegralDivide surface (exact integer bp) is unchanged —
+    * 1× hashes identical, proven by the sf0.01 oracle.
     *
     * Scale posture: hourly pre-agg is the reduction; the grid and all
     * windows are (event_type)-keyed over BOUNDED series; the lag
@@ -1029,7 +1031,14 @@ object Events {
       dense
         .withColumn("m", count(lit(1)).over(wAll))
         .withColumn("s", sum(col("n")).over(wAll))
-        .withColumn("c", col("m") * col("n") - col("s"))) { (df, k) =>
+        // decimal(38,0) BEFORE the moment products: the m²-scaled
+        // Σc·c is bounded by m³·maxN², which clears int64 already at
+        // a year of hours × ~4k events/hour (the documented bound) —
+        // within 10² of production rates, so the promotion is
+        // unconditional (round-11; the pcaPower discipline). The
+        // 10³⁸ ceiling then covers m³·maxN² for any realistic series.
+        .withColumn("c", (col("m").cast("decimal(38,0)") * col("n")
+          - col("s")).cast("decimal(38,0)"))) { (df, k) =>
       df.withColumn(s"c_$k", lead(col("c"), k).over(wOrd))
     }
     val aggCols = (sum(col("c") * col("c")).as("var2")) +:

@@ -47,12 +47,17 @@ object Fixpoint {
     * loop over a passthrough pair frame) — plan inspection accepts the
     * pins. Never set outside tests.
     */
-  @volatile private var passthrough = false
+  // DynamicVariable, not a process-global flag: operators build their
+  // frames on the thread that called them, so the passthrough scope is
+  // exactly the planOnly body's thread (child threads inherit it).
+  // Under forked-parallel testing a global flag would silently turn a
+  // CONCURRENTLY executing operator's reliably into a passthrough and
+  // its releaseAll into a no-op (ADVICE r10) — thread-scoping removes
+  // that hazard outright.
+  private val passthroughVar = new scala.util.DynamicVariable[Boolean](false)
+  private def passthrough: Boolean = passthroughVar.value
 
-  def planOnly[T](body: => T): T = {
-    passthrough = true
-    try body finally passthrough = false
-  }
+  def planOnly[T](body: => T): T = passthroughVar.withValue(true)(body)
 
   private val dirLock = new Object
 

@@ -173,28 +173,44 @@ object Observability {
     * basis points, and the classes/rows breaching [[TCloseBp]].
     *
     * Exactness: prefix sums compare cross-multiplied integers
-    * (cum_class·N − cum_global·n_c), so the EMD numerator is an exact
-    * 64-bit integer and t_bp one integer division — no rationals ever
-    * materialize. 64-bit headroom (ANSI throws loudly): the summed
-    * |prefix| terms are bounded by K·n_c·N, so 10000·Σ needs
-    * n_c·N < 9·10¹⁴ / K — with K = 11 bands, safe to ~10⁷ rows even if
-    * one class holds the whole table; past that promote the cum
-    * products to decimal(38,0) (same path as pcaPower documents).
+    * (cum_class·N − cum_global·n_c), so the EMD numerator is exact and
+    * t_bp one integer division — no rationals ever materialize.
+    * Headroom: int64 would cap the summed |prefix| terms at
+    * n_c·N < 9·10¹⁴ / K — with K = 11 bands only ~10⁷ rows, within 10²
+    * of production corpora — so since round 11 the cross-products are
+    * UNCONDITIONALLY decimal(38,0) (DuckDB mirrors with HUGEINT): ANSI
+    * overflow can't fire at any realistic N, and the IntegralDivide
+    * surface (exact integer bp) plus all 1× hashes are unchanged.
     *
     * Scale posture: one QI×band keyed agg over the table (map-side
     * combined), then everything downstream lives on the CLASS grid
     * (classes × K bands — bounded by QI cardinality, never row count):
     * the band support and the 1-row total are broadcast, the prefix
     * window partitions by class over K rows. Output = one row per
-    * nation.
+    * nation. The QI×band frame feeds FOUR branches (class totals, band
+    * support, grand total, grid join-back) — the CLAUDE.md bounded-frame
+    * rule: without materializing it once, each branch re-nests the full
+    * customer scan (round 10 shipped exactly that 8× re-scan). Staged
+    * at memory speed, the per-nation result written reliably, staging
+    * blocks released on return — zero pins.
     */
   def tCloseness(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select(
       col("c_nationkey").as("nation"),
       col("c_mktsegment").as("segment"),
       expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("band"))
-    val cb = cust.groupBy("nation", "segment", "band")
-      .agg(count(lit(1)).as("c"))
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val cb = Fixpoint.locally(cust.groupBy("nation", "segment", "band")
+      .agg(count(lit(1)).as("c")), locals)
+    try tClosenessOn(cb)
+    finally Fixpoint.releaseAll(locals)
+  }
+
+  /** [[tCloseness]]'s grid/EMD stages over an already-materialized
+    * QI×band count frame — split out so the staging lifecycle above
+    * stays one try/finally. Returns the reliably-checkpointed
+    * per-nation audit. */
+  private def tClosenessOn(cb: DataFrame): DataFrame = {
     val cls = cb.groupBy("nation", "segment").agg(sum(col("c")).as("n_c"))
     val gb = cb.groupBy("band").agg(sum(col("c")).as("g"))
     val tot = gb.agg(sum(col("g")).as("n_total"),
@@ -208,14 +224,21 @@ object Observability {
       .withColumn("cum_c", sum(col("c")).over(w))
       .withColumn("cum_g", sum(col("g")).over(w))
       .crossJoin(broadcast(tot))
+      // decimal(38,0) before the cross-multiplication: n_c·N clears
+      // int64 only below ~10⁷ rows at K=11 (within 10² of production
+      // corpora), so the promotion is unconditional (round-11, the
+      // pcaPower discipline; oracle mirrors with HUGEINT) — surface
+      // t_bp stays an exact IntegralDivide long, 1× hashes unchanged
       .withColumn("p_abs",
-        abs(col("cum_c") * col("n_total") - col("cum_g") * col("n_c")))
+        abs(col("cum_c").cast("decimal(38,0)") * col("n_total")
+          - col("cum_g").cast("decimal(38,0)") * col("n_c")))
       .groupBy(col("nation"), col("segment"), col("n_c"))
       .agg(sum(col("p_abs")).as("emd_num"),
         max(col("n_total")).as("n_total"), max(col("k_bands")).as("k_bands"))
-      .withColumn("t_bp",
-        expr("(10000 * emd_num) div ((k_bands - 1) * n_c * n_total)"))
-    perClass.groupBy(col("nation"))
+      .withColumn("t_bp", // greatest(...,1): K=1 support ⇒ EMD 0, not ÷0
+        expr("(10000 * emd_num) div " +
+          "(greatest(k_bands - 1, 1) * CAST(n_c AS DECIMAL(38,0)) * n_total)"))
+    Fixpoint.reliably(perClass.groupBy(col("nation"))
       .agg(count(lit(1)).as("n_classes"),
         sum(col("n_c")).as("n_rows"),
         max(col("t_bp")).as("max_t_bp"),
@@ -228,7 +251,7 @@ object Observability {
       .select(col("nation"), col("n_classes"), col("n_rows"),
         col("max_t_bp"), col("avg_t_bp"), col("breach_classes"),
         col("breach_rows"))
-      .orderBy("nation")
+      .orderBy("nation"))
   }
 
   /** Poisson bootstrap of the mean tokens-per-document — uncertainty

@@ -836,6 +836,14 @@ object TextAnalysis {
     * <2 words are excluded (keeps both denominators positive — no
     * div-by-zero under ANSI).
     *
+    * Papineni's BREVITY PENALTY is intentionally NOT folded into
+    * bleu2_bp: BP = exp(1 − r/c) is irrational and would break the
+    * exact-oracle rule (Oracles.scala scaladoc). Instead the integer
+    * length ratio it derives from is emitted as `len_ratio_bp` =
+    * (10000·c) div r — a consumer applies exp(1 − 10000/len_ratio_bp)
+    * reader-side when len_ratio_bp < 10000, and can see outright that
+    * a short candidate's unpenalized score is inflated.
+    *
     * Scale posture: gram counting is doc-keyed; the clip join is
     * (ref_id, gram)-keyed — high cardinality; per-pair totals are
     * candidate-keyed aggs. No window, no broadcast of anything
@@ -845,11 +853,13 @@ object TextAnalysis {
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try Fixpoint.reliably(pairClipStats(spark, dir, locals)
       .select(col("doc_id"), col("ref_id"), col("n1_total"), col("n1_match"),
-        col("n2_total"), col("n2_match"))
+        col("n2_total"), col("n2_match"), col("r1_total"))
       .withColumn("p1_bp", expr("(10000 * n1_match) div n1_total"))
       .withColumn("p2_bp", expr("(10000 * n2_match) div n2_total"))
       .withColumn("bleu2_bp",
         floor(sqrt((col("p1_bp") * col("p2_bp")).cast("double"))).cast("long"))
+      .withColumn("len_ratio_bp", expr("(10000 * n1_total) div r1_total"))
+      .drop("r1_total")
       .orderBy("doc_id"))
     finally Fixpoint.releaseAll(locals)
   }

@@ -484,4 +484,35 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     assert(spp.forall(r => r._1 <= r._2 && r._3 == 10000 * r._1 / r._2))
     assert(spp.sliding(2).forall(p => p.length < 2 || p(1)._1 <= p(0)._1))
   }
+
+  test("vacuous-pass guard: every verified query returns rows (an " +
+       "empty result makes its oracle pass empty==empty — proves nothing)") {
+    // round-10 lesson: range_join_band was green for two rounds while
+    // returning 0 rows at every SF (disjoint fixture epochs); its
+    // bucket-fanout arithmetic was never exercised. A query goes on the
+    // whitelist ONLY when sparse-fixture emptiness at sf0.001 is
+    // expected — and then it must prove itself non-empty at sf0.01
+    // (the driver's oracle SF) below.
+    val dir = "/root/testdata/sf0.001"
+    val whitelist = Set(
+      "ts_anomaly") // needs enough hours for a >3·MAD spike; 89 rows at sf0.01
+    def scrubbed(q: String, d: String): Boolean = {
+      val r = SparkEntry.queries(q)(spark, d).isEmpty
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      r
+    }
+    val empty = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(whitelist)
+      .filter(scrubbed(_, dir))
+    assert(empty.isEmpty,
+      s"queries with empty sf0.001 results (vacuous oracle rows): " +
+        empty.mkString(", "))
+    val emptyAt01 = whitelist.toSeq.sorted
+      .filter(scrubbed(_, "/root/testdata/sf0.01"))
+    assert(emptyAt01.isEmpty,
+      s"whitelisted queries must emit rows at sf0.01: " +
+        emptyAt01.mkString(", "))
+  }
 }

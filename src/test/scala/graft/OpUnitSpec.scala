@@ -419,4 +419,30 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     val pinned = GraphCuration.knnGraphEdges(spark, dir, bits = 3).collect().toSet
     assert(auto == pinned, "adaptive blocking diverged from the oracle config")
   }
+
+  test("RangeJoin.bandCount: band edges are inclusive, bucket-boundary " +
+       "neighbors are found via the ±1 fanout, near-misses die in the " +
+       "post-filter, other keys excluded") {
+    import graft.etl.RangeJoin
+    val W = RangeJoin.BandUs
+    // event 1 (k=7) at e1 = 10W−1, last µs of bucket 9 → probes 8,9,10
+    val e1 = 10L * W - 1
+    // event 3 (k=6) at 10W, first µs of bucket 10 → probes 9,10,11
+    val e3 = 10L * W
+    val events = Seq((1L, 7L, e1), (2L, 8L, 5L * W), (3L, 6L, e3))
+      .toDF("event_id", "k", "e_us")
+    val orders = Seq(
+      (7L, e1 - W),       // exact lower edge, bucket 8: the −1 probe finds it
+      (7L, e1 - W - 1),   // bucket 8 too, but 1µs out → post-filter kills
+      (7L, e1),           // same instant, same bucket
+      (7L, e1 + W),       // exact upper edge, bucket 10: the +1 probe finds it
+      (9L, e1),           // wrong key → excluded
+      (8L, 5L * W + 1),   // event 2's single neighbor
+      (6L, 11L * W),      // bucket 11 via +1 probe, diff exactly W → in
+      (6L, 12L * W - 1))  // bucket 11 too, diff 2W−1 → post-filter kills
+      .toDF("k", "o_us")
+    val got = RangeJoin.bandCount(events, orders)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L), got.toString)
+  }
 }

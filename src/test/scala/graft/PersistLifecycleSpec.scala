@@ -56,7 +56,8 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkTestBase {
     val qs = Seq("minhash_lsh", "simhash_neardup", "dedup_incremental",
       "dedup_components", "cluster_sizes", "mmr_diversify", "ivf_sweep",
       "knn_pq_trained", "pca_power", "survival_hazard", "conversion_lag",
-      "slo_burn", "bpe_train", "page_id_gen", "bloom_prefilter")
+      "slo_burn", "bpe_train", "page_id_gen", "bloom_prefilter",
+      "t_closeness")
     qs.foreach { name =>
       assert(SparkEntry.queries(name)(spark, dir).count() > 0,
         s"$name returned no rows")

@@ -484,9 +484,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       } finally q.stop()
     }
 
-    for (delayS <- Seq(0L, 1L, 10L, 60L, 300L))
-      assert(observedDrops(delayS) == predicted(delayS),
-        s"delay=${delayS}s: streaming dropped ${observedDrops(delayS)}, " +
+    for (delayS <- Seq(0L, 1L, 10L, 60L, 300L)) {
+      // bind once: a clue referencing observedDrops(delayS) would
+      // rebuild and replay the whole streaming query a second time per
+      // delay even on success (scalatest clues are by-value)
+      val got = observedDrops(delayS)
+      assert(got == predicted(delayS),
+        s"delay=${delayS}s: streaming dropped $got, " +
           s"sweep predicted ${predicted(delayS)}")
+    }
   }
 }
