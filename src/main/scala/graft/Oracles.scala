@@ -6001,6 +6001,121 @@ object Oracles {
          |  CAST(CASE WHEN p1_bp + r1_bp = 0 THEN 0
          |    ELSE (2 * p1_bp * r1_bp) // (p1_bp + r1_bp) END AS BIGINT)
          |    AS f1_bp
-         |FROM k ORDER BY doc_id""").stripMargin
+         |FROM k ORDER BY doc_id""").stripMargin,
+
+    // chrF2 — mirrors TextAnalysis.chrfEval: whitespace-deleted
+    // 1000-char slice, char n-grams n ∈ {1,2,3}, clipped matches,
+    // totals = len − n + 1 directly, uniform n-average, exact integer
+    // β=2 F-measure (5·p·r) // (4·p + r).
+    "chrf_eval" ->
+      """WITH d AS (SELECT doc_id,
+        |    substr(translate(coalesce(text, ''),
+        |      ' ' || chr(9) || chr(13) || chr(10), ''), 1, 1000) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, t, CAST(length(t) AS BIGINT) AS len FROM d),
+        |pairs AS (SELECT c.doc_id, c.doc_id + 1 AS ref_id,
+        |            c.len AS clen, r.len AS rlen
+        |          FROM dl c JOIN dl r ON r.doc_id = c.doc_id + 1
+        |          WHERE c.doc_id % 2 = 0 AND c.len >= 3 AND r.len >= 3),
+        |g1 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM
+        |         (SELECT doc_id, substr(t, CAST(unnest(generate_series(1, len)) AS INT), 1) AS gram
+        |          FROM dl WHERE len >= 3) GROUP BY doc_id, gram),
+        |g2 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM
+        |         (SELECT doc_id, substr(t, CAST(unnest(generate_series(1, len - 1)) AS INT), 2) AS gram
+        |          FROM dl WHERE len >= 3) GROUP BY doc_id, gram),
+        |g3 AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM
+        |         (SELECT doc_id, substr(t, CAST(unnest(generate_series(1, len - 2)) AS INT), 3) AS gram
+        |          FROM dl WHERE len >= 3) GROUP BY doc_id, gram),
+        |m1 AS (SELECT p.doc_id, CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS m
+        |       FROM pairs p JOIN g1 c ON c.doc_id = p.doc_id
+        |         JOIN g1 r ON r.doc_id = p.ref_id AND r.gram = c.gram
+        |       GROUP BY p.doc_id),
+        |m2 AS (SELECT p.doc_id, CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS m
+        |       FROM pairs p JOIN g2 c ON c.doc_id = p.doc_id
+        |         JOIN g2 r ON r.doc_id = p.ref_id AND r.gram = c.gram
+        |       GROUP BY p.doc_id),
+        |m3 AS (SELECT p.doc_id, CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS m
+        |       FROM pairs p JOIN g3 c ON c.doc_id = p.doc_id
+        |         JOIN g3 r ON r.doc_id = p.ref_id AND r.gram = c.gram
+        |       GROUP BY p.doc_id),
+        |j AS (SELECT p.doc_id, p.ref_id, p.clen, p.rlen,
+        |        coalesce(m1.m, 0) AS m1, coalesce(m2.m, 0) AS m2,
+        |        coalesce(m3.m, 0) AS m3
+        |      FROM pairs p LEFT JOIN m1 ON m1.doc_id = p.doc_id
+        |        LEFT JOIN m2 ON m2.doc_id = p.doc_id
+        |        LEFT JOIN m3 ON m3.doc_id = p.doc_id),
+        |b AS (SELECT doc_id, ref_id, clen, rlen, m1, m2, m3,
+        |        CAST(((10000 * m1) // clen + (10000 * m2) // (clen - 1)
+        |          + (10000 * m3) // (clen - 2)) // 3 AS BIGINT) AS p_bp,
+        |        CAST(((10000 * m1) // rlen + (10000 * m2) // (rlen - 1)
+        |          + (10000 * m3) // (rlen - 2)) // 3 AS BIGINT) AS r_bp
+        |      FROM j)
+        |SELECT doc_id, ref_id, clen, rlen, m1, m2, m3, p_bp, r_bp,
+        |  CAST(CASE WHEN 4 * p_bp + r_bp = 0 THEN 0
+        |    ELSE (5 * p_bp * r_bp) // (4 * p_bp + r_bp) END AS BIGINT)
+        |    AS chrf2_bp
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // WER — mirrors TextAnalysis.werEval: 40-word eval slices, joint
+    // per-pair word vocabulary densely ranked alphabetically, both
+    // sides re-encoded one ASCII byte per word (chr(32+idx)), native
+    // byte levenshtein = exact word-level edit distance.
+    "wer_eval" ->
+      """WITH d AS (SELECT doc_id,
+        |    (list_filter(string_split(coalesce(text, ''), ' '),
+        |      w -> length(w) > 0))[1:40] AS ws
+        |  FROM documents),
+        |dl AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw FROM d),
+        |pairs AS (SELECT c.doc_id, c.doc_id + 1 AS ref_id,
+        |            c.nw AS clen, r.nw AS rlen
+        |          FROM dl c JOIN dl r ON r.doc_id = c.doc_id + 1
+        |          WHERE c.doc_id % 2 = 0 AND c.nw >= 1 AND r.nw >= 1),
+        |toks AS (
+        |  SELECT pid, side, pos, ws[pos] AS word FROM (
+        |    SELECT p.doc_id AS pid, 0 AS side, c.ws AS ws,
+        |           CAST(unnest(generate_series(1, CAST(c.nw AS INT))) AS INT) AS pos
+        |    FROM pairs p JOIN dl c ON c.doc_id = p.doc_id)
+        |  UNION ALL
+        |  SELECT pid, side, pos, ws[pos] AS word FROM (
+        |    SELECT p.doc_id AS pid, 1 AS side, r.ws AS ws,
+        |           CAST(unnest(generate_series(1, CAST(r.nw AS INT))) AS INT) AS pos
+        |    FROM pairs p JOIN dl r ON r.doc_id = p.ref_id)),
+        |voc AS (SELECT pid, word,
+        |          CAST(row_number() OVER (PARTITION BY pid ORDER BY word)
+        |            AS INT) AS idx
+        |        FROM (SELECT DISTINCT pid, word FROM toks)),
+        |enc AS (SELECT t.pid, t.side,
+        |          string_agg(chr(32 + v.idx), '' ORDER BY t.pos) AS s
+        |        FROM toks t JOIN voc v ON v.pid = t.pid AND v.word = t.word
+        |        GROUP BY t.pid, t.side)
+        |SELECT p.doc_id, p.ref_id, p.clen, p.rlen,
+        |  CAST(levenshtein(c.s, r.s) AS BIGINT) AS dist,
+        |  CAST((10000 * levenshtein(c.s, r.s)) // p.rlen AS BIGINT) AS wer_bp
+        |FROM pairs p
+        |  JOIN enc c ON c.pid = p.doc_id AND c.side = 0
+        |  JOIN enc r ON r.pid = p.doc_id AND r.side = 1
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // int8 SQ audit — mirrors Similarity.int8Quant: x_bp = floor(x·1e4)
+    // enters the integer domain once; amax/greatest guard; truncating
+    // 127-scale quantizer; |127·x_bp − q·amax| error numerators.
+    "int8_quant" ->
+      """WITH z AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x_bp
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |a AS (SELECT vec_id, label, greatest(max(abs(x_bp)), 1) AS amax_bp
+        |      FROM z GROUP BY vec_id, label),
+        |q AS (SELECT z.vec_id, z.label, a.amax_bp, z.x_bp,
+        |        (127 * z.x_bp) // a.amax_bp AS qv
+        |      FROM z JOIN a ON a.vec_id = z.vec_id),
+        |e AS (SELECT vec_id, label, amax_bp, qv,
+        |        abs(127 * x_bp - qv * amax_bp) AS e_num
+        |      FROM q)
+        |SELECT vec_id, label, amax_bp,
+        |  CAST(sum(e_num) AS BIGINT) AS l1_err,
+        |  CAST(max(e_num) AS BIGINT) AS linf_err,
+        |  CAST(count(*) FILTER (WHERE abs(qv) = 127) AS BIGINT) AS n_sat
+        |FROM e GROUP BY vec_id, label, amax_bp
+        |ORDER BY vec_id""".stripMargin
   )
 }

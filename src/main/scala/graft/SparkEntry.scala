@@ -498,7 +498,14 @@ object SparkEntry {
     // ROUGE-1/2 clipped n-gram recall + unigram F1 (same pair frame)
     "rouge_eval" -> (TextAnalysis.rougeEval _),
     // t-closeness: ordered-EMD distribution-disclosure audit
-    "t_closeness" -> (Observability.tCloseness _)
+    "t_closeness" -> (Observability.tCloseness _),
+    // --- round-11 eval addition ---
+    // chrF2: character-n-gram F-score (tokenization-free eval leg)
+    "chrf_eval" -> (TextAnalysis.chrfEval _),
+    // WER: word-level edit distance via the single-byte re-encoding
+    "wer_eval" -> (TextAnalysis.werEval _),
+    // int8 symmetric scalar-quantization audit (sat + recon error)
+    "int8_quant" -> (Similarity.int8Quant _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -36,6 +36,57 @@ object Similarity {
     * Scale posture: one map-side pass (norm + dim per row), one
     * label-keyed agg. Nothing joins, nothing shuffles but the agg.
     */
+  /** Int8 symmetric scalar-quantization audit — the OTHER production
+    * embedding-compression tier next to PQ ([[pqDistortion]]): per
+    * vector, quantize q_i = trunc(127·x_i / amax) against the
+    * vector's own absolute max (the standard per-row symmetric scale,
+    * e.g. Faiss SQ8 / ScaNN int8), and report how much precision the
+    * 4× compression costs THIS vector — saturation count and L1/L∞
+    * reconstruction error. Vectors whose error is outlying get routed
+    * to a float tier; that routing decision is what this audit feeds.
+    *
+    * Exactness: elements enter the integer domain once
+    * (x_bp = floor(x·10⁴) — float32→double is exact, the 10⁴ product
+    * is one IEEE op, floor is deterministic) and everything after is
+    * integer: amax = max|x_bp| (greatest(·,1) guards the all-zero
+    * vector), q = (127·x_bp) div amax (both engines truncate toward
+    * zero — a truncating quantizer, not round-to-nearest: the bias is
+    * ≤ 1 LSB and the trade buys bit-exact cross-engine replay),
+    * per-element error numerator |127·x_bp − q·amax| (the true error
+    * scaled by 127, keeping it integer). |q| = 127 exactly when
+    * |x_bp| = amax, so n_sat ≥ 1 for any non-degenerate vector.
+    *
+    * Scale posture: one pure map pass — all arithmetic stays in-array
+    * (transform/zip_with/aggregate over the 64-element row, no
+    * explode, no join, no shuffle but the output sort). The staged
+    * withColumn chain leans on CollapseProject's multi-reference
+    * guard: amax_bp/q/e are each referenced more than once
+    * downstream, so Catalyst keeps the Projects stacked instead of
+    * inlining the defining array expression into every consuming
+    * lambda (the outer-array re-evaluation hazard, CLAUDE.md —
+    * O(d²) per row if it fired). Do NOT add always-true filter
+    * "barriers" between the stages: PushDownPredicate hoists them
+    * below all the Projects, substituting the full definitions into
+    * one scan-adjacent predicate that pays exactly that O(d²).
+    */
+  def int8Quant(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+          .as("xbp"))
+      .withColumn("amax_bp",
+        greatest(expr("array_max(transform(xbp, x -> abs(x)))"), lit(1L)))
+      .withColumn("q", expr("transform(xbp, x -> (127 * x) div amax_bp)"))
+      .withColumn("e",
+        expr("zip_with(xbp, q, (x, v) -> abs(127 * x - v * amax_bp))"))
+      .select(col("vec_id"), col("label").cast("bigint").as("label"),
+        col("amax_bp"),
+        expr("aggregate(e, CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("l1_err"),
+        expr("array_max(e)").as("linf_err"),
+        size(expr("filter(q, v -> abs(v) = 127)")).cast("bigint").as("n_sat"))
+      .orderBy("vec_id")
+
   def embeddingAudit(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("dim", size(col("embedding")))

@@ -394,6 +394,83 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
       (1L, 1L, 2L, 0L, 0L, 0L, 0L)), got.toString)
   }
 
+  test("chrfEval: identity pair scores 10000, disjoint pair 0 via the " +
+       "guard, clipping caps repeated chars, whitespace is removed, " +
+       "unpaired/short docs are excluded") {
+    // pair (0,1) identical "abab" -> every precision/recall 10000;
+    // pair (2,3) disjoint alphabets -> 4p+r = 0 guard -> 0;
+    // pair (4,5): cand "a aa" -> "aaa" (whitespace delete), ref
+    // "aabbbb": m1 = min(3,2) = 2, m2 = min(2,1) = 1, m3 = min(1,0) = 0
+    //   p = (6666+5000+0) div 3 = 3888, r = (3333+2000+0) div 3 = 1777,
+    //   chrf2 = (5*3888*1777) div (4*3888+1777) = 1993;
+    // doc 6 has no ref; pair (8,9) has a <3-char side -> both excluded
+    val d = java.nio.file.Files.createTempDirectory("graft_chrf_")
+    Seq(
+      (0L, "abab"), (1L, "ab ab"),
+      (2L, "abcd"), (3L, "wxyz"),
+      (4L, "a aa"), (5L, "aabbbb"),
+      (6L, "abcdef"),
+      (8L, "ab"), (9L, "abcd"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.TextAnalysis.chrfEval(spark, d.toString)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 4L, 4L, 4L, 3L, 2L, 10000L, 10000L, 10000L),
+      (2L, 3L, 4L, 4L, 0L, 0L, 0L, 0L, 0L, 0L),
+      (4L, 5L, 3L, 6L, 2L, 1L, 0L, 3888L, 1777L, 1993L)), got.toString)
+  }
+
+  test("werEval: substitution/deletion/insertion counted at the word " +
+       "level, identity is 0, insertions push wer past 10000, the " +
+       "40-word slice truncates, unpaired/empty docs are excluded") {
+    // (0,1) one substitution in 3 ref words -> 3333 bp;
+    // (2,3) identical -> 0; (4,5) cand "a" vs ref "b c" -> dist 2,
+    // wer 10000; (6,7) 4 cand words vs 1 ref word -> dist 3, wer
+    // 30000 (beyond-ref insertions, standard WER > 1); doc 10 has no
+    // ref; (12,13) empty cand -> excluded; (14,15): 41 identical
+    // words slice to 40 -> dist 39 vs the 1-word ref
+    val d = java.nio.file.Files.createTempDirectory("graft_wer_")
+    Seq(
+      (0L, "a b c"), (1L, "a x c"),
+      (2L, "hello world"), (3L, "hello world"),
+      (4L, "a"), (5L, "b c"),
+      (6L, "a b c d"), (7L, "b"),
+      (10L, "lonely"),
+      (12L, ""), (13L, "ref"),
+      (14L, Seq.fill(41)("w").mkString(" ")), (15L, "w"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.TextAnalysis.werEval(spark, d.toString)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 3L, 3L, 1L, 3333L),
+      (2L, 3L, 2L, 2L, 0L, 0L),
+      (4L, 5L, 1L, 2L, 2L, 10000L),
+      (6L, 7L, 4L, 1L, 3L, 30000L),
+      (14L, 15L, 40L, 1L, 39L, 390000L)), got.toString)
+  }
+
+  test("int8Quant: truncating quantizer against the per-vector amax, " +
+       "saturation only at |x| = amax, zero vector guarded, null " +
+       "embedding excluded") {
+    // [0.5, -1.0, 0.25]: x_bp [5000, -10000, 2500], amax 10000,
+    // q [63, -127, 31] (trunc toward zero), e [5000, 0, 7500]
+    val d = java.nio.file.Files.createTempDirectory("graft_i8_")
+    Seq(
+      (0L, Some(Seq(0.5f, -1.0f, 0.25f)), 1),
+      (1L, Some(Seq(0.0f, 0.0f)), 2),
+      (2L, None, 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(d.resolve("embeddings.parquet").toString)
+    val got = graft.etl.Similarity.int8Quant(spark, d.toString)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 10000L, 12500L, 7500L, 1L),
+      (1L, 2L, 1L, 0L, 0L, 0L)), got.toString)
+  }
+
   test("adaptiveBits: floor 3 at the verified scale, grows as " +
        "ceil(log2(n/1000)), caps at 12") {
     import graft.etl.GraphCuration.adaptiveBits

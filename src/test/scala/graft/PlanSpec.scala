@@ -1013,6 +1013,48 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"rouge_eval clip join must key on the gram:\n$re")
   }
 
+  test("round-11 pin: chrf_eval stays keyed — char-gram equi-joins, " +
+       "no window, no pair explosion") {
+    val ce = plan("chrf_eval")
+    assert(!ce.contains("Window"), s"chrf_eval grew a window:\n$ce")
+    assert(!ce.contains("CartesianProduct") && !ce.contains("NestedLoop"),
+      s"chrf_eval lost its keyed joins:\n$ce")
+    assert(ce.linesIterator.exists(l => l.contains("keys") &&
+      l.contains("gram")),
+      s"chrf_eval clip join must key on the char gram:\n$ce")
+  }
+
+  test("round-11 pin: wer_eval scans documents once; vocab rank " +
+       "partitions by pair, never table-wide") {
+    // eager operator (locally-staged slice projection + reliable
+    // final): the staged word-slice frame is built from ONE parquet
+    // scan; pair assembly, both token explodes, vocab, and encode all
+    // read the materialized stage
+    val all = executedPlans("wer_eval")
+    val wp = all.mkString("\n=== next executed plan ===\n")
+    val scans = wp.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"wer_eval must read documents exactly once:\n$wp")
+    assert(!wp.contains("CartesianProduct"), wp)
+    assert(!wp.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("SinglePartition")),
+      s"wer_eval vocab window must partition by pair id:\n$wp")
+  }
+
+  test("round-11 pin: int8_quant is one map pass — no join, no " +
+       "aggregate exchange, one scan, in-array arithmetic only") {
+    val p = plan("int8_quant")
+    // count DETAIL-section entries — FormattedMode prints each node in
+    // both the tree and the detail list
+    assert(p.linesIterator.count(
+        _.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+      s"int8_quant must read embeddings once:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"),
+      s"int8_quant grew a shuffle-bearing operator:\n$p")
+  }
+
   test("round-10 pin: t_closeness scans customer once; all downstream " +
        "work lives on the class grid") {
     // eager operator since round 11 (locally-staged QI×band agg +
