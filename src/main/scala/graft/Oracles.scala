@@ -6116,6 +6116,163 @@ object Oracles {
         |  CAST(max(e_num) AS BIGINT) AS linf_err,
         |  CAST(count(*) FILTER (WHERE abs(qv) = 127) AS BIGINT) AS n_sat
         |FROM e GROUP BY vec_id, label, amax_bp
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // RBO@5 (p = 1/2) between the tfidf and knn top-5 rankings —
+    // same tier CTEs as retriever_overlap; a common candidate at
+    // ranks (rl, rv) carries the suffix weight S(max(rl, rv)) in
+    // exact 1/960 fixed-point units.
+    "rbo_overlap" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w0
+        |       WHERE length(word) > 0 GROUP BY ALL),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |posts AS (SELECT word, doc_id,
+        |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT) AS w
+        |  FROM tf JOIN dfq USING (word) CROSS JOIN nn),
+        |norms AS (SELECT doc_id, sum(w*w) AS nsq FROM posts GROUP BY doc_id),
+        |pairs AS (SELECT q.doc_id AS qid, c.doc_id AS did,
+        |            sum(q.w * c.w) AS num
+        |          FROM posts q JOIN posts c
+        |            ON q.word = c.word AND q.doc_id < 16 AND q.doc_id <> c.doc_id
+        |          GROUP BY ALL),
+        |ls AS (SELECT qid, did,
+        |        round(num / (sqrt(nq.nsq) * sqrt(nd.nsq)), 4) AS cos
+        |      FROM pairs JOIN norms nq ON nq.doc_id = qid
+        |                 JOIN norms nd ON nd.doc_id = did),
+        |lr AS (SELECT qid, did,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rank
+        |      FROM ls),
+        |kp AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+        |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |      WHERE q.vec_id < 16),
+        |kz AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+        |       FROM kp),
+        |kd AS (SELECT qid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |       FROM kz GROUP BY ALL),
+        |ks AS (SELECT qid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM kd),
+        |kr AS (SELECT qid, cid,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank FROM ks),
+        |common AS (SELECT l.qid, greatest(l.rank, v.rank) AS m
+        |           FROM lr l JOIN kr v ON v.qid = l.qid AND v.cid = l.did
+        |           WHERE l.rank <= 5 AND v.rank <= 5),
+        |c AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_common,
+        |        CAST(sum(CASE m WHEN 1 THEN 661 WHEN 2 THEN 181
+        |          WHEN 3 THEN 61 WHEN 4 THEN 21 ELSE 6 END) AS BIGINT)
+        |          AS rbo_x960
+        |      FROM common GROUP BY qid)
+        |SELECT q.qid, coalesce(c.n_common, 0) AS n_common,
+        |  coalesce(c.rbo_x960, 0) AS rbo_x960
+        |FROM (SELECT DISTINCT qid FROM lr) q LEFT JOIN c USING (qid)
+        |ORDER BY qid""".stripMargin,
+
+    // Count-Min sketch audit — mirrors CorpusStats.cmsFrequency: d=4
+    // md5-analog row hashes mod 256, cell = Σ counts hashing there,
+    // estimate = min over rows, one-sided overestimate vs exact.
+    "cms_frequency" ->
+      """WITH w0 AS (
+        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w0
+        |       WHERE length(word) > 0 GROUP BY word),
+        |wb AS (SELECT word, c, j AS rw,
+        |         CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), word)), 1, 8))
+        |           AS BIGINT) % 256 AS bucket
+        |       FROM wc, (SELECT unnest(generate_series(1, 4)) AS j)),
+        |cells AS (SELECT rw, bucket, sum(c) AS cell FROM wb GROUP BY rw, bucket)
+        |SELECT word, max(c) AS exact, min(cell) AS est_cms,
+        |  min(cell) - max(c) AS over_count
+        |FROM wb JOIN cells USING (rw, bucket)
+        |GROUP BY word
+        |ORDER BY exact DESC, word ASC LIMIT 20""".stripMargin,
+
+    // W1 drift — mirrors CorpusStats.wassersteinDrift: histogram CDFs
+    // per lang vs rest, cross-multiplied gap × next-value delta summed
+    // through HUGEINT, one normalizing division at the surface.
+    "wasserstein_drift" ->
+      """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |hist AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM d GROUP BY lang, v),
+        |grid AS (SELECT l.lang, g.v
+        |         FROM (SELECT DISTINCT lang FROM d) l,
+        |              (SELECT DISTINCT v FROM d) g),
+        |tv AS (SELECT v, sum(cnt) AS tot_v FROM hist GROUP BY v),
+        |j AS (SELECT grid.lang, grid.v, coalesce(h.cnt, 0) AS cnt,
+        |        tv.tot_v - coalesce(h.cnt, 0) AS rest
+        |      FROM grid LEFT JOIN hist h
+        |        ON h.lang = grid.lang AND h.v = grid.v
+        |      JOIN tv ON tv.v = grid.v),
+        |cum AS (SELECT lang, v,
+        |          sum(cnt) OVER (PARTITION BY lang ORDER BY v
+        |            ROWS UNBOUNDED PRECEDING) AS cum_in,
+        |          sum(rest) OVER (PARTITION BY lang ORDER BY v
+        |            ROWS UNBOUNDED PRECEDING) AS cum_rest,
+        |          coalesce(lead(v, 1) OVER (PARTITION BY lang ORDER BY v)
+        |            - v, 0) AS dv
+        |        FROM j),
+        |bl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_in FROM d GROUP BY lang),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d),
+        |terms AS (SELECT c.lang, bl.n_in, tt.n_all - bl.n_in AS n_rest,
+        |            CAST(abs(c.cum_in * (tt.n_all - bl.n_in)
+        |              - c.cum_rest * bl.n_in) AS HUGEINT) * c.dv AS term
+        |          FROM cum c JOIN bl ON bl.lang = c.lang CROSS JOIN tt)
+        |SELECT lang, max(n_in) AS n_in, max(n_rest) AS n_rest,
+        |  CAST((1000 * sum(term)) // (max(n_in) * max(n_rest)) AS BIGINT)
+        |    AS w1_x1000
+        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Gini — mirrors CorpusStats.giniConcentration: ascending-count
+    // rank formula sum (2i - n - 1) x_i over (lang, source) cells.
+    "gini_concentration" ->
+      """WITH cells AS (SELECT lang, source,
+        |    CAST(count(*) AS BIGINT) AS n_cell
+        |  FROM documents GROUP BY lang, source),
+        |r AS (SELECT lang, n_cell,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY n_cell ASC, source ASC) AS BIGINT) AS i,
+        |        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_src
+        |      FROM cells)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(n_cell) AS BIGINT) AS n_docs,
+        |  CAST((10000 * sum((2 * i - n_src - 1) * n_cell)) //
+        |    (count(*) * sum(n_cell)) AS BIGINT) AS gini_bp
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Negative-sampling table — mirrors CorpusStats.unigramSampling:
+    // w34 = isqrt(c * isqrt(c)), both isqrts floor(sqrt(double)) with
+    // the ±1 correction, probabilities in exact ppm.
+    "unigram_sampling" ->
+      """WITH w0 AS (
+        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w0
+        |       WHERE length(word) > 0 GROUP BY word),
+        |i1 AS (SELECT word, c,
+        |         CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS s0
+        |       FROM wc),
+        |i2 AS (SELECT word, c,
+        |         CASE WHEN s0 * s0 > c THEN s0 - 1 ELSE s0 END AS s1
+        |       FROM i1),
+        |i3 AS (SELECT word, c,
+        |         CASE WHEN (s1 + 1) * (s1 + 1) <= c THEN s1 + 1 ELSE s1 END AS r1
+        |       FROM i2),
+        |m AS (SELECT word, c, c * r1 AS m FROM i3),
+        |o1 AS (SELECT word, c, m,
+        |         CAST(floor(sqrt(CAST(m AS DOUBLE))) AS BIGINT) AS t0
+        |       FROM m),
+        |o2 AS (SELECT word, c, m,
+        |         CASE WHEN t0 * t0 > m THEN t0 - 1 ELSE t0 END AS t1
+        |       FROM o1),
+        |w34 AS (SELECT word, c,
+        |          CASE WHEN (t1 + 1) * (t1 + 1) <= m THEN t1 + 1 ELSE t1 END AS w34
+        |        FROM o2),
+        |tot AS (SELECT sum(w34) AS total_w FROM w34)
+        |SELECT word, c, w34,
+        |  CAST((1000000 * w34) // total_w AS BIGINT) AS prob_ppm
+        |FROM w34 CROSS JOIN tot
+        |ORDER BY c DESC, word ASC LIMIT 30""".stripMargin
   )
 }

@@ -90,7 +90,17 @@ object ScaleCheck {
     // round 11: rouge shares bleu's pairClipStats chain (recall
     // denominators differ — one run covers both claims); t_closeness's
     // staged QI×band grid over 10× customers
-    "rouge_eval", "t_closeness")
+    "rouge_eval", "t_closeness",
+    // round 11: char-gram clip joins over 10× docs (chrf), per-pair
+    // word-vocab windows + levenshtein over 10× pairs (wer), one-pass
+    // in-array quantization over 10× vectors (int8), posting-join +
+    // brute tiers under the agreement join (rbo), constant-width
+    // sketch vs 10× vocabulary (cms)
+    "chrf_eval", "wer_eval", "int8_quant", "rbo_overlap", "cms_frequency",
+    // round-11 wave 2: histogram-CDF windows over the 10× value grid
+    // (w1), domain-sized Lorenz ranks (gini), corpus tokenize +
+    // vocab agg under the ¾-power table (unigram)
+    "wasserstein_drift", "gini_concentration", "unigram_sampling")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

@@ -505,7 +505,17 @@ object SparkEntry {
     // WER: word-level edit distance via the single-byte re-encoding
     "wer_eval" -> (TextAnalysis.werEval _),
     // int8 symmetric scalar-quantization audit (sat + recon error)
-    "int8_quant" -> (Similarity.int8Quant _)
+    "int8_quant" -> (Similarity.int8Quant _),
+    // rank-biased overlap between the sparse and dense tiers (x960)
+    "rbo_overlap" -> (TfIdf.rboOverlap _),
+    // Count-Min sketch estimates audited against exact counts
+    "cms_frequency" -> (CorpusStats.cmsFrequency _),
+    // 1-Wasserstein length-distribution drift (mass-weighted KS twin)
+    "wasserstein_drift" -> (CorpusStats.wassersteinDrift _),
+    // per-lang Gini coefficient of source concentration
+    "gini_concentration" -> (CorpusStats.giniConcentration _),
+    // word2vec 3/4-power negative-sampling table (nested exact isqrt)
+    "unigram_sampling" -> (CorpusStats.unigramSampling _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -439,6 +439,95 @@ object CorpusStats {
       .orderBy("w1", "rank")
   }
 
+  /** Count-Min sketch frequency audit (Cormode & Muthukrishnan 2005):
+    * build the d=4 × w=256 sketch over the corpus word stream, then
+    * measure what the sketch would ANSWER against the exact counts —
+    * per heavy word, the CMS estimate min_j cell(j, h_j(word)) and its
+    * overestimate (CMS errors are one-sided: est ≥ exact always; the
+    * paper bounds the excess by εN = (e/w)·N with probability
+    * 1 − e^−d). This is the audit a streaming counting tier runs
+    * before trusting sketch answers: if the top words' overestimates
+    * are small relative to their counts, the 4·256-cell state can
+    * replace the vocab-sized exact table.
+    *
+    * Determinism: the row hashes are the engine-portable md5 analog
+    * ([[TextAnalysis.dsirWeights]]'s discipline — first 8 md5 hex
+    * chars of j||word as an integer, mod 256), so both engines build
+    * bit-identical sketches; everything else is integer counting.
+    *
+    * Scale posture: one corpus scan → vocab-keyed exact counts
+    * (map-side combine does the heavy lifting), staged once locally
+    * (the 4-bucket projection feeds BOTH the cell build and the
+    * estimate join); the cell frame is 4×256 = 1024 rows → broadcast
+    * back onto the vocab; the top-20 surface rides
+    * TakeOrderedAndProject (per-partition heads, no global sort). The
+    * sketch itself is the POINT at 100 TB: cell state is constant-
+    * sized while the exact table grows with the vocabulary.
+    */
+  def cmsFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val wc = Shingles.words(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val wb = Fixpoint.locally(wc.select(col("word"), col("c"),
+          explode(expr(
+            """transform(sequence(1, 4), j -> named_struct(
+              |  'rw', j,
+              |  'bucket', CAST(conv(substring(md5(concat(CAST(j AS STRING), word)), 1, 8), 16, 10) AS BIGINT) % 256))"""
+              .stripMargin)).as("rb"))
+        .select(col("word"), col("c"),
+          col("rb.rw").as("rw"), col("rb.bucket").as("bucket")), locals)
+      val cells = wb.groupBy(col("rw"), col("bucket"))
+        .agg(sum(col("c")).as("cell"))
+      Fixpoint.reliably(wb.join(broadcast(cells), Seq("rw", "bucket"))
+        .groupBy(col("word"))
+        .agg(max(col("c")).as("exact"), min(col("cell")).as("est_cms"))
+        .withColumn("over_count", col("est_cms") - col("exact"))
+        .select(col("word"), col("exact"), col("est_cms"), col("over_count"))
+        .orderBy(col("exact").desc, col("word").asc)
+        .limit(20))
+    } finally Fixpoint.releaseAll(locals)
+  }
+
+  /** word2vec/NCE negative-sampling table (Mikolov et al. 2013): the
+    * unigram distribution raised to the 3/4 power — the smoothing that
+    * up-weights tail words enough to make useful negatives without
+    * letting stopwords dominate, and the table every skip-gram /
+    * contrastive text trainer materializes before training. The ¾
+    * power is held integer-exact through nested exact integer square
+    * roots: n^(3/4) = sqrt(n·sqrt(n)), so w34 = isqrt(c·isqrt(c))
+    * with [[temperatureMix]]'s floor(sqrt(double))±1-corrected isqrt
+    * at both levels — a deterministic floor-composed surrogate both
+    * engines compute identically (each isqrt is exact, so the
+    * composition differs from the real-valued ¾ power only through
+    * the two floors — monotone and within 1 unit at vocabulary-scale
+    * counts). Sampling probabilities in exact ppm.
+    *
+    * Scale posture: one tokenize pass → vocab-keyed counts (map-side
+    * combine), a 1-row total broadcast, TakeOrderedAndProject for the
+    * audit head — [[TextAnalysis.dsirWeights]]'s exact shape. The
+    * full table (the LIMIT removed) is the production artifact; the
+    * verified surface audits its head.
+    */
+  def unigramSampling(spark: SparkSession, dir: String): DataFrame = {
+    def isqrt(n: Column): Column = {
+      val s0 = floor(sqrt(n.cast("double"))).cast("long")
+      val s1 = when(s0 * s0 > n, s0 - 1).otherwise(s0)
+      when((s1 + 1) * (s1 + 1) <= n, s1 + 1).otherwise(s1)
+    }
+    val wc = Shingles.words(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val weighted = wc.withColumn("w34", isqrt(col("c") * isqrt(col("c"))))
+    val tot = weighted.agg(sum(col("w34")).as("total_w"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("word"), col("c"), col("w34"),
+        expr("(1000000 * w34) div total_w").as("prob_ppm"))
+      .orderBy(col("c").desc, col("word").asc)
+      .limit(30)
+  }
+
   /** CCNet-style LM quality score (Wenzek et al. 2020 filter corpora by
     * LM perplexity; the log-free integer analog): per document, the
     * MEAN and MIN corpus-bigram transition probability over its bigram
@@ -753,6 +842,97 @@ object CorpusStats {
       .agg(max(col("n_in")).as("n_in"),
         max(col("n_all") - col("n_in")).as("n_rest"),
         max(col("gap_bp")).as("ks_bp"))
+      .orderBy("lang")
+  }
+
+  /** Per-language 1-Wasserstein (earth-mover) length-distribution
+    * drift — the mass-weighted companion to [[ksDrift]]: KS reports
+    * the single worst CDF gap, W1 integrates |CDF_in − CDF_rest| over
+    * the value axis, so it sees how MUCH distribution mass moved and
+    * how far (a small-but-everywhere shift that KS underweights, and
+    * the same ordered-transport quantity [[Observability.tCloseness]]
+    * audits over attribute bands, here over document lengths).
+    * W1 = Σ_grid |F_in(v) − F_rest(v)|·Δv, exact via cross-multiplied
+    * integer CDFs: |cum_in·n_rest − cum_rest·n_in| avoids both
+    * divisions, Δv is the gap to the next grid value (the last value
+    * contributes 0 — both CDFs are 1 beyond it), and the one
+    * normalizing division happens at the surface:
+    * w1_x1000 = (1000·Σ) div (n_in·n_rest) — thousandths of a
+    * character of expected transport. The Σ is staged through
+    * decimal(38,0) (DuckDB HUGEINT) so ANSI overflow cannot fire at
+    * production corpus sizes (int64 headroom runs out near
+    * n·cum·Δv·|grid| ≈ 9·10¹⁸ — within 10² of a 10⁸-doc corpus).
+    *
+    * Scale posture: identical to [[ksDrift]] — histogram first, CDF
+    * windows per-lang over the bounded (values × langs) grid, never
+    * corpus-sized; the lead() for Δv rides the same per-lang window.
+    */
+  def wassersteinDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("lang"), col("n_chars").as("v"))
+    val hist = d.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("cnt"))
+    val grid = d.select(col("v")).distinct()
+      .crossJoin(broadcast(d.select(col("lang")).distinct()))
+    val totV = hist.groupBy(col("v")).agg(sum(col("cnt")).as("tot_v"))
+    val j = grid.join(hist, Seq("lang", "v"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .join(totV, Seq("v"))
+      .withColumn("rest", col("tot_v") - col("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.partitionBy(col("lang")).orderBy(col("v"))
+    val cum = j.withColumn("cum_in", sum(col("cnt")).over(w))
+      .withColumn("cum_rest", sum(col("rest")).over(w))
+      .withColumn("dv", coalesce(lead(col("v"), 1).over(wl) - col("v"), lit(0L)))
+    val byLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+    val tot = d.agg(count(lit(1)).as("n_all"))
+    cum.join(broadcast(byLang), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        expr("""CAST(abs(cum_in * (n_all - n_in) - cum_rest * n_in)
+                AS DECIMAL(38,0)) * dv"""))
+      .groupBy(col("lang"))
+      .agg(max(col("n_in")).as("n_in"),
+        max(col("n_all") - col("n_in")).as("n_rest"),
+        sum(col("term")).as("s"))
+      .withColumn("w1_x1000",
+        expr("CAST((1000 * s) div (n_in * n_rest) AS BIGINT)"))
+      .select(col("lang"), col("n_in"), col("n_rest"), col("w1_x1000"))
+      .orderBy("lang")
+  }
+
+  /** Per-language Gini coefficient of source concentration — the
+    * inequality-curve companion to [[hhiConcentration]]: HHI reacts
+    * quadratically to the biggest source, Gini measures the whole
+    * Lorenz-curve shape (0 = all sources contribute equally,
+    * → 1 = one source owns the slice). Computed by the rank formula
+    * G = Σ_i (2i − n − 1)·x_(i) / (n·Σx) over sources sorted by
+    * ascending count — integer-exact end to end (the numerator is a
+    * sum of count-weighted rank coefficients; ties are
+    * order-invariant because equal x share the same contribution
+    * regardless of which tie takes which rank), surfaced as
+    * gini_bp = (10000·G_num) div (n·Σx).
+    *
+    * Scale posture: one (lang, source) count agg; the rank window and
+    * the final agg run over the DOMAIN-sized cell frame (langs ×
+    * sources), never corpus rows — [[hhiConcentration]]'s exact plan
+    * with one extra per-lang window.
+    */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_cell"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("n_cell").asc, col("source").asc)
+    cells.withColumn("i", row_number().over(wRank))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("n_cell")).as("n_docs"),
+        sum((lit(2) * col("i") - col("n_src") - lit(1)) * col("n_cell"))
+          .as("g_num"))
+      .withColumn("gini_bp",
+        expr("(10000 * g_num) div (n_sources * n_docs)"))
+      .select(col("lang"), col("n_sources"), col("n_docs"), col("gini_bp"))
       .orderBy("lang")
   }
 

@@ -179,6 +179,55 @@ object TfIdf {
       .orderBy("qid")
   }
 
+  /** Rank-biased overlap (Webber, Moffat & Zobel 2010) between the
+    * sparse and dense retrieval tiers — the principled upgrade of
+    * [[retrieverOverlap]]'s set Jaccard: RBO weights agreement at the
+    * TOP of the two rankings geometrically, which is what matters when
+    * a user (or an RRF fuser) only consumes the head. Truncated at
+    * depth 5 with persistence p = 1/2, so the metric is
+    * Σ_{d=1..5} |lex_top_d ∩ vec_top_d| / (d·2^d) — every term is
+    * rational with denominator d·2^d, and LCM(d·2^d, d ≤ 5) = 960
+    * makes the WHOLE sum exact in integer 1/960 fixed-point units
+    * (rbo_x960; 930 = perfect head-5 agreement — the remaining 30/960
+    * is the truncated tail mass at depths > 5, Webber's min-RBO base).
+    * No rounding anywhere: a common candidate seen at ranks (rl, rv)
+    * joins every intersection from depth m = max(rl, rv) on, so its
+    * total weight is the SUFFIX sum S(m) ∈ {661, 181, 61, 21, 6} —
+    * one keyed join, one CASE, one agg.
+    *
+    * Scale posture: both tier top-5 lists are per-query bounded (5
+    * rows/query), so the agreement join and agg move O(queries) rows
+    * no matter the corpus size; the heavy lifting lives in the tiers
+    * themselves ([[tfidfSearch]], [[Similarity.knnBrute]] — each
+    * already verified and scale-shaped). The lex list is staged once
+    * (it feeds BOTH the agreement join and the per-query spine —
+    * unstaged, the whole tfidf tier replays for each consumer), the
+    * final frame is written reliably, staging released (zero pins).
+    */
+  def rboOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val lex = Fixpoint.locally(tfidfSearch(spark, dir)
+        .select(col("qid"), col("did").as("cand"), col("rank").as("rl")),
+        locals)
+      val vec = Similarity.knnBrute(spark, dir)
+        .select(col("qid"), col("cid").as("cand"), col("rank").as("rv"))
+      val contrib = lex.join(vec, Seq("qid", "cand"))
+        .withColumn("m", greatest(col("rl"), col("rv")))
+        .withColumn("w", expr(
+          "CASE m WHEN 1 THEN 661 WHEN 2 THEN 181 WHEN 3 THEN 61 " +
+            "WHEN 4 THEN 21 ELSE 6 END"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_common"), sum(col("w")).as("rbo_x960"))
+      Fixpoint.reliably(lex.select(col("qid")).distinct()
+        .join(contrib, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          coalesce(col("rbo_x960"), lit(0L)).as("rbo_x960"))
+        .orderBy("qid"))
+    } finally Fixpoint.releaseAll(locals)
+  }
+
   /** Edit-distance fuzzy matching on short strings (customer names in a
     * bounded block): levenshtein is integer-exact in both engines. The
     * scale form blocks by length band / prefix before the quadratic

@@ -471,6 +471,79 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
       (1L, 2L, 1L, 0L, 0L, 0L)), got.toString)
   }
 
+  test("rbo weights: 960 is the exact common denominator of 1/(d*2^d) " +
+       "for d <= 5, and the CASE suffix sums match the definition") {
+    // per-depth weights 960/(d*2^d) must all be integral...
+    val perDepth = (1 to 5).map(d => (960.0 / (d * math.pow(2, d)), d))
+    perDepth.foreach { case (w, d) =>
+      assert(w == math.floor(w), s"depth $d weight $w not integral") }
+    // ...and the operator's hard-coded suffix sums S(m) = sum_{d>=m} w_d
+    val w = perDepth.map(_._1.toLong)
+    val suffix = (0 until 5).map(m => w.drop(m).sum)
+    assert(suffix == Seq(661L, 181L, 61L, 21L, 6L), suffix.toString)
+    // perfect head-5 agreement = sum of d * w_d = 930 (tail mass 30)
+    assert(w.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum == 930L)
+  }
+
+  test("cmsFrequency: exact column matches independent counting, " +
+       "estimates are one-sided (est >= exact), order is exact desc") {
+    val d = java.nio.file.Files.createTempDirectory("graft_cms_")
+    // word counts by construction: a=5, b=3, c=2, rest 1
+    Seq((0L, "a a a b b c"), (1L, "a b c a d e"), (2L, "f g"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.CorpusStats.cmsFrequency(spark, d.toString)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val exact = got.map(r => r._1 -> r._2).toMap
+    assert(exact == Map("a" -> 5L, "b" -> 3L, "c" -> 2L, "d" -> 1L,
+      "e" -> 1L, "f" -> 1L, "g" -> 1L), exact.toString)
+    got.foreach { case (w, ex, est, over) =>
+      assert(est >= ex && over == est - ex, s"$w: est $est < exact $ex") }
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse, got.toString)
+  }
+
+  test("wassersteinDrift: hand CDFs — half-at-10/half-at-20 vs " +
+       "point-at-30 transports exactly 15 chars, symmetric both ways") {
+    val d = java.nio.file.Files.createTempDirectory("graft_w1_")
+    Seq((0L, "A", 10L), (1L, "A", 20L), (2L, "B", 30L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.CorpusStats.wassersteinDrift(spark, d.toString)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // W1(A vs rest) = |0.5-0|*10 + |1-0|*10 = 15 -> 15000 thousandths;
+    // W1(B vs rest) is the same distance from the other side
+    assert(got == Seq(("A", 2L, 1L, 15000L), ("B", 1L, 2L, 15000L)),
+      got.toString)
+  }
+
+  test("giniConcentration: rank formula matches the Lorenz definition " +
+       "(x=(1,3) -> 0.25), single-source slice scores 0") {
+    val d = java.nio.file.Files.createTempDirectory("graft_gini_")
+    (Seq.fill(1)(("A", "s1")) ++ Seq.fill(3)(("A", "s2")) ++
+      Seq.fill(5)(("B", "s9")))
+      .zipWithIndex.map { case ((l, s), i) => (i.toLong, l, s) }
+      .toDF("doc_id", "lang", "source")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.CorpusStats.giniConcentration(spark, d.toString)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 2L, 4L, 2500L), ("B", 1L, 5L, 0L)),
+      got.toString)
+  }
+
+  test("unigramSampling: w34 = isqrt(c*isqrt(c)) is the exact 3/4 " +
+       "power at perfect fourth powers, ppm shares sum from the " +
+       "composed floors") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ns_")
+    // counts: a=16 (16^(3/4)=8 exactly), b=2 (floor-composed -> 1), c=1
+    Seq((0L, (Seq.fill(16)("a") ++ Seq("b", "b", "c")).mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.CorpusStats.unigramSampling(spark, d.toString)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 16L, 8L, 800000L), ("b", 2L, 1L, 100000L),
+      ("c", 1L, 1L, 100000L)), got.toString)
+  }
+
   test("adaptiveBits: floor 3 at the verified scale, grows as " +
        "ceil(log2(n/1000)), caps at 12") {
     import graft.etl.GraphCuration.adaptiveBits

@@ -1055,6 +1055,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"int8_quant grew a shuffle-bearing operator:\n$p")
   }
 
+  test("round-11 pin: rbo_overlap agreement join stays keyed on " +
+       "(qid, cand); no cartesian beyond the tiers' own shapes") {
+    // the knn tier's broadcast inequality join (bounded query block)
+    // is its own sanctioned shape — only an unkeyed CartesianProduct
+    // would mean the agreement join degraded
+    val p = plan("rbo_overlap")
+    assert(!p.contains("CartesianProduct"),
+      s"rbo_overlap grew a cartesian:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("keys") &&
+      l.contains("qid") && l.contains("cand")),
+      s"rbo_overlap must join the tiers on (qid, cand):\n$p")
+  }
+
+  test("round-11 pin: cms_frequency scans documents once; the 1024-cell " +
+       "frame broadcasts back onto the vocab") {
+    val all = executedPlans("cms_frequency")
+    val cp = all.mkString("\n=== next executed plan ===\n")
+    val scans = cp.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"cms_frequency must read documents exactly once:\n$cp")
+    assert(cp.contains("BroadcastHashJoin"),
+      s"cms_frequency cell join must broadcast:\n$cp")
+    assert(!cp.contains("CartesianProduct"), cp)
+  }
+
   test("round-10 pin: t_closeness scans customer once; all downstream " +
        "work lives on the class grid") {
     // eager operator since round 11 (locally-staged QI×band agg +
