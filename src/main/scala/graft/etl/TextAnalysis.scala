@@ -922,48 +922,39 @@ object TextAnalysis {
     * exact integer β=2 F-measure, 0 when 4p+r = 0. Both sides need
     * ≥ 3 chars so every denominator is positive under ANSI.
     *
-    * Scale posture: [[pairClipStats]]'s shape at the character level —
-    * gram counting is doc-keyed, each per-n count frame is staged once
-    * as a local checkpoint and read by both clip-join sides, the clip
-    * join is (ref_id, gram)-keyed (high cardinality, never broadcast),
-    * per-pair results are doc-keyed aggs, final frame written reliably
-    * and staging released (zero pins). Work is linear in corpus chars
-    * (3 gram rows per char); no window, no pair explosion beyond the
-    * gram-overlap join.
+    * Scale posture: a paired eval is 1:1, so the clip runs INSIDE the
+    * pair row — [[graft.functions.GramClip]]'s compiled per-pair hash
+    * counting (the DotProduct never-an-interpreted-HOF discipline)
+    * replaces the gram-explode + (ref_id, n, gram) clip join the
+    * round-11 ship measured at 6.7 s / sf0.1 (~150 M shuffled gram
+    * rows at 10× — a corpus-sized shuffle whose every row joins back
+    * to its own pair; the join shape only earns its shuffle when one
+    * reference serves MANY candidates, which [[pairClipStats]]'s
+    * word-gram consumers keep for exactly that reason). What remains:
+    * the sliced projection staged once (ONE parquet scan), a
+    * doc_id-keyed pair join, then a pure map pass — O(slice) per pair,
+    * no gram shuffle at all (re-measured 6.7 → 1.3 s, 10× ratio
+    * 13.4 → map-linear). Final frame written reliably, staging
+    * released (zero pins); no window, no pair explosion.
     */
   def chrfEval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GramClipFunctions.clipF
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      val docs = Tables.documents(spark, dir)
+      val docs = Fixpoint.locally(Tables.documents(spark, dir)
         .select(col("doc_id"),
           substring(translate(coalesce(col("text"), lit("")),
             " \t\r\n", ""), 1, 1000).as("t"))
-        .withColumn("len", length(col("t")).cast("bigint"))
+        .withColumn("len", length(col("t")).cast("bigint")), locals)
       val pairs = docs.filter(col("doc_id") % 2 === 0 && col("len") >= 3)
-        .select(col("doc_id"), col("len").as("clen"))
+        .select(col("doc_id"), col("t").as("ct"), col("len").as("clen"))
         .join(docs.filter(col("len") >= 3)
           .select((col("doc_id") - 1).as("doc_id"),
-            col("doc_id").as("ref_id"), col("len").as("rlen")),
+            col("doc_id").as("ref_id"), col("t").as("rt"),
+            col("len").as("rlen")),
           Seq("doc_id"))
-      def gramCounts(n: Int): DataFrame =
-        Fixpoint.locally(docs.filter(col("len") >= 3)
-          .select(col("doc_id"), col("t"), // int positions: len ≤ 1000
-            explode(expr(s"sequence(1, CAST(len AS INT) - ${n - 1})")).as("pos"))
-          .select(col("doc_id"),
-            expr(s"substring(t, pos, $n)").as("gram"))
-          .groupBy(col("doc_id"), col("gram"))
-          .agg(count(lit(1)).as("cnt")), locals)
-      def matched(n: Int): DataFrame = {
-        val cn = gramCounts(n)
-        cn.join(pairs.select(col("doc_id"), col("ref_id")), Seq("doc_id"))
-          .join(cn.select(col("doc_id").as("ref_id"), col("gram"),
-            col("cnt").as("rcnt")), Seq("ref_id", "gram"))
-          .groupBy(col("doc_id"))
-          .agg(sum(least(col("cnt"), col("rcnt"))).as(s"m$n"))
-      }
       val scored = Seq(1, 2, 3).foldLeft(pairs) { (df, n) =>
-          df.join(matched(n), Seq("doc_id"), "left")
-            .withColumn(s"m$n", coalesce(col(s"m$n"), lit(0L)))
+          df.withColumn(s"m$n", clipF(col("ct"), col("rt"), lit(n)))
             .withColumn(s"p${n}_bp",
               expr(s"(10000 * m$n) div (clen - ${n - 1})"))
             .withColumn(s"r${n}_bp",

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Clipped character-n-gram match count for PAIRED text evals (the
+  * chrF/BLEU clip Σ_g min(count_cand(g), count_ref(g)) over character
+  * n-grams, Popović 2015 §2).
+  *
+  * Why an expression and not the gram-explode + (ref_id, n, gram)
+  * clip join: the join shape is the right architecture when one
+  * reference is matched by MANY candidates (grams shuffle once, each
+  * match is an equi-join hit). A paired eval is 1:1 — every gram row
+  * exists for exactly one comparison — so exploding 3 gram rows per
+  * character only to join them back to their own pair pays a
+  * corpus-sized shuffle for nothing (measured: 6.7 s at sf0.1,
+  * ~150 M shuffled gram rows at 10×, the whole cost of the round-11
+  * chrf_eval ship). Per-pair hash-map counting inside the pair row is
+  * O(slice) with zero shuffle, and at cluster scale it map-reduces
+  * perfectly: the only movement left is the doc_id-keyed pair join.
+  *
+  * Counting is CODE-POINT based (each n-gram is n code points), the
+  * same unit as Spark's `substring`/`length` and DuckDB's
+  * `substr`/`length` — bit-identical to the gram-join formulation
+  * this replaced and to the DuckDB oracle. The heavy loop lives in
+  * [[GramClip.clipped]], a compiled static method the generated code
+  * calls directly — whole-stage codegen stays intact around it (the
+  * DotProduct discipline: never an interpreted HOF in a hot path;
+  * here the per-row work IS the hash counting, so a static call costs
+  * the same as inlined generated code without Janino-compiling a
+  * hash map).
+  */
+object GramClip {
+
+  /** Σ_g min(count_cand(g), count_ref(g)) over n-code-point grams. */
+  def clipped(cand: UTF8String, ref: UTF8String, n: Int): Long = {
+    val ca = cand.toString.codePoints().toArray
+    val ra = ref.toString.codePoints().toArray
+    if (ca.length < n || ra.length < n) return 0L
+    val rc = new java.util.HashMap[String, java.lang.Long]()
+    var i = 0
+    while (i + n <= ra.length) {
+      val g = new String(ra, i, n)
+      val p = rc.get(g)
+      rc.put(g, if (p == null) 1L else p + 1L)
+      i += 1
+    }
+    val cc = new java.util.HashMap[String, java.lang.Long]()
+    i = 0
+    while (i + n <= ca.length) {
+      val g = new String(ca, i, n)
+      val p = cc.get(g)
+      cc.put(g, if (p == null) 1L else p + 1L)
+      i += 1
+    }
+    var m = 0L
+    val it = cc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val r = rc.get(e.getKey)
+      if (r != null) m += math.min(e.getValue.longValue(), r.longValue())
+    }
+    m
+  }
+}
+
+case class ClippedGramMatches(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "clipped_gram_matches"
+
+  override protected def nullSafeEval(cand: Any, ref: Any, n: Any): Any =
+    java.lang.Long.valueOf(GramClip.clipped(
+      cand.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, r, n) =>
+      s"${ev.value} = graft.functions.GramClip.clipped($c, $r, $n);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object GramClipFunctions {
+  /** Column API: clipped n-gram matches between two string columns. */
+  def clipF(cand: Column, ref: Column, n: Column): Column =
+    ColumnBridge.column(ClippedGramMatches(ColumnBridge.expression(cand),
+      ColumnBridge.expression(ref), ColumnBridge.expression(n)))
+}

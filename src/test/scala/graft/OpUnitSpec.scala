@@ -544,6 +544,20 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
       ("c", 1L, 1L, 100000L)), got.toString)
   }
 
+  test("GramClip.clipped: clipping at the ref count, order-sensitive " +
+       "grams, short sides are 0, non-BMP chars count as ONE code " +
+       "point (Spark substring / DuckDB substr semantics)") {
+    import graft.functions.GramClip.clipped
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(clipped(u("ab"), u("ab"), 1) == 2L)
+    assert(clipped(u("aaa"), u("a"), 1) == 1L)      // clip at ref count
+    assert(clipped(u("ab"), u("ba"), 2) == 0L)      // grams are ordered
+    assert(clipped(u("ab"), u("ba"), 1) == 2L)
+    assert(clipped(u("ab"), u("abc"), 3) == 0L)     // cand too short
+    assert(clipped(u("😀😀a"), u("😀"), 1) == 1L)
+    assert(clipped(u("a😀b"), u("a😀b"), 3) == 1L)
+  }
+
   test("adaptiveBits: floor 3 at the verified scale, grows as " +
        "ceil(log2(n/1000)), caps at 12") {
     import graft.etl.GraphCuration.adaptiveBits

@@ -1013,15 +1013,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"rouge_eval clip join must key on the gram:\n$re")
   }
 
-  test("round-11 pin: chrf_eval stays keyed — char-gram equi-joins, " +
-       "no window, no pair explosion") {
+  test("round-11 pin: chrf_eval is one doc_id-keyed pair join + a map " +
+       "pass through the compiled clip — no gram explode, no shuffle " +
+       "beyond the pair join") {
+    // the paired clip runs inside the pair row (GramClip expression);
+    // an Expand/Generate or a gram-keyed exchange here means the
+    // corpus-sized gram shuffle came back (6.7 s -> 1.5 s at sf0.1)
     val ce = plan("chrf_eval")
+    assert(ce.contains("clipped_gram_matches"),
+      s"chrf_eval lost the compiled per-pair clip:\n$ce")
+    assert(!ce.contains("Generate") && !ce.contains("Expand"),
+      s"chrf_eval grew a gram explode:\n$ce")
     assert(!ce.contains("Window"), s"chrf_eval grew a window:\n$ce")
     assert(!ce.contains("CartesianProduct") && !ce.contains("NestedLoop"),
-      s"chrf_eval lost its keyed joins:\n$ce")
-    assert(ce.linesIterator.exists(l => l.contains("keys") &&
-      l.contains("gram")),
-      s"chrf_eval clip join must key on the char gram:\n$ce")
+      s"chrf_eval lost its keyed pair join:\n$ce")
   }
 
   test("round-11 pin: wer_eval scans documents once; vocab rank " +
