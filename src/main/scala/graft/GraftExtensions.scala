@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, If, Least, Literal, RLike}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{ChunkText, DotProduct, SkipUrl}
+import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, DotProduct, SkipUrl}
 
 /** SQL surface of the engine's custom pieces, registered through
   * SparkSessionExtensions (spark.sql.extensions-compatible, so a
@@ -15,6 +15,8 @@ import graft.functions.{ChunkText, DotProduct, SkipUrl}
   *   chunk_text(body, size, ovl)    generator: (chunk_idx, chunk) rows
   *   score_link(url, anchor, ctx, topic)  X1 relevance 0-10
   *   skip_url(url)                  F1 reference skip-list predicate
+  *   clipped_gram_matches(c, r, n)  paired-eval char-n-gram clip (chrF)
+  *   clipped_word_gram_matches(c, r, n)  word-n-gram clip (BLEU/ROUGE)
   *
   * Planner surface: [[graft.plans.GroupTopKStrategy]] (round 3) plans
   * the native [[graft.plans.GroupTopK]] top-k-per-group operator —
@@ -40,6 +42,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("chunk_text"),
       info("chunk_text", "chunk_text(body, size, overlap) - overlapping chunks"),
       (exprs: Seq[Expression]) => ChunkText(exprs(0), exprs(1), exprs(2))))
+
+    e.injectFunction((FunctionIdentifier("clipped_gram_matches"),
+      info("clipped_gram_matches",
+        "clipped_gram_matches(cand, ref, n) - sum_g min(count_c, count_r) over char n-grams"),
+      (exprs: Seq[Expression]) => ClippedGramMatches(exprs(0), exprs(1), exprs(2))))
+
+    e.injectFunction((FunctionIdentifier("clipped_word_gram_matches"),
+      info("clipped_word_gram_matches",
+        "clipped_word_gram_matches(cand, ref, n) - sum_g min(count_c, count_r) over word n-grams"),
+      (exprs: Seq[Expression]) => ClippedWordGramMatches(exprs(0), exprs(1), exprs(2))))
 
     e.injectFunction((FunctionIdentifier("skip_url"),
       info("skip_url", "skip_url(url) - true iff the reference skip lists match"),

@@ -1057,51 +1057,39 @@ object TextAnalysis {
     * denominator families — candidate totals (n1/n2, precision) and
     * reference totals (r1/r2, recall).
     *
-    * Each gram-count frame is read 4× (totals + both clip-join sides)
-    * — materialized once as fast local checkpoints into the CALLER's
-    * scope (released after the caller's reliable final frame) instead
-    * of re-tokenizing the corpus per consumer: measured 18.6 s → 9.2 s
-    * on the 10× ScaleCheck corpus, zero pinned residue either way.
+    * A paired eval is 1:1, so since round 11 the clips run INSIDE the
+    * pair row through the compiled word-gram counter
+    * ([[graft.functions.GramClip.clippedWords]] — the same argument
+    * that moved chrf_eval in-row): the gram-explode + (ref_id, gram)
+    * clip-join formulation this replaced shuffled every gram row back
+    * to its own pair (9.2 s on the 10× ScaleCheck corpus even after
+    * its frames were staged; re-measured in-row at map speed). The
+    * totals need no aggregation at all: a doc with nw words has
+    * exactly nw 1-grams and nw−1 2-grams, so both denominator
+    * families are projections of the staged word counts. What
+    * remains: ONE parquet scan (staged slice), one doc_id-keyed pair
+    * join, a pure map pass. Bit-identical outputs — same
+    * tokenization (single-space split, blanks dropped), same clip,
+    * same ANSI-positive eligibility (nw ≥ 2 both sides ⇔ the old
+    * n1_total ≥ 2 filter).
     */
   private def pairClipStats(spark: SparkSession, dir: String,
       locals: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    def gramCounts(k: Int): DataFrame =
-      Fixpoint.locally(Shingles.wordShingles(docs, k)
-        .groupBy(col("doc_id"), col("shingle"))
-        .agg(count(lit(1)).as("cnt")), locals)
-    val c1 = gramCounts(1)
-    val c2 = gramCounts(2)
-    val tot1 = c1.groupBy(col("doc_id")).agg(sum(col("cnt")).as("t"))
-    val tot2 = c2.groupBy(col("doc_id")).agg(sum(col("cnt")).as("t"))
-    val pairs = docs.select(col("doc_id"))
-      .filter(col("doc_id") % 2 === 0)
-      .join(docs.select((col("doc_id") - 1).as("doc_id"),
-        col("doc_id").as("ref_id")), Seq("doc_id"))
-    // both sides need >= 2 words so 1- and 2-gram totals are positive
-    val eligible = pairs
-      .join(tot1.select(col("doc_id"), col("t").as("n1_total")), Seq("doc_id"))
-      .join(tot1.select(col("doc_id").as("ref_id"), col("t").as("r1_total")),
-        Seq("ref_id"))
-      .filter(col("n1_total") >= 2 && col("r1_total") >= 2)
-      .select(col("doc_id"), col("ref_id"), col("n1_total"), col("r1_total"))
-    def matched(cn: DataFrame): DataFrame = cn
-      .join(eligible.select(col("doc_id"), col("ref_id")), Seq("doc_id"))
-      .join(cn.select(col("doc_id").as("ref_id"), col("shingle"),
-        col("cnt").as("rcnt")), Seq("ref_id", "shingle"))
-      .groupBy(col("doc_id"))
-      .agg(sum(least(col("cnt"), col("rcnt"))).as("m"))
-    eligible
-      .join(matched(c1).select(col("doc_id"), col("m").as("n1_match")),
-        Seq("doc_id"), "left")
-      .join(tot2.select(col("doc_id"), col("t").as("n2_total")), Seq("doc_id"))
-      .join(tot2.select(col("doc_id").as("ref_id"), col("t").as("r2_total")),
-        Seq("ref_id"))
-      .join(matched(c2).select(col("doc_id"), col("m").as("n2_match")),
-        Seq("doc_id"), "left")
+    import graft.functions.GramClipFunctions.wordClipF
+    val docs = Fixpoint.locally(Tables.documents(spark, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .withColumn("nw", size(Shingles.wordArray(col("t"))).cast("bigint")),
+      locals)
+    docs.filter(col("doc_id") % 2 === 0 && col("nw") >= 2)
+      .select(col("doc_id"), col("t").as("ct"), col("nw").as("cw"))
+      .join(docs.filter(col("nw") >= 2)
+        .select((col("doc_id") - 1).as("doc_id"), col("doc_id").as("ref_id"),
+          col("t").as("rt"), col("nw").as("rw")),
+        Seq("doc_id"))
       .select(col("doc_id"), col("ref_id"),
-        col("n1_total"), col("n2_total"), col("r1_total"), col("r2_total"),
-        coalesce(col("n1_match"), lit(0L)).as("n1_match"),
-        coalesce(col("n2_match"), lit(0L)).as("n2_match"))
+        col("cw").as("n1_total"), (col("cw") - 1).as("n2_total"),
+        col("rw").as("r1_total"), (col("rw") - 1).as("r2_total"),
+        wordClipF(col("ct"), col("rt"), lit(1)).as("n1_match"),
+        wordClipF(col("ct"), col("rt"), lit(2)).as("n2_match"))
   }
 }

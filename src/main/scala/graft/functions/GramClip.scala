@@ -19,9 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * character only to join them back to their own pair pays a
   * corpus-sized shuffle for nothing (measured: 6.7 s at sf0.1,
   * ~150 M shuffled gram rows at 10×, the whole cost of the round-11
-  * chrf_eval ship). Per-pair hash-map counting inside the pair row is
-  * O(slice) with zero shuffle, and at cluster scale it map-reduces
-  * perfectly: the only movement left is the doc_id-keyed pair join.
+  * chrf_eval ship; the same argument subsequently moved BLEU/ROUGE's
+  * word-gram clip in-row — see [[ClippedWordGramMatches]]). Per-pair
+  * hash-map counting inside the pair row is O(slice) with zero
+  * shuffle, and at cluster scale it map-reduces perfectly: the only
+  * movement left is the doc_id-keyed pair join.
   *
   * Counting is CODE-POINT based (each n-gram is n code points), the
   * same unit as Spark's `substring`/`length` and DuckDB's
@@ -35,6 +37,41 @@ import org.apache.spark.unsafe.types.UTF8String
   * hash map).
   */
 object GramClip {
+
+  /** Σ_g min(count_cand(g), count_ref(g)) over WORD n-grams — the
+    * BLEU/ROUGE clip. Tokenization matches `Shingles.wordArray` /
+    * the oracle's `string_split`: split on single space, blanks
+    * dropped; a gram is n consecutive words space-joined.
+    */
+  def clippedWords(cand: UTF8String, ref: UTF8String, n: Int): Long = {
+    val ca = cand.toString.split(" ").filter(_.nonEmpty)
+    val ra = ref.toString.split(" ").filter(_.nonEmpty)
+    if (ca.length < n || ra.length < n) return 0L
+    def counts(ws: Array[String]): java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      var i = 0
+      while (i + n <= ws.length) {
+        val sb = new java.lang.StringBuilder(ws(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+        val g = sb.toString
+        val p = m.get(g)
+        m.put(g, if (p == null) 1L else p + 1L)
+        i += 1
+      }
+      m
+    }
+    val rc = counts(ra)
+    val cc = counts(ca)
+    var m = 0L
+    val it = cc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val r = rc.get(e.getKey)
+      if (r != null) m += math.min(e.getValue.longValue(), r.longValue())
+    }
+    m
+  }
 
   /** Σ_g min(count_cand(g), count_ref(g)) over n-code-point grams. */
   def clipped(cand: UTF8String, ref: UTF8String, n: Int): Long = {
@@ -89,9 +126,38 @@ case class ClippedGramMatches(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Word-gram sibling of [[ClippedGramMatches]] — the BLEU/ROUGE clip
+  * over space-tokenized word n-grams, same compiled-static-call shape.
+  */
+case class ClippedWordGramMatches(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "clipped_word_gram_matches"
+
+  override protected def nullSafeEval(cand: Any, ref: Any, n: Any): Any =
+    java.lang.Long.valueOf(GramClip.clippedWords(
+      cand.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, r, n) =>
+      s"${ev.value} = graft.functions.GramClip.clippedWords($c, $r, $n);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object GramClipFunctions {
-  /** Column API: clipped n-gram matches between two string columns. */
+  /** Column API: clipped char-n-gram matches between two string columns. */
   def clipF(cand: Column, ref: Column, n: Column): Column =
     ColumnBridge.column(ClippedGramMatches(ColumnBridge.expression(cand),
+      ColumnBridge.expression(ref), ColumnBridge.expression(n)))
+
+  /** Column API: clipped word-n-gram matches (BLEU/ROUGE clip). */
+  def wordClipF(cand: Column, ref: Column, n: Column): Column =
+    ColumnBridge.column(ClippedWordGramMatches(ColumnBridge.expression(cand),
       ColumnBridge.expression(ref), ColumnBridge.expression(n)))
 }

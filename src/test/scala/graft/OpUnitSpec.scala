@@ -558,6 +558,18 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(clipped(u("a😀b"), u("a😀b"), 3) == 1L)
   }
 
+  test("GramClip.clippedWords: whole-word grams (no substring credit), " +
+       "blank-safe split, bigram order matters, clip at ref count") {
+    import graft.functions.GramClip.clippedWords
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(clippedWords(u("the cat"), u("the cat"), 2) == 1L)
+    assert(clippedWords(u("the cat"), u("the cattle"), 1) == 1L) // no prefix credit
+    assert(clippedWords(u("cat the"), u("the cat"), 2) == 0L)   // order matters
+    assert(clippedWords(u("a a a"), u("a b"), 1) == 1L)         // ref-clipped
+    assert(clippedWords(u("a  b"), u("a b"), 2) == 1L)          // blanks dropped
+    assert(clippedWords(u("a"), u("a b"), 2) == 0L)             // short side
+  }
+
   test("adaptiveBits: floor 3 at the verified scale, grows as " +
        "ceil(log2(n/1000)), caps at 12") {
     import graft.etl.GraphCuration.adaptiveBits

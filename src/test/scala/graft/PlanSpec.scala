@@ -992,25 +992,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!bl.contains("CartesianProduct"), bl)
   }
 
-  test("round-10 pin: bleu_eval stays keyed — gram equi-joins, no window") {
-    // the clip join is (ref_id, gram)-keyed, pairing is an id equi-join
-    // (never a low-cardinality window over the corpus), totals are
-    // doc-keyed aggs
-    val be = plan("bleu_eval")
-    assert(!be.contains("Window"), s"bleu_eval grew a window:\n$be")
-    assert(!be.contains("CartesianProduct") && !be.contains("NestedLoop"),
-      s"bleu_eval lost its keyed joins:\n$be")
-    assert(be.linesIterator.exists(l => l.contains("keys") &&
-      l.contains("shingle")),
-      s"bleu_eval clip join must key on the gram:\n$be")
-    // rouge_eval rides the SAME pairClipStats chain — identical pins
-    val re = plan("rouge_eval")
-    assert(!re.contains("Window"), s"rouge_eval grew a window:\n$re")
-    assert(!re.contains("CartesianProduct") && !re.contains("NestedLoop"),
-      s"rouge_eval lost its keyed joins:\n$re")
-    assert(re.linesIterator.exists(l => l.contains("keys") &&
-      l.contains("shingle")),
-      s"rouge_eval clip join must key on the gram:\n$re")
+  test("round-10 pin (in-row since round 11): bleu_eval/rouge_eval are " +
+       "one pair join + the compiled word-gram clip — no gram explode") {
+    // a paired eval is 1:1 — the clips run inside the pair row
+    // (GramClip.clippedWords) and the totals are projections of the
+    // staged word counts; a Generate/Expand or gram-keyed exchange
+    // here means the corpus-sized gram shuffle came back
+    for (q <- Seq("bleu_eval", "rouge_eval")) {
+      val p = plan(q)
+      assert(p.contains("clipped_word_gram_matches"),
+        s"$q lost the compiled per-pair clip:\n$p")
+      assert(!p.contains("Generate") && !p.contains("Expand"),
+        s"$q grew a gram explode:\n$p")
+      assert(!p.contains("Window"), s"$q grew a window:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q lost its keyed pair join:\n$p")
+    }
   }
 
   test("round-11 pin: chrf_eval is one doc_id-keyed pair join + a map " +

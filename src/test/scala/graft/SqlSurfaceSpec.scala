@@ -44,6 +44,17 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(got == 1.5 * 3.0 + 2.0 * 0.5)
   }
 
+  test("clipped gram matches are SQL-callable in both char and word " +
+       "modes") {
+    val c = spark.sql("SELECT clipped_gram_matches('abab', 'ab', 2)")
+      .as[Long].head()
+    assert(c == 1L) // cand has 'ab'x2 'ba'x1; ref clips 'ab' at 1
+    val w = spark.sql(
+      "SELECT clipped_word_gram_matches('the cat sat', 'the cat', 2)")
+      .as[Long].head()
+    assert(w == 1L) // 'the cat' matches; 'cat sat' doesn't
+  }
+
   test("score_link is SQL-callable with the X1 weights") {
     val got = spark.sql(
       "SELECT score_link('http://x/topic', 'plain', 'topic here', 'topic')")
