@@ -464,6 +464,19 @@ object CorpusStats {
     * sketch itself is the POINT at 100 TB: cell state is constant-
     * sized while the exact table grows with the vocabulary.
     */
+  /** The d=4 (row, bucket) cells one word hashes into — the
+    * engine-portable md5-analog row hashes shared by the batch build
+    * ([[cmsFrequency]]) and the streaming twin
+    * ([[graft.streaming.StreamingOps.streamingCmsCells]]), extracted
+    * so the two sketches cannot silently diverge (the
+    * watermark-sweep shared-core discipline).
+    */
+  def cmsBuckets: Column = expr(
+    """transform(sequence(1, 4), j -> named_struct(
+      |  'rw', j,
+      |  'bucket', CAST(conv(substring(md5(concat(CAST(j AS STRING), word)), 1, 8), 16, 10) AS BIGINT) % 256))"""
+      .stripMargin)
+
   def cmsFrequency(spark: SparkSession, dir: String): DataFrame = {
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
@@ -471,11 +484,7 @@ object CorpusStats {
           Tables.documents(spark, dir).select(col("doc_id"), col("text")))
         .groupBy(col("word")).agg(count(lit(1)).as("c"))
       val wb = Fixpoint.locally(wc.select(col("word"), col("c"),
-          explode(expr(
-            """transform(sequence(1, 4), j -> named_struct(
-              |  'rw', j,
-              |  'bucket', CAST(conv(substring(md5(concat(CAST(j AS STRING), word)), 1, 8), 16, 10) AS BIGINT) % 256))"""
-              .stripMargin)).as("rb"))
+          explode(cmsBuckets).as("rb"))
         .select(col("word"), col("c"),
           col("rb.rw").as("rw"), col("rb.bucket").as("bucket")), locals)
       val cells = wb.groupBy(col("rw"), col("bucket"))

@@ -228,6 +228,27 @@ object StreamingOps {
         })
   }
 
+  /** Streaming Count-Min sketch build: the unbounded-stream twin of
+    * [[graft.etl.CorpusStats.cmsFrequency]]'s cell construction. Each
+    * word hashes into its d=4 cells (the SAME
+    * [[graft.etl.CorpusStats.cmsBuckets]] expression, so stream and
+    * batch sketches are bit-identical by construction) and an
+    * update/complete-mode aggregation maintains the running cell
+    * counts — state is exactly d × w = 1024 longs REGARDLESS of
+    * stream length or vocabulary size, the property that makes
+    * frequency counting safe on an unbounded stream where an exact
+    * per-word groupBy-count grows state per distinct key (the same
+    * constant-state argument as [[streamingHeavyHitters]], traded
+    * differently: MG keeps exact candidates for the head, CMS keeps
+    * one-sided estimates for EVERY key). StreamingSpec pins
+    * stream == batch cell-for-cell.
+    */
+  def streamingCmsCells(words: DataFrame): DataFrame =
+    words.select(explode(graft.etl.CorpusStats.cmsBuckets).as("rb"))
+      .select(col("rb.rw").as("rw"), col("rb.bucket").as("bucket"))
+      .groupBy(col("rw"), col("bucket"))
+      .agg(count(lit(1)).as("cell"))
+
   /** Streaming IVM: the stateful twin of `Changelog.ivmUpdate`. A
     * keyed stream of signed deltas (+1/+cents insert, −1/−cents
     * retraction; update = retract+insert) maintained by an update-mode

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamingOps
 
@@ -405,6 +406,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .map { case (qid, r, c, s) => FusedHit(qid, r, c, s) }.toSet
       assert(latest == batch,
         s"stream/batch drift: only-stream=${latest -- batch}, only-batch=${batch -- latest}")
+    } finally q.stop()
+  }
+
+  test("streaming CMS: cells after two micro-batches equal the batch " +
+       "sketch cell-for-cell; state is the 1024-cell constant") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val words = graft.etl.Shingles.words(
+        graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text")).limit(64))
+      .select("word").as[String].collect()
+    val (w1, w2) = words.splitAt(words.length / 2)
+    val src = MemoryStream[String]
+    val q = StreamingOps.streamingCmsCells(src.toDF().toDF("word"))
+      .writeStream.format("memory").queryName("cms_t")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      src.addData(w1.toSeq: _*)
+      q.processAllAvailable()
+      src.addData(w2.toSeq: _*)
+      q.processAllAvailable()
+      val stream = spark.table("cms_t")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(stream.size <= 4 * 256, "cell state exceeded d*w")
+      val batch = StreamingOps.streamingCmsCells(
+          words.toSeq.toDF("word"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(stream == batch,
+        s"stream/batch drift: only-stream=${stream -- batch}, " +
+          s"only-batch=${batch -- stream}")
     } finally q.stop()
   }
 
