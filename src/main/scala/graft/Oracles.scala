@@ -4700,6 +4700,46 @@ object Oracles {
         |  CAST((10000 * rel5) // 5 AS BIGINT) AS p5_bp
         |FROM m ORDER BY word""".stripMargin,
 
+    // MAP — mirrors TfIdf.apEval: mrr_eval's BM25 ranking and tf>=3
+    // truth, AP@10 with the 2520 = LCM(1..10) exact-precision trick,
+    // R = all relevant docs for the term.
+    "ap_eval" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word FROM docs),
+        |words AS (SELECT * FROM w0 WHERE length(word) > 0),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words
+        |       WHERE word IN ('spark','window','hash','merge','scan','batch','vector','filter')
+        |       GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+        |dfx AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |nn AS (SELECT count(*) AS n FROM docs),
+        |sd AS (SELECT sum(dl) AS sumdl FROM dl),
+        |sc AS (SELECT t.doc_id, t.word,
+        |         round(ln(1.0 + (CAST(n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5))
+        |           * (t.tf * 2.2)
+        |           / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * CAST(n AS DOUBLE) / CAST(sumdl AS DOUBLE))), 4) AS bm25,
+        |         CASE WHEN t.tf >= 3 THEN 1 ELSE 0 END AS rel
+        |       FROM tf t JOIN dfx f USING (word) JOIN dl d ON t.doc_id = d.doc_id, nn, sd),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY word
+        |        ORDER BY bm25 DESC, doc_id) AS INT) AS rk FROM sc),
+        |t10 AS (SELECT * FROM r WHERE rk <= 10),
+        |cum AS (SELECT word, rk, rel,
+        |          sum(rel) OVER (PARTITION BY word ORDER BY rk
+        |            ROWS UNBOUNDED PRECEDING) AS hits
+        |        FROM t10),
+        |pr AS (SELECT word, rel,
+        |         CASE WHEN rel = 1 THEN (2520 * hits) // rk ELSE 0 END AS prec_x2520
+        |       FROM cum),
+        |ag AS (SELECT word, sum(prec_x2520) AS sum_prec_x2520,
+        |         sum(rel) AS rel10 FROM pr GROUP BY word),
+        |rt AS (SELECT word, sum(rel) AS n_rel FROM sc GROUP BY word)
+        |SELECT word, CAST(n_rel AS BIGINT) AS n_rel,
+        |  CAST(rel10 AS BIGINT) AS rel10,
+        |  CAST(sum_prec_x2520 AS BIGINT) AS sum_prec_x2520,
+        |  CAST(CASE WHEN n_rel = 0 THEN 0
+        |    ELSE (10000 * sum_prec_x2520) // (2520 * n_rel) END AS BIGINT) AS ap_bp
+        |FROM ag JOIN rt USING (word) ORDER BY word""".stripMargin,
+
     // per-lang KS drift — mirrors CorpusStats.ksDrift (exact integer
     // CDFs over the bounded (lang, n_chars) histogram grid)
     "ks_drift" ->

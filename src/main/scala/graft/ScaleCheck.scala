@@ -100,7 +100,9 @@ object ScaleCheck {
     // round-11 wave 2: histogram-CDF windows over the 10× value grid
     // (w1), domain-sized Lorenz ranks (gini), corpus tokenize +
     // vocab agg under the ¾-power table (unigram)
-    "wasserstein_drift", "gini_concentration", "unigram_sampling")
+    "wasserstein_drift", "gini_concentration", "unigram_sampling",
+    // round-11 wave 4: MAP over the corpus tokenize + term ranking
+    "ap_eval")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

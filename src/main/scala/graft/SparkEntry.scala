@@ -515,7 +515,9 @@ object SparkEntry {
     // per-lang Gini coefficient of source concentration
     "gini_concentration" -> (CorpusStats.giniConcentration _),
     // word2vec 3/4-power negative-sampling table (nested exact isqrt)
-    "unigram_sampling" -> (CorpusStats.unigramSampling _)
+    "unigram_sampling" -> (CorpusStats.unigramSampling _),
+    // MAP: AP@10 per query term on the mrr_eval ranking/truth
+    "ap_eval" -> (TfIdf.apEval _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

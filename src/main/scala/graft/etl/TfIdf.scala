@@ -442,6 +442,66 @@ object TfIdf {
       .orderBy("word")
   }
 
+  /** Mean-average-precision eval — AP@10 per query term over the SAME
+    * BM25 ranking and tf ≥ 3 relevance truth as [[mrrEval]] (MRR sees
+    * only the FIRST hit, nDCG needs graded labels; AP is the standard
+    * binary-relevance summary of the whole ranked prefix, TREC's
+    * primary metric). AP@10 = (Σ_{k ≤ 10, rel_k} prec@k) / R with
+    * R = ALL relevant docs for the term (not just the ranked prefix —
+    * a term whose relevant set outruns the cutoff cannot reach 1,
+    * standard truncated-MAP semantics). Exactness: prec@k = hits@k/k
+    * is held integer by the 2520 = LCM(1..10) trick —
+    * (2520·hits) div k is EXACT (k | 2520), so the per-term sum is an
+    * exact rational numerator and the one surface division is
+    * ap_bp = (10000·Σ) div (2520·R), guarded for R = 0.
+    *
+    * Scale posture: the term-scored frame is staged once (it feeds
+    * both the ranked prefix and the relevant-total agg — unstaged,
+    * the corpus tokenize would replay per consumer); the rank and
+    * cumulative-hits windows partition by term over ≤ 10 rows each;
+    * output is bounded by the EvalTerms domain.
+    */
+  def apEval(spark: SparkSession, dir: String): DataFrame = {
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val words = Shingles.words(docs)
+      val tf = words.filter(col("word").isin(EvalTerms: _*))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val sumDl = dl.agg(sum(col("dl"))).head.getLong(0)
+      val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) +
+        (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val denom = col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") * lit(n.toDouble) / lit(sumDl.toDouble))
+      val scored = Fixpoint.locally(tf.join(dfq, Seq("word")).join(dl, Seq("doc_id"))
+        .withColumn("bm25", round(idf * (col("tf") * lit(2.2)) / denom, 4))
+        .withColumn("rel", when(col("tf") >= 3, 1L).otherwise(0L)), locals)
+      val w = Window.partitionBy(col("word"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+      val wc = Window.partitionBy(col("word")).orderBy(col("rk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .withColumn("hits", sum(col("rel")).over(wc))
+        .withColumn("prec_x2520",
+          when(col("rel") === 1, expr("(2520 * hits) div rk"))
+            .otherwise(lit(0L)))
+      val relTot = scored.groupBy(col("word")).agg(sum(col("rel")).as("n_rel"))
+      Fixpoint.reliably(cum.groupBy(col("word"))
+        .agg(sum(col("prec_x2520")).as("sum_prec_x2520"),
+          sum(col("rel")).as("rel10"))
+        .join(relTot, Seq("word"))
+        .withColumn("ap_bp", when(col("n_rel") === 0, lit(0L))
+          .otherwise(expr("(10000 * sum_prec_x2520) div (2520 * n_rel)")))
+        .select(col("word"), col("n_rel"), col("rel10"),
+          col("sum_prec_x2520"), col("ap_bp"))
+        .orderBy("word"))
+    } finally Fixpoint.releaseAll(locals)
+  }
+
   /** Graded ranking eval: nDCG@5 per query term, [[mrrEval]]'s binary
     * metrics upgraded to graded relevance (rel = 2 for tf ≥ 5, 1 for
     * tf ≥ 3, 0 otherwise — the multi-level judgments real eval sets

@@ -570,6 +570,23 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(clippedWords(u("a"), u("a b"), 2) == 0L)             // short side
   }
 
+  test("apEval: contiguous relevant head scores 10000, zero-relevant " +
+       "term guards to 0, R counts ALL relevant docs") {
+    // 'spark': docs 0,1 are relevant (tf>=3) and outrank doc 2
+    // (saturating tf) -> AP = (prec@1 + prec@2)/2 = 1 -> 10000 bp,
+    // sum_prec_x2520 = 2520 + 2520; 'window': present but never
+    // tf>=3 -> n_rel = 0 -> guarded 0
+    val d = java.nio.file.Files.createTempDirectory("graft_ap_")
+    Seq((0L, "spark spark spark"), (1L, "spark spark spark spark"),
+      (2L, "spark pad"), (3L, "window pad pad"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.TfIdf.apEval(spark, d.toString)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("spark", 2L, 2L, 5040L, 10000L),
+      ("window", 0L, 0L, 0L, 0L)), got.toString)
+  }
+
   test("adaptiveBits: floor 3 at the verified scale, grows as " +
        "ceil(log2(n/1000)), caps at 12") {
     import graft.etl.GraphCuration.adaptiveBits

@@ -57,7 +57,10 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkTestBase {
       "dedup_components", "cluster_sizes", "mmr_diversify", "ivf_sweep",
       "knn_pq_trained", "pca_power", "survival_hazard", "conversion_lag",
       "slo_burn", "bpe_train", "page_id_gen", "bloom_prefilter",
-      "t_closeness")
+      "t_closeness",
+      // round-11 eager operators (locally-staged + reliable final)
+      "bleu_eval", "rouge_eval", "chrf_eval", "wer_eval", "rbo_overlap",
+      "cms_frequency", "ap_eval")
     qs.foreach { name =>
       assert(SparkEntry.queries(name)(spark, dir).count() > 0,
         s"$name returned no rows")
