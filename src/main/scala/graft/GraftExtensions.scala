@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, If, Least, Literal, RLike}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, DotProduct, SkipUrl}
+import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, CmsSketchAgg, DotProduct, SkipUrl}
 
 /** SQL surface of the engine's custom pieces, registered through
   * SparkSessionExtensions (spark.sql.extensions-compatible, so a
@@ -17,6 +17,7 @@ import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, D
   *   skip_url(url)                  F1 reference skip-list predicate
   *   clipped_gram_matches(c, r, n)  paired-eval char-n-gram clip (chrF)
   *   clipped_word_gram_matches(c, r, n)  word-n-gram clip (BLEU/ROUGE)
+  *   cms_sketch(word)               native Count-Min aggregate (1024 cells)
   *
   * Planner surface: [[graft.plans.GroupTopKStrategy]] (round 3) plans
   * the native [[graft.plans.GroupTopK]] top-k-per-group operator —
@@ -52,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("clipped_word_gram_matches",
         "clipped_word_gram_matches(cand, ref, n) - sum_g min(count_c, count_r) over word n-grams"),
       (exprs: Seq[Expression]) => ClippedWordGramMatches(exprs(0), exprs(1), exprs(2))))
+
+    e.injectFunction((FunctionIdentifier("cms_sketch"),
+      info("cms_sketch",
+        "cms_sketch(word) - d=4 x w=256 Count-Min sketch cells (aggregate)"),
+      (exprs: Seq[Expression]) => CmsSketchAgg(exprs.head)))
 
     e.injectFunction((FunctionIdentifier("skip_url"),
       info("skip_url", "skip_url(url) - true iff the reference skip lists match"),

@@ -6229,6 +6229,26 @@ object Oracles {
         |GROUP BY word
         |ORDER BY exact DESC, word ASC LIMIT 20""".stripMargin,
 
+    // Identical audit surface through the native sketch aggregate —
+    // cells are bit-identical by construction, so the oracle is
+    // cms_frequency's verbatim.
+    "cms_native" ->
+      """WITH w0 AS (
+        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w0
+        |       WHERE length(word) > 0 GROUP BY word),
+        |wb AS (SELECT word, c, j AS rw,
+        |         CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), word)), 1, 8))
+        |           AS BIGINT) % 256 AS bucket
+        |       FROM wc, (SELECT unnest(generate_series(1, 4)) AS j)),
+        |cells AS (SELECT rw, bucket, sum(c) AS cell FROM wb GROUP BY rw, bucket)
+        |SELECT word, max(c) AS exact, min(cell) AS est_cms,
+        |  min(cell) - max(c) AS over_count
+        |FROM wb JOIN cells USING (rw, bucket)
+        |GROUP BY word
+        |ORDER BY exact DESC, word ASC LIMIT 20""".stripMargin,
+
     // W1 drift — mirrors CorpusStats.wassersteinDrift: histogram CDFs
     // per lang vs rest, cross-multiplied gap × next-value delta summed
     // through HUGEINT, one normalizing division at the surface.

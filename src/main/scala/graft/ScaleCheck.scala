@@ -101,8 +101,9 @@ object ScaleCheck {
     // (w1), domain-sized Lorenz ranks (gini), corpus tokenize +
     // vocab agg under the ¾-power table (unigram)
     "wasserstein_drift", "gini_concentration", "unigram_sampling",
-    // round-11 wave 4: MAP over the corpus tokenize + term ranking
-    "ap_eval")
+    // round-11 wave 4: MAP over the corpus tokenize + term ranking,
+    // and the native-aggregate sketch build (constant shuffle payload)
+    "ap_eval", "cms_native")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

@@ -517,7 +517,9 @@ object SparkEntry {
     // word2vec 3/4-power negative-sampling table (nested exact isqrt)
     "unigram_sampling" -> (CorpusStats.unigramSampling _),
     // MAP: AP@10 per query term on the mrr_eval ranking/truth
-    "ap_eval" -> (TfIdf.apEval _)
+    "ap_eval" -> (TfIdf.apEval _),
+    // CMS audit through the native TypedImperativeAggregate sketch
+    "cms_native" -> (CorpusStats.cmsNative _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

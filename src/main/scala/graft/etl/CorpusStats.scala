@@ -499,6 +499,46 @@ object CorpusStats {
     } finally Fixpoint.releaseAll(locals)
   }
 
+  /** The Count-Min audit of [[cmsFrequency]] rebuilt through the NATIVE
+    * sketch aggregate ([[graft.functions.CmsSketchAgg]], a
+    * TypedImperativeAggregate): the whole corpus folds into ONE
+    * 1024-long buffer — each task sketches its partition locally and
+    * the partials merge elementwise up the aggregation tree, so the
+    * shuffle moves exactly 1024 longs per partition regardless of
+    * vocabulary size (the relational build shuffles a vocab-sized
+    * count frame first; at 100 TB the aggregate form is the one a
+    * streaming/counting service deploys). Cells are bit-identical to
+    * [[cmsFrequency]]'s by construction (same portable md5 row
+    * hashes), so the audit output — and the DuckDB oracle — are
+    * exactly cms_frequency's.
+    */
+  def cmsNative(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsSketchFunctions.cmsSketch
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val words = Shingles.words(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+        .select(col("word"))
+      val cells = words.agg(cmsSketch(col("word")).as("cells"))
+        .select(posexplode(col("cells")))
+        .select((expr("pos div 256") + 1).as("rw"),
+          (col("pos") % 256).cast("bigint").as("bucket"),
+          col("col").as("cell"))
+      val wb = Fixpoint.locally(words.groupBy(col("word"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("word"), col("c"), explode(cmsBuckets).as("rb"))
+        .select(col("word"), col("c"),
+          col("rb.rw").as("rw"), col("rb.bucket").as("bucket")), locals)
+      Fixpoint.reliably(wb.join(broadcast(cells), Seq("rw", "bucket"))
+        .groupBy(col("word"))
+        .agg(max(col("c")).as("exact"), min(col("cell")).as("est_cms"))
+        .withColumn("over_count", col("est_cms") - col("exact"))
+        .select(col("word"), col("exact"), col("est_cms"), col("over_count"))
+        .orderBy(col("exact").desc, col("word").asc)
+        .limit(20))
+    } finally Fixpoint.releaseAll(locals)
+  }
+
   /** word2vec/NCE negative-sampling table (Mikolov et al. 2013): the
     * unigram distribution raised to the 3/4 power — the smoothing that
     * up-weights tail words enough to make useful negatives without

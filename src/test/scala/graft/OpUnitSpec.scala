@@ -587,6 +587,40 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
       ("window", 0L, 0L, 0L, 0L)), got.toString)
   }
 
+  test("CmsSketch: bucket replicates the SQL md5 analog exactly; " +
+       "merge is elementwise-associative; the aggregate's cells equal " +
+       "the relational groupBy build") {
+    import graft.functions.{CmsSketch, CmsSketchAgg}
+    // bucket == conv(substring(md5(concat(j, word)), 1, 8), 16, 10) % 256
+    val fromSql = spark.sql(
+      "SELECT CAST(conv(substring(md5(concat('2', 'spark')), 1, 8), 16, 10) " +
+        "AS BIGINT) % 256").collect().head.getLong(0)
+    assert(CmsSketch.bucket(2, "spark") == fromSql.toInt)
+    // merge associativity on hand buffers
+    val agg = CmsSketchAgg(org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    def buf(pairs: (Int, Long)*): Array[Long] = {
+      val b = agg.createAggregationBuffer()
+      pairs.foreach { case (i, v) => b(i) = v }; b
+    }
+    val m = agg.merge(buf(0 -> 1L, 5 -> 2L), buf(5 -> 3L, 1023 -> 4L))
+    assert(m(0) == 1L && m(5) == 5L && m(1023) == 4L)
+    // round-trip serialization
+    assert(agg.deserialize(agg.serialize(m)).toSeq == m.toSeq)
+    // aggregate cells == the relational build (streamingCmsCells core)
+    import graft.functions.CmsSketchFunctions.cmsSketch
+    val words = Seq("a", "b", "a", "c", "a", "b").toDF("word")
+    val fromAgg = words.agg(cmsSketch(col("word")).as("cells"))
+      .select(posexplode(col("cells")))
+      .select(expr("CAST(pos div 256 + 1 AS BIGINT)").as("rw"),
+        (col("pos") % 256).cast("long").as("bucket"), col("col").as("cell"))
+      .filter(col("cell") > 0)
+      .as[(Long, Long, Long)].collect().toSet
+    val fromGroupBy = graft.streaming.StreamingOps.streamingCmsCells(words)
+      .select(col("rw").cast("long"), col("bucket").cast("long"), col("cell"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fromAgg == fromGroupBy, s"agg=$fromAgg groupBy=$fromGroupBy")
+  }
+
   test("adaptiveBits: floor 3 at the verified scale, grows as " +
        "ceil(log2(n/1000)), caps at 12") {
     import graft.etl.GraphCuration.adaptiveBits

@@ -1083,6 +1083,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!cp.contains("CartesianProduct"), cp)
   }
 
+  test("round-11 pin: cms_native sketches through a PARTIAL native " +
+       "aggregate — map-side sketch merge, 1024-long shuffle payload") {
+    val p = plan("cms_native")
+    assert(p.contains("partial_cms_sketch"),
+      s"cms_native lost the partial sketch aggregation:\n$p")
+    assert(p.contains("cms_sketch"),
+      s"cms_native must aggregate through the native sketch:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("round-10 pin: t_closeness scans customer once; all downstream " +
        "work lives on the class grid") {
     // eager operator since round 11 (locally-staged QI×band agg +

@@ -55,6 +55,15 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(w == 1L) // 'the cat' matches; 'cat sat' doesn't
   }
 
+  test("cms_sketch is SQL-callable as an aggregate: 1024 cells, total " +
+       "mass = depth x rows") {
+    val cells = spark.sql(
+      "SELECT cms_sketch(w) FROM VALUES ('a'), ('b'), ('a') AS t(w)")
+      .as[Seq[Long]].head()
+    assert(cells.length == 1024)
+    assert(cells.sum == 4L * 3) // every row lands in all 4 sketch rows
+  }
+
   test("score_link is SQL-callable with the X1 weights") {
     val got = spark.sql(
       "SELECT score_link('http://x/topic', 'plain', 'topic here', 'topic')")
