@@ -6249,6 +6249,73 @@ object Oracles {
         |GROUP BY word
         |ORDER BY exact DESC, word ASC LIMIT 20""".stripMargin,
 
+    // Newman modularity of the label_prop partition — same kNN-graph +
+    // 2-round propagation CTEs as label_prop, then labeled-subgraph
+    // edge scoring in exact 1/(4m^2) units (no division anywhere).
+    "modularity" -> {
+      val p =
+        """b AS (SELECT vec_id, embedding,
+          |        CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
+          |             (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+          |             (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
+          |      FROM embeddings),
+          |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+          |      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)""".stripMargin
+      s"""WITH ${cosineFrom(p, "")},
+         |r AS (SELECT qid, cid, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+         |      FROM s),
+         |k AS (SELECT qid, cid FROM r WHERE rk <= 5),
+         |eg AS (SELECT a.qid AS src, a.cid AS dst
+         |       FROM k a JOIN k m ON a.qid = m.cid AND a.cid = m.qid
+         |       WHERE a.qid < a.cid),
+         |adj AS (SELECT src AS node, dst AS nbr FROM eg
+         |        UNION ALL SELECT dst AS node, src AS nbr FROM eg),
+         |seeds AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS lp_label,
+         |            0 AS lp_round
+         |          FROM embeddings WHERE vec_id % 4 = 0),
+         |v1 AS (SELECT adj.node, sd.lp_label, count(*) AS n
+         |       FROM adj JOIN seeds sd ON adj.nbr = sd.node
+         |       WHERE adj.node NOT IN (SELECT node FROM seeds)
+         |       GROUP BY adj.node, sd.lp_label),
+         |w1 AS (SELECT node, lp_label,
+         |         row_number() OVER (PARTITION BY node ORDER BY n DESC, lp_label) AS rk
+         |       FROM v1),
+         |l1 AS (SELECT node, lp_label FROM seeds
+         |       UNION ALL
+         |       SELECT node, lp_label FROM w1 WHERE rk = 1),
+         |v2 AS (SELECT adj.node, l.lp_label, count(*) AS n
+         |       FROM adj JOIN l1 l ON adj.nbr = l.node
+         |       WHERE adj.node NOT IN (SELECT node FROM l1)
+         |       GROUP BY adj.node, l.lp_label),
+         |w2 AS (SELECT node, lp_label,
+         |         row_number() OVER (PARTITION BY node ORDER BY n DESC, lp_label) AS rk
+         |       FROM v2),
+         |l2 AS (SELECT node, lp_label FROM l1
+         |       UNION ALL
+         |       SELECT node, lp_label FROM w2 WHERE rk = 1),
+         |le AS (SELECT a.lp_label AS la, bb.lp_label AS lb
+         |       FROM eg JOIN l2 a ON a.node = eg.src
+         |               JOIN l2 bb ON bb.node = eg.dst),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM le),
+         |deg AS (SELECT lp_label, CAST(count(*) AS BIGINT) AS degree_sum FROM
+         |          (SELECT la AS lp_label FROM le
+         |           UNION ALL SELECT lb AS lp_label FROM le)
+         |        GROUP BY lp_label),
+         |intra AS (SELECT la AS lp_label, CAST(count(*) AS BIGINT) AS intra_edges
+         |          FROM le WHERE la = lb GROUP BY la),
+         |nodes AS (SELECT lp_label, CAST(count(*) AS BIGINT) AS n_nodes
+         |          FROM l2 GROUP BY lp_label)
+         |SELECT n.lp_label, n.n_nodes,
+         |  coalesce(i.intra_edges, 0) AS intra_edges,
+         |  coalesce(d.degree_sum, 0) AS degree_sum, mm.m,
+         |  4 * mm.m * coalesce(i.intra_edges, 0)
+         |    - coalesce(d.degree_sum, 0) * coalesce(d.degree_sum, 0) AS q_x4m2
+         |FROM nodes n LEFT JOIN intra i USING (lp_label)
+         |  LEFT JOIN deg d USING (lp_label) CROSS JOIN mm
+         |ORDER BY n.lp_label""".stripMargin
+    },
+
     // W1 drift — mirrors CorpusStats.wassersteinDrift: histogram CDFs
     // per lang vs rest, cross-multiplied gap × next-value delta summed
     // through HUGEINT, one normalizing division at the surface.

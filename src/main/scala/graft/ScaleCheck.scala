@@ -103,7 +103,9 @@ object ScaleCheck {
     "wasserstein_drift", "gini_concentration", "unigram_sampling",
     // round-11 wave 4: MAP over the corpus tokenize + term ranking,
     // and the native-aggregate sketch build (constant shuffle payload)
-    "ap_eval", "cms_native")
+    "ap_eval", "cms_native",
+    // round-11 wave 5: community-quality aggs over the 10x kNN graph
+    "modularity")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

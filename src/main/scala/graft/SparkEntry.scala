@@ -519,7 +519,9 @@ object SparkEntry {
     // MAP: AP@10 per query term on the mrr_eval ranking/truth
     "ap_eval" -> (TfIdf.apEval _),
     // CMS audit through the native TypedImperativeAggregate sketch
-    "cms_native" -> (CorpusStats.cmsNative _)
+    "cms_native" -> (CorpusStats.cmsNative _),
+    // Newman modularity of the label_prop partition (1/(4m^2) units)
+    "modularity" -> ((s, d) => GraphCuration.modularity(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -120,6 +120,18 @@ object GraphCuration {
     // verified query keeps bits=3 (oracle config); pass AutoBits for
     // the corpus-scaled blocking
     val edges = knnGraphEdges(spark, dir, bits)
+    lpRounds(spark, dir, edges)
+      .select(col("node").as("vec_id"), col("lp_round"), col("lp_label"))
+      .orderBy("vec_id")
+  }
+
+  /** The propagation core of [[labelProp]] over a PRECOMPUTED edge
+    * frame (extracted so [[modularity]] scores the same partition
+    * without rebuilding the kNN graph): seeds + 2 unrolled majority-
+    * vote rounds, returning (node, lp_round, lp_label).
+    */
+  private def lpRounds(spark: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
     // undirected adjacency
     val adj = edges.select(col("src").as("node"), col("dst").as("nbr"))
       .union(edges.select(col("dst").as("node"), col("src").as("nbr")))
@@ -143,9 +155,68 @@ object GraphCuration {
     }
 
     // 2 unrolled rounds; >4 needs per-round localCheckpoint() (see scaladoc)
-    val r2 = propagate(propagate(seeds, 1), 2)
-    r2.select(col("node").as("vec_id"), col("lp_round"), col("lp_label"))
-      .orderBy("vec_id")
+    propagate(propagate(seeds, 1), 2)
+  }
+
+  /** Newman modularity of the [[labelProp]] partition over the
+    * mutual-kNN graph (Newman 2006, "Modularity and community
+    * structure in networks") — the community-QUALITY audit run after
+    * any propagation/clustering step: Q = Σ_c [L_c/m − (d_c/2m)²]
+    * compares each community's intra-edge share against what a random
+    * degree-preserving rewiring would give; Q ≈ 0 means the partition
+    * explains nothing, Q → 1 means dense communities with sparse
+    * cut. Restricted to the LABELED subgraph (both endpoints labeled
+    * by round 2 — unlabeled nodes have no community to score).
+    *
+    * Exactness: NO division anywhere — per community the contribution
+    * is reported in exact 1/(4m²) units: q_x4m2 = 4m·L_c − d_c²
+    * (Σ over rows, divided by 4m², is the real-valued Q). All-one-
+    * community corpora score Σ q_x4m2 = 4m·m − (2m)² = 0, the classic
+    * null. 64-bit headroom: |q_x4m2| ≤ 4m² — overflow needs m ≥
+    * ~1.5·10⁹ labeled kNN edges (≈ 3·10⁸ vectors at k=5), far beyond
+    * the int64 corpora this library targets; past that, promote the
+    * two products to decimal(38,0) unchanged.
+    *
+    * Scale posture: the kNN edge frame is built ONCE and staged (it
+    * feeds propagation and the scoring joins); labels stage once
+    * (three consumers); the scored-edge frame is (src)(dst)-keyed
+    * equi-joins; every aggregate is community-keyed (domain-sized
+    * output) plus one 1-row m broadcast. No window beyond
+    * propagation's per-node vote rank, no division, no cartesian.
+    */
+  def modularity(spark: SparkSession, dir: String,
+      bits: Int = 3): DataFrame = {
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val edges = Fixpoint.locally(knnGraphEdges(spark, dir, bits), locals)
+      val lbl = Fixpoint.locally(lpRounds(spark, dir, edges)
+        .select(col("node"), col("lp_label")), locals)
+      val le = Fixpoint.locally(edges
+        .join(lbl.select(col("node").as("src"), col("lp_label").as("la")),
+          Seq("src"))
+        .join(lbl.select(col("node").as("dst"), col("lp_label").as("lb")),
+          Seq("dst"))
+        .select(col("la"), col("lb")), locals)
+      val mdf = le.agg(count(lit(1)).as("m"))
+      val deg = le.select(col("la").as("lp_label"))
+        .unionAll(le.select(col("lb").as("lp_label")))
+        .groupBy(col("lp_label")).agg(count(lit(1)).as("degree_sum"))
+      val intra = le.filter(col("la") === col("lb"))
+        .groupBy(col("la").as("lp_label"))
+        .agg(count(lit(1)).as("intra_edges"))
+      val nodes = lbl.groupBy(col("lp_label")).agg(count(lit(1)).as("n_nodes"))
+      Fixpoint.reliably(nodes
+        .join(intra, Seq("lp_label"), "left")
+        .join(deg, Seq("lp_label"), "left")
+        .crossJoin(broadcast(mdf))
+        .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+        .withColumn("degree_sum", coalesce(col("degree_sum"), lit(0L)))
+        .withColumn("q_x4m2",
+          expr("4 * m * intra_edges - degree_sum * degree_sum"))
+        .select(col("lp_label"), col("n_nodes"), col("intra_edges"),
+          col("degree_sum"), col("m"), col("q_x4m2"))
+        .orderBy("lp_label"))
+    } finally Fixpoint.releaseAll(locals)
   }
 
   /** 3-core of the crawl link graph after 3 peel rounds: repeatedly

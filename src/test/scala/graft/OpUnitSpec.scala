@@ -621,6 +621,25 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(fromAgg == fromGroupBy, s"agg=$fromAgg groupBy=$fromGroupBy")
   }
 
+  test("modularity: a single-community graph scores exactly 0 (the " +
+       "classic null: 4m*m - (2m)^2), degree_sum = 2*intra = 2m") {
+    // identical labels everywhere -> every labeled edge is intra;
+    // positive-heavy embeddings cluster in one sign bucket so the
+    // mutual-kNN graph has edges
+    val d = java.nio.file.Files.createTempDirectory("graft_mod_")
+    val vecs = (0L until 8L).map { i =>
+      (i, Seq.tabulate(8)(j => 0.5f + 0.01f * (i + j).toFloat), 7)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(d.resolve("embeddings.parquet").toString)
+    val got = graft.etl.GraphCuration.modularity(spark, d.toString)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 1, got.toString)
+    val (label, _, intra, degSum, m, q) = got.head
+    assert(label == 7L && m > 0, got.toString)
+    assert(intra == m && degSum == 2 * m && q == 0L, got.toString)
+  }
+
   test("adaptiveBits: floor 3 at the verified scale, grows as " +
        "ceil(log2(n/1000)), caps at 12") {
     import graft.etl.GraphCuration.adaptiveBits

@@ -1093,6 +1093,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("round-11 pin: modularity builds the kNN graph ONCE — staged " +
+       "edges feed propagation and scoring; community-keyed aggs only") {
+    // eager operator: the edge frame and labels are local checkpoints;
+    // the final plan joins domain-sized aggregates + a 1-row broadcast
+    val p = plan("modularity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"modularity lost the 1-row m broadcast:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("SinglePartition")),
+      s"modularity grew an unpartitioned window:\n$p")
+  }
+
   test("round-10 pin: t_closeness scans customer once; all downstream " +
        "work lives on the class grid") {
     // eager operator since round 11 (locally-staged QI×band agg +
