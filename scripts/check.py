@@ -19,6 +19,31 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     return df.reset_index(drop=True)
 
+def dtype_kind(dt) -> str:
+    """Coarse dtype class for the strictness gate: the driver hashes
+    exact value reprs, so an int64 Spark column vs a float64 oracle
+    column (e.g. DuckDB sum(BIGINT) -> HUGEINT -> pandas float64)
+    hash-mismatches even when every value is numerically identical."""
+    k = getattr(dt, "kind", "?")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "other"
+
+def dtype_mismatch(g: pd.DataFrame, e: pd.DataFrame):
+    """Return list of (col, spark_dtype, oracle_dtype) where the dtype
+    CLASS differs (int vs float vs bool). Mirrors the driver's hash
+    strictness that check_dtype=False used to hide."""
+    bad = []
+    for c in g.columns:
+        kg, ke = dtype_kind(g[c].dtype), dtype_kind(e[c].dtype)
+        if kg != ke:
+            bad.append((c, str(g[c].dtype), str(e[c].dtype)))
+    return bad
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -50,6 +75,11 @@ def main():
             continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            n_fail += 1
+            continue
+        dk = dtype_mismatch(g, e)
+        if dk:
+            print(f"FAIL {name}: dtype-class mismatch (spark vs oracle): {dk}")
             n_fail += 1
             continue
         try:

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, If, Least, Literal, RLike}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, CmsSketchAgg, DotProduct, SkipUrl}
+import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, CmsLookup, CmsSketchAgg, DotProduct, HllEstimate, HllSketchAgg, SkipUrl}
 
 /** SQL surface of the engine's custom pieces, registered through
   * SparkSessionExtensions (spark.sql.extensions-compatible, so a
@@ -18,6 +18,9 @@ import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, C
   *   clipped_gram_matches(c, r, n)  paired-eval char-n-gram clip (chrF)
   *   clipped_word_gram_matches(c, r, n)  word-n-gram clip (BLEU/ROUGE)
   *   cms_sketch(word)               native Count-Min aggregate (1024 cells)
+  *   cms_lookup(sketch, word)       point query: min over the 4 hashed cells
+  *   hll_sketch(v)                  native HLL aggregate (p=12, 4096 bytes)
+  *   hll_estimate(regs)             cardinality estimate from a register file
   *
   * Planner surface: [[graft.plans.GroupTopKStrategy]] (round 3) plans
   * the native [[graft.plans.GroupTopK]] top-k-per-group operator —
@@ -58,6 +61,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cms_sketch",
         "cms_sketch(word) - d=4 x w=256 Count-Min sketch cells (aggregate)"),
       (exprs: Seq[Expression]) => CmsSketchAgg(exprs.head)))
+
+    e.injectFunction((FunctionIdentifier("cms_lookup"),
+      info("cms_lookup",
+        "cms_lookup(sketch, word) - one-sided-high point estimate from cms_sketch cells"),
+      (exprs: Seq[Expression]) => CmsLookup(exprs(0), exprs(1))))
+
+    e.injectFunction((FunctionIdentifier("hll_sketch"),
+      info("hll_sketch",
+        "hll_sketch(v) - p=12 HyperLogLog register file (aggregate, 4096 bytes)"),
+      (exprs: Seq[Expression]) => HllSketchAgg(exprs.head)))
+
+    e.injectFunction((FunctionIdentifier("hll_estimate"),
+      info("hll_estimate",
+        "hll_estimate(regs) - cardinality estimate from hll_sketch registers"),
+      (exprs: Seq[Expression]) => HllEstimate(exprs.head)))
 
     e.injectFunction((FunctionIdentifier("skip_url"),
       info("skip_url", "skip_url(url) - true iff the reference skip lists match"),

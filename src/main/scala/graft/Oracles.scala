@@ -8,6 +8,13 @@ package graft
   *    replace-all semantics matter;
   *  - integer results cast to Spark's output width (row_number/size/length
   *    → INT, integer sums → BIGINT: DuckDB widens to HUGEINT otherwise);
+  *  - the HUGEINT rule is TRANSITIVE: every aggregate in a FINAL
+  *    projection — or any intermediate feeding one UNCAST (a CTE's
+  *    `sum(c) AS cell` later surfaced via `min(cell)`) — must be CAST,
+  *    because DuckDB sum(BIGINT)→HUGEINT reaches pandas as float64 and
+  *    the driver's exact hash rejects int64-vs-float64 even when every
+  *    value matches (round-11 cms_frequency/cms_native defect;
+  *    scripts/check.py now fails dtype-class mismatches for this);
   *  - double aggregates rounded identically on both sides;
   *  - every query is totally ordered by a unique key.
   *
@@ -1718,6 +1725,48 @@ object Oracles {
         |       ELSE 'graphic' END AS category
         |FROM f ORDER BY asset_id""".stripMargin,
 
+    // Deterministic structured image description — mirrors
+    // Multimodal.imageDescribe: image_classify's feature frame
+    // templated into size-band/orientation/category/dimensions/
+    // detail/tone prose.
+    "image_describe" ->
+      """WITH h AS (SELECT doc_id AS asset_id,
+        |    CAST(concat('0x', substr(md5(coalesce(text, '')), 1, 6)) AS BIGINT) AS hh
+        |  FROM documents),
+        |f AS (SELECT asset_id,
+        |    CAST(hh % 1200 + 1 AS INT) AS img_w,
+        |    CAST((hh // 1200) % 800 + 1 AS INT) AS img_h,
+        |    CAST((hh // 7) % 120 AS INT) AS colorfulness,
+        |    CAST((hh // 11) % 4000 AS INT) AS edge_bp,
+        |    CAST((hh // 13) % 10000 AS INT) AS dominant_bp
+        |  FROM h),
+        |k AS (SELECT asset_id, img_w, img_h, colorfulness, edge_bp,
+        |    CASE WHEN img_w < 50 OR img_h < 50
+        |           OR greatest(img_w, img_h) > least(img_w, img_h) * 8 THEN 'decorative'
+        |         WHEN colorfulness < 24 AND edge_bp >= 1500 THEN 'text'
+        |         WHEN dominant_bp >= 5000 THEN 'graphic'
+        |         WHEN colorfulness >= 24 AND dominant_bp < 2500 THEN 'photo'
+        |         ELSE 'graphic' END AS category
+        |  FROM f),
+        |t AS (SELECT asset_id, img_w, img_h, category,
+        |    CASE WHEN img_w * img_h >= 400000 THEN 'large'
+        |         WHEN img_w * img_h >= 100000 THEN 'medium'
+        |         ELSE 'small' END AS size_band,
+        |    CASE WHEN img_w > img_h THEN 'landscape'
+        |         WHEN img_w < img_h THEN 'portrait'
+        |         ELSE 'square' END AS orientation,
+        |    CASE WHEN edge_bp >= 2000 THEN 'high' ELSE 'low' END AS detail,
+        |    CASE WHEN colorfulness >= 60 THEN 'vivid'
+        |         WHEN colorfulness >= 24 THEN 'colorful'
+        |         ELSE 'muted' END AS tone
+        |  FROM k)
+        |SELECT asset_id, img_w, img_h, category,
+        |  'a ' || size_band || ' ' || orientation || ' ' || category ||
+        |    ' image, ' || CAST(img_w AS VARCHAR) || 'x' ||
+        |    CAST(img_h AS VARCHAR) || ' px, ' || detail || ' detail, ' ||
+        |    tone || ' tone' AS description
+        |FROM t ORDER BY asset_id""".stripMargin,
+
     // ---- image pipeline ----
     "image_filter" ->
       """WITH imgs AS (
@@ -1786,6 +1835,16 @@ object Oracles {
     // HLL error-band audit (see the error-band note above): exact
     // distincts with approx_ok asserted TRUE
     "distinct_sketch" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(*) AS n_rows,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Native-HLL audit — mirrors Router.hllNative: same error-band
+    // discipline as distinct_sketch (the estimate stays in-engine; the
+    // oracle asserts the 10% band flag), exact columns recomputed.
+    "hll_native" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  count(*) AS n_rows,
@@ -6096,6 +6155,62 @@ object Oracles {
         |    AS chrf2_bp
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // Paired-bootstrap system comparison — mirrors
+    // TextAnalysis.evalSignificance: system A = full candidate, B =
+    // first ⌈w/2⌉ words, unigram clipped precision bp vs the shared
+    // reference, pair deltas re-weighted by the bootstrap_mean Poisson
+    // draw. Only POSITIVE totals are divided (Spark div truncates
+    // toward zero, DuckDB // floors — they differ on negatives); the
+    // replicate surfaces the exact weighted SUM and its sign.
+    "eval_significance" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(coalesce(text, ''), ' '),
+        |      w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw FROM d),
+        |p AS (SELECT c.doc_id, c.ws AS cws, r.ws AS rws, c.nw,
+        |        (c.nw + 1) // 2 AS hw
+        |      FROM n c JOIN n r ON r.doc_id = c.doc_id + 1
+        |      WHERE c.doc_id % 2 = 0 AND c.nw >= 2 AND r.nw >= 2),
+        |fcg AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM
+        |          (SELECT doc_id, unnest(cws) AS w FROM p)
+        |        GROUP BY doc_id, w),
+        |hcg AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM
+        |          (SELECT doc_id, unnest(list_slice(cws, 1, hw)) AS w FROM p)
+        |        GROUP BY doc_id, w),
+        |rcg AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM
+        |          (SELECT doc_id, unnest(rws) AS w FROM p)
+        |        GROUP BY doc_id, w),
+        |mf AS (SELECT f.doc_id, CAST(sum(least(f.c, r.c)) AS BIGINT) AS m
+        |       FROM fcg f JOIN rcg r ON r.doc_id = f.doc_id AND r.w = f.w
+        |       GROUP BY f.doc_id),
+        |mh AS (SELECT h.doc_id, CAST(sum(least(h.c, r.c)) AS BIGINT) AS m
+        |       FROM hcg h JOIN rcg r ON r.doc_id = h.doc_id AND r.w = h.w
+        |       GROUP BY h.doc_id),
+        |delta AS (SELECT p.doc_id,
+        |            (10000 * coalesce(mf.m, 0)) // p.nw
+        |              - (10000 * coalesce(mh.m, 0)) // p.hw AS delta
+        |          FROM p LEFT JOIN mf ON mf.doc_id = p.doc_id
+        |            LEFT JOIN mh ON mh.doc_id = p.doc_id),
+        |rep AS (SELECT doc_id, delta, CAST(unnest(range(0, 16)) AS INT) AS b
+        |        FROM delta),
+        |u AS (SELECT b, delta,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |          CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        |      FROM rep),
+        |c AS (SELECT b, delta,
+        |        CASE WHEN u < 1580030168 THEN 0
+        |             WHEN u < 3160060337 THEN 1
+        |             WHEN u < 3950075421 THEN 2
+        |             WHEN u < 4213413783 THEN 3
+        |             WHEN u < 4279248373 THEN 4
+        |             ELSE 5 END AS cnt
+        |      FROM u)
+        |SELECT b, CAST(sum(cnt) AS BIGINT) AS n_eff,
+        |  CAST(sum(cnt * delta) AS BIGINT) AS sum_wdelta,
+        |  sum(cnt * delta) > 0 AS a_better
+        |FROM c GROUP BY b ORDER BY b""".stripMargin,
+
     // WER — mirrors TextAnalysis.werEval: 40-word eval slices, joint
     // per-pair word vocabulary densely ranked alphabetically, both
     // sides re-encoded one ASCII byte per word (chr(32+idx)), native
@@ -6209,6 +6324,26 @@ object Oracles {
         |FROM (SELECT DISTINCT qid FROM lr) q LEFT JOIN c USING (qid)
         |ORDER BY qid""".stripMargin,
 
+    // Frequency-octave Zipf spectrum — mirrors CorpusStats.zipfBands:
+    // band = floor(log2 c) via bit-length (length(bin(c)) - 1, exact
+    // in both engines — no floating log).
+    "zipf_bands" ->
+      """WITH w0 AS (
+        |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w0
+        |       WHERE length(word) > 0 GROUP BY word),
+        |bands AS (SELECT CAST(length(bin(c)) - 1 AS INT) AS band,
+        |            CAST(count(*) AS BIGINT) AS n_words,
+        |            CAST(sum(c) AS BIGINT) AS mass,
+        |            CAST(min(c) AS BIGINT) AS f_min,
+        |            CAST(max(c) AS BIGINT) AS f_max
+        |          FROM wc GROUP BY 1),
+        |t AS (SELECT CAST(sum(mass) AS BIGINT) AS total_mass FROM bands)
+        |SELECT band, n_words, mass, f_min, f_max,
+        |  CAST((10000 * mass) // total_mass AS BIGINT) AS mass_bp
+        |FROM bands, t ORDER BY band""".stripMargin,
+
     // Count-Min sketch audit — mirrors CorpusStats.cmsFrequency: d=4
     // md5-analog row hashes mod 256, cell = Σ counts hashing there,
     // estimate = min over rows, one-sided overestimate vs exact.
@@ -6222,7 +6357,8 @@ object Oracles {
         |         CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), word)), 1, 8))
         |           AS BIGINT) % 256 AS bucket
         |       FROM wc, (SELECT unnest(generate_series(1, 4)) AS j)),
-        |cells AS (SELECT rw, bucket, sum(c) AS cell FROM wb GROUP BY rw, bucket)
+        |cells AS (SELECT rw, bucket, CAST(sum(c) AS BIGINT) AS cell
+        |          FROM wb GROUP BY rw, bucket)
         |SELECT word, max(c) AS exact, min(cell) AS est_cms,
         |  min(cell) - max(c) AS over_count
         |FROM wb JOIN cells USING (rw, bucket)
@@ -6242,7 +6378,8 @@ object Oracles {
         |         CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), word)), 1, 8))
         |           AS BIGINT) % 256 AS bucket
         |       FROM wc, (SELECT unnest(generate_series(1, 4)) AS j)),
-        |cells AS (SELECT rw, bucket, sum(c) AS cell FROM wb GROUP BY rw, bucket)
+        |cells AS (SELECT rw, bucket, CAST(sum(c) AS BIGINT) AS cell
+        |          FROM wb GROUP BY rw, bucket)
         |SELECT word, max(c) AS exact, min(cell) AS est_cms,
         |  min(cell) - max(c) AS over_count
         |FROM wb JOIN cells USING (rw, bucket)
@@ -6347,8 +6484,8 @@ object Oracles {
         |              - c.cum_rest * bl.n_in) AS HUGEINT) * c.dv AS term
         |          FROM cum c JOIN bl ON bl.lang = c.lang CROSS JOIN tt)
         |SELECT lang, max(n_in) AS n_in, max(n_rest) AS n_rest,
-        |  CAST((1000 * sum(term)) // (max(n_in) * max(n_rest)) AS BIGINT)
-        |    AS w1_x1000
+        |  CAST((1000 * sum(term)) // greatest(max(n_in) * max(n_rest), 1)
+        |    AS BIGINT) AS w1_x1000
         |FROM terms GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Gini — mirrors CorpusStats.giniConcentration: ascending-count

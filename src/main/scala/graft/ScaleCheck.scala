@@ -105,7 +105,14 @@ object ScaleCheck {
     // and the native-aggregate sketch build (constant shuffle payload)
     "ap_eval", "cms_native",
     // round-11 wave 5: community-quality aggs over the 10x kNN graph
-    "modularity")
+    "modularity",
+    // round 12: in-row pair clips + bounded replicate explode over 10×
+    // pairs (significance), corpus tokenize + vocab-octave agg (zipf),
+    // map-only template projection (describe — the linear control).
+    // hll_native is OMITTED by design: it reads lineitem, which the
+    // replicator carries over as-is, so a "10×" run would time the
+    // same data; its constant-payload scale claim is the plan pin.
+    "eval_significance", "zipf_bands", "image_describe")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

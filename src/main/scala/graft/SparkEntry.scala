@@ -521,7 +521,16 @@ object SparkEntry {
     // CMS audit through the native TypedImperativeAggregate sketch
     "cms_native" -> (CorpusStats.cmsNative _),
     // Newman modularity of the label_prop partition (1/(4m^2) units)
-    "modularity" -> ((s, d) => GraphCuration.modularity(s, d))
+    "modularity" -> ((s, d) => GraphCuration.modularity(s, d)),
+    // --- round-12 additions ---
+    // paired-bootstrap "is system A better" vote (Koehn 2004)
+    "eval_significance" -> (TextAnalysis.evalSignificance _),
+    // deterministic structured image description (X11 template tier)
+    "image_describe" -> (Multimodal.imageDescribe _),
+    // cardinality audit through the graft-native HLL aggregate
+    "hll_native" -> (Router.hllNative _),
+    // frequency-octave Zipf spectrum of the vocabulary (bit-length bands)
+    "zipf_bands" -> (CorpusStats.zipfBands _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

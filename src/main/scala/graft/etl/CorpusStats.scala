@@ -477,6 +477,51 @@ object CorpusStats {
       |  'bucket', CAST(conv(substring(md5(concat(CAST(j AS STRING), word)), 1, 8), 16, 10) AS BIGINT) % 256))"""
       .stripMargin)
 
+  /** Frequency-spectrum (Zipf's-law) audit of the corpus vocabulary —
+    * the classic rank-frequency log-log plot folded into exact integer
+    * frequency OCTAVES: band b holds the words whose count c sits in
+    * [2^b, 2^(b+1)), i.e. b = floor(log2 c), computed WITHOUT
+    * floating log as length(bin(c)) − 1 (bit-length, exact in both
+    * engines). Under Zipf s = 1 the word count per octave halves
+    * band-over-band while each octave's token mass stays roughly
+    * constant — a corpus whose spectrum bulges (synthetic/boilerplate
+    * floods a band) or truncates (aggressive dedup ate the tail) shows
+    * it immediately. Complements [[vocabGrowth]] (Heaps' law, vocab vs
+    * tokens) and [[tokenHeadShare]] (head concentration) with the full
+    * spectrum shape; per band: distinct words, token mass, min/max
+    * frequency, and the mass share in bp.
+    *
+    * Scale posture: one corpus-scan word count (the
+    * [[cmsFrequency]] tier), then everything runs on the VOCAB-sized
+    * count frame — band assignment is a map expression (no global
+    * rank, no window, no sort: the octave trick replaces the
+    * rank-based Zipf plot precisely because exact global rank would
+    * need a vocab-wide total order); the band agg has ≤ ~40 groups
+    * with map-side partials, the 1-row total broadcasts.
+    */
+  def zipfBands(spark: SparkSession, dir: String): DataFrame = {
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val wc = Shingles.words(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      // staged once: the ≤~40-row band frame feeds BOTH the total and
+      // the share join — without the checkpoint each branch re-nests
+      // the corpus scan (the survival_hazard lesson)
+      val bands = Fixpoint.locally(wc
+        .withColumn("band", (length(bin(col("c"))) - 1).cast("int"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_words"), sum(col("c")).as("mass"),
+          min(col("c")).as("f_min"), max(col("c")).as("f_max")), locals)
+      val total = bands.agg(sum(col("mass")).as("total_mass"))
+      Fixpoint.reliably(bands.crossJoin(broadcast(total))
+        .withColumn("mass_bp", expr("(10000 * mass) div total_mass"))
+        .select(col("band"), col("n_words"), col("mass"), col("f_min"),
+          col("f_max"), col("mass_bp"))
+        .orderBy("band"))
+    } finally Fixpoint.releaseAll(locals)
+  }
+
   def cmsFrequency(spark: SparkSession, dir: String): DataFrame = {
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
@@ -944,7 +989,10 @@ object CorpusStats {
         max(col("n_all") - col("n_in")).as("n_rest"),
         sum(col("term")).as("s"))
       .withColumn("w1_x1000",
-        expr("CAST((1000 * s) div (n_in * n_rest) AS BIGINT)"))
+        // greatest(...,1): a single-language corpus makes n_rest = 0 —
+        // the degenerate slice reports 0 transport instead of an ANSI
+        // division error (t_closeness's k_bands guard, same rationale)
+        expr("CAST((1000 * s) div greatest(n_in * n_rest, 1) AS BIGINT)"))
       .select(col("lang"), col("n_in"), col("n_rest"), col("w1_x1000"))
       .orderBy("lang")
   }

@@ -230,6 +230,47 @@ object Multimodal {
     * the tier's THRESHOLDS route every feature combination exactly as
     * specified. Pure projection: map-side, zero shuffles, scale-linear.
     */
+  /** X11's description surface made measurable: a DETERMINISTIC
+    * structured image description (size band / orientation / category /
+    * dimensions / detail / tone) templated from the same integer
+    * feature frame [[imageClassify]] verifies — the honesty upgrade
+    * over "vision free-text is a contract": everything a rules tier can
+    * say about an image ships as an oracle-checked column, and ONLY the
+    * model-generated prose stays behind the declared enrichment
+    * boundary (reference agents/image-analyzer.md:99-132 — its
+    * category/dimension/decorative vocabulary is exactly this
+    * template's). A real deployment appends the model sentence to this
+    * string; the routing, feature math, and template never change.
+    *
+    * Scale posture: pure projection over [[imageClassify]]'s map-only
+    * frame — zero shuffles beyond the output sort, codegen'd concat.
+    */
+  def imageDescribe(spark: SparkSession, dir: String): DataFrame =
+    imageClassify(spark, dir)
+      .withColumn("orientation",
+        when(col("img_w") > col("img_h"), "landscape")
+          .when(col("img_w") < col("img_h"), "portrait")
+          .otherwise("square"))
+      .withColumn("size_band",
+        when(col("img_w") * col("img_h") >= 400000, "large")
+          .when(col("img_w") * col("img_h") >= 100000, "medium")
+          .otherwise("small"))
+      .withColumn("detail",
+        when(col("edge_bp") >= 2000, "high").otherwise("low"))
+      .withColumn("tone",
+        when(col("colorfulness") >= 60, "vivid")
+          .when(col("colorfulness") >= 24, "colorful")
+          .otherwise("muted"))
+      .withColumn("description",
+        concat(lit("a "), col("size_band"), lit(" "), col("orientation"),
+          lit(" "), col("category"), lit(" image, "),
+          col("img_w").cast("string"), lit("x"),
+          col("img_h").cast("string"), lit(" px, "), col("detail"),
+          lit(" detail, "), col("tone"), lit(" tone")))
+      .select(col("asset_id"), col("img_w"), col("img_h"), col("category"),
+        col("description"))
+      .orderBy("asset_id")
+
   def imageClassify(spark: SparkSession, dir: String): DataFrame = {
     val h = conv(substring(md5(coalesce(col("text"), lit(""))), 1, 6), 16, 10)
       .cast("bigint")

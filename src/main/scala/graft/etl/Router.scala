@@ -59,6 +59,35 @@ object Router {
     * oracle asserts it is TRUE. InvariantSpec additionally pins the
     * relative error on a known-cardinality corpus.
     */
+  /** [[distinctSketch]]'s audit re-run through the GRAFT-OWNED native
+    * HLL ([[graft.functions.HllSketchAgg]], p = 12): per group, the
+    * exact distinct count next to the native sketch's banded estimate.
+    * Same error-band output discipline (the estimate itself never
+    * reaches the oracle; the 10% band is ≈ 6× the p = 12 rsd of
+    * 1.625%, overwhelming for any driver-regenerated corpus); the
+    * register file the estimate reads is engine-portable md5 bits,
+    * pinned cell-for-cell by OpUnitSpec.
+    *
+    * Scale posture: the native agg shuffles a constant 4 KB register
+    * file per (group × partition) — the exact countDistinct beside it
+    * is the audit's truth column, not the production plan (at 100 TB
+    * the sketch column IS the answer and the exact column is dropped).
+    */
+  def hllNative(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketchFunctions.{hllEstimate, hllSketch}
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        hllSketch(col("l_partkey").cast("string")).as("__regs"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("__est", hllEstimate(col("__regs")))
+      .withColumn("approx_ok",
+        expr("abs(__est - exact_parts) * 10000 <= 1000 * exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+        col("approx_ok"))
+      .orderBy("l_returnflag")
+  }
+
   def distinctSketch(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))

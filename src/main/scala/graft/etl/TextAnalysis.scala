@@ -1073,6 +1073,78 @@ object TextAnalysis {
     * same ANSI-positive eligibility (nw ≥ 2 both sides ⇔ the old
     * n1_total ≥ 2 filter).
     */
+  /** Paired-bootstrap significance test between two candidate systems
+    * (Koehn 2004, "Statistical Significance Tests for Machine
+    * Translation Evaluation") — the "is system A actually better?"
+    * query every eval pipeline runs after scoring. Two deterministic
+    * systems over the [[bleuEval]] pairs: A = the full candidate
+    * document, B = the candidate truncated to its first ⌈w/2⌉ words (a
+    * synthetic degradation, so the harness has a real signal to
+    * detect). Per pair, both systems get the unigram clipped-precision
+    * score in integer bp against the SAME reference, and the pair-level
+    * delta sa − sb feeds a B = 16 Poisson bootstrap
+    * ([[graft.etl.Observability.bootstrapMean]]'s exact salted-md5 draw:
+    * each replicate re-weights every pair by a deterministic Poisson(1)
+    * count, so all replicates ride ONE scan). A replicate votes
+    * `a_better` when its weighted delta sum is positive; the consumer
+    * reads the vote count as the bootstrap confidence that A beats B.
+    *
+    * Determinism discipline: the only divisions are the two per-pair
+    * precision divs over POSITIVE totals (eligibility nw ≥ 2 on both
+    * sides keeps hw = (nw+1) div 2 ≥ 1); the possibly-NEGATIVE delta is
+    * never divided — Spark `div` truncates toward zero while DuckDB
+    * `//` floors, so a negative mean would round differently across
+    * engines. Replicates therefore surface the exact integer weighted
+    * SUM (and its sign), not a mean.
+    *
+    * Scale posture: the clip runs IN-ROW on the 1:1 pair
+    * ([[graft.functions.GramClip]] — no gram shuffle, the chrf_eval
+    * lesson); one doc_id-keyed pair join; the 16× replicate explode is
+    * over the bounded pair-delta frame; the final agg is 16 groups with
+    * map-side partials. No window, no broadcast of anything data-sized.
+    */
+  def evalSignificance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GramClipFunctions.wordClipF
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .withColumn("ws", Shingles.wordArray(col("t")))
+      .withColumn("nw", size(col("ws")).cast("bigint"))
+    val pairs = docs.filter(col("doc_id") % 2 === 0 && col("nw") >= 2)
+      .select(col("doc_id"), col("t").as("ct"), col("ws").as("cws"),
+        col("nw"))
+      .join(docs.filter(col("nw") >= 2)
+          .select((col("doc_id") - 1).as("doc_id"), col("t").as("rt")),
+        Seq("doc_id"))
+      .withColumn("hw", expr("(nw + 1) div 2"))
+      .withColumn("ht",
+        array_join(slice(col("cws"), lit(1), col("hw").cast("int")), " "))
+    val deltas = pairs
+      .withColumn("sa",
+        expr("10000") * wordClipF(col("ct"), col("rt"), lit(1)))
+      .withColumn("sb",
+        expr("10000") * wordClipF(col("ht"), col("rt"), lit(1)))
+      .select(col("doc_id"),
+        (expr("sa div nw") - expr("sb div hw")).as("delta"))
+    deltas
+      .select(col("doc_id"), col("delta"),
+        explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("u",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("b").cast("string"))), 1, 8), 16, 10).cast("bigint"))
+      .withColumn("cnt",
+        when(col("u") < 1580030168L, 0L)
+          .when(col("u") < 3160060337L, 1L)
+          .when(col("u") < 3950075421L, 2L)
+          .when(col("u") < 4213413783L, 3L)
+          .when(col("u") < 4279248373L, 4L)
+          .otherwise(5L))
+      .groupBy(col("b"))
+      .agg(sum(col("cnt")).as("n_eff"),
+        sum(col("cnt") * col("delta")).as("sum_wdelta"))
+      .withColumn("a_better", col("sum_wdelta") > 0)
+      .orderBy("b")
+  }
+
   private def pairClipStats(spark: SparkSession, dir: String,
       locals: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
     import graft.functions.GramClipFunctions.wordClipF

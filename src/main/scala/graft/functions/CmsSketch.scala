@@ -2,12 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Count-Min sketch AGGREGATE — the distributed-sketch shape a
@@ -35,6 +35,25 @@ object CmsSketch {
   private val md5 = ThreadLocal.withInitial(() =>
     java.security.MessageDigest.getInstance("MD5"))
 
+  /** Point query: the sketch's one-sided-high estimate for `word` —
+    * min over the d=4 rows of the cell the word hashes to (Cormode &
+    * Muthukrishnan 2005 §4.1). Static so generated code calls it
+    * directly (the DotProduct discipline); `cells` is the row-major
+    * 1024-long buffer [[CmsSketchAgg]] emits.
+    */
+  def lookup(cells: org.apache.spark.sql.catalyst.util.ArrayData,
+      word: UTF8String): Long = {
+    val w = word.toString
+    var est = Long.MaxValue
+    var j = 1
+    while (j <= Depth) {
+      val c = cells.getLong((j - 1) * Width + bucket(j, w))
+      if (c < est) est = c
+      j += 1
+    }
+    est
+  }
+
   /** Same value as `conv(substring(md5(concat(j, word)), 1, 8), 16, 10)
     * % 256` in Spark SQL / the DuckDB oracle.
     */
@@ -51,10 +70,13 @@ object CmsSketch {
 
 case class CmsSketchAgg(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression]
+  with ExpectsInputTypes {
 
   import CmsSketch._
 
+  // reject mistyped SQL calls at analysis time, not inside update()
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "cms_sketch"
@@ -102,6 +124,41 @@ case class CmsSketchAgg(child: Expression,
     copy(child = newChild)
 }
 
+/** `cms_lookup(sketch, word)` — the sketch's answering surface: without
+  * it the 1024-cell array is an artifact you can only consume by
+  * exploding; with it the sketch is queryable in SQL the way a
+  * production counting tier is used (build once per window/partition,
+  * point-query per candidate word). Null-intolerant scalar; the min
+  * loop lives in [[CmsSketch.lookup]], a compiled static method the
+  * generated code calls directly — whole-stage codegen stays intact.
+  */
+case class CmsLookup(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(ArrayType(LongType, containsNull = false), StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cms_lookup"
+
+  override protected def nullSafeEval(cells: Any, word: Any): Any =
+    java.lang.Long.valueOf(CmsSketch.lookup(
+      cells.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      word.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (cells, word) =>
+      s"${ev.value} = graft.functions.CmsSketch.lookup($cells, $word);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object CmsSketchFunctions {
   /** Column API: the 1024-cell sketch of a string column (row-major
     * d×w flattening: cell(j, b) at index (j−1)·256 + b).
@@ -109,4 +166,11 @@ object CmsSketchFunctions {
   def cmsSketch(word: Column): Column =
     ColumnBridge.column(
       CmsSketchAgg(ColumnBridge.expression(word)).toAggregateExpression())
+
+  /** Column API: one-sided-high point estimate for `word` from a
+    * sketch built by [[cmsSketch]].
+    */
+  def cmsLookup(sketch: Column, word: Column): Column =
+    ColumnBridge.column(CmsLookup(ColumnBridge.expression(sketch),
+      ColumnBridge.expression(word)))
 }

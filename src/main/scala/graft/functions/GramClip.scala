@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Clipped character-n-gram match count for PAIRED text evals (the
@@ -106,8 +106,13 @@ object GramClip {
 }
 
 case class ClippedGramMatches(first: Expression, second: Expression,
-    third: Expression) extends TernaryExpression {
+    third: Expression) extends TernaryExpression with ExpectsInputTypes {
 
+  // analysis-time rejection of mistyped SQL calls (e.g. n passed as a
+  // string literal) — without this a bad call surfaces as a runtime
+  // ClassCastException inside generated code
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(StringType, StringType, IntegerType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "clipped_gram_matches"
@@ -130,8 +135,10 @@ case class ClippedGramMatches(first: Expression, second: Expression,
   * over space-tokenized word n-grams, same compiled-static-call shape.
   */
 case class ClippedWordGramMatches(first: Expression, second: Expression,
-    third: Expression) extends TernaryExpression {
+    third: Expression) extends TernaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(StringType, StringType, IntegerType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "clipped_word_gram_matches"

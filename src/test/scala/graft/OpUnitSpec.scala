@@ -502,6 +502,102 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._2) == got.map(_._2).sorted.reverse, got.toString)
   }
 
+  test("cms_lookup: point estimates match a hand-built buffer through " +
+       "the same static bucket hash (one-sided by construction)") {
+    import graft.functions.CmsSketch
+    import graft.functions.CmsSketchFunctions.{cmsLookup, cmsSketch}
+    val corpus = Seq("a", "b", "a", "c", "a", "b")
+    val got = corpus.toDF("word").agg(cmsSketch(col("word")).as("s"))
+      .select(cmsLookup(col("s"), lit("a")), cmsLookup(col("s"), lit("b")),
+        cmsLookup(col("s"), lit("c")), cmsLookup(col("s"), lit("zzz")))
+      .as[(Long, Long, Long, Long)].head()
+    val buf = new Array[Long](4 * 256)
+    corpus.foreach { w =>
+      (1 to 4).foreach(j => buf((j - 1) * 256 + CmsSketch.bucket(j, w)) += 1L) }
+    def expect(w: String): Long =
+      (1 to 4).map(j => buf((j - 1) * 256 + CmsSketch.bucket(j, w))).min
+    assert(got == ((expect("a"), expect("b"), expect("c"), expect("zzz"))),
+      got.toString)
+    // one-sided: every estimate >= the exact count (0 for "zzz")
+    assert(got._1 >= 3L && got._2 >= 2L && got._3 >= 1L && got._4 >= 0L)
+  }
+
+  test("evalSignificance: hand pairs — full-vs-half precision deltas " +
+       "feed the deterministic Poisson replicates exactly") {
+    val d = java.nio.file.Files.createTempDirectory("graft_sig_")
+    // pair (0,1): sa = 2/4, sb = 2/2 -> delta -5000 (B wins);
+    // pair (2,3): sa = 3/4, sb = 1/2 -> delta +2500 (A wins);
+    // pair (4,5): candidate has 1 word -> excluded
+    Seq((0L, "a b a b"), (1L, "a b"), (2L, "x x y z"), (3L, "x y z w"),
+        (4L, "solo"), (5L, ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.TextAnalysis.evalSignificance(spark, d.toString)
+      .as[(Int, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) == (0 until 16), got.toString)
+    // replicate weights recomputed through the same md5 draw
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def cnt(id: Long, b: Int): Long = {
+      val h = md.digest(s"$id:$b".getBytes("UTF-8"))
+      val u = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      if (u < 1580030168L) 0L else if (u < 3160060337L) 1L
+      else if (u < 3950075421L) 2L else if (u < 4213413783L) 3L
+      else if (u < 4279248373L) 4L else 5L
+    }
+    got.foreach { case (b, nEff, sumW, aBetter) =>
+      val c0 = cnt(0L, b); val c2 = cnt(2L, b)
+      assert(nEff == c0 + c2, s"b=$b")
+      assert(sumW == c0 * -5000L + c2 * 2500L, s"b=$b got $sumW")
+      assert(aBetter == (sumW > 0), s"b=$b")
+    }
+  }
+
+  test("HllSketch: hash64 replicates the SQL md5 analog; merge is " +
+       "elementwise max; registers are partitioning-invariant; " +
+       "estimate lands inside the band on known cardinality") {
+    import graft.functions.{HllSketch, HllSketchAgg}
+    import graft.functions.HllSketchFunctions.{hllEstimate, hllSketch}
+    // hash64 bits == conv(substring(md5(w), 1, 16), 16, 10)
+    val fromSql = spark.sql(
+      "SELECT conv(substring(md5('spark'), 1, 16), 16, 10)")
+      .head().getString(0)
+    assert(java.lang.Long.compareUnsigned(HllSketch.hash64("spark"),
+      java.lang.Long.parseUnsignedLong(fromSql)) == 0)
+    // merge = elementwise max + serialization round-trip
+    val agg = HllSketchAgg(org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    val b1 = agg.createAggregationBuffer(); b1(0) = 3; b1(5) = 1
+    val b2 = agg.createAggregationBuffer(); b2(0) = 2; b2(5) = 4; b2(4095) = 7
+    val m = agg.merge(b1, b2)
+    assert(m(0) == 3 && m(5) == 4 && m(4095) == 7)
+    assert(agg.deserialize(agg.serialize(m)).toSeq == m.toSeq)
+    // registers identical across partitionings (merge-order invariance)
+    val vals = (1 to 2000).map(i => s"v$i").toDF("w")
+    val r1 = vals.coalesce(1).agg(hllSketch(col("w"))).as[Seq[Byte]].head()
+    val r7 = vals.repartition(7).agg(hllSketch(col("w"))).as[Seq[Byte]].head()
+    assert(r1 == r7)
+    // estimate: 10k distinct sits in the linear-counting regime — well
+    // inside the 10% verified band (assert 5% for slack vs the contract)
+    val n = 10000
+    val est = (1 to n).map(i => s"v$i").toDF("w")
+      .agg(hllEstimate(hllSketch(col("w")))).as[Long].head()
+    assert(math.abs(est - n) * 100 <= 5 * n, s"est=$est")
+  }
+
+  test("zipfBands: hand corpus — octave by bit length, per-band " +
+       "extremes and exact bp shares") {
+    val d = java.nio.file.Files.createTempDirectory("graft_zipf_")
+    // counts: a=5 (band 2), b=3, c=2 (band 1), d/e/f/g=1 (band 0)
+    Seq((0L, "a a a b b c"), (1L, "a b c a d e"), (2L, "f g"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.CorpusStats.zipfBands(spark, d.toString)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    // total mass 14: shares 40000/14=2857, 50000/14=3571 (x2)
+    assert(got == Seq((0, 4L, 4L, 1L, 1L, 2857L), (1, 2L, 5L, 2L, 3L, 3571L),
+      (2, 1L, 5L, 5L, 5L, 3571L)), got.toString)
+  }
+
   test("wassersteinDrift: hand CDFs — half-at-10/half-at-20 vs " +
        "point-at-30 transports exactly 15 chars, symmetric both ways") {
     val d = java.nio.file.Files.createTempDirectory("graft_w1_")

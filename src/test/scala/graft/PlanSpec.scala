@@ -1202,6 +1202,56 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(q.count() == 2)
   }
 
+  test("round-12 pin: eval_significance clips IN-ROW — the only " +
+       "Generate is the 16x replicate explode, no gram shuffle") {
+    val p = plan("eval_significance")
+    // one Generate node: the bounded replicate explode. A second one
+    // would mean the clip regressed to the gram-explode join shape.
+    // (count FormattedMode node HEADERS — the tree section repeats
+    // each node name once more)
+    val generates = p.linesIterator.count(
+      _.matches("""\(\d+\) Generate\s*"""))
+    assert(generates == 1,
+      s"eval_significance must have exactly the replicate Generate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 16-group final agg must partial-aggregate map-side
+    assert(p.contains("HashAggregate") && p.contains("partial_sum"),
+      s"replicate agg lost its partial phase:\n$p")
+  }
+
+  test("round-12 pin: image_describe is map-only — one documents scan, " +
+       "no exchange but the output sort") {
+    val p = plan("image_describe")
+    val scans = p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"image_describe must scan documents once:\n$p")
+    assert(countOf(p, "Exchange") <= 2, // rangepartitioning for the sort
+      s"image_describe grew a shuffle beyond the output sort:\n$p")
+    assert(!p.contains("Join"), s"image_describe must not join:\n$p")
+  }
+
+  test("round-12 pin: hll_native sketches through a PARTIAL native " +
+       "aggregate — map-side register merge, 4 KB shuffle payload") {
+    val p = plan("hll_native")
+    assert(p.contains("partial_hll_sketch"),
+      s"hll_native lost the partial sketch aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("round-12 pin: zipf_bands scans documents once; band agg and " +
+       "share join run on the staged domain-sized frame") {
+    val all = executedPlans("zipf_bands")
+    val cp = all.mkString("\n=== next executed plan ===\n")
+    val scans = cp.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"zipf_bands must read documents exactly once:\n$cp")
+    assert(cp.contains("BroadcastNestedLoopJoin") ||
+      cp.contains("BroadcastHashJoin"),
+      s"zipf_bands total must broadcast onto the band frame:\n$cp")
+    assert(countOf(cp, "CartesianProduct") == 0, cp)
+  }
+
   test("bucketed tables co-locate the join: no exchange under the join") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")

@@ -64,6 +64,37 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(cells.sum == 4L * 3) // every row lands in all 4 sketch rows
   }
 
+  test("cms_lookup is SQL-callable over cms_sketch cells; mistyped " +
+       "calls fail at analysis time (ExpectsInputTypes)") {
+    val got = spark.sql(
+      "SELECT cms_lookup(s, 'a') AS a, cms_lookup(s, 'b') AS b, " +
+        "cms_lookup(s, 'zzz') AS z FROM " +
+        "(SELECT cms_sketch(w) AS s FROM VALUES ('a'), ('b'), ('a') AS t(w))")
+      .as[(Long, Long, Long)].head()
+    assert(got._1 >= 2L && got._2 >= 1L && got._1 >= got._2, got.toString)
+    // analysis-time rejection, not a runtime ClassCastException
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cms_lookup('notasketch', 'a')").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT clipped_gram_matches('ab', 'ab', 'two')").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT clipped_word_gram_matches('a b', 'a', 'two')").collect()
+    }
+  }
+
+  test("hll_sketch / hll_estimate are SQL-callable; tiny cardinality " +
+       "is exact via linear counting; mistyped args fail analysis") {
+    val est = spark.sql(
+      "SELECT hll_estimate(hll_sketch(w)) FROM " +
+        "VALUES ('a'), ('b'), ('a') AS t(w)").as[Long].head()
+    assert(est == 2L, s"est=$est")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT hll_estimate('notregisters')").collect()
+    }
+  }
+
   test("score_link is SQL-callable with the X1 weights") {
     val got = spark.sql(
       "SELECT score_link('http://x/topic', 'plain', 'topic here', 'topic')")
