@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, If, Least, Literal, RLike}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, CmsLookup, CmsSketchAgg, DotProduct, HllEstimate, HllSketchAgg, SkipUrl}
+import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, CmsLookup, CmsSketchAgg, DotProduct, HllEstimate, HllSketchAgg, KmvCommon, KmvEstimate, KmvSketchAgg, SkipUrl}
 
 /** SQL surface of the engine's custom pieces, registered through
   * SparkSessionExtensions (spark.sql.extensions-compatible, so a
@@ -21,6 +21,9 @@ import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, C
   *   cms_lookup(sketch, word)       point query: min over the 4 hashed cells
   *   hll_sketch(v)                  native HLL aggregate (p=12, 4096 bytes)
   *   hll_estimate(regs)             cardinality estimate from a register file
+  *   kmv_sketch(v)                  native bottom-k set sketch (k=1024)
+  *   kmv_estimate(sk)               distinct estimate (exact when un-full)
+  *   kmv_common(a, b)               distinct-intersection estimate
   *
   * Planner surface: [[graft.plans.GroupTopKStrategy]] (round 3) plans
   * the native [[graft.plans.GroupTopK]] top-k-per-group operator —
@@ -76,6 +79,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("hll_estimate",
         "hll_estimate(regs) - cardinality estimate from hll_sketch registers"),
       (exprs: Seq[Expression]) => HllEstimate(exprs.head)))
+
+    e.injectFunction((FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "kmv_sketch(v) - bottom-k (k=1024) distinct-hash set sketch (aggregate)"),
+      (exprs: Seq[Expression]) => KmvSketchAgg(exprs.head)))
+
+    e.injectFunction((FunctionIdentifier("kmv_estimate"),
+      info("kmv_estimate",
+        "kmv_estimate(sk) - distinct-count estimate (exact when un-full)"),
+      (exprs: Seq[Expression]) => KmvEstimate(exprs.head)))
+
+    e.injectFunction((FunctionIdentifier("kmv_common"),
+      info("kmv_common",
+        "kmv_common(a, b) - distinct-intersection estimate from two sketches"),
+      (exprs: Seq[Expression]) => KmvCommon(exprs(0), exprs(1))))
 
     e.injectFunction((FunctionIdentifier("skip_url"),
       info("skip_url", "skip_url(url) - true iff the reference skip lists match"),

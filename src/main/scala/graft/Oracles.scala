@@ -6324,6 +6324,42 @@ object Oracles {
         |FROM (SELECT DISTINCT qid FROM lr) q LEFT JOIN c USING (qid)
         |ORDER BY qid""".stripMargin,
 
+    // Sketch reaggregation audit — mirrors CorpusStats.hllUnion: the
+    // error-band discipline again (registers never surface; the merge
+    // identity and the 10% band are in-engine booleans the oracle
+    // asserts TRUE), exact sides recomputed.
+    "hll_union" ->
+      """WITH w0 AS (
+        |  SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |w AS (SELECT lang, word FROM w0 WHERE length(word) > 0)
+        |SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT word) AS BIGINT) AS exact_words,
+        |  TRUE AS union_eq_direct,
+        |  TRUE AS approx_ok
+        |FROM w""".stripMargin,
+
+    // KMV cross-corpus overlap — mirrors CorpusStats.kmvOverlap: exact
+    // per-lang vocab sizes + exact pair intersections recomputed; the
+    // sketch estimates stay in-engine behind asserted band flags.
+    "kmv_overlap" ->
+      """WITH w0 AS (
+        |  SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |lw AS (SELECT DISTINCT lang, word FROM w0 WHERE length(word) > 0),
+        |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM lw GROUP BY lang),
+        |pc AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |         CAST(count(*) AS BIGINT) AS exact_common
+        |       FROM lw a JOIN lw b ON b.word = a.word AND a.lang < b.lang
+        |       GROUP BY 1, 2)
+        |SELECT x.lang AS lang_a, y.lang AS lang_b,
+        |  x.n AS exact_a, y.n AS exact_b,
+        |  CAST(coalesce(pc.exact_common, 0) AS BIGINT) AS exact_common,
+        |  TRUE AS card_ok, TRUE AS common_ok
+        |FROM n x JOIN n y ON x.lang < y.lang
+        |LEFT JOIN pc ON pc.lang_a = x.lang AND pc.lang_b = y.lang
+        |ORDER BY lang_a, lang_b""".stripMargin,
+
     // Frequency-octave Zipf spectrum — mirrors CorpusStats.zipfBands:
     // band = floor(log2 c) via bit-length (length(bin(c)) - 1, exact
     // in both engines — no floating log).

@@ -112,7 +112,14 @@ object ScaleCheck {
     // hll_native is OMITTED by design: it reads lineitem, which the
     // replicator carries over as-is, so a "10×" run would time the
     // same data; its constant-payload scale claim is the plan pin.
-    "eval_significance", "zipf_bands", "image_describe")
+    "eval_significance", "zipf_bands", "image_describe",
+    // round-12 wave 2: two native sketch builds over the staged
+    // tokenized frame + the exact-distinct truth column (hll_union's
+    // cost IS the countDistinct audit side, not the sketches)
+    "hll_union",
+    // round-12 wave 3: bottom-k set sketches + the word-keyed exact
+    // pair join (the truth column) over the 10× vocabulary
+    "kmv_overlap")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

@@ -530,7 +530,11 @@ object SparkEntry {
     // cardinality audit through the graft-native HLL aggregate
     "hll_native" -> (Router.hllNative _),
     // frequency-octave Zipf spectrum of the vocabulary (bit-length bands)
-    "zipf_bands" -> (CorpusStats.zipfBands _)
+    "zipf_bands" -> (CorpusStats.zipfBands _),
+    // sketch reaggregation: per-lang HLL registers union == direct build
+    "hll_union" -> (CorpusStats.hllUnion _),
+    // cross-lang vocab overlap via native bottom-k (KMV) set sketches
+    "kmv_overlap" -> (CorpusStats.kmvOverlap _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -522,6 +522,115 @@ object CorpusStats {
     } finally Fixpoint.releaseAll(locals)
   }
 
+  /** Sketch REAGGREGATION audit — the property that makes a sketch
+    * tier worth deploying at 100 TB: per-slice sketches union into the
+    * global sketch WITHOUT rescanning data (daily register files →
+    * monthly distincts; per-tenant → fleet). Build the vocabulary HLL
+    * two ways — (a) directly over all words, (b) per-language register
+    * files merged by elementwise max — and pin in-engine that the two
+    * register files are IDENTICAL (merge associativity made visible as
+    * a verified boolean, not just a unit test), plus the usual
+    * error-band flag against the exact distinct count
+    * ([[graft.etl.Router.hllNative]]'s 10% discipline).
+    *
+    * Scale posture: the tokenized (lang, word) frame is staged once
+    * and feeds both builds; each native agg shuffles constant 4 KB
+    * register files per partition; the merge folds ≤ |langs| arrays on
+    * one combined row (interpreted HOF over a domain-bounded list —
+    * NOT a hot path); the exact countDistinct beside them is the
+    * audit's truth column, dropped in production. Output is one row.
+    */
+  def hllUnion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllSketchFunctions.{hllEstimate, hllSketch}
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val words = Fixpoint.locally(Tables.documents(spark, dir)
+        .select(col("lang"),
+          explode(Shingles.wordArray(col("text"))).as("word")), locals)
+      val byLang = words.groupBy(col("lang"))
+        .agg(hllSketch(col("word")).as("regs"))
+      val merged = byLang
+        .agg(count(lit(1)).as("n_langs"),
+          collect_list(col("regs")).as("all_regs"))
+        .withColumn("union_regs",
+          aggregate(col("all_regs"),
+            array_repeat(lit(0).cast("byte"), lit(4096)),
+            (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))))
+      val direct = words.agg(hllSketch(col("word")).as("direct_regs"),
+        countDistinct(col("word")).as("exact_words"))
+      Fixpoint.reliably(merged.crossJoin(broadcast(direct))
+        .withColumn("union_eq_direct",
+          col("union_regs") === col("direct_regs"))
+        .withColumn("__est", hllEstimate(col("union_regs")))
+        .withColumn("approx_ok",
+          expr("abs(__est - exact_words) * 10000 <= 1000 * exact_words"))
+        .select(col("n_langs"), col("exact_words"), col("union_eq_direct"),
+          col("approx_ok")))
+    } finally Fixpoint.releaseAll(locals)
+  }
+
+  /** Cross-corpus distinct-overlap audit through the native KMV
+    * sketch ([[graft.functions.KmvSketchAgg]]) — the set-algebra
+    * question the sketch tier exists for: how much does each
+    * language's vocabulary overlap each other's, WITHOUT a
+    * distinct-join, from 8 KB bottom-k sketches per slice. Per
+    * unordered language pair: the exact vocab sizes and exact common
+    * count (the audit's truth columns, recomputed by the oracle) plus
+    * two in-engine band flags — cardinality estimates within
+    * 10% + 32, intersection estimate within (|A|+|B|)/10 + 64
+    * (generous vs the 1/√k ≈ 3% sketch contract; a broken merge/hash
+    * produces garbage far outside either). Estimates are EXACT
+    * whenever a slice's vocab fits in k = 1024 (the sketch holds the
+    * whole set) — the oracle-side TRUE is then a certainty, not a
+    * band ([[crosslangOverlap]] audits the same question exactly via
+    * shingles; this is its sketch-tier answer).
+    *
+    * Scale posture: the distinct (lang, word) frame is staged once
+    * and feeds the sketch agg (constant ≤ 8 KB per partition up the
+    * tree), the per-lang exact counts, and the word-keyed exact-common
+    * join; the pair frame is |langs|² rows of sketch arrays —
+    * broadcast-sized by construction. At 100 TB the exact columns
+    * drop and ONLY sketches move.
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketchFunctions.{kmvCommon, kmvEstimate, kmvSketch}
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val lw = Fixpoint.locally(Tables.documents(spark, dir)
+        .select(col("lang"),
+          explode(Shingles.wordArray(col("text"))).as("word"))
+        .distinct(), locals)
+      val byLang = Fixpoint.locally(lw.groupBy(col("lang"))
+        .agg(kmvSketch(col("word")).as("sk"),
+          count(lit(1)).as("exact_n")), locals)
+      val pairsExact = lw.as("a")
+        .join(lw.as("b"),
+          col("a.word") === col("b.word") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("exact_common"))
+      val pairs = byLang.as("x")
+        .join(broadcast(byLang.as("y")), col("x.lang") < col("y.lang"))
+        .select(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"),
+          col("x.sk").as("sk_a"), col("y.sk").as("sk_b"),
+          col("x.exact_n").as("exact_a"), col("y.exact_n").as("exact_b"))
+      Fixpoint.reliably(pairs
+        .join(pairsExact, Seq("lang_a", "lang_b"), "left")
+        .withColumn("exact_common", coalesce(col("exact_common"), lit(0L)))
+        .withColumn("__ea", kmvEstimate(col("sk_a")))
+        .withColumn("__eb", kmvEstimate(col("sk_b")))
+        .withColumn("__ec", kmvCommon(col("sk_a"), col("sk_b")))
+        .withColumn("card_ok",
+          expr("abs(__ea - exact_a) * 10 <= exact_a + 320 AND " +
+            "abs(__eb - exact_b) * 10 <= exact_b + 320"))
+        .withColumn("common_ok",
+          expr("abs(__ec - exact_common) * 10 <= exact_a + exact_b + 640"))
+        .select(col("lang_a"), col("lang_b"), col("exact_a"),
+          col("exact_b"), col("exact_common"), col("card_ok"),
+          col("common_ok"))
+        .orderBy("lang_a", "lang_b"))
+    } finally Fixpoint.releaseAll(locals)
+  }
+
   def cmsFrequency(spark: SparkSession, dir: String): DataFrame = {
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {

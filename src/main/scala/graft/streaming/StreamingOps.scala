@@ -249,6 +249,32 @@ object StreamingOps {
       .groupBy(col("rw"), col("bucket"))
       .agg(count(lit(1)).as("cell"))
 
+  /** Streaming HLL register build — [[streamingCmsCells]]'s twin for
+    * the cardinality sketch: per register index, the running MAX rho,
+    * maintained by an update/complete-mode aggregation whose state is
+    * bounded at 4096 rows regardless of stream length (max is
+    * monotone, so late/replayed data can only agree). The (idx, rho)
+    * derivation is the ENGINE-PORTABLE decomposition of
+    * [[graft.functions.HllSketch.indexAndRho]] in pure SQL: md5 hex
+    * chars 1-3 are the top p = 12 index bits; chars 4-16 are the
+    * 52-bit payload, whose leading-zero count is 52 − bit_length —
+    * rho = 53 − length(bin(payload)), 53 when the payload is all
+    * zeros. StreamingSpec + OpUnitSpec pin stream == batch == native
+    * aggregate register-for-register.
+    */
+  def streamingHllRegisters(words: DataFrame): DataFrame =
+    words
+      .select(
+        conv(substring(md5(col("word")), 1, 3), 16, 10)
+          .cast("int").as("idx"),
+        conv(substring(md5(col("word")), 4, 13), 16, 10)
+          .cast("bigint").as("rest"))
+      .withColumn("rho",
+        when(col("rest") === 0L, lit(53))
+          .otherwise(lit(53) - length(bin(col("rest")))).cast("int"))
+      .groupBy(col("idx"))
+      .agg(max(col("rho")).as("rho"))
+
   /** Streaming IVM: the stateful twin of `Changelog.ivmUpdate`. A
     * keyed stream of signed deltas (+1/+cents insert, −1/−cents
     * retraction; update = retract+insert) maintained by an update-mode

@@ -584,6 +584,59 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est - n) * 100 <= 5 * n, s"est=$est")
   }
 
+  test("KmvSketch: bottom-k is partitioning-invariant; un-full " +
+       "sketches make estimate and common EXACT; full-sketch estimate " +
+       "lands inside the band") {
+    import graft.functions.KmvSketchFunctions.{kmvCommon, kmvEstimate, kmvSketch}
+    // un-full: the sketch IS the set
+    val small = Seq("a", "b", "c", "a").toDF("w")
+      .agg(kmvSketch(col("w")).as("sk"))
+      .select(size(col("sk")), kmvEstimate(col("sk")))
+      .as[(Int, Long)].head()
+    assert(small == ((3, 3L)), small.toString)
+    // un-full intersection is exact: {a,b,c} ∩ {b,c,d} = 2
+    val en = Seq("a", "b", "c").toDF("w").agg(kmvSketch(col("w")).as("a"))
+    val fr = Seq("b", "c", "d").toDF("w").agg(kmvSketch(col("w")).as("b"))
+    val common = en.crossJoin(fr)
+      .select(kmvCommon(col("a"), col("b"))).as[Long].head()
+    assert(common == 2L)
+    // partitioning invariance at n >> k: identical sorted arrays
+    val vals = (1 to 20000).map(i => s"v$i").toDF("w")
+    val s1 = vals.coalesce(1).agg(kmvSketch(col("w"))).as[Seq[Long]].head()
+    val s7 = vals.repartition(7).agg(kmvSketch(col("w"))).as[Seq[Long]].head()
+    assert(s1.length == 1024 && s1 == s7)
+    // full-sketch estimate: 20k distinct within 10% (contract is ~3%)
+    val est = vals.agg(kmvEstimate(kmvSketch(col("w")))).as[Long].head()
+    assert(math.abs(est - 20000L) * 10 <= 20000L, s"est=$est")
+  }
+
+  test("kmvOverlap: hand corpus — exact overlap counts per lang pair, " +
+       "zero-overlap pairs present, all flags certain (un-full)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_kmv_")
+    Seq((0L, "en", "a b c b"), (1L, "fr", "b c d"), (2L, "de", "x"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.CorpusStats.kmvOverlap(spark, d.toString)
+      .as[(String, String, Long, Long, Long, Boolean, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("de", "en", 1L, 3L, 0L, true, true),
+      ("de", "fr", 1L, 3L, 0L, true, true),
+      ("en", "fr", 3L, 3L, 2L, true, true)), got.toString)
+  }
+
+  test("hllUnion: hand corpus — per-lang merge equals the direct " +
+       "build (flag true), exact distinct counted across langs") {
+    val d = java.nio.file.Files.createTempDirectory("graft_hllu_")
+    // vocab: en {a,b,c}, fr {b,c,d} -> 4 distinct overall, 2 langs
+    Seq((0L, "en", "a b c b"), (1L, "fr", "b c d"), (2L, "fr", ""))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.CorpusStats.hllUnion(spark, d.toString)
+      .as[(Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq((2L, 4L, true, true)), got.toString)
+  }
+
   test("zipfBands: hand corpus — octave by bit length, per-band " +
        "extremes and exact bp shares") {
     val d = java.nio.file.Files.createTempDirectory("graft_zipf_")

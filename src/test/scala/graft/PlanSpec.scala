@@ -1252,6 +1252,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf(cp, "CartesianProduct") == 0, cp)
   }
 
+  test("round-12 pin: hll_union stages the tokenized frame once — " +
+       "both sketch builds read the checkpoint, 1-row direct side " +
+       "broadcasts") {
+    val all = executedPlans("hll_union")
+    val cp = all.mkString("\n=== next executed plan ===\n")
+    val scans = cp.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"hll_union must read documents exactly once:\n$cp")
+    assert(countOf(cp, "partial_hll_sketch") >= 2,
+      s"hll_union must build both sketches through partial native aggs:\n$cp")
+    assert(!cp.contains("CartesianProduct"), cp)
+  }
+
+  test("round-12 pin: kmv_overlap stages the distinct (lang, word) " +
+       "frame once; sketches build through partial native aggs; no " +
+       "unkeyed join beyond the broadcast-sized pair frame") {
+    val all = executedPlans("kmv_overlap")
+    val cp = all.mkString("\n=== next executed plan ===\n")
+    val scans = cp.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"kmv_overlap must read documents exactly once:\n$cp")
+    assert(countOf(cp, "partial_kmv_sketch") >= 1,
+      s"kmv_overlap must build sketches through a partial native agg:\n$cp")
+    assert(!cp.contains("CartesianProduct"), cp)
+  }
+
   test("bucketed tables co-locate the join: no exchange under the join") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")

@@ -95,6 +95,19 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("kmv_sketch / kmv_estimate / kmv_common are SQL-callable; " +
+       "mistyped args fail analysis") {
+    val got = spark.sql(
+      "SELECT kmv_estimate(a.sk) AS na, kmv_common(a.sk, b.sk) AS c FROM " +
+        "(SELECT kmv_sketch(w) AS sk FROM VALUES ('a'), ('b'), ('a') AS t(w)) a, " +
+        "(SELECT kmv_sketch(w) AS sk FROM VALUES ('b'), ('c') AS t(w)) b")
+      .as[(Long, Long)].head()
+    assert(got == ((2L, 1L)), got.toString)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kmv_common('x', 'y')").collect()
+    }
+  }
+
   test("score_link is SQL-callable with the X1 weights") {
     val got = spark.sql(
       "SELECT score_link('http://x/topic', 'plain', 'topic here', 'topic')")

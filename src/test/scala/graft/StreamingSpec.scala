@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, posexplode}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamingOps
 
@@ -436,6 +436,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(stream == batch,
         s"stream/batch drift: only-stream=${stream -- batch}, " +
           s"only-batch=${batch -- stream}")
+    } finally q.stop()
+  }
+
+  test("streaming HLL: registers after two micro-batches equal the " +
+       "batch build AND the native aggregate; state is bounded at 4096") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val words = graft.etl.Shingles.words(
+        graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text")).limit(64))
+      .select("word").as[String].collect()
+    val (w1, w2) = words.splitAt(words.length / 2)
+    val src = MemoryStream[String]
+    val q = StreamingOps.streamingHllRegisters(src.toDF().toDF("word"))
+      .writeStream.format("memory").queryName("hll_t")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      src.addData(w1.toSeq: _*)
+      q.processAllAvailable()
+      src.addData(w2.toSeq: _*)
+      q.processAllAvailable()
+      val stream = spark.table("hll_t")
+        .as[(Int, Int)].collect().toSet
+      assert(stream.size <= 4096, "register state exceeded m")
+      val batch = StreamingOps.streamingHllRegisters(
+          words.toSeq.toDF("word"))
+        .as[(Int, Int)].collect().toSet
+      assert(stream == batch,
+        s"stream/batch drift: only-stream=${stream -- batch}, " +
+          s"only-batch=${batch -- stream}")
+      // and both equal the native TypedImperativeAggregate's registers
+      import graft.functions.HllSketchFunctions.hllSketch
+      val native = words.toSeq.toDF("word")
+        .agg(hllSketch(col("word")).as("regs"))
+        .select(posexplode(col("regs")))
+        .filter(col("col") > 0)
+        .select(col("pos").cast("int"), col("col").cast("int"))
+        .as[(Int, Int)].collect().toSet
+      assert(stream == native,
+        s"stream/native drift: only-stream=${stream -- native}, " +
+          s"only-native=${native -- stream}")
     } finally q.stop()
   }
 
