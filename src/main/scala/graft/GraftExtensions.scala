@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, If, Least, Literal, RLike}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, CmsLookup, CmsSketchAgg, DotProduct, HllEstimate, HllSketchAgg, KmvCommon, KmvEstimate, KmvSketchAgg, SkipUrl}
+import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, CmsLookup, CmsSketchAgg, DotProduct, HllEstimate, HllSketchAgg, KmvCommon, KmvEstimate, KmvSketchAgg, SkipUrl, WordEditDistance}
 
 /** SQL surface of the engine's custom pieces, registered through
   * SparkSessionExtensions (spark.sql.extensions-compatible, so a
@@ -17,6 +17,7 @@ import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, C
   *   skip_url(url)                  F1 reference skip-list predicate
   *   clipped_gram_matches(c, r, n)  paired-eval char-n-gram clip (chrF)
   *   clipped_word_gram_matches(c, r, n)  word-n-gram clip (BLEU/ROUGE)
+  *   word_edit_distance(c, r)       word-level Levenshtein (WER core)
   *   cms_sketch(word)               native Count-Min aggregate (1024 cells)
   *   cms_lookup(sketch, word)       point query: min over the 4 hashed cells
   *   hll_sketch(v)                  native HLL aggregate (p=12, 4096 bytes)
@@ -89,6 +90,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kmv_estimate",
         "kmv_estimate(sk) - distinct-count estimate (exact when un-full)"),
       (exprs: Seq[Expression]) => KmvEstimate(exprs.head)))
+
+    e.injectFunction((FunctionIdentifier("word_edit_distance"),
+      info("word_edit_distance",
+        "word_edit_distance(cand, ref) - word-level Levenshtein (WER core)"),
+      (exprs: Seq[Expression]) => WordEditDistance(exprs(0), exprs(1))))
 
     e.injectFunction((FunctionIdentifier("kmv_common"),
       info("kmv_common",

@@ -98,6 +98,49 @@ object Oracles {
     * r1_total, r2_total): candidate totals for precision, reference
     * totals for recall, symmetric clipped matches.
     */
+  /** WER ground truth — mirrors TextAnalysis.werEval's re-encoding:
+    * 40-word eval slices, joint per-pair word vocabulary densely
+    * ranked alphabetically, both sides chr-encoded so DuckDB's BYTE
+    * levenshtein computes the WORD-level distance. Shared verbatim by
+    * `wer_eval` (relational re-encode plan) and `wer_inrow` (compiled
+    * in-row DP) — one ground truth, two engine plans.
+    */
+  lazy val WerOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    (list_filter(string_split(coalesce(text, ''), ' '),
+      |      w -> length(w) > 0))[1:40] AS ws
+      |  FROM documents),
+      |dl AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw FROM d),
+      |pairs AS (SELECT c.doc_id, c.doc_id + 1 AS ref_id,
+      |            c.nw AS clen, r.nw AS rlen
+      |          FROM dl c JOIN dl r ON r.doc_id = c.doc_id + 1
+      |          WHERE c.doc_id % 2 = 0 AND c.nw >= 1 AND r.nw >= 1),
+      |toks AS (
+      |  SELECT pid, side, pos, ws[pos] AS word FROM (
+      |    SELECT p.doc_id AS pid, 0 AS side, c.ws AS ws,
+      |           CAST(unnest(generate_series(1, CAST(c.nw AS INT))) AS INT) AS pos
+      |    FROM pairs p JOIN dl c ON c.doc_id = p.doc_id)
+      |  UNION ALL
+      |  SELECT pid, side, pos, ws[pos] AS word FROM (
+      |    SELECT p.doc_id AS pid, 1 AS side, r.ws AS ws,
+      |           CAST(unnest(generate_series(1, CAST(r.nw AS INT))) AS INT) AS pos
+      |    FROM pairs p JOIN dl r ON r.doc_id = p.ref_id)),
+      |voc AS (SELECT pid, word,
+      |          CAST(row_number() OVER (PARTITION BY pid ORDER BY word)
+      |            AS INT) AS idx
+      |        FROM (SELECT DISTINCT pid, word FROM toks)),
+      |enc AS (SELECT t.pid, t.side,
+      |          string_agg(chr(32 + v.idx), '' ORDER BY t.pos) AS s
+      |        FROM toks t JOIN voc v ON v.pid = t.pid AND v.word = t.word
+      |        GROUP BY t.pid, t.side)
+      |SELECT p.doc_id, p.ref_id, p.clen, p.rlen,
+      |  CAST(levenshtein(c.s, r.s) AS BIGINT) AS dist,
+      |  CAST((10000 * levenshtein(c.s, r.s)) // p.rlen AS BIGINT) AS wer_bp
+      |FROM pairs p
+      |  JOIN enc c ON c.pid = p.doc_id AND c.side = 0
+      |  JOIN enc r ON r.pid = p.doc_id AND r.side = 1
+      |ORDER BY p.doc_id""".stripMargin
+
   lazy val PairClipCte: String =
     s"""WITH $WordsCte,
        |uni AS (SELECT doc_id, word AS g FROM words),
@@ -6215,41 +6258,13 @@ object Oracles {
     // per-pair word vocabulary densely ranked alphabetically, both
     // sides re-encoded one ASCII byte per word (chr(32+idx)), native
     // byte levenshtein = exact word-level edit distance.
-    "wer_eval" ->
-      """WITH d AS (SELECT doc_id,
-        |    (list_filter(string_split(coalesce(text, ''), ' '),
-        |      w -> length(w) > 0))[1:40] AS ws
-        |  FROM documents),
-        |dl AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw FROM d),
-        |pairs AS (SELECT c.doc_id, c.doc_id + 1 AS ref_id,
-        |            c.nw AS clen, r.nw AS rlen
-        |          FROM dl c JOIN dl r ON r.doc_id = c.doc_id + 1
-        |          WHERE c.doc_id % 2 = 0 AND c.nw >= 1 AND r.nw >= 1),
-        |toks AS (
-        |  SELECT pid, side, pos, ws[pos] AS word FROM (
-        |    SELECT p.doc_id AS pid, 0 AS side, c.ws AS ws,
-        |           CAST(unnest(generate_series(1, CAST(c.nw AS INT))) AS INT) AS pos
-        |    FROM pairs p JOIN dl c ON c.doc_id = p.doc_id)
-        |  UNION ALL
-        |  SELECT pid, side, pos, ws[pos] AS word FROM (
-        |    SELECT p.doc_id AS pid, 1 AS side, r.ws AS ws,
-        |           CAST(unnest(generate_series(1, CAST(r.nw AS INT))) AS INT) AS pos
-        |    FROM pairs p JOIN dl r ON r.doc_id = p.ref_id)),
-        |voc AS (SELECT pid, word,
-        |          CAST(row_number() OVER (PARTITION BY pid ORDER BY word)
-        |            AS INT) AS idx
-        |        FROM (SELECT DISTINCT pid, word FROM toks)),
-        |enc AS (SELECT t.pid, t.side,
-        |          string_agg(chr(32 + v.idx), '' ORDER BY t.pos) AS s
-        |        FROM toks t JOIN voc v ON v.pid = t.pid AND v.word = t.word
-        |        GROUP BY t.pid, t.side)
-        |SELECT p.doc_id, p.ref_id, p.clen, p.rlen,
-        |  CAST(levenshtein(c.s, r.s) AS BIGINT) AS dist,
-        |  CAST((10000 * levenshtein(c.s, r.s)) // p.rlen AS BIGINT) AS wer_bp
-        |FROM pairs p
-        |  JOIN enc c ON c.pid = p.doc_id AND c.side = 0
-        |  JOIN enc r ON r.pid = p.doc_id AND r.side = 1
-        |ORDER BY p.doc_id""".stripMargin,
+    "wer_eval" -> WerOracle,
+
+    // In-row WER twin — mirrors TextAnalysis.werInRow: identical
+    // semantics through the compiled word-level DP, so the ORACLE is
+    // wer_eval's verbatim (both engine plans answer to the same
+    // byte-bijection ground truth).
+    "wer_inrow" -> WerOracle,
 
     // int8 SQ audit — mirrors Similarity.int8Quant: x_bp = floor(x·1e4)
     // enters the integer domain once; amax/greatest guard; truncating

@@ -119,7 +119,11 @@ object ScaleCheck {
     "hll_union",
     // round-12 wave 3: bottom-k set sketches + the word-keyed exact
     // pair join (the truth column) over the 10× vocabulary
-    "kmv_overlap")
+    "kmv_overlap",
+    // round-12 wave 4: wer_eval's in-row twin — the compiled word DP
+    // replacing the per-pair vocab window (the family's one
+    // super-linear 30× ratio); measure both to price the delta
+    "wer_inrow")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

@@ -534,7 +534,9 @@ object SparkEntry {
     // sketch reaggregation: per-lang HLL registers union == direct build
     "hll_union" -> (CorpusStats.hllUnion _),
     // cross-lang vocab overlap via native bottom-k (KMV) set sketches
-    "kmv_overlap" -> (CorpusStats.kmvOverlap _)
+    "kmv_overlap" -> (CorpusStats.kmvOverlap _),
+    // WER recomputed in-row (compiled word DP — wer_eval's scale path)
+    "wer_inrow" -> (TextAnalysis.werInRow _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

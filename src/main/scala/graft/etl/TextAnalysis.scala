@@ -1047,6 +1047,43 @@ object TextAnalysis {
     } finally Fixpoint.releaseAll(locals)
   }
 
+  /** [[werEval]]'s output computed IN-ROW — the scale path for WER:
+    * the relational plan re-encodes each pair through a joint-vocab
+    * dense-rank window + two collect_list aggs (its BASELINE 30×
+    * ratio: 5.13×, the round-11 family's one super-linear member,
+    * priced as the cost of the byte-bijection verification vehicle),
+    * while the computation itself is 1:1 per pair. Here the word-level
+    * DP runs inside the pair row through the compiled
+    * [[graft.functions.WordEdit.distance]] (the GramClip/DotProduct
+    * discipline) — ONE staged scan, one doc_id-keyed pair join, a pure
+    * map pass; no vocab window, no union, no per-pair aggregation.
+    * Distances are identical to [[werEval]]'s by construction (the
+    * word↔byte bijection preserves equality, which is all Levenshtein
+    * reads): the oracle is wer_eval's VERBATIM, and OpUnitSpec pins
+    * the two operators row-for-row in-engine. Operands are the same
+    * bounded 40-word eval slices, so the per-row DP is ≤ 1600 cells.
+    */
+  def werInRow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GramClipFunctions.wordEditF
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        slice(Shingles.wordArray(col("text")), 1, 40).as("ws"))
+      .select(col("doc_id"), array_join(col("ws"), " ").as("t"),
+        size(col("ws")).cast("bigint").as("nw"))
+    docs.filter(col("doc_id") % 2 === 0 && col("nw") >= 1)
+      .select(col("doc_id"), col("t").as("ct"), col("nw").as("clen"))
+      .join(docs.filter(col("nw") >= 1)
+          .select((col("doc_id") - 1).as("doc_id"),
+            col("doc_id").as("ref_id"), col("t").as("rt"),
+            col("nw").as("rlen")),
+        Seq("doc_id"))
+      .withColumn("dist", wordEditF(col("ct"), col("rt")))
+      .withColumn("wer_bp", expr("(10000 * dist) div rlen"))
+      .select(col("doc_id"), col("ref_id"), col("clen"), col("rlen"),
+        col("dist"), col("wer_bp"))
+      .orderBy("doc_id")
+  }
+
   /** Shared candidate/reference pair machinery for [[bleuEval]] and
     * [[rougeEval]] (extracted so the two eval surfaces cannot silently
     * diverge — the same hazard the round-9 advice flagged on the

@@ -157,6 +157,71 @@ case class ClippedWordGramMatches(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Word-level Levenshtein distance for PAIRED evals — the WER core
+  * (substitution/insertion/deletion at the word level) as ONE compiled
+  * in-row DP instead of the relational re-encoding
+  * ([[graft.etl.TextAnalysis.werEval]]: per-pair joint vocab, dense
+  * alphabetical rank window, chr-encode, native string levenshtein).
+  * The re-encoding is the cross-engine VERIFICATION vehicle — a
+  * per-pair word↔byte bijection makes DuckDB's byte levenshtein
+  * compute the word-level answer, so the oracle keeps it — but as an
+  * execution plan it pays a corpus-sized vocab window + two
+  * collect_list aggs for what is a 1:1 pair computation (the
+  * GramClip lesson again). Here: split both operands (the
+  * [[GramClip.clippedWords]] tokenization), two-row DP, O(|a|·|b|)
+  * per pair with zero shuffle. Distances are identical to the
+  * re-encoded form by construction (the bijection preserves
+  * equality, which is all Levenshtein reads).
+  */
+object WordEdit {
+  def distance(cand: UTF8String, ref: UTF8String): Long = {
+    val a = cand.toString.split(" ").filter(_.nonEmpty)
+    val b = ref.toString.split(" ").filter(_.nonEmpty)
+    if (a.isEmpty) return b.length.toLong
+    if (b.isEmpty) return a.length.toLong
+    var prev = Array.tabulate(b.length + 1)(_.toLong)
+    var cur = new Array[Long](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i.toLong
+      var j = 1
+      while (j <= b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0L else 1L)
+        val del = prev(j) + 1L
+        val ins = cur(j - 1) + 1L
+        cur(j) = math.min(sub, math.min(del, ins))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
+}
+
+case class WordEditDistance(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_edit_distance"
+
+  override protected def nullSafeEval(cand: Any, ref: Any): Any =
+    java.lang.Long.valueOf(WordEdit.distance(
+      cand.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, r) =>
+      s"${ev.value} = graft.functions.WordEdit.distance($c, $r);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object GramClipFunctions {
   /** Column API: clipped char-n-gram matches between two string columns. */
   def clipF(cand: Column, ref: Column, n: Column): Column =
@@ -167,4 +232,9 @@ object GramClipFunctions {
   def wordClipF(cand: Column, ref: Column, n: Column): Column =
     ColumnBridge.column(ClippedWordGramMatches(ColumnBridge.expression(cand),
       ColumnBridge.expression(ref), ColumnBridge.expression(n)))
+
+  /** Column API: word-level Levenshtein distance (WER core). */
+  def wordEditF(cand: Column, ref: Column): Column =
+    ColumnBridge.column(WordEditDistance(ColumnBridge.expression(cand),
+      ColumnBridge.expression(ref)))
 }

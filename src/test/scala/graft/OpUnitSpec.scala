@@ -584,6 +584,32 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est - n) * 100 <= 5 * n, s"est=$est")
   }
 
+  test("WordEdit.distance: identity 0, single sub/del/ins are 1, " +
+       "whole-word equality only (no substring credit), blank-safe") {
+    import graft.functions.WordEdit
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(WordEdit.distance(u("the cat sat"), u("the cat sat")) == 0L)
+    assert(WordEdit.distance(u("the cat sat"), u("the dog sat")) == 1L)
+    assert(WordEdit.distance(u("the cat sat"), u("the cat")) == 1L)
+    assert(WordEdit.distance(u("the cat"), u("the cat sat")) == 1L)
+    // word-level, not char-level: 'cats' vs 'cat' is one substitution
+    assert(WordEdit.distance(u("cats"), u("cat")) == 1L)
+    // blanks dropped by the split (doubled spaces)
+    assert(WordEdit.distance(u("a  b"), u("a b")) == 0L)
+    assert(WordEdit.distance(u(""), u("a b c")) == 3L)
+  }
+
+  test("werInRow == werEval row-for-row at sf0.001 (the in-row DP " +
+       "computes exactly the re-encoded byte levenshtein)") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.etl.TextAnalysis.werEval(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val b = graft.etl.TextAnalysis.werInRow(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(a.nonEmpty && a == b,
+      s"first drift: ${a.zip(b).find(p => p._1 != p._2)}")
+  }
+
   test("KmvSketch: bottom-k is partitioning-invariant; un-full " +
        "sketches make estimate and common EXACT; full-sketch estimate " +
        "lands inside the band") {

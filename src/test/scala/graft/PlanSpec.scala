@@ -1280,6 +1280,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!cp.contains("CartesianProduct"), cp)
   }
 
+  test("round-12 pin: wer_inrow has NO window and NO per-pair " +
+       "aggregation — the DP runs in the pair row") {
+    val p = plan("wer_inrow")
+    assert(!p.contains("Window"),
+      s"wer_inrow regressed to the vocab-window re-encode plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("word_edit_distance"),
+      s"wer_inrow must compute through the compiled DP expression:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no exchange under the join") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")

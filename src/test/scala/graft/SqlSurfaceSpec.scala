@@ -95,6 +95,13 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("word_edit_distance is SQL-callable with word-level semantics") {
+    val got = spark.sql(
+      "SELECT word_edit_distance('the cat sat', 'the dog sat'), " +
+        "word_edit_distance('cats', 'cat')").as[(Long, Long)].head()
+    assert(got == ((1L, 1L)), got.toString)
+  }
+
   test("kmv_sketch / kmv_estimate / kmv_common are SQL-callable; " +
        "mistyped args fail analysis") {
     val got = spark.sql(
