@@ -6437,6 +6437,44 @@ object Oracles {
         |GROUP BY word
         |ORDER BY exact DESC, word ASC LIMIT 20""".stripMargin,
 
+    // CMS inner-product join-size estimate — mirrors
+    // CorpusStats.cmsJoinSize: per-side cells from the same md5-analog
+    // row hashes over the key's decimal string, est = min over rows of
+    // the cell dot product (one-sided high), exact = sum of per-key
+    // count products, Markov bound 2*na*nb/w.
+    "cms_join_size" ->
+      """WITH ca AS (SELECT CAST(l_orderkey AS VARCHAR) AS k,
+        |              CAST(count(*) AS BIGINT) AS c
+        |            FROM lineitem GROUP BY 1),
+        |cb AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM orders GROUP BY 1),
+        |wa AS (SELECT k, c, j AS rw,
+        |         CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), k)), 1, 8))
+        |           AS BIGINT) % 256 AS bucket
+        |       FROM ca, (SELECT unnest(generate_series(1, 4)) AS j)),
+        |wb AS (SELECT k, c, j AS rw,
+        |         CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), k)), 1, 8))
+        |           AS BIGINT) % 256 AS bucket
+        |       FROM cb, (SELECT unnest(generate_series(1, 4)) AS j)),
+        |cella AS (SELECT rw, bucket, CAST(sum(c) AS BIGINT) AS cell
+        |          FROM wa GROUP BY rw, bucket),
+        |cellb AS (SELECT rw, bucket, CAST(sum(c) AS BIGINT) AS cell
+        |          FROM wb GROUP BY rw, bucket),
+        |ip AS (SELECT a.rw, CAST(sum(a.cell * b.cell) AS BIGINT) AS est
+        |       FROM cella a JOIN cellb b USING (rw, bucket) GROUP BY a.rw),
+        |e AS (SELECT CAST(min(est) AS BIGINT) AS est_pairs FROM ip),
+        |n AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ca) AS na,
+        |             (SELECT CAST(sum(c) AS BIGINT) FROM cb) AS nb),
+        |x AS (SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS exact_pairs
+        |      FROM ca JOIN cb USING (k))
+        |SELECT n.na, n.nb, x.exact_pairs, e.est_pairs,
+        |  e.est_pairs - x.exact_pairs AS over_count,
+        |  CAST((2 * n.na * n.nb) // 256 AS BIGINT) AS err_bound,
+        |  (e.est_pairs - x.exact_pairs) <= ((2 * n.na * n.nb) // 256)
+        |    AS within_bound
+        |FROM n, x, e""".stripMargin,
+
     // Newman modularity of the label_prop partition — same kNN-graph +
     // 2-round propagation CTEs as label_prop, then labeled-subgraph
     // edge scoring in exact 1/(4m^2) units (no division anywhere).

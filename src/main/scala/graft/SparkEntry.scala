@@ -520,6 +520,8 @@ object SparkEntry {
     "ap_eval" -> (TfIdf.apEval _),
     // CMS audit through the native TypedImperativeAggregate sketch
     "cms_native" -> (CorpusStats.cmsNative _),
+    // join-size estimation from two CMS sketches (inner-product bound)
+    "cms_join_size" -> (CorpusStats.cmsJoinSize _),
     // Newman modularity of the label_prop partition (1/(4m^2) units)
     "modularity" -> ((s, d) => GraphCuration.modularity(s, d)),
     // --- round-12 additions ---

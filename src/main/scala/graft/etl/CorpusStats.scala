@@ -693,6 +693,64 @@ object CorpusStats {
     } finally Fixpoint.releaseAll(locals)
   }
 
+  /** Equi-join CARDINALITY estimation from two Count-Min sketches —
+    * the sketch inner product (Cormode & Muthukrishnan 2005 §4.2):
+    * |A ⋈_k B| = Σ_k c_A(k)·c_B(k), and row j of the product
+    * Σ_b cellA[j,b]·cellB[j,b] counts every true pair exactly plus
+    * non-negative collision cross-terms, so the min over the d=4 rows
+    * is a one-sided-HIGH estimate with E[overshoot] ≤ n_A·n_B/w per
+    * row. The production use is sizing a join BEFORE running it
+    * (broadcast-vs-shuffle admission, skew alarms, quota checks): the
+    * two sides never exchange data — each folds into a constant
+    * 1024-long sketch in one pass (map-side partial merge, 1024 longs
+    * per partition, the [[graft.functions.CmsSketchAgg]] shape) and
+    * the estimate is a 4×256 dot product on the driver-sized result,
+    * while the exact answer requires the keyed join itself. The audit
+    * emits both, the overshoot, and the Markov bound 2·n_A·n_B/w
+    * (missed by one row with prob ≤ 1/2, by all four jointly ≤ 1/16 —
+    * at the pinned w=256 the bound DWARFS small-SF joins, which the
+    * within_bound flag makes visible rather than hiding; production
+    * widths of 2^20+ shrink overshoot and bound proportionally, the
+    * sketch stays constant-size either way). Keys hash through the
+    * engine-portable [[cmsBuckets]] md5 analog on the key's decimal
+    * string, so both engines build bit-identical cells and the oracle
+    * match is exact.
+    *
+    * Scale posture: per side, one pruned single-column scan into the
+    * native sketch aggregate (PARTIAL merge — constant shuffle
+    * payload); the exact side is a keyed count-join (shuffle on the
+    * join key, the plan the estimate exists to predict); the three
+    * 1-row frames combine via broadcast. Reference kin: the batch
+    * planner's size-before-execute discipline
+    * (commands/extract.md:214-231).
+    */
+  def cmsJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsSketchFunctions.cmsSketch
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("k"))
+    val os = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").cast("string").as("k"))
+    val ska = li.agg(cmsSketch(col("k")).as("sa"), count(lit(1)).as("na"))
+    val skb = os.agg(cmsSketch(col("k")).as("sb"), count(lit(1)).as("nb"))
+    val exact = li.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+      .join(os.groupBy(col("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+      .agg(sum(col("ca") * col("cb")).as("exact_pairs"))
+    // row j's inner product: lambdas touch only their own arguments
+    // (zip_with receives the slices as inputs — no outer-array capture)
+    val est = (1 to 4).map { j =>
+      expr(s"aggregate(zip_with(slice(sa, ${(j - 1) * 256 + 1}, 256), " +
+        s"slice(sb, ${(j - 1) * 256 + 1}, 256), (x, y) -> x * y), " +
+        "0L, (acc, v) -> acc + v)")
+    }.reduce(least(_, _))
+    ska.crossJoin(broadcast(skb)).crossJoin(broadcast(exact))
+      .withColumn("est_pairs", est)
+      .withColumn("over_count", col("est_pairs") - col("exact_pairs"))
+      .withColumn("err_bound", expr("(2 * na * nb) div 256"))
+      .withColumn("within_bound", col("over_count") <= col("err_bound"))
+      .select(col("na"), col("nb"), col("exact_pairs"), col("est_pairs"),
+        col("over_count"), col("err_bound"), col("within_bound"))
+  }
+
   /** word2vec/NCE negative-sampling table (Mikolov et al. 2013): the
     * unigram distribution raised to the 3/4 power — the smoothing that
     * up-weights tail words enough to make useful negatives without

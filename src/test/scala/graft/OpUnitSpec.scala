@@ -610,6 +610,36 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
       s"first drift: ${a.zip(b).find(p => p._1 != p._2)}")
   }
 
+  test("cms_join_size == the hand-computed inner-product estimate at " +
+       "sf0.001 (independent cell build via CmsSketch.bucket); the " +
+       "estimate is one-sided high and exact_pairs is the true join " +
+       "size") {
+    import graft.functions.CmsSketch
+    val dir = "/root/testdata/sf0.001"
+    val liKeys = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast("string")).as[String].collect()
+    val osKeys = graft.Tables(spark, dir, "orders")
+      .select(col("o_orderkey").cast("string")).as[String].collect()
+    def cells(keys: Array[String]): Array[Long] = {
+      val c = new Array[Long](4 * 256)
+      for (k <- keys; j <- 1 to 4) c((j - 1) * 256 + CmsSketch.bucket(j, k)) += 1L
+      c
+    }
+    val (a, b) = (cells(liKeys), cells(osKeys))
+    val est = (1 to 4).map { j =>
+      (0 until 256).map(t => a((j - 1) * 256 + t) * b((j - 1) * 256 + t)).sum
+    }.min
+    val ca = liKeys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val exact = osKeys.groupBy(identity).map { case (k, v) =>
+      ca.getOrElse(k, 0L) * v.length }.sum
+    val row = graft.etl.CorpusStats.cmsJoinSize(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].head()
+    assert(row == ((liKeys.length.toLong, osKeys.length.toLong, exact, est,
+      est - exact, 2L * liKeys.length * osKeys.length / 256,
+      est - exact <= 2L * liKeys.length * osKeys.length / 256)), row.toString)
+    assert(est >= exact, s"inner product must be one-sided high: $est < $exact")
+  }
+
   test("KmvSketch: bottom-k is partitioning-invariant; un-full " +
        "sketches make estimate and common EXACT; full-sketch estimate " +
        "lands inside the band") {

@@ -1093,6 +1093,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("round-12 pin: cms_join_size sketches BOTH sides through partial " +
+       "native aggregates; 1-row frames combine via broadcast, no " +
+       "cartesian") {
+    val p = plan("cms_join_size")
+    assert(p.linesIterator.count(_.contains("partial_cms_sketch")) >= 2,
+      s"cms_join_size must build both sketches through partial native " +
+        s"aggregation (constant shuffle payload per side):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("round-11 pin: modularity builds the kNN graph ONCE — staged " +
        "edges feed propagation and scoring; community-keyed aggs only") {
     // eager operator: the edge frame and labels are local checkpoints;
