@@ -6626,6 +6626,57 @@ object Oracles {
         |SELECT word, c, w34,
         |  CAST((1000000 * w34) // total_w AS BIGINT) AS prob_ppm
         |FROM w34 CROSS JOIN tot
-        |ORDER BY c DESC, word ASC LIMIT 30""".stripMargin
+        |ORDER BY c DESC, word ASC LIMIT 30""".stripMargin,
+
+    // Benford leading-digit audit — digit of the exact integer-cents
+    // encoding (the repo money rule; no double→string formatting);
+    // reference shares are the pinned round(10000·log10(1+1/d)) table,
+    // NOT runtime log10 (libm rounding is engine-specific).
+    "benford_deviation" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+        |           FROM orders),
+        |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+        |      FROM c),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
+        |b(digit, benford_bp) AS (VALUES
+        |  (1, CAST(3010 AS BIGINT)), (2, CAST(1761 AS BIGINT)),
+        |  (3, CAST(1249 AS BIGINT)), (4, CAST(969 AS BIGINT)),
+        |  (5, CAST(792 AS BIGINT)), (6, CAST(669 AS BIGINT)),
+        |  (7, CAST(580 AS BIGINT)), (8, CAST(512 AS BIGINT)),
+        |  (9, CAST(458 AS BIGINT)))
+        |SELECT g.digit, g.n,
+        |  CAST((10000 * g.n) // t.n_total AS BIGINT) AS share_bp,
+        |  b.benford_bp,
+        |  CAST((10000 * g.n) // t.n_total - b.benford_bp AS BIGINT) AS dev_bp
+        |FROM g CROSS JOIN t JOIN b USING (digit)
+        |ORDER BY digit""".stripMargin,
+
+    // Exact-rational shape moments about the floor mean — identical
+    // binomial expansion and staged integral division as the engine
+    // (m3² div m2 first, then the b1 scaling), all in HUGEINT so no
+    // intermediate rounds; surfaces cast to BIGINT/INT (dtype-strict).
+    "moments_profile" ->
+      """WITH l AS (SELECT lang, CAST(length(text) AS HUGEINT) AS l
+        |           FROM documents),
+        |s AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+        |        sum(l) AS s1, sum(l * l) AS s2,
+        |        sum(l * l * l) AS s3, sum(l * l * l * l) AS s4
+        |      FROM l GROUP BY lang),
+        |mu AS (SELECT *, s1 // n AS mu FROM s),
+        |m AS (SELECT lang, n, mu,
+        |        s2 - 2 * mu * s1 + n * mu * mu AS m2,
+        |        s3 - 3 * mu * s2 + 3 * mu * mu * s1 - n * mu * mu * mu AS m3,
+        |        s4 - 4 * mu * s3 + 6 * mu * mu * s2
+        |          - 4 * mu * mu * mu * s1 + n * mu * mu * mu * mu AS m4
+        |      FROM mu)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(mu AS BIGINT) AS mean_floor, CAST(m2 AS BIGINT) AS m2,
+        |  CAST((10000 * n * m4) // greatest(m2 * m2, 1) AS BIGINT) AS kurt_bp,
+        |  CAST(CASE WHEN m3 > 0 THEN 1 WHEN m3 < 0 THEN -1 ELSE 0 END
+        |    AS INT) AS skew_sign,
+        |  CAST((100 * n * ((m3 * m3) // greatest(m2, 1)))
+        |    // greatest(m2 * m2, 1) AS BIGINT) AS skew_b1_x100
+        |FROM m ORDER BY lang""".stripMargin
   )
 }

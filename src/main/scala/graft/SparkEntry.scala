@@ -538,7 +538,11 @@ object SparkEntry {
     // cross-lang vocab overlap via native bottom-k (KMV) set sketches
     "kmv_overlap" -> (CorpusStats.kmvOverlap _),
     // WER recomputed in-row (compiled word DP — wer_eval's scale path)
-    "wer_inrow" -> (TextAnalysis.werInRow _)
+    "wer_inrow" -> (TextAnalysis.werInRow _),
+    // Benford leading-digit forensic audit (pinned reference table)
+    "benford_deviation" -> (Observability.benfordDeviation _),
+    // exact-rational skew/kurtosis of per-lang length distributions
+    "moments_profile" -> (CorpusStats.momentsProfile _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

@@ -1391,4 +1391,61 @@ object CorpusStats {
         col("kn_bp"), col("backoff_share_bp"))
       .orderBy("doc_id")
   }
+
+  /** Distribution-SHAPE profile of document lengths per language —
+    * exact-integer skewness and kurtosis, the two moments the existing
+    * audit tier (length_histogram buckets, outlier_mad tails, ks/
+    * wasserstein drift) cannot express: a mix whose mean and variance
+    * look healthy still fails training when one language's lengths are
+    * heavy-tailed (kurtosis) or lopsided (skew) — truncation waste and
+    * padding waste are shape effects (cf. pack_sequences/
+    * padding_batches, which measure the SYMPTOM; this measures the
+    * cause at ingest).
+    *
+    * Determinism: the classical estimators divide by powers of the
+    * irrational sd, so the emitted figures are the exact-rational
+    * Pearson forms about the FLOOR mean μ = S div n: central power
+    * sums m_k = Σ(len−μ)^k come from raw power sums via the binomial
+    * expansion (ONE scan, no mean-then-rejoin second pass), then
+    *   kurt_bp     = (10000·n·m4) div m2²          (β₂, basis points)
+    *   skew_b1_x100 = (100·n·((m3² div m2))) div m2² with sign(m3)
+    * — b₁ = skew² is rational (no sqrt); the inner div stages the
+    * division so the numerator never exceeds decimal(38). Both engines
+    * run the identical integer staging, so equality is exact.
+    *
+    * Scale posture: one pruned (lang, length) scan → one 5-group
+    * partial aggregate; all shape math happens on the 5-row result.
+    * Overflow ceiling: raw s4 ≤ n·maxlen⁴ and staged t = m3² div m2
+    * must clear 10³⁸/2⁶³ — satisfied to n ≈ 10¹⁰ docs/lang at the
+    * observed ≤600-char lengths; longer-doc corpora pre-bin length
+    * (len div 16: one-line change, bounds shrink 16^k).
+    */
+  def momentsProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), length(col("text")).cast("decimal(38,0)").as("l"))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("l")).as("s1"),
+        sum(col("l") * col("l")).as("s2"),
+        sum(col("l") * col("l") * col("l")).as("s3"),
+        sum(col("l") * col("l") * col("l") * col("l")).as("s4"))
+      .withColumn("mu", expr("s1 div n"))
+      .withColumn("m2", expr(
+        "s2 - 2 * mu * s1 + n * mu * mu"))
+      .withColumn("m3", expr(
+        "s3 - 3 * mu * s2 + 3 * mu * mu * s1 - n * mu * mu * mu"))
+      .withColumn("m4", expr(
+        "s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 4 * mu * mu * mu * s1" +
+          " + n * mu * mu * mu * mu"))
+      .withColumn("kurt_bp", expr(
+        "(10000 * n * m4) div greatest(m2 * m2, 1)"))
+      .withColumn("skew_sign", expr(
+        "CAST(CASE WHEN m3 > 0 THEN 1 WHEN m3 < 0 THEN -1 ELSE 0 END AS INT)"))
+      .withColumn("skew_b1_x100", expr(
+        "(100 * n * ((m3 * m3) div greatest(m2, 1))) div greatest(m2 * m2, 1)"))
+      .select(col("lang"), expr("CAST(n AS BIGINT)").as("n_docs"),
+        col("mu").as("mean_floor"), expr("CAST(m2 AS BIGINT)").as("m2"),
+        col("kurt_bp"), col("skew_sign"), col("skew_b1_x100"))
+      .orderBy("lang")
+  }
 }

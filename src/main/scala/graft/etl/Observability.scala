@@ -381,4 +381,46 @@ object Observability {
         cust.select(col("c_custkey").as("k")), "k"))
       .orderBy("fk_edge")
   }
+
+  /** Benford leading-digit audit (Newcomb 1881 / Benford 1938) — the
+    * forensic data-quality screen run over any naturally-occurring
+    * monetary or count column before trusting a new drop: genuine
+    * multiplicative data puts digit d first with probability
+    * log10(1+1/d); fabricated, truncated, or unit-mangled values break
+    * the curve. Reported per digit: observed count, observed share
+    * (basis points), the Benford reference share, and the signed
+    * deviation. TPC-H totalprice is uniform-ish, so the report shows
+    * REAL deviations — like [[expectations]]' deliberately failing
+    * rule, the audit must prove it can say no. The reference shares
+    * are pinned integer constants (round(10000·log10(1+1/d))), not
+    * runtime log10 calls: libm log10 is not guaranteed correctly
+    * rounded, and a pinned table is how production auditors ship the
+    * curve anyway.
+    *
+    * The leading digit comes from the exact integer-cents encoding
+    * (Relational.cents — the repo's money rule), whose decimal string
+    * shares the price's significand; double→string formatting never
+    * enters the plan. Scale posture: ONE pruned scan of orders into a
+    * 9-group partial aggregate; the grand total is a SinglePartition
+    * window over the 9-row aggregate (never a second scan) and the
+    * reference table is a 9-row broadcast literal.
+    */
+  def benfordDeviation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val benford = Seq(1 -> 3010L, 2 -> 1761L, 3 -> 1249L, 4 -> 969L,
+        5 -> 792L, 6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
+      .toDF("digit", "benford_bp")
+    val byDigit = Tables(spark, dir, "orders")
+      .select(Relational.cents(col("o_totalprice")).as("c"))
+      .select(substring(col("c").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    byDigit
+      .withColumn("n_total", sum(col("n")).over(Window.partitionBy()))
+      .join(broadcast(benford), Seq("digit"))
+      .withColumn("share_bp", expr("(10000 * n) div n_total"))
+      .withColumn("dev_bp", col("share_bp") - col("benford_bp"))
+      .select(col("digit"), col("n"), col("share_bp"), col("benford_bp"),
+        col("dev_bp"))
+      .orderBy("digit")
+  }
 }

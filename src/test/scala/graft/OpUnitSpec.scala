@@ -896,4 +896,58 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L), got.toString)
   }
+
+  test("moments_profile == BigInt hand-computation at sf0.001 (floor " +
+       "mean, binomial-free direct central sums, staged b1 division); " +
+       "kurtosis sits in the platykurtic band for every lang") {
+    val dir = "/root/testdata/sf0.001"
+    val lens = graft.Tables.documents(spark, dir)
+      .select(col("lang"), length(col("text")).cast("long"))
+      .as[(String, Long)].collect()
+    val want = lens.groupBy(_._1).map { case (lang, rows) =>
+      val xs = rows.map(r => BigInt(r._2))
+      val n = BigInt(xs.length)
+      val mu = xs.sum / n // floor mean, matches `div`
+      def m(k: Int) = xs.map(x => (x - mu).pow(k)).sum
+      val (m2, m3, m4) = (m(2), m(3), m(4))
+      val kurt = (10000 * n * m4) / (m2 * m2)
+      val skewSign = m3.signum
+      val b1x100 = (100 * n * ((m3 * m3) / m2)) / (m2 * m2)
+      lang -> ((n.toLong, mu.toLong, m2.toLong, kurt.toLong,
+        skewSign, b1x100.toLong))
+    }
+    val got = graft.etl.CorpusStats.momentsProfile(spark, dir)
+      .as[(String, Long, Long, Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == want, s"got=$got\nwant=$want")
+    got.values.foreach { case (_, _, _, kurt, _, _) =>
+      assert(kurt > 10000 && kurt < 30000,
+        s"kurtosis out of the sane band for synthetic lengths: $kurt")
+    }
+  }
+
+  test("benford_deviation == hand-tallied leading digits of integer " +
+       "cents at sf0.001; shares sum to ~10000 bp and every digit row " +
+       "is present") {
+    val dir = "/root/testdata/sf0.001"
+    val cents = graft.Tables(spark, dir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long"))
+      .as[Long].collect()
+    val byDigit = cents.groupBy(_.toString.head.asDigit)
+      .map { case (d, v) => d -> v.length.toLong }
+    val total = cents.length.toLong
+    val benford = Map(1 -> 3010L, 2 -> 1761L, 3 -> 1249L, 4 -> 969L,
+      5 -> 792L, 6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
+    val got = graft.etl.Observability.benfordDeviation(spark, dir)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == (1 to 9), got.mkString(","))
+    got.foreach { case (d, n, share, bbp, dev) =>
+      assert(n == byDigit(d), s"digit $d count: $n != ${byDigit(d)}")
+      assert(share == 10000 * n / total, s"digit $d share")
+      assert(bbp == benford(d) && dev == share - bbp, s"digit $d dev")
+    }
+    val shareSum = got.map(_._3).sum
+    assert(shareSum > 9990 && shareSum <= 10000,
+      s"floor shares must sum just under 10000 bp: $shareSum")
+  }
 }

@@ -1301,6 +1301,35 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"wer_inrow must compute through the compiled DP expression:\n$p")
   }
 
+  test("round-12 pin: benford_deviation scans orders ONCE — the grand " +
+       "total is a window over the 9-row aggregate, the reference " +
+       "table broadcasts") {
+    val p = plan("benford_deviation")
+    val scans = p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"benford_deviation must read orders exactly once:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 9-row Benford reference table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("round-12 pin: moments_profile is ONE scan + ONE 5-group " +
+       "partial aggregate — binomial expansion, no mean-then-rejoin " +
+       "second pass, no window, no join") {
+    val p = plan("moments_profile")
+    val scans = p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"moments_profile must read documents exactly once:\n$p")
+    assert(!p.contains("Window"),
+      s"moments_profile must not window — shape math runs on the " +
+        s"5-row aggregate:\n$p")
+    assert(!p.contains("Join"), s"moments_profile must not join:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"moments_profile must partial-aggregate the power sums:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no exchange under the join") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
