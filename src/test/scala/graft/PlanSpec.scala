@@ -1145,10 +1145,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
     // the serial batch_pack is the documented exception (semantic spec
-    // for its sharded twin); everything else must keep table-sized data
-    // on hash/range partitioning only — SinglePartition exchanges are
-    // tolerated solely as global-agg combines (see serialFunnels)
-    val whitelist = Set("batch_pack")
+    // for its sharded twin); benford_deviation's grand-total window runs
+    // over the FINAL 9-row digit aggregate (digit ∈ 1..9 bounds the
+    // funnel by construction — its own pin asserts the single scan);
+    // everything else must keep table-sized data on hash/range
+    // partitioning only — SinglePartition exchanges are tolerated
+    // solely as global-agg combines (see serialFunnels)
+    val whitelist = Set("batch_pack", "benford_deviation")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(whitelist)
       .flatMap { q =>
