@@ -123,7 +123,14 @@ object ScaleCheck {
     // round-12 wave 4: wer_eval's in-row twin — the compiled word DP
     // replacing the per-pair vocab window (the family's one
     // super-linear 30× ratio); measure both to price the delta
-    "wer_inrow")
+    "wer_inrow",
+    // round-12 wave 6: one-scan binomial power sums over 10× docs
+    // (moments — the single-agg linear control), one-scan 9-group
+    // digit tally + 9-row total window over 10× orders (benford).
+    // cms_join_size is OMITTED like hll_native: its lineitem side is
+    // carried over unreplicated, so a "10×" run would time a mixed
+    // corpus; its constant-sketch-payload claim is the plan pin.
+    "moments_profile", "benford_deviation")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant
