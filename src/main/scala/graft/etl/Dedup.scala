@@ -489,12 +489,17 @@ object Dedup {
     */
   def lshQuality(spark: SparkSession, dir: String): DataFrame = {
     val block = Tables.documents(spark, dir).filter(col("doc_id") < 64)
+    // ONE banding pass: minhashLsh returns a reliable-checkpoint scan,
+    // so both the exact-verify arm and the is_cand arm read the same
+    // materialized pair frame (round 12 — this query used to run the
+    // whole signature+banding pipeline twice)
+    val pairs = minhashLsh(spark, dir)
     val truth = pairJaccardFrom(block)
       .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
-      .unionByName(Splits.neardupPipeline(spark, dir)
+      .unionByName(Splits.neardupVerify(spark, dir, pairs)
         .select(col("doc_a"), col("doc_b"), col("jaccard_bp")))
       .distinct() // overlap pairs carry identical jaccard rows
-    val cands = minhashLsh(spark, dir).withColumn("is_cand", lit(1L))
+    val cands = pairs.withColumn("is_cand", lit(1L))
     truth.join(cands, Seq("doc_a", "doc_b"), "left")
       .withColumn("bucket", expr("jaccard_bp div 1000"))
       .groupBy(col("bucket"))
@@ -702,6 +707,14 @@ object Dedup {
     val axisArr = array(thr.map(lit): _*)
     val base = spark.range(thr.size).select(
       element_at(axisArr, (col("id") + 1).cast("int")).as("threshold"))
+    // the verified pair frame is read by BOTH rollup branches, but its
+    // expensive prefix (the banding self-join) is ALREADY a reliable
+    // checkpoint inside minhashLsh — the re-run verify joins above it
+    // are pair-frame-sized and cheap. Staging the verified frame
+    // eagerly was measured SLOWER at sf0.1 (6.53 vs 5.83 s steady,
+    // round 12): the checkpoint write costs more than the duplicated
+    // branch, so the bounded-frame staging rule deliberately does NOT
+    // apply here.
     val pt = Splits.neardupPipeline(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
       .select(col("*"), explode(axisArr).as("threshold"))

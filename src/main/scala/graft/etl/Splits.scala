@@ -143,12 +143,21 @@ object Splits {
       .orderBy("status")
   }
 
-  def neardupPipeline(spark: SparkSession, dir: String): DataFrame = {
+  def neardupPipeline(spark: SparkSession, dir: String): DataFrame =
+    neardupVerify(spark, dir, Dedup.minhashLsh(spark, dir))
+
+  /** The exact-verify half of [[neardupPipeline]] over a CALLER-STAGED
+    * candidate-pair frame — compositions that also need the raw pair
+    * frame (lsh_quality's is_cand arm) pass the one materialized
+    * [[Dedup.minhashLsh]] result here instead of re-running the whole
+    * signature+banding pipeline a second time.
+    */
+  def neardupVerify(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val sets = Tables.documents(spark, dir)
       .select(col("doc_id"),
         array_distinct(Shingles.shingleArray(col("text"), 3)).as("sh_set"))
       .filter(size(col("sh_set")) > 0)
-    val pairs = Dedup.minhashLsh(spark, dir)
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("sa")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("sb")), Seq("doc_b"))
