@@ -6628,6 +6628,37 @@ object Oracles {
         |FROM w34 CROSS JOIN tot
         |ORDER BY c DESC, word ASC LIMIT 30""".stripMargin,
 
+    // Dunning G² collocations — same bigram tokens as collocations'
+    // lead() build; marginals and the total derive from the pair-count
+    // frame; every ln argument keeps the engine's exact CAST placement
+    // and the four terms sum in the same left-associative order, so
+    // the rounded doubles are bit-identical.
+    "llr_collocations" ->
+      s"""WITH $WordsCte,
+         |sh0 AS (SELECT doc_id, pos, word,
+         |          lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS wnext
+         |        FROM words),
+         |p AS (SELECT word AS w1, wnext AS w2, CAST(count(*) AS BIGINT) AS c12
+         |      FROM sh0 WHERE wnext IS NOT NULL GROUP BY 1, 2),
+         |m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM p GROUP BY 1),
+         |m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM p GROUP BY 1),
+         |t AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM p),
+         |sc AS (SELECT w1, w2, c12, c1, c2,
+         |  round(2 * (CASE WHEN c12 = 0 THEN CAST(0 AS DOUBLE) ELSE (c12) *
+         |      ln((CAST(c12 AS DOUBLE) * n) / (CAST(c1 AS DOUBLE) * (c2))) END
+         |   + CASE WHEN c1 - c12 = 0 THEN CAST(0 AS DOUBLE) ELSE (c1 - c12) *
+         |      ln((CAST(c1 - c12 AS DOUBLE) * n) / (CAST(c1 AS DOUBLE) * (n - c2))) END
+         |   + CASE WHEN c2 - c12 = 0 THEN CAST(0 AS DOUBLE) ELSE (c2 - c12) *
+         |      ln((CAST(c2 - c12 AS DOUBLE) * n) / (CAST(n - c1 AS DOUBLE) * (c2))) END
+         |   + CASE WHEN n - c1 - c2 + c12 = 0 THEN CAST(0 AS DOUBLE)
+         |     ELSE (n - c1 - c2 + c12) *
+         |      ln((CAST(n - c1 - c2 + c12 AS DOUBLE) * n)
+         |        / (CAST(n - c1 AS DOUBLE) * (n - c2))) END), 4) AS llr
+         |  FROM p JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN t
+         |  WHERE c12 >= 5)
+         |SELECT w1, w2, c12, c1, c2, llr FROM sc
+         |ORDER BY llr DESC, w1, w2 LIMIT 20""".stripMargin,
+
     // Benford leading-digit audit — digit of the exact integer-cents
     // encoding (the repo money rule; no double→string formatting);
     // reference shares are the pinned round(10000·log10(1+1/d)) table,

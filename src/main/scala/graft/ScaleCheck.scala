@@ -130,7 +130,10 @@ object ScaleCheck {
     // cms_join_size is OMITTED like hll_native: its lineitem side is
     // carried over unreplicated, so a "10×" run would time a mixed
     // corpus; its constant-sketch-payload claim is the plan pin.
-    "moments_profile", "benford_deviation")
+    "moments_profile", "benford_deviation",
+    // round-12 wave 7: corpus tokenize into the staged pair-count
+    // frame + domain-sized marginal aggs over 10× docs
+    "llr_collocations")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

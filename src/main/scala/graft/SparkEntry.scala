@@ -542,7 +542,9 @@ object SparkEntry {
     // Benford leading-digit forensic audit (pinned reference table)
     "benford_deviation" -> (Observability.benfordDeviation _),
     // exact-rational skew/kurtosis of per-lang length distributions
-    "moments_profile" -> (CorpusStats.momentsProfile _)
+    "moments_profile" -> (CorpusStats.momentsProfile _),
+    // Dunning G² collocations — significance-tested PMI companion
+    "llr_collocations" -> (TextAnalysis.llrCollocations _)
   )
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */

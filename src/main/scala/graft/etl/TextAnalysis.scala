@@ -396,6 +396,60 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Log-likelihood-ratio collocations (Dunning 1993) — the
+    * significance-tested companion to [[collocations]]' PMI: PMI
+    * overweights rare pairs (a hapax bigram of two hapax words maxes
+    * it), while the G² statistic scores the 2×2 bigram contingency
+    * table (left word is/isn't w1 × right word is/isn't w2) by how
+    * implausible independence is GIVEN the sample size — the measure
+    * production phrase-mining ranks by. Cells: k11=c12, k12=c1−c12,
+    * k21=c2−c12, k22=n−c1−c2+c12 over bigram tokens; G² =
+    * 2·Σ k·ln(k·n / (rowTot·colTot)), zero cells contribute 0.
+    *
+    * Determinism: each ln argument is a fixed-shape double expression
+    * over exact integers ((k·n)/(rowTot·colTot) with the same CAST
+    * placement in both engines), the four terms sum in fixed
+    * left-associative order, and the result rounds to 4 dp before the
+    * sort — the bleu/pmi cross-engine double rule.
+    *
+    * Scale posture: ONE corpus tokenize into the pair-count shuffle,
+    * staged locally (the frame is vocabulary²-bounded, far smaller
+    * than the corpus, and read by four branches: both marginals, the
+    * total, and the scored output — re-deriving it would re-scan the
+    * corpus per branch); marginals are domain-sized aggregates OF the
+    * pair frame, the 1-row total broadcasts, final output is reliable.
+    */
+  def llrCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .select(explode(Shingles.shingleArray(col("text"), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val pairs = Fixpoint.locally(
+      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")), locals)
+    try {
+      val m1 = pairs.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val m2 = pairs.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+      val tot = pairs.agg(sum(col("c12")).as("n"))
+      def term(k: String, rowTot: String, colTot: String): String =
+        s"CASE WHEN $k = 0 THEN CAST(0 AS DOUBLE) ELSE ($k) * " +
+          s"ln((CAST($k AS DOUBLE) * n) / (CAST($rowTot AS DOUBLE) * ($colTot))) END"
+      Fixpoint.reliably(pairs.filter(col("c12") >= 5)
+        .join(m1, Seq("w1")).join(m2, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("llr", expr(
+          s"""round(2 * (${term("c12", "c1", "c2")}
+             | + ${term("c1 - c12", "c1", "n - c2")}
+             | + ${term("c2 - c12", "n - c1", "c2")}
+             | + ${term("n - c1 - c2 + c12", "n - c1", "n - c2")}), 4)"""
+            .stripMargin))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          col("llr"))
+        .orderBy(col("llr").desc, col("w1").asc, col("w2").asc)
+        .limit(20))
+    } finally Fixpoint.releaseAll(locals)
+  }
+
   /** Corpus-level n-gram NOVELTY — the inverse of decontamination: for
     * each document, what fraction of its distinct 3-shingles appears in
     * NO other document (document frequency == 1). Low novelty = mostly

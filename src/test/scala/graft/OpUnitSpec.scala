@@ -926,6 +926,46 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("llr_collocations == a from-scratch G² computation at sf0.001 " +
+       "(independent bigram tally, 2x2 contingency cells, double " +
+       "arithmetic in the same shape); G² is non-negative") {
+    val dir = "/root/testdata/sf0.001"
+    val bigrams = graft.Tables.documents(spark, dir)
+      .select(explode(graft.etl.Shingles.shingleArray(col("text"), 2)))
+      .as[String].collect()
+      .map { bg => val i = bg.indexOf(' '); (bg.substring(0, i), bg.substring(i + 1)) }
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val c2 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = bigrams.length.toLong
+    def g2(w1: String, w2: String): Double = {
+      val (k11, r, c) = (c12((w1, w2)), c1(w1), c2(w2))
+      def t(k: Long, rt: Long, ct: Long): Double =
+        if (k == 0) 0.0 else k * math.log((k.toDouble * n) / (rt.toDouble * ct))
+      val raw = 2 * (t(k11, r, c) + t(r - k11, r, n - c) +
+        t(c - k11, n - r, c) + t(n - r - c + k11, n - r, n - c))
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = graft.etl.TextAnalysis.llrCollocations(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.length == 20, got.length.toString)
+    got.foreach { case (w1, w2, k, r, c, llr) =>
+      assert(k == c12((w1, w2)) && r == c1(w1) && c == c2(w2),
+        s"counts drifted for ($w1,$w2)")
+      assert(math.abs(llr - g2(w1, w2)) < 5e-4,
+        s"llr($w1,$w2): $llr != ${g2(w1, w2)}")
+      assert(llr >= 0.0, s"G² must be non-negative: $llr")
+    }
+    // the list is the global top-20: no excluded pair with c12 >= 5
+    // scores above the list's minimum
+    val floor = got.map(_._6).min
+    val inList = got.map(t => (t._1, t._2)).toSet
+    c12.filter(_._2 >= 5).keys.filterNot(inList).foreach { case (w1, w2) =>
+      assert(g2(w1, w2) <= floor + 5e-4,
+        s"excluded pair ($w1,$w2) scores ${g2(w1, w2)} above floor $floor")
+    }
+  }
+
   test("benford_deviation == hand-tallied leading digits of integer " +
        "cents at sf0.001; shares sum to ~10000 bp and every digit row " +
        "is present") {

@@ -1333,6 +1333,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"moments_profile must partial-aggregate the power sums:\n$p")
   }
 
+  test("round-12 pin: llr_collocations tokenizes the corpus ONCE — " +
+       "marginals and total aggregate the staged pair frame; 1-row " +
+       "total broadcasts, no cartesian") {
+    val all = executedPlans("llr_collocations")
+    val cp = all.mkString("\n=== next executed plan ===\n")
+    val scans = cp.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"llr_collocations must read documents exactly once:\n$cp")
+    assert(cp.contains("BroadcastNestedLoopJoin") ||
+      cp.contains("BroadcastHashJoin"),
+      s"the 1-row total must broadcast onto the scored pairs:\n$cp")
+    assert(countOf(cp, "CartesianProduct") == 0, cp)
+  }
+
   test("bucketed tables co-locate the join: no exchange under the join") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
