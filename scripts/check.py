@@ -39,6 +39,12 @@ def dtype_mismatch(g: pd.DataFrame, e: pd.DataFrame):
     strictness that check_dtype=False used to hide."""
     bad = []
     for c in g.columns:
+        if c not in e.columns:
+            # schema drift is caught by the column-list gate before this
+            # runs; guard anyway so a drifted frame reports a FAIL line
+            # instead of aborting the whole run with a KeyError
+            bad.append((c, str(g[c].dtype), "<missing>"))
+            continue
         kg, ke = dtype_kind(g[c].dtype), dtype_kind(e[c].dtype)
         if kg != ke:
             bad.append((c, str(g[c].dtype), str(e[c].dtype)))

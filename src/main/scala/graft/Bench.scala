@@ -72,6 +72,11 @@ object Bench {
     def scrub(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // per-query honesty: min-of-reps over a warm components memo
+      // would time only the downstream aggregate (the shared frame is
+      // the production shape — measured in BASELINE.md round 13; the
+      // bench prices each query standalone)
+      graft.etl.Dedup.clearComponentsMemo()
     }
     // One warm execution per query, then the timed run: the first
     // execution pays Janino/JIT compilation of the generated code

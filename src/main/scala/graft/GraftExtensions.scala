@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, If, Least, Literal, RLike}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, CmsLookup, CmsSketchAgg, DotProduct, HllEstimate, HllSketchAgg, KmvCommon, KmvEstimate, KmvSketchAgg, SkipUrl, WordEditDistance}
+import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, CmsLookup, CmsSketchAgg, DotProduct, HllEstimate, HllSketchAgg, KmvCommon, KmvDiff, KmvEstimate, KmvMerge, KmvSketchAgg, KmvUnion, SkipUrl, WordEditDistance}
 
 /** SQL surface of the engine's custom pieces, registered through
   * SparkSessionExtensions (spark.sql.extensions-compatible, so a
@@ -25,6 +25,9 @@ import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, C
   *   kmv_sketch(v)                  native bottom-k set sketch (k=1024)
   *   kmv_estimate(sk)               distinct estimate (exact when un-full)
   *   kmv_common(a, b)               distinct-intersection estimate
+  *   kmv_union(a, b)                distinct-union estimate
+  *   kmv_diff(a, b)                 distinct-difference |A \ B| estimate
+  *   kmv_merge(a, b)                union sketch (lossless bottom-k rollup)
   *
   * Planner surface: [[graft.plans.GroupTopKStrategy]] (round 3) plans
   * the native [[graft.plans.GroupTopK]] top-k-per-group operator —
@@ -100,6 +103,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kmv_common",
         "kmv_common(a, b) - distinct-intersection estimate from two sketches"),
       (exprs: Seq[Expression]) => KmvCommon(exprs(0), exprs(1))))
+
+    e.injectFunction((FunctionIdentifier("kmv_union"),
+      info("kmv_union",
+        "kmv_union(a, b) - distinct-union estimate from two sketches"),
+      (exprs: Seq[Expression]) => KmvUnion(exprs(0), exprs(1))))
+
+    e.injectFunction((FunctionIdentifier("kmv_diff"),
+      info("kmv_diff",
+        "kmv_diff(a, b) - distinct-difference |A \\ B| estimate from two sketches"),
+      (exprs: Seq[Expression]) => KmvDiff(exprs(0), exprs(1))))
+
+    e.injectFunction((FunctionIdentifier("kmv_merge"),
+      info("kmv_merge",
+        "kmv_merge(a, b) - union sketch (lossless bottom-k rollup)"),
+      (exprs: Seq[Expression]) => KmvMerge(exprs(0), exprs(1))))
 
     e.injectFunction((FunctionIdentifier("skip_url"),
       info("skip_url", "skip_url(url) - true iff the reference skip lists match"),

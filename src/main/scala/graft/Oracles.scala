@@ -317,6 +317,53 @@ object Oracles {
 
   // Built from a Seq with a duplicate-key require (same rationale as
   // SparkEntry.queryList): a Map literal keeps the last entry silently.
+  private val RboSql: String =
+    """WITH w0 AS (
+        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w0
+        |       WHERE length(word) > 0 GROUP BY ALL),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |posts AS (SELECT word, doc_id,
+        |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT) AS w
+        |  FROM tf JOIN dfq USING (word) CROSS JOIN nn),
+        |norms AS (SELECT doc_id, sum(w*w) AS nsq FROM posts GROUP BY doc_id),
+        |pairs AS (SELECT q.doc_id AS qid, c.doc_id AS did,
+        |            sum(q.w * c.w) AS num
+        |          FROM posts q JOIN posts c
+        |            ON q.word = c.word AND q.doc_id < 16 AND q.doc_id <> c.doc_id
+        |          GROUP BY ALL),
+        |ls AS (SELECT qid, did,
+        |        round(num / (sqrt(nq.nsq) * sqrt(nd.nsq)), 4) AS cos
+        |      FROM pairs JOIN norms nq ON nq.doc_id = qid
+        |                 JOIN norms nd ON nd.doc_id = did),
+        |lr AS (SELECT qid, did,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rank
+        |      FROM ls),
+        |kp AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+        |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |      WHERE q.vec_id < 16),
+        |kz AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
+        |       FROM kp),
+        |kd AS (SELECT qid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
+        |       FROM kz GROUP BY ALL),
+        |ks AS (SELECT qid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM kd),
+        |kr AS (SELECT qid, cid,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank FROM ks),
+        |common AS (SELECT l.qid, greatest(l.rank, v.rank) AS m
+        |           FROM lr l JOIN kr v ON v.qid = l.qid AND v.cid = l.did
+        |           WHERE l.rank <= 5 AND v.rank <= 5),
+        |c AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_common,
+        |        CAST(sum(CASE m WHEN 1 THEN 661 WHEN 2 THEN 181
+        |          WHEN 3 THEN 61 WHEN 4 THEN 21 ELSE 6 END) AS BIGINT)
+        |          AS rbo_x960
+        |      FROM common GROUP BY qid)
+        |SELECT q.qid, coalesce(c.n_common, 0) AS n_common,
+        |  coalesce(c.rbo_x960, 0) AS rbo_x960
+        |FROM (SELECT DISTINCT qid FROM lr) q LEFT JOIN c USING (qid)
+        |ORDER BY qid""".stripMargin
+
   val all: Map[String, String] = {
     val dups = oracleList.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
     require(dups.isEmpty, s"duplicate oracle keys: ${dups.mkString(", ")}")
@@ -6292,52 +6339,12 @@ object Oracles {
     // same tier CTEs as retriever_overlap; a common candidate at
     // ranks (rl, rv) carries the suffix weight S(max(rl, rv)) in
     // exact 1/960 fixed-point units.
-    "rbo_overlap" ->
-      """WITH w0 AS (
-        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
-        |  FROM documents),
-        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w0
-        |       WHERE length(word) > 0 GROUP BY ALL),
-        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-        |posts AS (SELECT word, doc_id,
-        |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT) AS w
-        |  FROM tf JOIN dfq USING (word) CROSS JOIN nn),
-        |norms AS (SELECT doc_id, sum(w*w) AS nsq FROM posts GROUP BY doc_id),
-        |pairs AS (SELECT q.doc_id AS qid, c.doc_id AS did,
-        |            sum(q.w * c.w) AS num
-        |          FROM posts q JOIN posts c
-        |            ON q.word = c.word AND q.doc_id < 16 AND q.doc_id <> c.doc_id
-        |          GROUP BY ALL),
-        |ls AS (SELECT qid, did,
-        |        round(num / (sqrt(nq.nsq) * sqrt(nd.nsq)), 4) AS cos
-        |      FROM pairs JOIN norms nq ON nq.doc_id = qid
-        |                 JOIN norms nd ON nd.doc_id = did),
-        |lr AS (SELECT qid, did,
-        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rank
-        |      FROM ls),
-        |kp AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
-        |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-        |      WHERE q.vec_id < 16),
-        |kz AS (SELECT qid, cid, CAST(unnest(qe) AS DOUBLE) AS x, CAST(unnest(ce) AS DOUBLE) AS y
-        |       FROM kp),
-        |kd AS (SELECT qid, cid, sum(x*y) AS dxy, sum(x*x) AS dxx, sum(y*y) AS dyy
-        |       FROM kz GROUP BY ALL),
-        |ks AS (SELECT qid, cid, round(dxy / (sqrt(dxx) * sqrt(dyy)), 4) AS cos FROM kd),
-        |kr AS (SELECT qid, cid,
-        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank FROM ks),
-        |common AS (SELECT l.qid, greatest(l.rank, v.rank) AS m
-        |           FROM lr l JOIN kr v ON v.qid = l.qid AND v.cid = l.did
-        |           WHERE l.rank <= 5 AND v.rank <= 5),
-        |c AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_common,
-        |        CAST(sum(CASE m WHEN 1 THEN 661 WHEN 2 THEN 181
-        |          WHEN 3 THEN 61 WHEN 4 THEN 21 ELSE 6 END) AS BIGINT)
-        |          AS rbo_x960
-        |      FROM common GROUP BY qid)
-        |SELECT q.qid, coalesce(c.n_common, 0) AS n_common,
-        |  coalesce(c.rbo_x960, 0) AS rbo_x960
-        |FROM (SELECT DISTINCT qid FROM lr) q LEFT JOIN c USING (qid)
-        |ORDER BY qid""".stripMargin,
+    "rbo_overlap" -> RboSql,
+
+    // the in-row twin computes the SAME (qid, n_common, rbo_x960)
+    // values from staged top-5 arrays; the keyed DuckDB form below is
+    // the shared cross-engine ground truth for both plans
+    "rbo_inrow" -> RboSql,
 
     // Sketch reaggregation audit — mirrors CorpusStats.hllUnion: the
     // error-band discipline again (registers never surface; the merge
@@ -6345,7 +6352,8 @@ object Oracles {
     // asserts TRUE), exact sides recomputed.
     "hll_union" ->
       """WITH w0 AS (
-        |  SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  SELECT coalesce(lang, 'und') AS lang,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS word
         |  FROM documents),
         |w AS (SELECT lang, word FROM w0 WHERE length(word) > 0)
         |SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -6353,6 +6361,28 @@ object Oracles {
         |  TRUE AS union_eq_direct,
         |  TRUE AS approx_ok
         |FROM w""".stripMargin,
+
+    // KMV cross-snapshot novelty — mirrors CorpusStats.kmvNovelty: the
+    // exact vocabulary sizes/union/difference recomputed over the same
+    // arrival-order halves; the sketch estimates and the lossless-merge
+    // array equality stay in-engine behind asserted boolean flags.
+    "kmv_novelty" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+        |  FROM documents),
+        |w AS (SELECT doc_id, word FROM w0 WHERE length(word) > 0),
+        |m AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+        |sw AS (SELECT DISTINCT
+        |         CASE WHEN doc_id <= (SELECT mid FROM m) THEN 'a' ELSE 'b'
+        |         END AS snap, word
+        |       FROM w),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS exact_a FROM sw WHERE snap = 'a'),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS exact_b FROM sw WHERE snap = 'b'),
+        |u AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS exact_union FROM sw)
+        |SELECT exact_a, exact_b, exact_union,
+        |  exact_union - exact_a AS exact_new,
+        |  TRUE AS merge_eq_direct, TRUE AS union_ok, TRUE AS new_ok
+        |FROM a, b, u""".stripMargin,
 
     // KMV cross-corpus overlap — mirrors CorpusStats.kmvOverlap: exact
     // per-lang vocab sizes + exact pair intersections recomputed; the

@@ -133,7 +133,14 @@ object ScaleCheck {
     "moments_profile", "benford_deviation",
     // round-12 wave 7: corpus tokenize into the staged pair-count
     // frame + domain-sized marginal aggs over 10× docs
-    "llr_collocations")
+    "llr_collocations",
+    // round 13: rbo_overlap's in-row twin — staged top-5 arrays +
+    // bounded prefix intersects replacing the agreement join; measure
+    // both to price the delta (the wer_inrow discipline)
+    "rbo_inrow",
+    // round 13: two snapshot KMV sketch builds + union/diff scalars
+    // over the staged distinct (snap, word) frame at 10× vocabulary
+    "kmv_novelty")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

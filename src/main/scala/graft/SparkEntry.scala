@@ -123,7 +123,7 @@ object SparkEntry {
     "simhash_neardup"   -> (Dedup.simhashNearDup _),
     "decontaminate"     -> (Dedup.decontaminate _),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
-    "dedup_components"  -> ((s: SparkSession, d: String) => Dedup.dedupComponents(s, d)),
+    "dedup_components"  -> ((s: SparkSession, d: String) => Dedup.componentsFrame(s, d)),
     // similarity search
     "knn_brute"         -> (Similarity.knnBrute _),
     "knn_bucketed"      -> (Similarity.knnBucketed _),
@@ -508,6 +508,8 @@ object SparkEntry {
     "int8_quant" -> (Similarity.int8Quant _),
     // rank-biased overlap between the sparse and dense tiers (x960)
     "rbo_overlap" -> (TfIdf.rboOverlap _),
+    // RBO@5 recomputed in-row over staged top-5 arrays (the scale path)
+    "rbo_inrow" -> (TfIdf.rboInRow _),
     // Count-Min sketch estimates audited against exact counts
     "cms_frequency" -> (CorpusStats.cmsFrequency _),
     // 1-Wasserstein length-distribution drift (mass-weighted KS twin)
@@ -537,6 +539,8 @@ object SparkEntry {
     "hll_union" -> (CorpusStats.hllUnion _),
     // cross-lang vocab overlap via native bottom-k (KMV) set sketches
     "kmv_overlap" -> (CorpusStats.kmvOverlap _),
+    // cross-snapshot vocab novelty via KMV union/diff/merge set algebra
+    "kmv_novelty" -> (CorpusStats.kmvNovelty _),
     // WER recomputed in-row (compiled word DP — wer_eval's scale path)
     "wer_inrow" -> (TextAnalysis.werInRow _),
     // Benford leading-digit forensic audit (pinned reference table)

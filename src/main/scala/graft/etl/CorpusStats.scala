@@ -544,8 +544,12 @@ object CorpusStats {
     import graft.functions.HllSketchFunctions.{hllEstimate, hllSketch}
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
+      // lang is coalesced to 'und' on BOTH sides (here and the oracle's
+      // coalesce(lang,'und')): Spark's groupBy includes a NULL-lang group
+      // while SQL count(DISTINCT lang) skips NULLs — a latent off-by-one
+      // in n_langs if the corpus ever carries a null lang (r12 ADVICE).
       val words = Fixpoint.locally(Tables.documents(spark, dir)
-        .select(col("lang"),
+        .select(coalesce(col("lang"), lit("und")).as("lang"),
           explode(Shingles.wordArray(col("text"))).as("word")), locals)
       val byLang = words.groupBy(col("lang"))
         .agg(hllSketch(col("word")).as("regs"))
@@ -628,6 +632,71 @@ object CorpusStats {
           col("exact_b"), col("exact_common"), col("card_ok"),
           col("common_ok"))
         .orderBy("lang_a", "lang_b"))
+    } finally Fixpoint.releaseAll(locals)
+  }
+
+  /** Cross-SNAPSHOT vocabulary novelty through the full KMV set
+    * algebra — the north-star question the sketch tier exists for
+    * (cross-snapshot dedup / mined-out detection): ingest the corpus
+    * in two halves by arrival order (doc_id ≤ max÷2 = snapshot A, rest
+    * = snapshot B, the [[ingestNovelty]] arrival convention) and ask
+    * what B brought that A didn't have — WITHOUT a distinct-join,
+    * from two 8 KB sketches. Completes [[kmvOverlap]]'s intersection
+    * with the union and difference surfaces
+    * ([[graft.functions.KmvUnion]]/[[graft.functions.KmvDiff]]/
+    * [[graft.functions.KmvMerge]]): |A∪B| = estimate(merge),
+    * |B∖A| = |B| − |A∩B| — inclusion–exclusion closed over sketches.
+    *
+    * Verified columns are the exact twins (the oracle recomputes
+    * them) plus three in-engine booleans: `merge_eq_direct` pins the
+    * LOSSLESS-rollup property cell-for-cell (merge of the two
+    * snapshot sketches is array-identical to the sketch built over
+    * the whole corpus — bottom-k of a union is the bottom-k of the
+    * bottom-ks; the property that makes daily→monthly sketch rollups
+    * free), `union_ok`/`new_ok` band the estimates against exact
+    * (the [[hllUnion]] discipline; exact whenever a side fits in
+    * k = 1024).
+    *
+    * Scale posture: ONE tokenize into a distinct (snap, word) frame,
+    * staged locally for its three readers (per-snap sketches+counts,
+    * direct union sketch+count); everything downstream is 1-row
+    * frames crossJoin-broadcast together — at 100 TB only the
+    * constant ≤ 8 KB sketches and per-partition partial counts move.
+    */
+  def kmvNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvSketchFunctions.{kmvDiff, kmvMerge, kmvSketch, kmvUnion}
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val mid = docs.agg(expr("max(doc_id) div 2").as("mid"))
+      val sw = Fixpoint.locally(docs.crossJoin(broadcast(mid))
+        .select(when(col("doc_id") <= col("mid"), lit("a")).otherwise(lit("b"))
+          .as("snap"),
+          explode(Shingles.wordArray(col("text"))).as("word"))
+        .distinct(), locals)
+      val bySnap = sw.groupBy(col("snap"))
+        .agg(kmvSketch(col("word")).as("sk"), count(lit(1)).as("n"))
+      val a = bySnap.filter(col("snap") === "a")
+        .select(col("sk").as("sk_a"), col("n").as("exact_a"))
+      val b = bySnap.filter(col("snap") === "b")
+        .select(col("sk").as("sk_b"), col("n").as("exact_b"))
+      // the direct whole-corpus sketch: kmv dedups by hash, so the
+      // snap-duplicated rows need no second distinct
+      val direct = sw.agg(kmvSketch(col("word")).as("sk_u"),
+        countDistinct(col("word")).as("exact_union"))
+      Fixpoint.reliably(a.crossJoin(broadcast(b)).crossJoin(broadcast(direct))
+        .withColumn("exact_new", col("exact_union") - col("exact_a"))
+        .withColumn("merge_eq_direct",
+          kmvMerge(col("sk_a"), col("sk_b")) === col("sk_u"))
+        .withColumn("__eu", kmvUnion(col("sk_a"), col("sk_b")))
+        .withColumn("__en", kmvDiff(col("sk_b"), col("sk_a")))
+        .withColumn("union_ok",
+          expr("abs(__eu - exact_union) * 10 <= exact_union + 320"))
+        .withColumn("new_ok",
+          expr("abs(__en - exact_new) * 10 <= exact_a + exact_b + 640"))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"),
+          col("exact_new"), col("merge_eq_direct"), col("union_ok"),
+          col("new_ok")))
     } finally Fixpoint.releaseAll(locals)
   }
 

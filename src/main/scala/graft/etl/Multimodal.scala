@@ -271,6 +271,30 @@ object Multimodal {
         col("description"))
       .orderBy("asset_id")
 
+  /** X11's ENRICHMENT BOUNDARY made executable — the column contract a
+    * real vision call plugs into (reference agents/image-analyzer.md:
+    * 99-132: the model sentence is the one slice of the description the
+    * rules tier cannot produce). Production composes the verified
+    * [[imageDescribe]] frame with model prose by APPENDING columns
+    * through this hook: `model` maps the verified frame's columns to a
+    * prose Column — in a deployment a batched vision endpoint (Pandas
+    * UDF over mapInPandas for a local model, or an HTTP enrichment like
+    * [[graft.etl.Sources]]' transport); in tests a deterministic
+    * hash-templated stub. By construction the verified columns pass
+    * through untouched (append-only), the enrichment is map-side (zero
+    * added shuffles — PipelineSpec pins both), and the composed
+    * `full_description` is `description` + " — " + the model sentence,
+    * exactly where a deployment would append it
+    * ([[imageDescribe]]'s scaladoc contract).
+    */
+  def describeEnriched(spark: SparkSession, dir: String,
+      model: DataFrame => Column): DataFrame = {
+    val base = imageDescribe(spark, dir)
+    base.withColumn("model_prose", model(base))
+      .withColumn("full_description",
+        concat(col("description"), lit(" — "), col("model_prose")))
+  }
+
   def imageClassify(spark: SparkSession, dir: String): DataFrame = {
     val h = conv(substring(md5(coalesce(col("text"), lit(""))), 1, 6), 16, 10)
       .cast("bigint")

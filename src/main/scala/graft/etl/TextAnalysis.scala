@@ -425,9 +425,9 @@ object TextAnalysis {
       .select(substring_index(col("bg"), " ", 1).as("w1"),
         substring_index(col("bg"), " ", -1).as("w2"))
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val pairs = Fixpoint.locally(
-      bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")), locals)
     try {
+      val pairs = Fixpoint.locally(
+        bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")), locals)
       val m1 = pairs.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val m2 = pairs.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
       val tot = pairs.agg(sum(col("c12")).as("n"))

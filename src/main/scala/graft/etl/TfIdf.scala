@@ -228,6 +228,49 @@ object TfIdf {
     } finally Fixpoint.releaseAll(locals)
   }
 
+  /** [[rboOverlap]]'s IN-ROW twin — the production plan (the
+    * wer_inrow treatment, r12 verdict item 2): stage each tier's top-5
+    * list as ONE rank-ordered array per query (array_sort ∘
+    * collect_list — 5 rows → 1), then compute the whole RBO@5 sum in
+    * the row from prefix intersections:
+    * rbo_x960 = Σ_{d=1..5} (960/(d·2^d)) · |lex[..d] ∩ vec[..d]|
+    * with weights 480/120/40/15/6. Row-for-row equal to the keyed
+    * form by the suffix-weight identity — a common candidate at ranks
+    * (rl, rv) appears in every prefix intersection from depth
+    * max(rl, rv) on, so its total in-row weight is exactly S(max) —
+    * OpUnitSpec pins the equality.
+    *
+    * Scale posture: bounded ≤5×5 intersect work per query row, zero
+    * agreement-join fan-out, no per-pair agg; slice/array_intersect
+    * are codegen'd built-ins (no interpreted HOF lambdas in the hot
+    * path). The keyed [[rboOverlap]] stays the cross-engine
+    * ground-truth vehicle; this is the plan production runs.
+    */
+  def rboInRow(spark: SparkSession, dir: String): DataFrame = {
+    def listed(df: DataFrame): DataFrame =
+      df.groupBy(col("qid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("rank"), col("cand")))),
+          s => s("cand")).as("lst"))
+    val lex = listed(tfidfSearch(spark, dir)
+        .select(col("qid"), col("rank"), col("did").as("cand")))
+      .withColumnRenamed("lst", "lex")
+    val vec = listed(Similarity.knnBrute(spark, dir)
+        .select(col("qid"), col("rank"), col("cid").as("cand")))
+      .withColumnRenamed("lst", "vec")
+    val terms = Seq(1 -> 480, 2 -> 120, 3 -> 40, 4 -> 15, 5 -> 6)
+      .map { case (d, w) =>
+        lit(w) * size(array_intersect(
+          slice(col("lex"), 1, d), slice(col("vec"), 1, d)))
+      }.reduce(_ + _)
+    lex.join(vec, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(size(array_intersect(col("lex"), col("vec"))), lit(0))
+          .cast("bigint").as("n_common"),
+        coalesce(terms, lit(0)).cast("bigint").as("rbo_x960"))
+      .orderBy("qid")
+  }
+
   /** Edit-distance fuzzy matching on short strings (customer names in a
     * bounded block): levenshtein is integer-exact in both engines. The
     * scale form blocks by length band / prefix before the quadratic

@@ -43,6 +43,10 @@ object CmsSketch {
     */
   def lookup(cells: org.apache.spark.sql.catalyst.util.ArrayData,
       word: UTF8String): Long = {
+    if (cells.numElements() != Depth * Width)
+      throw new IllegalArgumentException(
+        s"cms_lookup: expected a ${Depth * Width}-cell CMS sketch " +
+          s"(from cms_sketch), got array<bigint> of ${cells.numElements()}")
     val w = word.toString
     var est = Long.MaxValue
     var j = 1

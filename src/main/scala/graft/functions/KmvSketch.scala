@@ -60,11 +60,34 @@ object KmvSketch {
   private def unsignedToDouble(h: Long): Double =
     if (h >= 0L) h.toDouble else h.toDouble + Space
 
+  /** Reject arrays that are not well-formed KMV sketches (size ≤ k,
+    * strictly unsigned-ascending) with a clear error instead of
+    * computing garbage — e.g. a 1024-cell CMS buffer passed to
+    * kmv_estimate has the right element type and even the right length
+    * but its count cells repeat, failing strictness at the first
+    * duplicate (r12 ADVICE). O(n) over ≤ 1024 elements; the estimate
+    * walks the same array anyway.
+    */
+  def validate(arr: ArrayData, fn: String): Unit = {
+    val n = arr.numElements()
+    if (n > K) throw new IllegalArgumentException(
+      s"$fn: expected a kmv_sketch array (≤ $K sorted hashes), got $n elements")
+    var i = 1
+    while (i < n) {
+      if (java.lang.Long.compareUnsigned(arr.getLong(i - 1), arr.getLong(i)) >= 0)
+        throw new IllegalArgumentException(
+          s"$fn: array is not strictly unsigned-ascending at index $i — " +
+            "not a kmv_sketch result")
+      i += 1
+    }
+  }
+
   /** Distinct-count estimate from a sorted (unsigned ascending)
     * sketch array: exact when the sketch is not full (it holds the
     * whole set), else the classic (k−1) / fraction-below-kth-value.
     */
   def estimate(arr: ArrayData): Long = {
+    validate(arr, "kmv_estimate")
     val n = arr.numElements()
     if (n < K) n.toLong
     else {
@@ -79,6 +102,7 @@ object KmvSketch {
     * above the k-th minimum. Exact when both sketches are not full.
     */
   def commonEstimate(a: ArrayData, b: ArrayData): Long = {
+    validate(a, "kmv_common"); validate(b, "kmv_common")
     val na = a.numElements(); val nb = b.numElements()
     val thetaA = if (na < K) Space else unsignedToDouble(a.getLong(na - 1))
     val thetaB = if (nb < K) Space else unsignedToDouble(b.getLong(nb - 1))
@@ -97,6 +121,49 @@ object KmvSketch {
     if (theta >= Space) common
     else math.rint(common.toDouble * Space / theta).toLong
   }
+
+  /** Union sketch: sorted-merge + dedup + trim to k — the SAME
+    * operation [[KmvSketchAgg.merge]] performs on buffers, exposed
+    * over finished sketch arrays so daily sketches roll up to monthly
+    * ones without touching raw data (the HLL-union reaggregation
+    * property, on the set-algebra tier). The result is exactly the
+    * sketch a single pass over A ∪ B would build — merge is lossless
+    * for bottom-k.
+    */
+  def mergeSketches(a: ArrayData, b: ArrayData): ArrayData = {
+    validate(a, "kmv_merge"); validate(b, "kmv_merge")
+    val na = a.numElements(); val nb = b.numElements()
+    val out = new Array[Long](math.min(na + nb, K))
+    var i = 0; var j = 0; var n = 0
+    while (n < K && (i < na || j < nb)) {
+      val take =
+        if (i >= na) { val v = b.getLong(j); j += 1; v }
+        else if (j >= nb) { val v = a.getLong(i); i += 1; v }
+        else {
+          val va = a.getLong(i); val vb = b.getLong(j)
+          val c = java.lang.Long.compareUnsigned(va, vb)
+          if (c == 0) { i += 1; j += 1; va }
+          else if (c < 0) { i += 1; va }
+          else { j += 1; vb }
+        }
+      out(n) = take; n += 1
+    }
+    new GenericArrayData(
+      if (n < out.length) java.util.Arrays.copyOf(out, n) else out)
+  }
+
+  /** |A ∪ B| estimate = estimate of the merged sketch (exact when the
+    * union fits in k).
+    */
+  def unionEstimate(a: ArrayData, b: ArrayData): Long =
+    estimate(mergeSketches(a, b))
+
+  /** |A ∖ B| estimate = |A| − |A ∩ B|, floored at 0 (the two estimates
+    * are independent samples, so tiny negatives are possible when the
+    * true difference is near 0). Exact when both sketches are un-full.
+    */
+  def diffEstimate(a: ArrayData, b: ArrayData): Long =
+    math.max(0L, estimate(a) - commonEstimate(a, b))
 }
 
 case class KmvSketchAgg(child: Expression,
@@ -215,6 +282,94 @@ case class KmvCommon(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared shape for the three binary sketch→long set-algebra scalars
+  * (`kmv_common` keeps its own class for source stability; these share
+  * one): compiled static call, analysis-time typing, null-intolerant.
+  */
+abstract class KmvBinaryLong
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ExpectsInputTypes {
+  /** Static method on [[KmvSketch]] the generated code calls. */
+  def staticName: String
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(ArrayType(LongType, containsNull = false),
+      ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.KmvSketch.$staticName($a, $b)")
+}
+
+/** `kmv_union(a, b)` — |A ∪ B| estimate = estimate(merge(a, b)); exact
+  * when the union fits in k. With [[KmvCommon]] and [[KmvDiff]] this
+  * completes the inclusion–exclusion surface: any boolean combination
+  * of two corpora's distinct sets answers from two 8 KB sketches.
+  */
+case class KmvUnion(left: Expression, right: Expression)
+  extends KmvBinaryLong {
+  override def staticName: String = "unionEstimate"
+  override def prettyName: String = "kmv_union"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(KmvSketch.unionEstimate(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `kmv_diff(a, b)` — |A ∖ B| estimate = |A| − |A ∩ B|, floored at 0;
+  * exact when both sketches are un-full. The cross-snapshot NOVELTY
+  * primitive: what did snapshot B bring that A didn't have.
+  */
+case class KmvDiff(left: Expression, right: Expression)
+  extends KmvBinaryLong {
+  override def staticName: String = "diffEstimate"
+  override def prettyName: String = "kmv_diff"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(KmvSketch.diffEstimate(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `kmv_merge(a, b)` — the union SKETCH itself (sorted-merge + dedup +
+  * trim to k): the reaggregation surface — identical to what one pass
+  * over A ∪ B would build, so periodic sketches roll up losslessly.
+  */
+case class KmvMerge(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(ArrayType(LongType, containsNull = false),
+      ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "kmv_merge"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    KmvSketch.mergeSketches(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.KmvSketch.mergeSketches($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object KmvSketchFunctions {
   /** Column API: the bottom-k (k = 1024) hash sketch of a string column. */
   def kmvSketch(word: Column): Column =
@@ -228,5 +383,20 @@ object KmvSketchFunctions {
   /** Column API: |A ∩ B| estimate from two sketches. */
   def kmvCommon(a: Column, b: Column): Column =
     ColumnBridge.column(KmvCommon(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
+  /** Column API: |A ∪ B| estimate from two sketches. */
+  def kmvUnion(a: Column, b: Column): Column =
+    ColumnBridge.column(KmvUnion(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
+  /** Column API: |A ∖ B| estimate from two sketches. */
+  def kmvDiff(a: Column, b: Column): Column =
+    ColumnBridge.column(KmvDiff(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
+  /** Column API: the union sketch of two sketches (lossless rollup). */
+  def kmvMerge(a: Column, b: Column): Column =
+    ColumnBridge.column(KmvMerge(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 }

@@ -666,6 +666,44 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est - 20000L) * 10 <= 20000L, s"est=$est")
   }
 
+  test("KmvSketch: merge of partial sketches is array-identical to the " +
+       "direct bottom-k of the union at n >> k (lossless rollup)") {
+    import graft.functions.KmvSketchFunctions.{kmvMerge, kmvSketch}
+    val all = (1 to 30000).map(i => s"v$i")
+    val (h1, h2) = all.splitAt(17000)
+    val a = h1.toDF("w").agg(kmvSketch(col("w")).as("a"))
+    val b = h2.toDF("w").agg(kmvSketch(col("w")).as("b"))
+    val merged = a.crossJoin(b)
+      .select(kmvMerge(col("a"), col("b"))).as[Seq[Long]].head()
+    val direct = all.toDF("w").agg(kmvSketch(col("w"))).as[Seq[Long]].head()
+    assert(merged == direct)
+  }
+
+  test("kmvNovelty: hand corpus — arrival-order halves, exact " +
+       "union/difference, lossless-merge flag certain (un-full)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_kmvn_")
+    // mid = max(3) div 2 = 1: snapshot A = docs 0-1 {a,b,c},
+    // B = docs 2-3 {b,c,d,e} -> union 5, new = 2
+    Seq((0L, "a b"), (1L, "b c"), (2L, "b c d"), (3L, "d e"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(d.resolve("documents.parquet").toString)
+    val got = graft.etl.CorpusStats.kmvNovelty(spark, d.toString)
+      .as[(Long, Long, Long, Long, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    assert(got == Seq((3L, 4L, 5L, 2L, true, true, true)), got.toString)
+  }
+
+  test("rboInRow == rboOverlap row-for-row (the suffix-weight identity: " +
+       "in-row prefix intersects total exactly the keyed S(max) sum)") {
+    val dir = "/root/testdata/sf0.001"
+    val keyed = graft.etl.TfIdf.rboOverlap(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val inrow = graft.etl.TfIdf.rboInRow(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(keyed.nonEmpty && inrow == keyed,
+      s"inrow=$inrow\nkeyed=$keyed")
+  }
+
   test("kmvOverlap: hand corpus — exact overlap counts per lang pair, " +
        "zero-overlap pairs present, all flags certain (un-full)") {
     val d = java.nio.file.Files.createTempDirectory("graft_kmv_")

@@ -158,4 +158,44 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Int, String)].collect().toSet
     assert(c1 == c2)
   }
+
+  test("X11 enrichment boundary: a stub vision model composes with " +
+       "image_describe without touching verified columns, plan shape, " +
+       "or lifecycle") {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5, substring}
+    val dir = "/root/testdata/sf0.001"
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    // the stub "model": a deterministic hash-templated sentence wired
+    // through the SAME DataFrame => Column contract a real batched
+    // vision call would use (the only piece a deployment swaps)
+    val stub: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column =
+      d => concat(lit("depicts subject-"),
+        substring(md5(col("asset_id").cast("string")), 1, 6))
+    val enriched = graft.etl.Multimodal.describeEnriched(spark, dir, stub)
+    val base = graft.etl.Multimodal.imageDescribe(spark, dir)
+    // append-only: every verified column passes through byte-identical
+    val baseCols = base.columns.toSeq
+    assert(enriched.columns.toSeq ==
+      baseCols ++ Seq("model_prose", "full_description"))
+    assert(enriched.select(baseCols.map(col): _*).collect().toSeq ==
+      base.collect().toSeq)
+    // the composition contract: verified description + " — " + prose
+    val rows = enriched.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[String]("description")
+      val p = r.getAs[String]("model_prose")
+      assert(p.startsWith("depicts subject-") && p.length > 16, p)
+      assert(r.getAs[String]("full_description") == s"$d — $p")
+    }
+    // plan shape: enrichment is map-side — no added exchange
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+        .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges(enriched) == exchanges(base),
+      "the enrichment column must not add a shuffle")
+    // lifecycle: nothing pinned by the composition
+    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore)
+  }
 }

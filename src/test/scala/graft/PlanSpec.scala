@@ -77,6 +77,56 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       .filterNot(child => child.contains("Aggregate") && child.contains("partial"))
   }
 
+  /** A statically-flagged funnel is tolerable iff it is provably
+    * bounded AT RUNTIME: every SinglePartition shuffle the query
+    * actually executes moves at most this many rows. The bound sits
+    * far under the smallest sf0.001 table (~330 documents), so a
+    * table-sized funnel cannot slip beneath it, while bounded-domain
+    * grids (benford's 9 digit rows, a day grid, a lang domain) pass
+    * mechanically — no per-query prose exemptions (r12 verdict 5).
+    */
+  private val FunnelRowBound = 128L
+
+  /** Execute `name` once and return (node, rows-moved) for every
+    * SinglePartition shuffle across ALL its executed plans (the
+    * eager operators' internal actions included), read from the
+    * exchanges' own shuffle-write metrics. AQE wraps stages in
+    * leaf-like nodes, so the walk unwraps adaptive plans and query
+    * stages explicitly — a plain collect() stops at the wrapper.
+    */
+  private def funnelRecordCounts(name: String): Seq[(String, Long)] = {
+    import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val qes = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = qes.add(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      org.apache.spark.graft.TestBusBridge.waitUntilEmpty(spark.sparkContext)
+    } finally spark.listenerManager.unregister(l)
+    def flatten(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case o => o.children.flatMap(flatten)
+    }) :+ p
+    import scala.jdk.CollectionConverters._
+    qes.asScala.toSeq.flatMap(qe => flatten(qe.executedPlan)).collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning ==
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition =>
+        // a missing metric must read as unbounded, never as tolerated
+        e.nodeName -> e.metrics.get("shuffleRecordsWritten")
+          .map(_.value).getOrElse(Long.MaxValue)
+    }
+  }
+
   test("dim_join_agg: both dims broadcast, no sort-merge join") {
     val p = plan("dim_join_agg")
     assert(countOf(p, ") BroadcastHashJoin") == 2, p)
@@ -1144,20 +1194,29 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("sweep: no query plans a single-partition funnel or cartesian product") {
-    // the serial batch_pack is the documented exception (semantic spec
-    // for its sharded twin); benford_deviation's grand-total window runs
-    // over the FINAL 9-row digit aggregate (digit ∈ 1..9 bounds the
-    // funnel by construction — its own pin asserts the single scan);
-    // everything else must keep table-sized data on hash/range
-    // partitioning only — SinglePartition exchanges are tolerated
-    // solely as global-agg combines (see serialFunnels)
-    val whitelist = Set("batch_pack", "benford_deviation")
+    // the serial batch_pack is the ONE documented by-name exception
+    // (its funnel IS its semantics — the serial spec for the sharded
+    // twin, table-sized by design); every other statically-flagged
+    // funnel must prove itself bounded at runtime: the query executes
+    // once and every SinglePartition shuffle it runs must move ≤
+    // FunnelRowBound rows (benford_deviation's grand-total window over
+    // the 9-row digit aggregate clears this mechanically — no prose
+    // whitelist entry needed). Table-sized data stays on hash/range
+    // partitioning only; SinglePartition exchanges are tolerated
+    // statically solely as global-agg combines (see serialFunnels)
+    val whitelist = Set("batch_pack")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(whitelist)
       .flatMap { q =>
         val funnels = serialFunnels(q)
         val cart = plan(q).contains("CartesianProduct")
-        val bad = funnels.map(c => s"funnel into [$c]") ++
+        val oversize =
+          if (funnels.isEmpty) Nil
+          else funnelRecordCounts(q).filter(_._2 > FunnelRowBound)
+        val bad = (if (funnels.nonEmpty && oversize.nonEmpty)
+            funnels.map(c => s"funnel into [$c]") ++
+              oversize.map { case (n, r) => s"$n moved $r rows" }
+          else Nil) ++
           (if (cart) Seq("CartesianProduct") else Nil)
         if (bad.isEmpty) None else Some(s"$q: ${bad.mkString("; ")}")
       }
@@ -1292,6 +1351,33 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf(cp, "partial_kmv_sketch") >= 1,
       s"kmv_overlap must build sketches through a partial native agg:\n$cp")
     assert(!cp.contains("CartesianProduct"), cp)
+  }
+
+  test("round-13 pin: kmv_novelty stages the distinct (snap, word) " +
+       "frame once — two data scans total (corpus + doc_id-pruned max " +
+       "for the split point); sketches build through partial native " +
+       "aggs; downstream is 1-row broadcasts only") {
+    val all = executedPlans("kmv_novelty")
+    val cp = all.mkString("\n=== next executed plan ===\n")
+    val scans = cp.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 2,
+      s"kmv_novelty must scan parquet exactly twice (corpus + max):\n$cp")
+    assert(countOf(cp, "partial_kmv_sketch") >= 2,
+      s"kmv_novelty must build snapshot AND direct sketches through " +
+        s"partial native aggs:\n$cp")
+    assert(!cp.contains("CartesianProduct"), cp)
+  }
+
+  test("round-13 pin: rbo_inrow has NO window — the tiers' top-5 ride " +
+       "GroupTopK and the RBO sum is in-row prefix intersects over " +
+       "the staged arrays") {
+    val p = plan("rbo_inrow")
+    assert(!p.contains("Window"),
+      s"rbo_inrow regressed to a window plan:\n$p")
+    assert(countOf(p, "GroupTopK") >= 2,
+      s"rbo_inrow's tiers lost the native top-k heaps:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("round-12 pin: wer_inrow has NO window and NO per-pair " +

@@ -115,6 +115,34 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("kmv_union / kmv_diff / kmv_merge are SQL-callable with " +
+       "inclusion-exclusion semantics (exact on un-full sketches)") {
+    // A = {a,b,c}, B = {b,c,d}: union 4, A\B 1, B\A 1, merge size 4
+    val got = spark.sql(
+      "SELECT kmv_union(a.sk, b.sk), kmv_diff(a.sk, b.sk), " +
+        "kmv_diff(b.sk, a.sk), size(kmv_merge(a.sk, b.sk)), " +
+        "kmv_estimate(kmv_merge(a.sk, b.sk)) FROM " +
+        "(SELECT kmv_sketch(w) AS sk FROM VALUES ('a'), ('b'), ('c') AS t(w)) a, " +
+        "(SELECT kmv_sketch(w) AS sk FROM VALUES ('b'), ('c'), ('d') AS t(w)) b")
+      .as[(Long, Long, Long, Int, Long)].head()
+    assert(got == ((4L, 1L, 1L, 4, 4L)), got.toString)
+  }
+
+  test("sketch answering functions REJECT arrays that are not their " +
+       "sketch type instead of returning garbage") {
+    // a cms_sketch buffer has the length kmv_estimate's K would accept
+    // but fails strict unsigned-ascending validation immediately
+    val ex1 = intercept[Exception] {
+      spark.sql("SELECT kmv_estimate(array(2L, 1L))").collect()
+    }
+    assert(ex1.getMessage.contains("kmv"), ex1.getMessage)
+    // cms_lookup demands exactly the 1024-cell buffer shape
+    val ex2 = intercept[Exception] {
+      spark.sql("SELECT cms_lookup(array(1L, 2L), 'w')").collect()
+    }
+    assert(ex2.getMessage.contains("cms_lookup"), ex2.getMessage)
+  }
+
   test("score_link is SQL-callable with the X1 weights") {
     val got = spark.sql(
       "SELECT score_link('http://x/topic', 'plain', 'topic here', 'topic')")
