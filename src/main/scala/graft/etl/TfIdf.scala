@@ -263,7 +263,11 @@ object TfIdf {
         lit(w) * size(array_intersect(
           slice(col("lex"), 1, d), slice(col("vec"), 1, d)))
       }.reduce(_ + _)
-    lex.join(vec, Seq("qid"), "left")
+    // the vec side is ≤16 rows of ≤5-element arrays BY CONSTRUCTION
+    // (the qid < 16 query panel) — broadcast it explicitly: the size
+    // ESTIMATE grows with the corpus and flips the join to SMJ at 30×
+    // even though the actual side never does (ScaleCheck r13)
+    lex.join(broadcast(vec), Seq("qid"), "left")
       .select(col("qid"),
         coalesce(size(array_intersect(col("lex"), col("vec"))), lit(0))
           .cast("bigint").as("n_common"),

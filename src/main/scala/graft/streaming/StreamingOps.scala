@@ -275,6 +275,40 @@ object StreamingOps {
       .groupBy(col("idx"))
       .agg(max(col("rho")).as("rho"))
 
+  /** Streaming KMV bottom-k build — completes the streaming sketch
+    * symmetry (CMS cells for frequency, HLL registers for cardinality,
+    * now the set-algebra tier): each shard's group state is the
+    * running bottom-k hash set of ITS substream, folded forward across
+    * micro-batches by the SAME [[graft.functions.KmvSketch]] core the
+    * native aggregate runs — state is ≤ k longs per shard REGARDLESS
+    * of stream length or cardinality. Correctness composes exactly
+    * like the batch merge: the k smallest of a union are each among
+    * the k smallest of a part, so [[graft.functions.KmvSketch
+    * .mergeSketches]] over the latest shard emissions IS the global
+    * sketch — StreamingSpec pins stream-merge == batch == native
+    * array-for-array. This is the streaming half of the cross-snapshot
+    * story: a live ingest keeps per-shard bottom-k state, and
+    * `kmv_union`/`kmv_diff` answer novelty against yesterday's 8 KB
+    * sketch without touching either corpus.
+    */
+  def streamingKmvSketch(words: Dataset[String], shards: Int = 8)
+      : Dataset[KmvShard] = {
+    import words.sparkSession.implicits._
+    import graft.functions.{HllSketch, KmvSketch}
+    words.groupByKey(w => math.floorMod(w.hashCode, shards))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (shard: Int, batch: Iterator[String], state: GroupState[Array[Long]]) => {
+          val buf = KmvSketch.newBuffer()
+          state.getOption.foreach(_.foreach(h => KmvSketch.add(buf, h)))
+          batch.foreach(w => KmvSketch.add(buf, HllSketch.hash64(w)))
+          val out = new Array[Long](buf.size)
+          val it = buf.iterator(); var i = 0
+          while (it.hasNext) { out(i) = it.next(); i += 1 }
+          state.update(out)
+          Iterator.single(KmvShard(shard, out.toSeq))
+        })
+  }
+
   /** Streaming IVM: the stateful twin of `Changelog.ivmUpdate`. A
     * keyed stream of signed deltas (+1/+cents insert, −1/−cents
     * retraction; update = retract+insert) maintained by an update-mode
@@ -357,3 +391,6 @@ case class RankedItem(key: String, rn: Int, id: Long, score: Long)
   * ([[StreamingOps.streamingHeavyHitters]]).
   */
 case class ShardSketch(shard: Int, cands: Seq[String])
+
+/** One shard's live bottom-k hash set (unsigned-ascending, ≤ k). */
+case class KmvShard(shard: Int, hashes: Seq[Long])

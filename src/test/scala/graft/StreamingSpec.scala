@@ -480,6 +480,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming KMV: shard bottom-k states after two micro-batches " +
+       "merge to the native batch sketch array-for-array; state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.KmvShard
+    val dir = "/root/testdata/sf0.001"
+    val words = graft.etl.Shingles.words(
+        graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text")))
+      .select("word").as[String].collect()
+    val (w1, w2) = words.splitAt(words.length / 2)
+    val src = MemoryStream[String]
+    val q = StreamingOps.streamingKmvSketch(src.toDS())
+      .writeStream.format("memory").queryName("kmv_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(w1.toSeq: _*)
+      q.processAllAvailable()
+      src.addData(w2.toSeq: _*)
+      q.processAllAvailable()
+      val all = spark.table("kmv_t").as[KmvShard].collect()
+      // latest emission per shard = that shard's live bottom-k
+      val latest = all.zipWithIndex.groupBy(_._1.shard)
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }
+      assert(latest.forall(_.hashes.length <= 1024), "state exceeded k")
+      // merge shard sketches (bottom-k of bottom-ks = global bottom-k)
+      val merged = latest.map(_.hashes).reduce { (a, b) =>
+        val m = graft.functions.KmvSketch.mergeSketches(
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray),
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray))
+        m.toLongArray().toSeq
+      }
+      import graft.functions.KmvSketchFunctions.kmvSketch
+      val native = words.toSeq.toDF("word")
+        .agg(kmvSketch(col("word"))).as[Seq[Long]].head()
+      assert(merged == native,
+        s"stream-merge/native drift: merged=${merged.take(5)}..., " +
+          s"native=${native.take(5)}...")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: candidate union + recount equals batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.ShardSketch
