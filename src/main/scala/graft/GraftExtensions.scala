@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, If, Least, Literal, RLike}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, CmsLookup, CmsSketchAgg, DotProduct, HllEstimate, HllSketchAgg, KmvCommon, KmvDiff, KmvEstimate, KmvMerge, KmvSketchAgg, KmvUnion, SkipUrl, WordEditDistance}
+import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, CmsLookup, CmsSketchAgg, DotProduct, HllEstimate, HllSketchAgg, KmvCommon, KmvDiff, KmvEstimate, KmvMerge, KmvSketchAgg, KmvUnion, QdigestMerge, QdigestN, QdigestQuantile, QdigestSketchAgg, SkipUrl, WordEditDistance}
 
 /** SQL surface of the engine's custom pieces, registered through
   * SparkSessionExtensions (spark.sql.extensions-compatible, so a
@@ -28,6 +28,10 @@ import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, C
   *   kmv_union(a, b)                distinct-union estimate
   *   kmv_diff(a, b)                 distinct-difference |A \ B| estimate
   *   kmv_merge(a, b)                union sketch (lossless bottom-k rollup)
+  *   qdigest_sketch(v)              native q-digest quantile sketch (k=1024)
+  *   qdigest_quantile(sk, q_bp)     quantile-value estimate (banded rank error)
+  *   qdigest_n(sk)                  exact total mass
+  *   qdigest_merge(a, b)            merged digest (guarantee-preserving)
   *
   * Planner surface: [[graft.plans.GroupTopKStrategy]] (round 3) plans
   * the native [[graft.plans.GroupTopK]] top-k-per-group operator —
@@ -118,6 +122,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kmv_merge",
         "kmv_merge(a, b) - union sketch (lossless bottom-k rollup)"),
       (exprs: Seq[Expression]) => KmvMerge(exprs(0), exprs(1))))
+
+    e.injectFunction((FunctionIdentifier("qdigest_sketch"),
+      info("qdigest_sketch",
+        "qdigest_sketch(v) - q-digest quantile sketch over [0, 2^16) (aggregate)"),
+      (exprs: Seq[Expression]) => QdigestSketchAgg(exprs.head)))
+
+    e.injectFunction((FunctionIdentifier("qdigest_quantile"),
+      info("qdigest_quantile",
+        "qdigest_quantile(sk, q_bp) - quantile-value estimate (rank error <= 16n/1024)"),
+      (exprs: Seq[Expression]) => QdigestQuantile(exprs(0), exprs(1))))
+
+    e.injectFunction((FunctionIdentifier("qdigest_n"),
+      info("qdigest_n",
+        "qdigest_n(sk) - exact total mass of a digest"),
+      (exprs: Seq[Expression]) => QdigestN(exprs.head)))
+
+    e.injectFunction((FunctionIdentifier("qdigest_merge"),
+      info("qdigest_merge",
+        "qdigest_merge(a, b) - merged digest (rank guarantee preserved)"),
+      (exprs: Seq[Expression]) => QdigestMerge(exprs(0), exprs(1))))
 
     e.injectFunction((FunctionIdentifier("skip_url"),
       info("skip_url", "skip_url(url) - true iff the reference skip lists match"),

@@ -6384,6 +6384,32 @@ object Oracles {
         |  TRUE AS merge_eq_direct, TRUE AS union_ok, TRUE AS new_ok
         |FROM a, b, u""".stripMargin,
 
+    // Q-digest per-lang length quantiles — mirrors CorpusStats
+    // .quantileDigest: exact p50/p90/p99 by histogram rank selection on
+    // the same clamped [0, 2^16) domain (the median_price discipline);
+    // the digest estimates and the merge reagg stay in-engine behind
+    // the guaranteed-rank-band booleans the oracle asserts TRUE.
+    "quantile_digest" ->
+      """WITH d AS (
+        |  SELECT coalesce(lang, 'und') AS lang,
+        |    least(greatest(n_chars, 0), 65535) AS len
+        |  FROM documents),
+        |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY lang),
+        |h AS (SELECT lang, len, count(*) AS c FROM d GROUP BY 1, 2),
+        |cum AS (SELECT lang, len,
+        |          sum(c) OVER (PARTITION BY lang ORDER BY len) AS cum
+        |        FROM h),
+        |j AS (SELECT c.lang, c.len, c.cum, n.n FROM cum c JOIN n USING (lang)),
+        |ex AS (SELECT lang,
+        |    CAST(min(CASE WHEN cum >= (5000 * n + 9999) // 10000 THEN len END) AS BIGINT) AS p50,
+        |    CAST(min(CASE WHEN cum >= (9000 * n + 9999) // 10000 THEN len END) AS BIGINT) AS p90,
+        |    CAST(min(CASE WHEN cum >= (9900 * n + 9999) // 10000 THEN len END) AS BIGINT) AS p99
+        |  FROM j GROUP BY lang)
+        |SELECT n.lang, n.n, ex.p50, ex.p90, ex.p99,
+        |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99, TRUE AS merge_ok
+        |FROM n JOIN ex USING (lang)
+        |ORDER BY lang""".stripMargin,
+
     // KMV cross-corpus overlap — mirrors CorpusStats.kmvOverlap: exact
     // per-lang vocab sizes + exact pair intersections recomputed; the
     // sketch estimates stay in-engine behind asserted band flags.

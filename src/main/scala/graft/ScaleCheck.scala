@@ -140,7 +140,11 @@ object ScaleCheck {
     "rbo_inrow",
     // round 13: two snapshot KMV sketch builds + union/diff scalars
     // over the staged distinct (snap, word) frame at 10× vocabulary
-    "kmv_novelty")
+    "kmv_novelty",
+    // round 13: per-lang + per-source q-digest builds (constant ≤24 KB
+    // payloads) + the value-domain-bounded exact-rank audit over 10×
+    // docs — the truth columns are the cost, the sketches are not
+    "quantile_digest")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

@@ -541,6 +541,8 @@ object SparkEntry {
     "kmv_overlap" -> (CorpusStats.kmvOverlap _),
     // cross-snapshot vocab novelty via KMV union/diff/merge set algebra
     "kmv_novelty" -> (CorpusStats.kmvNovelty _),
+    // per-lang length quantiles via the native q-digest sketch tier
+    "quantile_digest" -> (CorpusStats.quantileDigest _),
     // WER recomputed in-row (compiled word DP — wer_eval's scale path)
     "wer_inrow" -> (TextAnalysis.werInRow _),
     // Benford leading-digit forensic audit (pinned reference table)

@@ -700,6 +700,92 @@ object CorpusStats {
     } finally Fixpoint.releaseAll(locals)
   }
 
+  /** Per-language document-length QUANTILES through the native q-digest
+    * sketch ([[graft.functions.QdigestSketchAgg]]) — the fourth sketch
+    * tier's verified query: p50/p90/p99 length from ≤24 KB digests per
+    * slice instead of a per-slice sort, the "what does this corpus's
+    * length distribution look like" primitive a curation tier asks per
+    * snapshot (truncation budgets, packing bin sizing, outlier gates).
+    *
+    * Verified columns are the EXACT quantiles (histogram rank
+    * selection — the median_price discipline, recomputed by the
+    * oracle on the same clamped [0, 2^16) domain) plus four in-engine
+    * booleans: ok50/ok90/ok99 assert the digest estimate is a valid
+    * ε-approximate quantile — count(< est) < target + εn AND
+    * count(≤ est) ≥ target − εn with the GUARANTEED worst-case slack
+    * εn = 16n/1024 ([[graft.functions.QdigestSketch.rankSlack]]) —
+    * deterministically TRUE under any merge order because the bound
+    * is worst-case, not probabilistic (the two-sided form is the
+    * correct band when a single heavy value straddles the target —
+    * a one-sided |rank−target| check would false-alarm on it);
+    * merge_ok asserts the same for p50 answered from per-SOURCE
+    * digests folded with qdigest_merge — the Mergeable-Summaries
+    * reaggregation that makes daily→monthly percentiles free at
+    * 100 TB.
+    *
+    * Scale posture: ONE (lang, source, len) scan staged for its three
+    * readers (digest agg, exact histogram, estimate-rank recount);
+    * digests shuffle ≤24 KB per partition; the exact histogram and
+    * its per-lang cumulative window are value-domain-bounded
+    * (≤65 536 rows per lang) — audit truth columns, dropped in
+    * production where ONLY digests move.
+    */
+  def quantileDigest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QdigestSketchFunctions.{qdigestMerge, qdigestQuantile, qdigestSketch}
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val lens = Fixpoint.locally(Tables.documents(spark, dir)
+        .select(coalesce(col("lang"), lit("und")).as("lang"), col("source"),
+          expr("least(greatest(n_chars, 0), 65535)").cast("bigint").as("len")),
+        locals)
+      val sk = lens.groupBy(col("lang"))
+        .agg(qdigestSketch(col("len")).as("sk"), count(lit(1)).as("n"))
+      // exact per-lang quantiles: value-histogram + cumulative ranks
+      val hist = lens.groupBy(col("lang"), col("len")).agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("lang")).orderBy(col("len"))))
+      def tgt(q: Int) = expr(s"($q * n + 9999) div 10000")
+      val ex = cum.join(broadcast(sk.select(col("lang"), col("n"))), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(min(when(col("cum") >= tgt(5000), col("len"))).as("p50"),
+          min(when(col("cum") >= tgt(9000), col("len"))).as("p90"),
+          min(when(col("cum") >= tgt(9900), col("len"))).as("p99"))
+      // per-source digests folded through qdigest_merge (reagg surface)
+      val merged = lens.groupBy(col("lang"), col("source"))
+        .agg(qdigestSketch(col("len")).as("ssk"))
+        .groupBy(col("lang")).agg(collect_list(col("ssk")).as("sks"))
+        .select(col("lang"),
+          aggregate(col("sks"), lit(Array.empty[Long]),
+            (acc, x) => qdigestMerge(acc, x)).as("msk"))
+      val est = sk.join(broadcast(merged), Seq("lang"))
+        .select(col("lang"), col("n"),
+          qdigestQuantile(col("sk"), lit(5000)).as("e50"),
+          qdigestQuantile(col("sk"), lit(9000)).as("e90"),
+          qdigestQuantile(col("sk"), lit(9900)).as("e99"),
+          qdigestQuantile(col("msk"), lit(5000)).as("m50"))
+      // true ranks of the estimates (strict and inclusive counts)
+      def lt(e: String) = sum(when(col("len") < col(e), 1L).otherwise(0L))
+      def le(e: String) = sum(when(col("len") <= col(e), 1L).otherwise(0L))
+      val ranks = lens.join(broadcast(est), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(lt("e50").as("lt50"), le("e50").as("le50"),
+          lt("e90").as("lt90"), le("e90").as("le90"),
+          lt("e99").as("lt99"), le("e99").as("le99"),
+          lt("m50").as("ltm"), le("m50").as("lem"))
+      def ok(q: Int, ltc: String, lec: String) =
+        (col(ltc) < tgt(q) + expr("16 * n div 1024 + 1")) &&
+          (col(lec) >= tgt(q) - expr("16 * n div 1024 + 1"))
+      Fixpoint.reliably(est.join(broadcast(ex), Seq("lang"))
+        .join(broadcast(ranks), Seq("lang"))
+        .select(col("lang"), col("n"), col("p50"), col("p90"), col("p99"),
+          ok(5000, "lt50", "le50").as("ok50"),
+          ok(9000, "lt90", "le90").as("ok90"),
+          ok(9900, "lt99", "le99").as("ok99"),
+          ok(5000, "ltm", "lem").as("merge_ok"))
+        .orderBy("lang"))
+    } finally Fixpoint.releaseAll(locals)
+  }
+
   def cmsFrequency(spark: SparkSession, dir: String): DataFrame = {
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {

@@ -693,6 +693,69 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((3L, 4L, 5L, 2L, true, true, true)), got.toString)
   }
 
+  test("QdigestSketch: exact when un-compressed; compressed digest " +
+       "stays within the guaranteed rank band under skew, " +
+       "repartitioning, and merge; mass is conserved") {
+    import graft.functions.QdigestSketchFunctions._
+    import graft.functions.QdigestSketch
+    // (1) n <= K: digest IS the histogram — quantiles exact
+    val small = (1 to 100).map(_.toLong).toDF("v")
+    val sEx = small.agg(qdigestSketch(col("v")).as("sk"))
+      .select(qdigestQuantile(col("sk"), lit(5000)),
+        qdigestQuantile(col("sk"), lit(9900)),
+        qdigestN(col("sk"))).as[(Long, Long, Long)].head()
+    assert(sEx == ((50L, 99L, 100L)), sEx.toString)
+    // (2) 200k skewed values (Zipf-ish powers + a heavy spike at 7):
+    // compression engages; every estimate is a valid ε-approx quantile
+    val vals: Seq[Long] = (0 until 200000).map { i =>
+      if (i % 3 == 0) 7L else (1L << (i % 14)) + i % 37
+    }
+    val sorted = vals.sorted
+    val n = vals.length.toLong
+    val slack = QdigestSketch.rankSlack(n)
+    def bandOk(est: Long, qBp: Int): Boolean = {
+      val target = math.max(1L, (qBp.toLong * n + 9999L) / 10000L)
+      val ltc = sorted.count(_ < est).toLong
+      val lec = sorted.count(_ <= est).toLong
+      ltc < target + slack && lec >= target - slack
+    }
+    val df = vals.toDF("v")
+    for (parts <- Seq(1, 7)) {
+      val row = df.repartition(parts).agg(qdigestSketch(col("v")).as("sk"))
+        .select(size(col("sk")), qdigestN(col("sk")),
+          qdigestQuantile(col("sk"), lit(100)),
+          qdigestQuantile(col("sk"), lit(2500)),
+          qdigestQuantile(col("sk"), lit(5000)),
+          qdigestQuantile(col("sk"), lit(9000)),
+          qdigestQuantile(col("sk"), lit(9999)))
+        .as[(Int, Long, Long, Long, Long, Long, Long)].head()
+      assert(row._1 <= 6 * QdigestSketch.K,
+        s"digest exceeded the 3k-node size bound: ${row._1 / 2} nodes")
+      assert(row._2 == n, s"mass not conserved: ${row._2}")
+      for ((est, q) <- Seq(row._3 -> 100, row._4 -> 2500, row._5 -> 5000,
+          row._6 -> 9000, row._7 -> 9999))
+        assert(bandOk(est, q), s"parts=$parts q=$q est=$est out of band")
+    }
+    // (3) heavy single value straddling the target: p50 must report the
+    // spike (two-sided band; a one-sided |rank-target| check would fail)
+    val heavy = (Seq.fill(180000)(7L) ++ (1 to 20000).map(_.toLong)).toDF("v")
+    val h = heavy.repartition(5).agg(qdigestSketch(col("v")).as("sk"))
+      .select(qdigestQuantile(col("sk"), lit(5000))).as[Long].head()
+    assert(h == 7L, s"p50 of the 90%-mass spike must be the spike: $h")
+    // (4) merge: three part digests folded = band-valid global answers
+    val parts3 = Seq(vals.slice(0, 70000), vals.slice(70000, 140000),
+      vals.slice(140000, 200000))
+    val sks = parts3.map(p =>
+      p.toDF("v").agg(qdigestSketch(col("v"))).as[Seq[Long]].head())
+    def ad(s: Seq[Long]) =
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(s.toArray)
+    val merged = sks.map(ad).reduce(QdigestSketch.mergeSketches)
+    assert(QdigestSketch.total(merged) == n)
+    for (q <- Seq(2500, 5000, 9000))
+      assert(bandOk(QdigestSketch.quantile(merged, q), q),
+        s"merged digest out of band at q=$q")
+  }
+
   test("rboInRow == rboOverlap row-for-row (the suffix-weight identity: " +
        "in-row prefix intersects total exactly the keyed S(max) sum)") {
     val dir = "/root/testdata/sf0.001"

@@ -1380,6 +1380,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("round-13 pin: quantile_digest stages the (lang, source, len) " +
+       "frame once — one documents scan; digests build through partial " +
+       "native aggs; the exact-histogram window stays lang-partitioned") {
+    val all = executedPlans("quantile_digest")
+    val cp = all.mkString("\n=== next executed plan ===\n")
+    val scans = cp.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"quantile_digest must read documents exactly once:\n$cp")
+    assert(countOf(cp, "partial_qdigest_sketch") >= 2,
+      s"quantile_digest must build per-lang AND per-source digests " +
+        s"through partial native aggs:\n$cp")
+    assert(!cp.contains("CartesianProduct"), cp)
+    assert(!cp.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("SinglePartition")),
+      s"the exact-rank window must partition by lang:\n$cp")
+  }
+
   test("round-12 pin: wer_inrow has NO window and NO per-pair " +
        "aggregation — the DP runs in the pair row") {
     val p = plan("wer_inrow")

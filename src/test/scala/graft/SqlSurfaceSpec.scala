@@ -128,6 +128,26 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(got == ((4L, 1L, 1L, 4, 4L)), got.toString)
   }
 
+  test("qdigest_sketch / qdigest_quantile / qdigest_n / qdigest_merge " +
+       "are SQL-callable; mistyped args fail analysis") {
+    val got = spark.sql(
+      "SELECT qdigest_quantile(a.sk, 5000), qdigest_n(a.sk), " +
+        "qdigest_quantile(qdigest_merge(a.sk, b.sk), 5000), " +
+        "qdigest_n(qdigest_merge(a.sk, b.sk)) FROM " +
+        "(SELECT qdigest_sketch(v) AS sk FROM VALUES (1L), (2L), (3L) AS t(v)) a, " +
+        "(SELECT qdigest_sketch(v) AS sk FROM VALUES (4L), (5L) AS t(v)) b")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((2L, 3L, 3L, 5L)), got.toString)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT qdigest_quantile('x', 5000)").collect()
+    }
+    // a kmv-style sorted array is not a digest: ids/counts malformed
+    val ex = intercept[Exception] {
+      spark.sql("SELECT qdigest_n(array(5L, -1L))").collect()
+    }
+    assert(ex.getMessage.contains("qdigest"), ex.getMessage)
+  }
+
   test("sketch answering functions REJECT arrays that are not their " +
        "sketch type instead of returning garbage") {
     // a cms_sketch buffer has the length kmv_estimate's K would accept
