@@ -410,7 +410,11 @@ object TextAnalysis {
     * over exact integers ((k·n)/(rowTot·colTot) with the same CAST
     * placement in both engines), the four terms sum in fixed
     * left-associative order, and the result rounds to 4 dp before the
-    * sort — the bleu/pmi cross-engine double rule.
+    * sort — the bleu/pmi cross-engine double rule. The r12 ADVICE
+    * flagged the LIMIT-20 cut on a libm-derived key; measured at
+    * sf0.01 the rank-20/21 gap is 0.0988 — 988 rounding quanta, so a
+    * 1-ulp ln divergence cannot reorder the cut (re-probe if the
+    * fixture corpus changes).
     *
     * Scale posture: ONE corpus tokenize into the pair-count shuffle,
     * staged locally (the frame is vocabulary²-bounded, far smaller

@@ -309,6 +309,41 @@ object StreamingOps {
         })
   }
 
+  /** Streaming q-digest build — the quantile tier's unbounded-stream
+    * twin (CMS cells / HLL registers / KMV bottom-k / now
+    * distribution): each shard's group state is the running q-digest
+    * of ITS substream, folded forward across micro-batches by the SAME
+    * [[graft.functions.QdigestSketch]] core the native aggregate runs;
+    * state is ≤ 3k nodes per shard REGARDLESS of stream length (the
+    * digest compresses against its own running mass). Merging the
+    * latest shard emissions answers any global quantile within the
+    * same guaranteed rank band (mergeable-summaries composition:
+    * per-shard ε·nᵢ errors sum to ≤ ε·n) — the live "what is today's
+    * p99 document length so far" gauge a streaming ingest keeps
+    * without storing values. StreamingSpec pins band + exact mass.
+    */
+  def streamingQdigest(values: Dataset[Long], shards: Int = 8)
+      : Dataset[QdigestShard] = {
+    import values.sparkSession.implicits._
+    import graft.functions.QdigestSketch
+    values.groupByKey(v => QdigestSketch.clamp(v) % shards)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (shard: Int, batch: Iterator[Long], state: GroupState[Array[Long]]) => {
+          val buf = QdigestSketch.newBuffer()
+          state.getOption.foreach { arr =>
+            var i = 0
+            while (i < arr.length) {
+              buf.update(arr(i), buf.getOrElse(arr(i), 0L) + arr(i + 1))
+              i += 2
+            }
+          }
+          batch.foreach(v => QdigestSketch.add(buf, v))
+          val out = QdigestSketch.toArray(buf)
+          state.update(out)
+          Iterator.single(QdigestShard(shard, out.toSeq))
+        })
+  }
+
   /** Streaming IVM: the stateful twin of `Changelog.ivmUpdate`. A
     * keyed stream of signed deltas (+1/+cents insert, −1/−cents
     * retraction; update = retract+insert) maintained by an update-mode
@@ -394,3 +429,6 @@ case class ShardSketch(shard: Int, cands: Seq[String])
 
 /** One shard's live bottom-k hash set (unsigned-ascending, ≤ k). */
 case class KmvShard(shard: Int, hashes: Seq[Long])
+
+/** One shard's live q-digest ([id, count, …] pairs, ids ascending). */
+case class QdigestShard(shard: Int, digest: Seq[Long])

@@ -520,6 +520,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming q-digest: shard digests after two micro-batches merge " +
+       "to band-valid global quantiles with exact mass; state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.QdigestShard
+    import graft.functions.QdigestSketch
+    val dir = "/root/testdata/sf0.001"
+    val lens = graft.Tables.documents(spark, dir)
+      .select(col("n_chars").cast("long")).as[Long].collect()
+    val (l1, l2) = lens.splitAt(lens.length / 2)
+    val src = MemoryStream[Long]
+    val q = StreamingOps.streamingQdigest(src.toDS())
+      .writeStream.format("memory").queryName("qd_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(l1.toSeq: _*)
+      q.processAllAvailable()
+      src.addData(l2.toSeq: _*)
+      q.processAllAvailable()
+      val all = spark.table("qd_t").as[QdigestShard].collect()
+      val latest = all.zipWithIndex.groupBy(_._1.shard)
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }
+      assert(latest.forall(_.digest.length <= 6 * QdigestSketch.K),
+        "shard digest exceeded the size bound")
+      def ad(s: Seq[Long]) =
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(s.toArray)
+      val merged = latest.map(d => ad(d.digest))
+        .reduce(QdigestSketch.mergeSketches)
+      val n = lens.length.toLong
+      assert(QdigestSketch.total(merged) == n, "mass not conserved")
+      val sorted = lens.map(v => QdigestSketch.clamp(v).toLong).sorted
+      val slack = QdigestSketch.rankSlack(n)
+      for (qBp <- Seq(2500, 5000, 9000)) {
+        val est = QdigestSketch.quantile(merged, qBp)
+        val target = math.max(1L, (qBp.toLong * n + 9999L) / 10000L)
+        val ltc = sorted.count(_ < est).toLong
+        val lec = sorted.count(_ <= est).toLong
+        assert(ltc < target + slack && lec >= target - slack,
+          s"stream-merged digest out of band at q=$qBp: est=$est")
+      }
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: candidate union + recount equals batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.ShardSketch
