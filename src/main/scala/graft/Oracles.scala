@@ -1763,6 +1763,44 @@ object Oracles {
         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS session_value
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, start_us""".stripMargin,
 
+    // A3 extractive summary — mirrors Summaries.extractiveSummary:
+    // 40-word passages scored by top-3 TF keyword occurrences, the 2
+    // best kept in DOCUMENT order; everything integer/string-exact.
+    // Only the abstractive model prose stays a declared contract
+    // (Summaries.summarizeEnriched is its boundary).
+    "summary_extract" ->
+      s"""WITH $WordsCte,
+         |tf AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),
+         |k3 AS (SELECT doc_id, word FROM (
+         |         SELECT doc_id, word,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY c DESC, word) AS rn
+         |         FROM tf) WHERE rn <= 3),
+         |kw AS (SELECT doc_id, string_agg(word, ',' ORDER BY word) AS keywords
+         |       FROM k3 GROUP BY doc_id),
+         |ch AS (SELECT w.doc_id, (w.pos - 1) // 40 AS cidx,
+         |         string_agg(w.word, ' ' ORDER BY w.pos) AS chunk,
+         |         CAST(sum(CASE WHEN k.word IS NOT NULL THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS score
+         |       FROM words w LEFT JOIN k3 k
+         |         ON k.doc_id = w.doc_id AND k.word = w.word
+         |       GROUP BY 1, 2),
+         |kept AS (SELECT doc_id, cidx, chunk, score,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY score DESC, cidx) AS rn
+         |         FROM ch),
+         |s AS (SELECT doc_id,
+         |        string_agg(chunk, ' ... ' ORDER BY cidx) AS summary,
+         |        CAST(count(*) AS BIGINT) AS n_kept,
+         |        CAST(max(score) AS BIGINT) AS top_score
+         |      FROM kept WHERE rn <= 2 GROUP BY doc_id),
+         |t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+         |      FROM ch GROUP BY doc_id)
+         |SELECT t.doc_id, kw.keywords, t.n_chunks, s.n_kept, s.top_score,
+         |  s.summary
+         |FROM t JOIN s USING (doc_id) JOIN kw USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
     "bounded_summary" ->
       """WITH t AS (SELECT lang, doc_id,
         |             substr(coalesce(text,''), 1, 30) AS piece FROM documents),

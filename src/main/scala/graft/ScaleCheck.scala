@@ -144,7 +144,10 @@ object ScaleCheck {
     // round 13: per-lang + per-source q-digest builds (constant ≤24 KB
     // payloads) + the value-domain-bounded exact-rank audit over 10×
     // docs — the truth columns are the cost, the sketches are not
-    "quantile_digest")
+    "quantile_digest",
+    // round 13: A3 extractive tier — staged tokenize into doc-keyed
+    // passage/keyword aggs + two GroupTopK cuts over 10× docs
+    "summary_extract")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

@@ -143,6 +143,8 @@ object SparkEntry {
     "range_window"        -> (Events.rangeWindow _),
     "session_window_agg"  -> (Events.sessionWindowAgg _),
     "bounded_summary"     -> (Summaries.boundedSummary _),
+    // A3 extractive tier: keyword-scored passage selection, doc order
+    "summary_extract"     -> (Summaries.extractiveSummary _),
     "multimodal_features" -> (Multimodal.multimodalFeatures _),
     "image_classify" -> (Multimodal.imageClassify _),
     // image pipeline

@@ -159,6 +159,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(c1 == c2)
   }
 
+  test("A3 enrichment boundary: a stub abstractive model composes with " +
+       "summary_extract without touching verified columns or lifecycle") {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    val dir = "/root/testdata/sf0.001"
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    val stub: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column =
+      d => concat(lit("covers "), col("keywords"), lit(" ["),
+        org.apache.spark.sql.functions.substring(
+          md5(col("doc_id").cast("string")), 1, 6), lit("]"))
+    val enriched = graft.etl.Summaries.summarizeEnriched(spark, dir, stub)
+    val base = graft.etl.Summaries.extractiveSummary(spark, dir)
+    val baseCols = base.columns.toSeq
+    assert(enriched.columns.toSeq ==
+      baseCols ++ Seq("model_prose", "full_summary"))
+    assert(enriched.select(baseCols.map(col): _*).collect().toSeq ==
+      base.collect().toSeq)
+    val rows = enriched.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[String]("model_prose")
+      assert(p.startsWith("covers "), p)
+      assert(r.getAs[String]("full_summary") ==
+        s"$p — ${r.getAs[String]("summary")}")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore)
+  }
+
   test("X11 enrichment boundary: a stub vision model composes with " +
        "image_describe without touching verified columns, plan shape, " +
        "or lifecycle") {

@@ -1380,6 +1380,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("round-13 pin: summary_extract stages the tokenized frame once " +
+       "— one documents scan; passage cut and keyword cut both ride " +
+       "GroupTopK, never a corpus window") {
+    val all = executedPlans("summary_extract")
+    val cp = all.mkString("\n=== next executed plan ===\n")
+    val scans = cp.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"summary_extract must read documents exactly once:\n$cp")
+    assert(countOf(cp, "GroupTopK") >= 2,
+      s"summary_extract lost a native top-k heap:\n$cp")
+    assert(!cp.contains("CartesianProduct"), cp)
+    assert(!cp.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("SinglePartition")),
+      s"summary_extract grew an unpartitioned window:\n$cp")
+  }
+
   test("round-13 pin: quantile_digest stages the (lang, source, len) " +
        "frame once — one documents scan; digests build through partial " +
        "native aggs; the exact-histogram window stays lang-partitioned") {
