@@ -60,7 +60,10 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkTestBase {
       "t_closeness",
       // round-11 eager operators (locally-staged + reliable final)
       "bleu_eval", "rouge_eval", "chrf_eval", "wer_eval", "rbo_overlap",
-      "cms_frequency", "ap_eval")
+      "cms_frequency", "ap_eval",
+      // round-13 eager operators: staged token/length frames + sketch
+      // aggs / GroupTopK cuts above them
+      "kmv_novelty", "quantile_digest", "summary_extract")
     qs.foreach { name =>
       assert(SparkEntry.queries(name)(spark, dir).count() > 0,
         s"$name returned no rows")

@@ -94,7 +94,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     * leaf-like nodes, so the walk unwraps adaptive plans and query
     * stages explicitly — a plain collect() stops at the wrapper.
     */
-  private def funnelRecordCounts(name: String): Seq[(String, Long)] = {
+  private def funnelRecordCounts(name: String): Seq[(String, Long)] =
+    funnelRecordCountsOf(SparkEntry.queries(name)(spark, dir))
+
+  private def funnelRecordCountsOf(df: => org.apache.spark.sql.DataFrame)
+      : Seq[(String, Long)] = {
     import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -108,8 +112,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
     spark.listenerManager.register(l)
     try {
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      df.write.format("noop").mode("overwrite").save()
       org.apache.spark.graft.TestBusBridge.waitUntilEmpty(spark.sparkContext)
     } finally spark.listenerManager.unregister(l)
     def flatten(p: SparkPlan): Seq[SparkPlan] = (p match {
@@ -1221,6 +1224,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         if (bad.isEmpty) None else Some(s"$q: ${bad.mkString("; ")}")
       }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("the runtime funnel guard FIRES on a real table-sized funnel " +
+       "and clears a bounded one (fail-first proof of the r13 sweep " +
+       "mechanization)") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    import org.apache.spark.sql.expressions.Window
+    // the classic offender: an UNPARTITIONED window funnels the whole
+    // table through one task (SinglePartition exchange, 10k rows)
+    def globalTotal(n: Long) =
+      spark.range(0, n).toDF("v").repartition(4)
+        .withColumn("t", fsum(col("v")).over(Window.partitionBy()))
+    val offender = funnelRecordCountsOf(globalTotal(10000))
+    assert(offender.nonEmpty && offender.exists(_._2 > FunnelRowBound),
+      s"guard failed to count a 10k-row funnel: $offender")
+    // the SAME shape over a 9-row grid (benford's) clears mechanically
+    val bounded = funnelRecordCountsOf(globalTotal(9))
+    assert(bounded.nonEmpty && bounded.forall(_._2 <= FunnelRowBound),
+      s"bounded 9-row funnel should clear: $bounded")
   }
 
   test("AQE splits a skewed shuffle join at runtime (skew=true)") {
