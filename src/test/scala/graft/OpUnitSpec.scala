@@ -767,6 +767,45 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
       s"inrow=$inrow\nkeyed=$keyed")
   }
 
+  test("sketches survive a parquet round trip and merge across runs — " +
+       "the stored-snapshot production story (today's sketch table + " +
+       "tomorrow's batch == one direct build)") {
+    import graft.functions.HllSketchFunctions.hllSketch
+    import graft.functions.KmvSketchFunctions.{kmvMerge, kmvSketch}
+    import graft.functions.QdigestSketchFunctions.{qdigestMerge, qdigestN, qdigestSketch}
+    val store = java.nio.file.Files.createTempDirectory("graft_snap_")
+      .resolve("sketches.parquet").toString
+    val day1 = (1 to 3000).map(i => (s"w${i % 700}", (i % 500).toLong))
+    val day2 = (1 to 2000).map(i => (s"w${300 + i % 900}", (200 + i % 800).toLong))
+    // run 1: build and STORE the sketch row
+    day1.toDF("word", "len")
+      .agg(kmvSketch(col("word")).as("kmv"), hllSketch(col("word")).as("hll"),
+        qdigestSketch(col("len")).as("qd"))
+      .write.mode("overwrite").parquet(store)
+    // run 2 (a fresh lineage): read the snapshot, merge today's batch
+    val prev = spark.read.parquet(store)
+    val today = day2.toDF("word", "len")
+      .agg(kmvSketch(col("word")).as("kmv2"), hllSketch(col("word")).as("hll2"),
+        qdigestSketch(col("len")).as("qd2"))
+    val merged = prev.crossJoin(today).select(
+      kmvMerge(col("kmv"), col("kmv2")).as("kmv_u"),
+      zip_with(col("hll"), col("hll2"), (a, b) => greatest(a, b)).as("hll_u"),
+      qdigestMerge(col("qd"), col("qd2")).as("qd_u"))
+    val direct = (day1 ++ day2).toDF("word", "len")
+      .agg(kmvSketch(col("word")).as("kmv_d"), hllSketch(col("word")).as("hll_d"),
+        qdigestSketch(col("len")).as("qd_d"))
+    val row = merged.crossJoin(direct).select(
+      (col("kmv_u") === col("kmv_d")).as("kmv_eq"),
+      (col("hll_u") === col("hll_d")).as("hll_eq"),
+      qdigestN(col("qd_u")).as("qd_mass"))
+      .as[(Boolean, Boolean, Long)].head()
+    // KMV and HLL merges are lossless — array-identical to the direct
+    // build even THROUGH storage; q-digest conserves mass exactly (its
+    // band guarantee is pinned elsewhere — contents are merge-order-
+    // dependent by design)
+    assert(row == ((true, true, (day1.size + day2.size).toLong)), row.toString)
+  }
+
   test("kmvOverlap: hand corpus — exact overlap counts per lang pair, " +
        "zero-overlap pairs present, all flags certain (un-full)") {
     val d = java.nio.file.Files.createTempDirectory("graft_kmv_")

@@ -78,6 +78,30 @@ class SketchInvariantSpec extends AnyFunSuite {
     }
   }
 
+  private def hllRegisters(words: Seq[String]): Array[Byte] = {
+    val regs = new Array[Byte](HllSketch.M)
+    words.foreach { w =>
+      val (idx, rho) = HllSketch.indexAndRho(w)
+      if (rho > regs(idx)) regs(idx) = rho
+    }
+    regs
+  }
+
+  test("HLL: estimates stay inside the 10%+32 band across the " +
+       "linear-counting / raw-estimate branch boundary (cardinalities " +
+       "10 .. 100k, 25 trials)") {
+    // the correction branch switches at E <= 2.5m with empty registers
+    // (m = 4096) — sample cardinalities on BOTH sides of it
+    val cards = Seq(10, 100, 1000, 4000, 8000, 10240, 20000, 50000, 100000) ++
+      Seq.fill(16)(10 + rnd.nextInt(100000))
+    for (card <- cards) {
+      val est = HllSketch.estimate(
+        hllRegisters((0 until card).map(i => s"u$card-$i")))
+      assert(math.abs(est - card) * 10 <= card.toLong + 320,
+        s"card=$card est=$est outside the hll band")
+    }
+  }
+
   private def qdArray(vals: Seq[Long]): ArrayData = {
     val buf = QdigestSketch.newBuffer()
     vals.foreach(v => QdigestSketch.add(buf, v))
