@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Expression, ExpressionInfo, If, Least, Literal, RLike}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, CmsLookup, CmsSketchAgg, DotProduct, HllEstimate, HllSketchAgg, KmvCommon, KmvDiff, KmvEstimate, KmvMerge, KmvSketchAgg, KmvUnion, QdigestMerge, QdigestN, QdigestQuantile, QdigestSketchAgg, SkipUrl, WordEditDistance}
+import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, CmsLookup, CmsSketchAgg, DotProduct, HllEstimate, HllSketchAgg, KmvCommon, KmvDiff, KmvEstimate, KmvMerge, KmvSketchAgg, KmvUnion, QdigestMerge, QdigestN, QdigestQuantile, QdigestSketchAgg, QdigestSketchWeightedAgg, SkipUrl, WordEditDistance}
 
 /** SQL surface of the engine's custom pieces, registered through
   * SparkSessionExtensions (spark.sql.extensions-compatible, so a
@@ -29,6 +29,7 @@ import graft.functions.{ChunkText, ClippedGramMatches, ClippedWordGramMatches, C
   *   kmv_diff(a, b)                 distinct-difference |A \ B| estimate
   *   kmv_merge(a, b)                union sketch (lossless bottom-k rollup)
   *   qdigest_sketch(v)              native q-digest quantile sketch (k=1024)
+  *   qdigest_sketch_w(v, w)         mass-weighted q-digest (truncation budgets)
   *   qdigest_quantile(sk, q_bp)     quantile-value estimate (banded rank error)
   *   qdigest_n(sk)                  exact total mass
   *   qdigest_merge(a, b)            merged digest (guarantee-preserving)
@@ -127,6 +128,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("qdigest_sketch",
         "qdigest_sketch(v) - q-digest quantile sketch over [0, 2^16) (aggregate)"),
       (exprs: Seq[Expression]) => QdigestSketchAgg(exprs.head)))
+
+    e.injectFunction((FunctionIdentifier("qdigest_sketch_w"),
+      info("qdigest_sketch_w",
+        "qdigest_sketch_w(v, w) - mass-weighted q-digest (aggregate)"),
+      (exprs: Seq[Expression]) => QdigestSketchWeightedAgg(exprs(0), exprs(1))))
 
     e.injectFunction((FunctionIdentifier("qdigest_quantile"),
       info("qdigest_quantile",

@@ -6400,6 +6400,35 @@ object Oracles {
         |  TRUE AS approx_ok
         |FROM w""".stripMargin,
 
+    // Token-mass-weighted length quantiles — mirrors CorpusStats
+    // .quantileWeighted: weighted histogram rank selection on the same
+    // clamped domain; digest estimates stay behind the mass-unit band.
+    "quantile_weighted" ->
+      """WITH d AS (
+        |  SELECT coalesce(lang, 'und') AS lang,
+        |    least(greatest(n_chars, 0), 65535) AS len,
+        |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS wt
+        |  FROM documents),
+        |n AS (SELECT lang, CAST(sum(wt) AS BIGINT) AS w_total
+        |      FROM d GROUP BY lang),
+        |h AS (SELECT lang, len, sum(wt) AS c FROM d GROUP BY 1, 2),
+        |cum AS (SELECT lang, len,
+        |          sum(c) OVER (PARTITION BY lang ORDER BY len) AS cum
+        |        FROM h),
+        |j AS (SELECT c.lang, c.len, c.cum, n.w_total
+        |      FROM cum c JOIN n USING (lang)),
+        |ex AS (SELECT lang,
+        |    CAST(min(CASE WHEN cum >= (5000 * w_total + 9999) // 10000
+        |      THEN len END) AS BIGINT) AS p50w,
+        |    CAST(min(CASE WHEN cum >= (9000 * w_total + 9999) // 10000
+        |      THEN len END) AS BIGINT) AS p90w
+        |  FROM j GROUP BY lang)
+        |SELECT n.lang, n.w_total, ex.p50w, ex.p90w,
+        |  TRUE AS ok50w, TRUE AS ok90w
+        |FROM n JOIN ex USING (lang)
+        |ORDER BY lang""".stripMargin,
+
     // KMV cross-snapshot novelty — mirrors CorpusStats.kmvNovelty: the
     // exact vocabulary sizes/union/difference recomputed over the same
     // arrival-order halves; the sketch estimates and the lossless-merge

@@ -147,7 +147,9 @@ object ScaleCheck {
     "quantile_digest",
     // round 13: A3 extractive tier — staged tokenize into doc-keyed
     // passage/keyword aggs + two GroupTopK cuts over 10× docs
-    "summary_extract")
+    "summary_extract",
+    // round 13: mass-weighted digest build + weighted-histogram audit
+    "quantile_weighted")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

@@ -545,6 +545,8 @@ object SparkEntry {
     "kmv_novelty" -> (CorpusStats.kmvNovelty _),
     // per-lang length quantiles via the native q-digest sketch tier
     "quantile_digest" -> (CorpusStats.quantileDigest _),
+    // token-mass-weighted length quantiles (truncation-budget form)
+    "quantile_weighted" -> (CorpusStats.quantileWeighted _),
     // WER recomputed in-row (compiled word DP — wer_eval's scale path)
     "wer_inrow" -> (TextAnalysis.werInRow _),
     // Benford leading-digit forensic audit (pinned reference table)

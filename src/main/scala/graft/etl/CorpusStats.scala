@@ -662,6 +662,10 @@ object CorpusStats {
     * direct union sketch+count); everything downstream is 1-row
     * frames crossJoin-broadcast together — at 100 TB only the
     * constant ≤ 8 KB sketches and per-partition partial counts move.
+    *
+    * Contract: needs both snapshots non-empty (any corpus with ≥ 2
+    * docs under the arrival split); a single-doc corpus leaves
+    * snapshot B empty and the inner crossJoin returns zero rows.
     */
   def kmvNovelty(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.KmvSketchFunctions.{kmvDiff, kmvMerge, kmvSketch, kmvUnion}
@@ -782,6 +786,62 @@ object CorpusStats {
           ok(9000, "lt90", "le90").as("ok90"),
           ok(9900, "lt99", "le99").as("ok99"),
           ok(5000, "ltm", "lem").as("merge_ok"))
+        .orderBy("lang"))
+    } finally Fixpoint.releaseAll(locals)
+  }
+
+  /** TOKEN-MASS-weighted length quantiles through the weighted q-digest
+    * ([[graft.functions.QdigestSketchWeightedAgg]]) — the truncation-
+    * budget question [[quantileDigest]]'s doc-count form can't answer:
+    * "below what document length sits half the corpus's TOKEN mass".
+    * A long tail of huge documents moves these far from the doc-count
+    * percentiles, and it is the mass form that prices a truncation or
+    * packing policy (tokens lost, not docs touched). Weight = word
+    * count; value = clamped n_chars; same exact-twin + guaranteed-band
+    * discipline, with the band in MASS units (slack = 16·W/1024).
+    *
+    * Scale posture: one (lang, len, wt) scan staged for its three
+    * readers; constant ≤24 KB digests; the weighted histogram/window
+    * audit columns are value-domain-bounded and drop in production.
+    */
+  def quantileWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QdigestSketchFunctions.{qdigestQuantile, qdigestSketchWeighted}
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val d = Fixpoint.locally(Tables.documents(spark, dir)
+        .select(coalesce(col("lang"), lit("und")).as("lang"),
+          expr("least(greatest(n_chars, 0), 65535)").cast("bigint").as("len"),
+          size(Shingles.wordArray(col("text"))).cast("bigint").as("wt")),
+        locals)
+      val sk = d.groupBy(col("lang"))
+        .agg(qdigestSketchWeighted(col("len"), col("wt")).as("sk"),
+          sum(col("wt")).as("w_total"))
+      val hist = d.groupBy(col("lang"), col("len")).agg(sum(col("wt")).as("c"))
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("lang")).orderBy(col("len"))))
+      def tgt(q: Int) = expr(s"($q * w_total + 9999) div 10000")
+      val ex = cum.join(broadcast(sk.select(col("lang"), col("w_total"))),
+          Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(min(when(col("cum") >= tgt(5000), col("len"))).as("p50w"),
+          min(when(col("cum") >= tgt(9000), col("len"))).as("p90w"))
+      val est = sk.select(col("lang"), col("w_total"),
+        qdigestQuantile(col("sk"), lit(5000)).as("e50"),
+        qdigestQuantile(col("sk"), lit(9000)).as("e90"))
+      val ranks = d.join(broadcast(est), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(sum(when(col("len") < col("e50"), col("wt")).otherwise(0L)).as("lt50"),
+          sum(when(col("len") <= col("e50"), col("wt")).otherwise(0L)).as("le50"),
+          sum(when(col("len") < col("e90"), col("wt")).otherwise(0L)).as("lt90"),
+          sum(when(col("len") <= col("e90"), col("wt")).otherwise(0L)).as("le90"))
+      def ok(q: Int, ltc: String, lec: String) =
+        (col(ltc) < tgt(q) + expr("16 * w_total div 1024 + 1")) &&
+          (col(lec) >= tgt(q) - expr("16 * w_total div 1024 + 1"))
+      Fixpoint.reliably(est.join(broadcast(ex), Seq("lang"))
+        .join(broadcast(ranks), Seq("lang"))
+        .select(col("lang"), col("w_total"), col("p50w"), col("p90w"),
+          ok(5000, "lt50", "le50").as("ok50w"),
+          ok(9000, "lt90", "le90").as("ok90w"))
         .orderBy("lang"))
     } finally Fixpoint.releaseAll(locals)
   }

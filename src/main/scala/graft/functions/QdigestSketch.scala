@@ -56,9 +56,19 @@ object QdigestSketch {
   def clamp(x: Long): Int =
     if (x < 0L) 0 else if (x >= U.toLong) U - 1 else x.toInt
 
-  def add(buf: Buffer, x: Long): Unit = {
+  def add(buf: Buffer, x: Long): Unit = addWeighted(buf, x, 1L)
+
+  /** Weighted insert: the value carries `w` units of mass (a doc's
+    * token count, a file's bytes) — quantiles then answer "below what
+    * value does q of the MASS sit", the truncation-budget form. A
+    * non-positive weight contributes nothing. Counts are plain sums,
+    * so every invariant (merge, compression, mass conservation, the
+    * rank band — now in mass units) carries over unchanged.
+    */
+  def addWeighted(buf: Buffer, x: Long, w: Long): Unit = {
+    if (w <= 0L) return
     val leaf = (U + clamp(x)).toLong
-    buf.update(leaf, buf.getOrElse(leaf, 0L) + 1L)
+    buf.update(leaf, buf.getOrElse(leaf, 0L) + w)
     // amortized compression keeps the in-flight buffer bounded even on
     // a partition whose distinct-value count approaches U
     if (buf.size > 6 * K) compress(buf)
@@ -270,6 +280,71 @@ case class QdigestSketchAgg(child: Expression,
     copy(child = newChild)
 }
 
+/** `qdigest_sketch_w(v, w)` — the MASS-weighted digest build: each
+  * value contributes its weight (token count, bytes) instead of 1, so
+  * `qdigest_quantile` answers mass-percentiles ("below what doc length
+  * sits half the corpus's token mass" — the truncation-budget form).
+  * Shares [[QdigestSketchAgg]]'s buffer/serde through the same core;
+  * the rank band reads in mass units (slack = 16·W/1024).
+  */
+case class QdigestSketchWeightedAgg(left: Expression, right: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QdigestSketch.Buffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
+  with ExpectsInputTypes {
+
+  import QdigestSketch._
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(LongType, LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "qdigest_sketch_w"
+
+  override def createAggregationBuffer(): Buffer = newBuffer()
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = left.eval(input)
+    val w = right.eval(input)
+    if (v != null && w != null)
+      addWeighted(buf, v.asInstanceOf[Long], w.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: Buffer, b2: Buffer): Buffer = {
+    b2.foreach { case (id, c) => b1.update(id, b1.getOrElse(id, 0L) + c) }
+    compress(b1)
+    b1
+  }
+
+  override def eval(buf: Buffer): Any = new GenericArrayData(toArray(buf))
+
+  override def serialize(buf: Buffer): Array[Byte] = {
+    val arr = toArray(buf)
+    val bb = java.nio.ByteBuffer.allocate(arr.length * 8)
+    arr.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val buf = newBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) {
+      val id = bb.getLong
+      buf.update(id, buf.getOrElse(id, 0L) + bb.getLong)
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QdigestSketchWeightedAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QdigestSketchWeightedAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): QdigestSketchWeightedAgg =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `qdigest_quantile(sketch, q_bp)` — the answering surface: the value
   * estimate whose rank is within [[QdigestSketch.rankSlack]] of
   * ⌈q·n⌉. Compiled static call (the CmsLookup discipline).
@@ -365,6 +440,12 @@ object QdigestSketchFunctions {
   def qdigestSketch(v: Column): Column =
     ColumnBridge.column(
       QdigestSketchAgg(ColumnBridge.expression(v)).toAggregateExpression())
+
+  /** Column API: the mass-weighted digest (v carries w units). */
+  def qdigestSketchWeighted(v: Column, w: Column): Column =
+    ColumnBridge.column(
+      QdigestSketchWeightedAgg(ColumnBridge.expression(v),
+        ColumnBridge.expression(w)).toAggregateExpression())
 
   /** Column API: quantile-value estimate at q basis points. */
   def qdigestQuantile(sketch: Column, qBp: Column): Column =

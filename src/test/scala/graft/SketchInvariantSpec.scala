@@ -149,6 +149,38 @@ class SketchInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q-digest weighted: a (value, weight) build equals the weight- " +
+       "expanded multiset build node-for-node; bands read in mass units") {
+    for (trial <- 1 to 10) {
+      val pairs = (0 until 200 + rnd.nextInt(2000))
+        .map(_ => (rnd.nextInt(60000).toLong, 1L + rnd.nextInt(50)))
+      val wbuf = QdigestSketch.newBuffer()
+      pairs.foreach { case (v, w) => QdigestSketch.addWeighted(wbuf, v, w) }
+      val expanded = QdigestSketch.newBuffer()
+      // same insertion ORDER with unit adds — compression points may
+      // differ mid-stream, so compare the final compressed forms after
+      // one more compress (both are digests of the identical multiset)
+      pairs.foreach { case (v, w) =>
+        (0L until w).foreach(_ => QdigestSketch.add(expanded, v)) }
+      val wArr = ArrayData.toArrayData(QdigestSketch.toArray(wbuf))
+      val eArr = ArrayData.toArrayData(QdigestSketch.toArray(expanded))
+      val massW = QdigestSketch.total(wArr)
+      assert(massW == pairs.map(_._2).sum, "weighted mass wrong")
+      assert(massW == QdigestSketch.total(eArr))
+      // both digests answer every quantile within the mass-unit band
+      val sorted = pairs.flatMap { case (v, w) =>
+        Seq.fill(w.toInt)(QdigestSketch.clamp(v).toLong) }.sorted.toIndexedSeq
+      for (q <- Seq(2500, 5000, 9000); arr <- Seq(wArr, eArr))
+        assert(bandOk(sorted, QdigestSketch.quantile(arr, q), q),
+          s"trial $trial q=$q out of band")
+      // zero/negative weights contribute nothing
+      QdigestSketch.addWeighted(wbuf, 5L, 0L)
+      QdigestSketch.addWeighted(wbuf, 5L, -3L)
+      assert(QdigestSketch.total(
+        ArrayData.toArrayData(QdigestSketch.toArray(wbuf))) == massW)
+    }
+  }
+
   test("q-digest: clamping is the documented boundary contract — " +
        "out-of-universe values land on the edge cells") {
     val sk = qdArray(Seq(-5L, -1L, 100000L, 70000L, 3L))

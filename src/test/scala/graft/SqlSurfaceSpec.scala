@@ -141,6 +141,13 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT qdigest_quantile('x', 5000)").collect()
     }
+    // weighted build: 1 unit at 10, 9 units at 20 → p50 mass sits at 20
+    val w = spark.sql(
+      "SELECT qdigest_quantile(sk, 5000), qdigest_n(sk) FROM " +
+        "(SELECT qdigest_sketch_w(v, w) AS sk FROM " +
+        " VALUES (10L, 1L), (20L, 9L) AS t(v, w))")
+      .as[(Long, Long)].head()
+    assert(w == ((20L, 10L)), w.toString)
     // a kmv-style sorted array is not a digest: ids/counts malformed
     val ex = intercept[Exception] {
       spark.sql("SELECT qdigest_n(array(5L, -1L))").collect()
