@@ -36,7 +36,7 @@ object TimeQuery {
     // memo clears between queries, pricing each standalone;
     // SPARK_GRAFT_KEEP_MEMO=1 leaves it warm WITHIN a rep (the
     // production fan-out shape) — each rep still starts cold.
-    val names = name.split(',').toSeq
+    val names = name.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     val keepMemo = sys.env.get("SPARK_GRAFT_KEEP_MEMO").contains("1")
     for (i <- 1 to reps) {
       graft.etl.Dedup.clearComponentsMemo()

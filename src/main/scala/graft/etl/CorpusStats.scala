@@ -584,8 +584,9 @@ object CorpusStats {
     * 10% + 32, intersection estimate within (|A|+|B|)/10 + 64
     * (generous vs the 1/√k ≈ 3% sketch contract; a broken merge/hash
     * produces garbage far outside either). Estimates are EXACT
-    * whenever a slice's vocab fits in k = 1024 (the sketch holds the
-    * whole set) — the oracle-side TRUE is then a certainty, not a
+    * whenever a slice's vocab stays UNDER k = 1024 (the un-full
+    * sketch holds the whole set; exactly k fills it and switches
+    * estimators) — the oracle-side TRUE is then a certainty, not a
     * band ([[crosslangOverlap]] audits the same question exactly via
     * shingles; this is its sketch-tier answer).
     *
@@ -654,8 +655,8 @@ object CorpusStats {
     * the whole corpus — bottom-k of a union is the bottom-k of the
     * bottom-ks; the property that makes daily→monthly sketch rollups
     * free), `union_ok`/`new_ok` band the estimates against exact
-    * (the [[hllUnion]] discipline; exact whenever a side fits in
-    * k = 1024).
+    * (the [[hllUnion]] discipline; exact whenever a side's mass
+    * stays UNDER k = 1024).
     *
     * Scale posture: ONE tokenize into a distinct (snap, word) frame,
     * staged locally for its three readers (per-snap sketches+counts,
@@ -663,9 +664,11 @@ object CorpusStats {
     * frames crossJoin-broadcast together — at 100 TB only the
     * constant ≤ 8 KB sketches and per-partition partial counts move.
     *
-    * Contract: needs both snapshots non-empty (any corpus with ≥ 2
-    * docs under the arrival split); a single-doc corpus leaves
-    * snapshot B empty and the inner crossJoin returns zero rows.
+    * Degenerate corpora (a single doc, one empty snapshot) still emit
+    * the 1-row shape the oracle's scalar CTEs produce: the snapshot
+    * pivot is a conditional aggregation whose missing side coalesces
+    * to an empty sketch + 0 count (empty sketches are valid KMV values
+    * — estimate 0, lossless merge identity).
     */
   def kmvNovelty(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.KmvSketchFunctions.{kmvDiff, kmvMerge, kmvSketch, kmvUnion}
@@ -680,15 +683,24 @@ object CorpusStats {
         .distinct(), locals)
       val bySnap = sw.groupBy(col("snap"))
         .agg(kmvSketch(col("word")).as("sk"), count(lit(1)).as("n"))
-      val a = bySnap.filter(col("snap") === "a")
-        .select(col("sk").as("sk_a"), col("n").as("exact_a"))
-      val b = bySnap.filter(col("snap") === "b")
-        .select(col("sk").as("sk_b"), col("n").as("exact_b"))
+      // ONE conditional aggregation pivots the ≤2 snapshot rows onto a
+      // single row — an empty snapshot degrades to an empty sketch and
+      // a 0 count instead of vanishing the output row (the oracle's
+      // scalar CTEs always emit exactly 1 row; r13 review finding)
+      val ab = bySnap.agg(
+        coalesce(first(when(col("snap") === "a", col("sk")),
+          ignoreNulls = true), typedLit(Array.empty[Long])).as("sk_a"),
+        coalesce(first(when(col("snap") === "a", col("n")),
+          ignoreNulls = true), lit(0L)).as("exact_a"),
+        coalesce(first(when(col("snap") === "b", col("sk")),
+          ignoreNulls = true), typedLit(Array.empty[Long])).as("sk_b"),
+        coalesce(first(when(col("snap") === "b", col("n")),
+          ignoreNulls = true), lit(0L)).as("exact_b"))
       // the direct whole-corpus sketch: kmv dedups by hash, so the
       // snap-duplicated rows need no second distinct
       val direct = sw.agg(kmvSketch(col("word")).as("sk_u"),
         countDistinct(col("word")).as("exact_union"))
-      Fixpoint.reliably(a.crossJoin(broadcast(b)).crossJoin(broadcast(direct))
+      Fixpoint.reliably(ab.crossJoin(broadcast(direct))
         .withColumn("exact_new", col("exact_union") - col("exact_a"))
         .withColumn("merge_eq_direct",
           kmvMerge(col("sk_a"), col("sk_b")) === col("sk_u"))
@@ -742,8 +754,13 @@ object CorpusStats {
         .select(coalesce(col("lang"), lit("und")).as("lang"), col("source"),
           expr("least(greatest(n_chars, 0), 65535)").cast("bigint").as("len")),
         locals)
-      val sk = lens.groupBy(col("lang"))
-        .agg(qdigestSketch(col("len")).as("sk"), count(lit(1)).as("n"))
+      // sk is read by the exact-rank join AND the estimate projection;
+      // est by the rank recount AND the final join — both are
+      // lang-domain-bounded, so stage them (the bounded-frame rule:
+      // each extra branch otherwise re-nests the digest aggregation)
+      val sk = Fixpoint.locally(lens.groupBy(col("lang"))
+        .agg(qdigestSketch(col("len")).as("sk"), count(lit(1)).as("n")),
+        locals)
       // exact per-lang quantiles: value-histogram + cumulative ranks
       val hist = lens.groupBy(col("lang"), col("len")).agg(count(lit(1)).as("c"))
       val cum = hist.withColumn("cum",
@@ -761,12 +778,12 @@ object CorpusStats {
         .select(col("lang"),
           aggregate(col("sks"), lit(Array.empty[Long]),
             (acc, x) => qdigestMerge(acc, x)).as("msk"))
-      val est = sk.join(broadcast(merged), Seq("lang"))
+      val est = Fixpoint.locally(sk.join(broadcast(merged), Seq("lang"))
         .select(col("lang"), col("n"),
           qdigestQuantile(col("sk"), lit(5000)).as("e50"),
           qdigestQuantile(col("sk"), lit(9000)).as("e90"),
           qdigestQuantile(col("sk"), lit(9900)).as("e99"),
-          qdigestQuantile(col("msk"), lit(5000)).as("m50"))
+          qdigestQuantile(col("msk"), lit(5000)).as("m50")), locals)
       // true ranks of the estimates (strict and inclusive counts)
       def lt(e: String) = sum(when(col("len") < col(e), 1L).otherwise(0L))
       def le(e: String) = sum(when(col("len") <= col(e), 1L).otherwise(0L))
@@ -813,9 +830,9 @@ object CorpusStats {
           expr("least(greatest(n_chars, 0), 65535)").cast("bigint").as("len"),
           size(Shingles.wordArray(col("text"))).cast("bigint").as("wt")),
         locals)
-      val sk = d.groupBy(col("lang"))
+      val sk = Fixpoint.locally(d.groupBy(col("lang"))
         .agg(qdigestSketchWeighted(col("len"), col("wt")).as("sk"),
-          sum(col("wt")).as("w_total"))
+          sum(col("wt")).as("w_total")), locals)
       val hist = d.groupBy(col("lang"), col("len")).agg(sum(col("wt")).as("c"))
       val cum = hist.withColumn("cum",
         sum(col("c")).over(Window.partitionBy(col("lang")).orderBy(col("len"))))
@@ -825,9 +842,9 @@ object CorpusStats {
         .groupBy(col("lang"))
         .agg(min(when(col("cum") >= tgt(5000), col("len"))).as("p50w"),
           min(when(col("cum") >= tgt(9000), col("len"))).as("p90w"))
-      val est = sk.select(col("lang"), col("w_total"),
+      val est = Fixpoint.locally(sk.select(col("lang"), col("w_total"),
         qdigestQuantile(col("sk"), lit(5000)).as("e50"),
-        qdigestQuantile(col("sk"), lit(9000)).as("e90"))
+        qdigestQuantile(col("sk"), lit(9000)).as("e90")), locals)
       val ranks = d.join(broadcast(est), Seq("lang"))
         .groupBy(col("lang"))
         .agg(sum(when(col("len") < col("e50"), col("wt")).otherwise(0L)).as("lt50"),

@@ -582,8 +582,14 @@ object Dedup {
     */
   def componentsFrame(spark: SparkSession, dir: String): DataFrame =
     if (Fixpoint.isPlanOnly) dedupComponents(spark, dir)
-    else componentsMemo.computeIfAbsent((spark, dir),
-      _ => dedupComponents(spark, dir))
+    else {
+      // evict entries whose session has stopped: their keys can never
+      // hit again (the key IS the session), so without this a JVM that
+      // cycles sessions leaks one frame + session graph per cycle
+      componentsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      componentsMemo.computeIfAbsent((spark, dir),
+        _ => dedupComponents(spark, dir))
+    }
 
   private val componentsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()

@@ -31,7 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * smallest — no RNG, no order sensitivity (k-smallest-of-set is
   * order- and partitioning-invariant; OpUnitSpec pins it). Merge =
   * sorted-merge + dedup + trim to k. When a set has < k distinct
-  * values the sketch IS the set and every estimate is exact.
+  * values the sketch IS the set and every estimate is exact
+  * (exactly k fills the sketch and switches to the estimator).
   *
   * Verification discipline: estimates divide through the hash-space
   * fraction (doubles), so verified queries emit exact twins plus
@@ -52,6 +53,18 @@ object KmvSketch {
   def add(buf: Buffer, h: Long): Unit = {
     buf.add(h)
     if (buf.size > K) buf.remove(buf.last())
+  }
+
+  /** The canonical serialized form: unsigned-ascending array of the
+    * buffer's hashes — ONE definition of the buffer→sketch invariant
+    * shared by the aggregate's eval, the streaming twin, and tests.
+    */
+  def toArray(buf: Buffer): Array[Long] = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
   }
 
   /** 2^64 as a double — the hash-space size the fraction divides by. */
@@ -194,13 +207,8 @@ case class KmvSketchAgg(child: Expression,
     b1
   }
 
-  override def eval(buf: Buffer): Any = {
-    val out = new Array[Long](buf.size)
-    val it = buf.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
-  }
+  override def eval(buf: Buffer): Any =
+    new GenericArrayData(KmvSketch.toArray(buf))
 
   override def serialize(buf: Buffer): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(buf.size * 8)

@@ -30,9 +30,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * them by histogram rank selection — the median_price discipline)
   * plus in-engine booleans asserting the estimate's true rank lands
   * within the guaranteed band — deterministically TRUE for any merge
-  * order because the bound is worst-case, not probabilistic. When
-  * n ≤ k the digest is the exact value histogram and every estimate
-  * is exact (OpUnitSpec pins it).
+  * order because the bound is worst-case, not probabilistic. While
+  * total mass n < k the compression threshold ⌊n/k⌋ is 0, the digest
+  * is the exact value histogram, and every estimate is exact (at
+  * n == k the threshold reaches 1 and lone count-1 leaves may fold
+  * upward — the strict inequality matters; OpUnitSpec pins the exact
+  * regime).
   *
   * Tree numbering: heap ids over [0, U); root 1 covers [0, U), node v
   * at depth d covers width U>>d starting at (v − 2^d)·(U>>d); leaves
@@ -226,26 +229,22 @@ object QdigestSketch {
   }
 }
 
-case class QdigestSketchAgg(child: Expression,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+/** Shared TypedImperativeAggregate core for the two digest builders —
+  * ONE definition of buffer, merge, and the serialized layout, so the
+  * unit and mass-weighted producers can never diverge on the format
+  * `qdigest_merge` interops across (the KmvBinaryLong discipline,
+  * applied to the aggregate tier).
+  */
+abstract class QdigestAggBase
   extends TypedImperativeAggregate[QdigestSketch.Buffer]
-  with UnaryLike[Expression] with ExpectsInputTypes {
+  with ExpectsInputTypes {
 
   import QdigestSketch._
 
-  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
-    Seq(LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "qdigest_sketch"
 
   override def createAggregationBuffer(): Buffer = newBuffer()
-
-  override def update(buf: Buffer, input: InternalRow): Buffer = {
-    val v = child.eval(input)
-    if (v != null) add(buf, v.asInstanceOf[Long])
-    buf
-  }
 
   override def merge(b1: Buffer, b2: Buffer): Buffer = {
     b2.foreach { case (id, c) => b1.update(id, b1.getOrElse(id, 0L) + c) }
@@ -269,6 +268,23 @@ case class QdigestSketchAgg(child: Expression,
       val id = bb.getLong
       buf.update(id, buf.getOrElse(id, 0L) + bb.getLong)
     }
+    buf
+  }
+}
+
+case class QdigestSketchAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends QdigestAggBase with UnaryLike[Expression] {
+
+  import QdigestSketch._
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(LongType)
+  override def prettyName: String = "qdigest_sketch"
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
     buf
   }
 
@@ -289,50 +305,20 @@ case class QdigestSketchAgg(child: Expression,
   */
 case class QdigestSketchWeightedAgg(left: Expression, right: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[QdigestSketch.Buffer]
-  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
-  with ExpectsInputTypes {
+  extends QdigestAggBase
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
 
   import QdigestSketch._
 
   override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
     Seq(LongType, LongType)
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
   override def prettyName: String = "qdigest_sketch_w"
-
-  override def createAggregationBuffer(): Buffer = newBuffer()
 
   override def update(buf: Buffer, input: InternalRow): Buffer = {
     val v = left.eval(input)
     val w = right.eval(input)
     if (v != null && w != null)
       addWeighted(buf, v.asInstanceOf[Long], w.asInstanceOf[Long])
-    buf
-  }
-
-  override def merge(b1: Buffer, b2: Buffer): Buffer = {
-    b2.foreach { case (id, c) => b1.update(id, b1.getOrElse(id, 0L) + c) }
-    compress(b1)
-    b1
-  }
-
-  override def eval(buf: Buffer): Any = new GenericArrayData(toArray(buf))
-
-  override def serialize(buf: Buffer): Array[Byte] = {
-    val arr = toArray(buf)
-    val bb = java.nio.ByteBuffer.allocate(arr.length * 8)
-    arr.foreach(bb.putLong)
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Buffer = {
-    val buf = newBuffer()
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    while (bb.hasRemaining) {
-      val id = bb.getLong
-      buf.update(id, buf.getOrElse(id, 0L) + bb.getLong)
-    }
     buf
   }
 

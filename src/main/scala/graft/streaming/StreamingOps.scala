@@ -301,9 +301,7 @@ object StreamingOps {
           val buf = KmvSketch.newBuffer()
           state.getOption.foreach(_.foreach(h => KmvSketch.add(buf, h)))
           batch.foreach(w => KmvSketch.add(buf, HllSketch.hash64(w)))
-          val out = new Array[Long](buf.size)
-          val it = buf.iterator(); var i = 0
-          while (it.hasNext) { out(i) = it.next(); i += 1 }
+          val out = KmvSketch.toArray(buf)
           state.update(out)
           Iterator.single(KmvShard(shard, out.toSeq))
         })

@@ -1437,6 +1437,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"the exact-rank window must partition by lang:\n$cp")
   }
 
+  test("round-13 pin: quantile_weighted stages the (lang, len, wt) " +
+       "frame once — one documents scan; the weighted digest builds " +
+       "through a partial native agg; the rank window stays " +
+       "lang-partitioned") {
+    val all = executedPlans("quantile_weighted")
+    val cp = all.mkString("\n=== next executed plan ===\n")
+    val scans = cp.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"quantile_weighted must read documents exactly once:\n$cp")
+    assert(countOf(cp, "partial_qdigest_sketch_w") >= 1,
+      s"quantile_weighted must build the digest through a partial " +
+        s"native agg:\n$cp")
+    assert(!cp.contains("CartesianProduct"), cp)
+    assert(!cp.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("SinglePartition")),
+      s"the exact-rank window must partition by lang:\n$cp")
+  }
+
   test("round-12 pin: wer_inrow has NO window and NO per-pair " +
        "aggregation — the DP runs in the pair row") {
     val p = plan("wer_inrow")

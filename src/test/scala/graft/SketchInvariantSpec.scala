@@ -21,10 +21,7 @@ class SketchInvariantSpec extends AnyFunSuite {
   private def kmvArray(words: Seq[String]): Array[Long] = {
     val buf = KmvSketch.newBuffer()
     words.foreach(w => KmvSketch.add(buf, HllSketch.hash64(w)))
-    val out = new Array[Long](buf.size)
-    val it = buf.iterator(); var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    out
+    KmvSketch.toArray(buf)
   }
 
   private def ad(a: Array[Long]): ArrayData = ArrayData.toArrayData(a)
