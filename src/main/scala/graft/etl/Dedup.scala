@@ -230,9 +230,31 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String,
       numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame =
-    minhashLshFrom(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-      numHashes, bandSize)
+    if (Fixpoint.isPlanOnly)
+      minhashLshFrom(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        numHashes, bandSize)
+    else {
+      pairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      pairsMemo.computeIfAbsent((spark, dir, numHashes, bandSize),
+        _ => minhashLshFrom(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+          numHashes, bandSize))
+    }
+
+  /** Session-shared LSH pair frame — [[componentsFrame]]'s pattern one
+    * level down: SIX queries consume the same banded candidate pairs
+    * (lsh_quality, source_overlap, dedup_sweep, neardup_pipeline,
+    * split_leakage, and the components closure itself), and a
+    * production pipeline bands once per corpus snapshot. minhashLsh
+    * ends in a reliable checkpoint, so the memoized frame is an
+    * immutable file scan; the same honesty rules apply (cleared by the
+    * harness hook, bypassed under planOnly, dead sessions evicted).
+    * Keyed on the banding parameters so the parameterized sweep tests
+    * never collide with the default tier.
+    */
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
 
   def minhashLshFrom(docs: DataFrame,
       numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame =
@@ -594,19 +616,20 @@ object Dedup {
   private val componentsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Harness hook: drop every memoized closure so the next consumer
-    * pays the full build (honest per-query timing; also releases the
-    * frames to the ContextCleaner's checkpoint cleanup).
+  /** Harness hook: drop every memoized closure AND pair frame so the
+    * next consumer pays the full build (honest per-query timing; also
+    * releases the frames to the ContextCleaner's checkpoint cleanup).
     */
-  def clearComponentsMemo(): Unit = componentsMemo.clear()
+  def clearComponentsMemo(): Unit = {
+    componentsMemo.clear()
+    pairsMemo.clear()
+  }
 
   def dedupComponents(spark: SparkSession, dir: String,
-      numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame = {
-    val pairs = minhashLshFrom(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-      numHashes, bandSize)
-    dedupComponentsFrom(pairs)
-  }
+      numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame =
+    // pairs route through minhashLsh so the closure build shares the
+    // session's banding pass with the pair-frame consumers
+    dedupComponentsFrom(minhashLsh(spark, dir, numHashes, bandSize))
 
   /** pairs(doc_a < doc_b) → (doc_id, component, cluster_size).
     *
