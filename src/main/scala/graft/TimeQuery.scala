@@ -37,6 +37,13 @@ object TimeQuery {
     // SPARK_GRAFT_KEEP_MEMO=1 leaves it warm WITHIN a rep (the
     // production fan-out shape) — each rep still starts cold.
     val names = name.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    // fail fast on typos BEFORE the reps loop: a misspelled name used to
+    // surface as a NoSuchElementException mid-rep, after earlier queries
+    // in the list had already run and printed timings (ADVICE r13)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — " +
+        "names must match SparkEntry.queries keys")
     val keepMemo = sys.env.get("SPARK_GRAFT_KEEP_MEMO").contains("1")
     for (i <- 1 to reps) {
       graft.etl.Dedup.clearComponentsMemo()

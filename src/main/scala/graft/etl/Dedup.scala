@@ -234,13 +234,10 @@ object Dedup {
       minhashLshFrom(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")),
         numHashes, bandSize)
-    else {
-      pairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-      pairsMemo.computeIfAbsent((spark, dir, numHashes, bandSize),
-        _ => minhashLshFrom(
-          Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-          numHashes, bandSize))
-    }
+    else pairsMemo.get(spark, dir, (numHashes, bandSize))(
+      minhashLshFrom(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        numHashes, bandSize))
 
   /** Session-shared LSH pair frame — [[componentsFrame]]'s pattern one
     * level down: SIX queries consume the same banded candidate pairs
@@ -249,12 +246,12 @@ object Dedup {
     * production pipeline bands once per corpus snapshot. minhashLsh
     * ends in a reliable checkpoint, so the memoized frame is an
     * immutable file scan; the same honesty rules apply (cleared by the
-    * harness hook, bypassed under planOnly, dead sessions evicted).
-    * Keyed on the banding parameters so the parameterized sweep tests
-    * never collide with the default tier.
+    * harness hook, bypassed under planOnly, dead sessions evicted,
+    * data-fingerprint identity — see [[SessionMemo]]). Keyed on the
+    * banding parameters so the parameterized sweep tests never collide
+    * with the default tier.
     */
-  private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+  private val pairsMemo = new SessionMemo[(Int, Int)]
 
   def minhashLshFrom(docs: DataFrame,
       numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame =
@@ -601,28 +598,26 @@ object Dedup {
     * downstream aggregate; the measured shared-vs-isolated numbers
     * live in BASELINE.md (round 13). Bypassed under planOnly: caching
     * a passthrough lazy plan would poison later real executions.
+    * Identity, eviction and locking discipline live in [[SessionMemo]]
+    * (data-fingerprint keys: a regenerated `dir` gets a fresh closure,
+    * never the stale checkpoint scan — ADVICE r13).
     */
   def componentsFrame(spark: SparkSession, dir: String): DataFrame =
     if (Fixpoint.isPlanOnly) dedupComponents(spark, dir)
-    else {
-      // evict entries whose session has stopped: their keys can never
-      // hit again (the key IS the session), so without this a JVM that
-      // cycles sessions leaks one frame + session graph per cycle
-      componentsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-      componentsMemo.computeIfAbsent((spark, dir),
-        _ => dedupComponents(spark, dir))
-    }
+    else componentsMemo.get(spark, dir, ())(dedupComponents(spark, dir))
 
-  private val componentsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val componentsMemo = new SessionMemo[Unit]
 
   /** Harness hook: drop every memoized closure AND pair frame so the
-    * next consumer pays the full build (honest per-query timing; also
-    * releases the frames to the ContextCleaner's checkpoint cleanup).
+    * next consumer pays the full build (honest per-query timing), AND
+    * delete their reliable-checkpoint files so N cleared snapshots
+    * cost zero accumulated disk. Frames obtained from the memos before
+    * a clear must not be re-read afterwards — their backing files are
+    * gone (harness reps never do; production sessions don't clear).
     */
   def clearComponentsMemo(): Unit = {
-    componentsMemo.clear()
-    pairsMemo.clear()
+    componentsMemo.clearAndRelease()
+    pairsMemo.clearAndRelease()
   }
 
   def dedupComponents(spark: SparkSession, dir: String,

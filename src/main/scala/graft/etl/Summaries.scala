@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.BoundedConcat
@@ -27,55 +27,61 @@ object Summaries {
     * extract-don't-reorder rule), joined with " ... ". Every step is
     * integer/string arithmetic both engines reproduce bit-for-bit.
     *
-    * Scale posture: ONE tokenize staged for its three readers (tf →
-    * keyword top-3 on the native GroupTopK heap, passage build, score
-    * join); passages aggregate on (doc_id, cidx) — map-side combined,
-    * key-partitioned; the keyword frame is doc-keyed (a keyed join,
-    * NOT a broadcast — it is corpus-sized at 100 TB); the top-2 cut
-    * rides GroupTopK, never a corpus window.
+    * Scale posture (round 14, VERDICT r13 item 2 — the in-row pattern
+    * of wer_inrow/rbo_inrow applied to the passage build): NO passage
+    * text ever enters a shuffle. The round-13 form re-assembled every
+    * chunk's text through the (doc_id, cidx) aggregate — shipping the
+    * whole corpus text through that exchange was the family's worst
+    * 30× ratio (5.14). Now the token frame only feeds SCALAR rows:
+    * one (doc_id, word)-keyed left join marks keyword tokens, one
+    * (doc_id, cidx) agg yields (cidx, score), GroupTopK keeps the
+    * top-2 per doc, and the ≤2 winning passages are sliced IN-ROW
+    * from the original `text` column after one doc-keyed join —
+    * `split → slice(40·cidx, 40) → filter blanks → join` over ≤2
+    * array elements per document (the bounded-HOF exception to the
+    * outer-array rule: 2 re-evaluations of the split, not O(n²)).
+    * Text moves exactly once, in the final doc-keyed join.
     */
   def extractiveSummary(spark: SparkSession, dir: String): DataFrame = {
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val w = Fixpoint.locally(
-        Shingles.words(Tables.documents(spark, dir)
-            .select(col("doc_id"), col("text")))
+        Shingles.words(docs)
           .withColumn("cidx", expr("word_pos div 40")), locals)
       val tf = w.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
       val k3 = Fixpoint.locally(graft.plans.GroupTopK.topK(tf, Seq("doc_id"),
         Seq(("c", false), ("word", true)), 3)
         .select(col("doc_id"), col("word")), locals)
       val kw = k3.groupBy(col("doc_id")).agg(collect_list(col("word")).as("kw"))
-      // passage text and keyword score are built as SEPARATE aggregates
-      // of the token frame: the first form joined each doc's keyword
-      // ARRAY onto every word row before the chunk agg — measured
-      // 30.6 s at 30× from shipping a 3-string array per token through
-      // the shuffle; scoring through the (doc_id, word)-keyed k3 join
-      // keeps the shuffle rows scalar (10.6 s at 30×, same results)
-      val chunks = w.groupBy(col("doc_id"), col("cidx"))
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("word_pos"), col("word")))),
-          s => s("word")), " ").as("chunk"))
-      val scores = w.join(k3, Seq("doc_id", "word"))
-        .groupBy(col("doc_id"), col("cidx")).agg(count(lit(1)).as("s"))
-      val ch = Fixpoint.locally(chunks
-        .join(scores, Seq("doc_id", "cidx"), "left")
-        .withColumn("score", coalesce(col("s"), lit(0L)))
-        .select(col("doc_id"), col("cidx"), col("chunk"), col("score")),
-        locals)
+      // chunk-level frame: one keyword-marker join + one agg, all
+      // scalar columns (doc_id, cidx, score) — the only token-level
+      // shuffle left; staged for its two readers (top-2 cut, totals)
+      val ch = Fixpoint.locally(w
+        .join(k3.withColumn("__kw", lit(1)), Seq("doc_id", "word"), "left")
+        .groupBy(col("doc_id"), col("cidx"))
+        .agg(count(col("__kw")).as("score")), locals)
       val kept = graft.plans.GroupTopK.topK(ch, Seq("doc_id"),
           Seq(("score", false), ("cidx", true)), 2)
-      val summary = kept.groupBy(col("doc_id"))
-        .agg(array_join(transform(
-            array_sort(collect_list(struct(col("cidx"), col("chunk")))),
-            s => s("chunk")), " ... ").as("summary"),
+      val keptArr = kept.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("cidx"), col("score"))))
+            .as("ka"), // cidx asc = document order (extract-don't-reorder)
           count(lit(1)).as("n_kept"),
           max(col("score")).as("top_score"))
       val totals = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      // passage slice: words at ORIGINAL split positions [40·cidx,
+      // 40·cidx+40), blanks dropped, space-joined — bit-identical to
+      // the (word_pos div 40) chunk agg this replaces
+      def chunkAt(text: Column, cidx: Column): Column =
+        array_join(filter(slice(split(coalesce(text, lit("")), " "),
+          (cidx * 40 + 1).cast("int"), lit(40)), s => length(s) > 0), " ")
       Fixpoint.reliably(totals
-        .join(summary, Seq("doc_id"))
+        .join(keptArr, Seq("doc_id"))
         .join(kw.select(col("doc_id"),
           array_join(array_sort(col("kw")), ",").as("keywords")), Seq("doc_id"))
+        .join(docs, Seq("doc_id"))
+        .withColumn("summary", array_join(
+          transform(col("ka"), e => chunkAt(col("text"), e("cidx"))), " ... "))
         .select(col("doc_id"), col("keywords"), col("n_chunks"),
           col("n_kept"), col("top_score"), col("summary"))
         .orderBy("doc_id"))

@@ -161,6 +161,14 @@ object QdigestSketch {
     * upper bound of the node where the cumulative count reaches the
     * target rank ⌈q·n⌉ (q in basis points). Guaranteed rank error
     * ≤ Bits·n/K — use [[rankSlack]] as the band.
+    *
+    * Per-call cost note (ADVICE r13): each call allocates the id/count
+    * arrays and a boxed tuple-keyed sortBy over up to ~3·K nodes —
+    * fine for the verified surfaces (a handful of answer rows per
+    * query), but NOT a per-row hot-path primitive. If a future query
+    * ever projects quantile() over a large frame, precompute the
+    * (right-endpoint, depth) order once per sketch with a primitive
+    * index sort and reuse buffers.
     */
   def quantile(arr: ArrayData, qBp: Int): Long = {
     validate(arr, "qdigest_quantile")

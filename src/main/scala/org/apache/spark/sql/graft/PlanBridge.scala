@@ -26,4 +26,18 @@ object PlanBridge {
         r.rdd.unpersist(blocking = false); ()
       case _ => ()
     }
+
+  /** The reliable-checkpoint directory backing a frame returned by
+    * `Fixpoint.reliably` (its analyzed plan is a `LogicalRDD` over a
+    * reliably-checkpointed RDD; `getCheckpointFile` is that RDD's
+    * on-disk `rdd-N` directory). None for frames that aren't
+    * checkpoint scans — including localCheckpoint'ed ones, whose
+    * state lives in the block manager, not in files.
+    */
+  def checkpointFile(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.getCheckpointFile
+      case _ => None
+    }
 }

@@ -71,6 +71,61 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("session memos refresh when the data under dir changes " +
+      "(fingerprint identity — ADVICE r13 / verdict item 3a)") {
+    freshStart()
+    graft.etl.Dedup.clearComponentsMemo()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-memo-stale").toString
+    import spark.implicits._
+    def write(n: Int): Unit =
+      (0L until n.toLong)
+        .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta", "en",
+          "src", 48L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      // n identical texts -> identical signatures -> one n-doc component
+      write(4)
+      assert(graft.etl.Dedup.componentsFrame(spark, tmp).count() == 4L)
+      // SAME path, new data: the memo must serve the new corpus, not
+      // the round-13 behavior (stale checkpoint scan of the 4-doc one)
+      write(6)
+      assert(graft.etl.Dedup.componentsFrame(spark, tmp).count() == 6L)
+      // unchanged data keeps hitting (same fingerprint -> same frame)
+      assert(graft.etl.Dedup.componentsFrame(spark, tmp) eq
+        graft.etl.Dedup.componentsFrame(spark, tmp))
+    } finally {
+      graft.etl.Dedup.clearComponentsMemo()
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  test("clearComponentsMemo deletes the memoized checkpoint files " +
+      "(verdict item 3b: no disk growth over N cleared snapshots)") {
+    freshStart()
+    graft.etl.Dedup.clearComponentsMemo()
+    import org.apache.spark.sql.graft.PlanBridge
+    val comp = graft.etl.Dedup.componentsFrame(spark, dir)
+    val pairs = graft.etl.Dedup.minhashLsh(spark, dir)
+    val files = Seq(comp, pairs).map { df =>
+      val f = PlanBridge.checkpointFile(df)
+      assert(f.nonEmpty, "memoized frame is not a reliable-checkpoint scan")
+      new org.apache.hadoop.fs.Path(f.get)
+    }
+    val fs = files.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    files.foreach(p => assert(fs.exists(p), s"expected checkpoint files at $p"))
+    graft.etl.Dedup.clearComponentsMemo()
+    files.foreach(p => assert(!fs.exists(p),
+      s"clearComponentsMemo left checkpoint files at $p"))
+    // the memo rebuilds cleanly after a clear
+    assert(graft.etl.Dedup.componentsFrame(spark, dir).count() > 0)
+    graft.etl.Dedup.clearComponentsMemo()
+    assertNoPins("memo release")
+  }
+
   test("released results stay re-executable (checkpoint-backed lineage)") {
     freshStart()
     val bfs = Crawl.crawlBfs(spark, dir)

@@ -533,6 +533,28 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val he = plan("html_extract")
     assert(countOf(he, "+- Exchange") <= 1, s"html_extract grew a shuffle:\n$he")
     assert(!he.contains("HashAggregate"), s"html_extract must not aggregate:\n$he")
+    // round 14 (VERDICT r13 item 5): the extractor is a codegen'd
+    // expression, not a ScalaUDF — whole-stage codegen must span the
+    // scan→project pipeline. Codegen ids only appear on the EXECUTED
+    // plan (AQE's lazy explain hides WholeStageCodegen wrappers), so
+    // read the write's executed plan via the listener and check the
+    // FormattedMode detail header of the node carrying the expression.
+    val heExec = executedPlans("html_extract").mkString("\n")
+    assert(!heExec.contains("UDF("),
+      s"html_extract still runs a ScalaUDF:\n$heExec")
+    var lastHeader = ""
+    var heSeen = false
+    var heCodegen = false
+    heExec.linesIterator.foreach { l =>
+      if (l.matches("""^\(\d+\) .*""")) lastHeader = l
+      else if (l.contains("html_main_text") && l.startsWith("Output")) {
+        heSeen = true
+        if (lastHeader.contains("codegen id")) heCodegen = true
+      }
+    }
+    assert(heSeen, s"html_main_text expression missing:\n$heExec")
+    assert(heCodegen,
+      s"extraction projection fell out of codegen:\n$heExec")
     // span_clip: detection stays the sorted-ngram-table plan (gram-keyed
     // SEMI join), removal is a (doc,pos)-keyed ANTI join — never a pair
     // join or nested loop anywhere
@@ -1402,21 +1424,33 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("round-13 pin: summary_extract stages the tokenized frame once " +
-       "— one documents scan; passage cut and keyword cut both ride " +
-       "GroupTopK, never a corpus window") {
+  test("round-14 pin: summary_extract shuffles only scalar rows — the " +
+       "tokenized frame is staged once, passage text is sliced in-row " +
+       "after a second PRUNED documents scan (never shuffled through " +
+       "the chunk agg), and both cuts ride GroupTopK") {
     val all = executedPlans("summary_extract")
     val cp = all.mkString("\n=== next executed plan ===\n")
     val scans = cp.linesIterator.count(
       _.matches("""\(\d+\) Scan parquet\s*"""))
-    assert(scans == 1,
-      s"summary_extract must read documents exactly once:\n$cp")
+    // exactly two: the token explode, and the final doc-keyed text
+    // join. The second scan is the round-14 in-row fix (VERDICT r13
+    // item 2): re-reading (doc_id, text) in parallel is the 100×-safe
+    // alternative to re-assembling passage text through the
+    // (doc_id, cidx) exchange — no aggregate in this query carries a
+    // text payload anymore (asserted below via the agg expressions).
+    assert(scans == 2,
+      s"summary_extract must read documents exactly twice:\n$cp")
     assert(countOf(cp, "GroupTopK") >= 2,
       s"summary_extract lost a native top-k heap:\n$cp")
     assert(!cp.contains("CartesianProduct"), cp)
     assert(!cp.linesIterator.exists(l =>
         l.contains("Window") && l.contains("SinglePartition")),
       s"summary_extract grew an unpartitioned window:\n$cp")
+    // no HashAggregate/ObjectHashAggregate node may aggregate over a
+    // column named chunk/text — the passage rebuild must stay in-row
+    assert(!cp.linesIterator.exists(l =>
+        l.contains("Functions") && (l.contains("(chunk") || l.contains("(text"))),
+      s"summary_extract re-grew a text-payload aggregate:\n$cp")
   }
 
   test("round-13 pin: quantile_digest stages the (lang, source, len) " +
