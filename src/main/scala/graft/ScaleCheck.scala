@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   *
   * Replication is content-aware, not a blind copy, so the per-replica
   * workload matches the original's *shape*:
-  *  - `documents.text` is Caesar-rotated per replica (replica r rotates
-  *    the lowercase alphabet by r). Every shingle/minhash/simhash token
-  *    changes, so replicas share no near-dup pairs — duplicate DENSITY
-  *    stays constant as the corpus grows (a blind copy would instead
-  *    grow LSH candidate cliques quadratically in R, which is a
-  *    different — and unrealistic — workload: real corpus growth adds
-  *    new content, not R verbatim copies of everything).
+  *  - `documents.text` is letter-substituted per replica (a seeded
+  *    permutation cipher since round 14 — see [[cipher]]; rounds ≤13
+  *    used a Caesar rotation, whose period-26 breaks at the 100×
+  *    tier). Every shingle/minhash/simhash token changes, so replicas
+  *    share no near-dup pairs — duplicate DENSITY stays constant as
+  *    the corpus grows (a blind copy would instead grow LSH candidate
+  *    cliques quadratically in R, which is a different — and
+  *    unrealistic — workload: real corpus growth adds new content,
+  *    not R verbatim copies of everything).
   *  - ids (`doc_id`/`vec_id`/`c_custkey`) shift by r·10⁷ so keys stay
   *    unique and the knn queries' fixed query panel (vec_id < 16) keeps
   *    its size while the searched corpus grows R×: corpus-growth
@@ -190,11 +192,24 @@ object ScaleCheck {
     } finally { byGram.unpersist(blocking = false); () }
   }
 
-  private def caesar(r: Int): (String, String) = {
+  /** Per-replica letter bijection. Round 14: a seeded PERMUTATION
+    * cipher replaced the Caesar rotation — Caesar has period 26, so at
+    * ≥26 replicas (the new 100× tier) replicas r and r+26 carried
+    * IDENTICAL text under different ids: exact cross-replica
+    * duplicates that grow LSH cliques quadratically in R, the
+    * unrealistic workload the content-aware replication exists to
+    * avoid. A permutation keyed by a fixed seed + r keeps every
+    * replica's within-replica near-dup structure exactly (letter
+    * bijection) while 26! ≫ R makes cross-replica shingle collisions
+    * vanish. Replica 0 stays the identity (the base corpus verbatim).
+    * Deterministic: same r → same permutation, every run.
+    */
+  private def cipher(r: Int): (String, String) = {
     val a = "abcdefghijklmnopqrstuvwxyz"
-    val k = r % 26
-    (a + a.toUpperCase, a.substring(k) + a.substring(0, k) +
-      (a.substring(k) + a.substring(0, k)).toUpperCase)
+    val perm =
+      if (r == 0) a
+      else new scala.util.Random(0xC0FFEE + r).shuffle(a.toList).mkString
+    (a + a.toUpperCase, perm + perm.toUpperCase)
   }
 
   private def replicate(spark: SparkSession, base: String, out: String, reps: Int): Unit = {
@@ -222,7 +237,7 @@ object ScaleCheck {
       all.write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     union("documents", (df, r) => {
-      val (from, to) = caesar(r)
+      val (from, to) = cipher(r)
       df.select(
         (col("doc_id") + lit(r * shift)).as("doc_id"),
         translate(col("text"), from, to).as("text"),
@@ -232,7 +247,7 @@ object ScaleCheck {
       df.select((col("vec_id") + lit(r * shift)).as("vec_id"),
         col("embedding"), col("label")))
     union("customer", (df, r) => {
-      val (from, to) = caesar(r)
+      val (from, to) = cipher(r)
       df.select((col("c_custkey") + lit(r * shift)).as("c_custkey"),
         translate(col("c_name"), from, to).as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
@@ -283,22 +298,39 @@ object ScaleCheck {
       .filter(_.nonEmpty)
       .mkString("\n")
 
-  private def time(spark: SparkSession, name: String, dir: String): (Double, String) = {
+  /** Timed reps per (query, dir) after the warmup. The 100× tier sets
+    * SPARK_GRAFT_SCALE_REPS=1 — at that corpus size a second rep buys
+    * noise reduction the run can't afford; 10×/30× keep min-of-2.
+    */
+  private val TimedReps =
+    sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+
+  private def time(spark: SparkSession, name: String, dir: String)
+      : (Double, String, Map[String, Int]) = {
     def scrub(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // memoized closure/pair frames would make every rep after the
+      // warmup time only the downstream agg (the CLAUDE.md warm-memo
+      // trap) — isolation timing pays the full build each rep
+      graft.etl.Dedup.clearComponentsMemo()
     }
     def once(): Unit =
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
     scrub(); once() // warmup rep: codegen/JIT, parquet footers
-    val secs = (1 to 2).map { _ =>
+    graft.etl.Fixpoint.lastRounds.clear()
+    val secs = (1 to TimedReps).map { _ =>
       scrub()
       val t0 = System.nanoTime()
       once()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // dynamic-fixpoint round counts recorded by the timed runs — the
+    // round-growth evidence for the O(log diameter) claim
+    import scala.jdk.CollectionConverters._
+    val rounds = graft.etl.Fixpoint.lastRounds.asScala.toMap
     scrub()
-    (secs, planSig(SparkEntry.queries(name)(spark, dir)))
+    (secs, planSig(SparkEntry.queries(name)(spark, dir)), rounds)
   }
 
   def main(args: Array[String]): Unit = {
@@ -406,22 +438,39 @@ object ScaleCheck {
       return
     }
 
-    val chosen = if (args.length > 2) Heavy.filter(args.drop(2).toSet) else Heavy
+    // accept any SparkEntry query name, not only the Heavy list — the
+    // 100× tier names its family members explicitly on the CLI
+    val chosen =
+      if (args.length > 2) {
+        val (known, unknown) =
+          args.drop(2).toSeq.partition(SparkEntry.queries.contains)
+        if (unknown.nonEmpty)
+          println(s"[scale] skipping unknown queries: ${unknown.mkString(", ")}")
+        known
+      } else Heavy
     val rows = chosen.map { q =>
-      val (t1, p1) = time(spark, q, base)
-      val (tR, pR) = time(spark, q, out)
+      val (t1, p1, r1) = time(spark, q, base)
+      val (tR, pR, rR) = time(spark, q, out)
       val stable = p1 == pR
-      println(f"[scale] $q%-22s 1x=${fmt(t1)}%6ss  ${reps}x=${fmt(tR)}%6ss  ratio=${fmt(tR / t1)}%5s  planStable=$stable")
+      val roundsNote =
+        if (r1.isEmpty && rR.isEmpty) ""
+        else (r1.keySet ++ rR.keySet).toSeq.sorted.map(k =>
+          s"  rounds[$k]=${r1.getOrElse(k, 0)}->${rR.getOrElse(k, 0)}").mkString
+      println(f"[scale] $q%-22s 1x=${fmt(t1)}%6ss  ${reps}x=${fmt(tR)}%6ss  ratio=${fmt(tR / t1)}%5s  planStable=$stable$roundsNote")
       if (!stable) {
         val (l1, lR) = (p1.linesIterator.toSeq, pR.linesIterator.toSeq)
         val only1 = l1.diff(lR).distinct
         val onlyR = lR.diff(l1).distinct
         println(s"[scale]   plan diff: 1x-only=${only1.mkString(",")} ${reps}x-only=${onlyR.mkString(",")}")
       }
-      (q, t1, tR, stable)
+      (q, t1, tR, stable, r1, rR)
     }
-    val js = rows.map { case (q, t1, tR, st) =>
-      s""""$q":{"t1":${fmt(t1)},"tR":${fmt(tR)},"ratio":${fmt(tR / t1)},"plan_stable":$st}"""
+    val js = rows.map { case (q, t1, tR, st, r1, rR) =>
+      val rj =
+        if (r1.isEmpty && rR.isEmpty) ""
+        else (r1.keySet ++ rR.keySet).toSeq.sorted.map(k =>
+          s""","rounds_$k":[${r1.getOrElse(k, 0)},${rR.getOrElse(k, 0)}]""").mkString
+      s""""$q":{"t1":${fmt(t1)},"tR":${fmt(tR)},"ratio":${fmt(tR / t1)},"plan_stable":$st$rj}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_check","replicas":$reps,"queries":$js}""")
     spark.stop()

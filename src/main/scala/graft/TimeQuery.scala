@@ -36,6 +36,27 @@ object TimeQuery {
     // memo clears between queries, pricing each standalone;
     // SPARK_GRAFT_KEEP_MEMO=1 leaves it warm WITHIN a rep (the
     // production fan-out shape) — each rep still starts cold.
+    // SPARK_GRAFT_CKPT_REPORT=1: pin the checkpoint dir and report its
+    // disk usage after every query (peak across the run printed last) —
+    // the instrument for the production fan-out capstone (wall + peak
+    // checkpoint disk, VERDICT r13 item 6) and for the memo
+    // file-release behavior at realistic scale (item 3).
+    val ckptReport = sys.env.get("SPARK_GRAFT_CKPT_REPORT").contains("1")
+    if (ckptReport)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-tq-ckpt").toString)
+    var ckptPeak = 0L
+    def ckptBytes(): Long =
+      spark.sparkContext.getCheckpointDir.map { p =>
+        val root = java.nio.file.Paths.get(p.stripPrefix("file:"))
+        if (!java.nio.file.Files.exists(root)) 0L
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+      }.getOrElse(0L)
     val names = name.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     // fail fast on typos BEFORE the reps loop: a misspelled name used to
     // surface as a NoSuchElementException mid-rep, after earlier queries
@@ -59,11 +80,17 @@ object TimeQuery {
         SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
         val s = (System.nanoTime() - t0) / 1e9
         total += s
-        println(f"[timequery] $n rep $i: $s%.2f s")
+        if (ckptReport) {
+          val b = ckptBytes()
+          ckptPeak = math.max(ckptPeak, b)
+          println(f"[timequery] $n rep $i: $s%.2f s  ckpt=${b / 1048576.0}%.1f MB")
+        } else println(f"[timequery] $n rep $i: $s%.2f s")
       }
       if (names.length > 1)
         println(f"[timequery] TOTAL(${names.mkString("+")}) rep $i: $total%.2f s")
     }
+    if (ckptReport)
+      println(f"[timequery] ckpt peak: ${ckptPeak / 1048576.0}%.1f MB")
     spark.stop()
   }
 }

@@ -653,7 +653,9 @@ object Dedup {
         df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
       var prevSum = lblSum(labels)
       var converged = false
+      var rounds = 0
       while (!converged) {
+        rounds += 1
         // (1) min over neighbors (left join: isolated labels keep their own)
         val nbr = edges.as("e")
           .join(labels.as("l"), col("e.v") === col("l.node"))
@@ -671,6 +673,7 @@ object Dedup {
         converged = curSum == prevSum
         prevSum = curSum
       }
+      Fixpoint.lastRounds.put("components_closure", rounds)
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
       Fixpoint.reliably(labels.join(sizes, Seq("lbl"))
         .select(col("node").as("doc_id"), col("lbl").as("component"),

@@ -67,6 +67,15 @@ object Fixpoint {
     */
   private[etl] def isPlanOnly: Boolean = passthrough
 
+  /** Convergence-loop observability (round 14, VERDICT r13 item 1):
+    * DYNAMIC fixpoints (loops that run until a convergence witness,
+    * not a fixed unroll) record their round count here per loop name,
+    * last run wins. ScaleCheck reads it to report round-count GROWTH
+    * with corpus scale — the components closure's O(log diameter)
+    * claim is measured at each tier, not just asserted.
+    */
+  val lastRounds = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
   private val dirLock = new Object
 
   private def ensureCheckpointDir(spark: SparkSession): Unit = dirLock.synchronized {
