@@ -1207,6 +1207,26 @@ object Oracles {
          |SELECT DISTINCT doc_a, doc_b FROM lshpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // band-bucket occupancy profile: reuses the SAME banded CTE as the
+    // pairing so the cost model cannot drift from the join it prices
+    // (the unreferenced lshpairs CTE is not materialized by DuckDB)
+    "lsh_bucket_stats" ->
+      s"""WITH $LshPairCtes,
+         |occ AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS c
+         |        FROM banded GROUP BY 1, 2),
+         |cls AS (SELECT CAST(CASE WHEN c < 2 THEN 0 WHEN c < 4 THEN 1
+         |               WHEN c < 8 THEN 2 WHEN c < 16 THEN 3
+         |               WHEN c < 32 THEN 4 ELSE 5 END AS INT) AS occ_class,
+         |          CAST(count(*) AS BIGINT) AS n_buckets,
+         |          CAST(sum(c) AS BIGINT) AS doc_rows,
+         |          CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS pair_mass
+         |        FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(sum(pair_mass) AS BIGINT) AS tp FROM cls)
+         |SELECT occ_class, n_buckets, doc_rows, pair_mass,
+         |  CAST(CASE WHEN tp = 0 THEN 0
+         |       ELSE (10000 * pair_mass) // tp END AS BIGINT) AS pair_share_bp
+         |FROM cls, tot ORDER BY occ_class""".stripMargin,
+
     // fast-tier error-band audit (see the error-band note above):
     // exact pair Jaccard over the bounded block — same shingle ground
     // truth as ngram_jaccard, no threshold — with est_ok asserted TRUE

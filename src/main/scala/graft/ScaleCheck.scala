@@ -151,7 +151,12 @@ object ScaleCheck {
     // passage/keyword aggs + two GroupTopK cuts over 10× docs
     "summary_extract",
     // round 13: mass-weighted digest build + weighted-histogram audit
-    "quantile_weighted")
+    "quantile_weighted",
+    // round 14: the LSH join-cost profile — one banding pass + a
+    // (band,bkey)-keyed agg; prices the candidate join without
+    // building it (pair mass must stay ~linear under the cipher
+    // replication: constant duplicate density)
+    "lsh_bucket_stats")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup_exact"       -> (Dedup.dedupExact _),
     "minhash_signature" -> (Dedup.minhashSignatureQuery _),
     "minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "lsh_bucket_stats"  -> ((s: SparkSession, d: String) => Dedup.lshBucketStats(s, d)),
     // production-speed tier (xxhash64): verified via the deterministic
     // error-band shape (Oracles error-band note) — exact pair Jaccard
     // + Hoeffding-safe est_ok flag; InvariantSpec cross-checks recall

@@ -870,6 +870,53 @@ object Dedup {
     finally Fixpoint.releaseAll(locals)
   }
 
+  /** LSH band-bucket occupancy profile — the banded self-join's COST
+    * MODEL, measured (round 14; the "measure, don't guess" companion
+    * to [[lshQuality]]: that grades recall, this grades join cost).
+    * Per power-of-two occupancy class: how many (band, bkey) buckets
+    * land there, the doc rows they hold, the pair mass Σ c·(c−1)/2
+    * they contribute to the candidate join, and its share. LSH join
+    * cost IS the pair mass; a heavy top class (giant buckets) is the
+    * template-boilerplate signature that says "tighten bands or
+    * pre-clip spans" BEFORE the join runs — the dial an ingest owner
+    * reads alongside [[candidateProbability]]'s recall curve.
+    *
+    * Scale posture: one signature scan (in-array, shuffle-free), one
+    * (band, bkey)-keyed agg (high-cardinality key), one ≤6-row class
+    * agg, one 1-row total broadcast. Never builds the pairs
+    * themselves — the profile prices the join WITHOUT paying for it,
+    * which is the whole point at 100 TB.
+    */
+  def lshBucketStats(spark: SparkSession, dir: String,
+      numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame = {
+    require(numHashes % bandSize == 0, "bands must tile the signature")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val sig = minhashSignature(docs, numHashes)
+    val bandCols = (0 until numHashes / bandSize).map { b =>
+      val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bkey"))
+    }
+    val occ = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .groupBy(col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+      .agg(count(lit(1)).as("c"))
+    val occClass = when(col("c") < 2, 0).when(col("c") < 4, 1)
+      .when(col("c") < 8, 2).when(col("c") < 16, 3)
+      .when(col("c") < 32, 4).otherwise(5)
+    val cls = occ.withColumn("occ_class", occClass.cast("int"))
+      .groupBy(col("occ_class"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("doc_rows"),
+        sum(expr("(c * (c - 1)) div 2")).as("pair_mass"))
+    val tot = cls.agg(sum(col("pair_mass")).as("tp"))
+    cls.crossJoin(broadcast(tot))
+      .withColumn("pair_share_bp",
+        when(col("tp") === 0, lit(0L))
+          .otherwise(expr("(10000 * pair_mass) div tp")))
+      .select(col("occ_class"), col("n_buckets"), col("doc_rows"),
+        col("pair_mass"), col("pair_share_bp"))
+      .orderBy("occ_class")
+  }
+
   /** Duplicate-cluster size distribution in power-of-two buckets — the
     * power-law audit over [[dedupComponents]]'s closure: a heavy tail
     * (a few giant clusters owning most clustered docs) means template
