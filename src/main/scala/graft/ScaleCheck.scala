@@ -405,21 +405,28 @@ object ScaleCheck {
     // wall — this measures both settings on the same 10× corpus.
     if (args.length > 2 && args(2) == "knnbits") {
       import graft.etl.GraphCuration
+      // optional 4th arg "auto": time ONLY the adaptive setting — the
+      // 100× tier's form, where the fixed bits=3 control is known-
+      // quadratic (≈10⁴× the 1× within-cell pairs) and deliberately
+      // not run; its quadratic-growth evidence is the 10× table
       def t(dir: String, bits: Int): Double = {
         def once(): Unit = GraphCuration.knnGraphEdges(spark, dir, bits)
           .write.format("noop").mode("overwrite").save()
         once()
-        (1 to 2).map { _ =>
+        (1 to TimedReps).map { _ =>
           val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
         }.min
       }
+      val autoOnly = args.length > 3 && args(3) == "auto"
       // since round 10 the knob derives itself: AutoBits reads the
       // corpus count and picks ceil(log2(n/1000)) — record what it
       // chose at each scale alongside the manual settings it replaces
       val auto1 = GraphCuration.adaptiveBits(Tables.embeddings(spark, base).count())
       val autoR = GraphCuration.adaptiveBits(Tables.embeddings(spark, out).count())
-      val r = (Seq("bits3" -> 3, "bits6" -> 6,
-          "auto" -> GraphCuration.AutoBits).map { case (tag, b) =>
+      val settings =
+        if (autoOnly) Seq("auto" -> GraphCuration.AutoBits)
+        else Seq("bits3" -> 3, "bits6" -> 6, "auto" -> GraphCuration.AutoBits)
+      val r = (settings.map { case (tag, b) =>
         val (t1, tR) = (t(base, b), t(out, b))
         val lbl = if (b == GraphCuration.AutoBits) s"auto($auto1->$autoR)" else s"bits=$b"
         println(f"[scale] knn_graph $lbl%-14s 1x=${fmt(t1)}%6ss ${reps}x=${fmt(tR)}%6ss ratio=${fmt(tR / t1)}")
@@ -430,7 +437,7 @@ object ScaleCheck {
           def once(): Unit = GraphCuration.labelProp(spark, dir, GraphCuration.AutoBits)
             .write.format("noop").mode("overwrite").save()
           once()
-          (1 to 2).map { _ =>
+          (1 to TimedReps).map { _ =>
             val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
           }.min
         }
