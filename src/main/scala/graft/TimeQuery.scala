@@ -42,9 +42,11 @@ object TimeQuery {
     // checkpoint disk, VERDICT r13 item 6) and for the memo
     // file-release behavior at realistic scale (item 3).
     val ckptReport = sys.env.get("SPARK_GRAFT_CKPT_REPORT").contains("1")
-    if (ckptReport)
+    if (ckptReport) {
       spark.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-tq-ckpt").toString)
+      println(s"[timequery] checkpoint dir: ${spark.sparkContext.getCheckpointDir}")
+    }
     var ckptPeak = 0L
     def ckptBytes(): Long =
       spark.sparkContext.getCheckpointDir.map { p =>
@@ -83,14 +85,14 @@ object TimeQuery {
         if (ckptReport) {
           val b = ckptBytes()
           ckptPeak = math.max(ckptPeak, b)
-          println(f"[timequery] $n rep $i: $s%.2f s  ckpt=${b / 1048576.0}%.1f MB")
+          println(f"[timequery] $n rep $i: $s%.2f s  ckpt=${b / 1024.0}%.1f KB")
         } else println(f"[timequery] $n rep $i: $s%.2f s")
       }
       if (names.length > 1)
         println(f"[timequery] TOTAL(${names.mkString("+")}) rep $i: $total%.2f s")
     }
     if (ckptReport)
-      println(f"[timequery] ckpt peak: ${ckptPeak / 1048576.0}%.1f MB")
+      println(f"[timequery] ckpt peak: ${ckptPeak / 1024.0}%.1f KB")
     spark.stop()
   }
 }
