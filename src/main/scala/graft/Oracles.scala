@@ -1207,6 +1207,30 @@ object Oracles {
          |SELECT DISTINCT doc_a, doc_b FROM lshpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // corpus-scale containment tier: the SAME lshpairs CTE as
+    // minhash_lsh (pairing cannot drift), LEFT-joined to the shingle
+    // intersection so zero-overlap candidates keep their row with
+    // n_common = 0 — structural parity with Spark's in-row intersect
+    "containment_pipeline" ->
+      s"""WITH $LshPairCtes,
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+         |       FROM dsh GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS nc
+         |          FROM lshpairs p
+         |          JOIN dsh a ON a.doc_id = p.doc_a
+         |          JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+         |          GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(coalesce(i.nc, 0) AS BIGINT) AS n_common,
+         |  CAST((10000 * coalesce(i.nc, 0)) // sa.n_sh AS BIGINT) AS cont_a_bp,
+         |  CAST((10000 * coalesce(i.nc, 0)) // sb.n_sh AS BIGINT) AS cont_b_bp
+         |FROM lshpairs p
+         |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |JOIN sz sa ON sa.doc_id = p.doc_a
+         |JOIN sz sb ON sb.doc_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
     // band-bucket occupancy profile: reuses the SAME banded CTE as the
     // pairing so the cost model cannot drift from the join it prices
     // (the unreferenced lshpairs CTE is not materialized by DuckDB)

@@ -492,6 +492,43 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Corpus-scale CONTAINMENT tier — the LSH-candidate form of
+    * [[containmentDedup]] (round 14; that query audits the bounded
+    * exact block, this runs the SAME Broder containment arithmetic
+    * over the banded candidate pairs, exactly as dedup_sweep /
+    * neardup_pipeline run the Jaccard tier at scale). The relation it
+    * surfaces: a short doc embedded in a long one has near-10000
+    * containment while its union-dominated Jaccard stays low — the
+    * quote/subset duplication a Jaccard threshold alone misses once
+    * banding has surfaced the pair.
+    *
+    * Scale posture: the session pair frame (reliable-checkpoint scan,
+    * 7th consumer of [[minhashLsh]]'s memo) + two doc-keyed joins
+    * against in-array shingle sets + an in-row intersect — no pair
+    * explosion, no new shuffle class. Unthresholded (the verify
+    * tier); production cuts at ~9000 bp like [[containmentDedup]].
+    */
+  def containmentPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(Shingles.shingleArray(col("text"), 3)).as("sh_set"))
+      .filter(size(col("sh_set")) > 0)
+    minhashLsh(spark, dir)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("sa")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("sb")),
+        Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("sa"), col("sb"))).cast("bigint"))
+      .withColumn("na", size(col("sa")).cast("bigint"))
+      .withColumn("nb", size(col("sb")).cast("bigint"))
+      .withColumn("cont_a_bp", expr("(10000 * n_common) div na"))
+      .withColumn("cont_b_bp", expr("(10000 * n_common) div nb"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("cont_a_bp"), col("cont_b_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** LSH quality audit — the EMPIRICAL s-curve: per exact-Jaccard
     * decile, what fraction of pairs did the banded MinHash tier
     * actually surface? InvariantSpec pins the THEORETICAL curve
@@ -902,11 +939,15 @@ object Dedup {
     val occClass = when(col("c") < 2, 0).when(col("c") < 4, 1)
       .when(col("c") < 8, 2).when(col("c") < 16, 3)
       .when(col("c") < 32, 4).otherwise(5)
-    val cls = occ.withColumn("occ_class", occClass.cast("int"))
+    // ≤6 rows read by BOTH the totals branch and the share projection —
+    // the bounded-frame staging rule: without the eager checkpoint each
+    // branch re-derives the whole signature+occupancy pipeline (two
+    // corpus scans for a 6-row frame)
+    val cls = Fixpoint.reliably(occ.withColumn("occ_class", occClass.cast("int"))
       .groupBy(col("occ_class"))
       .agg(count(lit(1)).as("n_buckets"),
         sum(col("c")).as("doc_rows"),
-        sum(expr("(c * (c - 1)) div 2")).as("pair_mass"))
+        sum(expr("(c * (c - 1)) div 2")).as("pair_mass")))
     val tot = cls.agg(sum(col("pair_mass")).as("tp"))
     cls.crossJoin(broadcast(tot))
       .withColumn("pair_share_bp",

@@ -1453,6 +1453,38 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"summary_extract re-grew a text-payload aggregate:\n$cp")
   }
 
+  test("round-14 pin: lsh_bucket_stats prices the banded join without " +
+       "building it — one documents scan (class frame staged for its " +
+       "two readers), no pair join, the only cartesian is the 1-row " +
+       "totals broadcast") {
+    // executed plans: the class frame is an eager checkpoint, so the
+    // lazy tree would show a passthrough double-derivation under
+    // planOnly — count the scans the query actually runs
+    val cp = executedPlans("lsh_bucket_stats")
+      .mkString("\n=== next executed plan ===\n")
+    val scans = cp.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"lsh_bucket_stats must read documents exactly once:\n$cp")
+    assert(!cp.contains("SortMergeJoin") && !cp.contains("ShuffledHashJoin"),
+      s"lsh_bucket_stats grew a pair join — the profile must never " +
+        s"build the pairs it prices:\n$cp")
+    assert(!cp.contains("CartesianProduct"),
+      s"lsh_bucket_stats: only the 1-row totals broadcast is allowed:\n$cp")
+  }
+
+  test("round-14 pin: containment_pipeline rides the pair frame with " +
+       "keyed joins only — no cartesian, no nested loop") {
+    val p = plan("containment_pipeline")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      s"containment_pipeline grew an unkeyed join:\n$p")
+    // the shingle-set joins are doc-keyed equi-joins; the exact-verify
+    // arithmetic is in-row (array_intersect), never a shingle explode
+    assert(!p.contains("Generate"),
+      s"containment_pipeline must not explode shingles:\n$p")
+  }
+
   test("round-13 pin: quantile_digest stages the (lang, source, len) " +
        "frame once — one documents scan; digests build through partial " +
        "native aggs; the exact-histogram window stays lang-partitioned") {
