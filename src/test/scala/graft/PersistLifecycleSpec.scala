@@ -63,7 +63,10 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkTestBase {
       "cms_frequency", "ap_eval",
       // round-13 eager operators: staged token/length frames + sketch
       // aggs / GroupTopK cuts above them
-      "kmv_novelty", "quantile_digest", "quantile_weighted", "summary_extract")
+      "kmv_novelty", "quantile_digest", "quantile_weighted", "summary_extract",
+      // round-14 eager operators: staged class frame (reliable) + the
+      // pair-frame consumer
+      "lsh_bucket_stats", "containment_pipeline")
     qs.foreach { name =>
       assert(SparkEntry.queries(name)(spark, dir).count() > 0,
         s"$name returned no rows")
