@@ -1362,8 +1362,10 @@ object Oracles {
          |         lead(word, 7) OVER (PARTITION BY doc_id ORDER BY pos) AS w7
          |       FROM words),
          |g AS (SELECT doc_id,
-         |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
-         |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS gram
+         |        CAST(concat('0x', substr(md5(
+         |          word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+         |          || ' ' || w5 || ' ' || w6 || ' ' || w7), 1, 15)) AS BIGINT)
+         |          AS gram
          |      FROM g0 WHERE w7 IS NOT NULL),
          |d AS (SELECT gram FROM (
          |        SELECT gram, count(DISTINCT doc_id) AS nd

@@ -348,13 +348,25 @@ object Dedup {
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
   def substringDedupFrom(docs: DataFrame): DataFrame = {
-    val grams = Shingles.wordShingles(docs, 8).select(col("doc_id"), col("shingle"))
-    val crossDoc = grams.groupBy(col("shingle"))
+    // round 14: the gram-keyed shuffles ride a 60-bit md5 digest of
+    // the gram, not the 8-word STRING — the string (~60-80 bytes/key)
+    // paid 8-10× the bytes through the cross-doc agg and the semi
+    // join for a value nothing downstream reads (at 100× those
+    // exchanges flip to SMJ, so key width also prices the sorts).
+    // The md5 prefix keeps the DuckDB twin bit-identical: same
+    // digests ⇒ same (astronomically rare) collisions ⇒ same counts
+    // in both engines. Production swaps xxhash64 for md5 — same plan,
+    // cheaper hash.
+    val grams = Shingles.wordShingles(docs, 8)
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("bigint").as("g"))
+    val crossDoc = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("shingle"))
+      .select(col("g"))
     val tot = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val dup = grams.join(crossDoc, Seq("shingle"), "left_semi")
+    val dup = grams.join(crossDoc, Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
     tot.join(dup, Seq("doc_id"), "left")
       .withColumn("n_dup_grams", coalesce(col("nd"), lit(0L)))
@@ -384,6 +396,13 @@ object Dedup {
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
   def spanClipFrom(docs: DataFrame): DataFrame = {
+    // measured-both-ways note (round 14): [[substringDedupFrom]]'s
+    // 60-bit digest keys were tried here too and REJECTED — span_clip's
+    // wall is dominated by the coverage explode + (doc,pos) anti join +
+    // reassembly, not the gram shuffles, so the per-gram md5 cost
+    // exceeded the narrower-key win (100×: 28.1 s strings vs 35-39 s
+    // digests; substring_dedup, whose cost IS the gram shuffles, kept
+    // the digests at a 2.0× win)
     val grams = Shingles.wordShingles(docs, 8)
       .select(col("doc_id"), col("shingle_pos"), col("shingle"))
     val crossDoc = grams.groupBy(col("shingle"))
