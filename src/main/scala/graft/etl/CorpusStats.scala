@@ -1044,8 +1044,18 @@ object CorpusStats {
         split(col("bg"), " ").getItem(1).as("w2"))
     val model = inst.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
     val prefix = model.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-    inst.join(model, Seq("w1", "w2")).join(prefix, Seq("w1"))
-      .select(col("doc_id"), expr("(10000 * n12) div n1").as("p_bp"))
+    // round 14: fold the prefix denominators into the MODEL before the
+    // corpus join — model ⋈ prefix is model-sized, so the instance
+    // stream crosses ONE (w1,w2)-keyed shuffle instead of two (the
+    // old inst⋈model⋈prefix chain re-shuffled the full corpus on w1).
+    // Honest measurement at 100×: 17.8 → 16.0 s — the wall is
+    // dominated by the model AGG + the remaining instance shuffle,
+    // so the win is structural (one fewer corpus exchange, the shape
+    // a cluster wants) more than local wall.
+    val scored = model.join(prefix, Seq("w1"))
+      .select(col("w1"), col("w2"), expr("(10000 * n12) div n1").as("p_bp"))
+    inst.join(scored, Seq("w1", "w2"))
+      .select(col("doc_id"), col("p_bp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("p_bp")).as("sum_p_bp"),
@@ -1080,13 +1090,15 @@ object CorpusStats {
     val model = inst.filter(col("bucket") < 80)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
     val prefix = model.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    // same prefix-fold as [[lmScore]]: the test stream crosses one
+    // (w1,w2) shuffle; a missing match means an unseen bigram
+    val scored = model.join(prefix, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        expr("(10000 * n12) div n1").as("mp_bp"))
     inst.filter(col("bucket") >= 90)
-      .join(model, Seq("w1", "w2"), "left")
-      .join(prefix, Seq("w1"), "left")
-      .withColumn("unseen", when(col("n12").isNull, 1L).otherwise(0L))
-      .withColumn("p_bp",
-        when(col("n12").isNull, lit(0L))
-          .otherwise(expr("(10000 * n12) div n1")))
+      .join(scored, Seq("w1", "w2"), "left")
+      .withColumn("unseen", when(col("mp_bp").isNull, 1L).otherwise(0L))
+      .withColumn("p_bp", coalesce(col("mp_bp"), lit(0L)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("unseen")).as("n_unseen"),
