@@ -5,7 +5,8 @@ import java.time.Duration
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming forms of the engine's stateful surface
   * (SURVEY.md §2.11). The reference's crawl loop is a rate-limited,
@@ -408,6 +409,41 @@ object StreamingOps {
         })
   }
 
+  /** [[streamingNearDup]] with PRODUCTION-HORIZON state expiry — the
+    * transformWithState form (the Spark 4 StatefulProcessor API that
+    * supersedes flatMapGroupsWithState, same migration as
+    * [[visitedFirstSeenTtl]] vs [[visitedFirstSeen]]): each band's
+    * signature list lives in a TTL'd ListState, so a signature stops
+    * matching `ttl` after it was written — the crawl-horizon semantics
+    * a long-running ingest wants (yesterday's snapshot ages out of the
+    * dedup window on its own; the fMGWS form's state lives forever or
+    * needs hand-rolled timeout bookkeeping). Same banding, same
+    * flagging rule, same first-seen cap; requires the RocksDB state
+    * store provider (the only one implementing the TWS state format),
+    * which StreamingSpec runs.
+    */
+  def streamingNearDupTtl(docs: DataFrame, ttl: Duration,
+      numHashes: Int = 8, bandSize: Int = 2, thresholdBp: Long = 0L,
+      maxPerBand: Int = 64): Dataset[NearDupHit] = {
+    require(numHashes % bandSize == 0, "bands must tile the signature")
+    import docs.sparkSession.implicits._
+    val sig = graft.etl.Dedup.minhashSignatureFast(docs, numHashes)
+    val bandCols = (0 until numHashes / bandSize).map { b =>
+      val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("bkey"))
+    }
+    sig
+      .withColumn("sig", array((0 until numHashes).map(i => col(s"mh_$i")): _*))
+      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.bkey").as("bkey"), col("sig"))
+      .as[BandDoc]
+      .groupByKey(r => (r.band, r.bkey))
+      .transformWithState(
+        new NearDupTtlProcessor(numHashes, thresholdBp, maxPerBand, ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Streaming IVM: the stateful twin of `Changelog.ivmUpdate`. A
     * keyed stream of signed deltas (+1/+cents insert, −1/−cents
     * retraction; update = retract+insert) maintained by an update-mode
@@ -460,6 +496,45 @@ class VisitedTtlProcessor(ttl: Duration)
       timers: TimerValues): Iterator[PageVisit] =
     if (seen.exists()) Iterator.empty
     else { seen.update(true); rows.take(1) }
+}
+
+/** StatefulProcessor behind [[StreamingOps.streamingNearDupTtl]]: one
+  * TTL'd ListState of first-seen signatures per (band, bkey). Each
+  * element expires `ttl` after it was appended (per-element TTL — the
+  * state store ages out old snapshots' signatures without a timer in
+  * sight), so the cap only bounds SIMULTANEOUSLY-live band mates.
+  */
+class NearDupTtlProcessor(numHashes: Int, thresholdBp: Long,
+    maxPerBand: Int, ttl: Duration)
+    extends StatefulProcessor[(Int, Long), BandDoc, NearDupHit] {
+  @transient private var seen: ListState[BandSigEntry] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getListState[BandSigEntry]("seen",
+      Encoders.product[BandSigEntry], TTLConfig(ttl))
+
+  override def handleInputRows(key: (Int, Long), rows: Iterator[BandDoc],
+      timers: TimerValues): Iterator[NearDupHit] = {
+    var live = seen.get().toList // oldest-first
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      live.foreach { e =>
+        if (e.doc_id != r.doc_id) {
+          val matches = e.sig.iterator.zip(r.sig.iterator)
+            .count { case (a, b) => a == b }.toLong
+          val estBp = 10000L * matches / numHashes
+          if (estBp >= thresholdBp)
+            out += NearDupHit(r.doc_id, e.doc_id, estBp)
+        }
+      }
+      if (live.size < maxPerBand && !live.exists(_.doc_id == r.doc_id)) {
+        val entry = BandSigEntry(r.doc_id, r.sig)
+        seen.appendValue(entry)
+        live = live :+ entry
+      }
+    }
+    out.iterator
+  }
 }
 
 /** One crawl fetch observation on the stream. */

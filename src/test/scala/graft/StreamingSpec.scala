@@ -341,6 +341,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("transformWithState near-dup: band state expires by TTL — matches " +
+      "inside the horizon, forgets old snapshots (round 14)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[(Long, String)]
+      val q = StreamingOps.streamingNearDupTtl(
+          src.toDF().toDF("doc_id", "text"), java.time.Duration.ofSeconds(4))
+        .writeStream.format("memory").queryName("ndttl_t")
+        .outputMode(OutputMode.Append()).start()
+      def hits: Set[(Long, Long, Long)] =
+        spark.table("ndttl_t").as[(Long, Long, Long)].collect().toSet
+      def awaitHits(n: Int): Set[(Long, Long, Long)] = {
+        val deadline = System.currentTimeMillis() + 60000
+        var cur = hits
+        while (cur.size < n && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200); cur = hits
+        }
+        cur
+      }
+      try {
+        val text = "alpha beta gamma delta epsilon"
+        src.addData((1L, text), (2L, text))
+        // exact dup inside the horizon: 2 flags against 1 at 10000 bp
+        assert(awaitHits(1) == Set((2L, 1L, 10000L)), hits.mkString(","))
+        Thread.sleep(5500) // outlive the 4s TTL: docs 1-2 age out
+        src.addData((3L, text), (4L, text))
+        // 3 matches nothing (old snapshot forgotten); 4 matches only 3
+        val got = awaitHits(2)
+        assert(got == Set((2L, 1L, 10000L), (4L, 3L, 10000L)),
+          got.mkString(","))
+        val progress = q.lastProgress.toString
+        assert(progress.contains("rocksdb"),
+          s"state store metrics show no rocksdb:\n$progress")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream page↔image join matches within the 30-min window only") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{ImageEvent, PageEvent}
