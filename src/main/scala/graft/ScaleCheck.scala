@@ -307,8 +307,12 @@ object ScaleCheck {
     * SPARK_GRAFT_SCALE_REPS=1 — at that corpus size a second rep buys
     * noise reduction the run can't afford; 10×/30× keep min-of-2.
     */
-  private val TimedReps =
-    sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+  private val TimedReps = {
+    val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    require(r >= 1, s"SPARK_GRAFT_SCALE_REPS must be >= 1, got $r " +
+      "(0 would run the expensive warmup and then crash on an empty min)")
+    r
+  }
 
   private def time(spark: SparkSession, name: String, dir: String)
       : (Double, String, Map[String, Int]) = {

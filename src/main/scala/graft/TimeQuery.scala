@@ -43,22 +43,45 @@ object TimeQuery {
     // file-release behavior at realistic scale (item 3).
     val ckptReport = sys.env.get("SPARK_GRAFT_CKPT_REPORT").contains("1")
     if (ckptReport) {
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-tq-ckpt").toString)
+      val d = java.nio.file.Files.createTempDirectory("graft-tq-ckpt")
+      // the final rep's memoized checkpoint files outlive the run
+      // (clears happen at rep START) — remove the dir on exit like
+      // Fixpoint's fallback dir, or repeated instrumented runs fill /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(d.toFile)
+      }))
+      spark.sparkContext.setCheckpointDir(d.toString)
       println(s"[timequery] checkpoint dir: ${spark.sparkContext.getCheckpointDir}")
     }
     var ckptPeak = 0L
+    // visitor-based walk: the ContextCleaner (cleanCheckpoints=true)
+    // deletes released rdd-N dirs CONCURRENTLY with this measurement —
+    // a raced-away file is skipped, never a crash mid-run
     def ckptBytes(): Long =
-      spark.sparkContext.getCheckpointDir.map { p =>
+      try spark.sparkContext.getCheckpointDir.map { p =>
         val root = java.nio.file.Paths.get(p.stripPrefix("file:"))
         if (!java.nio.file.Files.exists(root)) 0L
         else {
-          val s = java.nio.file.Files.walk(root)
-          try s.filter(java.nio.file.Files.isRegularFile(_))
-            .mapToLong(java.nio.file.Files.size(_)).sum()
-          finally s.close()
+          var sum = 0L
+          java.nio.file.Files.walkFileTree(root,
+            new java.nio.file.SimpleFileVisitor[java.nio.file.Path] {
+              override def visitFile(f: java.nio.file.Path,
+                  a: java.nio.file.attribute.BasicFileAttributes)
+                  : java.nio.file.FileVisitResult = {
+                sum += a.size()
+                java.nio.file.FileVisitResult.CONTINUE
+              }
+              override def visitFileFailed(f: java.nio.file.Path,
+                  e: java.io.IOException): java.nio.file.FileVisitResult =
+                java.nio.file.FileVisitResult.CONTINUE
+            })
+          sum
         }
       }.getOrElse(0L)
+      catch { case scala.util.control.NonFatal(_) => 0L }
     val names = name.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     // fail fast on typos BEFORE the reps loop: a misspelled name used to
     // surface as a NoSuchElementException mid-rep, after earlier queries

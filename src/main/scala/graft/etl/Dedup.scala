@@ -188,7 +188,30 @@ object Dedup {
   def minhashLshFast(docs: DataFrame, numHashes: Int = TestNumHashes,
       bandSize: Int = TestBandSize): DataFrame =
     lshPairsWith(minhashSignatureFast(docs, numHashes), numHashes, bandSize,
-      slots => xxhash64(slots: _*))
+      fastBandKey)
+
+  /** (band, bkey) struct columns over the mh_* signature columns —
+    * THE banding definition, shared by every site that bands (batch
+    * pairing, incremental probe, bucket profile, both streaming
+    * forms), so a band-layout change cannot silently break the
+    * stream==batch parity or the bucket-stats cost model (round-14
+    * self-review). `bandKey` is the per-tier hash: md5 for the
+    * oracle-checkable tier, xxhash64 for the fast tier.
+    */
+  private[graft] def bandStructs(numHashes: Int, bandSize: Int,
+      bandKey: Seq[Column] => Column): Seq[Column] = {
+    require(numHashes % bandSize == 0, "bands must tile the signature")
+    (0 until numHashes / bandSize).map { b =>
+      val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
+      struct(lit(b).as("band"), bandKey(slots).as("bkey"))
+    }
+  }
+
+  /** md5 band key (oracle tier) / xxhash64 band key (fast tier). */
+  private[graft] val md5BandKey: Seq[Column] => Column =
+    slots => md5(concat_ws("|", slots: _*))
+  private[graft] val fastBandKey: Seq[Column] => Column =
+    slots => xxhash64(slots: _*)
 
   /** Shared banding core for both hash tiers: band key = `bandKey` of
     * the band's signature slots; candidate pairs = docs sharing any
@@ -201,11 +224,7 @@ object Dedup {
     */
   private def lshPairsWith(sig: DataFrame, numHashes: Int, bandSize: Int,
       bandKey: Seq[Column] => Column): DataFrame = {
-    require(numHashes % bandSize == 0, "bands must tile the signature")
-    val bandCols = (0 until numHashes / bandSize).map { b =>
-      val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
-      struct(lit(b).as("band"), bandKey(slots).as("bkey"))
-    }
+    val bandCols = bandStructs(numHashes, bandSize, bandKey)
     // banded table: fast local checkpoint read by both self-join sides;
     // the (small) pair OUTPUT goes to reliable storage, after which the
     // band blocks are released — zero pins, memory-speed staging
@@ -256,7 +275,7 @@ object Dedup {
   def minhashLshFrom(docs: DataFrame,
       numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame =
     lshPairsWith(minhashSignature(docs, numHashes), numHashes, bandSize,
-      slots => md5(concat_ws("|", slots: _*)))
+      md5BandKey)
 
   /** INCREMENTAL near-dup: a new batch against the existing corpus —
     * the shape production dedup actually runs (nobody re-pairs 100 TB
@@ -275,10 +294,7 @@ object Dedup {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     def banded(df: DataFrame) = {
       val sig = minhashSignature(df, numHashes)
-      val bandCols = (0 until numHashes / bandSize).map { b =>
-        val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
-        struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bkey"))
-      }
+      val bandCols = bandStructs(numHashes, bandSize, md5BandKey)
       sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
     }
@@ -948,10 +964,7 @@ object Dedup {
     require(numHashes % bandSize == 0, "bands must tile the signature")
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val sig = minhashSignature(docs, numHashes)
-    val bandCols = (0 until numHashes / bandSize).map { b =>
-      val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", slots: _*)).as("bkey"))
-    }
+    val bandCols = bandStructs(numHashes, bandSize, md5BandKey)
     val occ = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .groupBy(col("bs.band").as("band"), col("bs.bkey").as("bkey"))
       .agg(count(lit(1)).as("c"))

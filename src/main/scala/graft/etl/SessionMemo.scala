@@ -15,8 +15,11 @@ import org.apache.spark.sql.graft.PlanBridge
   * listing of `<dir>/documents.parquet`, so a session that REGENERATES
   * the same path (incremental ingest, a test reusing a directory) gets
   * a fresh build instead of the stale checkpoint scan; the superseded
-  * same-dir entry is evicted on the spot (its checkpoint files are left
-  * to the ContextCleaner — a caller may still hold the old frame).
+  * same-dir entry is evicted on the spot AND its checkpoint files are
+  * deleted — same-path regeneration INVALIDATES frames obtained
+  * against the old data (a consumer still holding one was reading a
+  * superseded snapshot anyway; the harness clear has the same
+  * contract).
   * Fingerprinting walks the LOCAL filesystem; for non-local stores
   * (hdfs:// etc.) it degrades to 0 and the memo keys on path alone —
   * there, callers own invalidation via the explicit clear hook.
@@ -57,8 +60,21 @@ private[etl] final class SessionMemo[P] {
     val canon = SessionMemo.canonical(dir)
     val fp = SessionMemo.fingerprint(canon)
     // same dir, different data: the old entry is unreachable by any
-    // future lookup — evict it now rather than hold its session graph
-    m.keySet.removeIf(k => k._1 == spark && k._2 == canon && k._3 != fp)
+    // future lookup — evict it AND delete its checkpoint files (the
+    // regeneration already invalidated the old frame logically, and a
+    // long-lived ingest session that never calls the harness clear
+    // would otherwise grow one checkpoint snapshot per cycle:
+    // spark.cleaner...cleanCheckpoints defaults to FALSE, so the
+    // ContextCleaner fallback only covers sessions that opt in)
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey
+      if (k._1 == spark && k._2 == canon && k._3 != fp) {
+        e.getValue.builtFrame.foreach(SessionMemo.deleteCheckpointFiles)
+        it.remove()
+      }
+    }
     m.computeIfAbsent((spark, canon, fp, params),
       _ => new Holder(() => build)).frame
   }

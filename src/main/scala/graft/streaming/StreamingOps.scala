@@ -369,44 +369,50 @@ object StreamingOps {
     * Dedup.scala:202) — the cap is a backstop against adversarial
     * band collisions, not a working limit. Emission order within a
     * micro-batch is doc_id-sorted, so replays are deterministic.
+    *
+    * OUTPUT MULTIPLICITY: a pair sharing k bands is flagged up to k
+    * times (once per band — band-keyed state cannot see its
+    * siblings). The batch twin's `.distinct()` has no bounded-state
+    * streaming equivalent (exact pair dedup needs pair-keyed state),
+    * so consumers treat flags as idempotent (the production dedup
+    * ACTION — drop/canonicalize — is naturally so) or chain a
+    * watermarked dropDuplicates on (new_doc, match_doc) when
+    * exactly-once flagging matters. StreamingSpec pins set-parity
+    * with the batch pairs AND bounds the per-pair multiplicity at
+    * the band count.
     */
   def streamingNearDup(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
       thresholdBp: Long = 0L, maxPerBand: Int = 64): Dataset[NearDupHit] = {
-    require(numHashes % bandSize == 0, "bands must tile the signature")
     import docs.sparkSession.implicits._
-    val sig = graft.etl.Dedup.minhashSignatureFast(docs, numHashes)
-    val bandCols = (0 until numHashes / bandSize).map { b =>
-      val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
-      struct(lit(b).as("band"), xxhash64(slots: _*).as("bkey"))
-    }
-    val banded = sig
-      .withColumn("sig", array((0 until numHashes).map(i => col(s"mh_$i")): _*))
-      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"),
-        col("bs.bkey").as("bkey"), col("sig"))
-      .as[BandDoc]
-    banded.groupByKey(r => (r.band, r.bkey))
+    bandedDocs(docs, numHashes, bandSize)
+      .groupByKey(r => (r.band, r.bkey))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (_: (Int, Long), rows: Iterator[BandDoc],
             state: GroupState[List[BandSigEntry]]) => {
-          var seen = state.getOption.getOrElse(Nil) // oldest-first
-          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
-          rows.toSeq.sortBy(_.doc_id).foreach { r =>
-            seen.foreach { e =>
-              if (e.doc_id != r.doc_id) {
-                val matches = e.sig.iterator.zip(r.sig.iterator)
-                  .count { case (a, b) => a == b }.toLong
-                val estBp = 10000L * matches / numHashes
-                if (estBp >= thresholdBp)
-                  out += NearDupHit(r.doc_id, e.doc_id, estBp)
-              }
-            }
-            if (seen.size < maxPerBand && !seen.exists(_.doc_id == r.doc_id))
-              seen = seen :+ BandSigEntry(r.doc_id, r.sig)
-          }
-          state.update(seen)
-          out.iterator
+          val (hits, merged) = NearDupProbe.probe(
+            state.getOption.getOrElse(Nil), rows.toSeq,
+            numHashes, thresholdBp, maxPerBand)
+          state.update(merged)
+          hits.iterator
         })
+  }
+
+  /** Map-side banding shared by both streaming near-dup forms: fast
+    * signatures + the full signature array + one row per band struct —
+    * the band layout is [[graft.etl.Dedup.bandStructs]], THE single
+    * banding definition, so stream and batch can never drift.
+    */
+  private def bandedDocs(docs: DataFrame, numHashes: Int,
+      bandSize: Int): Dataset[BandDoc] = {
+    import docs.sparkSession.implicits._
+    graft.etl.Dedup.minhashSignatureFast(docs, numHashes)
+      .withColumn("sig", array((0 until numHashes).map(i => col(s"mh_$i")): _*))
+      .select(col("doc_id"), col("sig"),
+        explode(array(graft.etl.Dedup.bandStructs(numHashes, bandSize,
+          graft.etl.Dedup.fastBandKey): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.bkey").as("bkey"), col("sig"))
+      .as[BandDoc]
   }
 
   /** [[streamingNearDup]] with PRODUCTION-HORIZON state expiry — the
@@ -425,19 +431,8 @@ object StreamingOps {
   def streamingNearDupTtl(docs: DataFrame, ttl: Duration,
       numHashes: Int = 8, bandSize: Int = 2, thresholdBp: Long = 0L,
       maxPerBand: Int = 64): Dataset[NearDupHit] = {
-    require(numHashes % bandSize == 0, "bands must tile the signature")
     import docs.sparkSession.implicits._
-    val sig = graft.etl.Dedup.minhashSignatureFast(docs, numHashes)
-    val bandCols = (0 until numHashes / bandSize).map { b =>
-      val slots = (0 until bandSize).map(i => col(s"mh_${b * bandSize + i}"))
-      struct(lit(b).as("band"), xxhash64(slots: _*).as("bkey"))
-    }
-    sig
-      .withColumn("sig", array((0 until numHashes).map(i => col(s"mh_$i")): _*))
-      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"),
-        col("bs.bkey").as("bkey"), col("sig"))
-      .as[BandDoc]
+    bandedDocs(docs, numHashes, bandSize)
       .groupByKey(r => (r.band, r.bkey))
       .transformWithState(
         new NearDupTtlProcessor(numHashes, thresholdBp, maxPerBand, ttl),
@@ -515,9 +510,29 @@ class NearDupTtlProcessor(numHashes: Int, thresholdBp: Long,
 
   override def handleInputRows(key: (Int, Long), rows: Iterator[BandDoc],
       timers: TimerValues): Iterator[NearDupHit] = {
-    var live = seen.get().toList // oldest-first
+    val live = seen.get().toList // oldest-first, TTL-filtered by the store
+    val (hits, merged) = NearDupProbe.probe(live, rows.toSeq,
+      numHashes, thresholdBp, maxPerBand)
+    // per-element TTL: append only the NEW entries (re-putting the
+    // whole list would refresh old elements' clocks)
+    merged.drop(live.size).foreach(seen.appendValue)
+    hits.iterator
+  }
+}
+
+/** The probe/flag/append loop shared VERBATIM by both state backends
+  * (fMGWS closure and [[NearDupTtlProcessor]]) — one implementation,
+  * so a threshold/flagging change cannot desynchronize them.
+  * doc_id-sorted processing keeps replays deterministic; returns the
+  * hits plus the band's merged first-seen list (capped).
+  */
+private[streaming] object NearDupProbe {
+  def probe(live0: List[BandSigEntry], rows: Seq[BandDoc], numHashes: Int,
+      thresholdBp: Long, maxPerBand: Int)
+      : (Seq[NearDupHit], List[BandSigEntry]) = {
+    var live = live0
     val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
-    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+    rows.sortBy(_.doc_id).foreach { r =>
       live.foreach { e =>
         if (e.doc_id != r.doc_id) {
           val matches = e.sig.iterator.zip(r.sig.iterator)
@@ -527,13 +542,10 @@ class NearDupTtlProcessor(numHashes: Int, thresholdBp: Long,
             out += NearDupHit(r.doc_id, e.doc_id, estBp)
         }
       }
-      if (live.size < maxPerBand && !live.exists(_.doc_id == r.doc_id)) {
-        val entry = BandSigEntry(r.doc_id, r.sig)
-        seen.appendValue(entry)
-        live = live :+ entry
-      }
+      if (live.size < maxPerBand && !live.exists(_.doc_id == r.doc_id))
+        live = live :+ BandSigEntry(r.doc_id, r.sig)
     }
-    out.iterator
+    (out.toSeq, live)
   }
 }
 

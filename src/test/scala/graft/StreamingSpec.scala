@@ -218,9 +218,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         s"stream-only=${(streamPairs -- batchPairs).take(5)} " +
           s"batch-only=${(batchPairs -- streamPairs).take(5)}")
       // exact duplicates must estimate at 10000 bp (identical signatures)
-      val exactBp = spark.table("neardup_t").as[(Long, Long, Long)]
-        .collect().map(_._3)
-      assert(exactBp.forall(bp => bp >= 0 && bp <= 10000))
+      val all = spark.table("neardup_t").as[(Long, Long, Long)].collect()
+      assert(all.forall { case (_, _, bp) => bp >= 0 && bp <= 10000 })
+      // documented multiplicity contract: a pair is flagged at most
+      // once per shared band (4 bands at numHashes=8, bandSize=2)
+      val worstMult = all.groupBy(h => (h._1, h._2)).values.map(_.length).max
+      assert(worstMult <= 4,
+        s"pair flagged $worstMult times — exceeds the band count")
     } finally q.stop()
   }
 
