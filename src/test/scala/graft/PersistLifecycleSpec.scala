@@ -89,11 +89,21 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkTestBase {
     try {
       // n identical texts -> identical signatures -> one n-doc component
       write(4)
-      assert(graft.etl.Dedup.componentsFrame(spark, tmp).count() == 4L)
+      val old = graft.etl.Dedup.componentsFrame(spark, tmp)
+      assert(old.count() == 4L)
+      val oldFile = org.apache.spark.sql.graft.PlanBridge.checkpointFile(old)
+        .map(new org.apache.hadoop.fs.Path(_))
+      assert(oldFile.nonEmpty)
+      val fs = oldFile.get.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(oldFile.get))
       // SAME path, new data: the memo must serve the new corpus, not
       // the round-13 behavior (stale checkpoint scan of the 4-doc one)
       write(6)
       assert(graft.etl.Dedup.componentsFrame(spark, tmp).count() == 6L)
+      // ...and the superseded snapshot's checkpoint files are deleted
+      // (a long-lived ingest session must not grow disk per cycle)
+      assert(!fs.exists(oldFile.get),
+        s"superseded memo left checkpoint files at ${oldFile.get}")
       // unchanged data keeps hitting (same fingerprint -> same frame)
       assert(graft.etl.Dedup.componentsFrame(spark, tmp) eq
         graft.etl.Dedup.componentsFrame(spark, tmp))
