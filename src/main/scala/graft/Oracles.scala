@@ -4658,8 +4658,10 @@ object Oracles {
          |         lead(word, 7) OVER (PARTITION BY doc_id ORDER BY pos) AS w7
          |       FROM words),
          |g AS (SELECT doc_id,
-         |        word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
-         |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS gram
+         |        CAST(concat('0x', substr(md5(
+         |          word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+         |          || ' ' || w5 || ' ' || w6 || ' ' || w7), 1, 15)) AS BIGINT)
+         |          AS gram
          |      FROM g0 WHERE w7 IS NOT NULL),
          |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
          |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
