@@ -77,7 +77,11 @@ object Splits {
         .otherwise("test").as("doc_split"),
       when(hashBucket(col("source"), "gsplit:") < 80, "train")
         .otherwise("test").as("src_split"))
-    val pairs = Dedup.minhashLshFrom(docs.select(col("doc_id"), col("text")))
+    // route through the SESSION MEMO (round 14): this query is one of
+    // the six documented pair-frame consumers, but it was still
+    // rebuilding the banding inline — in the production fan-out it now
+    // reads the shared reliable-checkpoint scan like the others
+    val pairs = Dedup.minhashLsh(spark, dir)
     pairs
       .join(assign.select(col("doc_id").as("doc_a"),
         col("doc_split").as("da"), col("src_split").as("sa")), Seq("doc_a"))
