@@ -65,10 +65,10 @@ object Splits {
     * straddle the split boundary, under (a) doc-hash assignment and
     * (b) source-hash GROUP assignment — the number that tells you the
     * benchmark is contaminated. One row: total candidate pairs +
-    * cross-split counts per scheme. The pairing is [[Dedup.minhashLshFrom]]
-    * verbatim (the oracle shares its CTEs), joined twice against the
-    * assignment map on the pair endpoints — keyed joins, no new
-    * quadratic work beyond the LSH buckets.
+    * cross-split counts per scheme. The pairing is [[Dedup.minhashLsh]]
+    * (the session-memoized pair frame; the oracle shares its CTEs),
+    * joined twice against the assignment map on the pair endpoints —
+    * keyed joins, no new quadratic work beyond the LSH buckets.
     */
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
