@@ -1,0 +1,17 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+object DumpPlan {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().withExtensions(new GraftExtensions)
+      .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val p = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(FormattedMode)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(args(1)), p)
+    spark.stop()
+  }
+}

@@ -304,6 +304,18 @@ object Oracles {
        |sizes AS (SELECT component, count(*) AS cluster_size
        |          FROM comp GROUP BY component)""".stripMargin
 
+  /** GraphCuration.adaptiveBits replayed in SQL: the smallest
+    * b ∈ [3,12] with 2^b · 1000 ≥ count(embeddings) — integer-exact
+    * (a float ceil(log2(·)) can straddle a ulp at exact powers of two
+    * and flip the blocking domain between engines). Shared by every
+    * oracle whose blocking key derives its width from the corpus count
+    * (`embedding_neardup`, `semdedup`).
+    */
+  private val AdaptiveBitsSql: String =
+    """CAST(coalesce((SELECT min(i) FROM range(3, 13) t(i)
+      |  WHERE (1::BIGINT << CAST(i AS INT)) * 1000 >= (SELECT count(*) FROM embeddings)), 12) AS INT)"""
+      .stripMargin.replace("\n", " ")
+
   private def cosineFrom(pairCte: String, extraCols: String): String =
     s"""$pairCte,
        |z AS (SELECT qid, cid$extraCols,
@@ -1564,13 +1576,21 @@ object Oracles {
          |SELECT qid, rank, cid, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
 
+    // bits derives from the corpus count exactly as
+    // GraphCuration.adaptiveBits: smallest b in [3,12] with
+    // 2^b * 1000 >= n (integer-exact — no float log2). At the verified
+    // SFs (n <= 8000) this floors at 3, the pre-r15 pinned config; the
+    // bucket is the sign bits of the first `bits` dims, MSB-first,
+    // mirroring Similarity.signBucket.
     "embedding_neardup" -> {
       val p =
-        """b AS (SELECT vec_id, embedding, label,
-          |        CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
-          |             (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
-          |             (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
-          |      FROM embeddings),
+        s"""nn AS (SELECT $AdaptiveBitsSql AS bits),
+          |b AS (SELECT vec_id, embedding, label,
+          |        CAST(list_sum(list_transform(range(nn.bits), i ->
+          |          CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+          |               THEN (1::BIGINT << CAST(nn.bits - 1 - i AS INT))
+          |               ELSE 0 END)) AS INT) AS bucket
+          |      FROM embeddings, nn),
           |p AS (SELECT x.vec_id AS qid, y.vec_id AS cid, x.embedding AS qe, y.embedding AS ce,
           |             x.label AS label
           |      FROM b x JOIN b y
@@ -3917,12 +3937,23 @@ object Oracles {
         |FROM s ORDER BY dsir_bp DESC, doc_id LIMIT 200""".stripMargin,
 
     // SemDeDup — mirrors Similarity.semDedup: nearest-of-8 centroid
-    // assignment (as cluster_assign), within-cluster pair cosines, drop
-    // a member iff a strictly-more-keep-worthy near-dup (cos ≥ 0.25)
-    // exists. Both cosines round to 4dp BEFORE any comparison, so the
-    // threshold and keep-worthiness tests are engine-exact.
+    // assignment (as cluster_assign), within-(cluster × sign-bucket)
+    // pair cosines, drop a member iff a strictly-more-keep-worthy
+    // near-dup (cos ≥ 0.25) exists. Both cosines round to 4dp BEFORE
+    // any comparison, so the threshold and keep-worthiness tests are
+    // engine-exact. The bucket width derives from the corpus count
+    // exactly as GraphCuration.adaptiveBits (integer-exact, floors at
+    // 3 for n <= 8000) — the r15 composed blocking key that keeps
+    // within-block pairs bounded as clusters grow.
     "semdedup" ->
-      """WITH p AS (SELECT e.vec_id AS qid, c.vec_id AS cid,
+      s"""WITH nn AS (SELECT $AdaptiveBitsSql AS bits),
+        |bk AS (SELECT vec_id,
+        |         CAST(list_sum(list_transform(range(nn.bits), i ->
+        |           CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+        |                THEN (1::BIGINT << CAST(nn.bits - 1 - i AS INT))
+        |                ELSE 0 END)) AS INT) AS bucket
+        |       FROM embeddings, nn),
+        |p AS (SELECT e.vec_id AS qid, c.vec_id AS cid,
         |             e.embedding AS qe, c.embedding AS ce
         |           FROM embeddings e JOIN embeddings c
         |             ON c.vec_id < 8 AND e.vec_id <> c.vec_id),
@@ -3939,6 +3970,8 @@ object Oracles {
         |mp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cc AS a_cc, b.cc AS b_cc,
         |              ea.embedding AS ae, eb.embedding AS be
         |       FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+        |       JOIN bk ba ON ba.vec_id = a.vec_id
+        |       JOIN bk bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
         |       JOIN embeddings ea ON ea.vec_id = a.vec_id
         |       JOIN embeddings eb ON eb.vec_id = b.vec_id),
         |z2 AS (SELECT a_id, b_id, a_cc, b_cc,

@@ -207,13 +207,41 @@ object ScaleCheck {
     * replica's within-replica near-dup structure exactly (letter
     * bijection) while 26! ≫ R makes cross-replica shingle collisions
     * vanish. Replica 0 stays the identity (the base corpus verbatim).
-    * Deterministic: same r → same permutation, every run.
+    * Deterministic: same r → same permutation, every run — and since
+    * round 15 across LIBRARY VERSIONS too: the permutation is a
+    * self-contained Fisher-Yates over a splitmix64 stream keyed on r
+    * (ADVICE r14 item 3 — `scala.util.Random.shuffle`'s algorithm is
+    * library-defined, so a Scala upgrade would have silently re-texted
+    * every replica, the same regeneration trap as the pre-r14 Caesar
+    * corpora). CAVEAT: tiers recorded through round 14
+    * (/tmp/graft_scale{10,30,100}) were generated with the old
+    * Random.shuffle cipher; they remain valid (replication is skipped
+    * when the dir exists), but REGENERATING one with r15+ code
+    * produces different replica text — a new comparability epoch
+    * (noted in BASELINE.md).
     */
   private def cipher(r: Int): (String, String) = {
     val a = "abcdefghijklmnopqrstuvwxyz"
     val perm =
       if (r == 0) a
-      else new scala.util.Random(0xC0FFEE + r).shuffle(a.toList).mkString
+      else {
+        var s = 0xC0FFEEL ^ (r.toLong * 0x9E3779B97F4A7C15L)
+        def next(): Long = {
+          s += 0x9E3779B97F4A7C15L
+          var z = s
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        val arr = a.toCharArray
+        var i = arr.length - 1
+        while (i > 0) {
+          val j = java.lang.Long.remainderUnsigned(next(), (i + 1).toLong).toInt
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+          i -= 1
+        }
+        new String(arr)
+      }
     (a + a.toUpperCase, perm + perm.toUpperCase)
   }
 

@@ -370,9 +370,17 @@ object Dedup {
     // join for a value nothing downstream reads (at 100× those
     // exchanges flip to SMJ, so key width also prices the sorts).
     // The md5 prefix keeps the DuckDB twin bit-identical: same
-    // digests ⇒ same (astronomically rare) collisions ⇒ same counts
-    // in both engines. Production swaps xxhash64 for md5 — same plan,
-    // cheaper hash.
+    // digests ⇒ same collisions ⇒ same counts in both engines, so
+    // ORACLE parity never depends on collision rarity. The rarity
+    // itself is scale-bounded, not astronomical (ADVICE r14): 60 bits
+    // give a birthday bound of n²/2⁶¹ ≈ 0.04 expected colliding pairs
+    // at n=10⁸ distinct grams but ≈ 4 at n=10⁹ (the 100-TB regime) —
+    // a collision merges two gram groups and drifts the dup-fraction
+    // counts from true string semantics by ~1 gram in 10⁹. Where that
+    // drift matters, widen the key: two independent 60-bit digests
+    // (md5 prefix + suffix) or the full 128-bit md5 as the join key —
+    // same plan, double key width, collision odds squared. Production
+    // swaps xxhash64 for md5 — same plan, cheaper hash.
     val grams = Shingles.wordShingles(docs, 8)
       .select(col("doc_id"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10)

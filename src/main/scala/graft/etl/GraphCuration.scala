@@ -48,14 +48,19 @@ object GraphCuration {
     * exactly what targetCell=1000 derives — 5 cells → 3 bits, 50 cells
     * → 6 bits). Floor 3 = the verified-oracle config; cap 12 (4096
     * cells) = the documented production range, still far below the
-    * 64-dim sign-bit budget. Pure integer/log arithmetic on a COUNT —
-    * no data-dependent flakiness.
+    * 64-dim sign-bit budget.
+    *
+    * Since round 15 the derivation is INTEGER-EXACT — the smallest
+    * b ∈ [3,12] with 2^b · targetCell ≥ n (identical to the clamped
+    * ceil-log2 on every input, but with zero float ops): the blocking
+    * key of oracle-verified queries (`embedding_neardup`, `semdedup`)
+    * now derives from this count, and a float log2 can straddle a ulp
+    * at exact powers of two (Java `log(2048)/log(2)` = 11.000…002),
+    * which would flip the bucket domain between engines. DuckDB
+    * replays the same comparison scan bit-for-bit.
     */
-  def adaptiveBits(nVectors: Long, targetCell: Long = 1000L): Int = {
-    val cells = math.max(1.0, nVectors.toDouble / targetCell)
-    val b = math.ceil(math.log(cells) / math.log(2.0)).toInt
-    math.min(12, math.max(3, b))
-  }
+  def adaptiveBits(nVectors: Long, targetCell: Long = 1000L): Int =
+    (3 to 12).find(b => (1L << b) * targetCell >= nVectors).getOrElse(12)
 
   /** Directed top-5 cosine neighbor lists, sign-bucket-blocked.
     * `bits` sets the cell count (2^bits): the verified query pins 3

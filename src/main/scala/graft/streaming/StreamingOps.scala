@@ -380,6 +380,15 @@ object StreamingOps {
     * exactly-once flagging matters. StreamingSpec pins set-parity
     * with the batch pairs AND bounds the per-pair multiplicity at
     * the band count.
+    *
+    * TOTAL-STATE bound (ADVICE r14): the per-key cap bounds each
+    * band's LIST, but the NUMBER of (band, bkey) keys grows with the
+    * distinct band keys ever seen — under `NoTimeout` an unbounded
+    * stream accretes keys forever. This form is therefore for BOUNDED
+    * replays (snapshot dedup, backfills, the StreamingSpec parity
+    * harness); a long-running production ingest uses
+    * [[streamingNearDupTtl]], whose per-entry TTL expires idle keys
+    * and bounds total state by the arrival rate × horizon.
     */
   def streamingNearDup(docs: DataFrame, numHashes: Int = 8, bandSize: Int = 2,
       thresholdBp: Long = 0L, maxPerBand: Int = 64): Dataset[NearDupHit] = {

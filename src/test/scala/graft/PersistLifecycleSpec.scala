@@ -75,10 +75,17 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("session memos refresh when the data under dir changes " +
-      "(fingerprint identity — ADVICE r13 / verdict item 3a)") {
+      "(fingerprint identity — ADVICE r13 / verdict item 3a), " +
+      "with the dir named by a file:// URI so the staleness check " +
+      "provably runs through the Hadoop FileSystem path (r14 item 5)") {
     freshStart()
     graft.etl.Dedup.clearComponentsMemo()
-    val tmp = java.nio.file.Files.createTempDirectory("graft-memo-stale").toString
+    val local = java.nio.file.Files.createTempDirectory("graft-memo-stale").toString
+    // the memo sees only the URI form: fingerprinting it exercises the
+    // Hadoop listStatus walk (a java.io.File walk would not resolve a
+    // scheme-qualified path and would silently degrade to fingerprint 0,
+    // which this test then catches as a stale 4-doc count below)
+    val tmp = s"file://$local"
     import spark.implicits._
     def write(n: Int): Unit =
       (0L until n.toLong)
@@ -112,7 +119,7 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkTestBase {
       def rm(p: java.io.File): Unit = {
         Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
       }
-      rm(new java.io.File(tmp))
+      rm(new java.io.File(local))
     }
   }
 

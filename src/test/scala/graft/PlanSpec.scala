@@ -1485,6 +1485,49 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"containment_pipeline must not explode shingles:\n$p")
   }
 
+  test("round-15 pin: embedding_neardup's pair join is keyed on the " +
+       "composed (label, sign-bucket) key with adaptive width — never " +
+       "a cartesian or unkeyed nested loop") {
+    val p = plan("embedding_neardup")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      s"embedding_neardup grew an unkeyed pair join:\n$p")
+    // FormattedMode prints each join's key lists in its detail block;
+    // the pair join must key on BOTH label and bucket (the adaptive
+    // sign-cell) — label alone is the unbounded-block regression
+    assert(p.linesIterator.exists(l => l.contains("keys") &&
+        l.contains("label") && l.contains("bucket")),
+      s"embedding_neardup's join lost the composed (label, bucket) key:\n$p")
+  }
+
+  test("round-15 pin: semdedup broadcasts only the bounded centroid " +
+       "slice (one nested loop) and keys the member pair join on the " +
+       "composed (cluster, sign-bucket) key — cluster alone is the " +
+       "quadratic-at-100x regression") {
+    val p = plan("semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"semdedup grew a cartesian:\n$p")
+    // the assignment's non-equi centroid join is the only nested loop
+    // allowed, and the lazy tree re-derives the members frame once per
+    // consumer branch (map-side scans, the shuffle-free choice), so the
+    // pin is count-equality: EVERY nested loop must build the bounded
+    // vec_id<8 centroid slice — a nested loop without that filter is an
+    // unbounded-broadcast regression
+    // count node detail headers "(N) BroadcastNestedLoopJoin", not raw
+    // substrings — FormattedMode prints every node twice (tree + detail)
+    val bnlj = p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    val centroidFilters = p.linesIterator.count(l =>
+      l.contains("Condition") && l.contains("< 8"))
+    assert(bnlj > 0 && bnlj == centroidFilters,
+      s"semdedup: $bnlj nested loops vs $centroidFilters bounded " +
+        s"centroid filters — some nested loop is not the 8-row " +
+        s"centroid broadcast:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("keys") &&
+        l.contains("_cl") && l.contains("_bk")),
+      s"semdedup's pair join lost the composed (cluster, bucket) key:\n$p")
+  }
+
   test("round-13 pin: quantile_digest stages the (lang, source, len) " +
        "frame once — one documents scan; digests build through partial " +
        "native aggs; the exact-histogram window stays lang-partitioned") {
