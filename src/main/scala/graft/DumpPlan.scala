@@ -1,6 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-inspection helper: writes the FormattedMode physical plan of
+  * one SparkEntry query (at sf0.001) to a file, for iterating on
+  * PlanSpec pins without driving a whole suite.
+  *
+  *   runMain graft.DumpPlan <queryName> <outFile>
+  */
 object DumpPlan {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().withExtensions(new GraftExtensions)

@@ -1263,6 +1263,46 @@ object Oracles {
          |       ELSE (10000 * pair_mass) // tp END AS BIGINT) AS pair_share_bp
          |FROM cls, tot ORDER BY occ_class""".stripMargin,
 
+    // Band-parameter advisor — mirrors Dedup.lshBandAdvisor: measured
+    // pair mass at every band size tiling the 8-hash signature (bucket
+    // key = concat of adjacent minhash strings — no md5, the raw tuple
+    // IS the bucket identity), linear budget of 4 candidate pairs per
+    // signed doc (read off the one-band tiling's doc_rows), chosen =
+    // smallest within-budget band size, fallback largest. All integer.
+    "lsh_band_advisor" ->
+      s"""WITH $Shingle3Cte,
+         |sig AS (SELECT doc_id,
+         |  min(md5('seed0:' || shingle)) AS mh_0, min(md5('seed1:' || shingle)) AS mh_1,
+         |  min(md5('seed2:' || shingle)) AS mh_2, min(md5('seed3:' || shingle)) AS mh_3,
+         |  min(md5('seed4:' || shingle)) AS mh_4, min(md5('seed5:' || shingle)) AS mh_5,
+         |  min(md5('seed6:' || shingle)) AS mh_6, min(md5('seed7:' || shingle)) AS mh_7
+         |  FROM shingles GROUP BY doc_id),
+         |bb AS (
+         |  SELECT doc_id, 2 AS band_size, 0 AS band, mh_0 || '|' || mh_1 AS key FROM sig
+         |  UNION ALL SELECT doc_id, 2, 1, mh_2 || '|' || mh_3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, 2, mh_4 || '|' || mh_5 FROM sig
+         |  UNION ALL SELECT doc_id, 2, 3, mh_6 || '|' || mh_7 FROM sig
+         |  UNION ALL SELECT doc_id, 4, 0, mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3 FROM sig
+         |  UNION ALL SELECT doc_id, 4, 1, mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7 FROM sig
+         |  UNION ALL SELECT doc_id, 8, 0, mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3 || '|' || mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7 FROM sig),
+         |occ AS (SELECT band_size, band, key, CAST(count(*) AS BIGINT) AS c
+         |        FROM bb GROUP BY ALL),
+         |cells AS (SELECT CAST(band_size AS INT) AS band_size,
+         |            CAST(count(*) AS BIGINT) AS n_buckets,
+         |            CAST(sum(c) AS BIGINT) AS doc_rows,
+         |            CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS pair_mass
+         |          FROM occ GROUP BY 1),
+         |nb AS (SELECT CAST(sum(CASE WHEN band_size = 8 THEN doc_rows ELSE 0 END) * 4 AS BIGINT) AS pair_budget FROM cells),
+         |j AS (SELECT band_size, CAST(8 // band_size AS INT) AS n_bands, n_buckets,
+         |        doc_rows, pair_mass, pair_budget,
+         |        pair_mass <= pair_budget AS within_budget
+         |      FROM cells, nb),
+         |pick AS (SELECT coalesce(min(CASE WHEN within_budget THEN band_size END),
+         |                         max(band_size)) AS pick FROM j)
+         |SELECT band_size, n_bands, n_buckets, doc_rows, pair_mass, pair_budget,
+         |  within_budget, band_size = pick AS chosen
+         |FROM j, pick ORDER BY band_size""".stripMargin,
+
     // fast-tier error-band audit (see the error-band note above):
     // exact pair Jaccard over the bounded block — same shingle ground
     // truth as ngram_jaccard, no threshold — with est_ok asserted TRUE

@@ -156,7 +156,12 @@ object ScaleCheck {
     // (band,bkey)-keyed agg; prices the candidate join without
     // building it (pair mass must stay ~linear under the cipher
     // replication: constant duplicate density)
-    "lsh_bucket_stats")
+    "lsh_bucket_stats",
+    // round 15: the formerly fixed-blocking pair, now adaptive
+    // (cluster × count-derived sign-bucket) — tracked so a blocking
+    // regression shows up as a ratio blowup, not a stopped run; plus
+    // the band advisor (multi-r occupancy from one signature pass)
+    "semdedup", "embedding_neardup", "lsh_band_advisor")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant
@@ -478,6 +483,42 @@ object ScaleCheck {
         s""""label_prop_auto":{"t1":${fmt(l1)},"tR":${fmt(lR)},"ratio":${fmt(lR / l1)}},"auto_bits":{"b1":$auto1,"bR":$autoR}"""
       }).mkString("{", ",", "}")
       println(s"""{"metric":"knn_graph_bits","replicas":$reps,"results":$r}""")
+      spark.stop()
+      return
+    }
+
+    // Skew-salting evidence for the banded LSH join (round 15, VERDICT
+    // r14 stretch 7): measure the slow-tier (band, bkey) occupancy
+    // profile on the given corpus — max bucket, buckets over the
+    // threshold, their pair-mass share — then time minhashLshFrom with
+    // salting OFF vs ON at that threshold. If no bucket clears the
+    // threshold the run documents salting as measured-unnecessary for
+    // this corpus; the InvariantSpec pair-set proof holds either way.
+    //   ScaleCheck <dir> <reps> saltcheck [threshold]
+    if (args.length > 2 && args(2) == "saltcheck") {
+      import graft.etl.Dedup
+      val thr = if (args.length > 3) args(3).toInt else 32
+      val docs = Tables(spark, out, "documents").select(col("doc_id"), col("text"))
+      val occ = Dedup.minhashSignature(docs, 8)
+        .select(explode(array(Dedup.bandStructs(8, 2, Dedup.md5BandKey): _*)).as("bs"))
+        .groupBy(col("bs.band"), col("bs.bkey"))
+        .agg(count(lit(1)).as("c"))
+      val prof = occ.agg(max(col("c")).as("max_c"),
+        sum(expr("(c * (c - 1)) div 2")).as("pair_mass"),
+        sum(when(col("c") > thr, lit(1)).otherwise(lit(0))).as("hot_buckets"),
+        sum(when(col("c") > thr, expr("(c * (c - 1)) div 2"))
+          .otherwise(lit(0L))).as("hot_pair_mass")).collect().head
+      def t(thrOpt: Int): Double = {
+        def once(): Unit = Dedup.minhashLshFrom(docs, saltThreshold = thrOpt)
+          .write.format("noop").mode("overwrite").save()
+        once()
+        (1 to TimedReps).map { _ =>
+          val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val (tOff, tOn) = (t(Int.MaxValue), t(thr))
+      println(f"[scale] saltcheck max_c=${prof.getLong(0)} hot=${prof.getLong(2)} off=${fmt(tOff)}s on=${fmt(tOn)}s")
+      println(s"""{"metric":"salt_check","dir":"$out","threshold":$thr,"max_bucket":${prof.getLong(0)},"total_pair_mass":${prof.getLong(1)},"hot_buckets":${prof.getLong(2)},"hot_pair_mass":${prof.getLong(3)},"t_off":${fmt(tOff)},"t_on":${fmt(tOn)}}""")
       spark.stop()
       return
     }

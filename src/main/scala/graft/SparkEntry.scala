@@ -114,6 +114,7 @@ object SparkEntry {
     "minhash_signature" -> (Dedup.minhashSignatureQuery _),
     "minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "lsh_bucket_stats"  -> ((s: SparkSession, d: String) => Dedup.lshBucketStats(s, d)),
+    "lsh_band_advisor"  -> ((s: SparkSession, d: String) => Dedup.lshBandAdvisor(s, d)),
     "containment_pipeline" -> (Dedup.containmentPipeline _),
     // production-speed tier (xxhash64): verified via the deterministic
     // error-band shape (Oracles error-band note) — exact pair Jaccard

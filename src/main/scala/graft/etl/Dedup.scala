@@ -222,30 +222,86 @@ object Dedup {
     * sides of the self-join read it instead of re-deriving the
     * signature pipeline.
     */
+  /** Banded candidate pairs. `saltThreshold` (default OFF) is the
+    * round-15 skew hardening: a band bucket holding c > threshold docs
+    * is one straggler task at 100 TB (its c² pair work lands on the
+    * single reducer owning that join key). When enabled, hot buckets
+    * split into k = ceil(c/threshold) salted sub-groups
+    * (salt = xxhash64(doc_id) mod k — deterministic), and the join
+    * covers within- AND cross-salt pairs by probing: the left side
+    * emits one row per target salt in [own salt, k), the right side
+    * keys on its own salt, so the join key (band, bkey, salt) spreads
+    * the bucket over k reducers while the PAIR SET is provably
+    * unchanged — a pair with salts a ≤ b is produced exactly once (by
+    * the a-side probing b; same-salt pairs keep the doc_id < guard),
+    * InvariantSpec-verified. Cold buckets keep k = 1 (left anti-ish:
+    * the occupancy join is a left join against the hot slice only).
+    * Cost: one extra (band, bkey)-keyed agg + left join; left-side
+    * rows grow only by Σ_hot (k − salt) ≈ (3/2)·hot rows.
+    */
   private def lshPairsWith(sig: DataFrame, numHashes: Int, bandSize: Int,
-      bandKey: Seq[Column] => Column): DataFrame = {
+      bandKey: Seq[Column] => Column,
+      saltThreshold: Int = Int.MaxValue): DataFrame = {
     val bandCols = bandStructs(numHashes, bandSize, bandKey)
     // banded table: fast local checkpoint read by both self-join sides;
     // the (small) pair OUTPUT goes to reliable storage, after which the
     // band blocks are released — zero pins, memory-speed staging
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val banded = Fixpoint.locally(
+    val banded0 =
       sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey")),
-      locals)
-    try Fixpoint.reliably(banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-      .orderBy("doc_a", "doc_b"))
-    finally Fixpoint.releaseAll(locals)
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    try {
+      if (saltThreshold == Int.MaxValue) {
+        val banded = Fixpoint.locally(banded0, locals)
+        Fixpoint.reliably(banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+          .orderBy("doc_a", "doc_b"))
+      } else {
+        val staged = Fixpoint.locally(banded0, locals)
+        val hot = staged.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") > saltThreshold)
+        val salted = Fixpoint.locally(
+          staged.join(hot, Seq("band", "bkey"), "left")
+            .withColumn("k",
+              coalesce(ceil(col("c") / saltThreshold).cast("int"), lit(1)))
+            .withColumn("salt",
+              pmod(xxhash64(col("doc_id")), col("k")).cast("int"))
+            .select(col("doc_id"), col("band"), col("bkey"),
+              col("k"), col("salt")), locals)
+        val left = salted
+          .withColumn("probe", explode(sequence(col("salt"), col("k") - 1)))
+          .select(col("doc_id").as("doc_l"), col("band").as("bl"),
+            col("bkey").as("kl"), col("salt").as("salt_l"), col("probe"))
+        val right = salted.select(col("doc_id").as("doc_r"),
+          col("band").as("br"), col("bkey").as("kr"), col("salt").as("salt_r"))
+        Fixpoint.reliably(left.join(right,
+            col("bl") === col("br") && col("kl") === col("kr") &&
+              col("probe") === col("salt_r") &&
+              (col("salt_l") =!= col("salt_r") || col("doc_l") < col("doc_r")))
+          .select(least(col("doc_l"), col("doc_r")).as("doc_a"),
+            greatest(col("doc_l"), col("doc_r")).as("doc_b"))
+          .distinct()
+          .orderBy("doc_a", "doc_b"))
+      }
+    } finally Fixpoint.releaseAll(locals)
   }
 
   /** LSH banding: a band key = md5 of its bandSize signature slots;
     * candidate pairs = docs sharing any band key (distinct a<b pairs).
     * The self-join is per-bucket — the O(n²) blowup only happens inside
     * a bucket, which is the entire point of LSH at scale.
+    *
+    * Sizing the banding for a NEW corpus: run [[lshBandAdvisor]] first
+    * — it measures the exact pair mass this join would produce at
+    * every band size tiling the signature and picks the smallest one
+    * whose candidate join stays within a linear-in-corpus budget
+    * (recall is monotone-decreasing in band size, so smallest
+    * affordable = max recall). [[lshBucketStats]] is the companion
+    * per-occupancy-class breakdown of the same cost.
     */
   def minhashLsh(spark: SparkSession, dir: String,
       numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame =
@@ -273,9 +329,10 @@ object Dedup {
   private val pairsMemo = new SessionMemo[(Int, Int)]
 
   def minhashLshFrom(docs: DataFrame,
-      numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize): DataFrame =
+      numHashes: Int = TestNumHashes, bandSize: Int = TestBandSize,
+      saltThreshold: Int = Int.MaxValue): DataFrame =
     lshPairsWith(minhashSignature(docs, numHashes), numHashes, bandSize,
-      md5BandKey)
+      md5BandKey, saltThreshold)
 
   /** INCREMENTAL near-dup: a new batch against the existing corpus —
     * the shape production dedup actually runs (nobody re-pairs 100 TB
@@ -996,6 +1053,76 @@ object Dedup {
       .select(col("occ_class"), col("n_buckets"), col("doc_rows"),
         col("pair_mass"), col("pair_share_bp"))
       .orderBy("occ_class")
+  }
+
+  /** LSH band-parameter ADVISOR — closes the loop on
+    * [[lshBucketStats]] (VERDICT r14 item 3): that query prices the
+    * banded join's pair mass; this one USES the price to derive the
+    * band size that keeps the candidate join within a budget — the
+    * LSH analog of [[GraphCuration.adaptiveBits]].
+    *
+    * Mechanism: for every band size r that tiles the signature
+    * (r = 2, 4, 8 at the test preset), the bucket key is the CONCAT of
+    * r adjacent minhash columns, so ONE signature pass measures the
+    * TRUE (band, key) occupancy — and therefore the exact pair mass
+    * Σ c·(c−1)/2 the banded join would produce — at every candidate r
+    * simultaneously. No s-curve model, no re-banding: doubling r can
+    * only split buckets, and the advisor reads the measured split.
+    * The budget is linear in the corpus (`budgetPerDoc` candidate
+    * pairs per signed doc — candidate-join output a cluster can
+    * absorb); chosen = the SMALLEST r within budget (recall falls
+    * monotonically with r, so the smallest affordable r maximizes
+    * recall), falling back to the largest r when nothing fits (the
+    * minimum-mass configuration). Pure integer arithmetic over
+    * measured counts — DuckDB replays it bit-for-bit.
+    *
+    * Scale posture: one signature scan (in-array, shuffle-free), one
+    * explode bounded by Σ bands(r) ≤ 7 rows/doc, one high-cardinality
+    * (r, band, key) agg, a ≤3-row class frame (checkpointed for its
+    * two readers), 1-row budget/pick broadcasts. Like the profile it
+    * extends, it never builds the pairs it prices.
+    */
+  def lshBandAdvisor(spark: SparkSession, dir: String,
+      numHashes: Int = TestNumHashes, budgetPerDoc: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val sig = minhashSignature(docs, numHashes)
+    val sizes = Iterator.iterate(TestBandSize)(_ * 2)
+      .takeWhile(r => r <= numHashes && numHashes % r == 0).toSeq
+    val bandCols = sizes.flatMap { r =>
+      (0 until numHashes / r).map { b =>
+        struct(lit(r).as("band_size"), lit(b).as("band"),
+          concat_ws("|", (0 until r).map(i => col(s"mh_${b * r + i}")): _*)
+            .as("key"))
+      }
+    }
+    val occ = sig.select(explode(array(bandCols: _*)).as("bs"))
+      .groupBy(col("bs.band_size").as("band_size"),
+        col("bs.band").as("band"), col("bs.key").as("key"))
+      .agg(count(lit(1)).as("c"))
+    // ≤3 rows read by the budget agg, the pick agg, and the final
+    // projection — the bounded-frame staging rule
+    val cells = Fixpoint.reliably(occ.groupBy(col("band_size"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("doc_rows"),
+        sum(expr("(c * (c - 1)) div 2")).as("pair_mass")))
+    // the one-band tiling (r = numHashes) holds each signed doc exactly
+    // once, so its doc_rows IS the signed-doc count — the budget base
+    // without a second corpus scan
+    val budget = cells.agg(
+      (sum(when(col("band_size") === numHashes, col("doc_rows")))
+        * budgetPerDoc).as("pair_budget"))
+    val j = cells.crossJoin(broadcast(budget))
+      .withColumn("n_bands", expr(s"$numHashes div band_size").cast("int"))
+      .withColumn("within_budget", col("pair_mass") <= col("pair_budget"))
+    val pick = j.agg(coalesce(
+      min(when(col("within_budget"), col("band_size"))),
+      max(col("band_size"))).as("pick"))
+    j.crossJoin(broadcast(pick))
+      .withColumn("chosen", col("band_size") === col("pick"))
+      .select(col("band_size"), col("n_bands"), col("n_buckets"),
+        col("doc_rows"), col("pair_mass"), col("pair_budget"),
+        col("within_budget"), col("chosen"))
+      .orderBy("band_size")
   }
 
   /** Duplicate-cluster size distribution in power-of-two buckets — the

@@ -1473,6 +1473,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"lsh_bucket_stats: only the 1-row totals broadcast is allowed:\n$cp")
   }
 
+  test("round-15 pin: lsh_band_advisor measures every candidate band " +
+       "size from ONE documents scan and never builds the pairs it " +
+       "prices — no pair join, only 1-row budget/pick broadcasts") {
+    val cp = executedPlans("lsh_band_advisor")
+      .mkString("\n=== next executed plan ===\n")
+    val scans = cp.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"lsh_band_advisor must read documents exactly once:\n$cp")
+    assert(!cp.contains("SortMergeJoin") && !cp.contains("ShuffledHashJoin"),
+      s"lsh_band_advisor grew a pair join — the advisor must price " +
+        s"the banded join without building it:\n$cp")
+    assert(!cp.contains("CartesianProduct"),
+      s"lsh_band_advisor: only 1-row broadcasts are allowed:\n$cp")
+  }
+
   test("round-14 pin: containment_pipeline rides the pair frame with " +
        "keyed joins only — no cartesian, no nested loop") {
     val p = plan("containment_pipeline")
