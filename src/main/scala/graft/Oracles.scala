@@ -251,6 +251,33 @@ object Oracles {
        |sigt AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash16 FROM s)""".stripMargin
   }
 
+  /** 60-bit simhash + Manku combination-key banding (6 blocks × 10
+    * bits, all C(6,3)=20 three-block combinations as 30-bit keys) —
+    * mirrors Dedup.simhashWideFrom/simhashWideNearDup. The combo list
+    * is generated from the SAME Scala combinations iterator the Spark
+    * side uses, so the two can never drift.
+    */
+  private val SimhashWideCtes: String = {
+    val bitSums = (0 until 60).map(b =>
+      s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s_$b").mkString(",\n  ")
+    val sig = (0 until 60).map(b =>
+      s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val comboRows = (0 until 6).combinations(3).toSeq.zipWithIndex
+      .map { case (bs, id) =>
+        s"SELECT doc_id, simhash60, $id AS comb, " +
+          s"((simhash60 >> ${bs(0) * 10}) & 1023) * 1048576 + " +
+          s"((simhash60 >> ${bs(1) * 10}) & 1023) * 1024 + " +
+          s"((simhash60 >> ${bs(2) * 10}) & 1023) AS ckey FROM sigt"
+      }.mkString("\n  UNION ALL ")
+    s"""$WordsCte,
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h FROM words),
+       |s AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sigt AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash60 FROM s),
+       |cmb AS ($comboRows)""".stripMargin
+  }
+
   /** WITH-body ending in lshpairs(doc_a, doc_b) — the LSH candidate
     * pairs, shared by minhash_lsh and split_leakage so the pairing
     * cannot drift between the dedup and leakage-audit surfaces.
@@ -1509,6 +1536,18 @@ object Oracles {
          |WHERE bit_count(xor(x.simhash16, y.simhash16)) <= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // the scale tier — mirrors Dedup.simhashWideNearDup: 60-bit
+    // signature, 20 Manku combination keys of 30 bits, hamming <= 3
+    // verified on candidates (pigeonhole recall 1)
+    "simhash_wide_neardup" ->
+      s"""WITH $SimhashWideCtes
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.simhash60, y.simhash60)) AS INT) AS hamming
+         |FROM cmb x JOIN cmb y
+         |  ON x.comb = y.comb AND x.ckey = y.ckey AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash60, y.simhash60)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // ---- similarity search ----
     "knn_brute" -> {
       val p =
@@ -1638,6 +1677,59 @@ object Oracles {
       s"""WITH ${cosineFrom(p, ", label")}
          |SELECT label, qid AS vec_a, cid AS vec_b, cos FROM s
          |WHERE cos >= 0.3 ORDER BY label, vec_a, vec_b""".stripMargin
+    },
+
+    // Recall buyback for the adaptive blocking — mirrors
+    // Similarity.embeddingNearDupMultiprobe: the probe side emits its
+    // own cell plus the `bits` Hamming-1 flips; each a<b pair matches
+    // exactly one probe value, so no dedup is needed
+    "neardup_multiprobe" -> {
+      val p =
+        s"""nn AS (SELECT $AdaptiveBitsSql AS bits),
+          |b AS (SELECT vec_id, embedding, label,
+          |        CAST(list_sum(list_transform(range(nn.bits), i ->
+          |          CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+          |               THEN (1::BIGINT << CAST(nn.bits - 1 - i AS INT))
+          |               ELSE 0 END)) AS INT) AS bucket
+          |      FROM embeddings, nn),
+          |pr AS (SELECT vec_id, embedding, label,
+          |         CAST(unnest([bucket] || list_transform(range(nn.bits), i ->
+          |           xor(bucket, CAST(1::BIGINT << CAST(i AS INT) AS INT)))) AS INT) AS probe
+          |       FROM b, nn),
+          |p AS (SELECT x.vec_id AS qid, y.vec_id AS cid, x.embedding AS qe, y.embedding AS ce,
+          |             x.label AS label
+          |      FROM pr x JOIN b y
+          |        ON x.label = y.label AND x.probe = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
+      s"""WITH ${cosineFrom(p, ", label")}
+         |SELECT label, qid AS vec_a, cid AS vec_b, cos FROM s
+         |WHERE cos >= 0.3 ORDER BY label, vec_a, vec_b""".stripMargin
+    },
+
+    // Blocking-recall audit on the bounded vec_id<256 slice — mirrors
+    // Similarity.neardupRecall: exact same-label cos>=0.3 truth vs the
+    // production adaptive-bits blocking and its Hamming-1 probe set
+    "neardup_recall" -> {
+      val p =
+        s"""nn AS (SELECT $AdaptiveBitsSql AS bits),
+          |b AS (SELECT vec_id, embedding, label,
+          |        CAST(list_sum(list_transform(range(nn.bits), i ->
+          |          CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+          |               THEN (1::BIGINT << CAST(nn.bits - 1 - i AS INT))
+          |               ELSE 0 END)) AS INT) AS bucket
+          |      FROM embeddings, nn WHERE vec_id < 256),
+          |p AS (SELECT x.vec_id AS qid, y.vec_id AS cid, x.embedding AS qe, y.embedding AS ce,
+          |             x.label AS label, x.bucket AS a_bk, y.bucket AS b_bk
+          |      FROM b x JOIN b y
+          |        ON x.label = y.label AND x.vec_id < y.vec_id)""".stripMargin
+      s"""WITH ${cosineFrom(p, ", label, a_bk, b_bk")},
+         |g AS (SELECT label, CAST(count(*) AS BIGINT) AS n_exact,
+         |        CAST(sum(CASE WHEN a_bk = b_bk THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+         |        CAST(sum(CASE WHEN bit_count(xor(a_bk, b_bk)) <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_probed
+         |      FROM s WHERE cos >= 0.3 GROUP BY label)
+         |SELECT label, n_exact, n_blocked, n_probed,
+         |  CAST((10000 * n_blocked) // n_exact AS BIGINT) AS recall_bp,
+         |  CAST((10000 * n_probed) // n_exact AS BIGINT) AS probed_recall_bp
+         |FROM g ORDER BY label""".stripMargin
     },
 
     // IVF assignment: nearest of the broadcast centroid slice; mean over
@@ -4840,11 +4932,13 @@ object Oracles {
     // blocked top-5 lists, symmetrized by reciprocal membership)
     "knn_graph" -> {
       val p =
-        """b AS (SELECT vec_id, embedding,
-          |        CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
-          |             (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
-          |             (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
-          |      FROM embeddings),
+        s"""nn AS (SELECT $AdaptiveBitsSql AS bits),
+          |b AS (SELECT vec_id, embedding,
+          |        CAST(list_sum(list_transform(range(nn.bits), i ->
+          |          CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+          |               THEN (1::BIGINT << CAST(nn.bits - 1 - i AS INT))
+          |               ELSE 0 END)) AS INT) AS bucket
+          |      FROM embeddings, nn),
           |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
           |      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)""".stripMargin
       s"""WITH ${cosineFrom(p, "")},
@@ -4862,11 +4956,13 @@ object Oracles {
     // rounds, ties count desc then label asc)
     "label_prop" -> {
       val p =
-        """b AS (SELECT vec_id, embedding,
-          |        CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
-          |             (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
-          |             (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
-          |      FROM embeddings),
+        s"""nn AS (SELECT $AdaptiveBitsSql AS bits),
+          |b AS (SELECT vec_id, embedding,
+          |        CAST(list_sum(list_transform(range(nn.bits), i ->
+          |          CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+          |               THEN (1::BIGINT << CAST(nn.bits - 1 - i AS INT))
+          |               ELSE 0 END)) AS INT) AS bucket
+          |      FROM embeddings, nn),
           |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
           |      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)""".stripMargin
       s"""WITH ${cosineFrom(p, "")},
@@ -6724,11 +6820,13 @@ object Oracles {
     // edge scoring in exact 1/(4m^2) units (no division anywhere).
     "modularity" -> {
       val p =
-        """b AS (SELECT vec_id, embedding,
-          |        CAST((CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END) +
-          |             (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
-          |             (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS INT) AS bucket
-          |      FROM embeddings),
+        s"""nn AS (SELECT $AdaptiveBitsSql AS bits),
+          |b AS (SELECT vec_id, embedding,
+          |        CAST(list_sum(list_transform(range(nn.bits), i ->
+          |          CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+          |               THEN (1::BIGINT << CAST(nn.bits - 1 - i AS INT))
+          |               ELSE 0 END)) AS INT) AS bucket
+          |      FROM embeddings, nn),
           |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
           |      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)""".stripMargin
       s"""WITH ${cosineFrom(p, "")},

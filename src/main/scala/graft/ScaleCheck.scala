@@ -161,7 +161,10 @@ object ScaleCheck {
     // (cluster × count-derived sign-bucket) — tracked so a blocking
     // regression shows up as a ratio blowup, not a stopped run; plus
     // the band advisor (multi-r occupancy from one signature pass)
-    "semdedup", "embedding_neardup", "lsh_band_advisor")
+    "semdedup", "embedding_neardup", "lsh_band_advisor",
+    // round 15: the simhash scale tier (Manku combination keys) and
+    // the recall-buyback probe variant of the adaptive blocking
+    "simhash_wide_neardup", "neardup_multiprobe")
 
   /** A graftpages crawl store as a (doc_id, text) corpus: doc_id is the
     * stable slug hash (xxhash64 — deterministic, collision-irrelevant

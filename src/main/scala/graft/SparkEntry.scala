@@ -124,6 +124,7 @@ object SparkEntry {
     "substring_dedup"   -> (Dedup.substringDedup _),
     "simhash"           -> (Dedup.simhash _),
     "simhash_neardup"   -> (Dedup.simhashNearDup _),
+    "simhash_wide_neardup" -> (Dedup.simhashWideNearDup _),
     "decontaminate"     -> (Dedup.decontaminate _),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     "dedup_components"  -> ((s: SparkSession, d: String) => Dedup.componentsFrame(s, d)),
@@ -132,6 +133,8 @@ object SparkEntry {
     "knn_bucketed"      -> (Similarity.knnBucketed _),
     "knn_multiprobe"    -> (Similarity.knnMultiprobe _),
     "embedding_neardup" -> (Similarity.embeddingNearDup _),
+    "neardup_multiprobe" -> (Similarity.embeddingNearDupMultiprobe _),
+    "neardup_recall"   -> (Similarity.neardupRecall _),
     "label_stats"       -> (Similarity.labelStats _),
     "cluster_assign"    -> (Similarity.clusterAssign _),
     "kmeans_update"     -> (Similarity.kmeansUpdate _),
@@ -391,9 +394,10 @@ object SparkEntry {
     // mutual-kNN graph over embeddings (sign-bucket blocked, top-5)
     "knn_graph" -> (GraphCuration.knnGraph _),
     // semi-supervised label propagation across the mutual-kNN graph
-    // (bits=3 = the verified-oracle blocking config)
+    // (adaptive count-derived blocking since round 15 — the oracle
+    // replays the same bits derivation)
     "label_prop" -> ((s: SparkSession, d: String) =>
-      GraphCuration.labelProp(s, d, bits = 3)),
+      GraphCuration.labelProp(s, d)),
     // 3-core peel of the crawl link graph (recrawl-priority core)
     "kcore" -> (GraphCuration.kcore _),
     // --- round-9 boilerplate wave ---

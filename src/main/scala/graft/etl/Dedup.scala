@@ -882,11 +882,14 @@ object Dedup {
     * join is bucketed (equi-join on (block, value)) — per-bucket
     * quadratic, never all-pairs.
     *
-    * Honest scale note: 4-bit blocks give only 16 buckets per position —
-    * fine for the oracle corpus, quadratic-in-n/16 at 100 TB. Production
-    * runs the same plan on a 64-bit simhash with 4×16-bit blocks (65 536
-    * buckets per position, the Manku/Jain/Sarma web-dedup layout); only
-    * the constants change, the plan is identical.
+    * Honest scale note (tightened round 15): 4-bit blocks give only 16
+    * buckets per position — a FIXED 64-key band domain, so this tier is
+    * corpus-BOUNDED (~10⁶ docs): past that, not just the plan but the
+    * 16-bit SEMANTIC saturates (n²/2¹⁷ same-value pairs are genuine
+    * hamming-0 output). The scale tier is [[simhashWideNearDup]] —
+    * 60-bit signature, Manku combination-key banding with 30-bit keys,
+    * recall-1 pigeonhole for hamming ≤ 3, verified as its own query —
+    * same plan family, a key domain that does not saturate.
     */
   /** Dedup threshold sweep — the dial-setting curve for the near-dup
     * pipeline: for each candidate Jaccard cut, how many verified pairs
@@ -983,6 +986,76 @@ object Dedup {
         when(col("precision_bp") + col("recall_bp") === 0, 0L)
           .otherwise(expr(
             "(2 * precision_bp * recall_bp) div (precision_bp + recall_bp)")))
+  }
+
+  /** 60-bit SimHash signature — the WIDE tier [[simhashWideNearDup]]
+    * bands over (15 md5 hex chars per word hash, the digest width the
+    * gram keys use). Same in-array construction as [[simhashFrom]]'s
+    * 16-bit signature: one md5 per word, 60 bit-sum aggregates, one
+    * scan, no shuffle.
+    */
+  def simhashWideFrom(input: DataFrame): DataFrame = {
+    val hs = transform(Shingles.wordArray(col("text")),
+      w => conv(substring(md5(w), 1, 15), 16, 10).cast("bigint"))
+    val docs = input
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+    val bitSums = (0 until 60).map { b =>
+      aggregate(col("hs"), lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s_$b")
+    }
+    val sums = docs.select(col("doc_id") +: bitSums: _*)
+    val sig = (0 until 60).map { b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash60"))
+  }
+
+  /** SimHash near-dup at SCALE — the Manku et al. 2007 (WWW: "Detecting
+    * Near-Duplicates for Web Crawling") combination-key banding over a
+    * 60-bit signature, the production tier next to [[simhashNearDup]]'s
+    * 16-bit small-corpus form. The 16-bit tier's band domain is a FIXED
+    * 64 buckets (4 blocks × 4 bits) — within-bucket pairs grow
+    * quadratically with the corpus, and past ~10⁶ docs the 16-bit
+    * VALUE space itself saturates (n²/2¹⁷ same-value pairs), so that
+    * tier is corpus-bounded by its semantics, not just its plan.
+    *
+    * Here: 6 blocks × 10 bits; hamming ≤ 3 touches at most 3 blocks,
+    * so at least one of the C(6,3) = 20 combinations of 3 blocks is
+    * CLEAN on both sides (pigeonhole — recall 1, unit-tested against
+    * brute force), and each combination key carries 30 bits: expected
+    * random-collision candidates are 20·n²/2³¹ — at 10⁸ docs ~10⁸
+    * candidate checks spread over 20 high-cardinality join keys, vs
+    * ~10¹⁴ within-bucket pairs for the 16-bit tier. Production widens
+    * further (128-bit signature → 60+-bit combination keys), same
+    * plan. 20 probe rows per doc is the priced recall-1 cost.
+    */
+  def simhashWideNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashWideFrom(Tables.documents(spark, dir))
+    def block(b: Int): Column =
+      shiftright(col("simhash60"), b * 10).bitwiseAND(1023)
+    val combos = (0 until 6).combinations(3).toSeq.zipWithIndex
+    val keys = combos.map { case (bs, id) =>
+      struct(lit(id).as("comb"),
+        ((block(bs(0)) * 1048576L) + (block(bs(1)) * 1024L) + block(bs(2)))
+          .as("ckey"))
+    }
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val banded = Fixpoint.locally(sig
+      .select(col("doc_id"), col("simhash60"), explode(array(keys: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash60"),
+        col("bs.comb").as("comb"), col("bs.ckey").as("ckey")), locals)
+    try Fixpoint.reliably(banded.as("x").join(banded.as("y"),
+        col("x.comb") === col("y.comb") && col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash60").bitwiseXOR(col("y.simhash60")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy("doc_a", "doc_b"))
+    finally Fixpoint.releaseAll(locals)
   }
 
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {

@@ -105,11 +105,16 @@ object GraphCuration {
       .select(col("qid").as("src"), col("cid").as("dst"), col("cos"))
   }
 
-  /** Verified query: bits pinned at 3 so the DuckDB oracle (written for
-    * the 8-cell blocking) is unchanged; library callers get the
-    * adaptive default via [[knnGraphEdges]]. */
+  /** Verified query — since round 15 it runs the ADAPTIVE blocking
+    * ([[AutoBits]] → [[adaptiveBits]] of the corpus count), not the
+    * pinned 3: the integer-exact derivation is pure count arithmetic
+    * the DuckDB oracle replays bit-for-bit (same as embedding_neardup/
+    * semdedup), so the verified plan IS the plan you'd run at 100× —
+    * no more fixed-8-cell quadratic pinned by the oracle. At the
+    * verified SFs (n ≤ 8000) the derivation floors at 3, so results
+    * are unchanged from the pre-r15 config. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame =
-    knnGraphEdges(spark, dir, bits = 3).orderBy("src", "dst")
+    knnGraphEdges(spark, dir, AutoBits).orderBy("src", "dst")
 
   /** Semi-supervised label propagation over the mutual-kNN graph:
     * seeds (vec_id % 4 == 0) keep their true label (clamped); two
@@ -121,9 +126,10 @@ object GraphCuration {
     * cluster labels; production swaps in quality/domain annotations).
     */
   def labelProp(spark: SparkSession, dir: String,
-      bits: Int = 3): DataFrame = {
-    // verified query keeps bits=3 (oracle config); pass AutoBits for
-    // the corpus-scaled blocking
+      bits: Int = AutoBits): DataFrame = {
+    // since round 15 the verified query ALSO runs AutoBits — the count
+    // derivation is oracle-replayable (see knnGraph), so the pinned-3
+    // escape is no longer needed anywhere
     val edges = knnGraphEdges(spark, dir, bits)
     lpRounds(spark, dir, edges)
       .select(col("node").as("vec_id"), col("lp_round"), col("lp_label"))
@@ -190,7 +196,7 @@ object GraphCuration {
     * propagation's per-node vote rank, no division, no cartesian.
     */
   def modularity(spark: SparkSession, dir: String,
-      bits: Int = 3): DataFrame = {
+      bits: Int = AutoBits): DataFrame = {
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val edges = Fixpoint.locally(knnGraphEdges(spark, dir, bits), locals)

@@ -499,11 +499,16 @@ object Similarity {
     * splits every label into sign cells so the per-block quadratic is
     * bounded by cell occupancy, and the shuffle key (label, bucket) has
     * enough cardinality to spread. Recall trade-off: a near-dup pair is
-    * only found if both vectors share all bucketed sign bits — true
-    * near-duplicates almost always do (cos≥0.3 pairs rarely straddle a
-    * sign flip on an informative dim), and the standard recall dial is
-    * multiple bucket projections OR'd together, exactly as in LSH
-    * banding. The oracle applies the identical blocking.
+    * only found if both vectors share all bucketed sign bits — and
+    * since round 15 that trade is MEASURED, not asserted
+    * ([[neardupRecall]]): on the synthetic audit slice, whose exact
+    * pairs all sit in the LOOSE 0.3–0.5 cosine band (the worst case
+    * for sign blocking — a cos≈0.3 pair straddles an early sign flip
+    * often; a true duplicate at cos≥0.9 rarely does), single-projection
+    * recall is ~23 % and the Hamming-1 probe set
+    * ([[embeddingNearDupMultiprobe]]) buys it back to ~70 % at
+    * (bits+1)× probe cost — the standard dial, same as LSH banding.
+    * The oracle applies the identical blocking.
     *
     * Since round 15 the bucket width is ADAPTIVE, not pinned at 3:
     * bits = [[GraphCuration.adaptiveBits]](count) grows the cell count
@@ -529,6 +534,78 @@ object Similarity {
       .filter(col("cos") >= 0.3)
     pairs.select(col("a.label").as("label"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .orderBy("label", "vec_a", "vec_b")
+  }
+
+  /** Blocking-recall audit for [[embeddingNearDup]] — the "measure,
+    * don't guess" companion the round-15 adaptive blocking needs: the
+    * adaptive sign-bucket key trades recall for boundedness (a near-dup
+    * pair straddling a sign cell is missed), and this query MEASURES
+    * the trade on a bounded audit slice (vec_id < 256 — exact truth is
+    * ≤ 256² pairs regardless of corpus size, the [[graft.etl.Dedup]]
+    * neardup_eval discipline). Per label: exact same-label cos ≥ 0.3
+    * pairs, how many the production blocking (bits =
+    * [[GraphCuration.adaptiveBits]] of the FULL corpus count — the
+    * same bits embedding_neardup uses at this corpus) retains, and how
+    * many the [[embeddingNearDupMultiprobe]] Hamming-1 probe set
+    * retains — the recall dial priced next to what it buys.
+    */
+  def neardupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bits = GraphCuration.adaptiveBits(Tables.embeddings(spark, dir).count())
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < 256)
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("embedding").as("ae"), col("nrm").as("an"), col("bucket").as("a_bk"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("embedding").as("be"), col("nrm").as("bn"), col("bucket").as("b_bk"))
+    val exact = a.join(b, col("label") === col("b_label")
+        && col("a_id") < col("b_id"))
+      .withColumn("cos",
+        round(dotF(col("ae"), col("be")) / (col("an") * col("bn")), 4))
+      .filter(col("cos") >= 0.3)
+    exact.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("a_bk") === col("b_bk"), 1L).otherwise(0L))
+          .as("n_blocked"),
+        sum(when(bit_count(col("a_bk").bitwiseXOR(col("b_bk"))) <= 1, 1L)
+          .otherwise(0L)).as("n_probed"))
+      .withColumn("recall_bp", expr("(10000 * n_blocked) div n_exact"))
+      .withColumn("probed_recall_bp", expr("(10000 * n_probed) div n_exact"))
+      .orderBy("label")
+  }
+
+  /** [[embeddingNearDup]] with the recall dial ENGAGED — the standard
+    * multi-probe buyback for sign-bucket blocking: a pair is a
+    * candidate if its adaptive-bits buckets agree exactly OR differ in
+    * one bit (the left side probes its own cell plus the `bits`
+    * Hamming-1 flips). Costs (bits+1)× probe rows on one side for the
+    * recall [[neardupRecall]] prices; plan shape is unchanged — the
+    * probe explode is map-side, the join still keys on
+    * (label, bucket), and within-block pairs stay bounded by cell
+    * occupancy × (bits+1).
+    */
+  def embeddingNearDupMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val bits = GraphCuration.adaptiveBits(Tables.embeddings(spark, dir).count())
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+    val probes = array((col("bucket") +:
+      (0 until bits).map(i => col("bucket").bitwiseXOR(1 << i))): _*)
+    val a = e.withColumn("probe", explode(probes))
+      .select(col("vec_id").as("a_id"), col("label"),
+        col("embedding").as("ae"), col("nrm").as("an"), col("probe"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("embedding").as("be"), col("nrm").as("bn"), col("bucket").as("b_bk"))
+    a.join(b, col("label") === col("b_label")
+        && col("probe") === col("b_bk") && col("a_id") < col("b_id"))
+      .withColumn("cos",
+        round(dotF(col("ae"), col("be")) / (col("an") * col("bn")), 4))
+      .filter(col("cos") >= 0.3)
+      // no distinct needed: the probe list holds bits+1 DISTINCT values
+      // and the b-side bucket is one value, so each (a, b) pair matches
+      // exactly one probe row
+      .select(col("label"), col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+        col("cos"))
       .orderBy("label", "vec_a", "vec_b")
   }
 

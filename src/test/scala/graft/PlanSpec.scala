@@ -1489,6 +1489,46 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"lsh_band_advisor: only 1-row broadcasts are allowed:\n$cp")
   }
 
+  test("round-15 pin: neardup_multiprobe keys its pair join on " +
+       "(label, probe=bucket) — the probe explode is map-side, never " +
+       "a cartesian") {
+    val p = plan("neardup_multiprobe")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      s"neardup_multiprobe grew an unkeyed pair join:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("keys") &&
+        l.contains("label") && l.contains("probe")),
+      s"neardup_multiprobe's join lost the (label, probe) key:\n$p")
+    // the probe list explodes BEFORE the join (map-side Generate)
+    assert(p.contains("Generate"),
+      s"neardup_multiprobe lost the probe explode:\n$p")
+  }
+
+  test("round-15 pin: neardup_recall pushes the bounded audit slice " +
+       "into both scans — exact truth is computed over vec_id<256, " +
+       "never the corpus") {
+    val p = plan("neardup_recall")
+    assert(!p.contains("CartesianProduct"),
+      s"neardup_recall grew a cartesian:\n$p")
+    // the vec_id<256 filter must reach the parquet scans as a pushed
+    // filter, so the audit reads 256 rows per side at any corpus size
+    assert(p.contains("LessThan(vec_id,256)"),
+      s"neardup_recall's audit slice is not pushed to the scan:\n$p")
+  }
+
+  test("round-15 pin: simhash_wide_neardup joins on the 30-bit " +
+       "(comb, ckey) combination key — never a cartesian; the probe " +
+       "explode is map-side") {
+    val cp = executedPlans("simhash_wide_neardup")
+      .mkString("\n=== next executed plan ===\n")
+    assert(!cp.contains("CartesianProduct") &&
+        !cp.contains("BroadcastNestedLoopJoin"),
+      s"simhash_wide_neardup grew an unkeyed pair join:\n$cp")
+    assert(cp.linesIterator.exists(l => l.contains("keys") &&
+        l.contains("comb") && l.contains("ckey")),
+      s"simhash_wide_neardup's join lost the combination key:\n$cp")
+  }
+
   test("round-14 pin: containment_pipeline rides the pair frame with " +
        "keyed joins only — no cartesian, no nested loop") {
     val p = plan("containment_pipeline")
