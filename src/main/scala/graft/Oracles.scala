@@ -1458,6 +1458,124 @@ object Oracles {
          |FROM tot t LEFT JOIN dup u USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
 
+    // global first-occurrence-wins paragraph dedup — mirrors
+    // Dedup.paragraphDedup: 10-word windows (partial tail kept),
+    // earliest (doc_id, p_idx) per 60-bit paragraph digest survives,
+    // survivors reassembled in order
+    "paragraph_dedup" ->
+      s"""WITH $WordsCte,
+         |wi AS (SELECT doc_id, word,
+         |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+         |           AS BIGINT) AS widx
+         |       FROM words),
+         |paras AS (SELECT doc_id, widx // 10 AS p_idx,
+         |            string_agg(word, ' ' ORDER BY widx) AS p_text
+         |          FROM wi GROUP BY doc_id, widx // 10),
+         |pd AS (SELECT doc_id, p_idx, p_text,
+         |         CAST(concat('0x', substr(md5(p_text), 1, 15)) AS BIGINT) AS dg
+         |       FROM paras),
+         |kp AS (SELECT doc_id, p_idx, p_text FROM (
+         |         SELECT doc_id, p_idx, p_text,
+         |           row_number() OVER (PARTITION BY dg ORDER BY doc_id, p_idx) AS rn
+         |         FROM pd) WHERE rn = 1),
+         |tt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+         |       FROM pd GROUP BY doc_id),
+         |rs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(p_text, ' ' ORDER BY p_idx) AS clean_text
+         |       FROM kp GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_paras,
+         |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(t.n_paras - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+         |  coalesce(r.clean_text, '') AS clean_text
+         |FROM tt t LEFT JOIN rs r USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // staged curation survivorship — mirrors CorpusPipeline.curationFunnel:
+    // gopher → lang-id → quality → exact dedup → near-dup canonical over
+    // the shared components closure; cumulative (docs, tokens) per stage
+    "curation_funnel" ->
+      s"""WITH RECURSIVE $ComponentsCtes,
+         |gb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(length(word)) AS BIGINT) AS sum_len,
+         |    CAST(sum(CASE WHEN regexp_matches(word, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+         |    CAST(count(DISTINCT CASE WHEN word IN ('the','a','be','to','of','and','that','with')
+         |                             THEN word END) AS BIGINT) AS stop_hits
+         |  FROM words GROUP BY doc_id),
+         |bg0 AS (SELECT doc_id,
+         |    word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+         |  FROM words),
+         |bg AS (SELECT doc_id, bigram, count(*) AS cnt
+         |  FROM bg0 WHERE bigram IS NOT NULL GROUP BY 1, 2),
+         |tp AS (SELECT doc_id, CAST(cnt * length(bigram) AS BIGINT) AS top2_chars,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cnt DESC, length(bigram) DESC, bigram) AS rn
+         |  FROM bg),
+         |gfl AS (SELECT d.doc_id,
+         |    (coalesce(b.n_words, 0) >= 50 AND coalesce(b.n_words, 0) <= 100000
+         |     AND coalesce(b.n_words, 0) > 0
+         |     AND coalesce(b.sum_len, 0) >= coalesce(b.n_words, 0) * 3
+         |     AND coalesce(b.sum_len, 0) <= coalesce(b.n_words, 0) * 10
+         |     AND coalesce(b.alpha_words, 0) * 10 >= coalesce(b.n_words, 0) * 8
+         |     AND coalesce(b.stop_hits, 0) >= 2
+         |     AND coalesce(t.top2_chars, 0) * 5 <= length(coalesce(d.text, ''))) AS m1
+         |  FROM documents d LEFT JOIN gb b USING (doc_id)
+         |  LEFT JOIN (SELECT doc_id, top2_chars FROM tp WHERE rn = 1) t USING (doc_id)),
+         |lng AS (SELECT doc_id,
+         |    CASE WHEN hits_en > 0 AND hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+         |         WHEN hits_de > 0 AND hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+         |         WHEN hits_es > 0 AND hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+         |         WHEN hits_fr > 0 AND hits_fr = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'fr'
+         |         ELSE 'unknown' END AS predicted
+         |  FROM (SELECT doc_id,
+         |      len(regexp_extract_all(coalesce(text,''), '\\b(the|a|and)\\b')) AS hits_en,
+         |      len(regexp_extract_all(coalesce(text,''), '\\b(der|die|das|und)\\b')) AS hits_de,
+         |      len(regexp_extract_all(coalesce(text,''), '\\b(el|la|los|y)\\b')) AS hits_es,
+         |      len(regexp_extract_all(coalesce(text,''), '\\b(le|la|les|et)\\b')) AS hits_fr
+         |    FROM documents)),
+         |q0 AS (SELECT doc_id,
+         |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+         |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
+         |    CAST(len(regexp_extract_all(coalesce(text,''), '\\b(the|a|and|of|to)\\b')) AS BIGINT) AS sh,
+         |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
+         |  FROM documents),
+         |qx AS (SELECT doc_id,
+         |    CAST(least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
+         |      ELSE (10000 * sh) // tokens END)) // 10) AS BIGINT) AS quality_bp
+         |  FROM q0),
+         |tk AS (SELECT doc_id,
+         |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+         |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS toks,
+         |    md5(coalesce(text,'')) AS h
+         |  FROM documents),
+         |fx AS (SELECT tk.doc_id, tk.toks, tk.h, gfl.m1,
+         |    (gfl.m1 AND lng.predicted <> 'unknown') AS m2,
+         |    (gfl.m1 AND lng.predicted <> 'unknown'
+         |      AND qx.quality_bp >= ${etl.CorpusPipeline.FunnelQualityBp}) AS m3
+         |  FROM tk JOIN gfl USING (doc_id) JOIN lng USING (doc_id) JOIN qx USING (doc_id)),
+         |f4 AS (SELECT fx.*,
+         |    (m3 AND row_number() OVER (PARTITION BY h, m3 ORDER BY doc_id) = 1) AS m4
+         |  FROM fx),
+         |f5p AS (SELECT f4.*, c.component FROM f4 LEFT JOIN comp c USING (doc_id)),
+         |f5 AS (SELECT f5p.*,
+         |    (m4 AND (component IS NULL OR
+         |      row_number() OVER (PARTITION BY coalesce(component, doc_id), m4
+         |        ORDER BY doc_id) = 1)) AS m5
+         |  FROM f5p),
+         |lva AS (SELECT CASE WHEN NOT m1 THEN 0 WHEN NOT m2 THEN 1 WHEN NOT m3 THEN 2
+         |                    WHEN NOT m4 THEN 3 WHEN NOT m5 THEN 4 ELSE 5 END AS lvl,
+         |               toks
+         |  FROM f5),
+         |la AS (SELECT lvl, count(*) AS nd, sum(toks) AS nt FROM lva GROUP BY lvl),
+         |st AS (SELECT CAST(unnest(range(0, 6)) AS BIGINT) AS stage)
+         |SELECT st.stage,
+         |  CASE st.stage WHEN 0 THEN 'raw' WHEN 1 THEN 'gopher' WHEN 2 THEN 'lang_id'
+         |       WHEN 3 THEN 'quality' WHEN 4 THEN 'exact_dedup'
+         |       ELSE 'neardup_canonical' END AS stage_name,
+         |  CAST(coalesce(sum(la.nd), 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(la.nt), 0) AS BIGINT) AS n_tokens
+         |FROM st LEFT JOIN la ON la.lvl >= st.stage
+         |GROUP BY st.stage ORDER BY st.stage""".stripMargin,
+
     "simhash" ->
       s"""WITH $SimhashSigCte
          |SELECT doc_id, simhash16 FROM sigt ORDER BY doc_id""".stripMargin,

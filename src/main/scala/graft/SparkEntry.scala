@@ -122,6 +122,8 @@ object SparkEntry {
     "minhash_fast"      -> (Dedup.minhashFastQuery _),
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
     "substring_dedup"   -> (Dedup.substringDedup _),
+    "paragraph_dedup"   -> (Dedup.paragraphDedup _),
+    "curation_funnel"   -> (CorpusPipeline.curationFunnel _),
     "simhash"           -> (Dedup.simhash _),
     "simhash_neardup"   -> (Dedup.simhashNearDup _),
     "simhash_wide_neardup" -> (Dedup.simhashWideNearDup _),

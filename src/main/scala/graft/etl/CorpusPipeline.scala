@@ -132,4 +132,81 @@ object CorpusPipeline {
     report.write.mode("overwrite").parquet(s"$outDir/report")
     report
   }
+
+  /** Quality-gate threshold for [[curationFunnel]] — cuts near the
+    * corpus median so the funnel's middle stage measurably bites.
+    */
+  val FunnelQualityBp = 6000L
+
+  /** ORACLE-VERIFIED curation funnel — the declarative twin of
+    * [[build]]: where build() materializes each stage and counts it
+    * driver-side (an artifact-writing pipeline), this computes the
+    * whole survivorship curve in ONE plan with no per-stage actions —
+    * the "how much corpus survives each gate" report every training-
+    * data build publishes (reference analog: transform.md's staged
+    * counts; the C4/Gopher/RefinedWeb papers all report exactly this
+    * table).
+    *
+    * Stages (each applied to the previous stage's survivors):
+    *   0 raw → 1 gopher rules → 2 language identified → 3 quality ≥
+    *   [[FunnelQualityBp]] → 4 exact dedup (first doc per distinct
+    *   text wins) → 5 near-dup canonical (min-doc keeper per LSH
+    *   component, via the session-shared closure).
+    *
+    * Plan shape: per-doc stage membership is a boolean chain computed
+    * in one pass over doc-keyed joins of the stage signals; the two
+    * dedup stages are rn=1 windows keyed by (md5(text), m3) and
+    * (coalesce(component, doc_id), m4) — both high-cardinality keys
+    * (the coalesce gives every non-clustered doc its own singleton
+    * partition, so there is NO null-key funnel), and the closure rides
+    * [[Dedup.componentsFrame]]'s session memo like every other
+    * closure consumer. Docs reduce to a ≤6-row level histogram before
+    * the cumulative stage join (6×6 broadcast NLJ) — nothing
+    * corpus-sized crosses a low-cardinality boundary except the final
+    * level agg, whose partial aggregation collapses map-side.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val g = TextAnalysis.gopherRules(spark, dir)
+      .select(col("doc_id"), col("gopher_pass"))
+    val l = TextAnalysis.langId(spark, dir).select(col("doc_id"), col("predicted"))
+    val q = TextAnalysis.qualityFrom(docs).select(col("doc_id"), col("quality_bp"))
+    val base = docs
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("toks"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
+      .join(g, Seq("doc_id")).join(l, Seq("doc_id")).join(q, Seq("doc_id"))
+      .withColumn("m1", col("gopher_pass"))
+      .withColumn("m2", col("m1") && col("predicted") =!= "unknown")
+      .withColumn("m3", col("m2") && col("quality_bp") >= FunnelQualityBp)
+    val w4 = Window.partitionBy(col("h"), col("m3")).orderBy(col("doc_id"))
+    val b4 = base.withColumn("m4", col("m3") && row_number().over(w4) === 1)
+    val comp = Dedup.componentsFrame(spark, dir)
+      .select(col("doc_id"), col("component"))
+    val w5 = Window
+      .partitionBy(coalesce(col("component"), col("doc_id")), col("m4"))
+      .orderBy(col("doc_id"))
+    val b5 = b4.join(comp, Seq("doc_id"), "left")
+      .withColumn("m5",
+        col("m4") && (col("component").isNull || row_number().over(w5) === 1))
+    val lvl = when(!col("m1"), 0L).when(!col("m2"), 1L).when(!col("m3"), 2L)
+      .when(!col("m4"), 3L).when(!col("m5"), 4L).otherwise(5L)
+    val la = b5.select(lvl.as("lvl"), col("toks"))
+      .groupBy(col("lvl"))
+      .agg(count(lit(1)).as("nd"), sum(col("toks")).as("nt"))
+    val stageName = Seq("raw", "gopher", "lang_id", "quality",
+      "exact_dedup", "neardup_canonical")
+      .zipWithIndex.foldLeft(when(lit(false), lit("x"))) {
+        case (acc, (n, i)) => acc.when(col("stage") === i.toLong, n)
+      }.otherwise("?")
+    spark.range(0, 6).select(col("id").cast("bigint").as("stage"))
+      .join(la, col("lvl") >= col("stage"), "left")
+      .groupBy(col("stage"))
+      .agg(coalesce(sum(col("nd")), lit(0L)).cast("bigint").as("n_docs"),
+        coalesce(sum(col("nt")), lit(0L)).cast("bigint").as("n_tokens"))
+      .select(col("stage"), stageName.as("stage_name"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy("stage")
+  }
 }

@@ -515,6 +515,80 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Global FIRST-OCCURRENCE-WINS paragraph dedup with document
+    * reconstruction — the C4/RefinedWeb line-dedup semantic (Raffel et
+    * al. 2020 drop every repeated three-sentence span but KEEP ONE
+    * occurrence; RefinedWeb's line dedup likewise keeps the first copy).
+    * This is deliberately DIFFERENT from [[spanClip]], which removes ALL
+    * copies of a cross-doc span from every document: here the earliest
+    * (doc_id, paragraph_idx) occurrence of each distinct paragraph
+    * survives and only the later repeats drop, so corpus-unique content
+    * is never lost. Reference analog: the extract dedup contract
+    * (commands/extract.md dedup notes) at sub-document granularity.
+    *
+    * The synthetic corpus has no newlines, so "paragraph" = each run of
+    * 10 consecutive words (stride 10, partial tail kept) — production
+    * swaps the segmenter for split('\n\n') with the same downstream
+    * plan. Segmentation is PURE ARRAY expressions (the Shingles rule:
+    * no shuffle, no per-doc window): full windows come from
+    * shingleArray(10) filtered to every 10th position with the
+    * index-lambda form (no outer-array reference — that form re-evals
+    * the outer array per element, O(words²)), the partial tail from one
+    * top-level slice.
+    *
+    * Dedup plan: paragraphs explode once; the winner per 60-bit
+    * paragraph digest is a min(struct(doc_id, p_idx)) agg (partial agg
+    * combines map-side — a hot boilerplate paragraph never funnels its
+    * copies to one reducer the way a rn=1 window would), then a
+    * digest+position-keyed LEFT SEMI join keeps winners and a doc-keyed
+    * agg reassembles survivors in order. Every shuffle is keyed by
+    * digest or doc_id — high cardinality, linear in corpus paragraph
+    * count. The 60-bit digest keys follow [[substringDedupFrom]]'s
+    * width/oracle-parity analysis (same md5-prefix construction in
+    * DuckDB ⇒ identical collisions ⇒ identical counts).
+    */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupFrom(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  def paragraphDedupFrom(docs: DataFrame): DataFrame = {
+    val K = 10
+    val ws = Shingles.wordArray(col("text"))
+    val nw = size(ws)
+    // every K-th overlapping K-gram = the non-overlapping K-word windows
+    val fullParas = filter(Shingles.shingleArray(col("text"), K),
+      (_, i) => i % K === 0)
+    // partial tail (words past the last full window), [] when none
+    val tail0 = when(nw % K > 0,
+      array(array_join(slice(ws, nw - (nw % K) + lit(1), lit(K)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val paras = docs
+      .select(col("doc_id"), posexplode(concat(fullParas, tail0)))
+      .withColumnRenamed("pos", "p_idx").withColumnRenamed("col", "p_text")
+      .withColumn("dg",
+        conv(substring(md5(col("p_text")), 1, 15), 16, 10).cast("bigint"))
+    val winners = paras.groupBy(col("dg"))
+      .agg(min(struct(col("doc_id"), col("p_idx"))).as("w"))
+      .select(col("dg").as("wg"), col("w.doc_id").as("wd"), col("w.p_idx").as("wp"))
+    val kept = paras.as("p").join(winners.as("k"),
+      col("p.dg") === col("k.wg") && col("p.doc_id") === col("k.wd") &&
+        col("p.p_idx") === col("k.wp"),
+      "left_semi")
+    val tot = paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+    val re = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("p_idx"), col("p_text")))),
+        s => s.getField("p_text")), " ").as("clean_text"))
+    tot.join(re, Seq("doc_id"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("n_dropped", col("n_paras") - col("n_kept"))
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"), col("n_dropped"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram Jaccard similarity on a bounded candidate block (doc_id < 64
     * on both sides — fixed-size regardless of SF; production pairing
     * comes from minhashLsh candidates instead).

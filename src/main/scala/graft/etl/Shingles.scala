@@ -45,7 +45,7 @@ object Shingles {
     * linear.
     */
   def shingleArray(c: Column, k: Int): Column = {
-    require(k >= 1 && k <= 8)
+    require(k >= 1 && k <= 12)
     val joined = (1 until k).foldLeft(wordArray(c)) { (cur, j) =>
       val shifted = slice(wordArray(c), lit(j + 1),
         greatest(size(wordArray(c)) - j, lit(0)))

@@ -1130,4 +1130,40 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
     assert(shareSum > 9990 && shareSum <= 10000,
       s"floor shares must sum just under 10000 bp: $shareSum")
   }
+
+  test("paragraphDedup: first occurrence wins globally (later doc AND " +
+       "later position drop), partial tails segment, reassembly keeps " +
+       "order") {
+    val w = (1 to 10).map(i => s"w$i").mkString(" ") // one full paragraph
+    val u = (1 to 10).map(i => s"u$i").mkString(" ")
+    val df = Seq(
+      // doc 1: [w..] [u..] [tail a b c]
+      (1L, s"$w $u a b c"),
+      // doc 2: [w..] again (cross-doc repeat) + its own tail
+      (2L, s"$w x y"),
+      // doc 3: [u..] [u..] — within-doc repeat, first copy survives
+      (3L, s"$u $u"),
+      // doc 4: tail-only doc, unique
+      (4L, "solo words here")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedupFrom(df)
+      .select("doc_id", "n_paras", "n_kept", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 3L, 0L, s"$w $u a b c")),
+      s"doc 1 owns every first occurrence: ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 1L, 1L, "x y")),
+      s"doc 2 must lose the repeated full window, keep its tail: ${got(2L)}")
+    assert(got(3L) == ((3L, 2L, 0L, 2L, "")),
+      s"doc 3 repeats doc 1's window twice — both drop: ${got(3L)}")
+    assert(got(4L) == ((4L, 1L, 1L, 0L, "solo words here")),
+      s"unique tail-only doc passes through: ${got(4L)}")
+    // re-running on the reconstructed survivors drops nothing further
+    // (drop-only semantics; exact idempotence holds when re-segmentation
+    // boundaries realign, as they do here)
+    val again = Dedup.paragraphDedupFrom(
+      Dedup.paragraphDedupFrom(df).filter(length(col("clean_text")) > 0)
+        .select(col("doc_id"), col("clean_text").as("text")))
+      .agg(sum("n_dropped")).as[Long].head()
+    assert(again == 0L, s"paragraph dedup must be idempotent: $again")
+  }
 }

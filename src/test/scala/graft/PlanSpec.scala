@@ -1584,6 +1584,63 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"semdedup's pair join lost the composed (cluster, bucket) key:\n$p")
   }
 
+  test("round-15 pin: paragraph_dedup segments map-side (Generate, no " +
+       "window/shuffle below the digest agg), picks winners through a " +
+       "partial min-struct agg, and keys the survivor join on the " +
+       "(digest, doc, idx) triple — never a cartesian") {
+    val p = plan("paragraph_dedup")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      s"paragraph_dedup grew an unkeyed join:\n$p")
+    // segmentation is pure array expressions exploded by Generate; a
+    // Window here means someone reintroduced the per-doc sort form
+    assert(p.contains("Generate"),
+      s"paragraph_dedup lost the map-side paragraph explode:\n$p")
+    assert(!p.contains("Window"),
+      s"paragraph_dedup grew a window — winner pick must stay a " +
+        s"partial-aggregable min-struct agg:\n$p")
+    // the survivor join keys on the full (dg, doc_id, p_idx) triple —
+    // digest alone would still work but funnels hot boilerplate
+    // paragraphs through low-cardinality build sides (keys print as
+    // separate Left/Right lines in FormattedMode)
+    assert(p.linesIterator.exists(l => l.contains("keys [3]") &&
+        l.contains("dg")),
+      s"paragraph_dedup's survivor join lost the triple key:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("keys [3]") &&
+        l.contains("wd") && l.contains("wp")),
+      s"paragraph_dedup's survivor join lost the winner-side key:\n$p")
+  }
+
+  test("round-15 pin: curation_funnel computes the survivorship curve " +
+       "in one plan — dedup stages are high-cardinality-keyed windows, " +
+       "the only nested loop is the 6-row cumulative stage join, and " +
+       "the closure rides the session memo") {
+    val p = plan("curation_funnel")
+    assert(!p.contains("CartesianProduct"),
+      s"curation_funnel grew a cartesian:\n$p")
+    // exactly one nested loop: range(0,6) × the ≤6-row level histogram
+    val bnlj = p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnlj == 1,
+      s"curation_funnel must have exactly the 6x6 stage join as a " +
+        s"nested loop, found $bnlj:\n$p")
+    // both dedup windows keep their high-cardinality partition keys:
+    // (h, m3) for exact dedup, (coalesce(component, doc_id), m4) for
+    // the canonical pick — a bare `component` key is the null-funnel
+    // regression (every non-clustered doc in ONE window partition)
+    assert(p.contains("windowspecdefinition(h"),
+      s"curation_funnel's exact-dedup window lost its md5 key:\n$p")
+    // the canonical window's partition key is the pre-projected
+    // coalesce(component, doc_id) (prints as _w0 in the spec) — assert
+    // the coalesce projection exists AND an m4-keyed window runs
+    assert(p.contains("coalesce(component"),
+      s"curation_funnel's canonical window lost the null-free " +
+        s"singleton key:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("windowspecdefinition") && l.contains("m4")),
+      s"curation_funnel lost the canonical-pick window:\n$p")
+  }
+
   test("round-13 pin: quantile_digest stages the (lang, source, len) " +
        "frame once — one documents scan; digests build through partial " +
        "native aggs; the exact-histogram window stays lang-partitioned") {
