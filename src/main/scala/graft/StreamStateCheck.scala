@@ -39,9 +39,10 @@ object StreamStateCheck {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: StreamStateCheck <dir> [ttlSeconds]")
+      "usage: StreamStateCheck <dir> [ttlSeconds|components]")
     val dir = args(0)
-    val ttlSecs = args.lift(1).map(_.toInt)
+    val compMode = args.lift(1).contains("components")
+    val ttlSecs = if (compMode) None else args.lift(1).map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
@@ -53,6 +54,47 @@ object StreamStateCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docsPath = s"$dir/documents.parquet"
+
+    // components mode (round 15): replay the banded candidate-pair
+    // stream through the incremental union-find twin and measure what
+    // its state ACTUALLY weighs — the pair-graph-sized claim, plus
+    // exact assignment parity vs the batch closure on the same pairs.
+    // The single group key is the twin's documented design boundary
+    // (all pairs reduce through one task per micro-batch); state_bytes
+    // vs n_graph_docs is the number that says when that boundary is
+    // hit and the batch closure on a compaction cadence takes over.
+    if (compMode) {
+      import graft.etl.Dedup
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-streamcomp").toString
+      Dedup.minhashLsh(spark, dir)
+        .repartition(12).write.mode("overwrite").parquet(s"$ckpt/pairs")
+      val pairsDf = spark.read.parquet(s"$ckpt/pairs")
+      val nPairs = pairsDf.count()
+      val stream = spark.readStream.schema(pairsDf.schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$ckpt/pairs")
+      val q = graft.streaming.StreamingOps.streamingComponents(stream)
+        .writeStream.format("memory").queryName("comp_out")
+        .option("checkpointLocation", s"$ckpt/q")
+        .start()
+      q.processAllAvailable()
+      val so = q.lastProgress.stateOperators.head
+      val (rows, bytes) = (so.numRowsTotal, so.memoryUsedBytes)
+      q.stop()
+      // union-by-min makes roots non-increasing: final assignment =
+      // min emitted component per doc (the twin's consumption contract)
+      val streamed = spark.table("comp_out")
+        .groupBy(col("doc_id")).agg(min(col("component")).as("sc"))
+      val truth = Dedup.dedupComponentsFrom(pairsDf)
+        .select(col("doc_id"), col("component").as("tc"))
+      val mism = streamed.join(truth, Seq("doc_id"), "full")
+        .filter(col("sc").isNull || col("tc").isNull || col("sc") =!= col("tc"))
+        .count()
+      val nDocs = truth.count()
+      println(s"""{"metric":"stream_state","mode":"components","dir":${JsonOut.quote(dir)},"n_pairs":$nPairs,"n_graph_docs":$nDocs,"state_group_keys":$rows,"state_bytes":$bytes,"parity_mismatches":$mism,"parity":${mism == 0}}""")
+      spark.stop()
+      return
+    }
 
     // exact derived profile: occupancy = min(c, cap) per (band, bkey)
     val docs = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))

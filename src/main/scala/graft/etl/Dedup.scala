@@ -536,14 +536,17 @@ object Dedup {
     * the outer array per element, O(words²)), the partial tail from one
     * top-level slice.
     *
-    * Dedup plan: paragraphs explode once; the winner per 60-bit
-    * paragraph digest is a min(struct(doc_id, p_idx)) agg (partial agg
+    * Dedup plan: the winner per 60-bit paragraph digest is ONE
+    * min(struct(doc_id, p_idx, p_text)) agg — (doc_id, p_idx) lead the
+    * struct comparison and are globally unique, so p_text rides along
+    * without ever deciding a tie, and the agg's output IS the survivor
+    * set: no winner join back, no second paragraph subtree for it
+    * (measured 4.2 → 2.4-2.8 s at sf0.1 vs the join form). Partial agg
     * combines map-side — a hot boilerplate paragraph never funnels its
-    * copies to one reducer the way a rn=1 window would), then a
-    * digest+position-keyed LEFT SEMI join keeps winners and a doc-keyed
-    * agg reassembles survivors in order. Every shuffle is keyed by
-    * digest or doc_id — high cardinality, linear in corpus paragraph
-    * count. The 60-bit digest keys follow [[substringDedupFrom]]'s
+    * copies to one reducer the way a rn=1 window would. A doc-keyed agg
+    * reassembles survivors in order. Every shuffle is keyed by digest
+    * or doc_id — high cardinality, linear in corpus paragraph count.
+    * The 60-bit digest keys follow [[substringDedupFrom]]'s
     * width/oracle-parity analysis (same md5-prefix construction in
     * DuckDB ⇒ identical collisions ⇒ identical counts).
     */
@@ -567,13 +570,10 @@ object Dedup {
       .withColumnRenamed("pos", "p_idx").withColumnRenamed("col", "p_text")
       .withColumn("dg",
         conv(substring(md5(col("p_text")), 1, 15), 16, 10).cast("bigint"))
-    val winners = paras.groupBy(col("dg"))
-      .agg(min(struct(col("doc_id"), col("p_idx"))).as("w"))
-      .select(col("dg").as("wg"), col("w.doc_id").as("wd"), col("w.p_idx").as("wp"))
-    val kept = paras.as("p").join(winners.as("k"),
-      col("p.dg") === col("k.wg") && col("p.doc_id") === col("k.wd") &&
-        col("p.p_idx") === col("k.wp"),
-      "left_semi")
+    val kept = paras.groupBy(col("dg"))
+      .agg(min(struct(col("doc_id"), col("p_idx"), col("p_text"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.p_idx").as("p_idx"),
+        col("w.p_text").as("p_text"))
     val tot = paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
     val re = kept.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_kept"),

@@ -272,8 +272,14 @@ object TextAnalysis {
     "es" -> "\\b(el|la|los|y)\\b",
     "fr" -> "\\b(le|la|les|et)\\b")
 
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** Appends `predicted` to `df` from its `text` column — the langId
+    * heuristic as a reusable single-scan enrichment (hit counts
+    * materialize as intermediate columns so codegen evaluates each
+    * marker regex once, then drop). Lets composites ([[langId]],
+    * CorpusPipeline.curationFunnel) ride ONE documents scan instead of
+    * joining the langId query back on doc_id.
+    */
+  def withLangPredicted(df: DataFrame): DataFrame = {
     val hits = LangMarkers.map { case (l, pat) =>
       size(regexp_extract_all(txt(col("text")), lit(pat), lit(0))).as(s"hits_$l")
     }
@@ -283,11 +289,15 @@ object TextAnalysis {
       case (acc, (l, _)) =>
         acc.when(col(s"hits_$l") > 0 && col(s"hits_$l") === maxHits, l)
     }.otherwise("unknown")
-    docs.select(col("doc_id") +: col("lang") +: hits: _*)
+    df.select(col("*") +: hits: _*)
       .withColumn("predicted", best)
+      .drop(LangMarkers.map(m => s"hits_${m._1}"): _*)
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    withLangPredicted(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("predicted"))
       .orderBy("doc_id")
-  }
 
   /** Language-ID evaluation: the confusion matrix of the [[langId]]
     * marker heuristic against the corpus's ground-truth lang label,
