@@ -210,6 +210,65 @@ object Oracles {
       |         word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4 AS gram
       |  FROM sh5 WHERE w4 IS NOT NULL)""".stripMargin
 
+  /** Gopher-rule signal chain (requires the `words` CTE in scope — pair
+    * with [[WordsCte]]), ending in gj(doc_id, text_len, n_words,
+    * sum_len, alpha_words, stop_hits, top2_chars) — shared by
+    * `gopher_rules` and `curation_funnel` so the stop list, bigram
+    * tie-break, and coalesce edges cannot silently diverge between the
+    * standalone query and the funnel's stage (one CTE text, two
+    * surfaces — the [[WordsCte]]/[[ComponentsCtes]] rule).
+    */
+  val GopherCtes: String =
+    """gbase AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(length(word)) AS BIGINT) AS sum_len,
+      |    CAST(sum(CASE WHEN regexp_matches(word, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+      |    CAST(count(DISTINCT CASE WHEN word IN ('the','a','be','to','of','and','that','with')
+      |                             THEN word END) AS BIGINT) AS stop_hits
+      |  FROM words GROUP BY doc_id),
+      |gbg0 AS (SELECT doc_id,
+      |    word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+      |  FROM words),
+      |gbg AS (SELECT doc_id, bigram, count(*) AS cnt
+      |  FROM gbg0 WHERE bigram IS NOT NULL GROUP BY 1, 2),
+      |gtop AS (SELECT doc_id, CAST(cnt * length(bigram) AS BIGINT) AS top2_chars,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY cnt DESC, length(bigram) DESC, bigram) AS rn
+      |  FROM gbg),
+      |gj AS (SELECT d.doc_id, CAST(length(coalesce(d.text, '')) AS INT) AS text_len,
+      |    coalesce(b.n_words, 0) AS n_words, coalesce(b.sum_len, 0) AS sum_len,
+      |    coalesce(b.alpha_words, 0) AS alpha_words, coalesce(b.stop_hits, 0) AS stop_hits,
+      |    coalesce(t.top2_chars, 0) AS top2_chars
+      |  FROM documents d LEFT JOIN gbase b USING (doc_id)
+      |  LEFT JOIN (SELECT doc_id, top2_chars FROM gtop WHERE rn = 1) t USING (doc_id))""".stripMargin
+
+  /** The overall gopher verdict over gj's columns — one expression
+    * text for the standalone flag and the funnel's m1. */
+  val GopherPassExpr: String =
+    """((n_words >= 50 AND n_words <= 100000)
+      |    AND (n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+      |    AND (n_words > 0 AND alpha_words * 10 >= n_words * 8)
+      |    AND (stop_hits >= 2)
+      |    AND (top2_chars * 5 <= text_len))""".stripMargin
+
+  /** Language-ID marker chain ending in lpred(doc_id, lang, predicted)
+    * — shared by `lang_id`, `langid_eval`, and `curation_funnel`
+    * (mirrors TextAnalysis.LangMarkers / withLangPredicted).
+    */
+  val LangPredCtes: String =
+    """lh AS (SELECT doc_id, lang,
+      |    len(regexp_extract_all(coalesce(text,''), '\b(the|a|and)\b')) AS hits_en,
+      |    len(regexp_extract_all(coalesce(text,''), '\b(der|die|das|und)\b')) AS hits_de,
+      |    len(regexp_extract_all(coalesce(text,''), '\b(el|la|los|y)\b')) AS hits_es,
+      |    len(regexp_extract_all(coalesce(text,''), '\b(le|la|les|et)\b')) AS hits_fr
+      |  FROM documents),
+      |lpred AS (SELECT doc_id, lang,
+      |  CASE WHEN hits_en > 0 AND hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+      |       WHEN hits_de > 0 AND hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+      |       WHEN hits_es > 0 AND hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+      |       WHEN hits_fr > 0 AND hits_fr = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'fr'
+      |       ELSE 'unknown' END AS predicted
+      |  FROM lh)""".stripMargin
+
   val Shingle3Cte: String = WordsCte + """,
       |sh0 AS (
       |  SELECT doc_id, pos, word,
@@ -1128,19 +1187,9 @@ object Oracles {
         |ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
-      """WITH h AS (SELECT doc_id, lang,
-        |    len(regexp_extract_all(coalesce(text,''), '\b(the|a|and)\b')) AS hits_en,
-        |    len(regexp_extract_all(coalesce(text,''), '\b(der|die|das|und)\b')) AS hits_de,
-        |    len(regexp_extract_all(coalesce(text,''), '\b(el|la|los|y)\b')) AS hits_es,
-        |    len(regexp_extract_all(coalesce(text,''), '\b(le|la|les|et)\b')) AS hits_fr
-        |  FROM documents)
-        |SELECT doc_id, lang,
-        |  CASE WHEN hits_en > 0 AND hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
-        |       WHEN hits_de > 0 AND hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
-        |       WHEN hits_es > 0 AND hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
-        |       WHEN hits_fr > 0 AND hits_fr = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'fr'
-        |       ELSE 'unknown' END AS predicted
-        |FROM h ORDER BY doc_id""".stripMargin,
+      s"""WITH $LangPredCtes
+         |SELECT doc_id, lang, predicted
+         |FROM lpred ORDER BY doc_id""".stripMargin,
 
     // Poisson bootstrap — mirrors Observability.bootstrapMean (same
     // salted-hash uniform as weighted_sample; Poisson(1) CDF cuts as
@@ -1170,26 +1219,15 @@ object Oracles {
 
     // lang-ID confusion matrix — mirrors TextAnalysis.langidEval
     "langid_eval" ->
-      """WITH h AS (SELECT doc_id, lang,
-        |    len(regexp_extract_all(coalesce(text,''), '\b(the|a|and)\b')) AS hits_en,
-        |    len(regexp_extract_all(coalesce(text,''), '\b(der|die|das|und)\b')) AS hits_de,
-        |    len(regexp_extract_all(coalesce(text,''), '\b(el|la|los|y)\b')) AS hits_es,
-        |    len(regexp_extract_all(coalesce(text,''), '\b(le|la|les|et)\b')) AS hits_fr
-        |  FROM documents),
-        |pr AS (SELECT lang,
-        |  CASE WHEN hits_en > 0 AND hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
-        |       WHEN hits_de > 0 AND hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
-        |       WHEN hits_es > 0 AND hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
-        |       WHEN hits_fr > 0 AND hits_fr = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'fr'
-        |       ELSE 'unknown' END AS predicted
-        |  FROM h),
-        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM pr GROUP BY lang),
-        |g AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
-        |      FROM pr GROUP BY lang, predicted)
-        |SELECT g.lang, predicted, n, n_lang,
-        |  CAST((10000 * n) // n_lang AS BIGINT) AS share_bp
-        |FROM g JOIN tot ON g.lang = tot.lang
-        |ORDER BY g.lang, predicted""".stripMargin,
+      s"""WITH $LangPredCtes,
+         |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+         |        FROM lpred GROUP BY lang),
+         |g AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+         |      FROM lpred GROUP BY lang, predicted)
+         |SELECT g.lang, predicted, n, n_lang,
+         |  CAST((10000 * n) // n_lang AS BIGINT) AS share_bp
+         |FROM g JOIN tot ON g.lang = tot.lang
+         |ORDER BY g.lang, predicted""".stripMargin,
 
     // top-20 PMI collocations — mirrors TextAnalysis.collocations
     "collocations" ->
@@ -1495,43 +1533,9 @@ object Oracles {
     // the shared components closure; cumulative (docs, tokens) per stage
     "curation_funnel" ->
       s"""WITH RECURSIVE $ComponentsCtes,
-         |gb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |    CAST(sum(length(word)) AS BIGINT) AS sum_len,
-         |    CAST(sum(CASE WHEN regexp_matches(word, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
-         |    CAST(count(DISTINCT CASE WHEN word IN ('the','a','be','to','of','and','that','with')
-         |                             THEN word END) AS BIGINT) AS stop_hits
-         |  FROM words GROUP BY doc_id),
-         |bg0 AS (SELECT doc_id,
-         |    word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
-         |  FROM words),
-         |bg AS (SELECT doc_id, bigram, count(*) AS cnt
-         |  FROM bg0 WHERE bigram IS NOT NULL GROUP BY 1, 2),
-         |tp AS (SELECT doc_id, CAST(cnt * length(bigram) AS BIGINT) AS top2_chars,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY cnt DESC, length(bigram) DESC, bigram) AS rn
-         |  FROM bg),
-         |gfl AS (SELECT d.doc_id,
-         |    (coalesce(b.n_words, 0) >= 50 AND coalesce(b.n_words, 0) <= 100000
-         |     AND coalesce(b.n_words, 0) > 0
-         |     AND coalesce(b.sum_len, 0) >= coalesce(b.n_words, 0) * 3
-         |     AND coalesce(b.sum_len, 0) <= coalesce(b.n_words, 0) * 10
-         |     AND coalesce(b.alpha_words, 0) * 10 >= coalesce(b.n_words, 0) * 8
-         |     AND coalesce(b.stop_hits, 0) >= 2
-         |     AND coalesce(t.top2_chars, 0) * 5 <= length(coalesce(d.text, ''))) AS m1
-         |  FROM documents d LEFT JOIN gb b USING (doc_id)
-         |  LEFT JOIN (SELECT doc_id, top2_chars FROM tp WHERE rn = 1) t USING (doc_id)),
-         |lng AS (SELECT doc_id,
-         |    CASE WHEN hits_en > 0 AND hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
-         |         WHEN hits_de > 0 AND hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
-         |         WHEN hits_es > 0 AND hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
-         |         WHEN hits_fr > 0 AND hits_fr = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'fr'
-         |         ELSE 'unknown' END AS predicted
-         |  FROM (SELECT doc_id,
-         |      len(regexp_extract_all(coalesce(text,''), '\\b(the|a|and)\\b')) AS hits_en,
-         |      len(regexp_extract_all(coalesce(text,''), '\\b(der|die|das|und)\\b')) AS hits_de,
-         |      len(regexp_extract_all(coalesce(text,''), '\\b(el|la|los|y)\\b')) AS hits_es,
-         |      len(regexp_extract_all(coalesce(text,''), '\\b(le|la|les|et)\\b')) AS hits_fr
-         |    FROM documents)),
+         |$GopherCtes,
+         |$LangPredCtes,
+         |gfl AS (SELECT doc_id, $GopherPassExpr AS m1 FROM gj),
          |q0 AS (SELECT doc_id,
          |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
          |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
@@ -1548,10 +1552,10 @@ object Oracles {
          |    md5(coalesce(text,'')) AS h
          |  FROM documents),
          |fx AS (SELECT tk.doc_id, tk.toks, tk.h, gfl.m1,
-         |    (gfl.m1 AND lng.predicted <> 'unknown') AS m2,
-         |    (gfl.m1 AND lng.predicted <> 'unknown'
+         |    (gfl.m1 AND lpred.predicted <> 'unknown') AS m2,
+         |    (gfl.m1 AND lpred.predicted <> 'unknown'
          |      AND qx.quality_bp >= ${etl.CorpusPipeline.FunnelQualityBp}) AS m3
-         |  FROM tk JOIN gfl USING (doc_id) JOIN lng USING (doc_id) JOIN qx USING (doc_id)),
+         |  FROM tk JOIN gfl USING (doc_id) JOIN lpred USING (doc_id) JOIN qx USING (doc_id)),
          |f4 AS (SELECT fx.*,
          |    (m3 AND row_number() OVER (PARTITION BY h, m3 ORDER BY doc_id) = 1) AS m4
          |  FROM fx),
@@ -2664,40 +2668,15 @@ object Oracles {
     // broken count desc → length desc → bigram asc in both engines
     "gopher_rules" ->
       s"""WITH $WordsCte,
-         |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |    CAST(sum(length(word)) AS BIGINT) AS sum_len,
-         |    CAST(sum(CASE WHEN regexp_matches(word, '[a-zA-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
-         |    CAST(count(DISTINCT CASE WHEN word IN ('the','a','be','to','of','and','that','with')
-         |                             THEN word END) AS BIGINT) AS stop_hits
-         |  FROM words GROUP BY doc_id),
-         |bg0 AS (SELECT doc_id,
-         |    word || ' ' || lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
-         |  FROM words),
-         |bg AS (SELECT doc_id, bigram, count(*) AS cnt
-         |  FROM bg0 WHERE bigram IS NOT NULL GROUP BY 1, 2),
-         |top AS (SELECT doc_id, CAST(cnt * length(bigram) AS BIGINT) AS top2_chars,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY cnt DESC, length(bigram) DESC, bigram) AS rn
-         |  FROM bg),
-         |d AS (SELECT doc_id, CAST(length(coalesce(text, '')) AS INT) AS text_len FROM documents),
-         |j AS (SELECT d.doc_id, d.text_len,
-         |    coalesce(n_words, 0) AS n_words, coalesce(sum_len, 0) AS sum_len,
-         |    coalesce(alpha_words, 0) AS alpha_words, coalesce(stop_hits, 0) AS stop_hits,
-         |    coalesce(t.top2_chars, 0) AS top2_chars
-         |  FROM d LEFT JOIN base USING (doc_id)
-         |  LEFT JOIN (SELECT doc_id, top2_chars FROM top WHERE rn = 1) t USING (doc_id))
+         |$GopherCtes
          |SELECT doc_id, text_len, n_words, sum_len, alpha_words, stop_hits, top2_chars,
          |  (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
          |  (n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10) AS r_meanlen,
          |  (n_words > 0 AND alpha_words * 10 >= n_words * 8) AS r_alpha,
          |  (stop_hits >= 2) AS r_stop,
          |  (top2_chars * 5 <= text_len) AS r_repeat,
-         |  ((n_words >= 50 AND n_words <= 100000)
-         |    AND (n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10)
-         |    AND (n_words > 0 AND alpha_words * 10 >= n_words * 8)
-         |    AND (stop_hits >= 2)
-         |    AND (top2_chars * 5 <= text_len)) AS gopher_pass
-         |FROM j ORDER BY doc_id""".stripMargin,
+         |  $GopherPassExpr AS gopher_pass
+         |FROM gj ORDER BY doc_id""".stripMargin,
 
     "length_histogram" ->
       """SELECT lang, CAST(floor(n_chars / 100.0) AS INT) AS bin,

@@ -42,6 +42,10 @@ object StreamStateCheck {
       "usage: StreamStateCheck <dir> [ttlSeconds|components]")
     val dir = args(0)
     val compMode = args.lift(1).contains("components")
+    // fail fast on a typo'd mode BEFORE paying session startup — the
+    // string mode overloads the numeric ttl slot
+    require(compMode || args.lift(1).forall(_.forall(_.isDigit)),
+      s"usage: StreamStateCheck <dir> [ttlSeconds|components] — got '${args(1)}'")
     val ttlSecs = if (compMode) None else args.lift(1).map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -574,7 +574,20 @@ object Dedup {
       .agg(min(struct(col("doc_id"), col("p_idx"), col("p_text"))).as("w"))
       .select(col("w.doc_id").as("doc_id"), col("w.p_idx").as("p_idx"),
         col("w.p_text").as("p_text"))
-    val tot = paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+    // per-doc paragraph count = ceil(words/K) — one word count per row,
+    // no second segmentation pass, no corpus shuffle. Measured both
+    // ways twice (r15): the paras.groupBy form re-segmented the corpus
+    // AND shuffled every paragraph row (sf0.1 2.4 s total); a
+    // size(fullParas)+size(tail0) projection looked map-side but
+    // re-built every overlapping 10-gram string just to take lengths —
+    // HOFs are interpreted, no subexpression sharing — and LOST
+    // (sf0.1 7.2 s, 100× 27.4 s vs 15.6). The arithmetic form keeps
+    // the win without touching the arrays. Wordless docs stay
+    // excluded, matching the oracle's tot CTE.
+    val tot = docs
+      .select(col("doc_id"),
+        floor((nw + lit(K - 1)).cast("double") / K).cast("bigint").as("n_paras"))
+      .filter(col("n_paras") > 0)
     val re = kept.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_kept"),
       array_join(transform(
