@@ -250,6 +250,25 @@ object Oracles {
       |    AND (stop_hits >= 2)
       |    AND (top2_chars * 5 <= text_len))""".stripMargin
 
+  /** k-word paragraph rows (requires the `words` CTE in scope — pair
+    * with [[WordsCte]]), ending in pd<sfx>(doc_id, p_idx, p_text, dg):
+    * consecutive word index → width-k windows (partial tail kept) →
+    * 60-bit paragraph digest. One text for the whole paragraph family
+    * (paragraph_dedup / paragraph_sweep / paragraph_attribution) —
+    * mirrors Dedup.paragraphFrame.
+    */
+  private def ParaCtes(k: Int, sfx: String): String =
+    s"""wi$sfx AS (SELECT doc_id, word,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+       |           AS BIGINT) AS widx
+       |       FROM words),
+       |paras$sfx AS (SELECT doc_id, widx // $k AS p_idx,
+       |            string_agg(word, ' ' ORDER BY widx) AS p_text
+       |          FROM wi$sfx GROUP BY doc_id, widx // $k),
+       |pd$sfx AS (SELECT doc_id, p_idx, p_text,
+       |         CAST(concat('0x', substr(md5(p_text), 1, 15)) AS BIGINT) AS dg
+       |       FROM paras$sfx)""".stripMargin
+
   /** Language-ID marker chain ending in lpred(doc_id, lang, predicted)
     * — shared by `lang_id`, `langid_eval`, and `curation_funnel`
     * (mirrors TextAnalysis.LangMarkers / withLangPredicted).
@@ -1502,16 +1521,7 @@ object Oracles {
     // survivors reassembled in order
     "paragraph_dedup" ->
       s"""WITH $WordsCte,
-         |wi AS (SELECT doc_id, word,
-         |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
-         |           AS BIGINT) AS widx
-         |       FROM words),
-         |paras AS (SELECT doc_id, widx // 10 AS p_idx,
-         |            string_agg(word, ' ' ORDER BY widx) AS p_text
-         |          FROM wi GROUP BY doc_id, widx // 10),
-         |pd AS (SELECT doc_id, p_idx, p_text,
-         |         CAST(concat('0x', substr(md5(p_text), 1, 15)) AS BIGINT) AS dg
-         |       FROM paras),
+         |${ParaCtes(10, "")},
          |kp AS (SELECT doc_id, p_idx, p_text FROM (
          |         SELECT doc_id, p_idx, p_text,
          |           row_number() OVER (PARTITION BY dg ORDER BY doc_id, p_idx) AS rn
@@ -1527,6 +1537,41 @@ object Oracles {
          |  coalesce(r.clean_text, '') AS clean_text
          |FROM tt t LEFT JOIN rs r USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+
+    // paragraph-width calibration — mirrors Dedup.paragraphSweep:
+    // per candidate width, instances vs distinct digests vs drop share
+    "paragraph_sweep" ->
+      s"""WITH $WordsCte,
+         |${Seq(5, 10, 20).map(k => ParaCtes(k, k.toString)).mkString(",\n")}
+         |SELECT * FROM (
+         |${Seq(5, 10, 20).map(k =>
+           s"""SELECT CAST($k AS BIGINT) AS k,
+              |  CAST(count(*) AS BIGINT) AS n_paras,
+              |  CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct,
+              |  CAST(count(*) - count(DISTINCT dg) AS BIGINT) AS n_dropped,
+              |  CAST((10000 * (count(*) - count(DISTINCT dg))) // count(*) AS BIGINT) AS drop_bp
+              |FROM pd$k""".stripMargin).mkString("\nUNION ALL\n")}
+         |) ORDER BY k""".stripMargin,
+
+    // directed paragraph-syndication matrix — mirrors
+    // Dedup.paragraphAttribution: each dropped copy attributed to its
+    // (winner_source, loser_source) edge
+    "paragraph_attribution" ->
+      s"""WITH $WordsCte,
+         |${ParaCtes(10, "")},
+         |w AS (SELECT dg, doc_id AS wd, p_idx AS wp FROM (
+         |        SELECT dg, doc_id, p_idx,
+         |          row_number() OVER (PARTITION BY dg ORDER BY doc_id, p_idx) AS rn
+         |        FROM pd) WHERE rn = 1),
+         |lost AS (SELECT w.wd AS win_doc, p.doc_id AS lose_doc
+         |         FROM pd p JOIN w ON p.dg = w.dg
+         |         WHERE NOT (p.doc_id = w.wd AND p.p_idx = w.wp))
+         |SELECT sw.source AS src_win, sl.source AS src_lose,
+         |  CAST(count(*) AS BIGINT) AS n_paras
+         |FROM lost JOIN documents sw ON lost.win_doc = sw.doc_id
+         |          JOIN documents sl ON lost.lose_doc = sl.doc_id
+         |GROUP BY sw.source, sl.source
+         |ORDER BY src_win, src_lose""".stripMargin,
 
     // staged curation survivorship — mirrors CorpusPipeline.curationFunnel:
     // gopher → lang-id → quality → exact dedup → near-dup canonical over

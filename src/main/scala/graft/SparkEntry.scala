@@ -123,6 +123,8 @@ object SparkEntry {
     "ngram_jaccard"     -> (Dedup.ngramJaccard _),
     "substring_dedup"   -> (Dedup.substringDedup _),
     "paragraph_dedup"   -> (Dedup.paragraphDedup _),
+    "paragraph_sweep"   -> ((s: SparkSession, d: String) => Dedup.paragraphSweep(s, d)),
+    "paragraph_attribution" -> (Dedup.paragraphAttribution _),
     "curation_funnel"   -> (CorpusPipeline.curationFunnel _),
     "simhash"           -> (Dedup.simhash _),
     "simhash_neardup"   -> (Dedup.simhashNearDup _),

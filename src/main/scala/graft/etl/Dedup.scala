@@ -554,22 +554,38 @@ object Dedup {
     paragraphDedupFrom(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
-  def paragraphDedupFrom(docs: DataFrame): DataFrame = {
-    val K = 10
+  /** Default paragraph width for the paragraph family (words per
+    * synthetic paragraph; see [[paragraphDedup]]'s segmenter note).
+    */
+  val ParagraphWords = 10
+
+  /** (doc_id, p_idx, p_text, dg) — the k-word paragraph rows of `docs`
+    * with their 60-bit digests; the shared segmentation of the
+    * paragraph family ([[paragraphDedupFrom]], [[paragraphSweep]],
+    * [[paragraphAttribution]]). Pure array expressions + one Generate —
+    * no shuffle (see the plan notes on [[paragraphDedup]]).
+    */
+  private[etl] def paragraphFrame(docs: DataFrame, k: Int): DataFrame = {
     val ws = Shingles.wordArray(col("text"))
     val nw = size(ws)
-    // every K-th overlapping K-gram = the non-overlapping K-word windows
-    val fullParas = filter(Shingles.shingleArray(col("text"), K),
-      (_, i) => i % K === 0)
+    // every k-th overlapping k-gram = the non-overlapping k-word windows
+    val fullParas = filter(Shingles.shingleArray(col("text"), k),
+      (_, i) => i % k === 0)
     // partial tail (words past the last full window), [] when none
-    val tail0 = when(nw % K > 0,
-      array(array_join(slice(ws, nw - (nw % K) + lit(1), lit(K)), " ")))
+    val tail0 = when(nw % k > 0,
+      array(array_join(slice(ws, nw - (nw % k) + lit(1), lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
-    val paras = docs
+    docs
       .select(col("doc_id"), posexplode(concat(fullParas, tail0)))
       .withColumnRenamed("pos", "p_idx").withColumnRenamed("col", "p_text")
       .withColumn("dg",
         conv(substring(md5(col("p_text")), 1, 15), 16, 10).cast("bigint"))
+  }
+
+  def paragraphDedupFrom(docs: DataFrame): DataFrame = {
+    val K = ParagraphWords
+    val nw = size(Shingles.wordArray(col("text")))
+    val paras = paragraphFrame(docs, K)
     val kept = paras.groupBy(col("dg"))
       .agg(min(struct(col("doc_id"), col("p_idx"), col("p_text"))).as("w"))
       .select(col("w.doc_id").as("doc_id"), col("w.p_idx").as("p_idx"),
@@ -600,6 +616,63 @@ object Dedup {
       .select(col("doc_id"), col("n_paras"), col("n_kept"), col("n_dropped"),
         col("clean_text"))
       .orderBy("doc_id")
+  }
+
+  /** Paragraph-width calibration sweep — the knob-freezing companion to
+    * [[paragraphDedup]] (dedup_sweep's twin on the segmentation axis):
+    * for each candidate width k, total paragraph instances, distinct
+    * paragraphs, and the dropped share in basis points. Narrow windows
+    * over-merge (more drops, more false merges of unrelated prose);
+    * wide windows under-match — a pipeline runs this once per corpus
+    * and freezes the k where yield stabilizes. One linear
+    * explode + count/countDistinct agg per k (no pairs, no joins),
+    * unioned into a bounded |k|-row report.
+    */
+  def paragraphSweep(spark: SparkSession, dir: String,
+      widths: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    widths.map { k =>
+      paragraphFrame(docs, k)
+        .agg(count(lit(1)).as("n_paras"),
+          countDistinct(col("dg")).as("n_distinct"))
+        .select(lit(k.toLong).as("k"), col("n_paras"), col("n_distinct"),
+          (col("n_paras") - col("n_distinct")).as("n_dropped"),
+          expr("(10000 * (n_paras - n_distinct)) div n_paras").as("drop_bp"))
+    }.reduce(_.unionByName(_)).orderBy("k")
+  }
+
+  /** Directed paragraph-syndication matrix — WHO loses paragraphs TO
+    * WHOM under [[paragraphDedup]]'s first-occurrence-wins rule: every
+    * dropped paragraph copy is attributed to the (winner_source,
+    * loser_source) edge, the provenance signal that distinguishes a
+    * boilerplate-emitting hub from the feeds that mirror it
+    * ([[sourceOverlap]]'s undirected doc-level matrix, made DIRECTED
+    * and sub-document). Within-source edges (src_win = src_lose)
+    * measure self-repetition.
+    *
+    * Scale: each loser row maps to exactly ONE winner via its digest —
+    * the join-back is digest-keyed with a unique build side, linear in
+    * dropped copies, never a pair explosion; source lookups are
+    * doc-keyed; the output is bounded by |sources|².
+    */
+  def paragraphAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables.documents(spark, dir)
+    val paras = paragraphFrame(d0.select(col("doc_id"), col("text")),
+      ParagraphWords)
+    val winners = paras.groupBy(col("dg"))
+      .agg(min(struct(col("doc_id"), col("p_idx"))).as("w"))
+      .select(col("dg").as("wg"), col("w.doc_id").as("wd"),
+        col("w.p_idx").as("wp"))
+    val lost = paras.as("p").join(winners.as("k"), col("p.dg") === col("k.wg"))
+      .filter(!(col("p.doc_id") === col("k.wd") && col("p.p_idx") === col("k.wp")))
+      .select(col("k.wd").as("win_doc"), col("p.doc_id").as("lose_doc"))
+    val srcs = d0.select(col("doc_id"), col("source"))
+    lost
+      .join(srcs.as("sw"), col("win_doc") === col("sw.doc_id"))
+      .join(srcs.as("sl"), col("lose_doc") === col("sl.doc_id"))
+      .groupBy(col("sw.source").as("src_win"), col("sl.source").as("src_lose"))
+      .agg(count(lit(1)).as("n_paras"))
+      .orderBy("src_win", "src_lose")
   }
 
   /** n-gram Jaccard similarity on a bounded candidate block (doc_id < 64

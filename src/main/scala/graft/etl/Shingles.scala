@@ -45,7 +45,10 @@ object Shingles {
     * linear.
     */
   def shingleArray(c: Column, k: Int): Column = {
-    require(k >= 1 && k <= 12)
+    // k-1 chained zip_withs: linear work per word, but expression-tree
+    // depth grows with k — capped where the paragraph family's widest
+    // sweep width (20) still fits
+    require(k >= 1 && k <= 24)
     val joined = (1 until k).foldLeft(wordArray(c)) { (cur, j) =>
       val shifted = slice(wordArray(c), lit(j + 1),
         greatest(size(wordArray(c)) - j, lit(0)))

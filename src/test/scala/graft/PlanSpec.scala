@@ -1638,6 +1638,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"curation_funnel lost the canonical-pick window:\n$p")
   }
 
+  test("round-15 pin: paragraph_sweep is pure explode+agg per width — " +
+       "no joins, no windows, one Generate per candidate k") {
+    val p = plan("paragraph_sweep")
+    assert(!p.contains("Join"),
+      s"paragraph_sweep grew a join — the sweep is count/countDistinct " +
+        s"aggregates only:\n$p")
+    assert(!p.contains("Window"),
+      s"paragraph_sweep grew a window:\n$p")
+    val gens = p.linesIterator.count(_.matches("""\(\d+\) Generate.*"""))
+    assert(gens == 3,
+      s"paragraph_sweep must segment once per width (3), found $gens:\n$p")
+  }
+
+  test("round-15 pin: paragraph_attribution's loser→winner join is " +
+       "digest-keyed with a unique build side — no cartesian, no " +
+       "window, source lookups doc-keyed") {
+    val p = plan("paragraph_attribution")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      s"paragraph_attribution grew an unkeyed join:\n$p")
+    assert(!p.contains("Window"),
+      s"paragraph_attribution grew a window — winner pick must stay " +
+        s"the partial min-struct agg:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("keys") &&
+        (l.contains("dg") || l.contains("wg"))),
+      s"paragraph_attribution lost the digest join key:\n$p")
+  }
+
   test("round-13 pin: quantile_digest stages the (lang, source, len) " +
        "frame once — one documents scan; digests build through partial " +
        "native aggs; the exact-histogram window stays lang-partitioned") {
