@@ -629,8 +629,11 @@ object Dedup {
     * unioned into a bounded |k|-row report.
     */
   def paragraphSweep(spark: SparkSession, dir: String,
-      widths: Seq[Int] = Seq(5, 10, 20)): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      widths: Seq[Int] = Seq(5, 10, 20)): DataFrame =
+    paragraphSweepFrom(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), widths)
+
+  def paragraphSweepFrom(docs: DataFrame, widths: Seq[Int]): DataFrame = {
     widths.map { k =>
       paragraphFrame(docs, k)
         .agg(count(lit(1)).as("n_paras"),
@@ -655,8 +658,11 @@ object Dedup {
     * dropped copies, never a pair explosion; source lookups are
     * doc-keyed; the output is bounded by |sources|².
     */
-  def paragraphAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val d0 = Tables.documents(spark, dir)
+  def paragraphAttribution(spark: SparkSession, dir: String): DataFrame =
+    paragraphAttributionFrom(Tables.documents(spark, dir))
+
+  /** `d0` needs (doc_id, text, source). */
+  def paragraphAttributionFrom(d0: DataFrame): DataFrame = {
     val paras = paragraphFrame(d0.select(col("doc_id"), col("text")),
       ParagraphWords)
     val winners = paras.groupBy(col("dg"))

@@ -1166,4 +1166,27 @@ class OpUnitSpec extends AnyFunSuite with SparkTestBase {
       .agg(sum("n_dropped")).as[Long].head()
     assert(again == 0L, s"paragraph dedup must be idempotent: $again")
   }
+
+  test("paragraphSweep: per-width instance/distinct counts on a hand " +
+       "fixture; paragraphAttribution: dropped copies credited to the " +
+       "(winner_source, loser_source) edge") {
+    val w = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, w, "A"),              // owns w (earliest doc)
+      (2L, s"$w $w", "B"),       // repeats w twice -> 2 copies lost to A
+      (3L, w, "A"))              // repeats w once -> within-A edge
+      .toDF("doc_id", "text", "source")
+    // k=5: w splits into 2 distinct half-windows, 4 total copies each;
+    // k=10: one distinct window, 4 copies
+    val sweep = Dedup.paragraphSweepFrom(
+      df.select(col("doc_id"), col("text")), Seq(5, 10))
+      .select("k", "n_paras", "n_distinct", "n_dropped")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(sweep == Set((5L, 8L, 2L, 6L), (10L, 4L, 1L, 3L)),
+      s"sweep counts: $sweep")
+    val attr = Dedup.paragraphAttributionFrom(df)
+      .as[(String, String, Long)].collect().toSet
+    assert(attr == Set(("A", "B", 2L), ("A", "A", 1L)),
+      s"attribution edges: $attr")
+  }
 }
