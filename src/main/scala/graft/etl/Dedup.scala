@@ -565,7 +565,7 @@ object Dedup {
     * [[paragraphAttribution]]). Pure array expressions + one Generate —
     * no shuffle (see the plan notes on [[paragraphDedup]]).
     */
-  private[etl] def paragraphFrame(docs: DataFrame, k: Int): DataFrame = {
+  private[graft] def paragraphFrame(docs: DataFrame, k: Int): DataFrame = {
     val ws = Shingles.wordArray(col("text"))
     val nw = size(ws)
     // every k-th overlapping k-gram = the non-overlapping k-word windows

@@ -471,6 +471,47 @@ object StreamingOps {
         })
   }
 
+  /** Streaming FIRST-OCCURRENCE paragraph registry — the streaming
+    * twin of [[graft.etl.Dedup.paragraphDedup]]'s winner rule. Input:
+    * a streaming documents frame (doc_id, text); paragraphs segment
+    * map-side via the batch family's shared
+    * [[graft.etl.Dedup.paragraphFrame]], then a digest-keyed
+    * flatMapGroupsWithState keeps the smallest (doc_id, p_idx) seen
+    * and emits the winner whenever it IMPROVES. Because min is
+    * order-free, the registry CONVERGES to the batch winner set
+    * exactly, regardless of arrival order or batching — a consumer
+    * takes the last (equivalently min) emission per digest
+    * (StreamingSpec proves exact parity on an out-of-order replay).
+    *
+    * State: one (doc_id, p_idx) pair per DISTINCT paragraph — the
+    * registry is corpus-scale like [[visitedFirstSeen]]'s url set, so
+    * the NoTimeout form is for bounded replays/backfills; a production
+    * ingest bounds it the same ways (TTL horizon, or periodic
+    * compaction against the batch winner table). Emission count per
+    * digest is bounded by the number of micro-batches (the winner can
+    * only improve once per batch).
+    */
+  def streamingParagraphWinners(docs: DataFrame): Dataset[ParaWin] = {
+    import docs.sparkSession.implicits._
+    graft.etl.Dedup.paragraphFrame(docs, graft.etl.Dedup.ParagraphWords)
+      .select(col("dg"), col("doc_id"), col("p_idx"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (dg: Long, rows: Iterator[(Long, Long, Int)],
+            state: GroupState[(Long, Int)]) => {
+          val incoming = rows.map(r => (r._2, r._3))
+            .reduceOption(Ordering[(Long, Int)].min(_, _))
+          val prior = state.getOption
+          (incoming, prior) match {
+            case (Some(in), p) if p.forall(Ordering[(Long, Int)].lt(in, _)) =>
+              state.update(in)
+              Iterator(ParaWin(dg, in._1, in._2))
+            case _ => Iterator.empty
+          }
+        })
+  }
+
   /** Map-side banding shared by both streaming near-dup forms: fast
     * signatures + the full signature array + one row per band struct —
     * the band layout is [[graft.etl.Dedup.bandStructs]], THE single
@@ -671,6 +712,9 @@ case class NearDupHit(new_doc: Long, match_doc: Long, est_bp: Long)
   * assignment is the min over its emitted rows.
   */
 case class CompAssign(doc_id: Long, component: Long)
+
+/** Current first-occurrence winner of paragraph digest `dg`. */
+case class ParaWin(dg: Long, doc_id: Long, p_idx: Int)
 
 /** One shard's live q-digest ([id, count, …] pairs, ids ascending). */
 case class QdigestShard(shard: Int, digest: Seq[Long])

@@ -298,6 +298,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming paragraph registry converges to the batch " +
+      "first-occurrence winners on an OUT-OF-ORDER replay (round 15)") {
+    implicit val sqlCtx = spark.sqlContext
+    val batchDocs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // batch truth: min (doc_id, p_idx) per paragraph digest — the rule
+    // paragraphDedup's kept set is built from
+    val truth = graft.etl.Dedup
+      .paragraphFrame(batchDocs, graft.etl.Dedup.ParagraphWords)
+      .groupBy(col("dg"))
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.struct(
+          col("doc_id"), col("p_idx"))).as("w"))
+      .select(col("dg"), col("w.doc_id"), col("w.p_idx"))
+      .as[(Long, Long, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(truth.nonEmpty, "vacuous parity: no paragraphs")
+    // replay in REVERSE doc order — every batch can improve winners
+    // built by the previous one, the worst case for an order-dependent
+    // bug (min is order-free, so convergence must still be exact)
+    val replay = batchDocs.as[(Long, String)].collect().sortBy(-_._1)
+    val nBatches = 3
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingParagraphWinners(
+        src.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("parawin_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      replay.grouped((replay.length + nBatches - 1) / nBatches).foreach { c =>
+        src.addData(c.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val emitted = spark.table("parawin_t")
+        .as[(Long, Long, Int)].collect()
+      val finalWin = emitted.groupBy(_._1).view
+        .mapValues(v => v.map(e => (e._2, e._3)).min).toMap
+      assert(finalWin == truth,
+        s"stream-only=${(finalWin.toSet -- truth.toSet).take(5)} " +
+          s"batch-only=${(truth.toSet -- finalWin.toSet).take(5)}")
+      // emission bound: the winner improves at most once per micro-batch
+      val worst = emitted.groupBy(_._1).values.map(_.length).max
+      assert(worst <= nBatches,
+        s"digest emitted $worst times — exceeds the batch count")
+    } finally q.stop()
+  }
+
   test("streaming IVM rollup equals the batch recompute of all deltas") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.RollupDelta
