@@ -241,14 +241,20 @@ object Oracles {
       |  FROM documents d LEFT JOIN gbase b USING (doc_id)
       |  LEFT JOIN (SELECT doc_id, top2_chars FROM gtop WHERE rn = 1) t USING (doc_id))""".stripMargin
 
-  /** The overall gopher verdict over gj's columns — one expression
-    * text for the standalone flag and the funnel's m1. */
+  /** The five gopher rules over gj's columns, in the canonical
+    * (wordcount, meanlen, alpha, stop, repeat) order — one expression
+    * text each for the standalone flags, the funnel's m1, and
+    * rule_attribution's per-rule rollup. */
+  val GopherRuleExprs: Seq[(String, String)] = Seq(
+    "wordcount" -> "(n_words >= 50 AND n_words <= 100000)",
+    "meanlen" -> "(n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10)",
+    "alpha" -> "(n_words > 0 AND alpha_words * 10 >= n_words * 8)",
+    "stop" -> "(stop_hits >= 2)",
+    "repeat" -> "(top2_chars * 5 <= text_len)")
+
+  /** The overall gopher verdict — the conjunction of the five rules. */
   val GopherPassExpr: String =
-    """((n_words >= 50 AND n_words <= 100000)
-      |    AND (n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10)
-      |    AND (n_words > 0 AND alpha_words * 10 >= n_words * 8)
-      |    AND (stop_hits >= 2)
-      |    AND (top2_chars * 5 <= text_len))""".stripMargin
+    GopherRuleExprs.map(_._2).mkString("(", "\n    AND ", ")")
 
   /** k-word paragraph rows (requires the `words` CTE in scope — pair
     * with [[WordsCte]]), ending in pd<sfx>(doc_id, p_idx, p_text, dg):
@@ -1441,6 +1447,28 @@ object Oracles {
          |FROM documents d LEFT JOIN cf ON d.doc_id = cf.doc_id
          |WHERE cf.doc_id IS NULL
          |ORDER BY doc_id""".stripMargin,
+
+    // does dedup remove good or bad content — mirrors
+    // Dedup.dupQualityProfile: quality/token mass of clustered vs
+    // singleton docs over the shared closure
+    "dup_quality_profile" ->
+      s"""WITH RECURSIVE $ComponentsCtes,
+         |q0 AS (SELECT doc_id,
+         |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+         |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
+         |    CAST(len(regexp_extract_all(coalesce(text,''), '\\b(the|a|and|of|to)\\b')) AS BIGINT) AS sh,
+         |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
+         |  FROM documents),
+         |qx AS (SELECT doc_id, tokens,
+         |    CAST(least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
+         |      ELSE (10000 * sh) // tokens END)) // 10) AS BIGINT) AS quality_bp
+         |  FROM q0)
+         |SELECT (c.doc_id IS NOT NULL) AS was_clustered,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(quality_bp) // count(*) AS BIGINT) AS avg_quality_bp
+         |FROM qx LEFT JOIN comp c ON qx.doc_id = c.doc_id
+         |GROUP BY 1 ORDER BY was_clustered""".stripMargin,
 
     // asymmetric batch × corpus banding — mirrors Dedup.dedupIncremental
     "dedup_incremental" ->
@@ -2715,13 +2743,31 @@ object Oracles {
       s"""WITH $WordsCte,
          |$GopherCtes
          |SELECT doc_id, text_len, n_words, sum_len, alpha_words, stop_hits, top2_chars,
-         |  (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
-         |  (n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10) AS r_meanlen,
-         |  (n_words > 0 AND alpha_words * 10 >= n_words * 8) AS r_alpha,
-         |  (stop_hits >= 2) AS r_stop,
-         |  (top2_chars * 5 <= text_len) AS r_repeat,
+         |  ${GopherRuleExprs.map { case (n, e) => s"$e AS r_$n" }.mkString(",\n  ")},
          |  $GopherPassExpr AS gopher_pass
          |FROM gj ORDER BY doc_id""".stripMargin,
+
+    // which rule does the rejecting — mirrors TextAnalysis.ruleAttribution:
+    // per rule, total failures and UNIQUE failures (docs failing only it)
+    "rule_attribution" ->
+      s"""WITH $WordsCte,
+         |$GopherCtes,
+         |fl AS (SELECT doc_id,
+         |  ${GopherRuleExprs.map { case (n, e) => s"$e AS r_$n" }.mkString(",\n  ")}
+         |  FROM gj),
+         |nf AS (SELECT *,
+         |  ${GopherRuleExprs.map { case (n, _) =>
+             s"(CASE WHEN r_$n THEN 0 ELSE 1 END)" }.mkString(" + ")} AS nfails
+         |  FROM fl),
+         |ex AS (
+         |  ${GopherRuleExprs.map { case (n, _) =>
+             s"SELECT '$n' AS rule, r_$n AS pass, nfails FROM nf" }
+             .mkString("\n  UNION ALL ")})
+         |SELECT rule, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+         |  CAST(sum(CASE WHEN NOT pass AND nfails = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_fail,
+         |  CAST((10000 * sum(CASE WHEN pass THEN 0 ELSE 1 END)) // count(*) AS BIGINT) AS fail_bp
+         |FROM ex GROUP BY rule ORDER BY rule""".stripMargin,
 
     "length_histogram" ->
       """SELECT lang, CAST(floor(n_chars / 100.0) AS INT) AS bin,

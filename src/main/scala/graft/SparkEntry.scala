@@ -197,6 +197,8 @@ object SparkEntry {
     "pii_redact"        -> (TextAnalysis.piiRedact _),
     "repetition_profile" -> (TextAnalysis.repetitionProfile _),
     "gopher_rules" -> (TextAnalysis.gopherRules _),
+    "rule_attribution" -> (TextAnalysis.ruleAttribution _),
+    "dup_quality_profile" -> (Dedup.dupQualityProfile _),
     "length_histogram"  -> (TextAnalysis.lengthHistogram _),
     "feature_scale"     -> (TextAnalysis.featureScale _),
     "stratified_sample" -> (Splits.stratifiedSample _),

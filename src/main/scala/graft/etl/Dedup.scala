@@ -1010,6 +1010,29 @@ object Dedup {
     keepers.unionByName(singles).orderBy("doc_id")
   }
 
+  /** Quality × dedup interaction audit — does near-dup removal take
+    * good or bad content? Token mass and mean quality of CLUSTERED
+    * docs (members of any LSH component) vs singletons, the two-row
+    * report a pipeline reads before trusting that dedup is not
+    * silently skimming its best documents (duplicated content skewing
+    * low-quality is the expected web pattern; the reverse is a red
+    * flag). Rides the session-shared closure like every other
+    * consumer; one scan + doc-keyed left join + 2-group agg (partial
+    * map-side). Mean is exact integer basis points (sum div count).
+    */
+  def dupQualityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = TextAnalysis.qualityAnnotated(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("tokens"), col("quality_bp"))
+    val comp = componentsFrame(spark, dir).select(col("doc_id"), col("component"))
+    docs.join(comp, Seq("doc_id"), "left")
+      .groupBy(col("component").isNotNull.as("was_clustered"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("n_tokens"),
+        expr("sum(quality_bp) div count(1)").as("avg_quality_bp"))
+      .orderBy("was_clustered")
+  }
+
   /** SimHash (16-bit): per word, a 16-bit hash from the md5 hex prefix;
     * bit b contributes +1/-1 by parity; the signature bit is the sign of
     * the sum. Hex→int via conv() is oracle-reproducible (DuckDB

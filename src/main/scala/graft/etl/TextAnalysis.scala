@@ -261,6 +261,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-rule rejection attribution for the gopher gate — WHICH rule
+    * does the filtering work: for each of the five rules, total
+    * failures and UNIQUE failures (docs that fail ONLY that rule — the
+    * docs that rule alone removes from the corpus; rules with zero
+    * unique failures are redundant at this corpus and candidates for
+    * loosening). The audit every filtering pipeline runs before
+    * shipping a threshold change. One pass over [[gopherRules]]'
+    * flags: per-doc fail count, a 5-way map-side rule explode, and a
+    * 5-key agg (partial aggregation collapses the corpus before the
+    * tiny exchange).
+    */
+  def ruleAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Seq("wordcount" -> "r_wordcount", "meanlen" -> "r_meanlen",
+      "alpha" -> "r_alpha", "stop" -> "r_stop", "repeat" -> "r_repeat")
+    val nFails = rules.map { case (_, c) =>
+      when(!col(c), 1).otherwise(0) }.reduce(_ + _)
+    val ex = gopherRules(spark, dir)
+      .withColumn("nfails", nFails)
+      .select(col("nfails"), explode(array(rules.map { case (n, c) =>
+        struct(lit(n).as("rule"), col(c).as("pass")) }: _*)).as("rf"))
+    ex.groupBy(col("rf.rule").as("rule"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("rf.pass"), 1L).otherwise(0L)).as("n_fail"),
+        sum(when(!col("rf.pass") && col("nfails") === 1, 1L).otherwise(0L))
+          .as("n_unique_fail"))
+      .withColumn("fail_bp", expr("(10000 * n_fail) div n_docs"))
+      .orderBy("rule")
+  }
+
   /** Language-ID heuristic: per-language marker-hit counts → argmax with
     * a deterministic tie-break on marker order. The `lang` column is the
     * (synthetic) label; `predicted` is the heuristic output — agreement
