@@ -1719,11 +1719,16 @@ object Oracles {
          |       END AS BIGINT) AS f1_bp
          |FROM pr""".stripMargin,
 
+    // BOUNDED audit-slice tier (round 16): pairs only inside doc_id<64
+    // — the 64-key band domain makes a full-corpus pairing n²/64 by
+    // construction, so the corpus tier is simhash_wide_neardup; this
+    // tier mirrors Dedup.simhashNearDup's slice-first plan
     "simhash_neardup" ->
       s"""WITH $SimhashSigCte,
          |blocks AS (SELECT doc_id, simhash16, b.blk,
          |    (simhash16 >> (b.blk * 4)) & 15 AS bval
-         |  FROM sigt, (SELECT unnest([0, 1, 2, 3]) AS blk) b)
+         |  FROM sigt, (SELECT unnest([0, 1, 2, 3]) AS blk) b
+         |  WHERE doc_id < 64)
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  CAST(bit_count(xor(x.simhash16, y.simhash16)) AS INT) AS hamming
          |FROM blocks x JOIN blocks y

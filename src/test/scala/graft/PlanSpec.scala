@@ -1529,6 +1529,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"simhash_wide_neardup's join lost the combination key:\n$cp")
   }
 
+  test("round-16 pin: simhash_neardup is the BOUNDED audit-slice tier " +
+       "— the doc_id<64 slice reaches the parquet scan, so the 64-key " +
+       "band domain never pairs the full corpus (the corpus tier is " +
+       "simhash_wide_neardup)") {
+    val cp = executedPlans("simhash_neardup")
+      .mkString("\n=== next executed plan ===\n")
+    // the slice must prune at the SCAN (pushed filter), not after the
+    // signature build — otherwise the fixed 64-value band domain makes
+    // the pairing n²/64 at corpus scale (VERDICT r15 lead item)
+    assert(cp.contains("LessThan(doc_id,64)"),
+      s"simhash_neardup's audit slice is not pushed to the scan:\n$cp")
+    assert(!cp.contains("CartesianProduct") &&
+        !cp.contains("BroadcastNestedLoopJoin"),
+      s"simhash_neardup grew an unkeyed pair join:\n$cp")
+    assert(cp.linesIterator.exists(l => l.contains("keys") &&
+        l.contains("blk") && l.contains("bval")),
+      s"simhash_neardup's join lost the (blk, bval) block key:\n$cp")
+  }
+
   test("round-14 pin: containment_pipeline rides the pair frame with " +
        "keyed joins only — no cartesian, no nested loop") {
     val p = plan("containment_pipeline")
