@@ -294,6 +294,29 @@ object Oracles {
       |       ELSE 'unknown' END AS predicted
       |  FROM lh)""".stripMargin
 
+  /** Quality-score CTE chain ending in qual(doc_id, tokens, stop_hits,
+    * len_bp, stop_bp, quality_bp) — ONE home for the len/stop-ratio
+    * quality formula (mirrors TextAnalysis.qualityAnnotated; the
+    * [[GopherCtes]]/[[LangPredCtes]] rule — ADVICE r15 counted ~12
+    * inline copies of this chain, each a silent-divergence risk).
+    * The stopword regex interpolates TextAnalysis.Stopwords, so both
+    * engines read the one list. Consumers needing more document
+    * columns join back on doc_id.
+    */
+  val QualityCtes: String =
+    s"""q0 AS (SELECT doc_id,
+       |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
+       |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
+       |    CAST(len(regexp_extract_all(coalesce(text,''), '${graft.etl.TextAnalysis.Stopwords}')) AS BIGINT) AS stop_hits,
+       |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
+       |  FROM documents),
+       |qual AS (SELECT doc_id, tokens, stop_hits, len_bp,
+       |    CASE WHEN tokens = 0 THEN 0
+       |         ELSE (10000 * stop_hits) // tokens END AS stop_bp,
+       |    CAST(least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
+       |         ELSE (10000 * stop_hits) // tokens END)) // 10) AS BIGINT) AS quality_bp
+       |  FROM q0)""".stripMargin
+
   val Shingle3Cte: String = WordsCte + """,
       |sh0 AS (
       |  SELECT doc_id, pos, word,
@@ -1176,40 +1199,21 @@ object Oracles {
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "quality_score" ->
-      """WITH q AS (SELECT doc_id,
-        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
-        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
-        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
-        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
-        |  FROM documents),
-        |r AS (SELECT doc_id, len_bp,
-        |        CASE WHEN tokens = 0 THEN 0
-        |             ELSE (10000 * stop_hits) // tokens END AS stop_bp
-        |      FROM q)
-        |SELECT doc_id, CAST(len_bp AS BIGINT) AS len_factor_bp,
-        |  CAST(stop_bp AS BIGINT) AS stop_ratio_bp,
-        |  CAST(least(10000, (7 * len_bp + 9 * stop_bp) // 10) AS BIGINT) AS quality_bp
-        |FROM r ORDER BY doc_id""".stripMargin,
+      s"""WITH $QualityCtes
+         |SELECT doc_id, CAST(len_bp AS BIGINT) AS len_factor_bp,
+         |  CAST(stop_bp AS BIGINT) AS stop_ratio_bp,
+         |  quality_bp
+         |FROM qual ORDER BY doc_id""".stripMargin,
 
     // quality-weighted salted-hash sampling — mirrors TextAnalysis.weightedSample
     "weighted_sample" ->
-      """WITH q AS (SELECT doc_id,
-        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
-        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
-        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
-        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
-        |  FROM documents),
-        |r AS (SELECT doc_id, len_bp,
-        |        CASE WHEN tokens = 0 THEN 0
-        |             ELSE (10000 * stop_hits) // tokens END AS stop_bp
-        |      FROM q),
-        |s AS (SELECT doc_id,
-        |        CAST(least(10000, (7 * len_bp + 9 * stop_bp) // 10) AS BIGINT) AS quality_bp,
-        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
-        |      FROM r)
-        |SELECT doc_id, quality_bp, u FROM s
-        |WHERE u * 10000 < quality_bp * 4294967296
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $QualityCtes,
+         |s AS (SELECT doc_id, quality_bp,
+         |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+         |      FROM qual)
+         |SELECT doc_id, quality_bp, u FROM s
+         |WHERE u * 10000 < quality_bp * 4294967296
+         |ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       s"""WITH $LangPredCtes
@@ -1453,21 +1457,12 @@ object Oracles {
     // singleton docs over the shared closure
     "dup_quality_profile" ->
       s"""WITH RECURSIVE $ComponentsCtes,
-         |q0 AS (SELECT doc_id,
-         |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
-         |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
-         |    CAST(len(regexp_extract_all(coalesce(text,''), '\\b(the|a|and|of|to)\\b')) AS BIGINT) AS sh,
-         |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
-         |  FROM documents),
-         |qx AS (SELECT doc_id, tokens,
-         |    CAST(least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
-         |      ELSE (10000 * sh) // tokens END)) // 10) AS BIGINT) AS quality_bp
-         |  FROM q0)
+         |$QualityCtes
          |SELECT (c.doc_id IS NOT NULL) AS was_clustered,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(tokens) AS BIGINT) AS n_tokens,
          |  CAST(sum(quality_bp) // count(*) AS BIGINT) AS avg_quality_bp
-         |FROM qx LEFT JOIN comp c ON qx.doc_id = c.doc_id
+         |FROM qual LEFT JOIN comp c ON qual.doc_id = c.doc_id
          |GROUP BY 1 ORDER BY was_clustered""".stripMargin,
 
     // asymmetric batch × corpus banding — mirrors Dedup.dedupIncremental
@@ -1570,9 +1565,9 @@ object Oracles {
     // per candidate width, instances vs distinct digests vs drop share
     "paragraph_sweep" ->
       s"""WITH $WordsCte,
-         |${Seq(5, 10, 20).map(k => ParaCtes(k, k.toString)).mkString(",\n")}
+         |${graft.etl.Dedup.SweepWidths.map(k => ParaCtes(k, k.toString)).mkString(",\n")}
          |SELECT * FROM (
-         |${Seq(5, 10, 20).map(k =>
+         |${graft.etl.Dedup.SweepWidths.map(k =>
            s"""SELECT CAST($k AS BIGINT) AS k,
               |  CAST(count(*) AS BIGINT) AS n_paras,
               |  CAST(count(DISTINCT dg) AS BIGINT) AS n_distinct,
@@ -1609,26 +1604,13 @@ object Oracles {
          |$GopherCtes,
          |$LangPredCtes,
          |gfl AS (SELECT doc_id, $GopherPassExpr AS m1 FROM gj),
-         |q0 AS (SELECT doc_id,
-         |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
-         |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
-         |    CAST(len(regexp_extract_all(coalesce(text,''), '\\b(the|a|and|of|to)\\b')) AS BIGINT) AS sh,
-         |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
-         |  FROM documents),
-         |qx AS (SELECT doc_id,
-         |    CAST(least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
-         |      ELSE (10000 * sh) // tokens END)) // 10) AS BIGINT) AS quality_bp
-         |  FROM q0),
-         |tk AS (SELECT doc_id,
-         |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
-         |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS toks,
-         |    md5(coalesce(text,'')) AS h
-         |  FROM documents),
-         |fx AS (SELECT tk.doc_id, tk.toks, tk.h, gfl.m1,
+         |$QualityCtes,
+         |tk AS (SELECT doc_id, md5(coalesce(text,'')) AS h FROM documents),
+         |fx AS (SELECT tk.doc_id, qual.tokens AS toks, tk.h, gfl.m1,
          |    (gfl.m1 AND lpred.predicted <> 'unknown') AS m2,
          |    (gfl.m1 AND lpred.predicted <> 'unknown'
-         |      AND qx.quality_bp >= ${etl.CorpusPipeline.FunnelQualityBp}) AS m3
-         |  FROM tk JOIN gfl USING (doc_id) JOIN lpred USING (doc_id) JOIN qx USING (doc_id)),
+         |      AND qual.quality_bp >= ${etl.CorpusPipeline.FunnelQualityBp}) AS m3
+         |  FROM tk JOIN gfl USING (doc_id) JOIN lpred USING (doc_id) JOIN qual USING (doc_id)),
          |f4 AS (SELECT fx.*,
          |    (m3 AND row_number() OVER (PARTITION BY h, m3 ORDER BY doc_id) = 1) AS m4
          |  FROM fx),
@@ -4664,24 +4646,13 @@ object Oracles {
     // per-domain cap — mirrors TextAnalysis.domainCap: quality_bp is
     // the quality_score formula; cap = rank<=10 per source
     "domain_cap" ->
-      """WITH q AS (SELECT doc_id, source,
-        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
-        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
-        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
-        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
-        |  FROM documents),
-        |r AS (SELECT doc_id, source, len_bp,
-        |        CASE WHEN tokens = 0 THEN 0
-        |             ELSE (10000 * stop_hits) // tokens END AS stop_bp
-        |      FROM q),
-        |s AS (SELECT doc_id, source,
-        |        CAST(least(10000, (7 * len_bp + 9 * stop_bp) // 10) AS BIGINT) AS quality_bp
-        |      FROM r),
-        |k AS (SELECT source, doc_id, quality_bp,
-        |        CAST(row_number() OVER (PARTITION BY source ORDER BY quality_bp DESC, doc_id) AS INT) AS rank
-        |      FROM s)
-        |SELECT source, rank, doc_id, quality_bp FROM k WHERE rank <= 10
-        |ORDER BY source, rank""".stripMargin,
+      s"""WITH $QualityCtes,
+         |k AS (SELECT d.source, qual.doc_id, qual.quality_bp,
+         |        CAST(row_number() OVER (PARTITION BY d.source
+         |          ORDER BY qual.quality_bp DESC, qual.doc_id) AS INT) AS rank
+         |      FROM qual JOIN documents d USING (doc_id))
+         |SELECT source, rank, doc_id, quality_bp FROM k WHERE rank <= 10
+         |ORDER BY source, rank""".stripMargin,
 
     // data-constrained epoch allocator — mirrors CorpusStats.epochMix
     // (budget = 4× corpus uniform per source, R_max = 4 epochs, spill
@@ -5413,28 +5384,19 @@ object Oracles {
     // TextAnalysis.filterKappa (single-pass counters, offset-div so
     // truncating and flooring integer division agree; denom-0 => 10000)
     "filter_kappa" ->
-      """WITH w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word
+      s"""WITH w0 AS (SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS word
         |            FROM documents),
         |words AS (SELECT * FROM w0 WHERE length(word) > 0),
         |base AS (SELECT doc_id, count(*) AS n_words, sum(length(word)) AS sum_len
         |         FROM words GROUP BY doc_id),
-        |q AS (SELECT doc_id,
-        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
-        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
-        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
-        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
-        |  FROM documents),
-        |qb AS (SELECT doc_id,
-        |        least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
-        |          ELSE (10000 * stop_hits) // tokens END)) // 10) AS quality_bp
-        |      FROM q),
-        |g AS (SELECT qb.doc_id,
+        |$QualityCtes,
+        |g AS (SELECT qual.doc_id,
         |        coalesce(b.n_words, 0) >= 50 AS g_words,
         |        coalesce(b.n_words, 0) > 0 AND
         |          coalesce(b.sum_len, 0) >= coalesce(b.n_words, 0) * 3 AND
         |          coalesce(b.sum_len, 0) <= coalesce(b.n_words, 0) * 10 AS g_meanlen,
-        |        qb.quality_bp >= 5000 AS g_quality
-        |      FROM qb LEFT JOIN base b ON qb.doc_id = b.doc_id),
+        |        qual.quality_bp >= 5000 AS g_quality
+        |      FROM qual LEFT JOIN base b ON qual.doc_id = b.doc_id),
         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |        CAST(sum(CASE WHEN g_words THEN 1 ELSE 0 END) AS BIGINT) AS w1,
         |        CAST(sum(CASE WHEN g_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS m1,
@@ -5460,23 +5422,14 @@ object Oracles {
     // quality-threshold retention sweep — mirrors TextAnalysis
     // .qualitySweep (grid-broadcast scan, dedup_sweep's twin)
     "quality_sweep" ->
-      """WITH q AS (SELECT doc_id,
-        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
-        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
-        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
-        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
-        |  FROM documents),
-        |qb AS (SELECT doc_id, tokens,
-        |        least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
-        |          ELSE (10000 * stop_hits) // tokens END)) // 10) AS quality_bp
-        |      FROM q),
+      s"""WITH $QualityCtes,
         |grid AS (SELECT CAST(unnest([0,1000,2000,3000,4000,5000,6000,7000,8000,9000]) AS BIGINT) AS threshold),
         |keep AS (SELECT g.threshold, CAST(count(*) AS BIGINT) AS n_keep,
-        |           CAST(sum(qb.tokens) AS BIGINT) AS tok_keep
-        |         FROM qb JOIN grid g ON qb.quality_bp >= g.threshold
+        |           CAST(sum(qual.tokens) AS BIGINT) AS tok_keep
+        |         FROM qual JOIN grid g ON qual.quality_bp >= g.threshold
         |         GROUP BY g.threshold),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
-        |          CAST(sum(tokens) AS BIGINT) AS tok_all FROM qb)
+        |          CAST(sum(tokens) AS BIGINT) AS tok_all FROM qual)
         |SELECT threshold, n_keep,
         |  CAST((10000 * n_keep) // n_all AS BIGINT) AS keep_bp,
         |  tok_keep,
@@ -5531,20 +5484,11 @@ object Oracles {
     // Spearman rank correlation — mirrors TextAnalysis.spearmanCorr
     // (row_number ranks, doc_id tie-break, offset integer division)
     "spearman_corr" ->
-      """WITH q AS (SELECT doc_id, lang, n_chars,
-        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
-        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
-        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
-        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
-        |  FROM documents),
-        |qb AS (SELECT doc_id, lang, n_chars,
-        |        least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
-        |          ELSE (10000 * stop_hits) // tokens END)) // 10) AS quality_bp
-        |      FROM q),
-        |r AS (SELECT lang,
-        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS r_len,
-        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY quality_bp, doc_id) AS BIGINT) AS r_q
-        |      FROM qb),
+      s"""WITH $QualityCtes,
+        |r AS (SELECT d.lang,
+        |        CAST(row_number() OVER (PARTITION BY d.lang ORDER BY d.n_chars, qual.doc_id) AS BIGINT) AS r_len,
+        |        CAST(row_number() OVER (PARTITION BY d.lang ORDER BY qual.quality_bp, qual.doc_id) AS BIGINT) AS r_q
+        |      FROM qual JOIN documents d USING (doc_id)),
         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |        CAST(sum((r_len - r_q) * (r_len - r_q)) AS BIGINT) AS sum_d2
         |      FROM r GROUP BY lang),
@@ -5986,16 +5930,9 @@ object Oracles {
     // per-source deciles on the global percentile scale — mirrors
     // CorpusStats.quantileNorm
     "quantile_norm" ->
-      """WITH q0 AS (SELECT source, doc_id,
-        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
-        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
-        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
-        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
-        |  FROM documents),
-        |q AS (SELECT source,
-        |        least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
-        |          ELSE (10000 * stop_hits) // tokens END)) // 10) AS v
-        |      FROM q0),
+      s"""WITH $QualityCtes,
+        |q AS (SELECT d.source, qual.quality_bp AS v
+        |      FROM qual JOIN documents d USING (doc_id)),
         |hs AS (SELECT source, v, count(*) AS cnt FROM q GROUP BY source, v),
         |cum AS (SELECT source, v,
         |          sum(cnt) OVER (PARTITION BY source ORDER BY v
@@ -6375,7 +6312,7 @@ object Oracles {
     // reliability diagram — mirrors TextAnalysis.calibrationBins
     // (classifier pseudo-probability vs the independent rule gate)
     "calibration_bins" ->
-      """WITH t AS (SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id,
         |             list_filter(string_split(coalesce(text, ''), ' '),
         |                         w -> length(w) > 0) AS toks
         |           FROM documents),
@@ -6387,17 +6324,10 @@ object Oracles {
         |pred AS (SELECT doc_id,
         |           least(10000, greatest(0, (score // n_tokens + 1000) * 5)) AS p_bp
         |         FROM s),
-        |q0 AS (SELECT doc_id,
-        |    CAST(CASE WHEN length(coalesce(text,'')) = 0 THEN 0
-        |         ELSE len(string_split(coalesce(text,''), ' ')) END AS BIGINT) AS tokens,
-        |    CAST(len(regexp_extract_all(coalesce(text,''), '\b(the|a|and|of|to)\b')) AS BIGINT) AS stop_hits,
-        |    least(10000, 25 * length(coalesce(text,''))) AS len_bp
-        |  FROM documents),
+        |$QualityCtes,
         |truth AS (SELECT doc_id,
-        |        CASE WHEN least(10000, (7 * len_bp + 9 * (CASE WHEN tokens = 0 THEN 0
-        |          ELSE (10000 * stop_hits) // tokens END)) // 10) >= 5000
-        |        THEN 1 ELSE 0 END AS pass
-        |      FROM q0),
+        |        CASE WHEN quality_bp >= 5000 THEN 1 ELSE 0 END AS pass
+        |      FROM qual),
         |j AS (SELECT least(p.p_bp // 1000, 9) AS bin, p.p_bp, tr.pass
         |      FROM pred p JOIN truth tr ON p.doc_id = tr.doc_id)
         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,

@@ -37,14 +37,31 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamStateCheck {
   private val Cap = 64 // streamingNearDup's default maxPerBand
 
+  /** Scratch dirs (the components-mode pair dump + every stream
+    * checkpoint) are multi-GB at the 30×/100× tiers — remove them on
+    * exit (ADVICE r15) like TimeQuery's instrumented checkpoint dir, or
+    * repeated invocations fill /tmp.
+    */
+  private def tempDirRemovedOnExit(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: StreamStateCheck <dir> [ttlSeconds|components]")
     val dir = args(0)
     val compMode = args.lift(1).contains("components")
     // fail fast on a typo'd mode BEFORE paying session startup — the
-    // string mode overloads the numeric ttl slot
-    require(compMode || args.lift(1).forall(_.forall(_.isDigit)),
+    // string mode overloads the numeric ttl slot ("" would pass a bare
+    // forall-isDigit check and still die later in toInt)
+    require(compMode || args.lift(1).forall(_.matches("\\d+")),
       s"usage: StreamStateCheck <dir> [ttlSeconds|components] — got '${args(1)}'")
     val ttlSecs = if (compMode) None else args.lift(1).map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -69,8 +86,7 @@ object StreamStateCheck {
     // hit and the batch closure on a compaction cadence takes over.
     if (compMode) {
       import graft.etl.Dedup
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-streamcomp").toString
+      val ckpt = tempDirRemovedOnExit("graft-streamcomp")
       Dedup.minhashLsh(spark, dir)
         .repartition(12).write.mode("overwrite").parquet(s"$ckpt/pairs")
       val pairsDf = spark.read.parquet(s"$ckpt/pairs")
@@ -121,8 +137,7 @@ object StreamStateCheck {
     val hist = profile.map(r =>
       s""""c${r.getInt(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
 
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-streamstate").toString
+    val ckpt = tempDirRemovedOnExit("graft-streamstate")
     // the streaming parquet source wants a DIRECTORY; driver-generated
     // sf dirs ship documents.parquet as a single file — stage a symlink
     val streamDir = {

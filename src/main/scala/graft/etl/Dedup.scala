@@ -559,6 +559,13 @@ object Dedup {
     */
   val ParagraphWords = 10
 
+  /** Width axis of [[paragraphSweep]] — ONE home shared by the default
+    * argument and the oracle generator (Oracles.scala), so the query
+    * and its oracle cannot silently diverge (the GopherRuleExprs/
+    * LangPredCtes rule; ADVICE r15).
+    */
+  val SweepWidths: Seq[Int] = Seq(5, 10, 20)
+
   /** (doc_id, p_idx, p_text, dg) — the k-word paragraph rows of `docs`
     * with their 60-bit digests; the shared segmentation of the
     * paragraph family ([[paragraphDedupFrom]], [[paragraphSweep]],
@@ -629,7 +636,7 @@ object Dedup {
     * unioned into a bounded |k|-row report.
     */
   def paragraphSweep(spark: SparkSession, dir: String,
-      widths: Seq[Int] = Seq(5, 10, 20)): DataFrame =
+      widths: Seq[Int] = SweepWidths): DataFrame =
     paragraphSweepFrom(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")), widths)
 
