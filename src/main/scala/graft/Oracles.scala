@@ -4324,6 +4324,33 @@ object Oracles {
         |       CAST(1 + len(paras) AS INT) AS n_blocks
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // S9 PDF extraction round-trip — mirrors Multimodal.pdfExtract.
+    // The PDF build is self-inverting (PdfBuild.PageWords-word pages,
+    // Tj-shown, pages joined by blank lines, 15-page cap), so the
+    // oracle reconstructs the EXPECTED extraction from the words table
+    // and DuckDB never parses a PDF byte. A wordless doc still renders
+    // one empty page (a valid PDF has >= 1 page).
+    "pdf_extract" ->
+      s"""WITH $WordsCte,
+         |wi AS (SELECT doc_id, word,
+         |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+         |           AS BIGINT) AS widx
+         |       FROM words),
+         |pg AS (SELECT doc_id, widx // ${graft.functions.PdfBuild.PageWords} AS page,
+         |         string_agg(word, ' ' ORDER BY widx) AS p_text
+         |       FROM wi GROUP BY doc_id, widx // ${graft.functions.PdfBuild.PageWords}),
+         |pc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_pages
+         |       FROM pg GROUP BY doc_id),
+         |tx AS (SELECT doc_id,
+         |         string_agg(p_text, chr(10) || chr(10) ORDER BY page) AS pdf_text
+         |       FROM pg WHERE page < 15 GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pc.n_pages, 1) AS INT) AS n_pages,
+         |  coalesce(tx.pdf_text, '') AS pdf_text,
+         |  coalesce(pc.n_pages, 1) > 15 AS capped
+         |FROM documents d LEFT JOIN pc USING (doc_id) LEFT JOIN tx USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // Duplicated-span clipping — mirrors Dedup.spanClip. Coverage uses
     // the EXPLICIT positions of the 8 gram words (lead(pos, i)), not
     // pos+i arithmetic, so the construction stays structural even when

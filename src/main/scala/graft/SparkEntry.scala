@@ -285,6 +285,11 @@ object SparkEntry {
     // plus duplicated-span clipping (the removal step after detection)
     "html_extract" -> (HtmlExtract.htmlExtract _),
     "span_clip"    -> (Dedup.spanClip _),
+    // round-16 extraction wave: REAL PDF parsing (S9) value-checked via
+    // a self-inverting page build — the html_extract treatment for the
+    // last narrowable contract (page tree + Flate streams + Tj grammar,
+    // max_pages=15 cap on real rows)
+    "pdf_extract"  -> (Multimodal.pdfExtract _),
     // two-pass Misra-Gries sketch + exact recount: provably equals the
     // plain GROUP BY heavy-hitter answer (see MisraGries scaladoc)
     "heavy_hitters" -> (Skew.heavyHitters _),

@@ -192,6 +192,26 @@ class FetchSpec extends AnyFunSuite with SparkTestBase {
     assert(PdfText.extract(truncated).text == "") // no endobj reached
   }
 
+  test("S9 round-trip: PdfBuild → PdfText inverts exactly — escapes, " +
+       "the 15-page cap, and the wordless one-page edge") {
+    import graft.etl.PdfText
+    import graft.functions.PdfBuild
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    // delimiter-heavy words survive the escape round trip
+    val r = PdfText.extract(PdfBuild.build(
+      u8("a(b) c\\d (nested (parens)) end")), 15)
+    assert(r.pages == 2) // 5 words / 4-word pages
+    assert(r.text == "a(b) c\\d (nested (parens))\n\nend")
+    // the cap: 100 words = 25 physical pages, text stops at page 15
+    val r2 = PdfText.extract(PdfBuild.build(
+      u8((1 to 100).map(i => s"w$i").mkString(" "))), 15)
+    assert(r2.pages == 25)
+    assert(r2.text.endsWith("w60") && !r2.text.contains("w61"))
+    // wordless doc still renders one structurally valid (empty) page
+    assert(PdfText.extract(PdfBuild.build(u8("   ")), 15)
+      == PdfText.Extraction(1, ""))
+  }
+
   // ---- real HTTP transport (java.net.http) against a loopback server ----
 
   import graft.etl.{BinaryHttpTransport, HttpFetch, HttpTransport}
@@ -449,48 +469,11 @@ object Loopback {
   * or plain.
   */
 object PdfFixtures {
-  import java.util.zip.Deflater
-
-  private def deflate(b: Array[Byte]): Array[Byte] = {
-    val d = new Deflater()
-    d.setInput(b); d.finish()
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
-    d.end(); out.toByteArray
-  }
-
-  def makePdf(pageTexts: Seq[String], compress: Boolean): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
-    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
-    def obj(n: Int)(body: => Unit): Unit = {
-      offsets += out.size(); w(s"$n 0 obj\n"); body; w("endobj\n")
-    }
-    w("%PDF-1.4\n")
-    val nP = pageTexts.size
-    val kids = (0 until nP).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
-    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
-    obj(2) { w(s"<< /Type /Pages /Kids [$kids] /Count $nP >>\n") }
-    pageTexts.zipWithIndex.foreach { case (t, i) =>
-      val pObj = 3 + 2 * i; val cObj = 4 + 2 * i
-      obj(pObj) { w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
-        s" /Contents $cObj 0 R >>\n") }
-      val content = s"BT /F1 12 Tf 72 720 Td ($t) Tj ET"
-      val data =
-        if (compress) deflate(content.getBytes("ISO-8859-1"))
-        else content.getBytes("ISO-8859-1")
-      obj(cObj) {
-        w(s"<< /Length ${data.length}" +
-          s"${if (compress) " /Filter /FlateDecode" else ""} >>\nstream\n")
-        out.write(data); w("\nendstream\n")
-      }
-    }
-    val xrefOff = out.size()
-    w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
-    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
-    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\n" +
-      s"startxref\n$xrefOff\n%%EOF\n")
-    out.toByteArray
-  }
+  /** Delegates to the production builder (round 16: the fixture
+    * generator moved into main as graft.functions.PdfBuild for the
+    * oracle-verified pdf_extract round-trip); note the builder escapes
+    * string-delimiter chars, so fixture texts here are literal.
+    */
+  def makePdf(pageTexts: Seq[String], compress: Boolean): Array[Byte] =
+    graft.functions.PdfBuild.makePdf(pageTexts, _ => compress)
 }

@@ -1548,6 +1548,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"simhash_neardup's join lost the (blk, bval) block key:\n$cp")
   }
 
+  test("round-16 pin: pdf_extract is a pure map — one documents scan, " +
+       "no join/explode/aggregate; the codegen'd build+parse expressions " +
+       "keep the scan inside whole-stage codegen") {
+    val p = plan("pdf_extract")
+    val scans = p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"pdf_extract must read documents exactly once:\n$p")
+    assert(!p.contains("Join") && !p.contains("Generate") &&
+        !p.contains("Aggregate"),
+      s"pdf_extract grew a join/explode/aggregate — it must stay a " +
+        s"per-row map:\n$p")
+    // build+parse must stay the codegen'd pdf_build/pdf_pages/pdf_text
+    // expressions — a ScalaUDF here would break whole-stage codegen
+    // around the scan (the lazy AQE plan doesn't print codegen spans,
+    // so the pin is on the expression names)
+    assert(p.contains("pdf_build") && !p.contains("UDF"),
+      s"pdf_extract lost its codegen'd expressions to a UDF:\n$p")
+  }
+
   test("round-14 pin: containment_pipeline rides the pair frame with " +
        "keyed joins only — no cartesian, no nested loop") {
     val p = plan("containment_pipeline")
