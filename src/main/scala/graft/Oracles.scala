@@ -317,6 +317,83 @@ object Oracles {
        |         ELSE (10000 * stop_hits) // tokens END)) // 10) AS BIGINT) AS quality_bp
        |  FROM q0)""".stripMargin
 
+  /** Two-stage quality-trainer chain (requires words + gj =
+    * [[GopherCtes]] in scope) — generated from the SAME QualityTrain
+    * constants (buckets, rounds) and the same split/feature hash
+    * family, so the Spark loop and the oracle replay cannot drift:
+    * quantized multinomial-NB warm start qw0, unrolled perceptron
+    * refinement qw1..qwR, per-candidate valid-mistake counts, and the
+    * pocket pick. Ends in qchosen(b, w) + qpick(round). qw-prefixed
+    * names: the enclosing queries already use w0/words (WordsCte).
+    * The chain CTEs are AS MATERIALIZED: DuckDB 1.0 inlines CTEs, so
+    * without it each qw_r re-derives the whole prefix per reference
+    * (3-4 refs each, depth Rounds ⇒ exponential re-evaluation —
+    * measured minutes vs sub-second materialized).
+    */
+  private lazy val QualityTrainCtes: String = {
+    val B = graft.etl.QualityTrain.Buckets
+    val R = graft.etl.QualityTrain.Rounds
+    val rounds = (1 to R).map { r =>
+      val pw = s"qw${r - 1}"
+      s"""qs$r AS (SELECT t.doc_id, t.y, sum($pw.w * t.cnt) AS score
+         |      FROM tr t JOIN $pw ON t.b = $pw.b GROUP BY t.doc_id, t.y),
+         |qm$r AS (SELECT doc_id FROM qs$r WHERE y * score <= 0),
+         |qd$r AS (SELECT t.b, sum(t.y * t.cnt) AS dw
+         |      FROM tr t JOIN qm$r USING (doc_id) GROUP BY t.b),
+         |qw$r AS MATERIALIZED (SELECT $pw.b, CAST($pw.w + coalesce(qd$r.dw, 0) AS BIGINT) AS w
+         |      FROM $pw LEFT JOIN qd$r ON $pw.b = qd$r.b)""".stripMargin
+    }.mkString(",\n")
+    val vmists = (0 to R).map { r =>
+      s"""qv$r AS (SELECT CAST($r AS BIGINT) AS round, count(*) FILTER (
+         |        WHERE y * score <= 0) AS vm FROM (
+         |        SELECT t.doc_id, t.y, sum(qw$r.w * t.cnt) AS score
+         |        FROM va t JOIN qw$r ON t.b = qw$r.b GROUP BY t.doc_id, t.y))""".stripMargin
+    }.mkString(",\n")
+    val cands = (0 to R)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, b, w FROM qw$r")
+      .mkString("\n  UNION ALL ")
+    s"""lbl AS (SELECT doc_id, CASE WHEN $GopherPassExpr
+       |          THEN 1 ELSE -1 END AS y FROM gj),
+       |spl AS (SELECT doc_id,
+       |          CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS sbucket
+       |        FROM documents),
+       |ft AS MATERIALIZED (SELECT doc_id,
+       |         CAST(concat('0x', substr(md5(lower(word)), 1, 8)) AS BIGINT) % $B AS b,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |       FROM words GROUP BY 1, 2
+       |       UNION ALL
+       |       SELECT doc_id, CAST($B AS BIGINT) AS b, CAST(1 AS BIGINT) AS cnt
+       |       FROM documents),
+       |tr AS MATERIALIZED (SELECT f.doc_id, f.b, f.cnt, l.y
+       |       FROM ft f JOIN lbl l USING (doc_id) JOIN spl s USING (doc_id)
+       |       WHERE s.sbucket < 80),
+       |va AS MATERIALIZED (SELECT f.doc_id, f.b, f.cnt, l.y
+       |       FROM ft f JOIN lbl l USING (doc_id) JOIN spl s USING (doc_id)
+       |       WHERE s.sbucket >= 80 AND s.sbucket < 90),
+       |qcls AS (SELECT b, sum(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS np,
+       |           sum(CASE WHEN y = -1 THEN cnt ELSE 0 END) AS nn
+       |         FROM tr WHERE b < $B GROUP BY b),
+       |qtot AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM qcls),
+       |qpri AS (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS dp,
+       |           sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS dn
+       |         FROM (SELECT DISTINCT doc_id, y FROM tr)),
+       |qgrid AS (SELECT CAST(unnest(range(0, ${B + 1})) AS BIGINT) AS b),
+       |qw0 AS MATERIALIZED (SELECT g.b, CASE WHEN g.b < $B THEN
+       |          CAST(round((ln((coalesce(c.np, 0) + 1.0) / (t.tp + $B.0))
+       |            - ln((coalesce(c.nn, 0) + 1.0) / (t.tn + $B.0))) * 10000) AS BIGINT)
+       |        ELSE
+       |          CAST(round((ln(p.dp * 1.0) - ln(p.dn * 1.0)) * 10000) AS BIGINT)
+       |        END AS w
+       |        FROM qgrid g LEFT JOIN qcls c ON g.b = c.b, qtot t, qpri p),
+       |$rounds,
+       |$vmists,
+       |qpick AS (SELECT round FROM (
+       |  ${(0 to R).map(r => s"SELECT round, vm FROM qv$r").mkString(" UNION ALL ")}
+       |) ORDER BY vm ASC, round ASC LIMIT 1),
+       |qcands AS ($cands),
+       |qchosen AS (SELECT c.b, c.w FROM qcands c JOIN qpick USING (round))""".stripMargin
+  }
+
   val Shingle3Cte: String = WordsCte + """,
       |sh0 AS (
       |  SELECT doc_id, pos, word,
@@ -5462,6 +5539,67 @@ object Oracles {
         |  tok_keep,
         |  CAST((10000 * tok_keep) // tok_all AS BIGINT) AS tok_keep_bp
         |FROM keep, tot ORDER BY threshold""".stripMargin,
+
+    // in-engine classifier training — mirrors QualityTrain.qualityTrain:
+    // quantized multinomial-NB warm start + unrolled integer perceptron
+    // refinement, pocket-selected on the valid split; the chain is
+    // generated from the same constants the Spark loop reads
+    "quality_train" ->
+      s"""WITH $WordsCte,
+         |$GopherCtes,
+         |$QualityTrainCtes
+         |SELECT b AS bucket, w AS weight
+         |FROM qchosen ORDER BY bucket""".stripMargin,
+
+    // the pocket's measured trajectory — mirrors
+    // QualityTrain.qualityTrainCurve: per candidate round, train and
+    // valid mistake counts
+    "quality_train_curve" -> {
+      val R = graft.etl.QualityTrain.Rounds
+      val tmists = (0 to R).map { r =>
+        s"""qt$r AS (SELECT CAST($r AS BIGINT) AS round, count(*) FILTER (
+           |        WHERE y * score <= 0) AS tm FROM (
+           |        SELECT t.doc_id, t.y, sum(qw$r.w * t.cnt) AS score
+           |        FROM tr t JOIN qw$r ON t.b = qw$r.b GROUP BY t.doc_id, t.y))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $WordsCte,
+         |$GopherCtes,
+         |$QualityTrainCtes,
+         |$tmists,
+         |tall AS (${(0 to R).map(r => s"SELECT round, tm FROM qt$r").mkString(" UNION ALL ")}),
+         |vall AS (${(0 to R).map(r => s"SELECT round, vm FROM qv$r").mkString(" UNION ALL ")})
+         |SELECT t.round, CAST(t.tm AS BIGINT) AS train_mistakes,
+         |  CAST(v.vm AS BIGINT) AS valid_mistakes
+         |FROM tall t JOIN vall v USING (round) ORDER BY t.round""".stripMargin
+    },
+
+    // held-out confusion row — mirrors QualityTrain.qualityTrainEval
+    // (train bucket < 80, pocket on 80-89, report on >= 90)
+    "quality_train_eval" ->
+      s"""WITH $WordsCte,
+         |$GopherCtes,
+         |$QualityTrainCtes,
+         |ho AS (SELECT l.doc_id, l.y FROM lbl l JOIN spl USING (doc_id)
+         |       WHERE spl.sbucket >= 90),
+         |hs AS (SELECT h.doc_id, h.y,
+         |         CAST(coalesce(sum(wn.w * f.cnt), 0) AS BIGINT) AS score
+         |       FROM ho h LEFT JOIN ft f USING (doc_id)
+         |            LEFT JOIN qchosen wn ON f.b = wn.b
+         |       GROUP BY h.doc_id, h.y),
+         |cf AS (SELECT CAST(count(*) AS BIGINT) AS n_heldout,
+         |         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_truth_pass,
+         |         CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pass,
+         |         CAST(sum(CASE WHEN y = 1 AND score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+         |         CAST(sum(CASE WHEN y = -1 AND score <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tn
+         |       FROM hs)
+         |SELECT (SELECT round FROM qpick) AS chosen_round,
+         |  n_heldout, n_truth_pass, n_pred_pass, n_tp, n_tn,
+         |  CAST((10000 * (n_tp + n_tn)) // n_heldout AS BIGINT) AS accuracy_bp,
+         |  CAST(CASE WHEN n_pred_pass = 0 THEN 0
+         |       ELSE (10000 * n_tp) // n_pred_pass END AS BIGINT) AS precision_bp,
+         |  CAST(CASE WHEN n_truth_pass = 0 THEN 0
+         |       ELSE (10000 * n_tp) // n_truth_pass END AS BIGINT) AS recall_bp
+         |FROM cf""".stripMargin,
 
     // CUSUM change-point — mirrors Events.cusumChangepoint (integer
     // m·S_k statistic over the per-type hourly series)

@@ -270,6 +270,13 @@ object SparkEntry {
     "pack_sequences"     -> (Packing.packSequences _),
     "token_chunk"        -> (Chunker.tokenChunk _),
     "quality_classifier" -> (TextAnalysis.qualityClassifier _),
+    // round-16 training wave: the classifier's TRAIN step — quantized
+    // multinomial-NB warm start + integer perceptron refinement with
+    // pocket selection on the valid split; weight vector, measured
+    // trajectory, held-out confusion row
+    "quality_train"       -> (QualityTrain.qualityTrain _),
+    "quality_train_curve" -> (QualityTrain.qualityTrainCurve _),
+    "quality_train_eval"  -> (QualityTrain.qualityTrainEval _),
     "anchor_text"        -> (Urls.anchorText _),
     "zorder_layout"      -> (Layout.zorderLayout _),
     "padding_batches"    -> (Packing.paddingBatches _),

@@ -1,0 +1,269 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** IN-ENGINE quality-classifier TRAINING (round 16, VERDICT r15 item
+  * 3): [[TextAnalysis.qualityClassifier]] applies fixed hash-derived
+  * weights; this is the train step a training-data pipeline runs to
+  * GET such weights — distilling the gopher rule gate into a linear
+  * scorer over hashed bag-of-words features (the fasttext-quality-
+  * classifier pattern from the C4/RefinedWeb pipelines, where a cheap
+  * model is trained to imitate expensive gates).
+  *
+  * The trainer is two-stage, and every stage decision below is a
+  * MEASURED one (sf0.01, BASELINE.md round 16):
+  *
+  *  1. WARM START — integer-quantized multinomial Naive Bayes
+  *     (McCallum & Nigam 1998): w_b = round(10⁴·(ln θ⁺_b − ln θ⁻_b))
+  *     with Laplace smoothing, bias = the quantized log prior ratio.
+  *     Closed form, ONE aggregation pass, damped by construction.
+  *     ln-of-a-rational is irrational, so the round() falls under the
+  *     repo's irrational-rounding rule (the char_entropy precedent —
+  *     both engines evaluate the identical double expression).
+  *  2. REFINEMENT FIXPOINT — [[Rounds]] batch-perceptron rounds
+  *     (integer lr=1, mistake rule y·score <= 0, per-round eager
+  *     checkpoints — the bpe_train unroll discipline), producing
+  *     candidate vectors w₀..w_R.
+  *  3. POCKET SELECTION on the VALID split (Gallant 1990's pocket
+  *     rule, selection split per the lm_heldout discipline): ship the
+  *     candidate with fewest valid mistakes, ties to the earliest
+  *     round. Selection is IN-PLAN (a 1-row argmin broadcast joined
+  *     against the round-tagged candidate union) — no collect.
+  *
+  * Why not plain perceptron: the synthetic corpus's doc vectors are
+  * nearly parallel (labels differ mostly in length and stopword
+  * presence), so full-batch perceptron — which is invariant to any
+  * constant learning rate — oscillates between the two constant
+  * verdicts (measured: mistakes 407→223→184→223→223; held-out
+  * accuracy = the 56.8% base rate, and harmonic-decay and mini-batch
+  * variants measured no better). The damped NB estimator separates
+  * (held-out 72.7% vs a measured 84% float-logistic ceiling), and the
+  * pocket keeps refinement from shipping an overfit dip (train-pocket
+  * measured 59.1% held-out; valid-pocket 72.7%).
+  *
+  * Split discipline: NB counts and perceptron updates read bucket
+  * < 80 only ([[Splits.trainTestSplit]]); pocket reads the 80-89
+  * valid slice; [[qualityTrainEval]] reports the confusion row on the
+  * disjoint >= 90 test slice.
+  *
+  * Plan shape at 100 TB (PlanSpec-pinned): the feature frame is ONE
+  * tokenize+explode pass aggregated onto (doc, bucket) keys and
+  * staged once (the bounded-frame staging rule — every round and the
+  * eval re-read it); the weight vector is [[Buckets]]+1 rows,
+  * BROADCAST onto the feature stream at every use (never a shuffled
+  * join); per-round work is two keyed aggregations (doc scores,
+  * bucket deltas) whose partial aggregation collapses map-side.
+  */
+object QualityTrain {
+
+  /** Hashed-feature dimensionality — 256 measured better than 64
+    * (held-out 72.7% vs 61.4%: the 8-stopword signal survives hashing
+    * only when collisions are rare); the weight vector stays a
+    * trivially broadcastable [[Buckets]]+1 rows. The extra bucket id
+    * [[Buckets]] is the constant bias feature (cnt 1 on every doc).
+    * One home, interpolated into the DuckDB oracle.
+    */
+  val Buckets = 256
+
+  /** Bounded refinement unroll (the bpe_train bounded-round
+    * precedent); candidates w₀..w_Rounds enter the pocket.
+    */
+  val Rounds = 6
+
+  private def txt(c: Column): Column = coalesce(c, lit(""))
+
+  /** (doc_id, b, cnt) hashed bag-of-words rows — the same md5 bucket
+    * family as [[TextAnalysis.qualityClassifier]]/dsirWeights — plus
+    * the constant bias feature (bucket [[Buckets]], cnt 1) on every
+    * document.
+    */
+  private def features(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(txt(col("text")), " "),
+          w => length(w) > 0)).as("w"))
+      .withColumn("b",
+        conv(substring(md5(lower(col("w"))), 1, 8), 16, 10)
+          .cast("long") % Buckets)
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .unionByName(Tables.documents(spark, dir)
+        .select(col("doc_id"), lit(Buckets.toLong).as("b"),
+          lit(1L).as("cnt")))
+
+  /** (doc_id, y) gopher-gate labels: pass = +1, fail = -1. */
+  private def labels(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(spark, dir)
+      .select(col("doc_id"),
+        when(col("gopher_pass"), 1L).otherwise(-1L).as("y"))
+
+  /** Labeled feature rows of one split slice. */
+  private def slice(spark: SparkSession, dir: String, split: String): DataFrame =
+    features(spark, dir)
+      .join(labels(spark, dir), Seq("doc_id"))
+      .join(Splits.trainTestSplit(spark, dir)
+        .filter(col("split") === split).select(col("doc_id")),
+        Seq("doc_id"))
+
+  /** Quantized multinomial-NB warm start: ([[Buckets]]+1)-row (b, w).
+    * Token ratios over train-split counts; the bias bucket carries the
+    * quantized log prior ratio. Arithmetic shape (operand order,
+    * double promotions) mirrors the oracle text exactly.
+    */
+  private def nbInit(tr: DataFrame, spark: SparkSession): DataFrame = {
+    val cls = tr.filter(col("b") < Buckets)
+      .groupBy(col("b"))
+      .agg(sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("np"),
+        sum(when(col("y") === -1, col("cnt")).otherwise(0L)).as("nn"))
+    val tot = cls.agg(sum(col("np")).as("tp"), sum(col("nn")).as("tn"))
+    val pri = tr.select(col("doc_id"), col("y")).distinct()
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("dp"),
+        sum(when(col("y") === -1, 1L).otherwise(0L)).as("dn"))
+    spark.range(Buckets + 1).select(col("id").cast("long").as("b"))
+      .join(cls, Seq("b"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(pri))
+      .select(col("b"),
+        when(col("b") < Buckets,
+          round((log((coalesce(col("np"), lit(0L)) + lit(1.0))
+              / (col("tp") + lit(Buckets.toDouble)))
+            - log((coalesce(col("nn"), lit(0L)) + lit(1.0))
+              / (col("tn") + lit(Buckets.toDouble)))) * 10000)
+            .cast("bigint"))
+          .otherwise(
+            round((log(col("dp") * lit(1.0)) - log(col("dn") * lit(1.0)))
+              * 10000).cast("bigint"))
+          .as("w"))
+  }
+
+  /** Train: NB init + [[Rounds]] perceptron rounds. Returns the
+    * candidate vectors w₀..w_Rounds (each an eager local checkpoint)
+    * and the staged train frame.
+    */
+  private def candidates(spark: SparkSession, dir: String,
+      locals: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : (DataFrame, Vector[DataFrame]) = {
+    val tr = Fixpoint.locally(slice(spark, dir, "train"), locals)
+    var w = Fixpoint.locally(nbInit(tr, spark), locals)
+    var cands = Vector(w)
+    for (_ <- 1 to Rounds) {
+      val mistakes = tr.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("w") * col("cnt")).as("score"))
+        .filter(col("y") * col("score") <= 0)
+        .select(col("doc_id"))
+      val delta = tr.join(mistakes, Seq("doc_id"))
+        .groupBy(col("b"))
+        .agg(sum(col("y") * col("cnt")).as("dw"))
+      w = Fixpoint.locally(w.join(delta, Seq("b"), "left")
+        .select(col("b"),
+          (col("w") + coalesce(col("dw"), lit(0L))).as("w")), locals)
+      cands :+= w
+    }
+    (tr, cands)
+  }
+
+  /** (round, n_mistakes) of one candidate on one labeled slice. */
+  private def mistakesOf(sliceDf: DataFrame, w: DataFrame, round: Int): DataFrame =
+    sliceDf.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("w") * col("cnt")).as("score"))
+      .agg(sum(when(col("y") * col("score") <= 0, 1L).otherwise(0L))
+        .as("n_mistakes"))
+      .select(lit(round.toLong).as("round"), col("n_mistakes"))
+
+  /** The round-tagged candidate union plus the in-plan pocket pick
+    * (fewest valid mistakes, ties to the earliest round).
+    */
+  private def pocket(spark: SparkSession, dir: String,
+      locals: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : (DataFrame, DataFrame) = {
+    val (_, cands) = candidates(spark, dir, locals)
+    val va = Fixpoint.locally(slice(spark, dir, "valid"), locals)
+    val curve = cands.zipWithIndex
+      .map { case (w, r) => mistakesOf(va, w, r) }
+      .reduce(_ unionByName _)
+    val pick = broadcast(curve
+      .orderBy(col("n_mistakes").asc, col("round").asc).limit(1)
+      .select(col("round")))
+    val tagged = cands.zipWithIndex
+      .map { case (w, r) => w.withColumn("round", lit(r.toLong)) }
+      .reduce(_ unionByName _)
+    (tagged.join(pick, Seq("round")), pick)
+  }
+
+  /** `quality_train` — the shipped weight vector: the pocket-selected
+    * candidate, one row per hashed bucket plus the bias row. A
+    * bucket's sign says which class its tokens vote for.
+    */
+  def qualityTrain(spark: SparkSession, dir: String): DataFrame = {
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try Fixpoint.reliably {
+      val (chosen, _) = pocket(spark, dir, locals)
+      chosen.select(col("b").as("bucket"), col("w").as("weight"))
+        .orderBy("bucket")
+    } finally Fixpoint.releaseAll(locals)
+  }
+
+  /** `quality_train_curve` — the measured trajectory the pocket chose
+    * from: per candidate round (0 = the NB warm start), train and
+    * valid mistake counts. This is the instrument that SHOWS the
+    * perceptron oscillation instead of asserting it.
+    */
+  def qualityTrainCurve(spark: SparkSession, dir: String): DataFrame = {
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try Fixpoint.reliably {
+      val (tr, cands) = candidates(spark, dir, locals)
+      val va = Fixpoint.locally(slice(spark, dir, "valid"), locals)
+      cands.zipWithIndex.map { case (w, r) =>
+        mistakesOf(tr, w, r)
+          .withColumnRenamed("n_mistakes", "train_mistakes")
+          .join(mistakesOf(va, w, r)
+            .withColumnRenamed("n_mistakes", "valid_mistakes"), Seq("round"))
+      }.reduce(_ unionByName _).orderBy("round")
+    } finally Fixpoint.releaseAll(locals)
+  }
+
+  /** `quality_train_eval` — the held-out confusion row (selection on
+    * valid, report on the disjoint test slice; the lm_heldout rule):
+    * predicted pass = chosen score > 0 vs the gopher-gate truth. All
+    * rates exact integer basis points; `chosen_round` records the
+    * pocket's pick (0 = the NB warm start).
+    */
+  def qualityTrainEval(spark: SparkSession, dir: String): DataFrame = {
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try Fixpoint.reliably {
+      val (chosen, pick) = pocket(spark, dir, locals)
+      val wsel = Fixpoint.locally(chosen.select(col("b"), col("w")), locals)
+      val heldout = labels(spark, dir)
+        .join(Splits.trainTestSplit(spark, dir)
+          .filter(col("split") === "test").select(col("doc_id")),
+          Seq("doc_id"))
+      val scored = Fixpoint.locally(heldout
+        .join(features(spark, dir), Seq("doc_id"), "left")
+        .join(broadcast(wsel), Seq("b"), "left")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(coalesce(sum(col("w") * col("cnt")), lit(0L)).as("score")),
+        locals)
+      scored
+        .select(col("y"), when(col("score") > 0, 1L).otherwise(0L).as("p"))
+        .agg(count(lit(1)).as("n_heldout"),
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_truth_pass"),
+          sum(col("p")).as("n_pred_pass"),
+          sum(when(col("y") === 1, col("p")).otherwise(0L)).as("n_tp"),
+          sum(when(col("y") === -1 && col("p") === 0, 1L).otherwise(0L))
+            .as("n_tn"))
+        .crossJoin(pick.select(col("round").as("chosen_round")))
+        .withColumn("accuracy_bp",
+          expr("(10000 * (n_tp + n_tn)) div n_heldout"))
+        .withColumn("precision_bp", when(col("n_pred_pass") === 0, 0L)
+          .otherwise(expr("(10000 * n_tp) div n_pred_pass")))
+        .withColumn("recall_bp", when(col("n_truth_pass") === 0, 0L)
+          .otherwise(expr("(10000 * n_tp) div n_truth_pass")))
+        .select(col("chosen_round"), col("n_heldout"), col("n_truth_pass"),
+          col("n_pred_pass"), col("n_tp"), col("n_tn"),
+          col("accuracy_bp"), col("precision_bp"), col("recall_bp"))
+    } finally Fixpoint.releaseAll(locals)
+  }
+}

@@ -539,11 +539,14 @@ object TextAnalysis {
     * token weights (a bag-of-words dot product against an implicit
     * 2^32-bucket weight vector — no vocab, no join). Computed INSIDE
     * the token array (aggregate ∘ filter ∘ split): a pure map with
-    * zero shuffles. In production the literal weights come from a
-    * trained model broadcast as a hash table (or a codegen'd
-    * Expression like functions/DotProduct for the hot path — HOFs are
-    * interpreted); the plan shape — map-side scoring, no explode —
-    * is identical.
+    * zero shuffles. The TRAIN step that produces such a weight table
+    * in-engine is [[QualityTrain.qualityTrain]] (round 16): quantized
+    * multinomial-NB warm start + pocket-selected perceptron
+    * refinement over the same hashed-bucket family, whose output
+    * broadcast onto this scoring shape is exactly the production
+    * deployment (or a codegen'd Expression like functions/DotProduct
+    * for the hot path — HOFs are interpreted); the plan shape —
+    * map-side scoring, no explode — is identical.
     */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

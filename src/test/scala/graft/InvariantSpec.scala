@@ -570,4 +570,22 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
         s"only-plain=${(realPlain -- realSalted).take(5)} " +
         s"only-salted=${(realSalted -- realPlain).take(5)}")
   }
+
+  test("quality_train pocket invariant: the eval's chosen_round is the " +
+       "valid-mistake argmin of the published curve (ties to the " +
+       "earliest round), and the shipped vector covers every bucket") {
+    import graft.etl.QualityTrain
+    val dir = "/root/testdata/sf0.001"
+    val curve = QualityTrain.qualityTrainCurve(spark, dir)
+      .select("round", "valid_mistakes").as[(Long, Long)].collect()
+    assert(curve.length == QualityTrain.Rounds + 1)
+    val best = curve.minBy { case (r, vm) => (vm, r) }._1
+    val chosen = QualityTrain.qualityTrainEval(spark, dir)
+      .select("chosen_round").as[Long].head()
+    assert(chosen == best,
+      s"pocket shipped round $chosen but the curve's argmin is $best: " +
+        curve.mkString(", "))
+    val w = QualityTrain.qualityTrain(spark, dir)
+    assert(w.count() == QualityTrain.Buckets + 1)
+  }
 }

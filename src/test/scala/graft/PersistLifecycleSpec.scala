@@ -66,7 +66,11 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkTestBase {
       "kmv_novelty", "quantile_digest", "quantile_weighted", "summary_extract",
       // round-14 eager operators: staged class frame (reliable) + the
       // pair-frame consumer
-      "lsh_bucket_stats", "containment_pipeline")
+      "lsh_bucket_stats", "containment_pipeline",
+      // round-16 eager operators: staged train/valid frames + per-round
+      // weight checkpoints, pocket pick, reliable final
+      "quality_train", "quality_train_curve", "quality_train_eval",
+      "pdf_extract")
     qs.foreach { name =>
       assert(SparkEntry.queries(name)(spark, dir).count() > 0,
         s"$name returned no rows")

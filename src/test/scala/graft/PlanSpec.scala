@@ -1567,6 +1567,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"pdf_extract lost its codegen'd expressions to a UDF:\n$p")
   }
 
+  test("round-16 pin: quality_train's per-round shape — every weight-" +
+       "vector join is a broadcast (the 257-row frame must never " +
+       "shuffle the corpus-side feature stream), no cartesian beyond " +
+       "1-row broadcasts") {
+    val cp = executedPlans("quality_train")
+      .mkString("\n=== next executed plan ===\n")
+    assert(!cp.contains("CartesianProduct"),
+      s"quality_train grew a cartesian:\n$cp")
+    assert(cp.contains("BroadcastHashJoin"),
+      s"quality_train lost the broadcast weight join:\n$cp")
+    // the per-round score join keys on the bucket column; a sort-merge
+    // join there means the bounded weight vector stopped broadcasting
+    val smjOnB = cp.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.matches(""".*\[b#\d+L\].*"""))
+    assert(!smjOnB,
+      s"quality_train's bucket-keyed weight join fell to a shuffle:\n$cp")
+  }
+
   test("round-14 pin: containment_pipeline rides the pair frame with " +
        "keyed joins only — no cartesian, no nested loop") {
     val p = plan("containment_pipeline")
