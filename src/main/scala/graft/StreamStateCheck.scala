@@ -53,17 +53,34 @@ object StreamStateCheck {
     d.toString
   }
 
+  /** The streaming parquet source wants a DIRECTORY; driver-generated
+    * sf dirs ship documents.parquet as a single file — stage a symlink.
+    */
+  private def stageStreamDir(docsPath: String, ckpt: String): String = {
+    val p = java.nio.file.Paths.get(docsPath)
+    if (java.nio.file.Files.isDirectory(p)) docsPath
+    else {
+      val d = java.nio.file.Paths.get(ckpt, "docs")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("part-0.parquet"), p.toAbsolutePath)
+      d.toString
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: StreamStateCheck <dir> [ttlSeconds|components]")
     val dir = args(0)
     val compMode = args.lift(1).contains("components")
+    val funnelMode = args.lift(1).contains("funnel")
     // fail fast on a typo'd mode BEFORE paying session startup — the
     // string mode overloads the numeric ttl slot ("" would pass a bare
     // forall-isDigit check and still die later in toInt)
-    require(compMode || args.lift(1).forall(_.matches("\\d+")),
-      s"usage: StreamStateCheck <dir> [ttlSeconds|components] — got '${args(1)}'")
-    val ttlSecs = if (compMode) None else args.lift(1).map(_.toInt)
+    require(compMode || funnelMode || args.lift(1).forall(_.matches("\\d+")),
+      s"usage: StreamStateCheck <dir> [ttlSeconds|components|funnel] — got '${args(1)}'")
+    val ttlSecs =
+      if (compMode || funnelMode) None else args.lift(1).map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
@@ -116,6 +133,47 @@ object StreamStateCheck {
       return
     }
 
+    // funnel mode (round 16): replay the corpus through the streaming
+    // curation funnel and measure the registry's state — one boolean
+    // per DISTINCT m3-surviving text digest, so the derived truth is
+    // the distinct-digest count among gopher+lang+quality survivors
+    // (computed batch-side from the same expressions), and the
+    // per-level histogram is the live funnel report itself.
+    if (funnelMode) {
+      import graft.etl.{CorpusPipeline, TextAnalysis}
+      val ckpt = tempDirRemovedOnExit("graft-streamfunnel")
+      val docsDf = spark.read.parquet(docsPath)
+        .select(col("doc_id"), col("text"))
+      val gp = udf((t: String) => TextAnalysis.gopherPass(t))
+      val m3keys = TextAnalysis.withLangPredicted(
+          TextAnalysis.qualityAnnotated(docsDf))
+        .filter(gp(coalesce(col("text"), lit(""))) &&
+          col("predicted") =!= "unknown" &&
+          col("quality_bp") >= CorpusPipeline.FunnelQualityBp)
+        .select(md5(coalesce(col("text"), lit(""))).as("h"))
+        .distinct().count()
+      val stream = spark.readStream
+        .schema(spark.read.parquet(docsPath).schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(stageStreamDir(docsPath, ckpt))
+        .select(col("doc_id"), col("text"))
+      val q = graft.streaming.StreamingOps.streamingCurationFunnel(stream)
+        .writeStream.format("memory").queryName("funnel_out")
+        .option("checkpointLocation", s"$ckpt/q")
+        .start()
+      q.processAllAvailable()
+      val so = q.lastProgress.stateOperators.head
+      val (rows, bytes) = (so.numRowsTotal, so.memoryUsedBytes)
+      q.stop()
+      val hist = spark.table("funnel_out").groupBy(col("lvl"))
+        .agg(count(lit(1)).as("n")).orderBy("lvl").collect()
+        .map(r => s""""l${r.getInt(0)}":${r.getLong(1)}""")
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"stream_state","mode":"funnel","dir":${JsonOut.quote(dir)},"derived_m3_digests":$m3keys,"state_rows":$rows,"state_bytes":$bytes,"levels":$hist,"keys_match":${rows == m3keys}}""")
+      spark.stop()
+      return
+    }
+
     // exact derived profile: occupancy = min(c, cap) per (band, bkey)
     val docs = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
     val sig = graft.etl.Dedup.minhashSignatureFast(docs, 8)
@@ -138,19 +196,7 @@ object StreamStateCheck {
       s""""c${r.getInt(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
 
     val ckpt = tempDirRemovedOnExit("graft-streamstate")
-    // the streaming parquet source wants a DIRECTORY; driver-generated
-    // sf dirs ship documents.parquet as a single file — stage a symlink
-    val streamDir = {
-      val p = java.nio.file.Paths.get(docsPath)
-      if (java.nio.file.Files.isDirectory(p)) docsPath
-      else {
-        val d = java.nio.file.Paths.get(ckpt, "docs")
-        java.nio.file.Files.createDirectories(d)
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve("part-0.parquet"), p.toAbsolutePath)
-        d.toString
-      }
-    }
+    val streamDir = stageStreamDir(docsPath, ckpt)
     val stream = spark.readStream
       .schema(spark.read.parquet(docsPath).schema)
       .option("maxFilesPerTrigger", 3)

@@ -216,12 +216,50 @@ object TextAnalysis {
     * cardinality), no joins beyond the doc-keyed assembly. Same plan
     * family as [[repetitionProfile]].
     */
+  /** The gopher stop list — ONE home shared by the relational gate
+    * ([[gopherRules]]) and the streaming per-row gate ([[gopherPass]]).
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "a", "be", "to", "of", "and", "that", "with")
+
+  /** Per-row scala form of the [[gopherRules]] verdict — the streaming
+    * funnel's m1 gate, where the relational form's word explode +
+    * doc-keyed aggregations would be a stateful shuffle per
+    * micro-batch. Semantics are the SAME five rules over the same
+    * word split; any drift fails StreamingSpec's exact stream==batch
+    * funnel parity (the mechanized-enforcement rule — this is the one
+    * permitted re-statement, and the stop list is shared).
+    */
+  def gopherPass(text: String): Boolean = {
+    val t = if (text == null) "" else text
+    val words = t.split(" ").filter(_.nonEmpty)
+    val nWords = words.length.toLong
+    val sumLen = words.iterator.map(_.length.toLong).sum
+    val alphaWords = words.count(_.exists(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+    val stopHits = GopherStops.count(words.contains).toLong
+    // the repeat rule reads cnt·len of the top bigram (ties cnt desc →
+    // length desc; the bigram-asc tie-break never changes the product)
+    val top2Chars: Long =
+      if (words.length < 2) 0L
+      else words.iterator.sliding(2).withPartial(false)
+        .map(a => a.head + " " + a(1))
+        .toSeq.groupBy(identity).iterator
+        .map { case (bg, g) => (g.size.toLong, bg.length.toLong) }
+        .maxBy(identity) match { case (c, l) => c * l }
+    (nWords >= 50 && nWords <= 100000) &&
+      (nWords > 0 && sumLen >= nWords * 3 && sumLen <= nWords * 10) &&
+      (nWords > 0 && alphaWords * 10 >= nWords * 8) &&
+      stopHits >= 2 &&
+      top2Chars * 5 <= t.length.toLong
+  }
+
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         length(txt(col("text"))).as("text_len"))
     val w = Shingles.words(docs.select(col("doc_id"), col("text")))
-    val stops = Seq("the", "a", "be", "to", "of", "and", "that", "with")
+    val stops = GopherStops
     val base = w.groupBy("doc_id").agg(
       count(lit(1)).as("n_words"),
       sum(length(col("word"))).as("sum_len"),

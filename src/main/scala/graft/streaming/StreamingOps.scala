@@ -512,6 +512,71 @@ object StreamingOps {
         })
   }
 
+  /** STREAMING CURATION FUNNEL (round 16, VERDICT r15 item 4) — the
+    * ingest twin of [[graft.etl.CorpusPipeline.curationFunnel]]'s
+    * stages 0-4: per arriving document, the level at which it leaves
+    * the pipeline (0 = gopher-rejected raw, 1 = language unknown, 2 =
+    * below the quality bar, 3 = exact-duplicate loser, 4 = survivor),
+    * emitted per doc so a stage histogram is one aggregation away.
+    *
+    * Stage composition from the existing primitives: the per-doc
+    * SCALARS (tokens, quality_bp, lang marker prediction, text md5)
+    * are the SAME column expressions the batch funnel uses
+    * ([[graft.etl.TextAnalysis.qualityAnnotated]]/withLangPredicted —
+    * a pure map, streaming-safe); the gopher gate runs as the per-row
+    * scala form [[graft.etl.TextAnalysis.gopherPass]] (the relational
+    * form's word aggregations would shuffle every micro-batch);
+    * exact dedup is a digest-keyed first-seen registry
+    * ([[visitedFirstSeen]]'s shape, keyed on md5(text), won only by
+    * m3 survivors — the batch window's (h, m3) partition). Stage 5
+    * (near-dup canonical) is the documented boundary: the LSH
+    * component closure rides [[streamingComponents]], whose
+    * assignments converge only across the whole stream, so the live
+    * funnel reports stages 0-4 and the canonical stage reconciles on
+    * the closure twin's cadence.
+    *
+    * Parity contract (StreamingSpec): on a replay ordered by doc_id,
+    * the cumulative (docs, tokens) histogram over these levels equals
+    * the batch funnel's stage 0-4 rows EXACTLY. Arrival order matters
+    * only within a digest (first m3 survivor wins — the same
+    * first-wins semantics the batch expresses as rn=1 by doc_id), so
+    * rows within each micro-batch fold in doc_id order.
+    *
+    * State: one boolean per DISTINCT m3-surviving text digest —
+    * bounded by distinct corpus texts, the [[visitedFirstSeen]]
+    * NoTimeout replay form; production bounds it with the TTL twin's
+    * horizon exactly like the visited set.
+    */
+  def streamingCurationFunnel(docs: DataFrame): Dataset[FunnelLevel] = {
+    import docs.sparkSession.implicits._
+    val annotated = graft.etl.TextAnalysis.withLangPredicted(
+        graft.etl.TextAnalysis.qualityAnnotated(
+          docs.select(col("doc_id"), col("text"))))
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        col("tokens"), col("quality_bp"), col("predicted"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
+      .as[FunnelDoc]
+    annotated
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[FunnelDoc], state: GroupState[Boolean]) => {
+          var taken = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val m1 = graft.etl.TextAnalysis.gopherPass(d.text)
+            val m2 = m1 && d.predicted != "unknown"
+            val m3 = m2 &&
+              d.quality_bp >= graft.etl.CorpusPipeline.FunnelQualityBp
+            val m4 = m3 && !taken
+            if (m4) taken = true
+            val lvl = if (!m1) 0 else if (!m2) 1 else if (!m3) 2
+              else if (!m4) 3 else 4
+            FunnelLevel(d.doc_id, lvl, d.tokens)
+          }
+          if (taken) state.update(true)
+          out.iterator
+        })
+  }
+
   /** Map-side banding shared by both streaming near-dup forms: fast
     * signatures + the full signature array + one row per band struct —
     * the band layout is [[graft.etl.Dedup.bandStructs]], THE single
@@ -698,6 +763,13 @@ case class KmvShard(shard: Int, hashes: Seq[Long])
 
 /** A band-keyed signature row feeding [[StreamingOps.streamingNearDup]]. */
 case class BandDoc(doc_id: Long, band: Int, bkey: Long, sig: Seq[Long])
+
+/** An annotated document entering the streaming curation funnel. */
+case class FunnelDoc(doc_id: Long, text: String, tokens: Long,
+  quality_bp: Long, predicted: String, h: String)
+
+/** A document's funnel exit level (0-4) + its token mass. */
+case class FunnelLevel(doc_id: Long, lvl: Int, toks: Long)
 
 /** One doc's signature held in a band's bounded state. */
 case class BandSigEntry(doc_id: Long, sig: Seq[Long])

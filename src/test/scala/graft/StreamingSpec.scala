@@ -344,6 +344,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming curation funnel == batch stages 0-4 on an ordered " +
+      "replay (round 16); stage 5's closure is the streamingComponents " +
+      "twin's documented boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.etl.CorpusPipeline.curationFunnel(spark, dir)
+      .filter(col("stage") <= 4)
+      .select(col("stage"),
+        col("n_docs"), col("n_tokens"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(batch.length == 5 && batch.head._2 > 0, "vacuous batch funnel")
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingCurationFunnel(
+        src.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("funnel_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // doc_id-ordered replay in 3 micro-batches: first-wins is only
+      // order-sensitive WITHIN a digest, so this is the documented
+      // parity replay (the batch window ranks by doc_id)
+      docs.grouped((docs.length + 2) / 3).foreach { c =>
+        src.addData(c.toSeq: _*); q.processAllAvailable()
+      }
+      val lv = spark.table("funnel_t").as[(Long, Int, Long)].collect()
+      assert(lv.length == docs.length, "one level row per doc")
+      val streamed = (0 to 4).map { s =>
+        val surv = lv.filter(_._2 >= s)
+        (s.toLong, surv.length.toLong, surv.map(_._3).sum)
+      }
+      assert(streamed == batch,
+        s"stream=$streamed\nbatch =$batch")
+    } finally q.stop()
+  }
+
   test("streaming IVM rollup equals the batch recompute of all deltas") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.RollupDelta
