@@ -78,6 +78,31 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dead-session sweep deletes the stopped owner's checkpoint " +
+      "files (round 16; ADVICE r14 stretch) — run in a child JVM, " +
+      "since the stopped-context scenario cannot share this suite's " +
+      "live context") {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++
+      Seq("-Xmx4g", "-cp", cp, "graft.DeadSessionMemoCheck",
+        "/root/testdata/sf0.001")
+    val out = new StringBuilder
+    val code = scala.sys.process.Process(cmd)
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n')))
+    assert(code == 0 && out.toString.contains("DEADSESSION_DELETED=true"),
+      s"child JVM exit $code:\n${out.toString.linesIterator.toSeq.takeRight(30).mkString("\n")}")
+  }
+
   test("session memos refresh when the data under dir changes " +
       "(fingerprint identity — ADVICE r13 / verdict item 3a), " +
       "with the dir named by a file:// URI so the staleness check " +
