@@ -339,9 +339,13 @@ object ScaleCheck {
       .filter(_.nonEmpty)
       .mkString("\n")
 
-  /** Timed reps per (query, dir) after the warmup. The 100× tier sets
-    * SPARK_GRAFT_SCALE_REPS=1 — at that corpus size a second rep buys
-    * noise reduction the run can't afford; 10×/30× keep min-of-2.
+  /** Timed reps per (query, dir) after the warmup. Bulk sweeps keep
+    * min-of-2; SPARK_GRAFT_SCALE_REPS=1 when a corpus is so large a
+    * second rep buys noise reduction the run can't afford. Round-16
+    * measurement policy (VERDICT r15 item 5): any NEW row cited as
+    * round evidence in BASELINE.md runs SPARK_GRAFT_SCALE_REPS=3 and
+    * reports the MEDIAN — min-under-few-reps produced r15's wave-8
+    * 30×>100× inversion and two weather-contaminated first attempts.
     */
   private val TimedReps = {
     val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
@@ -364,12 +368,16 @@ object ScaleCheck {
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
     scrub(); once() // warmup rep: codegen/JIT, parquet footers
     graft.etl.Fixpoint.lastRounds.clear()
-    val secs = (1 to TimedReps).map { _ =>
+    val samples = (1 to TimedReps).map { _ =>
       scrub()
       val t0 = System.nanoTime()
       once()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    // median at >= 3 reps (the evidence-row policy), min below it
+    val secs =
+      if (TimedReps >= 3) samples.sorted.apply(TimedReps / 2)
+      else samples.min
     // dynamic-fixpoint round counts recorded by the timed runs — the
     // round-growth evidence for the O(log diameter) claim
     import scala.jdk.CollectionConverters._
