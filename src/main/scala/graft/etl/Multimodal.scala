@@ -115,9 +115,14 @@ object Multimodal {
     import graft.functions.PdfExprs
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .withColumn("pdf", PdfExprs.buildF(col("text")))
+      // ONE extraction per row: the struct expression parses once and
+      // both output columns read its fields (two scalar expressions
+      // measured ~2× the parse cost; project-collapse keeps the
+      // multi-referenced struct materialized, like the pdf column)
+      .withColumn("px", PdfExprs.extractF(col("pdf")))
       .select(col("doc_id"),
-        PdfExprs.pagesF(col("pdf")).as("n_pages"),
-        PdfExprs.textF(col("pdf")).as("pdf_text"))
+        col("px.n_pages").as("n_pages"),
+        col("px.pdf_text").as("pdf_text"))
       .withColumn("capped", col("n_pages") > 15)
       .orderBy("doc_id")
   }

@@ -111,11 +111,17 @@ object PdfBuild {
     makePdf(pageTexts(if (text == null) "" else text.toString), _ % 2 == 1)
 }
 
-/** Shims for the extraction side (reference cap: max_pages=15). */
+/** Shim for the extraction side (reference cap: max_pages=15): ONE
+  * parse per row returning the (pages, text) struct — separate
+  * pages/text expressions would parse every PDF twice (measured ~2×
+  * the extraction cost at sf0.1).
+  */
 object PdfExtractFn {
-  def pages(b: Array[Byte]): Int = graft.etl.PdfText.extract(b, 15).pages
-  def text(b: Array[Byte]): UTF8String =
-    UTF8String.fromString(graft.etl.PdfText.extract(b, 15).text)
+  def extract(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val r = graft.etl.PdfText.extract(b, 15)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](r.pages, UTF8String.fromString(r.text)))
+  }
 }
 
 case class PdfBuildExpr(child: Expression)
@@ -133,32 +139,19 @@ case class PdfBuildExpr(child: Expression)
     copy(child = newChild)
 }
 
-case class PdfPagesExpr(child: Expression)
+case class PdfExtractExpr(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
     Seq(BinaryType)
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_pages", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("pdf_text", StringType, nullable = false)))
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "pdf_pages"
+  override def prettyName: String = "pdf_extract"
   override protected def nullSafeEval(b: Any): Any =
-    PdfExtractFn.pages(b.asInstanceOf[Array[Byte]])
+    PdfExtractFn.extract(b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, b => s"graft.functions.PdfExtractFn.pages($b)")
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-case class PdfTextExpr(child: Expression)
-  extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
-    Seq(BinaryType)
-  override def dataType: DataType = StringType
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "pdf_text"
-  override protected def nullSafeEval(b: Any): Any =
-    PdfExtractFn.text(b.asInstanceOf[Array[Byte]])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, b => s"graft.functions.PdfExtractFn.text($b)")
+    defineCodeGen(ctx, ev, b => s"graft.functions.PdfExtractFn.extract($b)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -167,10 +160,9 @@ object PdfExprs {
   /** Column API: synthetic PDF bytes of a text column. */
   def buildF(text: Column): Column =
     ColumnBridge.column(PdfBuildExpr(ColumnBridge.expression(text)))
-  /** Column API: physical page count of a PDF payload (pre-cap). */
-  def pagesF(pdf: Column): Column =
-    ColumnBridge.column(PdfPagesExpr(ColumnBridge.expression(pdf)))
-  /** Column API: extracted text of the first 15 pages of a payload. */
-  def textF(pdf: Column): Column =
-    ColumnBridge.column(PdfTextExpr(ColumnBridge.expression(pdf)))
+  /** Column API: (n_pages, pdf_text) struct of a payload — physical
+    * (pre-cap) page count + the first 15 pages' text, one parse.
+    */
+  def extractF(pdf: Column): Column =
+    ColumnBridge.column(PdfExtractExpr(ColumnBridge.expression(pdf)))
 }
