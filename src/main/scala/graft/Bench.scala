@@ -72,11 +72,12 @@ object Bench {
     def scrub(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      // per-query honesty: min-of-reps over a warm components memo
-      // would time only the downstream aggregate (the shared frame is
-      // the production shape — measured in BASELINE.md round 13; the
+      // per-query honesty: min-of-reps over a warm session memo
+      // (components closure, LSH pairs, quality-train artifact) would
+      // time only the downstream aggregate (the shared frame is the
+      // production shape — measured in BASELINE.md rounds 13/17; the
       // bench prices each query standalone)
-      graft.etl.Dedup.clearComponentsMemo()
+      graft.etl.Memos.clearAll()
     }
     // One warm execution per query, then the timed run: the first
     // execution pays Janino/JIT compilation of the generated code
@@ -127,9 +128,33 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    var results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Weather canary (VERDICT r16 item 2): the SAME fixed physical
+    // probe — q1_agg, scrubbed/settled like a timed rep — measured at
+    // loop START, MIDDLE and END of every run and emitted as
+    // "canary":[a,b,c]. Cross-run comparisons normalize a mover's
+    // ratio by the canary ratio BEFORE calling it structural: r15 and
+    // r16 each burned an arbitration cycle deciding whether an
+    // all-board +10-12% on unchanged code was run-level weather; the
+    // canary makes that a one-line read (normalization rule in
+    // BASELINE.md). One unrecorded warm call first — the canary's noop
+    // materialization has its own one-time codegen cost, which is
+    // compile weather, not run weather.
+    def canary(): Double = {
+      scrub(); settle()
+      val t0 = System.nanoTime()
+      materialize(SparkEntry.queries("q1_agg")(spark, sfDir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try { canary(); canaries += canary() }
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH CANARY FAIL: ${errMsg(e)}") }
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .flatMap { case (name, fn) =>
+    val midIdx = toRun.size / 2
+    var results = toRun.zipWithIndex.flatMap { case ((name, fn), idx) =>
+      if (idx == midIdx && idx > 0)
+        try canaries += canary() catch { case _: Throwable => () }
       scrub()
       val c0 = System.nanoTime()
       val coldOk =
@@ -179,6 +204,9 @@ object Bench {
         case _ => r
       }
     }
+    // end-of-run canary AFTER the outlier reruns — it brackets
+    // everything the run timed
+    try canaries += canary() catch { case _: Throwable => () }
     // 3-decimal (millisecond) precision: full-precision doubles made the
     // 97-query line ~5 KB, which overflowed the driver's stdout tail
     // capture and left BENCH_r02's `parsed` null. ~2.5 KB fits.
@@ -192,7 +220,8 @@ object Bench {
     def jstr(s: String): String = JsonOut.quote(s)
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val reranJson = reran.map(jstr).mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_errors":${errors.size},"errors":$errs,"reran":$reranJson,"queries":$qs,"cold":$colds,"sf":"$sfDir"}"""
+    val canaryJson = canaries.map(fmt).mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_errors":${errors.size},"errors":$errs,"reran":$reranJson,"canary":$canaryJson,"queries":$qs,"cold":$colds,"sf":"$sfDir"}"""
     println(json)
     // Land the full line in a file: the driver's stdout capture keeps
     // only the LAST ~2000 chars (measured from its round-3 artifact),
@@ -208,7 +237,7 @@ object Bench {
       .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = errors.keys.take(8).map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"failed":$failed,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"failed":$failed,"canary":$canaryJson,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

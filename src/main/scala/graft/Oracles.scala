@@ -382,7 +382,7 @@ object Oracles {
        |          CAST(round((ln((coalesce(c.np, 0) + 1.0) / (t.tp + $B.0))
        |            - ln((coalesce(c.nn, 0) + 1.0) / (t.tn + $B.0))) * 10000) AS BIGINT)
        |        ELSE
-       |          CAST(round((ln(p.dp * 1.0) - ln(p.dn * 1.0)) * 10000) AS BIGINT)
+       |          CAST(round((ln(p.dp + 1.0) - ln(p.dn + 1.0)) * 10000) AS BIGINT)
        |        END AS w
        |        FROM qgrid g LEFT JOIN qcls c ON g.b = c.b, qtot t, qpri p),
        |$rounds,
@@ -2893,6 +2893,51 @@ object Oracles {
          |FROM lshpairs p JOIN assign a ON a.doc_id = p.doc_a
          |               JOIN assign b ON b.doc_id = p.doc_b""".stripMargin,
 
+    // eval-side benchmark decontamination — mirrors
+    // Splits.decontaminateEval (8-word shingles via lead×7 over the
+    // filtered word stream; the split-bucket hash is QualityTrainCtes'
+    // spl idiom). The per-TRAINING-doc twin is `decontaminate`.
+    "decontaminate_eval" ->
+      s"""WITH $WordsCte,
+         |sh0 AS (SELECT doc_id, pos, word,
+         |  lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         |  lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+         |  lead(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
+         |  lead(word, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4,
+         |  lead(word, 5) OVER (PARTITION BY doc_id ORDER BY pos) AS w5,
+         |  lead(word, 6) OVER (PARTITION BY doc_id ORDER BY pos) AS w6,
+         |  lead(word, 7) OVER (PARTITION BY doc_id ORDER BY pos) AS w7
+         |  FROM words),
+         |shing AS (SELECT DISTINCT doc_id,
+         |    word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+         |      || ' ' || w5 || ' ' || w6 || ' ' || w7 AS shingle
+         |  FROM sh0 WHERE w7 IS NOT NULL),
+         |spl AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
+         |  FROM documents),
+         |bench AS (SELECT s.doc_id AS bench_doc, shingle
+         |  FROM shing s JOIN spl USING (doc_id) WHERE bucket >= 90),
+         |train AS (SELECT s.doc_id AS train_doc, shingle
+         |  FROM shing s JOIN spl USING (doc_id) WHERE bucket < 80),
+         |sz AS (SELECT bench_doc, count(*) AS n_sh FROM bench GROUP BY 1),
+         |inter AS (SELECT bench_doc, train_doc, count(*) AS n_common
+         |  FROM bench JOIN train USING (shingle) GROUP BY 1, 2),
+         |top AS (SELECT bench_doc, train_doc, n_common FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY bench_doc
+         |      ORDER BY n_common DESC, train_doc) AS rk FROM inter)
+         |  WHERE rk = 1),
+         |o AS (SELECT s.bench_doc, s.n_sh,
+         |    coalesce(t.train_doc, -1) AS top_train_doc,
+         |    coalesce(t.n_common, 0) AS n_common
+         |  FROM sz s LEFT JOIN top t USING (bench_doc))
+         |SELECT bench_doc, CAST(n_sh AS BIGINT) AS n_sh,
+         |  CAST(top_train_doc AS BIGINT) AS top_train_doc,
+         |  CAST(n_common AS BIGINT) AS n_common,
+         |  CAST((10000 * n_common) // n_sh AS BIGINT) AS containment_bp,
+         |  CAST(CASE WHEN (10000 * n_common) // n_sh >= 5000 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS contaminated
+         |FROM o ORDER BY bench_doc""".stripMargin,
+
     // exact k-per-group reservoir — mirrors Splits.reservoirSample
     // (8-hex-digit hash fits INT64 via the 0x cast; same salt idiom as
     // stratified_sample)
@@ -4428,6 +4473,29 @@ object Oracles {
          |FROM documents d LEFT JOIN pc USING (doc_id) LEFT JOIN tx USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
+    // corpus-tier digest projection of the same round trip — mirrors
+    // Multimodal.pdfExtractDigest (md5 of the identical UTF-8 text)
+    "pdf_extract_digest" ->
+      s"""WITH $WordsCte,
+         |wi AS (SELECT doc_id, word,
+         |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+         |           AS BIGINT) AS widx
+         |       FROM words),
+         |pg AS (SELECT doc_id, widx // ${graft.functions.PdfBuild.PageWords} AS page,
+         |         string_agg(word, ' ' ORDER BY widx) AS p_text
+         |       FROM wi GROUP BY doc_id, widx // ${graft.functions.PdfBuild.PageWords}),
+         |pc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_pages
+         |       FROM pg GROUP BY doc_id),
+         |tx AS (SELECT doc_id,
+         |         string_agg(p_text, chr(10) || chr(10) ORDER BY page) AS pdf_text
+         |       FROM pg WHERE page < 15 GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pc.n_pages, 1) AS INT) AS n_pages,
+         |  coalesce(pc.n_pages, 1) > 15 AS capped,
+         |  md5(coalesce(tx.pdf_text, '')) AS text_md5
+         |FROM documents d LEFT JOIN pc USING (doc_id) LEFT JOIN tx USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // Duplicated-span clipping — mirrors Dedup.spanClip. Coverage uses
     // the EXPLICIT positions of the 8 gram words (lead(pos, i)), not
     // pos+i arithmetic, so the construction stays structural even when
@@ -5269,36 +5337,37 @@ object Oracles {
          |SELECT node AS vec_id, lp_round, lp_label FROM l2 ORDER BY vec_id""".stripMargin
     },
 
-    // 3-core after 3 peel rounds — mirrors GraphCuration.kcore
-    // (undirected simple graph from the crawl edge list)
-    "kcore" ->
-      """WITH cnt AS (SELECT count(*) AS c FROM customer),
+    // 3-core PEEL FIXPOINT — mirrors GraphCuration.kcore (round 17):
+    // the Spark loop peels until stable (round count published via
+    // Fixpoint.lastRounds); the oracle unrolls KcoreMaxRounds peels,
+    // which are identities past convergence — and if the cap ever
+    // bit, both engines would have done exactly cap rounds, so the
+    // surfaces agree either way. Every u_r is AS MATERIALIZED: each
+    // level references its predecessor 3× (degree union ×2 + the
+    // restrict), so DuckDB's CTE inlining would otherwise re-evaluate
+    // the prefix 3^R times (the quality_train unroll lesson).
+    "kcore" -> {
+      val R = graft.etl.GraphCuration.KcoreMaxRounds
+      val rounds = (1 to R).map { r =>
+        val p = s"u${r - 1}"
+        s"""d$r AS (SELECT node, count(*) AS deg FROM
+           |         (SELECT a AS node FROM $p UNION ALL SELECT b AS node FROM $p)
+           |       GROUP BY node),
+           |k$r AS (SELECT node FROM d$r WHERE deg >= 3),
+           |u$r AS MATERIALIZED (SELECT a, b FROM $p
+           |       WHERE a IN (SELECT node FROM k$r) AND b IN (SELECT node FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cnt AS (SELECT count(*) AS c FROM customer),
         |e0 AS (SELECT DISTINCT CAST(o_custkey % c AS BIGINT) AS src,
         |                       CAST(o_orderkey % c AS BIGINT) AS dst
         |       FROM orders, cnt),
-        |u0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |u0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         |       FROM e0 WHERE src <> dst),
-        |d1 AS (SELECT node, count(*) AS deg FROM
-        |         (SELECT a AS node FROM u0 UNION ALL SELECT b AS node FROM u0)
-        |       GROUP BY node),
-        |k1 AS (SELECT node FROM d1 WHERE deg >= 3),
-        |u1 AS (SELECT a, b FROM u0
-        |       WHERE a IN (SELECT node FROM k1) AND b IN (SELECT node FROM k1)),
-        |d2 AS (SELECT node, count(*) AS deg FROM
-        |         (SELECT a AS node FROM u1 UNION ALL SELECT b AS node FROM u1)
-        |       GROUP BY node),
-        |k2 AS (SELECT node FROM d2 WHERE deg >= 3),
-        |u2 AS (SELECT a, b FROM u1
-        |       WHERE a IN (SELECT node FROM k2) AND b IN (SELECT node FROM k2)),
-        |d3 AS (SELECT node, count(*) AS deg FROM
-        |         (SELECT a AS node FROM u2 UNION ALL SELECT b AS node FROM u2)
-        |       GROUP BY node),
-        |k3 AS (SELECT node FROM d3 WHERE deg >= 3),
-        |u3 AS (SELECT a, b FROM u2
-        |       WHERE a IN (SELECT node FROM k3) AND b IN (SELECT node FROM k3))
+        |$rounds
         |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
-        |  (SELECT a AS node FROM u3 UNION ALL SELECT b AS node FROM u3)
-        |GROUP BY node ORDER BY node""".stripMargin,
+        |  (SELECT a AS node FROM u$R UNION ALL SELECT b AS node FROM u$R)
+        |GROUP BY node ORDER BY node""".stripMargin
+    },
 
     // ---- round-9 boilerplate wave ----
     // per-source template-gram profile — mirrors Boilerplate
@@ -5594,7 +5663,8 @@ object Oracles {
          |       FROM hs)
          |SELECT (SELECT round FROM qpick) AS chosen_round,
          |  n_heldout, n_truth_pass, n_pred_pass, n_tp, n_tn,
-         |  CAST((10000 * (n_tp + n_tn)) // n_heldout AS BIGINT) AS accuracy_bp,
+         |  CAST(CASE WHEN n_heldout = 0 THEN 0
+         |       ELSE (10000 * (n_tp + n_tn)) // n_heldout END AS BIGINT) AS accuracy_bp,
          |  CAST(CASE WHEN n_pred_pass = 0 THEN 0
          |       ELSE (10000 * n_tp) // n_pred_pass END AS BIGINT) AS precision_bp,
          |  CAST(CASE WHEN n_truth_pass = 0 THEN 0

@@ -359,10 +359,11 @@ object ScaleCheck {
     def scrub(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      // memoized closure/pair frames would make every rep after the
-      // warmup time only the downstream agg (the CLAUDE.md warm-memo
-      // trap) — isolation timing pays the full build each rep
-      graft.etl.Dedup.clearComponentsMemo()
+      // memoized closure/pair/train-artifact frames would make every
+      // rep after the warmup time only the downstream agg (the
+      // CLAUDE.md warm-memo trap) — isolation timing pays the full
+      // build each rep
+      graft.etl.Memos.clearAll()
     }
     def once(): Unit =
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
@@ -374,10 +375,15 @@ object ScaleCheck {
       once()
       (System.nanoTime() - t0) / 1e9
     }
-    // median at >= 3 reps (the evidence-row policy), min below it
+    // median at >= 3 reps (the evidence-row policy), min below it.
+    // TRUE median for even rep counts (ADVICE r16): the two middle
+    // samples average — sorted(n/2) alone is the upper-middle element
     val secs =
-      if (TimedReps >= 3) samples.sorted.apply(TimedReps / 2)
-      else samples.min
+      if (TimedReps >= 3) {
+        val s = samples.sorted
+        if (TimedReps % 2 == 1) s(TimedReps / 2)
+        else (s(TimedReps / 2 - 1) + s(TimedReps / 2)) / 2
+      } else samples.min
     // dynamic-fixpoint round counts recorded by the timed runs — the
     // round-growth evidence for the O(log diameter) claim
     import scala.jdk.CollectionConverters._

@@ -181,6 +181,7 @@ object SparkEntry {
     "train_test_split" -> (Splits.trainTestSplit _),
     "group_split"      -> (Splits.groupSplit _),
     "split_leakage"    -> (Splits.splitLeakage _),
+    "decontaminate_eval" -> (Splits.decontaminateEval _),
     "snapshot_diff"    -> (Splits.snapshotDiff _),
     // relational breadth: windows-as-correlation, deep join, rollup, pivot
     "above_avg_orders" -> (Relational2.aboveAvgOrders _),
@@ -297,6 +298,7 @@ object SparkEntry {
     // last narrowable contract (page tree + Flate streams + Tj grammar,
     // max_pages=15 cap on real rows)
     "pdf_extract"  -> (Multimodal.pdfExtract _),
+    "pdf_extract_digest" -> (Multimodal.pdfExtractDigest _),
     // two-pass Misra-Gries sketch + exact recount: provably equals the
     // plain GROUP BY heavy-hitter answer (see MisraGries scaladoc)
     "heavy_hitters" -> (Skew.heavyHitters _),

@@ -92,13 +92,13 @@ object TimeQuery {
         "names must match SparkEntry.queries keys")
     val keepMemo = sys.env.get("SPARK_GRAFT_KEEP_MEMO").contains("1")
     for (i <- 1 to reps) {
-      graft.etl.Dedup.clearComponentsMemo()
+      graft.etl.Memos.clearAll()
       var total = 0.0
       for (n <- names) {
         // same scrub as Bench: SQL cache + RDD-level localCheckpoint blocks
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        if (!keepMemo) graft.etl.Dedup.clearComponentsMemo()
+        if (!keepMemo) graft.etl.Memos.clearAll()
         val t0 = System.nanoTime()
         // noop sink, not count(): count lets Catalyst prune all columns and
         // drop sorts, under-measuring map-only queries (see Bench.materialize).

@@ -230,22 +230,40 @@ object GraphCuration {
     } finally Fixpoint.releaseAll(locals)
   }
 
-  /** 3-core of the crawl link graph after 3 peel rounds: repeatedly
-    * drop nodes with undirected degree < 3 and the edges touching
-    * them. Emits surviving nodes with their residual degree — the
-    * densely-linked core (recrawl-priority set); fringe pages peel
-    * off. 3 rounds approximates the fixpoint the way a production
-    * peel caps iterations per superstep.
+  /** Peel-round safety cap, shared with the DuckDB oracle's unroll.
+    * The Spark loop stops EARLY at the fixpoint (a peel that removes
+    * nothing); the oracle unrolls exactly this many peels, which are
+    * identities past convergence — and if a pathological graph ever
+    * needed more, BOTH engines would have done exactly [[
+    * KcoreMaxRounds]] rounds, so the two surfaces agree either way.
+    * 12 = 4× the deepest convergence measured across the 1×-100×
+    * tiers (3 rounds at every tier, BASELINE.md round 17).
+    */
+  val KcoreMaxRounds = 12
+
+  /** 3-core of the crawl link graph — ADAPTIVE peel to the fixpoint
+    * (VERDICT r16 item 6; the fixed 3-round unroll either under-peels
+    * deeper graphs — a WRONG 3-core — or silently saturates, and the
+    * components closure's 3→6 round growth at 100× says round counts
+    * DO grow with scale): repeatedly drop nodes with undirected
+    * degree < 3 and the edges touching them until a round removes
+    * nothing, capped at [[KcoreMaxRounds]]. Emits surviving nodes
+    * with their residual degree — the densely-linked core
+    * (recrawl-priority set); fringe pages peel off. The convergence
+    * round count lands in `Fixpoint.lastRounds("kcore")` (the last
+    * round is the no-op that PROVES the fixpoint), so ScaleCheck
+    * publishes round growth per tier instead of asserting it.
+    *
+    * Lineage discipline: a dynamic loop needs per-round eager
+    * checkpoints (the components-closure rule — persist alone leaves
+    * Catalyst re-optimizing an exponentially nesting tree), and the
+    * convergence witness is the edge count the checkpoint
+    * materialization already pays for. Peeling only removes edges, so
+    * count-unchanged == set-unchanged.
     */
   def kcore(spark: SparkSession, dir: String): DataFrame = {
     val e0 = Crawl.edges(spark, dir).filter(col("src") =!= col("dst"))
-    // undirected simple edge set (canonical src < dst). Each round
-    // reads its input edge frame twice (degree agg + semi-join
-    // restrict); measured at sf0.1, AQE exchange reuse already covers
-    // the duplication — persisting every round was TESTED and is
-    // slower (5.2 s vs 4.2 s: materialization cost exceeds the reuse
-    // win at this depth). The fixpoint checkpoint rule still applies
-    // past ~4 rounds, where plan growth (not recompute) dominates.
+    // undirected simple edge set (canonical src < dst)
     val und = e0.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
@@ -260,11 +278,27 @@ object GraphCuration {
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
     }
 
-    // 3 unrolled rounds; >4 needs per-round localCheckpoint()
-    val e3 = peel(peel(peel(und)))
-    e3.select(col("a").as("node")).union(e3.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .orderBy("node")
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var edges = Fixpoint.locally(und, locals)
+      var n = edges.count()
+      var rounds = 0
+      var stable = n == 0
+      while (!stable && rounds < KcoreMaxRounds) {
+        val next = Fixpoint.locally(peel(edges), locals)
+        val m = next.count()
+        rounds += 1
+        stable = m == n
+        edges = next
+        n = m
+      }
+      Fixpoint.lastRounds.put("kcore", rounds)
+      Fixpoint.reliably(
+        edges.select(col("a").as("node"))
+          .union(edges.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .orderBy("node"))
+    } finally Fixpoint.releaseAll(locals)
   }
 
   /** Common-neighbor link prediction over the crawl link graph

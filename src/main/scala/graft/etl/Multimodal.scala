@@ -111,7 +111,7 @@ object Multimodal {
     * shuffles beyond the output sort; the 15-page cap bounds parser
     * work per row regardless of asset size.
     */
-  def pdfExtract(spark: SparkSession, dir: String): DataFrame = {
+  private def pdfExtractRaw(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PdfExprs
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .withColumn("pdf", PdfExprs.buildF(col("text")))
@@ -124,8 +124,26 @@ object Multimodal {
         col("px.n_pages").as("n_pages"),
         col("px.pdf_text").as("pdf_text"))
       .withColumn("capped", col("n_pages") > 15)
-      .orderBy("doc_id")
   }
+
+  def pdfExtract(spark: SparkSession, dir: String): DataFrame =
+    pdfExtractRaw(spark, dir).orderBy("doc_id")
+
+  /** `pdf_extract_digest` — the CORPUS-TIER projection of
+    * [[pdfExtract]] (VERDICT r16 item 5): the oracle tier's 100× cost
+    * is dominated by globally sorting full extracted text (~9.6× at
+    * 100×, shuffle-bound); a corpus-scale consumer wants the METADATA
+    * row — (doc_id, n_pages, capped, text digest) — and this
+    * projection drops the output shuffle to digest size while the
+    * parse work stays identical. Same build+parse expressions, md5 of
+    * the recovered text as the verifiable stand-in for it (DuckDB
+    * md5's of the same UTF-8 bytes).
+    */
+  def pdfExtractDigest(spark: SparkSession, dir: String): DataFrame =
+    pdfExtractRaw(spark, dir)
+      .select(col("doc_id"), col("n_pages"), col("capped"),
+        md5(col("pdf_text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
 
   /** X12 REAL image compression: [[ImageCodec]] (pure-JDK decode →
     * aspect-preserving shrink-to-maxWidth → explicit-quality JPEG)

@@ -117,7 +117,33 @@ object PdfText extends Serializable {
         pending.setLength(0)
       }
 
+    // PDF 2.0 UTF-8 text strings (ISO 32000-2 §7.9.2.2): a string whose
+    // decoded bytes start with the EF BB BF BOM carries UTF-8 — re-decode
+    // the byte-chars accumulated since `p0` and strip the BOM. Chars
+    // > 0xFF in the region mean it wasn't a byte string; leave it alone.
+    def decodeBom(p0: Int): Unit = {
+      val len = pending.length - p0
+      if (len >= 3 && pending.charAt(p0) == 0xEF.toChar &&
+          pending.charAt(p0 + 1) == 0xBB.toChar &&
+          pending.charAt(p0 + 2) == 0xBF.toChar) {
+        val bytes = new Array[Byte](len - 3)
+        var k = p0 + 3
+        var ok = true
+        while (k < pending.length && ok) {
+          val c = pending.charAt(k)
+          if (c > 0xFF) ok = false else bytes(k - p0 - 3) = c.toByte
+          k += 1
+        }
+        if (ok) {
+          pending.setLength(p0)
+          pending.append(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    }
+
     def parseLiteral(start: Int): Int = { // content(start) == '('
+      val p0 = pending.length
       var depth = 1
       var j = start + 1
       while (j < n && depth > 0) {
@@ -147,10 +173,12 @@ object PdfText extends Serializable {
           case c => pending.append(c); j += 1
         }
       }
+      decodeBom(p0)
       j
     }
 
     def parseHex(start: Int): Int = { // '<' (not '<<')
+      val p0 = pending.length
       var j = start + 1
       val hx = new StringBuilder
       while (j < n && content.charAt(j) != '>') {
@@ -164,6 +192,7 @@ object PdfText extends Serializable {
         pending.append(Integer.parseInt(hx.substring(k, k + 2), 16).toChar)
         k += 2
       }
+      decodeBom(p0)
       j + 1
     }
 

@@ -174,6 +174,62 @@ object Splits {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EVAL-SIDE benchmark decontamination (VERDICT r16 stretch item 8)
+    * — [[Dedup.decontaminate]] reports the training docs touching a
+    * benchmark slice; this is the report the BENCHMARK owner needs:
+    * per eval item, how much of it is contained in the training
+    * corpus and which training doc contains it — n-gram containment
+    * of a held EVAL set, the GPT-3/PaLM-style "13-gram overlap"
+    * decontamination check (Brown et al. 2020 §C) expressed over this
+    * corpus's 10-99-word docs as 8-word shingles. The held benchmark
+    * here is the test split (doc-hash bucket ≥ 90,
+    * [[trainTestSplit]]'s domain); production points the bench side
+    * at the real benchmark table and the train side at the corpus —
+    * the plan is the same asymmetric shingle-keyed join either way.
+    *
+    * Per benchmark item: its distinct-8-gram count, the TOP
+    * contaminating training doc (most shared 8-grams, ties to the
+    * smallest doc id; -1/0 when nothing overlaps), containment in
+    * integer basis points, and the ≥ 50 % contamination flag.
+    *
+    * Scale posture: shingles are map-side array expressions
+    * ([[Shingles.shingleArray]], no explode+window shuffle); the ONLY
+    * pair-producing join is keyed on the shingle (never all-pairs —
+    * PlanSpec-pinned), so the quadratic term is Σ_s df_bench(s) ·
+    * df_train(s), which long n-grams keep near-linear exactly as in
+    * the published decontamination runs; the per-bench-doc top-1 is a
+    * rank-window over only that doc's overlapping candidates.
+    */
+  def decontaminateEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"),
+        hashBucket(col("doc_id"), "split:").as("bucket"),
+        explode(array_distinct(Shingles.shingleArray(col("text"), 8)))
+          .as("shingle"))
+    val bench = sh.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("bench_doc"), col("shingle"))
+    val train = sh.filter(col("bucket") < 80)
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val sizes = bench.groupBy(col("bench_doc"))
+      .agg(count(lit(1)).as("n_sh"))
+    val inter = bench.join(train, Seq("shingle"))
+      .groupBy(col("bench_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_common"))
+    val w = Window.partitionBy(col("bench_doc"))
+      .orderBy(col("n_common").desc, col("train_doc").asc)
+    val top = inter.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("bench_doc"), col("train_doc"), col("n_common"))
+    sizes.join(top, Seq("bench_doc"), "left")
+      .select(col("bench_doc"), col("n_sh"),
+        coalesce(col("train_doc"), lit(-1L)).as("top_train_doc"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("containment_bp", expr("(10000 * n_common) div n_sh"))
+      .withColumn("contaminated",
+        when(col("containment_bp") >= 5000, 1L).otherwise(0L))
+      .orderBy("bench_doc")
+  }
+
   /** Deterministic corpus shuffle: every document gets a GLOBAL
     * permutation position from an md5 sort key — the reproducible
     * training-order shuffle that runs before sequence packing (a

@@ -87,15 +87,31 @@ object TfIdf {
       .orderBy("qid", "rank")
   }
 
-  /** Top-3 BM25 terms per document (Robertson/Spärck Jones Okapi BM25,
-    * k1=1.2, b=0.75) — the saturating upgrade of [[tfidfTopK]] and the
-    * standard lexical retrieval scorer. Same bounded block, same plan
-    * (tf/df/doc-length aggs + one join); determinism: every factor is a
+  /** ONE home for the Okapi BM25 score expression (k1=1.2, b=0.75) —
+    * shared by [[bm25TopK]], [[mrrEval]], [[apEval]] and [[ndcgEval]]
+    * (VERDICT r16 item 3: the pasted copies were the same silent-
+    * divergence class QualityCtes eliminated in the oracles). Expects
+    * `tf`, `df`, `dl` columns in scope; `n` = doc count of the scored
+    * block, `sumDl` = Σ dl over it. Determinism: every factor is a
     * rational of integer aggregates combined in the SAME textual
     * operation order as the oracle SQL (IEEE ops are order-determined),
     * ln of identical doubles is bit-identical, rounded 4 dp at the
-    * surface. Constants appear as literals (never Scala-side arithmetic
-    * like k1+1 — 1.2+1 rounds differently than the literal 2.2).
+    * surface. Constants appear as literals — never Scala-side
+    * arithmetic like k1+1 (1.2+1 rounds differently than the literal
+    * 2.2) — with 2.2 = k1+1 and 0.25 = 1−b pre-folded.
+    */
+  private def bm25Score(n: Long, sumDl: Long): Column = {
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * col("dl") * lit(n.toDouble) / lit(sumDl.toDouble))
+    round(idf * (col("tf") * lit(2.2)) / denom, 4)
+  }
+
+  /** Top-3 BM25 terms per document (Robertson/Spärck Jones Okapi BM25
+    * via [[bm25Score]]) — the saturating upgrade of [[tfidfTopK]] and
+    * the standard lexical retrieval scorer. Same bounded block, same
+    * plan (tf/df/doc-length aggs + one join).
     */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 64)
@@ -106,12 +122,8 @@ object TfIdf {
     val sumDl = dl.agg(sum(col("dl"))).head.getLong(0)
     val dfq = words.select(col("doc_id"), col("word")).distinct()
       .groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) +
-      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val denom = col("tf") + lit(1.2) *
-      (lit(0.25) + lit(0.75) * col("dl") * lit(n.toDouble) / lit(sumDl.toDouble))
     val scored = tf.join(dfq, Seq("word")).join(dl, Seq("doc_id"))
-      .withColumn("bm25", round(idf * (col("tf") * lit(2.2)) / denom, 4))
+      .withColumn("bm25", bm25Score(n, sumDl))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("bm25").desc, col("word").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -468,12 +480,8 @@ object TfIdf {
     val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val sumDl = dl.agg(sum(col("dl"))).head.getLong(0)
     val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) +
-      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val denom = col("tf") + lit(1.2) *
-      (lit(0.25) + lit(0.75) * col("dl") * lit(n.toDouble) / lit(sumDl.toDouble))
     val scored = tf.join(dfq, Seq("word")).join(dl, Seq("doc_id"))
-      .withColumn("bm25", round(idf * (col("tf") * lit(2.2)) / denom, 4))
+      .withColumn("bm25", bm25Score(n, sumDl))
       .withColumn("rel", when(col("tf") >= 3, 1L).otherwise(0L))
     val w = Window.partitionBy(col("word"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
@@ -519,12 +527,8 @@ object TfIdf {
       val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       val sumDl = dl.agg(sum(col("dl"))).head.getLong(0)
       val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      val idf = log(lit(1.0) +
-        (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      val denom = col("tf") + lit(1.2) *
-        (lit(0.25) + lit(0.75) * col("dl") * lit(n.toDouble) / lit(sumDl.toDouble))
       val scored = Fixpoint.locally(tf.join(dfq, Seq("word")).join(dl, Seq("doc_id"))
-        .withColumn("bm25", round(idf * (col("tf") * lit(2.2)) / denom, 4))
+        .withColumn("bm25", bm25Score(n, sumDl))
         .withColumn("rel", when(col("tf") >= 3, 1L).otherwise(0L)), locals)
       val w = Window.partitionBy(col("word"))
         .orderBy(col("bm25").desc, col("doc_id").asc)
@@ -575,12 +579,8 @@ object TfIdf {
     val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val sumDl = dl.agg(sum(col("dl"))).head.getLong(0)
     val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) +
-      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val denom = col("tf") + lit(1.2) *
-      (lit(0.25) + lit(0.75) * col("dl") * lit(n.toDouble) / lit(sumDl.toDouble))
     val scored = tf.join(dfq, Seq("word")).join(dl, Seq("doc_id"))
-      .withColumn("bm25", round(idf * (col("tf") * lit(2.2)) / denom, 4))
+      .withColumn("bm25", bm25Score(n, sumDl))
       .withColumn("rel",
         when(col("tf") >= 5, 2L).when(col("tf") >= 3, 1L).otherwise(0L))
     val wSys = Window.partitionBy(col("word"))

@@ -48,12 +48,43 @@ object PdfBuild {
     else words.grouped(PageWords).map(_.mkString(" ")).toVector
   }
 
-  private def esc(s: String): String = s.flatMap {
-    case '\\' => "\\\\"
-    case '('  => "\\("
-    case ')'  => "\\)"
-    case c    => c.toString
+  /** Byte-faithful literal-string escape (ADVICE r16 item 1 — the old
+    * char passthrough silently mapped non-Latin-1 chars to '?' via
+    * getBytes(ISO-8859-1) and let the literal tokens endobj/endstream
+    * survive into uncompressed content streams, where they truncate
+    * the lexical object scan). Printable ASCII passes through (\ ( )
+    * escaped); every other byte is \ooo octal-escaped (standard PDF
+    * string escapes, decoded by [[graft.etl.PdfText]]); the lexical
+    * keywords get their first byte octal-escaped so no content stream
+    * can fake an object/stream boundary.
+    */
+  private def escBytes(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder(bytes.length + 8)
+    bytes.foreach { b =>
+      val c = b & 0xFF
+      if (c == 0x5C) sb.append("\\\\")
+      else if (c == 0x28) sb.append("\\(")
+      else if (c == 0x29) sb.append("\\)")
+      else if (c >= 0x20 && c <= 0x7E) sb.append(c.toChar)
+      else sb.append(f"\\$c%03o")
+    }
+    sb.toString.replace("endstream", "\\145ndstream")
+      .replace("endobj", "\\145ndobj")
   }
+
+  /** Latin-1 text is carried as raw bytes (octal-escaped where
+    * non-printable); anything wider goes as a PDF 2.0 UTF-8 text
+    * string — BOM-prefixed UTF-8 bytes (ISO 32000-2 §7.9.2.2), which
+    * [[graft.etl.PdfText]] recognizes and decodes — so the build →
+    * extract round trip is exact for ALL of Unicode, not just the
+    * ASCII synthetic corpus. A Latin-1 string that happens to START
+    * with the BOM byte triple is forced onto the UTF-8 path too (the
+    * decoder would otherwise strip its first three chars).
+    */
+  private def esc(s: String): String =
+    if (s.exists(_ > 0xFF) || s.startsWith("\u00EF\u00BB\u00BF"))
+      escBytes(Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ s.getBytes("UTF-8"))
+    else escBytes(s.getBytes("ISO-8859-1"))
 
   private def deflate(b: Array[Byte]): Array[Byte] = {
     val d = new Deflater()

@@ -24,23 +24,32 @@ object DeadSessionMemoCheck {
       .getOrCreate()
     val s1 = sess()
     s1.sparkContext.setLogLevel("WARN")
-    val f = graft.etl.Dedup.componentsFrame(s1, dir)
-    require(f.count() > 0, "vacuous: empty components frame")
-    val ckpt = org.apache.spark.sql.graft.PlanBridge.checkpointFile(f)
-      .getOrElse(sys.error("components frame is not a reliable checkpoint"))
-    val ckptFile = new java.io.File(new java.net.URI(ckpt).getPath)
-    require(ckptFile.exists, s"checkpoint missing before stop: $ckpt")
+    def ckptFileOf(f: org.apache.spark.sql.DataFrame, what: String) = {
+      require(f.count() > 0, s"vacuous: empty $what frame")
+      val ckpt = org.apache.spark.sql.graft.PlanBridge.checkpointFile(f)
+        .getOrElse(sys.error(s"$what frame is not a reliable checkpoint"))
+      val file = new java.io.File(new java.net.URI(ckpt).getPath)
+      require(file.exists, s"checkpoint missing before stop: $ckpt")
+      (ckpt, file)
+    }
+    val (ckpt, ckptFile) =
+      ckptFileOf(graft.etl.Dedup.componentsFrame(s1, dir), "components")
+    // the round-17 trainer memo rides the same SessionMemo sweep — the
+    // child-JVM proof covers it too
+    val (ckptT, ckptFileT) =
+      ckptFileOf(graft.etl.QualityTrain.trainArtifact(s1, dir), "train-artifact")
     s1.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    require(ckptFile.exists,
+    require(ckptFile.exists && ckptFileT.exists,
       "stop() itself deleted the files — the sweep has nothing to prove")
     val s2 = sess()
     s2.sparkContext.setLogLevel("WARN")
-    // any memo lookup runs the dead-session sweep first
+    // any memo lookup runs that memo's dead-session sweep first
     require(graft.etl.Dedup.componentsFrame(s2, dir).count() > 0)
-    val gone = !ckptFile.exists
-    println(s"DEADSESSION_DELETED=$gone ckpt=$ckpt")
+    require(graft.etl.QualityTrain.trainArtifact(s2, dir).count() > 0)
+    val gone = !ckptFile.exists && !ckptFileT.exists
+    println(s"DEADSESSION_DELETED=$gone ckpt=$ckpt ckptTrain=$ckptT")
     s2.stop()
     if (!gone) sys.exit(1)
   }

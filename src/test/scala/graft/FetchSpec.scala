@@ -212,6 +212,33 @@ class FetchSpec extends AnyFunSuite with SparkTestBase {
       == PdfText.Extraction(1, ""))
   }
 
+  test("S9 round-trip hardening (ADVICE r16): non-Latin-1 text, control/" +
+       "high bytes, and the lexical keywords all invert exactly on both " +
+       "stream paths") {
+    import graft.etl.PdfText
+    import graft.functions.PdfBuild
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    def roundTrip(words: String): String =
+      PdfText.extract(PdfBuild.build(u8(words)), 15).text.replace("\n\n", " ")
+    // the lexical keywords in page text must not truncate the object
+    // scan — page 0 is UNCOMPRESSED (the hazardous path), so put them
+    // in the first 4 words
+    val kw = "endobj endstream stream xref five six seven eight"
+    assert(roundTrip(kw) == kw)
+    // Latin-1 high bytes (octal-escape path, é=U+00E9 ü=U+00FC)
+    val l1 = "café über naïve plain"
+    assert(roundTrip(l1) == l1)
+    // beyond Latin-1: CJK + Cyrillic ride the PDF 2.0 BOM'd-UTF-8 path
+    // on both the uncompressed (page 0) and Flate (page 1) streams
+    val uni = "日本語 русский mixed ascii" +
+      " 中文 tail words here pad"
+    assert(roundTrip(uni) == uni)
+    // a Latin-1 word that literally starts with the BOM byte triple
+    // must not lose its first three chars to the BOM strip
+    val bomish = "ï»¿word plain two three"
+    assert(roundTrip(bomish) == bomish)
+  }
+
   // ---- real HTTP transport (java.net.http) against a loopback server ----
 
   import graft.etl.{BinaryHttpTransport, HttpFetch, HttpTransport}

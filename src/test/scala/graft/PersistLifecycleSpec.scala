@@ -152,27 +152,49 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("clearComponentsMemo deletes the memoized checkpoint files " +
-      "(verdict item 3b: no disk growth over N cleared snapshots)") {
+  test("Memos.clearAll deletes every memoized checkpoint file — " +
+      "components closure, LSH pairs, AND the round-17 quality-train " +
+      "artifact (verdict item 3b: no disk growth over N cleared " +
+      "snapshots)") {
     freshStart()
-    graft.etl.Dedup.clearComponentsMemo()
+    graft.etl.Memos.clearAll()
     import org.apache.spark.sql.graft.PlanBridge
     val comp = graft.etl.Dedup.componentsFrame(spark, dir)
     val pairs = graft.etl.Dedup.minhashLsh(spark, dir)
-    val files = Seq(comp, pairs).map { df =>
+    val art = graft.etl.QualityTrain.trainArtifact(spark, dir)
+    val files = Seq(comp, pairs, art).map { df =>
       val f = PlanBridge.checkpointFile(df)
       assert(f.nonEmpty, "memoized frame is not a reliable-checkpoint scan")
       new org.apache.hadoop.fs.Path(f.get)
     }
     val fs = files.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
     files.foreach(p => assert(fs.exists(p), s"expected checkpoint files at $p"))
-    graft.etl.Dedup.clearComponentsMemo()
+    graft.etl.Memos.clearAll()
     files.foreach(p => assert(!fs.exists(p),
-      s"clearComponentsMemo left checkpoint files at $p"))
-    // the memo rebuilds cleanly after a clear
+      s"Memos.clearAll left checkpoint files at $p"))
+    // the memos rebuild cleanly after a clear
     assert(graft.etl.Dedup.componentsFrame(spark, dir).count() > 0)
-    graft.etl.Dedup.clearComponentsMemo()
+    assert(graft.etl.QualityTrain.trainArtifact(spark, dir).count() > 0)
+    graft.etl.Memos.clearAll()
     assertNoPins("memo release")
+  }
+
+  test("quality-train artifact memo (round 17): the three trainer " +
+      "queries share ONE fixpoint build per (session, dir, data) — " +
+      "same frame identity across consumers, zero pinned blocks") {
+    freshStart()
+    graft.etl.QualityTrain.clearTrainMemo()
+    val a = graft.etl.QualityTrain.trainArtifact(spark, dir)
+    assert(a eq graft.etl.QualityTrain.trainArtifact(spark, dir),
+      "second lookup rebuilt instead of hitting the memo")
+    // all three consumers stay green on the shared artifact
+    assert(graft.etl.QualityTrain.qualityTrain(spark, dir).count() ==
+      graft.etl.QualityTrain.Buckets + 1)
+    assert(graft.etl.QualityTrain.qualityTrainCurve(spark, dir).count() ==
+      graft.etl.QualityTrain.Rounds + 1)
+    assert(graft.etl.QualityTrain.qualityTrainEval(spark, dir).count() == 1)
+    assertNoPins("train artifact consumers")
+    graft.etl.QualityTrain.clearTrainMemo()
   }
 
   test("released results stay re-executable (checkpoint-backed lineage)") {

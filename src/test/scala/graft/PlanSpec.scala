@@ -718,10 +718,13 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!lpn.contains("CartesianProduct") &&
       !lpn.contains("BroadcastNestedLoopJoin"),
       s"label_prop vote joins must stay edge-keyed:\n$lpn")
-    // kcore: each peel restricts edges by LeftSemi against survivors
-    val kcp = plan("kcore")
-    assert(kcp.contains("LeftSemi"), s"kcore peel must semi-join:\n$kcp")
-    assert(!kcp.contains("CartesianProduct"), kcp)
+    // kcore: each peel restricts edges by LeftSemi against survivors.
+    // Round 17: the peel is an adaptive eager loop (per-round local
+    // checkpoints), so the interesting plans run INSIDE the operator —
+    // read the executed plans, not the returned checkpoint scan
+    val kcps = executedPlans("kcore").mkString("\n=== next executed plan ===\n")
+    assert(kcps.contains("LeftSemi"), s"kcore peel must semi-join:\n$kcps")
+    assert(!kcps.contains("CartesianProduct"), kcps)
     // boilerplate: per-source doc counts (|sources| rows) broadcast;
     // the gram doc-frequency side never does
     val bng = plan("boilerplate_ngrams")
@@ -1571,6 +1574,10 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
        "vector join is a broadcast (the 257-row frame must never " +
        "shuffle the corpus-side feature stream), no cartesian beyond " +
        "1-row broadcasts") {
+    // the artifact memo (round 17) must not hide the per-round build:
+    // a warm memo would reduce the executed plans to the downstream
+    // 1799-row scan and silently vacate this pin
+    graft.etl.QualityTrain.clearTrainMemo()
     val cp = executedPlans("quality_train")
       .mkString("\n=== next executed plan ===\n")
     assert(!cp.contains("CartesianProduct"),
@@ -1583,6 +1590,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       l.contains("SortMergeJoin") && l.matches(""".*\[b#\d+L\].*"""))
     assert(!smjOnB,
       s"quality_train's bucket-keyed weight join fell to a shuffle:\n$cp")
+  }
+
+  test("round-17 pin: decontaminate_eval pairs ONLY through the " +
+       "8-gram shingle key — an asymmetric bench×train equi-join, " +
+       "never all-pairs (the containment-keyed contract of VERDICT " +
+       "r16 item 8)") {
+    val p = plan("decontaminate_eval")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      s"decontaminate_eval grew an unkeyed pair join:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("keys") &&
+        l.contains("shingle")),
+      s"decontaminate_eval's pair join lost the shingle key:\n$p")
   }
 
   test("round-14 pin: containment_pipeline rides the pair frame with " +
