@@ -588,4 +588,32 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     val w = QualityTrain.qualityTrain(spark, dir)
     assert(w.count() == QualityTrain.Buckets + 1)
   }
+
+  test("decontaminate_eval invariants (round 17): one row per " +
+       "shingle-bearing test-split doc, containment bounded by its own " +
+       "gram count, the top contaminating doc really is a TRAIN-split " +
+       "doc, and the flag is exactly the >= 50% threshold") {
+    import graft.etl.Splits
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("decontaminate_eval")(spark, dir)
+      .select("bench_doc", "n_sh", "top_train_doc", "n_common",
+        "containment_bp", "contaminated")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "vacuous: no benchmark items")
+    val buckets = Splits.trainTestSplit(spark, dir)
+      .select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    rows.foreach { case (b, nSh, top, nc, bp, flag) =>
+      assert(buckets(b) >= 90, s"bench doc $b is not in the test split")
+      assert(nSh > 0 && nc >= 0 && nc <= nSh, s"doc $b: n_common $nc > n_sh $nSh")
+      assert(bp == (10000 * nc) / nSh && bp <= 10000)
+      assert(flag == (if (bp >= 5000) 1L else 0L))
+      if (nc == 0) assert(top == -1L, s"doc $b: zero overlap but top=$top")
+      else assert(buckets(top) < 80,
+        s"doc $b's top contaminating doc $top is not in the train split")
+    }
+    // at least one contaminated item exists on this corpus (near-dup
+    // docs straddle the split — the signal split_leakage predicts);
+    // an all-zero report would make the query vacuously green
+    assert(rows.exists(_._6 == 1L), "no contaminated items found")
+  }
 }
