@@ -1203,23 +1203,39 @@ object CorpusStats {
     // shuffle KEY bytes drop 8-10× — the cost a real cluster pays in
     // network/sort that local[32] mostly doesn't. DuckDB computes
     // identical digests, so the twin stays bit-exact.
-    val grams = Shingles.wordShingles(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")), 8)
-      .select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
-          .cast("bigint").as("g"))
-    val firstOwner = grams.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    val tot = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val novel = grams
-      .join(firstOwner, grams("g") === firstOwner("g") &&
-        grams("doc_id") === firstOwner("first_doc"))
-      .groupBy(grams("doc_id")).agg(count(lit(1)).as("nn"))
-    tot.join(novel, Seq("doc_id"), "left")
-      .withColumn("n_novel", coalesce(col("nn"), lit(0L)))
-      .withColumn("novel_bp", expr("(10000 * n_novel) div n_grams"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novel_bp"))
-      .orderBy("doc_id")
+    //
+    // Round 17: the three consumers (first owners, per-doc totals,
+    // novelty counts) previously each re-derived the raw POSITION
+    // stream — 3× tokenize+shingle+explode per run. They now share
+    // ONE staged (g, doc_id, multiplicity) frame: the explode and the
+    // (g, doc_id) shuffle are paid once, the consumers aggregate the
+    // far smaller distinct-pair frame, and the output values are
+    // unchanged (position counts = Σ multiplicities). Measured
+    // isolated at sf0.1: 5.3-5.5 s → see BASELINE.md round 17.
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val grams = Shingles.wordShingles(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")), 8)
+        .select(col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+            .cast("bigint").as("g"))
+      val gd = Fixpoint.locally(
+        grams.groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c")),
+        locals)
+      val firstOwner = gd.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("first_doc"))
+        .withColumnRenamed("g", "fg")
+      val tot = gd.groupBy(col("doc_id")).agg(sum(col("c")).as("n_grams"))
+      val novel = gd
+        .join(firstOwner, col("g") === col("fg") &&
+          col("doc_id") === col("first_doc"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("nn"))
+      Fixpoint.reliably(tot.join(novel, Seq("doc_id"), "left")
+        .withColumn("n_novel", coalesce(col("nn"), lit(0L)))
+        .withColumn("novel_bp", expr("(10000 * n_novel) div n_grams"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novel_bp"))
+        .orderBy("doc_id"))
+    } finally Fixpoint.releaseAll(locals)
   }
 
   /** Deterministic stratified sampling: a fixed 100-doc budget

@@ -70,7 +70,9 @@ class PersistLifecycleSpec extends AnyFunSuite with SparkTestBase {
       // round-16 eager operators: staged train/valid frames + per-round
       // weight checkpoints, pocket pick, reliable final
       "quality_train", "quality_train_curve", "quality_train_eval",
-      "pdf_extract")
+      "pdf_extract",
+      // round-17 eager operator: staged (g, doc) multiplicity frame
+      "ingest_novelty")
     qs.foreach { name =>
       assert(SparkEntry.queries(name)(spark, dir).count() > 0,
         s"$name returned no rows")
