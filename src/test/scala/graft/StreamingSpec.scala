@@ -412,6 +412,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally { q.stop(); cq.stop() }
   }
 
+  test("funnelCanonicalReconcile edge cases: empty assignments promote " +
+      "every level-4 survivor (all singletons), and a merged component " +
+      "keeps exactly its min doc") {
+    import spark.implicits._
+    val levels = Seq((1L, 4, 10L), (2L, 4, 20L), (3L, 4, 30L),
+      (4L, 2, 40L), (5L, 0, 50L))
+      .toDF("doc_id", "lvl", "toks")
+    // no pairs ever arrived: every survivor is its own singleton
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "component")
+    val allCanon = StreamingOps.funnelCanonicalReconcile(levels, empty)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(allCanon.map(r => r._1 -> r._2).toSeq ==
+      Seq(1L -> 5, 2L -> 5, 3L -> 5, 4L -> 2, 5L -> 0))
+    // docs 1 and 3 merged into one component: min doc (1) keeps 5,
+    // doc 3 demotes to 4; non-survivor doc 4's assignment is ignored
+    val assign = Seq((1L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("doc_id", "component")
+    val merged = StreamingOps.funnelCanonicalReconcile(levels, assign)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(merged.map(r => r._1 -> r._2).toSeq ==
+      Seq(1L -> 5, 2L -> 5, 3L -> 4, 4L -> 2, 5L -> 0),
+      merged.mkString(", "))
+    // token masses ride through untouched
+    assert(merged.map(_._3).toSeq == Seq(10L, 20L, 30L, 40L, 50L))
+  }
+
   test("streaming IVM rollup equals the batch recompute of all deltas") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.RollupDelta
