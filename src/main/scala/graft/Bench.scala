@@ -69,6 +69,13 @@ object Bench {
     // happen to run after the crawl/dedup fixpoints (alphabetically:
     // cube_sales right after crawl_*) recorded 20×-steady-state spikes
     // in BENCH_r05 from the resulting memory/GC pressure.
+    // SPARK_GRAFT_KEEP_MEMO=1 (round 18, VERDICT r17 item 2): keep the
+    // session memos WARM across the whole run — the full-surface
+    // deployment shape, where one session computes the closure / pair
+    // frame / trainer artifact once and every consumer reads it. The
+    // default (unset) stays the isolated per-query pricing the driver
+    // bench contract requires.
+    val keepMemo = sys.env.get("SPARK_GRAFT_KEEP_MEMO").contains("1")
     def scrub(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
@@ -76,8 +83,9 @@ object Bench {
       // (components closure, LSH pairs, quality-train artifact) would
       // time only the downstream aggregate (the shared frame is the
       // production shape — measured in BASELINE.md rounds 13/17; the
-      // bench prices each query standalone)
-      graft.etl.Memos.clearAll()
+      // bench prices each query standalone unless KEEP_MEMO says
+      // otherwise)
+      if (!keepMemo) graft.etl.Memos.clearAll()
     }
     // One warm execution per query, then the timed run: the first
     // execution pays Janino/JIT compilation of the generated code
@@ -145,8 +153,13 @@ object Bench {
       materialize(SparkEntry.queries("q1_agg")(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     }
-    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
-    try { canary(); canaries += canary() }
+    // FIXED 3-slot array (ADVICE r17): the canary is positional
+    // ([start, mid, end]), so a failed probe must leave a null
+    // PLACEHOLDER, not shrink the array — a consumer applying the
+    // BASELINE.md normalization rule to [mid, end] as if it were
+    // [start, mid] would mis-correct every ratio.
+    val canarySlots = Array.fill[Option[Double]](3)(None)
+    try { canary(); canarySlots(0) = Some(canary()) }
     catch { case e: Throwable =>
       System.err.println(s"BENCH CANARY FAIL: ${errMsg(e)}") }
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -154,7 +167,7 @@ object Bench {
     val midIdx = toRun.size / 2
     var results = toRun.zipWithIndex.flatMap { case ((name, fn), idx) =>
       if (idx == midIdx && idx > 0)
-        try canaries += canary() catch { case _: Throwable => () }
+        try canarySlots(1) = Some(canary()) catch { case _: Throwable => () }
       scrub()
       val c0 = System.nanoTime()
       val coldOk =
@@ -206,7 +219,7 @@ object Bench {
     }
     // end-of-run canary AFTER the outlier reruns — it brackets
     // everything the run timed
-    try canaries += canary() catch { case _: Throwable => () }
+    try canarySlots(2) = Some(canary()) catch { case _: Throwable => () }
     // 3-decimal (millisecond) precision: full-precision doubles made the
     // 97-query line ~5 KB, which overflowed the driver's stdout tail
     // capture and left BENCH_r02's `parsed` null. ~2.5 KB fits.
@@ -220,7 +233,8 @@ object Bench {
     def jstr(s: String): String = JsonOut.quote(s)
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val reranJson = reran.map(jstr).mkString("[", ",", "]")
-    val canaryJson = canaries.map(fmt).mkString("[", ",", "]")
+    val canaryJson =
+      canarySlots.map(_.map(fmt).getOrElse("null")).mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_errors":${errors.size},"errors":$errs,"reran":$reranJson,"canary":$canaryJson,"queries":$qs,"cold":$colds,"sf":"$sfDir"}"""
     println(json)
     // Land the full line in a file: the driver's stdout capture keeps

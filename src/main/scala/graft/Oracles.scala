@@ -404,6 +404,45 @@ object Oracles {
       |  SELECT doc_id, word || ' ' || w1 || ' ' || w2 AS shingle
       |  FROM sh0 WHERE w2 IS NOT NULL)""".stripMargin
 
+  /** 8-word gram stream — ONE home for the lead×7 window chain shared
+    * by the substring/novelty/decontamination group (round 18, VERDICT
+    * r17 item 6: the next-worst repeated CTE family after QualityCtes/
+    * GopherRuleExprs/ParaCtes/LangPredCtes). Follows [[WordsCte]]'s
+    * `words`; [[Gram8DigestCtes]] ends in g(doc_id, gram) — the 60-bit
+    * md5-prefix digest keying substring_dedup / ingest_novelty —
+    * and [[Gram8ShingleCtes]] ends in shing(doc_id, shingle) — the
+    * per-doc-distinct STRING shingles decontaminate_eval joins on.
+    * span_clip keeps its own variant: it also threads the 8 word
+    * POSITIONS through the window (lead(pos, i)), a structurally
+    * different frame.
+    */
+  private val Gram8Text: String =
+    "word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4" +
+      " || ' ' || w5 || ' ' || w6 || ' ' || w7"
+
+  private val Gram8Lead: String =
+    """g0 AS (SELECT doc_id, pos, word,
+      |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+      |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+      |         lead(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
+      |         lead(word, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4,
+      |         lead(word, 5) OVER (PARTITION BY doc_id ORDER BY pos) AS w5,
+      |         lead(word, 6) OVER (PARTITION BY doc_id ORDER BY pos) AS w6,
+      |         lead(word, 7) OVER (PARTITION BY doc_id ORDER BY pos) AS w7
+      |       FROM words)""".stripMargin
+
+  private val Gram8DigestCtes: String =
+    s"""$Gram8Lead,
+       |g AS (SELECT doc_id,
+       |        CAST(concat('0x', substr(md5($Gram8Text), 1, 15)) AS BIGINT)
+       |          AS gram
+       |      FROM g0 WHERE w7 IS NOT NULL)""".stripMargin
+
+  private val Gram8ShingleCtes: String =
+    s"""$Gram8Lead,
+       |shing AS (SELECT DISTINCT doc_id, $Gram8Text AS shingle
+       |  FROM g0 WHERE w7 IS NOT NULL)""".stripMargin
+
   /** Serial-window packing spec — shared by batch_pack (the semantic
     * reference plan) and batch_pack_sharded (the two-phase 100 TB plan,
     * which must reproduce it bit-for-bit).
@@ -1507,6 +1546,16 @@ object Oracles {
          |FROM comp c JOIN sizes s USING (component)
          |ORDER BY doc_id""".stripMargin,
 
+    // incremental snapshot merge — the ORACLE IS THE FULL RECOMPUTE:
+    // Dedup.dedupComponentsIncremental's contract is exact equality
+    // with the from-scratch closure (same SQL as dedup_components),
+    // so the delta-merge path is value-pinned against the serial truth
+    "dedup_components_incremental" ->
+      s"""WITH RECURSIVE $ComponentsCtes
+         |SELECT c.doc_id, c.component, s.cluster_size
+         |FROM comp c JOIN sizes s USING (component)
+         |ORDER BY doc_id""".stripMargin,
+
     // canonical-survivor selection on top of the same closure —
     // mirrors Dedup.dedupCanonical
     "dedup_canonical" ->
@@ -1588,21 +1637,7 @@ object Oracles {
     // in another document, integer-basis-point fraction
     "substring_dedup" ->
       s"""WITH $WordsCte,
-         |g0 AS (SELECT doc_id, pos, word,
-         |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-         |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
-         |         lead(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
-         |         lead(word, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4,
-         |         lead(word, 5) OVER (PARTITION BY doc_id ORDER BY pos) AS w5,
-         |         lead(word, 6) OVER (PARTITION BY doc_id ORDER BY pos) AS w6,
-         |         lead(word, 7) OVER (PARTITION BY doc_id ORDER BY pos) AS w7
-         |       FROM words),
-         |g AS (SELECT doc_id,
-         |        CAST(concat('0x', substr(md5(
-         |          word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
-         |          || ' ' || w5 || ' ' || w6 || ' ' || w7), 1, 15)) AS BIGINT)
-         |          AS gram
-         |      FROM g0 WHERE w7 IS NOT NULL),
+         |$Gram8DigestCtes,
          |d AS (SELECT gram FROM (
          |        SELECT gram, count(DISTINCT doc_id) AS nd
          |        FROM g GROUP BY gram) WHERE nd >= 2),
@@ -2899,19 +2934,7 @@ object Oracles {
     // spl idiom). The per-TRAINING-doc twin is `decontaminate`.
     "decontaminate_eval" ->
       s"""WITH $WordsCte,
-         |sh0 AS (SELECT doc_id, pos, word,
-         |  lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-         |  lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
-         |  lead(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
-         |  lead(word, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4,
-         |  lead(word, 5) OVER (PARTITION BY doc_id ORDER BY pos) AS w5,
-         |  lead(word, 6) OVER (PARTITION BY doc_id ORDER BY pos) AS w6,
-         |  lead(word, 7) OVER (PARTITION BY doc_id ORDER BY pos) AS w7
-         |  FROM words),
-         |shing AS (SELECT DISTINCT doc_id,
-         |    word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
-         |      || ' ' || w5 || ' ' || w6 || ' ' || w7 AS shingle
-         |  FROM sh0 WHERE w7 IS NOT NULL),
+         |$Gram8ShingleCtes,
          |spl AS (SELECT doc_id,
          |    CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket
          |  FROM documents),
@@ -5149,21 +5172,7 @@ object Oracles {
     // substring_dedup)
     "ingest_novelty" ->
       s"""WITH $WordsCte,
-         |g0 AS (SELECT doc_id, pos, word,
-         |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-         |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
-         |         lead(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS w3,
-         |         lead(word, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS w4,
-         |         lead(word, 5) OVER (PARTITION BY doc_id ORDER BY pos) AS w5,
-         |         lead(word, 6) OVER (PARTITION BY doc_id ORDER BY pos) AS w6,
-         |         lead(word, 7) OVER (PARTITION BY doc_id ORDER BY pos) AS w7
-         |       FROM words),
-         |g AS (SELECT doc_id,
-         |        CAST(concat('0x', substr(md5(
-         |          word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
-         |          || ' ' || w5 || ' ' || w6 || ' ' || w7), 1, 15)) AS BIGINT)
-         |          AS gram
-         |      FROM g0 WHERE w7 IS NOT NULL),
+         |$Gram8DigestCtes,
          |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
          |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
          |nov AS (SELECT g.doc_id, count(*) AS nn

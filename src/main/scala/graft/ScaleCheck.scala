@@ -540,6 +540,89 @@ object ScaleCheck {
       return
     }
 
+    // BPE rank scaling (round 18, VERDICT r17 item 4): run the merge
+    // loop at a production-ish rank over the given corpus and publish
+    // PER-ROUND wall — the per-round plan is rank-invariant (one
+    // vocab-sized pair aggregate + a 1-row broadcast rewrite), so the
+    // claim under test is a flat per-round profile (total linear in R).
+    // The oracle-verified R=3 queries are untouched; this measures the
+    // generalized knob. Learned merges print decoded (sentinels
+    // expanded through earlier rounds) — the merges.txt a tokenizer
+    // would ship.
+    //   ScaleCheck <dir> <reps> bpe [rank]
+    if (args.length > 2 && args(2) == "bpe") {
+      import graft.etl.CorpusStats
+      val rank = if (args.length > 3) args(3).toInt else 16
+      val t0 = System.nanoTime()
+      val picks = CorpusStats.bpeLearnedPicksR(spark, out, rank)
+      val rows = picks.map(_.collect().head) // bounded: rank × 1-row frames
+      val total = (System.nanoTime() - t0) / 1e9
+      val secs = CorpusStats.lastBpeRoundSecs
+      val sent = CorpusStats.sentinelAlphabet(rank)
+      val decoded = new Array[String](rank)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        var p = r.getString(1)
+        ((i - 1) to 0 by -1).foreach { j => p = p.replace(sent(j), decoded(j)) }
+        decoded(i) = p
+      }
+      val perRound = rows.zipWithIndex.map { case (r, i) =>
+        println(f"[scale] bpe round ${i + 1}%2d pair=${JsonOut.quote(decoded(i))} n=${r.getLong(2)} wall=${fmt(secs(i))}s")
+        s"""{"round":${i + 1},"pair":${JsonOut.quote(decoded(i))},"n":${r.getLong(2)},"secs":${fmt(secs(i))}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"bpe_rank","dir":"$out","rank":$rank,"total_secs":${fmt(total)},"rounds":$perRound}""")
+      spark.stop()
+      return
+    }
+
+    // Incremental-closure evidence (round 18, VERDICT r17 item 1):
+    // does the delta merge cost scale with the DELTA, not the corpus?
+    // Two axes, one run: (a) at each tier, merge-given-a-prebuilt-prior
+    // vs the full recompute (the per-snapshot production price); (b) at
+    // the SAME corpus, a 10× smaller delta (mod 100 vs mod 10 residue)
+    // — merge cost must follow the delta pair count while the corpus is
+    // unchanged. The banding pass is warmed OUT of every timing (both
+    // paths read the same memoized pair checkpoint; production reads a
+    // signature store).
+    //   ScaleCheck <dir> <reps> incremental
+    if (args.length > 2 && args(2) == "incremental") {
+      import graft.etl.{Dedup, Fixpoint, Memos}
+      def med(f: => Unit): Double = {
+        f // warmup rep: codegen/JIT
+        val s = (1 to TimedReps).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.sorted
+        if (TimedReps >= 3) {
+          if (TimedReps % 2 == 1) s(TimedReps / 2)
+          else (s(TimedReps / 2 - 1) + s(TimedReps / 2)) / 2
+        } else s.min
+      }
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val results = Seq("base" -> base, "scaled" -> out).map { case (tag, dir) =>
+        Memos.clearAll()
+        val pairs = Dedup.minhashLsh(spark, dir) // memoized checkpoint scan
+        val nPairs = pairs.count()
+        val tFull = med(noop(Dedup.dedupComponentsFrom(pairs)))
+        val mods = Seq(10, 100).map { m =>
+          val priorPairs = pairs
+            .filter(col("doc_a") % m =!= 0 && col("doc_b") % m =!= 0)
+          val deltaPairs = pairs
+            .filter(col("doc_a") % m === 0 || col("doc_b") % m === 0)
+          val nDelta = deltaPairs.count()
+          // the stored snapshot artifact: built once, NOT in the timing
+          val prior = Dedup.dedupComponentsFrom(priorPairs)
+          val tMerge = med(noop(Dedup.mergeDeltaIntoClosure(prior, deltaPairs)))
+          val rounds = Fixpoint.lastRounds.getOrDefault("components_closure", 0)
+          println(f"[scale] incremental $tag mod=$m pairs=$nPairs delta=$nDelta full=${fmt(tFull)}s merge=${fmt(tMerge)}s rounds=$rounds")
+          s""""mod$m":{"n_delta_pairs":$nDelta,"t_merge":${fmt(tMerge)},"merge_rounds":$rounds}"""
+        }.mkString(",")
+        s""""$tag":{"dir":"$dir","n_pairs":$nPairs,"t_full":${fmt(tFull)},$mods}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"incremental_closure","replicas":$reps,"results":$results}""")
+      spark.stop()
+      return
+    }
+
     // accept any SparkEntry query name, not only the Heavy list — the
     // 100× tier names its family members explicitly on the CLI
     val chosen =

@@ -132,6 +132,9 @@ object SparkEntry {
     "decontaminate"     -> (Dedup.decontaminate _),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
     "dedup_components"  -> ((s: SparkSession, d: String) => Dedup.componentsFrame(s, d)),
+    // closure(N) + delta pairs -> closure(N+1); oracle = full recompute
+    "dedup_components_incremental" ->
+      ((s: SparkSession, d: String) => Dedup.dedupComponentsIncremental(s, d)),
     // similarity search
     "knn_brute"         -> (Similarity.knnBrute _),
     "knn_bucketed"      -> (Similarity.knnBucketed _),

@@ -152,16 +152,26 @@ object StreamStateCheck {
           col("quality_bp") >= CorpusPipeline.FunnelQualityBp)
         .select(md5(coalesce(col("text"), lit(""))).as("h"))
         .distinct().count()
+      // throughput columns (round 18, VERDICT r17 item 5): input rows,
+      // micro-batches, end-to-end wall and rows/sec for the replay —
+      // the number a capacity plan needs NEXT TO the state size.
+      // Wall covers start→drain of the paced replay (maxFilesPerTrigger
+      // batching included — that IS the deployment shape); reference
+      // ceiling for context: 1 page/2 s (config/limits.yaml:105).
+      val nDocs = docsDf.count()
       val stream = spark.readStream
         .schema(spark.read.parquet(docsPath).schema)
         .option("maxFilesPerTrigger", 3)
         .parquet(stageStreamDir(docsPath, ckpt))
         .select(col("doc_id"), col("text"))
+      val f0 = System.nanoTime()
       val q = graft.streaming.StreamingOps.streamingCurationFunnel(stream)
         .writeStream.format("memory").queryName("funnel_out")
         .option("checkpointLocation", s"$ckpt/q")
         .start()
       q.processAllAvailable()
+      val funnelWall = (System.nanoTime() - f0) / 1e9
+      val funnelBatches = q.lastProgress.batchId + 1
       val so = q.lastProgress.stateOperators.head
       val (rows, bytes) = (so.numRowsTotal, so.memoryUsedBytes)
       q.stop()
@@ -181,13 +191,17 @@ object StreamStateCheck {
       Dedup.minhashLsh(spark, dir)
         .repartition(12).write.mode("overwrite").parquet(s"$ckpt/pairs")
       val pairsDf = spark.read.parquet(s"$ckpt/pairs")
+      val nPairs = pairsDf.count()
       val pstream = spark.readStream.schema(pairsDf.schema)
         .option("maxFilesPerTrigger", 2).parquet(s"$ckpt/pairs")
+      val c0 = System.nanoTime()
       val cq = graft.streaming.StreamingOps.streamingComponents(pstream)
         .writeStream.format("memory").queryName("funnel_comp_out")
         .option("checkpointLocation", s"$ckpt/cq")
         .start()
       cq.processAllAvailable()
+      val compWall = (System.nanoTime() - c0) / 1e9
+      val compBatches = cq.lastProgress.batchId + 1
       val cso = cq.lastProgress.stateOperators.head
       val (cRows, cBytes) = (cso.numRowsTotal, cso.memoryUsedBytes)
       cq.stop()
@@ -199,7 +213,9 @@ object StreamStateCheck {
         .agg(count(lit(1)).as("n")).orderBy("lvl").collect()
         .map(r => s""""l${r.getInt(0)}":${r.getLong(1)}""")
         .mkString("{", ",", "}")
-      println(s"""{"metric":"stream_state","mode":"funnel","dir":${JsonOut.quote(dir)},"derived_m3_digests":$m3keys,"state_rows":$rows,"state_bytes":$bytes,"levels":$hist,"keys_match":${rows == m3keys},"comp_state_rows":$cRows,"comp_state_bytes":$cBytes,"levels_reconciled":$hist6}""")
+      def tput(n: Long, wall: Double): Long =
+        if (wall > 0) (n / wall).toLong else -1L
+      println(f"""{"metric":"stream_state","mode":"funnel","dir":${JsonOut.quote(dir)},"derived_m3_digests":$m3keys,"state_rows":$rows,"state_bytes":$bytes,"levels":$hist,"keys_match":${rows == m3keys},"comp_state_rows":$cRows,"comp_state_bytes":$cBytes,"levels_reconciled":$hist6,"throughput":{"funnel_rows":$nDocs,"funnel_batches":$funnelBatches,"funnel_wall_s":$funnelWall%.2f,"funnel_rows_per_s":${tput(nDocs, funnelWall)},"comp_rows":$nPairs,"comp_batches":$compBatches,"comp_wall_s":$compWall%.2f,"comp_rows_per_s":${tput(nPairs, compWall)}}}""")
       spark.stop()
       return
     }

@@ -992,6 +992,104 @@ object Dedup {
     } finally Fixpoint.releaseAll(locals)
   }
 
+  /** INCREMENTAL components closure — the daily-snapshot production
+    * story (round 18, VERDICT r17 item 1): a corpus that grows ~1% per
+    * day must not re-pay the full closure build per snapshot (the
+    * SessionMemo invalidates WHOLESALE on any data-fingerprint change —
+    * by design), so this computes closure(N+1) from closure(N) plus
+    * only the DELTA pairs: closure(snapshot) + pairs touching new docs
+    * → the merged assignment, verified EQUAL to the full recompute
+    * (the oracle IS the full-recompute SQL; InvariantSpec pins
+    * frame-level equality against [[componentsFrame]]).
+    *
+    * Reference semantics: the visited-set incremental contract
+    * (scripts/crawler-queue.sh:123-161 — new arrivals merge into
+    * standing state, never rebuild it); the batch twin of
+    * [[graft.streaming.StreamingOps.streamingComponents]]'s
+    * union-by-min fold, relationally.
+    *
+    * Delta convention matches [[dedupIncremental]]: new docs =
+    * doc_id % 10 == 0 (a pseudo new-arrivals slice; production passes
+    * the real snapshot assignment + the real delta pair frame to
+    * [[mergeDeltaIntoClosure]] directly).
+    *
+    * WHY the merge is cheap: contracting each prior component to its
+    * label turns the delta merge into a closure over the QUOTIENT
+    * graph — nodes are (prior labels touched by the delta) ∪ (new
+    * docs), edges are the delta pairs mapped through the prior
+    * assignment. That graph is DELTA-sized, never corpus-sized, and
+    * the final relabel is one label-keyed join against the standing
+    * assignment (pair-graph-sized). Correctness: prior labels are the
+    * min doc_id of their member sets, so the quotient closure's
+    * min-fold recovers exactly the full closure's min — label
+    * equality, not just partition equality.
+    */
+  def dedupComponentsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    val priorPairs = pairs
+      .filter(col("doc_a") % 10 =!= 0 && col("doc_b") % 10 =!= 0)
+    val deltaPairs = pairs
+      .filter(col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0)
+    // closure(N): in production a stored artifact read from the
+    // snapshot store; rebuilt here so the query is self-contained
+    val prior = dedupComponentsFrom(priorPairs)
+    Fixpoint.lastRounds.put("incremental_prior",
+      Fixpoint.lastRounds.getOrDefault("components_closure", 0))
+    mergeDeltaIntoClosure(prior, deltaPairs)
+  }
+
+  /** closure(N) + delta pairs → closure(N+1). `prior` is the standing
+    * (doc_id, component, …) assignment (component = min member id —
+    * [[dedupComponentsFrom]]'s labeling); `deltaPairs` the (doc_a <
+    * doc_b) candidate pairs with at least one endpoint outside the
+    * snapshot. Every shuffle is keyed by doc_id or label; the only
+    * fixpoint runs on the delta-sized quotient graph.
+    */
+  private[graft] def mergeDeltaIntoClosure(prior: DataFrame,
+      deltaPairs: DataFrame): DataFrame = {
+    val pa = prior.select(col("doc_id"), col("component"))
+    // delta pairs through the prior assignment: an endpoint inside the
+    // snapshot is represented by its component label, an unassigned
+    // endpoint (new doc, or old doc with no snapshot-side pair) by
+    // itself. Pairs that land inside one prior component are already
+    // closed and drop out.
+    val quotient = deltaPairs
+      .join(pa.select(col("doc_id").as("doc_a"), col("component").as("ca")),
+        Seq("doc_a"), "left")
+      .join(pa.select(col("doc_id").as("doc_b"), col("component").as("cb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("u"),
+        coalesce(col("cb"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("doc_a"),
+        greatest(col("u"), col("v")).as("doc_b"))
+      .distinct()
+    // min-label closure of the quotient graph (the same fixpoint core
+    // as the full build — it is just running on a delta-sized input)
+    val remap = dedupComponentsFrom(quotient)
+      .select(col("doc_id").as("node"), col("component").as("new_comp"))
+    Fixpoint.lastRounds.put("incremental_merge",
+      Fixpoint.lastRounds.getOrDefault("components_closure", 0))
+    // standing assignment ∪ newly-paired docs, then one label-keyed
+    // relabel: a quotient node that merged follows its new label,
+    // everything else keeps its standing one
+    val newlyPaired = deltaPairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .join(pa.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("component"))
+    val assigned = pa.unionByName(newlyPaired)
+    val relabeled = assigned
+      .join(remap, assigned("component") === remap("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_comp"), assigned("component")).as("component"))
+    val sizes = relabeled.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    Fixpoint.reliably(relabeled.join(sizes, Seq("component"))
+      .select(col("doc_id"), col("component"), col("cluster_size"))
+      .orderBy("doc_id"))
+  }
+
   /** Canonical-survivor selection — the END of the dedup pipeline:
     * cluster the LSH candidate graph ([[dedupComponents]]), keep ONE
     * representative per cluster (longest doc, doc_id tie-break — the

@@ -611,7 +611,14 @@ object StreamingOps {
     val w5 = Window
       .partitionBy(coalesce(col("component"), col("doc_id")))
       .orderBy(col("doc_id"))
-    val lvl4 = levels.filter(col("lvl") === 4)
+    // lvl >= 4, not === 4 (ADVICE r17): an ALREADY-RECONCILED frame
+    // carries level-5 rows, which are level-4 survivors whose verdict
+    // this pass re-derives — filtering them to exactly 4 would silently
+    // DROP every canonical doc on re-application. Folding 5s back in as
+    // survivors makes the reconcile idempotent (StreamingSpec pins it),
+    // which is what a foreachBatch caller re-running per micro-batch
+    // needs.
+    val lvl4 = levels.filter(col("lvl") >= 4)
       .join(assignments.select(col("doc_id"), col("component")),
         Seq("doc_id"), "left")
       .withColumn("lvl",

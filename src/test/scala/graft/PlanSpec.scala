@@ -1592,6 +1592,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"quality_train's bucket-keyed weight join fell to a shuffle:\n$cp")
   }
 
+  test("round-18 pin: dedup_components_incremental's merge stays keyed " +
+       "— the quotient mapping and the relabel are equi-joins on " +
+       "doc/label columns, never a cartesian or nested loop, in EVERY " +
+       "executed stage (prior build, quotient closure, relabel)") {
+    // eager operator: the interesting plans (prior closure rounds,
+    // quotient closure rounds, the relabel join) run inside — read the
+    // executed plans, not the returned checkpoint scan
+    graft.etl.Memos.clearAll()
+    val cp = executedPlans("dedup_components_incremental")
+      .mkString("\n=== next executed plan ===\n")
+    assert(!cp.contains("CartesianProduct"),
+      s"incremental merge grew a cartesian:\n$cp")
+    assert(!cp.contains("BroadcastNestedLoopJoin"),
+      s"incremental merge grew an unkeyed join:\n$cp")
+  }
+
   test("round-17 pin: decontaminate_eval pairs ONLY through the " +
        "8-gram shingle key — an asymmetric bench×train equi-join, " +
        "never all-pairs (the containment-keyed contract of VERDICT " +

@@ -436,6 +436,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       merged.mkString(", "))
     // token masses ride through untouched
     assert(merged.map(_._3).toSeq == Seq(10L, 20L, 30L, 40L, 50L))
+    // IDEMPOTENT (ADVICE r17): re-applying the reconcile to an
+    // already-reconciled frame (which carries level-5 rows) must not
+    // drop the canonical docs — 5s fold back in as level-4 survivors
+    // and re-derive the same verdicts
+    val mergedDf = StreamingOps.funnelCanonicalReconcile(levels, assign)
+    val twice = StreamingOps.funnelCanonicalReconcile(mergedDf, assign)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(twice.toSeq == merged.toSeq, s"not idempotent: ${twice.mkString(", ")}")
+    // ...and a late-arriving merge DEMOTES a previously-canonical doc
+    // on the re-run (the revisionist case the reconcile exists for)
+    val lateAssign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("doc_id", "component")
+    val late = StreamingOps.funnelCanonicalReconcile(mergedDf, lateAssign)
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(late.map(r => r._1 -> r._2).toSeq ==
+      Seq(1L -> 5, 2L -> 4, 3L -> 4, 4L -> 2, 5L -> 0),
+      late.mkString(", "))
   }
 
   test("streaming IVM rollup equals the batch recompute of all deltas") {
