@@ -172,15 +172,18 @@ object CorpusPipeline {
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val g = TextAnalysis.gopherRules(spark, dir)
-      .select(col("doc_id"), col("gopher_pass"))
+    // round 18: the gopher verdict is the compiled per-row kernel
+    // (identical to the relational gopherRules verdict — the
+    // streaming-twin semantics), computed INLINE on the same base scan,
+    // so the last doc-keyed join this query carried is gone — the
+    // whole pre-window stage is now one scan, zero joins
     val base = TextAnalysis.withLangPredicted(TextAnalysis.qualityAnnotated(docs))
       .select(col("doc_id"),
         col("tokens").as("toks"),
         md5(coalesce(col("text"), lit(""))).as("h"),
-        col("predicted"), col("quality_bp"))
-      .join(g, Seq("doc_id"))
-      .withColumn("m1", col("gopher_pass"))
+        col("predicted"), col("quality_bp"),
+        graft.functions.QualityKernelFunctions
+          .gopherPassF(coalesce(col("text"), lit(""))).as("m1"))
       .withColumn("m2", col("m1") && col("predicted") =!= "unknown")
       .withColumn("m3", col("m2") && col("quality_bp") >= FunnelQualityBp)
     val w4 = Window.partitionBy(col("h"), col("m3")).orderBy(col("doc_id"))

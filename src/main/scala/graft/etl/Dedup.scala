@@ -101,22 +101,32 @@ object Dedup {
   def minhashSignature(docs: DataFrame,
       numHashes: Int = TestNumHashes): DataFrame =
     minhashSignatureWith(docs, numHashes,
-      (i, s) => md5(concat(lit(s"seed$i:"), s)))
+      sh => graft.functions.ShingleFunctions.minhashF(sh, numHashes))
 
   /** Shared signature core — ONE implementation for both hash tiers,
-    * parametrized ONLY by the seeded shingle-hash primitive. The md5
+    * parametrized ONLY by the seeded signature kernel. The md5
     * instantiation is DuckDB-oracle-verified end to end, and because
-    * the fast tier runs this same machinery with just the primitive
-    * swapped (a Spark built-in), the oracle structurally covers
-    * everything except the primitive itself.
+    * the fast tier runs this same machinery with just the kernel
+    * swapped, the oracle structurally covers everything except the
+    * hash primitive itself.
+    *
+    * Round 18: the kernel is ONE compiled pass
+    * ([[graft.functions.MinHashSigs]]) producing all numHashes min
+    * slots at once — the per-slot array_min(transform(...)) chain it
+    * replaces ran numHashes interpreted passes over the shingle array
+    * (HOFs are CodegenFallback). Values bit-identical; the mh_i
+    * columns are element_at projections of the signature array, kept
+    * behind the size filter so the signature evaluates once (the
+    * CollapseProject multi-reference guard, as before).
     */
   private def minhashSignatureWith(docs: DataFrame, numHashes: Int,
-      hash: (Int, Column) => Column): DataFrame = {
+      sigs: Column => Column): DataFrame = {
     val cols = (0 until numHashes).map { i =>
-      array_min(transform(col("__sh"), s => hash(i, s))).as(s"mh_$i")
+      element_at(col("__sig"), i + 1).as(s"mh_$i")
     }
     docs.select(col("doc_id"), Shingles.shingleArray(col("text"), 3).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .select(col("doc_id"), sigs(col("__sh")).as("__sig"))
       .select(col("doc_id") +: cols: _*)
   }
 
@@ -144,7 +154,7 @@ object Dedup {
   def minhashSignatureFast(docs: DataFrame,
       numHashes: Int = TestNumHashes): DataFrame =
     minhashSignatureWith(docs, numHashes,
-      (i, s) => xxhash64(lit(s"seed$i:"), s))
+      sh => graft.functions.ShingleFunctions.minhashFastF(sh, numHashes))
 
   /** Error-band audit of the fast tier (Oracles.scala error-band
     * note): xxhash64 signature VALUES are not DuckDB-recomputable, but
@@ -1147,24 +1157,19 @@ object Dedup {
     simhashFrom(Tables.documents(spark, dir))
 
   def simhashFrom(input: DataFrame): DataFrame = {
-    // hash each word once into an int array (one md5 per word), then run
-    // the 16 bit-sums as in-array aggregates: a pure map, no explode, no
-    // groupBy shuffle — the whole signature pass is one scan.
-    val hs = transform(Shingles.wordArray(col("text")),
-      w => conv(substring(md5(w), 1, 4), 16, 10).cast("int"))
+    // ONE compiled pass per doc (round 18): md5 per word + all 16
+    // bit-sums + the sign fold in a single kernel
+    // ([[graft.functions.SimHashSig]], hexChars=4). The transform +
+    // 16 interpreted aggregate folds this replaces scanned the word
+    // array 17 times per row; values are bit-identical (integer
+    // addition is order-insensitive). Still a pure map — no explode,
+    // no groupBy shuffle; the whole signature pass is one scan.
     val docs = input
-      .select(col("doc_id"), hs.as("hs"))
-      .filter(size(col("hs")) > 0)
-    val bitSums = (0 until 16).map { b =>
-      aggregate(col("hs"), lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s_$b")
-    }
-    val sums = docs.select(col("doc_id") +: bitSums: _*)
-    val sig = (0 until 16).map { b =>
-      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), sig.cast("bigint").as("simhash16"))
+      .select(col("doc_id"), Shingles.wordArray(col("text")).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+    docs.select(col("doc_id"),
+        graft.functions.ShingleFunctions.simhashF(col("__ws"), 4)
+          .as("simhash16"))
       .orderBy("doc_id")
   }
 
@@ -1273,21 +1278,14 @@ object Dedup {
     * scan, no shuffle.
     */
   def simhashWideFrom(input: DataFrame): DataFrame = {
-    val hs = transform(Shingles.wordArray(col("text")),
-      w => conv(substring(md5(w), 1, 15), 16, 10).cast("bigint"))
+    // same compiled kernel as [[simhashFrom]] at hexChars=15 (60 bits):
+    // one pass replaces a transform + 60 interpreted aggregate folds
     val docs = input
-      .select(col("doc_id"), hs.as("hs"))
-      .filter(size(col("hs")) > 0)
-    val bitSums = (0 until 60).map { b =>
-      aggregate(col("hs"), lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s_$b")
-    }
-    val sums = docs.select(col("doc_id") +: bitSums: _*)
-    val sig = (0 until 60).map { b =>
-      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sums.select(col("doc_id"), sig.as("simhash60"))
+      .select(col("doc_id"), Shingles.wordArray(col("text")).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+    docs.select(col("doc_id"),
+      graft.functions.ShingleFunctions.simhashF(col("__ws"), 15)
+        .as("simhash60"))
   }
 
   /** SimHash near-dup at SCALE — the Manku et al. 2007 (WWW: "Detecting

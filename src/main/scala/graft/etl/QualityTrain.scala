@@ -74,38 +74,57 @@ object QualityTrain {
 
   private def txt(c: Column): Column = coalesce(c, lit(""))
 
-  /** (doc_id, b, cnt) hashed bag-of-words rows — the same md5 bucket
-    * family as [[TextAnalysis.qualityClassifier]]/dsirWeights — plus
-    * the constant bias feature (bucket [[Buckets]], cnt 1) on every
-    * document.
+  /** (doc_id, y, bucket, b, cnt) labeled feature rows for EVERY split
+    * — ONE corpus scan, ZERO shuffles (round 18 optimization): the
+    * hashed bag-of-words counts complete in-row
+    * ([[graft.functions.HashedBagCounts]] — identical (b, cnt) multiset
+    * to the old explode + md5 + (doc_id, b) groupBy, bias slot
+    * included), the gopher label is the compiled per-row verdict
+    * ([[graft.functions.GopherPassOf]] — identical to the relational
+    * `gopherRules` verdict, the streaming-twin semantics), and the
+    * split bucket is the same salted doc-hash as
+    * [[Splits.trainTestSplit]]. The old plan paid two corpus scans +
+    * a word explode + a (doc_id, b) exchange + two doc-keyed join
+    * shuffles PER SLICE, and re-ran all of it for each of the
+    * train/valid/test slices.
     */
-  private def features(spark: SparkSession, dir: String): DataFrame =
+  private def docFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(filter(split(txt(col("text")), " "),
-          w => length(w) > 0)).as("w"))
-      .withColumn("b",
-        conv(substring(md5(lower(col("w"))), 1, 8), 16, 10)
-          .cast("long") % Buckets)
-      .groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
-      .unionByName(Tables.documents(spark, dir)
-        .select(col("doc_id"), lit(Buckets.toLong).as("b"),
-          lit(1L).as("cnt")))
+        when(graft.functions.QualityKernelFunctions
+            .gopherPassF(txt(col("text"))), 1L)
+          .otherwise(-1L).as("y"),
+        Splits.hashBucket(col("doc_id"), "split:").as("bucket"),
+        graft.functions.QualityKernelFunctions
+          .hashedBagCountsF(txt(col("text")), Buckets).as("bs"))
 
-  /** (doc_id, y) gopher-gate labels: pass = +1, fail = -1. */
-  private def labels(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.gopherRules(spark, dir)
-      .select(col("doc_id"),
-        when(col("gopher_pass"), 1L).otherwise(-1L).as("y"))
+  /** One split slice of [[docFeatures]] (same documents the old
+    * features ⋈ labels ⋈ split pipeline selected for that slice).
+    */
+  private def sliceOf(lf: DataFrame, split: String): DataFrame = split match {
+    case "train" => lf.filter(col("bucket") < 80)
+    case "valid" => lf.filter(col("bucket") >= 80 && col("bucket") < 90)
+    case _ => lf.filter(col("bucket") >= 90)
+  }
 
-  /** Labeled feature rows of one split slice. */
-  private def slice(spark: SparkSession, dir: String, split: String): DataFrame =
-    features(spark, dir)
-      .join(labels(spark, dir), Seq("doc_id"))
-      .join(Splits.trainTestSplit(spark, dir)
-        .filter(col("split") === split).select(col("doc_id")),
-        Seq("doc_id"))
+  /** (b, cnt) rows of a doc-feature slice — the exploded form the NB
+    * counts and the delta aggregation consume.
+    */
+  private def exploded(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("y"), explode(col("bs")).as("bc"))
+      .select(col("doc_id"), col("y"),
+        col("bc.b").as("b"), col("bc.cnt").as("cnt"))
+
+  /** 1-row dense weight array (position b holds w of bucket b) of a
+    * ([[Buckets]]+1)-row (b, w) frame — the broadcast operand of the
+    * in-row [[graft.functions.BagDot]] scorer. array_sort on the
+    * (b, w) structs makes the order deterministic regardless of
+    * collect_list's partition order.
+    */
+  private def denseW(w: DataFrame): DataFrame =
+    w.agg(transform(
+      array_sort(collect_list(struct(col("b"), col("w")))),
+      s => s.getField("w")).as("wa"))
 
   /** Quantized multinomial-NB warm start: ([[Buckets]]+1)-row (b, w).
     * Token ratios over train-split counts; the bias bucket carries the
@@ -113,12 +132,14 @@ object QualityTrain {
     * double promotions) mirrors the oracle text exactly.
     */
   private def nbInit(tr: DataFrame, spark: SparkSession): DataFrame = {
-    val cls = tr.filter(col("b") < Buckets)
+    val cls = exploded(tr).filter(col("b") < Buckets)
       .groupBy(col("b"))
       .agg(sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("np"),
         sum(when(col("y") === -1, col("cnt")).otherwise(0L)).as("nn"))
     val tot = cls.agg(sum(col("np")).as("tp"), sum(col("nn")).as("tn"))
-    val pri = tr.select(col("doc_id"), col("y")).distinct()
+    // tr is one row per document now — the distinct the exploded form
+    // needed is vacuous, the class counts are identical
+    val pri = tr
       .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("dp"),
         sum(when(col("y") === -1, 1L).otherwise(0L)).as("dn"))
     spark.range(Buckets + 1).select(col("id").cast("long").as("b"))
@@ -143,22 +164,30 @@ object QualityTrain {
   }
 
   /** Train: NB init + [[Rounds]] perceptron rounds. Returns the
-    * candidate vectors w₀..w_Rounds (each an eager local checkpoint)
-    * and the staged train frame.
+    * candidate vectors w₀..w_Rounds (each an eager local checkpoint).
+    *
+    * Round 18 shape: a round SCORES IN-ROW — the weight vector folds
+    * to a 1-row dense array ([[denseW]], broadcast), each train doc
+    * computes y·⟨w, bag⟩ with the compiled [[graft.functions.BagDot]]
+    * kernel, and only the MISTAKE docs' bags explode into the bucket-
+    * keyed delta agg. The old round paid a corpus-wide (doc, b)-row
+    * broadcast join + a (doc, y) score shuffle + a doc-keyed join per
+    * round; now a round is one map pass over doc-count rows + a tiny
+    * 257-group agg. Scores are bit-identical (integer dot product,
+    * order-insensitive).
     */
-  private def candidates(spark: SparkSession, dir: String,
+  private def candidates(tr: DataFrame, spark: SparkSession,
       locals: scala.collection.mutable.ArrayBuffer[DataFrame])
-      : (DataFrame, Vector[DataFrame]) = {
-    val tr = Fixpoint.locally(slice(spark, dir, "train"), locals)
+      : Vector[DataFrame] = {
     var w = Fixpoint.locally(nbInit(tr, spark), locals)
     var cands = Vector(w)
     for (_ <- 1 to Rounds) {
-      val mistakes = tr.join(broadcast(w), Seq("b"))
-        .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("w") * col("cnt")).as("score"))
+      val wa = broadcast(denseW(w))
+      val mist = tr.crossJoin(wa)
+        .withColumn("score",
+          graft.functions.QualityKernelFunctions.bagDotF(col("bs"), col("wa")))
         .filter(col("y") * col("score") <= 0)
-        .select(col("doc_id"))
-      val delta = tr.join(mistakes, Seq("doc_id"))
+      val delta = exploded(mist.select(col("doc_id"), col("y"), col("bs")))
         .groupBy(col("b"))
         .agg(sum(col("y") * col("cnt")).as("dw"))
       w = Fixpoint.locally(w.join(delta, Seq("b"), "left")
@@ -166,22 +195,34 @@ object QualityTrain {
           (col("w") + coalesce(col("dw"), lit(0L))).as("w")), locals)
       cands :+= w
     }
-    (tr, cands)
+    cands
   }
 
-  /** (round, n_mistakes) of one candidate on one labeled slice. The
-    * outer coalesce mirrors DuckDB's `count(*) FILTER` on an EMPTY
-    * slice (ADVICE r16): a global sum over zero groups is NULL in
-    * Spark but 0 cross-engine semantics demand 0.
+  /** (round, n_mistakes) of EVERY candidate on one labeled slice in a
+    * single pass (round 18): the candidates fold to a ([[Rounds]]+1)-
+    * row (round, dense array) broadcast, each slice doc scores all
+    * rounds in-row via [[graft.functions.BagDot]], and one round-keyed
+    * agg counts mistakes — no per-candidate passes, no (doc, y) score
+    * shuffle. The left join from the round axis mirrors DuckDB's
+    * `count(*) FILTER` on an EMPTY slice (ADVICE r16): zero docs must
+    * read as 0 mistakes per round, not as missing rounds.
     */
-  private def mistakesOf(sliceDf: DataFrame, w: DataFrame, round: Int): DataFrame =
-    sliceDf.join(broadcast(w), Seq("b"))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(col("w") * col("cnt")).as("score"))
-      .agg(coalesce(
-          sum(when(col("y") * col("score") <= 0, 1L).otherwise(0L)), lit(0L))
-        .as("n_mistakes"))
-      .select(lit(round.toLong).as("round"), col("n_mistakes"))
+  private def mistakesAllRounds(sliceDf: DataFrame, tagged: DataFrame,
+      out: String): DataFrame = {
+    val was = broadcast(tagged.groupBy(col("round"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("b"), col("w")))),
+        s => s.getField("w")).as("wa")))
+    val per = sliceDf.crossJoin(was)
+      .select(col("round"),
+        (col("y") * graft.functions.QualityKernelFunctions
+          .bagDotF(col("bs"), col("wa")) <= 0).as("m"))
+      .groupBy(col("round"))
+      .agg(sum(when(col("m"), 1L).otherwise(0L)).as("nm"))
+    tagged.select(col("round")).distinct()
+      .join(per, Seq("round"), "left")
+      .select(col("round"), coalesce(col("nm"), lit(0L)).as(out))
+  }
 
   /** Session-shared TRAIN ARTIFACT — the standing-memo rule
     * ([[Dedup.componentsFrame]]'s fan-out precedent) applied to the
@@ -214,17 +255,20 @@ object QualityTrain {
   private def buildArtifact(spark: SparkSession, dir: String): DataFrame = {
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try Fixpoint.reliably {
-      val (tr, cands) = candidates(spark, dir, locals)
-      val va = Fixpoint.locally(slice(spark, dir, "valid"), locals)
-      val curve = cands.zipWithIndex.map { case (w, r) =>
-        mistakesOf(tr, w, r)
-          .withColumnRenamed("n_mistakes", "train_mistakes")
-          .join(mistakesOf(va, w, r)
-            .withColumnRenamed("n_mistakes", "valid_mistakes"), Seq("round"))
-      }.reduce(_ unionByName _)
+      // ONE doc-feature staging (one row per doc, bag as an array) for
+      // train AND valid — the test slice rides the same frame in
+      // qualityTrainEval; the old plan staged each slice from its own
+      // two corpus scans + three doc-keyed join shuffles
+      val lf = Fixpoint.locally(
+        docFeatures(spark, dir).filter(col("bucket") < 90), locals)
+      val tr = sliceOf(lf, "train")
+      val va = sliceOf(lf, "valid")
+      val cands = candidates(tr, spark, locals)
       val tagged = cands.zipWithIndex
         .map { case (w, r) => w.withColumn("round", lit(r.toLong)) }
         .reduce(_ unionByName _)
+      val curve = mistakesAllRounds(tr, tagged, "train_mistakes")
+        .join(mistakesAllRounds(va, tagged, "valid_mistakes"), Seq("round"))
       tagged.join(curve, Seq("round"))
     } finally Fixpoint.releaseAll(locals)
   }
@@ -277,15 +321,17 @@ object QualityTrain {
       val pick = pickOf(art)
       val chosen = art.as("a").join(pick.as("p"), Seq("round"))
       val wsel = Fixpoint.locally(chosen.select(col("b"), col("w")), locals)
-      val heldout = labels(spark, dir)
-        .join(Splits.trainTestSplit(spark, dir)
-          .filter(col("split") === "test").select(col("doc_id")),
-          Seq("doc_id"))
-      val scored = Fixpoint.locally(heldout
-        .join(features(spark, dir), Seq("doc_id"), "left")
-        .join(broadcast(wsel), Seq("b"), "left")
-        .groupBy(col("doc_id"), col("y"))
-        .agg(coalesce(sum(col("w") * col("cnt")), lit(0L)).as("score")),
+      // test slice scored IN-ROW off the single-scan doc-feature frame
+      // (round 18): one dense-array broadcast + the BagDot kernel —
+      // no feature explode, no (doc, y) score shuffle. The bias slot
+      // guarantees a nonempty bag per doc, so the old left-join
+      // defensiveness is vacuous and the scores are identical.
+      val scored = Fixpoint.locally(
+        sliceOf(docFeatures(spark, dir), "test")
+          .crossJoin(broadcast(denseW(wsel)))
+          .select(col("doc_id"), col("y"),
+            graft.functions.QualityKernelFunctions
+              .bagDotF(col("bs"), col("wa")).as("score")),
         locals)
       scored
         .select(col("y"), when(col("score") > 0, 1L).otherwise(0L).as("p"))

@@ -18,10 +18,13 @@ object Shingles {
 
   /** Non-empty words of a text column as an array (split on single
     * space; blanks from doubled/leading/trailing spaces dropped —
-    * matching both engines' split semantics).
+    * matching both engines' split semantics). Compiled single-pass
+    * kernel (round 18): the declarative filter(split(...)) twin it
+    * replaces evaluated the filter INTERPRETED per element; values are
+    * identical ([[graft.functions.ShingleOps.shingles]] with k=1).
     */
   def wordArray(c: Column): Column =
-    filter(split(txt(c), " "), w => length(w) > 0)
+    graft.functions.ShingleFunctions.shinglesF(txt(c), 1)
 
   /** (doc_id, word, word_pos) rows; word_pos is the position in the
     * ORIGINAL split (gaps where blanks were dropped), matching the
@@ -45,18 +48,14 @@ object Shingles {
     * linear.
     */
   def shingleArray(c: Column, k: Int): Column = {
-    // k-1 chained zip_withs: linear work per word, but expression-tree
-    // depth grows with k — capped where the paragraph family's widest
-    // sweep width (20) still fits
+    // compiled single-pass kernel (round 18): the k-1 chained
+    // zip_withs this replaces re-derived wordArray(c) per level and
+    // ran every lambda INTERPRETED (HOFs are CodegenFallback and share
+    // no subexpressions) — ~2(k-1) splits + k-1 interpreted zip passes
+    // per row. Same element order/values, same <k-words → empty-array
+    // semantics ([[graft.functions.ShingleOps.shingles]]).
     require(k >= 1 && k <= 24)
-    val joined = (1 until k).foldLeft(wordArray(c)) { (cur, j) =>
-      val shifted = slice(wordArray(c), lit(j + 1),
-        greatest(size(wordArray(c)) - j, lit(0)))
-      zip_with(cur, shifted,
-        (x, y) => when(y.isNull || x.isNull, lit(null: String))
-          .otherwise(concat(x, lit(" "), y)))
-    }
-    filter(joined, x => x.isNotNull)
+    graft.functions.ShingleFunctions.shinglesF(txt(c), k)
   }
 
   /** (doc_id, shingle_pos, shingle) rows — shingle_pos is the 0-based

@@ -946,8 +946,8 @@ object Similarity {
     val M = 4; val Sub = 16; val K = 16
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000).cast("bigint")).as("embq"))
+        graft.functions.IntVecFunctions.quantizeMilliF(col("embedding"))
+          .as("embq"))
     // codebook: M×K rows (m, k, cvec) — the seed slice's subvectors
     val ms = array((0 until M).map(lit): _*)
     val cb = broadcast(
@@ -959,9 +959,7 @@ object Similarity {
     e.crossJoin(cb)
       .withColumn("xvec", slice(col("embq"), col("m") * Sub + 1, lit(Sub)))
       .withColumn("du",
-        aggregate(zip_with(col("xvec"), col("cvec"),
-            (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v))
+        graft.functions.IntVecFunctions.sqDistLongF(col("xvec"), col("cvec")))
       .select(col("vec_id"), col("m"), col("k"), col("du"))
   }
 
@@ -1025,8 +1023,8 @@ object Similarity {
     // full-width Σ(xq−yq)² is a pure BIGINT fold too (1e-6 units)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000).cast("bigint")).as("embq"))
+        graft.functions.IntVecFunctions.quantizeMilliF(col("embedding"))
+          .as("embq"))
     val short = pqAdc(spark, dir).filter(col("rank") <= 25)
       .select(col("qid"), col("vec_id").as("scid"))
     val q = broadcast(e.filter(col("vec_id") < 16)
@@ -1035,9 +1033,7 @@ object Similarity {
       .join(q, col("qid") === col("eqid"))
       .join(e, col("scid") === col("vec_id"))
       .withColumn("dist_units",
-        aggregate(zip_with(col("qe"), col("embq"),
-            (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v))
+        graft.functions.IntVecFunctions.sqDistLongF(col("qe"), col("embq")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("dist_units").asc, col("scid").asc)
     exact.withColumn("rank", row_number().over(w))
@@ -1087,9 +1083,10 @@ object Similarity {
   def knnPqTrained(spark: SparkSession, dir: String): DataFrame =
     pqTrainedAdc(spark, dir, seedLo = 16L, lloydRounds = 2)
 
+  // compiled kernel (round 18): the interpreted aggregate∘zip_with fold
+  // this replaces sat inside the codebook joins (corpus × M·K rows)
   private def pqSqdist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.IntVecFunctions.sqDistLongF(a, b)
 
   /** Quantized subvector table (vec_id, m, xvec) — 4 rows per corpus
     * vector, elements in integral 1e-3 units (see [[pqAdc]]).
@@ -1098,8 +1095,8 @@ object Similarity {
     val M = 4; val Sub = 16
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000).cast("bigint")).as("embq"))
+        graft.functions.IntVecFunctions.quantizeMilliF(col("embedding"))
+          .as("embq"))
     val ms = array((0 until M).map(lit): _*)
     e.withColumn("m", explode(ms))
       .select(col("vec_id"), col("m"),

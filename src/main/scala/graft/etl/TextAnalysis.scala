@@ -255,36 +255,24 @@ object TextAnalysis {
   }
 
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        length(txt(col("text"))).as("text_len"))
-    val w = Shingles.words(docs.select(col("doc_id"), col("text")))
-    val stops = GopherStops
-    val base = w.groupBy("doc_id").agg(
-      count(lit(1)).as("n_words"),
-      sum(length(col("word"))).as("sum_len"),
-      sum(when(col("word").rlike("[a-zA-Z]"), 1L).otherwise(0L)).as("alpha_words"),
-      countDistinct(when(col("word").isin(stops: _*), col("word"))).as("stop_hits"))
-    val seq = Window.partitionBy(col("doc_id")).orderBy(col("word_pos"))
-    val bigrams = w
-      .withColumn("w1", lead(col("word"), 1).over(seq))
-      .filter(col("w1").isNotNull)
-      .select(col("doc_id"), concat(col("word"), lit(" "), col("w1")).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
-    val topW = Window.partitionBy(col("doc_id"))
-      .orderBy(col("cnt").desc, length(col("bigram")).desc, col("bigram").asc)
-    val top = bigrams
-      .withColumn("rn", row_number().over(topW)).filter(col("rn") === 1)
-      .select(col("doc_id"), (col("cnt") * length(col("bigram"))).as("top2_chars"))
-    docs.select(col("doc_id"), col("text_len"))
-      .join(base, Seq("doc_id"), "left")
-      .join(top, Seq("doc_id"), "left")
+    // ONE compiled pass per document (round 18): the five rule
+    // statistics come from [[graft.functions.GopherStatsOf]] — values
+    // identical to the word explode + two doc-keyed aggregations + the
+    // bigram rank window this replaces (same split, same code-point
+    // lengths, same (cnt desc, len desc) top-bigram tie-break; docs
+    // with no words read 0 everywhere exactly like the old left-join
+    // coalesces). The whole gate is now a pure map: zero shuffles
+    // before the output sort.
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(txt(col("text"))).as("text_len"),
+        graft.functions.QualityKernelFunctions
+          .gopherStatsF(txt(col("text"))).as("__g"))
       .select(col("doc_id"), col("text_len"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("sum_len"), lit(0L)).as("sum_len"),
-        coalesce(col("alpha_words"), lit(0L)).as("alpha_words"),
-        coalesce(col("stop_hits"), lit(0L)).as("stop_hits"),
-        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"))
+        col("__g.n_words").as("n_words"),
+        col("__g.sum_len").as("sum_len"),
+        col("__g.alpha_words").as("alpha_words"),
+        col("__g.stop_hits").as("stop_hits"),
+        col("__g.top2_chars").as("top2_chars"))
       .withColumn("r_wordcount", col("n_words") >= 50 && col("n_words") <= 100000)
       .withColumn("r_meanlen",
         col("n_words") > 0 && col("sum_len") >= col("n_words") * 3 &&

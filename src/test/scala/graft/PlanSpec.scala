@@ -596,13 +596,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // feeding both windows and the session agg, plus the output sort
     val sz = plan("sessionize")
     assert(countOf(sz, "+- Exchange") <= 2, s"sessionize grew a shuffle:\n$sz")
-    // gopher_rules: every shuffle doc_id-keyed, the top-bigram rn=1
-    // rides the native bounded-heap GroupTopK (never a full per-doc
-    // sort), assembly joins are equi-joins
+    // gopher_rules (round 18): the five rule statistics are ONE
+    // compiled per-row kernel (gopher_stats_of) — the whole gate is a
+    // pure map, so the only exchange left is the output sort (the old
+    // pin asserted the explode + GroupTopK bigram shape this replaced)
     val gr = plan("gopher_rules")
-    assert(gr.contains("GroupTopK"), s"gopher_rules missed the rewrite:\n$gr")
-    assert(!gr.contains("NestedLoop") && !gr.contains("CartesianProduct"),
-      s"gopher_rules lost its keyed joins:\n$gr")
+    assert(gr.contains("gopher_stats_of"),
+      s"gopher_rules lost the compiled stats kernel:\n$gr")
+    assert(countOf(gr, "+- Exchange") <= 1, s"gopher_rules grew a shuffle:\n$gr")
+    assert(!gr.contains("HashAggregate"),
+      s"gopher_rules must be aggregation-free (pure map):\n$gr")
     // lm_score: model and scoring joins must stay keyed equi-joins
     // (small-model × big-corpus shape) — never a pair join
     val lm = plan("lm_score")
