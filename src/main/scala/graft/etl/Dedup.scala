@@ -448,17 +448,35 @@ object Dedup {
     // (md5 prefix + suffix) or the full 128-bit md5 as the join key —
     // same plan, double key width, collision odds squared. Production
     // swaps xxhash64 for md5 — same plan, cheaper hash.
+    // Round 18 (guide §2.4: remove shuffles outright; §2.3: shuffle
+    // fewer bytes): the old shape computed the gram stream TWICE (once
+    // under the cross-doc agg, once as the semi-join probe) and
+    // exchanged it four times (countDistinct's (g,doc) partial + g
+    // final, the probe by g, tot by doc). Now ONE gram pass is
+    // exchanged ONCE by g; the per-(g,doc) multiplicity agg and the
+    // distinct-doc count (a count window over g — rows are per (g,doc),
+    // so plain count IS countDistinct(doc)) are colocated on that
+    // exchange; per-doc totals come in-row from the word count
+    // (n_grams = n_words − 7 exactly, since posexplode of the shingle
+    // array yields one row per position — docs with <8 words produced
+    // no gram rows before and are excluded by the same n_grams > 0
+    // predicate here). Only dup-doc partial sums reach the final
+    // doc-keyed exchange.
     val grams = Shingles.wordShingles(docs, 8)
       .select(col("doc_id"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10)
           .cast("bigint").as("g"))
-    val crossDoc = grams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("g"))
-    val tot = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val dup = grams.join(crossDoc, Seq("g"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
+    val gd = grams.repartition(col("g"))
+      .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val dup = gd
+      .withColumn("ndocs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .filter(col("ndocs") >= 2)
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("nd"))
+    val tot = docs.select(col("doc_id"),
+        (graft.functions.ShingleFunctions.wordCountF(col("text")) - 7)
+          .as("n_grams"))
+      .filter(col("n_grams") > 0)
     tot.join(dup, Seq("doc_id"), "left")
       .withColumn("n_dup_grams", coalesce(col("nd"), lit(0L)))
       .withColumn("dup_bp", expr("(10000 * n_dup_grams) div n_grams"))
@@ -489,39 +507,39 @@ object Dedup {
   def spanClipFrom(docs: DataFrame): DataFrame = {
     // measured-both-ways note (round 14): [[substringDedupFrom]]'s
     // 60-bit digest keys were tried here too and REJECTED — span_clip's
-    // wall is dominated by the coverage explode + (doc,pos) anti join +
-    // reassembly, not the gram shuffles, so the per-gram md5 cost
-    // exceeded the narrower-key win (100×: 28.1 s strings vs 35-39 s
-    // digests; substring_dedup, whose cost IS the gram shuffles, kept
-    // the digests at a 2.0× win)
+    // wall is dominated by the coverage/removal machinery, not the gram
+    // shuffles, so the per-gram md5 cost exceeded the narrower-key win
+    // (100×: 28.1 s strings vs 35-39 s digests; substring_dedup, whose
+    // cost IS the gram shuffles, kept the digests at a 2.0× win).
+    //
+    // Round 18 (guide §2.3/§2.4): the removal side no longer explodes
+    // coverage to (doc, pos) rows. The old shape shuffled every covered
+    // word position three times (coverage distinct, the (doc,pos) anti
+    // join, the collect_list(struct(wpos, word)) reassembly agg — the
+    // last one carrying the words themselves) and re-derived the word
+    // array twice. Now the ONLY thing that leaves the gram stage is the
+    // dup-gram START positions, folded per doc into one int array
+    // (collect_list over ints, partial map-side), and one in-row kernel
+    // ([[graft.functions.ShingleOps.clipSpans]]) marks coverage and
+    // reassembles survivors per row — bit-identical to the anti-join +
+    // ordered-agg form (boolean coverage mark = the distinct∘explode;
+    // keeping uncovered words in order = the anti join + string_agg).
     val grams = Shingles.wordShingles(docs, 8)
       .select(col("doc_id"), col("shingle_pos"), col("shingle"))
     val crossDoc = grams.groupBy(col("shingle"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("shingle"))
-    val covered = grams.join(crossDoc, Seq("shingle"), "left_semi")
+    val dupStarts = grams.join(crossDoc, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle_pos")).as("starts"))
+    docs.join(dupStarts, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        explode(sequence(col("shingle_pos"), col("shingle_pos") + 7)).as("cpos"))
-      .distinct()
-    val words = docs
-      .select(col("doc_id"), posexplode(Shingles.wordArray(col("text"))))
-      .withColumnRenamed("pos", "wpos").withColumnRenamed("col", "word")
-    val kept = words.join(covered,
-      words("doc_id") === covered("doc_id") && col("wpos") === col("cpos"),
-      "left_anti")
-    val re = kept.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_kept"),
-      // struct order sorts by wpos first — a deterministic reassembly
-      array_join(transform(
-        array_sort(collect_list(struct(col("wpos"), col("word")))),
-        s => s.getField("word")), " ").as("clean_text"))
-    val tot = docs.select(col("doc_id"),
-      size(Shingles.wordArray(col("text"))).cast("bigint").as("n_words"))
-    tot.join(re, Seq("doc_id"), "left")
-      .withColumn("n_removed", col("n_words") - coalesce(col("n_kept"), lit(0L)))
-      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
-      .select(col("doc_id"), col("n_words"), col("n_removed"), col("clean_text"))
+        graft.functions.ShingleFunctions.spanClipF(col("text"),
+          coalesce(col("starts"), typedLit(Array.empty[Int])), 8).as("r"))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.n_removed").as("n_removed"),
+        col("r.clean_text").as("clean_text"))
       .orderBy("doc_id")
   }
 

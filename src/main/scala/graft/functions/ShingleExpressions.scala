@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -226,6 +227,78 @@ object ShingleOps {
     new GenericArrayData(mins)
   }
 
+  /** Number of non-empty words of `text` — `size(wordArray(text))`
+    * without materializing the word array (one counting byte scan).
+    */
+  def wordCount(text: UTF8String): Long = {
+    val b = text.getBytes
+    val n = b.length
+    var count = 0L
+    var inWord = false
+    var i = 0
+    while (i < n) {
+      if (b(i) == 0x20) inWord = false
+      else if (!inWord) { count += 1; inWord = true }
+      i += 1
+    }
+    count
+  }
+
+  private val EmptyUtf8 = UTF8String.fromString("")
+
+  /** Span-clip of `text` at gram width k, given the start positions
+    * (indices over the FILTERED word sequence — the same index space
+    * `Shingles.wordShingles`' shingle_pos lives in) of the duplicated
+    * k-grams: every word covered by any gram window [s, s+k-1] is
+    * removed, and the survivors are re-joined with single spaces in
+    * original order. Returns (n_words, n_removed, clean_text) — one
+    * in-row pass replacing the coverage explode → distinct →
+    * (doc,pos) anti join → collect_list/array_sort reassembly, with
+    * identical values: marking a boolean coverage array then keeping
+    * uncovered words IS the anti join + ordered string_agg, and
+    * single-space joining matches array_join(words, " ") because
+    * split-filtered words are never empty.
+    */
+  def clipSpans(text: UTF8String, starts: ArrayData, k: Int): InternalRow = {
+    val w = splitWords(text)
+    val n = w.length
+    if (n == 0) return new GenericInternalRow(Array[Any](0L, 0L, EmptyUtf8))
+    val covered = new Array[Boolean](n)
+    val m = starts.numElements()
+    var i = 0
+    while (i < m) {
+      var p = starts.getInt(i)
+      if (p < 0) p = 0
+      val end = math.min(p.toLong + k, n.toLong).toInt
+      while (p < end) { covered(p) = true; p += 1 }
+      i += 1
+    }
+    var kept = 0
+    var bytes = 0
+    i = 0
+    while (i < n) {
+      if (!covered(i)) { kept += 1; bytes += w(i).numBytes() }
+      i += 1
+    }
+    if (kept == 0)
+      return new GenericInternalRow(Array[Any](n.toLong, n.toLong, EmptyUtf8))
+    val buf = new Array[Byte](bytes + kept - 1)
+    var pos = 0
+    var first = true
+    i = 0
+    while (i < n) {
+      if (!covered(i)) {
+        if (!first) { buf(pos) = 0x20; pos += 1 }
+        w(i).writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += w(i).numBytes()
+        first = false
+      }
+      i += 1
+    }
+    new GenericInternalRow(
+      Array[Any](n.toLong, (n - kept).toLong, UTF8String.fromBytes(buf)))
+  }
+
   /** SimHash signature over the word array: per word, the first
     * `hexChars` hex chars of md5(word) as a value (= conv(substring(
     * md5(w),1,hexChars),16,10)); bit b of the signature is the sign of
@@ -376,6 +449,60 @@ case class SimHashSig(child: Expression, hexChars: Int)
     copy(child = newChild)
 }
 
+/** Non-empty word count of a text column — `size(wordArray(c))` as one
+  * counting scan, no array allocation.
+  */
+case class WordCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_count"
+
+  override protected def nullSafeEval(t: Any): Any =
+    java.lang.Long.valueOf(ShingleOps.wordCount(t.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleOps.wordCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** (n_words, n_removed, clean_text) span-clip of a text column given
+  * the duplicated-gram start positions (filtered-word index space) —
+  * the in-row removal+reassembly kernel of `Dedup.spanClipFrom`.
+  */
+case class SpanClipStruct(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(k >= 1 && k <= 24)
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(StringType, ArrayType(IntegerType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "span_clip_struct"
+
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    ShingleOps.clipSpans(t.asInstanceOf[UTF8String],
+      s.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.functions.ShingleOps.clipSpans($t, $s, $k);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ShingleFunctions {
   /** Column API: k-word shingle array (k=1 → non-empty word array). */
   def shinglesF(text: Column, k: Int): Column =
@@ -392,4 +519,13 @@ object ShingleFunctions {
   /** Column API: simhash signature over a word-array column. */
   def simhashF(words: Column, hexChars: Int): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(words), hexChars))
+
+  /** Column API: non-empty word count of a text column. */
+  def wordCountF(text: Column): Column =
+    ColumnBridge.column(WordCount(ColumnBridge.expression(text)))
+
+  /** Column API: (n_words, n_removed, clean_text) span clip. */
+  def spanClipF(text: Column, starts: Column, k: Int): Column =
+    ColumnBridge.column(SpanClipStruct(ColumnBridge.expression(text),
+      ColumnBridge.expression(starts), k))
 }

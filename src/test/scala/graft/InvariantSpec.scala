@@ -224,6 +224,31 @@ class InvariantSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == ((3L, 3L, 0L, 0L)))
   }
 
+  test("span clip: in-row kernel matches the anti-join semantics") {
+    import graft.etl.Dedup
+    // doc 1 shares its first 8-gram with doc 5 → words 0..7 clipped in
+    // BOTH (coverage is all-copies, not first-wins); docs 3/4/6/7 probe
+    // the edges: unique doc (nothing clipped), <8 words (no grams, all
+    // words kept), doubled spaces (blank words dropped → single-space
+    // reassembly), empty text
+    val docs = Seq(
+      1L -> "a b c d e f g h i j",
+      3L -> (1 to 10).map(i => s"only$i").mkString(" "),
+      4L -> "too short to gram",
+      5L -> "a b c d e f g h x y z w",
+      6L -> "p  q",
+      7L -> "").toDF("doc_id", "text")
+    val got = Dedup.spanClipFrom(docs)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 10L, 8L, "i j"),
+      (3L, 10L, 0L, (1 to 10).map(i => s"only$i").mkString(" ")),
+      (4L, 4L, 0L, "too short to gram"),
+      (5L, 12L, 8L, "x y z w"),
+      (6L, 2L, 0L, "p q"),
+      (7L, 0L, 0L, "")))
+  }
+
   test("HLL sketch distincts stay inside the configured error band") {
     import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
     // known cardinality: 10k distinct keys, skew-heavy repetition

@@ -520,11 +520,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val pt = plan("knn_pq_trained")
     assert(pt.contains("BroadcastHashJoin"),
       s"knn_pq_trained lost its broadcast codebook joins:\n$pt")
-    // substring_dedup: the sorted-ngram-table plan — the cross-doc gram
-    // probe must be a SEMI hash join keyed by gram, never a pair join
-    // or nested loop
+    // substring_dedup (reshaped round 18): ONE gram pass exchanged once
+    // by digest — the per-(g,doc) agg and the distinct-doc count window
+    // ride that exchange; per-doc totals are in-row (word_count), so
+    // the explode appears exactly once and nothing nested-loops
     val sd = plan("substring_dedup")
-    assert(sd.contains("LeftSemi"), s"substring_dedup lost the semi join:\n$sd")
+    // count TREE nodes ("- Generate"), not the FormattedMode detail
+    // headers that repeat each node name (the CLAUDE.md string-match
+    // gotcha)
+    assert(countOf(sd, "- Generate") == 1,
+      s"substring_dedup must shingle exactly once:\n$sd")
+    assert(sd.contains("Window"),
+      s"substring_dedup lost the colocated distinct-doc window:\n$sd")
     assert(!sd.contains("NestedLoop"), s"substring_dedup nested-loops:\n$sd")
     assert(!rf.contains("CartesianProduct"), rf)
     // html_extract: page build + extraction are one map-side pass over
@@ -556,11 +563,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(heCodegen,
       s"extraction projection fell out of codegen:\n$heExec")
     // span_clip: detection stays the sorted-ngram-table plan (gram-keyed
-    // SEMI join), removal is a (doc,pos)-keyed ANTI join — never a pair
-    // join or nested loop anywhere
+    // SEMI join); removal (round 18) is the in-row clip kernel over a
+    // per-doc dup-start array — the coverage explode / (doc,pos) anti
+    // join / word-struct reassembly agg must NOT reappear, and nothing
+    // nested-loops
     val sc = plan("span_clip")
     assert(sc.contains("LeftSemi"), s"span_clip lost the semi join:\n$sc")
-    assert(sc.contains("LeftAnti"), s"span_clip lost the anti join:\n$sc")
+    assert(!sc.contains("LeftAnti"),
+      s"span_clip regrew the (doc,pos) anti join:\n$sc")
+    assert(countOf(sc, "- Generate") <= 2,
+      s"span_clip regrew a coverage/word explode:\n$sc")
+    assert(sc.contains("span_clip_struct"),
+      s"span_clip lost the in-row clip kernel:\n$sc")
     assert(!sc.contains("NestedLoop"), s"span_clip nested-loops:\n$sc")
     // heavy_hitters: the recount pass must filter through a BROADCAST
     // semi join on the sketch's candidate set — re-shuffling the full
