@@ -16,8 +16,13 @@ object DumpPlan {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val p = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
-      .queryExecution.explainString(FormattedMode)
+    // planOnly: eager operators (reliable-checkpoint finishers) show
+    // their full lazy twin instead of a checkpoint-scan leaf — the
+    // same view PlanSpec pins read
+    val p = graft.etl.Fixpoint.planOnly {
+      SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(FormattedMode)
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(args(1)), p)
     spark.stop()
   }

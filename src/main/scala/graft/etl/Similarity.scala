@@ -936,49 +936,63 @@ object Similarity {
     * [[knnPqRerank]] (shortlist-25 → exact re-rank). Returns every
     * (qid, vec_id) pair with its integer ADC distance and rank.
     */
-  /** Per-(vector, subquantizer, centroid) exact integer sub-distances —
-    * the shared first stage of the PQ family ([[pqAdc]] encodes/scans
-    * from it; [[pqDistortion]] audits it). Elements quantize to
-    * integral 1e-3 units once; Σ(xq−yq)² is an exact BIGINT (1e-6
-    * units), so no FP fold exists for thread order to perturb.
+  /** Quantized corpus vectors (vec_id, embq) — integral 1e-3 units, the
+    * shared input of the PQ family. All downstream distances are exact
+    * BIGINT Σ(xq−yq)² with no FP fold for thread order to perturb.
     */
-  private def pqSub(spark: SparkSession, dir: String): DataFrame = {
-    val M = 4; val Sub = 16; val K = 16
-    val e = Tables.embeddings(spark, dir)
+  private def pqQuantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         graft.functions.IntVecFunctions.quantizeMilliF(col("embedding"))
           .as("embq"))
-    // codebook: M×K rows (m, k, cvec) — the seed slice's subvectors
-    val ms = array((0 until M).map(lit): _*)
-    val cb = broadcast(
-      e.filter(col("vec_id") < K)
-        .select(col("vec_id").as("k"), col("embq").as("se"))
-        .withColumn("m", explode(ms))
-        .select(col("m"), col("k"),
-          slice(col("se"), col("m") * Sub + 1, lit(Sub)).as("cvec")))
-    e.crossJoin(cb)
-      .withColumn("xvec", slice(col("embq"), col("m") * Sub + 1, lit(Sub)))
-      .withColumn("du",
-        graft.functions.IntVecFunctions.sqDistLongF(col("xvec"), col("cvec")))
-      .select(col("vec_id"), col("m"), col("k"), col("du"))
-  }
+
+  /** ONE-row k-major flat codebook: the K seed vectors' quantized
+    * elements concatenated in vec_id order (the kernels index codeword
+    * k's m-th slice directly). The collect/sort/flatten HOFs here run
+    * over ONE 16-row group — never a hot path.
+    *
+    * Round 18 (guide §2.4): the PQ family previously materialized
+    * per-(vector, m, k) sub-distance ROWS — a corpus × M·K cross-join
+    * explode feeding a (vec_id, m)-keyed argmin exchange, computed
+    * TWICE (encode pass + query-LUT pass), then re-joined per (m, code)
+    * and re-aggregated per (qid, vec_id). All of that is per-row work:
+    * [[graft.functions.IntVecOps.pqEncode]]/[[graft.functions.IntVecOps.pqLut]]/
+    * [[graft.functions.IntVecOps.adcSum]] now run it in-row against the
+    * broadcast flat codebook, so the only rows that exist are one per
+    * corpus vector (codes) and one per (query, vector) ADC candidate,
+    * and the only exchange left is the final ranking window's. Argmin
+    * tie-breaking (lowest k on equal distance) and every integer
+    * distance are bit-identical to the min(struct(du, k)) / join+sum
+    * form, so the DuckDB oracles are unchanged.
+    */
+  private def pqCodebook(e: DataFrame, K: Int): DataFrame =
+    e.filter(col("vec_id") < K)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("vec_id").as("k"),
+          col("embq").as("se")))),
+        s => s.getField("se"))).as("cb"))
 
   private def pqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val sub = pqSub(spark, dir)
-    // encode: argmin_k per (vec, m) — two-phase agg, ties to low k
-    val codes = sub.groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("du"), col("k"))).as("mn"))
-      .select(col("vec_id"), col("m"), col("mn.k").as("code"))
-    // query LUT: the same sub-distances for the bounded query slice
-    val qlut = broadcast(sub.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("qid"), col("m").as("qm"),
-        col("k").as("qk"), col("du").as("qdu")))
-    // ADC scan: 4 integer table lookups per (query, corpus vector)
-    val adc = codes.join(qlut,
-        col("qm") === col("m") && col("qk") === col("code") &&
-          col("qid") =!= col("vec_id"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("qdu")).as("adist_units"))
+    val M = 4; val Sub = 16; val K = 16
+    val e = pqQuantized(spark, dir)
+    val cb = broadcast(pqCodebook(e, K))
+    // encode: in-row argmin per subquantizer (ties to low k)
+    val codes = e.crossJoin(cb)
+      .select(col("vec_id"),
+        graft.functions.IntVecFunctions
+          .pqEncodeF(col("embq"), col("cb"), M, Sub, K)
+          .getField("codes").as("codes"))
+    // per-query ADC lookup table, one array row per query
+    val qlut = broadcast(e.filter(col("vec_id") < 16).crossJoin(cb)
+      .select(col("vec_id").as("qid"),
+        graft.functions.IntVecFunctions
+          .pqLutF(col("embq"), col("cb"), M, Sub, K).as("lut")))
+    // ADC scan: M integer table lookups per (query, corpus vector)
+    val adc = codes.crossJoin(qlut)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.IntVecFunctions.adcSumF(col("codes"), col("lut"), K)
+          .as("adist_units"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adist_units").asc, col("vec_id").asc)
     adc.withColumn("rank", row_number().over(w))
@@ -995,10 +1009,17 @@ object Similarity {
     * argmin + one M-keyed agg over the shared [[pqSub]] frame.
     */
   def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
-    val best = pqSub(spark, dir)
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("du"), col("k"))).as("mn"))
-      .select(col("vec_id"), col("m"), col("mn.du").as("du"))
+    val M = 4; val Sub = 16; val K = 16
+    val e = pqQuantized(spark, dir)
+    val cb = broadcast(pqCodebook(e, K))
+    // best-code distances come from the same in-row encode kernel as
+    // the ADC tier (see [[pqCodebook]]'s round-18 note) — the per-
+    // (vec, m, k) row explode and its argmin exchange are gone
+    val best = e.crossJoin(cb)
+      .select(col("vec_id"),
+        posexplode(graft.functions.IntVecFunctions
+          .pqEncodeF(col("embq"), col("cb"), M, Sub, K).getField("du")))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "du")
     best.groupBy(col("m"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("du")).as("total_du"),
         max(col("du")).as("max_du"))

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Compiled integer-vector kernels for the PQ/ANN family (round 18
   * optimization — the DotProduct discipline applied to the exact-
@@ -58,6 +59,91 @@ object IntVecOps {
     }
     s
   }
+
+  /** Sub-distance of quantized vector `x`'s m-th Sub-wide slice against
+    * codeword k of the k-major flat codebook (K full seed vectors of
+    * length M·Sub concatenated in k order) — the same Σ(x−c)² integer
+    * math as the slice∘sqDistLong pair it replaces, including the
+    * min-length clamp at ragged edges.
+    */
+  private def subDist(x: ArrayData, cbFlat: ArrayData, mi: Int, ki: Int,
+      m: Int, sub: Int): Long = {
+    val dim = m * sub
+    val xoff = mi * sub
+    val coff = ki * dim + mi * sub
+    val n = math.min(math.min(sub, x.numElements() - xoff),
+      cbFlat.numElements() - coff)
+    var s = 0L
+    var j = 0
+    while (j < n) {
+      val d = x.getLong(xoff + j) - cbFlat.getLong(coff + j)
+      s += d * d
+      j += 1
+    }
+    s
+  }
+
+  /** PQ encode of one quantized vector: per subquantizer m, the
+    * codeword k minimizing the integer sub-distance, TIES TO LOW k
+    * (strict less — identical to min(struct(du, k))), plus that best
+    * distance. Returns (codes array<int>[M], du array<long>[M]) — one
+    * in-row pass replacing the corpus × M·K codebook cross join + the
+    * (vec_id, m)-keyed argmin exchange.
+    */
+  def pqEncode(x: ArrayData, cbFlat: ArrayData, m: Int, sub: Int,
+      k: Int): InternalRow = {
+    val codes = new Array[Int](m)
+    val dus = new Array[Long](m)
+    var mi = 0
+    while (mi < m) {
+      var bestK = 0
+      var bestDu = Long.MaxValue
+      var ki = 0
+      while (ki < k) {
+        val s = subDist(x, cbFlat, mi, ki, m, sub)
+        if (s < bestDu) { bestDu = s; bestK = ki }
+        ki += 1
+      }
+      codes(mi) = bestK
+      dus(mi) = bestDu
+      mi += 1
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(codes), new GenericArrayData(dus)))
+  }
+
+  /** Per-query ADC lookup table: slot mi·K + ki = the integer
+    * sub-distance of the query's mi-th slice to codeword ki.
+    */
+  def pqLut(x: ArrayData, cbFlat: ArrayData, m: Int, sub: Int,
+      k: Int): ArrayData = {
+    val out = new Array[Long](m * k)
+    var mi = 0
+    while (mi < m) {
+      var ki = 0
+      while (ki < k) {
+        out(mi * k + ki) = subDist(x, cbFlat, mi, ki, m, sub)
+        ki += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Σ_m lut[m·K + codes[m]] — the M-table-lookup ADC distance,
+    * replacing the codes ⋈ LUT (m, code)-keyed join + (qid, vec_id)
+    * re-aggregation.
+    */
+  def adcSum(codes: ArrayData, lut: ArrayData, k: Int): Long = {
+    val m = codes.numElements()
+    var s = 0L
+    var mi = 0
+    while (mi < m) {
+      s += lut.getLong(mi * k + codes.getInt(mi))
+      mi += 1
+    }
+    s
+  }
 }
 
 /** round(x·1000) per element of an array<float>, as array<long>. */
@@ -104,6 +190,81 @@ case class SqDistLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** (codes, du) PQ encode of a quantized vector against a k-major flat
+  * codebook column — the in-row argmin over all M subquantizers.
+  */
+case class PqEncode(left: Expression, right: Expression, m: Int, sub: Int,
+    k: Int) extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("du", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(x: Any, cb: Any): Any =
+    IntVecOps.pqEncode(x.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      m, sub, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, cb) =>
+      s"${ev.value} = graft.functions.IntVecOps.pqEncode($x, $cb, $m, $sub, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** M·K-slot integer ADC lookup table of a query vector. */
+case class PqLut(left: Expression, right: Expression, m: Int, sub: Int,
+    k: Int) extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_lut"
+
+  override protected def nullSafeEval(x: Any, cb: Any): Any =
+    IntVecOps.pqLut(x.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      m, sub, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, cb) =>
+      s"${ev.value} = graft.functions.IntVecOps.pqLut($x, $cb, $m, $sub, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ_m lut[m·K + codes[m]] — the ADC distance of one (codes, lut) pair. */
+case class AdcSum(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeBridge.AbstractType] =
+    Seq(ArrayType(IntegerType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "adc_sum"
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    java.lang.Long.valueOf(IntVecOps.adcSum(
+      codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) =>
+      s"${ev.value} = graft.functions.IntVecOps.adcSum($c, $l, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object IntVecFunctions {
   /** Column API: round(x·1000) quantization of an array<float>. */
   def quantizeMilliF(a: Column): Column =
@@ -113,4 +274,19 @@ object IntVecFunctions {
   def sqDistLongF(a: Column, b: Column): Column =
     ColumnBridge.column(SqDistLong(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API: (codes, du) PQ encode against a flat codebook. */
+  def pqEncodeF(x: Column, cb: Column, m: Int, sub: Int, k: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(x),
+      ColumnBridge.expression(cb), m, sub, k))
+
+  /** Column API: M·K ADC lookup table of a query vector. */
+  def pqLutF(x: Column, cb: Column, m: Int, sub: Int, k: Int): Column =
+    ColumnBridge.column(PqLut(ColumnBridge.expression(x),
+      ColumnBridge.expression(cb), m, sub, k))
+
+  /** Column API: ADC distance from (codes, lut). */
+  def adcSumF(codes: Column, lut: Column, k: Int): Column =
+    ColumnBridge.column(AdcSum(ColumnBridge.expression(codes),
+      ColumnBridge.expression(lut), k))
 }
