@@ -1535,13 +1535,20 @@ object Dedup {
       .when(col("cluster_size") < 8, 1).when(col("cluster_size") < 16, 2)
       .when(col("cluster_size") < 32, 3).when(col("cluster_size") < 64, 4)
       .when(col("cluster_size") < 128, 5).otherwise(6)
-    // <=7 rows feeding both totals and shares — checkpoint so the
-    // components closure isn't re-derived per branch (reliable: no
-    // pinned blocks outlive the call)
-    val cells = Fixpoint.reliably(comp.withColumn("bucket", bucket)
+    // <=7 rows feeding both totals and shares. Round 18: this USED to
+    // be a reliable checkpoint ("so the components closure isn't
+    // re-derived per branch") — but since the closure moved into
+    // SessionMemo (round 14) [[componentsFrame]] already IS a
+    // checkpoint scan, so each branch replay is one trivial agg over
+    // checkpoint files. Removing the extra checkpoint measured
+    // NEUTRAL at sf0.1 (the ~+0.8 s this query carries over
+    // dedup_components is stage-count latency, not the checkpoint);
+    // kept because it drops a write+read round trip and per-call
+    // temp-file churn for identical results.
+    val cells = comp.withColumn("bucket", bucket)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_clusters"),
-        sum(col("cluster_size")).as("doc_mass")))
+        sum(col("cluster_size")).as("doc_mass"))
     val tot = cells.agg(sum(col("doc_mass")).as("total_docs"))
     cells.crossJoin(broadcast(tot))
       .withColumn("mass_bp", expr("(10000 * doc_mass) div total_docs"))
