@@ -473,8 +473,9 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
       .filter(col("ndocs") >= 2)
       .groupBy(col("doc_id")).agg(sum(col("c")).as("nd"))
-    val tot = docs.select(col("doc_id"),
-        (graft.functions.ShingleFunctions.wordCountF(col("text")) - 7)
+    val tot = docs.select(col("doc_id"), // coalesce: ADVICE r18 item 3
+        (graft.functions.ShingleFunctions.wordCountF(
+          coalesce(col("text"), lit(""))) - 7)
           .as("n_grams"))
       .filter(col("n_grams") > 0)
     tot.join(dup, Seq("doc_id"), "left")
@@ -533,9 +534,13 @@ object Dedup {
     val dupStarts = grams.join(crossDoc, Seq("shingle"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(collect_list(col("shingle_pos")).as("starts"))
+    // coalesce(text, ""): the kernel is nullIntolerant — a null text
+    // must keep the old wordArray "" semantics (n_words=0, clean "")
+    // rather than null out the row (ADVICE r18 item 3)
     docs.join(dupStarts, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        graft.functions.ShingleFunctions.spanClipF(col("text"),
+        graft.functions.ShingleFunctions.spanClipF(
+          coalesce(col("text"), lit("")),
           coalesce(col("starts"), typedLit(Array.empty[Int])), 8).as("r"))
       .select(col("doc_id"), col("r.n_words").as("n_words"),
         col("r.n_removed").as("n_removed"),

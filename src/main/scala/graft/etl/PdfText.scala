@@ -20,16 +20,28 @@ import java.util.zip.Inflater
   * The per-page cap bounds worst-case work per row regardless of asset
   * size, which is what makes the operator safe to run inside a
   * partition over arbitrary crawled bytes.
+  *
+  * Round 19 (optimization guide §1.2 step 2, per-task work): the object
+  * table, page detection and /Contents walks are single-pass index
+  * scans over ONE byte-faithful Latin-1 view of the input — the round-16
+  * regex passes (reluctant dotall object matcher plus three per-body
+  * regexes) re-scanned every byte several times with per-char matcher
+  * overhead, and each stream payload was substring-copied twice before
+  * inflation. Stream payload bytes now slice straight out of the input
+  * array (Latin-1 offsets ARE byte offsets), and the Inflater is a
+  * reset-per-use thread-local — constructing a native zlib stream per
+  * page dominated small-stream inflation. Semantics are unchanged and
+  * pinned by the FetchSpec S9 round-trip and adversarial-escape tests.
   */
 object PdfText extends Serializable {
 
   final case class Extraction(pages: Int, text: String)
 
-  private val ObjRe = """(?s)(\d+)\s+\d+\s+obj(.*?)endobj""".r
-  private val PageTypeRe = """/Type\s*/Page(?![a-zA-Z])""".r
-  private val ContentsRe =
-    """/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)""".r
-  private val RefRe = """(\d+)\s+\d+\s+R""".r
+  /** Java regex \s — the whitespace class the round-16 matchers used. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
 
   /** Extract page count and the text of the first `maxPages` pages.
     * Never throws; non-PDF or unparseable input → Extraction(0, "").
@@ -41,54 +53,208 @@ object PdfText extends Serializable {
       // offsets, so stream payloads survive the round-trip intact.
       val raw = new String(bytes, "ISO-8859-1")
       if (!raw.startsWith("%PDF")) return Extraction(0, "")
-      val objList = ObjRe.findAllMatchIn(raw)
-        .map(m => m.group(1).toInt -> m.group(2)).toList
-      val objMap = objList.toMap // later definitions win (incremental updates)
-      val pageBodies = objList.collect {
-        case (_, body) if PageTypeRe.findFirstIn(body).isDefined => body
+
+      // Lexical object scan, equivalent to the former reluctant-dotall
+      // regex (\d+)\s+\d+\s+obj(.*?)endobj: find each "obj" keyword
+      // preceded by \d+\s+\d+\s+, take the shortest body to "endobj",
+      // resume after it. Bodies are (start, end) offsets into raw —
+      // no substring copies.
+      val objNum = new java.util.ArrayList[Int]()
+      val objBeg = new java.util.ArrayList[Int]()
+      val objEnd = new java.util.ArrayList[Int]()
+      var pos = 0
+      var scanning = true
+      while (scanning) {
+        val o = raw.indexOf("obj", pos)
+        if (o < 0) scanning = false
+        else {
+          // backward prefix check: \s+ digits+ \s+ digits+ ending at o
+          var j = o - 1
+          val w1 = j; while (j >= 0 && isWs(raw.charAt(j))) j -= 1
+          val d1 = j; while (j >= 0 && isDigit(raw.charAt(j))) j -= 1
+          val w2 = j; while (j >= 0 && isWs(raw.charAt(j))) j -= 1
+          val d2 = j; while (j >= 0 && isDigit(raw.charAt(j))) j -= 1
+          if (w1 > j && w1 != d1 && d1 != w2 && w2 != d2 && d2 != j) {
+            val e = raw.indexOf("endobj", o + 3)
+            if (e < 0) scanning = false // no body can close past here
+            else {
+              objNum.add(java.lang.Integer.parseInt(raw.substring(j + 1, d2 + 1)))
+              objBeg.add(o + 3)
+              objEnd.add(e)
+              pos = e + 6
+            }
+          } else pos = o + 1
+        }
       }
-      if (pageBodies.isEmpty) {
+      val nObj = objNum.size()
+
+      // later definitions win (incremental updates), as the old toMap did
+      val byNum = new java.util.HashMap[Integer, java.lang.Long]()
+      var i = 0
+      while (i < nObj) {
+        byNum.put(objNum.get(i), (objBeg.get(i).toLong << 32) | (objEnd.get(i).toLong & 0xFFFFFFFFL))
+        i += 1
+      }
+
+      // /Type /Page objects in document order
+      val pageBeg = new java.util.ArrayList[Int]()
+      val pageEnd = new java.util.ArrayList[Int]()
+      i = 0
+      while (i < nObj) {
+        if (isPageBody(raw, objBeg.get(i), objEnd.get(i))) {
+          pageBeg.add(objBeg.get(i)); pageEnd.add(objEnd.get(i))
+        }
+        i += 1
+      }
+
+      if (pageBeg.isEmpty) {
         // degenerate PDFs without a parseable page tree: best-effort
         // over every stream in the file, counted as one page
-        val all = objList.flatMap(o => streamOf(o._2))
-          .map(b => showText(new String(b, "ISO-8859-1")))
-          .filter(_.nonEmpty).mkString("\n\n")
+        val sb = new StringBuilder
+        i = 0
+        while (i < nObj) {
+          val t = streamText(bytes, raw, objBeg.get(i), objEnd.get(i))
+          if (t.nonEmpty) { if (sb.nonEmpty) sb.append("\n\n"); sb.append(t) }
+          i += 1
+        }
+        val all = sb.toString
         return Extraction(if (all.nonEmpty) 1 else 0, all)
       }
-      val texts = pageBodies.take(maxPages).map { pb =>
-        contentRefs(pb).flatMap(objMap.get).flatMap(streamOf)
-          .map(b => showText(new String(b, "ISO-8859-1")))
-          .filter(_.nonEmpty).mkString(" ")
+
+      val out = new StringBuilder
+      val nTake = math.min(pageBeg.size(), maxPages)
+      i = 0
+      while (i < nTake) {
+        val pageText = new StringBuilder
+        contentRefs(raw, pageBeg.get(i), pageEnd.get(i)).foreach { ref =>
+          val boxed = byNum.get(ref)
+          if (boxed != null) {
+            val packed: Long = boxed
+            val t = streamText(bytes, raw, (packed >>> 32).toInt, packed.toInt)
+            if (t.nonEmpty) {
+              if (pageText.nonEmpty) pageText.append(' ')
+              pageText.append(t)
+            }
+          }
+        }
+        if (pageText.nonEmpty) {
+          if (out.nonEmpty) out.append("\n\n")
+          out.append(pageText)
+        }
+        i += 1
       }
-      Extraction(pageBodies.size, texts.filter(_.nonEmpty).mkString("\n\n").trim)
+      Extraction(pageBeg.size(), out.toString.trim)
     } catch { case _: Exception => Extraction(0, "") }
   }
 
-  /** /Contents refs of a page object: single "N G R" or an array. */
-  private def contentRefs(pageBody: String): List[Int] =
-    ContentsRe.findFirstMatchIn(pageBody).toList.flatMap(m =>
-      RefRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toList)
-
-  /** Raw (inflated if /FlateDecode) stream payload of an object. */
-  private def streamOf(body: String): Option[Array[Byte]] = {
-    val si = body.indexOf("stream")
-    if (si < 0) return None
-    var s = si + "stream".length
-    if (s < body.length && body.charAt(s) == '\r') s += 1
-    if (s < body.length && body.charAt(s) == '\n') s += 1
-    val e = body.indexOf("endstream", s)
-    if (e < 0) return None
-    val data = body.substring(s, e).getBytes("ISO-8859-1")
-    try {
-      if (body.substring(0, si).contains("/FlateDecode")) Some(inflate(data))
-      else Some(data)
-    } catch { case _: Exception => None }
+  /** "/Type", optional whitespace, "/Page" not followed by a letter,
+    * anywhere in [s, e).
+    */
+  private def isPageBody(raw: String, s: Int, e: Int): Boolean = {
+    var i = raw.indexOf("/Type", s)
+    while (i >= 0 && i + 5 <= e) {
+      var j = i + 5
+      while (j < e && isWs(raw.charAt(j))) j += 1
+      if (j + 5 <= e && raw.startsWith("/Page", j)) {
+        val k = j + 5
+        val c = if (k < e) raw.charAt(k) else ' '
+        if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) return true
+      }
+      i = raw.indexOf("/Type", i + 1)
+    }
+    false
   }
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
-    val inf = new Inflater()
-    inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+  /** /Contents refs of a page object: single "N G R" or an array. */
+  private def contentRefs(raw: String, s: Int, e: Int): List[Int] = {
+    var i = raw.indexOf("/Contents", s)
+    while (i >= 0 && i + 9 <= e) {
+      var j = i + 9
+      while (j < e && isWs(raw.charAt(j))) j += 1
+      if (j < e && raw.charAt(j) == '[') {
+        val close = raw.indexOf(']', j + 1)
+        if (close >= 0 && close < e) return refsIn(raw, j + 1, close)
+      } else {
+        val one = refAt(raw, j, e)
+        if (one >= 0) return List(one)
+      }
+      i = raw.indexOf("/Contents", i + 1)
+    }
+    Nil
+  }
+
+  /** Parse \d+\s+\d+\s+R exactly at position j (within [j, e)); the
+    * first number, or -1 when the shape does not match there.
+    */
+  private def refAt(raw: String, j0: Int, e: Int): Int = {
+    var j = j0
+    val a = j; while (j < e && isDigit(raw.charAt(j))) j += 1
+    if (j == a) return -1
+    val b = j
+    val w = j; while (j < e && isWs(raw.charAt(j))) j += 1
+    if (j == w) return -1
+    val c = j; while (j < e && isDigit(raw.charAt(j))) j += 1
+    if (j == c) return -1
+    val w2 = j; while (j < e && isWs(raw.charAt(j))) j += 1
+    if (j == w2 || j >= e || raw.charAt(j) != 'R') return -1
+    java.lang.Integer.parseInt(raw.substring(a, b))
+  }
+
+  /** All \d+\s+\d+\s+R occurrences in [s, e), left to right. */
+  private def refsIn(raw: String, s: Int, e: Int): List[Int] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Int]
+    var i = s
+    while (i < e) {
+      if (isDigit(raw.charAt(i))) {
+        var j = i; while (j < e && isDigit(raw.charAt(j))) j += 1
+        val b = j
+        while (j < e && isWs(raw.charAt(j))) j += 1
+        if (j > b && j < e && isDigit(raw.charAt(j))) {
+          var k = j; while (k < e && isDigit(raw.charAt(k))) k += 1
+          val w2 = k
+          while (k < e && isWs(raw.charAt(k))) k += 1
+          if (k > w2 && k < e && raw.charAt(k) == 'R') {
+            out += java.lang.Integer.parseInt(raw.substring(i, b))
+            i = k + 1
+          } else i += 1
+        } else i += 1
+      } else i += 1
+    }
+    out.toList
+  }
+
+  /** The show-text content of an object's stream, or "" — the
+    * streamOf+showText fusion: payload bytes slice directly out of the
+    * input array (no substring/getBytes copies), plain streams tokenize
+    * in place over `raw`.
+    */
+  private def streamText(bytes: Array[Byte], raw: String, s: Int, e: Int): String = {
+    val si = raw.indexOf("stream", s)
+    if (si < 0 || si + 6 > e) return ""
+    var p = si + 6
+    if (p < e && raw.charAt(p) == '\r') p += 1
+    if (p < e && raw.charAt(p) == '\n') p += 1
+    val ei = raw.indexOf("endstream", p)
+    if (ei < 0 || ei + 9 > e) return ""
+    val fl = raw.indexOf("/FlateDecode", s)
+    if (fl >= 0 && fl + 12 <= si) {
+      try {
+        val inflated = inflate(bytes, p, ei - p)
+        val content = new String(inflated, "ISO-8859-1")
+        showText(content, 0, content.length)
+      } catch { case _: Exception => "" }
+    } else showText(raw, p, ei)
+  }
+
+  private val localInflater = new ThreadLocal[Inflater] {
+    override def initialValue(): Inflater = new Inflater()
+  }
+
+  private def inflate(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val inf = localInflater.get()
+    inf.reset()
+    inf.setInput(data, off, len)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, len * 4))
     val buf = new Array[Byte](8192)
     var stalled = false
     while (!inf.finished() && !stalled) {
@@ -96,19 +262,18 @@ object PdfText extends Serializable {
       if (n > 0) out.write(buf, 0, n)
       else if (inf.needsInput() || inf.needsDictionary()) stalled = true
     }
-    inf.end()
     out.toByteArray
   }
 
-  /** Tokenize a content stream and collect the strings consumed by the
-    * show-text operators. Strings not claimed by a show op are dropped
-    * at the next BT/ET boundary.
+  /** Tokenize a content stream slice [from, to) and collect the strings
+    * consumed by the show-text operators. Strings not claimed by a show
+    * op are dropped at the next BT/ET boundary.
     */
-  private def showText(content: String): String = {
+  private def showText(content: String, from: Int, to: Int): String = {
     val sb = new StringBuilder
     val pending = new StringBuilder
-    val n = content.length
-    var i = 0
+    val n = to
+    var i = from
 
     def flush(): Unit =
       if (pending.nonEmpty) {
@@ -205,8 +370,10 @@ object PdfText extends Serializable {
             (content.charAt(i + 1) == 'j' || content.charAt(i + 1) == 'J') =>
           flush(); i += 2
         case '\'' | '"' => flush(); i += 1
-        case 'B' if content.startsWith("BT", i) => pending.setLength(0); i += 2
-        case 'E' if content.startsWith("ET", i) => pending.setLength(0); i += 2
+        case 'B' if content.startsWith("BT", i) && i + 2 <= n =>
+          pending.setLength(0); i += 2
+        case 'E' if content.startsWith("ET", i) && i + 2 <= n =>
+          pending.setLength(0); i += 2
         case _ => i += 1
       }
     }

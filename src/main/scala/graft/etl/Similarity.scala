@@ -1005,8 +1005,9 @@ object Similarity {
     * codebook no longer fits the data distribution and ADC rankings
     * degrade silently (the metric k-means PQ training minimizes;
     * [[knnPqTrained]]'s SSE test pins its training-time half, this
-    * puts the serving-side audit on the verified surface). One
-    * argmin + one M-keyed agg over the shared [[pqSub]] frame.
+    * puts the serving-side audit on the verified surface). One in-row
+    * [[graft.functions.IntVecOps.pqEncode]] pass over [[pqQuantized]]
+    * against the broadcast [[pqCodebook]] + one M-keyed agg.
     */
   def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
     val M = 4; val Sub = 16; val K = 16

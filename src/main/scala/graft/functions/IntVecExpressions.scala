@@ -92,6 +92,13 @@ object IntVecOps {
     */
   def pqEncode(x: ArrayData, cbFlat: ArrayData, m: Int, sub: Int,
       k: Int): InternalRow = {
+    // a ragged codebook would misalign every higher codeword's offset
+    // (coff = k·M·Sub + m·Sub assumes K full seed vectors); fail loudly
+    // instead of letting the min-length clamps corrupt neighbors
+    // (ADVICE r18 item 2)
+    require(cbFlat.numElements() == k * m * sub,
+      s"pqEncode: flat codebook has ${cbFlat.numElements()} elements, " +
+        s"expected k*m*sub = ${k * m * sub}")
     val codes = new Array[Int](m)
     val dus = new Array[Long](m)
     var mi = 0
@@ -117,6 +124,9 @@ object IntVecOps {
     */
   def pqLut(x: ArrayData, cbFlat: ArrayData, m: Int, sub: Int,
       k: Int): ArrayData = {
+    require(cbFlat.numElements() == k * m * sub, // see pqEncode
+      s"pqLut: flat codebook has ${cbFlat.numElements()} elements, " +
+        s"expected k*m*sub = ${k * m * sub}")
     val out = new Array[Long](m * k)
     var mi = 0
     while (mi < m) {

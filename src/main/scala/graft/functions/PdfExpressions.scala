@@ -57,19 +57,43 @@ object PdfBuild {
     * string escapes, decoded by [[graft.etl.PdfText]]); the lexical
     * keywords get their first byte octal-escaped so no content stream
     * can fake an object/stream boundary.
+    *
+    * Single pass (round 19, guide §1.2 per-task work): manual octal
+    * digits replace the per-byte printf Formatter, and the keyword
+    * escapes happen inline — equivalent to the old two post-hoc
+    * String.replace passes because the only multi-char escape outputs
+    * (\\ \( \) \ooo) contain no letters, so "endstream"/"endobj" occur
+    * in the escaped text exactly where they occur in the input bytes,
+    * and the two keywords cannot overlap each other.
     */
   private def escBytes(bytes: Array[Byte]): String = {
-    val sb = new StringBuilder(bytes.length + 8)
-    bytes.foreach { b =>
-      val c = b & 0xFF
-      if (c == 0x5C) sb.append("\\\\")
-      else if (c == 0x28) sb.append("\\(")
-      else if (c == 0x29) sb.append("\\)")
-      else if (c >= 0x20 && c <= 0x7E) sb.append(c.toChar)
-      else sb.append(f"\\$c%03o")
+    val n = bytes.length
+    val sb = new java.lang.StringBuilder(n + 16)
+    def matches(i: Int, kw: String): Boolean = {
+      if (i + kw.length > n) return false
+      var k = 0
+      while (k < kw.length) {
+        if (bytes(i + k) != kw.charAt(k).toByte) return false
+        k += 1
+      }
+      true
     }
-    sb.toString.replace("endstream", "\\145ndstream")
-      .replace("endobj", "\\145ndobj")
+    var i = 0
+    while (i < n) {
+      val c = bytes(i) & 0xFF
+      if (c == 'e' && matches(i, "endstream")) { sb.append("\\145ndstream"); i += 9 }
+      else if (c == 'e' && matches(i, "endobj")) { sb.append("\\145ndobj"); i += 6 }
+      else {
+        if (c == 0x5C) sb.append("\\\\")
+        else if (c == 0x28) sb.append("\\(")
+        else if (c == 0x29) sb.append("\\)")
+        else if (c >= 0x20 && c <= 0x7E) sb.append(c.toChar)
+        else sb.append('\\').append(('0' + (c >> 6)).toChar)
+          .append(('0' + ((c >> 3) & 7)).toChar).append(('0' + (c & 7)).toChar)
+        i += 1
+      }
+    }
+    sb.toString
   }
 
   /** Latin-1 text is carried as raw bytes (octal-escaped where
@@ -86,13 +110,25 @@ object PdfBuild {
       escBytes(Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ s.getBytes("UTF-8"))
     else escBytes(s.getBytes("ISO-8859-1"))
 
+  /** Reset-per-use thread-local Deflater (round 19): constructing a
+    * native zlib stream per page dominated small-stream compression.
+    * BEST_SPEED only changes the compressed bytes, never the inflated
+    * content — the PDF bytes are internal to the build→extract round
+    * trip (the queries project n_pages/pdf_text only), so the choice is
+    * invisible to results.
+    */
+  private val localDeflater = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater = new Deflater(Deflater.BEST_SPEED)
+  }
+
   private def deflate(b: Array[Byte]): Array[Byte] = {
-    val d = new Deflater()
+    val d = localDeflater.get()
+    d.reset()
     d.setInput(b); d.finish()
     val out = new java.io.ByteArrayOutputStream(b.length)
     val buf = new Array[Byte](8192)
     while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
-    d.end(); out.toByteArray
+    out.toByteArray
   }
 
   /** A structurally complete one-catalog PDF: page tree, per-page
@@ -128,7 +164,10 @@ object PdfBuild {
     }
     val xrefOff = out.size()
     w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
-    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    offsets.foreach { o => // zero-padded width 10 without a printf Formatter
+      val s = o.toString
+      w("0000000000".substring(s.length) + s + " 00000 n \n")
+    }
     w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\n" +
       s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
