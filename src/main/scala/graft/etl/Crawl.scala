@@ -18,14 +18,17 @@ import graft.Tables
   * CTEs — no recursion required at the reference's own bound.
   *
   * Scale posture: frontier and visited stay distributed (anti-join, not
-  * a driver-side set); per-level results are eagerly materialized to a
-  * reliable checkpoint ([[Fixpoint.reliably]]) to cut lineage — and,
-  * since round 10, to release every pinned block before the operator
-  * returns (composing two graph queries no longer needs the harness
-  * scrub); the frontier side of the expand join is broadcast (bounded
-  * by the node universe). 100 TB graphs keep the same plan with the
-  * frontier broadcast replaced by a shuffle join when it outgrows the
-  * driver, and the checkpoint dir pointed at shared storage.
+  * a driver-side set); per-level results are eagerly materialized to
+  * FAST local checkpoints ([[Fixpoint.locally]], round 19 — the old
+  * per-level reliable checkpoint paid a disk write+read round trip per
+  * level) with only the final result on reliable storage, and every
+  * pinned block is released before the operator returns (composing two
+  * graph queries needs no harness scrub); the frontier side of the
+  * expand join is broadcast (bounded by the node universe). 100 TB
+  * graphs keep the same plan with the frontier broadcast replaced by a
+  * shuffle join when it outgrows the driver, per-level reliable
+  * checkpoints restored for executor-loss tolerance, and the
+  * checkpoint dir pointed at shared storage.
   */
 object Crawl {
 
@@ -43,25 +46,34 @@ object Crawl {
   /** BFS from node 0: returns (node, depth of first visit). */
   def crawlBfs(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir).persist()
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       var visited = spark.range(1)
         .select(lit(0L).as("node"), lit(0).as("depth"))
       var frontier = visited.select(col("node"))
       for (d <- 1 to MaxDepth) {
-        // materialize per level: bounded lineage, zero pinned residue
-        val next = Fixpoint.reliably(e
+        // materialize per level: bounded lineage. Round 19: levels are
+        // FAST local checkpoints (the hits_scores lifecycle) — the old
+        // per-level reliable checkpoint paid a disk write+read round
+        // trip per level for state only the final result reads; only
+        // the result itself goes to reliable storage below.
+        val next = Fixpoint.locally(e
           .join(broadcast(frontier.withColumnRenamed("node", "src")), Seq("src"))
           .select(col("dst").as("node"))
           .distinct()
           .filter(col("node") % 11 >= RelevanceThreshold) // F8 prune
           .join(visited, Seq("node"), "left_anti")        // J1 dedup
-          .select(col("node"), lit(d).as("depth")))
+          .select(col("node"), lit(d).as("depth")), locals)
         visited = visited.unionByName(next)
         frontier = next.select(col("node"))
       }
-      // the returned frame reads only the level checkpoints — e can go
-      visited.orderBy("node")
-    } finally { e.unpersist(blocking = false); () }
+      // materialize the union while the level locals are alive — the
+      // returned frame reads only the reliable checkpoint
+      Fixpoint.reliably(visited.orderBy("node"))
+    } finally {
+      e.unpersist(blocking = false)
+      Fixpoint.releaseAll(locals)
+    }
   }
 
   /** Priority-frontier crawl (the reference's actual loop, T1+X3+J1+U1:
@@ -77,6 +89,7 @@ object Crawl {
   def crawlPriority(spark: SparkSession, dir: String,
       rounds: Int = 3, popPerRound: Int = 5): DataFrame = {
     val e = edges(spark, dir).persist()
+    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       var visited = spark.range(1)
         .select(lit(0L).as("node"), lit(0).as("round"),
@@ -91,14 +104,20 @@ object Crawl {
           .agg(max(col("prio")).as("priority"))
           .join(visited.select("node"),
             col("dst") === col("node"), "left_anti")
-        val selected = Fixpoint.reliably(cand
+        // fast local per-round pops, reliable final — crawlBfs's
+        // round-19 lifecycle
+        val selected = Fixpoint.locally(cand
           .orderBy(col("priority").desc, col("dst").asc)
           .limit(popPerRound)
-          .select(col("dst").as("node"), lit(r).as("round"), col("priority")))
+          .select(col("dst").as("node"), lit(r).as("round"), col("priority")),
+          locals)
         visited = visited.unionByName(selected)
       }
-      visited.orderBy("node")
-    } finally { e.unpersist(blocking = false); () }
+      Fixpoint.reliably(visited.orderBy("node"))
+    } finally {
+      e.unpersist(blocking = false)
+      Fixpoint.releaseAll(locals)
+    }
   }
 
   /** Link-graph PageRank, 3 damped power iterations — the classic
@@ -161,24 +180,35 @@ object Crawl {
   }
 
   def pagerankIter(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    // e stays persisted across the two staging jobs (nodes, eDeg) —
+    // its orders-scan + distinct would otherwise run twice; released
+    // in the finally once the result is on reliable storage
     val e = edges(spark, dir).persist()
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val nodes = Fixpoint.locally(e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct(), locals)
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      // round 19 (guide §2.4: remove shuffles from the round body): the
+      // out-degree joins onto the edge list ONCE, outside the loop — the
+      // old round body recomputed deg from a fresh edge scan and
+      // re-broadcast it every round (3 extra scans + aggs + broadcast
+      // builds in the unrolled plan). Join reorder only ((e⋈mass)⋈deg →
+      // (e⋈deg)⋈mass — inner equi-joins, identical rows), so pr_ppm is
+      // bit-identical.
+      val eDeg = Fixpoint.locally(
+        e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+          Seq("src")), locals)
       var mass = nodes.withColumn("pr_ppm", lit(1000000L))
       for (_ <- 1 to iters) {
-        val contrib = e
+        val contrib = eDeg
           .join(mass.withColumnRenamed("node", "src"), Seq("src"))
-          .join(deg, Seq("src"))
           .select(col("dst").as("node"), expr("pr_ppm div outdeg").as("c"))
           .groupBy(col("node")).agg(sum(col("c")).as("inbound"))
         mass = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
             (lit(150000L) + expr("(85 * coalesce(inbound, 0)) div 100")).as("pr_ppm"))
       }
-      // materialize the result while e is still cached, then release it
+      // materialize the result while the locals are alive, then release
       Fixpoint.reliably(mass.orderBy("node"))
     } finally {
       e.unpersist(blocking = false)
@@ -209,19 +239,22 @@ object Crawl {
     // Persist lifecycle: the result is materialized inside the
     // operator and e is released before returning — nothing stays
     // pinned, no harness scrub needed (r9 verdict item 2).
-    val e = edges(spark, dir).persist()
+    val e = edges(spark, dir).persist() // see pagerankIter's persist note
     val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val nodes = Fixpoint.locally(e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct(), locals)
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      // degree fused onto the edge list once — see [[pagerankIter]]'s
+      // round-19 note (same join reorder, bit-identical mass)
+      val eDeg = Fixpoint.locally(
+        e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+          Seq("src")), locals)
       val restart = when(col("node") === 0L, 150000L).otherwise(0L)
       var mass = nodes.withColumn("pr_ppm",
         when(col("node") === 0L, 1000000L).otherwise(0L))
       for (_ <- 1 to iters) {
-        val contrib = e
+        val contrib = eDeg
           .join(mass.withColumnRenamed("node", "src"), Seq("src"))
-          .join(deg, Seq("src"))
           .select(col("dst").as("node"), expr("pr_ppm div outdeg").as("c"))
           .groupBy(col("node")).agg(sum(col("c")).as("inbound"))
         mass = nodes.join(contrib, Seq("node"), "left")
@@ -270,6 +303,11 @@ object Crawl {
       // the plan doubling (fixpoint rule). Intermediates use the FAST
       // local checkpoint (released in the finally once the final result
       // is on reliable storage); only the result itself is reliable.
+      // Round 19 MEASURED the no-checkpoint variant (drop the locally,
+      // rely on ReuseExchange like the r18 tfidf rejection): 4.2 →
+      // 25.9 s at sf0.1 — here each half-round feeds the NEXT one, so
+      // the un-truncated tree COMPOUNDS ×2 per half-round and the
+      // replays are real, not notional. The staging stays.
       def norm(df: DataFrame, c: String): DataFrame = {
         val d = Fixpoint.locally(df, locals)
         val m = d.agg(greatest(max(col(c)), lit(1L)).as("m"))
