@@ -112,7 +112,12 @@ object SparkEntry {
     // dedup
     "dedup_exact"       -> (Dedup.dedupExact _),
     "minhash_signature" -> (Dedup.minhashSignatureQuery _),
-    "minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    // the memoized pair/closure frames are stored UNSORTED (round 19 —
+    // consumers aggregate, so the builds stopped paying a sampling pass
+    // + range exchange per isolated rebuild); the declared surfaces add
+    // their contract order here, over the checkpoint scan
+    "minhash_lsh"       -> ((s: SparkSession, d: String) =>
+      Dedup.minhashLsh(s, d).orderBy("doc_a", "doc_b")),
     "lsh_bucket_stats"  -> ((s: SparkSession, d: String) => Dedup.lshBucketStats(s, d)),
     "lsh_band_advisor"  -> ((s: SparkSession, d: String) => Dedup.lshBandAdvisor(s, d)),
     "containment_pipeline" -> (Dedup.containmentPipeline _),
@@ -131,7 +136,8 @@ object SparkEntry {
     "simhash_wide_neardup" -> (Dedup.simhashWideNearDup _),
     "decontaminate"     -> (Dedup.decontaminate _),
     "dedup_incremental" -> ((s: SparkSession, d: String) => Dedup.dedupIncremental(s, d)),
-    "dedup_components"  -> ((s: SparkSession, d: String) => Dedup.componentsFrame(s, d)),
+    "dedup_components"  -> ((s: SparkSession, d: String) =>
+      Dedup.componentsFrame(s, d).orderBy("doc_id")), // see minhash_lsh note
     // closure(N) + delta pairs -> closure(N+1); oracle = full recompute
     "dedup_components_incremental" ->
       ((s: SparkSession, d: String) => Dedup.dedupComponentsIncremental(s, d)),

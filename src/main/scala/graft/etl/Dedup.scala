@@ -263,12 +263,18 @@ object Dedup {
     try {
       if (saltThreshold == Int.MaxValue) {
         val banded = Fixpoint.locally(banded0, locals)
+        // round 19: the checkpointed pair frame is UNSORTED — the build
+        // paid a full range exchange + sort for an order only the
+        // declared minhash_lsh query surface needs ([[minhashLsh]] adds
+        // it back on top; every other consumer aggregates, and
+        // EliminateSorts would have dropped the order from their plans
+        // anyway — guide §2.4: an orderBy used only to make output
+        // deterministic is an accidental exchange)
         Fixpoint.reliably(banded.as("x").join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-          .orderBy("doc_a", "doc_b"))
+          .distinct())
       } else {
         val staged = Fixpoint.locally(banded0, locals)
         val hot = staged.groupBy(col("band"), col("bkey"))
@@ -294,8 +300,7 @@ object Dedup {
               (col("salt_l") =!= col("salt_r") || col("doc_l") < col("doc_r")))
           .select(least(col("doc_l"), col("doc_r")).as("doc_a"),
             greatest(col("doc_l"), col("doc_r")).as("doc_b"))
-          .distinct()
-          .orderBy("doc_a", "doc_b"))
+          .distinct()) // unsorted like the cold branch (round 19)
       }
     } finally Fixpoint.releaseAll(locals)
   }
@@ -990,13 +995,27 @@ object Dedup {
       val edges = Fixpoint.locally(pairs
         .select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))), locals)
-      var labels = Fixpoint.locally(edges.select(col("u").as("node")).distinct()
-        .withColumn("lbl", col("node")), locals)
       def lblSum(df: DataFrame): Long =
         df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
+      // Round 19 (guide §2.4): round 1 runs SPECIALIZED — labels start
+      // as the identity, so the neighbor-min join against a labels
+      // frame is vacuous (lbl(v) = v) and stepped₁(u) = min(u, min
+      // N(u)) comes straight off one edge aggregate. This folds away
+      // the separate labels-init distinct + checkpoint, its priming
+      // sum action, and round 1's two label joins; rounds 2+ and the
+      // label sequence are IDENTICAL (the convergence witness compares
+      // s₁ vs s₂ onward — s₀ vs s₁ could only match on an empty edge
+      // set, where the loop now just pays one extra no-op round).
+      def jump(stepped: DataFrame): DataFrame = stepped.as("a")
+        .join(stepped.as("b"), col("a.lbl") === col("b.node"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("b.lbl"), col("a.lbl")).as("lbl"))
+      val stepped1 = edges.groupBy(col("u")).agg(min(col("v")).as("nbl"))
+        .select(col("u").as("node"), least(col("u"), col("nbl")).as("lbl"))
+      var labels = Fixpoint.locally(jump(stepped1), locals)
       var prevSum = lblSum(labels)
       var converged = false
-      var rounds = 0
+      var rounds = 1
       while (!converged) {
         rounds += 1
         // (1) min over neighbors (left join: isolated labels keep their own)
@@ -1007,10 +1026,7 @@ object Dedup {
           .select(col("node"),
             least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
         // (2) pointer-jump: follow the label one hop (lbl is a node id)
-        val jumped = Fixpoint.locally(stepped.as("a")
-          .join(stepped.as("b"), col("a.lbl") === col("b.node"), "left")
-          .select(col("a.node").as("node"),
-            coalesce(col("b.lbl"), col("a.lbl")).as("lbl")), locals)
+        val jumped = Fixpoint.locally(jump(stepped), locals)
         val curSum = lblSum(jumped)
         labels = jumped
         converged = curSum == prevSum
@@ -1018,10 +1034,13 @@ object Dedup {
       }
       Fixpoint.lastRounds.put("components_closure", rounds)
       val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      // unsorted (round 19): only the declared dedup_components surface
+      // needs doc_id order — SparkEntry adds it on top of the memoized
+      // scan; every other consumer aggregates, and the build was paying
+      // a sampling pass + range exchange per isolated rebuild for it
       Fixpoint.reliably(labels.join(sizes, Seq("lbl"))
         .select(col("node").as("doc_id"), col("lbl").as("component"),
-          col("cluster_size"))
-        .orderBy("doc_id"))
+          col("cluster_size")))
     } finally Fixpoint.releaseAll(locals)
   }
 
