@@ -18,10 +18,16 @@ object DumpPlan {
     spark.sparkContext.setLogLevel("ERROR")
     // planOnly: eager operators (reliable-checkpoint finishers) show
     // their full lazy twin instead of a checkpoint-scan leaf — the
-    // same view PlanSpec pins read
+    // same view PlanSpec pins read. "quality_train_loopbody" is the
+    // trainer's one-round update frame (VERDICT r18 item 5: the
+    // artifact queries' own dumps only show the memoized artifact
+    // scan, so the loop body gets its own lazy twin).
     val p = graft.etl.Fixpoint.planOnly {
-      SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
-        .queryExecution.explainString(FormattedMode)
+      val df =
+        if (args(0) == "quality_train_loopbody")
+          graft.etl.QualityTrain.loopBodyForPlan(spark, "/root/testdata/sf0.001")
+        else SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
+      df.queryExecution.explainString(FormattedMode)
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(args(1)), p)
     spark.stop()

@@ -176,23 +176,47 @@ object QualityTrain {
     * 257-group agg. Scores are bit-identical (integer dot product,
     * order-insensitive).
     */
+  /** One perceptron round: mistakes of `w` on `tr` scored in-row, the
+    * 257-group delta agg, and the weight update. Factored out so the
+    * loop and the plans/r19 loop-body dump share one definition.
+    */
+  private[graft] def roundBody(tr: DataFrame, w: DataFrame): DataFrame = {
+    val wa = broadcast(denseW(w))
+    val mist = tr.crossJoin(wa)
+      .withColumn("score",
+        graft.functions.QualityKernelFunctions.bagDotF(col("bs"), col("wa")))
+      .filter(col("y") * col("score") <= 0)
+    val delta = exploded(mist.select(col("doc_id"), col("y"), col("bs")))
+      .groupBy(col("b"))
+      .agg(sum(col("y") * col("cnt")).as("dw"))
+    w.join(delta, Seq("b"), "left")
+      .select(col("b"),
+        (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
+  }
+
+  /** Lazy loop-body twin for plan evidence (VERDICT r18 item 5 — the
+    * DumpPlan planOnly view shows only the artifact scan): one round's
+    * update frame over an UN-checkpointed warm start, exactly the tree
+    * each checkpointed round executes.
+    */
+  private[graft] def loopBodyForPlan(spark: SparkSession, dir: String): DataFrame = {
+    val tr = sliceOf(docFeatures(spark, dir).filter(col("bucket") < 90), "train")
+    roundBody(tr, nbInit(tr, spark))
+  }
+
   private def candidates(tr: DataFrame, spark: SparkSession,
       locals: scala.collection.mutable.ArrayBuffer[DataFrame])
       : Vector[DataFrame] = {
     var w = Fixpoint.locally(nbInit(tr, spark), locals)
     var cands = Vector(w)
     for (_ <- 1 to Rounds) {
-      val wa = broadcast(denseW(w))
-      val mist = tr.crossJoin(wa)
-        .withColumn("score",
-          graft.functions.QualityKernelFunctions.bagDotF(col("bs"), col("wa")))
-        .filter(col("y") * col("score") <= 0)
-      val delta = exploded(mist.select(col("doc_id"), col("y"), col("bs")))
-        .groupBy(col("b"))
-        .agg(sum(col("y") * col("cnt")).as("dw"))
-      w = Fixpoint.locally(w.join(delta, Seq("b"), "left")
-        .select(col("b"),
-          (col("w") + coalesce(col("dw"), lit(0L))).as("w")), locals)
+      // Round 19 MEASURED checkpoint-every-2nd-round (halve the driver
+      // actions, depth-2 lazy tail): trio 3.2/3.0/3.4 → 3.5/3.6/3.8 s
+      // paired at sf0.1 — every candidate is ALSO referenced by the
+      // tagged union + both mistake curves, so an un-checkpointed
+      // round re-evaluates per reference and the replays are real.
+      // Per-round checkpoints stay (the fixpoint rule).
+      w = Fixpoint.locally(roundBody(tr, w), locals)
       cands :+= w
     }
     cands
@@ -315,24 +339,27 @@ object QualityTrain {
     * pocket's pick (0 = the NB warm start).
     */
   def qualityTrainEval(spark: SparkSession, dir: String): DataFrame = {
-    val locals = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    try Fixpoint.reliably {
+      // Round 19: the two eager stagings (wsel, scored) and the final
+      // reliable checkpoint are gone — each frame here is read ONCE
+      // downstream (the r18 eager-staging lesson: stage only proven
+      // replays), everything hangs off the memoized artifact's
+      // checkpoint scan, and the returned lazy frame needs no
+      // release bookkeeping. Saved 4 driver actions per execution.
       val art = trainArtifact(spark, dir)
       val pick = pickOf(art)
       val chosen = art.as("a").join(pick.as("p"), Seq("round"))
-      val wsel = Fixpoint.locally(chosen.select(col("b"), col("w")), locals)
+      val wsel = chosen.select(col("b"), col("w"))
       // test slice scored IN-ROW off the single-scan doc-feature frame
       // (round 18): one dense-array broadcast + the BagDot kernel —
       // no feature explode, no (doc, y) score shuffle. The bias slot
       // guarantees a nonempty bag per doc, so the old left-join
       // defensiveness is vacuous and the scores are identical.
-      val scored = Fixpoint.locally(
+      val scored =
         sliceOf(docFeatures(spark, dir), "test")
           .crossJoin(broadcast(denseW(wsel)))
           .select(col("doc_id"), col("y"),
             graft.functions.QualityKernelFunctions
-              .bagDotF(col("bs"), col("wa")).as("score")),
-        locals)
+              .bagDotF(col("bs"), col("wa")).as("score"))
       scored
         .select(col("y"), when(col("score") > 0, 1L).otherwise(0L).as("p"))
         .agg(count(lit(1)).as("n_heldout"),
@@ -353,6 +380,5 @@ object QualityTrain {
         .select(col("chosen_round"), col("n_heldout"), col("n_truth_pass"),
           col("n_pred_pass"), col("n_tp"), col("n_tn"),
           col("accuracy_bp"), col("precision_bp"), col("recall_bp"))
-    } finally Fixpoint.releaseAll(locals)
   }
 }
