@@ -574,6 +574,44 @@ object ScaleCheck {
       return
     }
 
+    // Synthetic hot-key skew proof for the gram stage (round 19,
+    // VERDICT r18 item 2; guide §2.5): plant ONE 8-gram in EVERY
+    // document (append a fixed 8-word phrase to each doc of the
+    // replica corpus — the phrase gram is corpus-hot, the boundary
+    // grams stay doc-specific) and time substring_dedup + span_clip on
+    // the uniform vs hot corpora. substring_dedup's distinct-doc count
+    // rides a count window partitioned by gram — a window partition
+    // cannot be AQE-split, so this measures whether the hot gram's
+    // (g, doc) rows serialize one task; span_clip's cross-doc agg is a
+    // partial-aggregating countDistinct, the control shape. The digit
+    // words cannot collide with cipher output (letters only), and
+    // n_chars is deliberately left stale — neither query reads it.
+    //   ScaleCheck <dir> <reps> hotgram
+    if (args.length > 2 && args(2) == "hotgram") {
+      val hotDir = out + "_hot"
+      val phrase = " zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$hotDir/documents.parquet"))) {
+        println(s"[scale] generating hot-gram corpus at $hotDir ...")
+        Tables(spark, out, "documents")
+          .withColumn("text", concat(col("text"), lit(phrase)))
+          .write.mode("overwrite").parquet(s"$hotDir/documents.parquet")
+        Tables.names.filterNot(_ == "documents").foreach { t =>
+          Tables(spark, out, t).write.mode("overwrite")
+            .parquet(s"$hotDir/$t.parquet")
+        }
+      }
+      val r = Seq("substring_dedup", "span_clip").map { q =>
+        val (tU, _, _) = time(spark, q, out)
+        val (tH, _, _) = time(spark, q, hotDir)
+        println(f"[scale] hotgram $q%-18s uniform=${fmt(tU)}%6ss hot=${fmt(tH)}%6ss ratio=${fmt(tH / tU)}")
+        s""""$q":{"t_uniform":${fmt(tU)},"t_hot":${fmt(tH)},"ratio":${fmt(tH / tU)}}"""
+      }.mkString(",")
+      println(s"""{"metric":"hotgram_skew","replicas":$reps,"results":{$r}}""")
+      spark.stop()
+      return
+    }
+
     // Incremental-closure evidence (round 18, VERDICT r17 item 1):
     // does the delta merge cost scale with the DELTA, not the corpus?
     // Two axes, one run: (a) at each tier, merge-given-a-prebuilt-prior
